@@ -1,0 +1,14 @@
+"""Declared query inventory + DuckDB oracle SQL (driver correctness gate)."""
+
+from web_analytics_visits_re_processing_spark.plans.registry import (
+    ORACLES,
+    QUERIES,
+    query,
+)
+
+# Importing the modules below populates the registry.
+from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
+    analytics,
+)
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,53 @@
+"""Parquet table catalog over the driver's synthetic star schema.
+
+Plain ``spark.read.parquet`` — column pruning and predicate pushdown
+reach the scan automatically because every downstream operator in this
+engine is expressed with native Column expressions (check with
+``df.explain('formatted')``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from ``{sf_dir}/{name}.parquet``.
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) columns outright
+    (PARQUET_TYPE_ILLEGAL); the ``events`` fixture stores ``ts`` as
+    nanos. We read nanos as raw int64 (legacy conf) and rebuild a
+    microsecond TIMESTAMP with integer division — ``div`` keeps the
+    full 64 bits (a double would corrupt epoch-nanos ~1.7e18), and the
+    floor matches DuckDB's ``epoch_us`` truncation on the same data.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
