@@ -1,0 +1,118 @@
+"""Golden sessionization fixture (SURVEY §5.2.2) + parser policy tests.
+
+The fixture is the reference's committed ``data-test/test.tsv`` ported
+to the canonical 10-column layout: 6 hits, one user, two sessions
+(rows 1-5 span 76 s starting 1517958846; row 6 is ~5.8 days earlier →
+its own single-hit session). Expected visits pin the semantics the
+reference's own (vacuous) test never checked.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Observation
+
+from web_analytics_visits_re_processing_spark.pipeline import (
+    build_visits_pipeline,
+    run_visits_pipeline,
+)
+from web_analytics_visits_re_processing_spark.sources.hitlog import (
+    parse_hitlog,
+    read_hitlog,
+)
+
+USER = "10001026_3484482593"
+EVENTS_A = "102,106,110,125,126,136,138,147,184,100,174,131,181"
+
+GOLDEN_ROWS = [
+    f"1517958846\t10001026\t3484482593\t\t\t{EVENTS_A}\tM:Home:Home Page\tm.debenhams.com\tibm1\tscv1",
+    f"1517958850\t10001026\t3484482593\t\t\t{EVENTS_A}\tM:T-Cat:Beauty\tm.debenhams.com\tibm1\tscv1",
+    f"1517958881\t10001026\t3484482593\t\t\t266,272,{EVENTS_A}\tM:PSP:Beauty > Paco Rabanne\tm.debenhams.com\tibm1\tscv1",
+    f"1517958883\t10001026\t3484482593\t\t\t{EVENTS_A}\tM:T-Cat:Beauty\tm.debenhams.com\tibm1\tscv1",
+    f"1517958922\t10001026\t3484482593\t\t\t266,272,{EVENTS_A}\tM:PSP:Beauty > Paco Rabanne\tm.debenhams.com\tibm1\tscv1",
+    f"1517458988\t10001026\t3484482593\t\t\t215,266,272,216,{EVENTS_A}\tM:Search Results:Search\tm.debenhams.com\tibm1\tscv1",
+]
+
+
+@pytest.fixture(scope="module")
+def golden_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("hitlog") / "test.tsv"
+    p.write_text("\n".join(GOLDEN_ROWS) + "\n")
+    return str(p)
+
+
+def test_golden_sessionization(spark, golden_path):
+    parsed = read_hitlog(spark, golden_path)
+    result = build_visits_pipeline(parsed, gap_seconds=1800)
+    try:
+        visits = {r["visit_key"]: r for r in result.visits.collect()}
+        assert set(visits) == {f"{USER}_1517458988", f"{USER}_1517958846"}
+        v1 = visits[f"{USER}_1517458988"]
+        assert (v1["visit_start"], v1["visit_end"]) == (1517458988, 1517458988)
+        v2 = visits[f"{USER}_1517958846"]
+        assert (v2["visit_start"], v2["visit_end"]) == (1517958846, 1517958922)
+
+        hits = result.hits.collect()
+        assert len(hits) == 6
+        by_key = {}
+        for h in hits:
+            by_key.setdefault(h["visit_key"], []).append(h)
+        assert len(by_key[f"{USER}_1517458988"]) == 1
+        assert len(by_key[f"{USER}_1517958846"]) == 5
+
+        visitors = result.visitors.collect()
+        assert [tuple(r) for r in visitors] == [(USER, "ibm1", "scv1")]
+    finally:
+        result.stamped.unpersist()
+
+
+def test_event_flags_exact_membership(spark):
+    # code '1' (order) must not match '11' (checkout) / '12' (atb) /
+    # '204' (payment) — exact list membership like the reference's ==
+    lines = spark.createDataFrame(
+        [
+            ("100\ta\tb\t\t\t11,12,204\tp\ts\ti\tv",),
+            ("200\ta\tb\t\t\t1,2,14\tp\ts\ti\tv",),
+        ],
+        "value string",
+    )
+    rows = {r["ts"]: r for r in parse_hitlog(lines).collect()}
+    r1, r2 = rows[100], rows[200]
+    assert (r1["order"], r1["checkout"], r1["atb"], r1["payment"]) == (0, 1, 1, 1)
+    assert (r1["pdp_view"], r1["bag_view"]) == (0, 0)
+    assert (r2["order"], r2["pdp_view"], r2["bag_view"]) == (1, 1, 1)
+    assert (r2["checkout"], r2["atb"], r2["payment"]) == (0, 0, 0)
+
+
+def test_malformed_rows_dropped_and_counted(spark):
+    lines = spark.createDataFrame(
+        [
+            ("100\ta\tb\t\tsku;7;x\t1,2\tp\ts\ti\tv",),  # good, line_number=7
+            ("short\trow",),  # short → drop
+            ("notanumber\ta\tb\t\t\t1\tp\ts\ti\tv",),  # bad ts → drop
+            ("300\ta\tb\t\tnosemicolon\t1\tp\ts\ti\tv",),  # sane: kept, ln=''
+        ],
+        "value string",
+    )
+    obs = Observation("parse")
+    out = parse_hitlog(lines, observation=obs).collect()
+    assert {r["ts"] for r in out} == {100, 300}
+    assert {r["ts"]: r["line_number"] for r in out} == {100: "7", 300: ""}
+    m = obs.get
+    assert m["rows_in"] == 4
+    assert m["short_rows"] == 1
+    assert m["bad_timestamp_rows"] == 1
+    assert m["dropped_rows"] == 2
+
+    # strict mode also drops the missing-';' products row
+    strict = parse_hitlog(lines, strict_reference_mode=True).collect()
+    assert {r["ts"] for r in strict} == {100}
+
+
+def test_pipeline_writes_three_sinks(spark, golden_path, tmp_path):
+    out = str(tmp_path / "out")
+    counts = run_visits_pipeline(spark, golden_path, out, output_format="csv")
+    assert counts == {"hits": 6, "visits": 2, "visitors": 1}
+    hits_df = spark.read.csv(f"{out}/hits", sep=",")
+    assert hits_df.count() == 6
+    assert len(hits_df.columns) == 12  # reference hit CSV order, main.py:106

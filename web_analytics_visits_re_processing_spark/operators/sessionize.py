@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_GAP_SECONDS = 1800  # 30 min, /root/reference/main.py:207
 
@@ -142,12 +143,19 @@ def with_session_columns(
         ),
     )
     w_sess = Window.partitionBy(user_col, "session_seq")
-    df = (
-        df.withColumn("visit_start", F.min(ts_col).over(w_sess))
-        .withColumn("visit_end", F.max(ts_col).over(w_sess))
-        .withColumn("visit_key", visit_key_col(F.col(user_col), F.col("visit_start")))
+    df = df.withColumn("visit_start", F.min(ts_col).over(w_sess)).withColumn(
+        "visit_end", F.max(ts_col).over(w_sess)
     )
-    return df
+    # Timestamp inputs key on epoch-micros; integer epoch-seconds inputs
+    # (the raw hit log) keep the reference's exact `user_id_<seconds>`
+    # key format (main.py:122).
+    if isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        key = visit_key_col(F.col(user_col), F.col("visit_start"))
+    else:
+        key = F.concat_ws(
+            "_", F.col(user_col).cast("string"), F.col("visit_start").cast("string")
+        )
+    return df.withColumn("visit_key", key)
 
 
 def visits_from_hits(
