@@ -10,7 +10,7 @@ end merges).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_analytics_visits_re_processing_spark.operators.sessionize import (
@@ -104,3 +104,150 @@ def q_sessionize_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour event-time windows (`F.window`) — the same
+    expression streams under a watermark (streaming/ package)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+SELECT (epoch_us(ts) // 1800000000) * 1800000000
+           - (s.i * 1800000000) AS window_start_us,
+       COUNT(*) AS n_events
+FROM events, (SELECT unnest([0, 1]) AS i) s
+WHERE (epoch_us(ts) // 1800000000) - s.i >= 0
+GROUP BY 1
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in 2
+    overlapping windows (oracle replicates the window assignment by
+    explicit half-hour-slot arithmetic)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "json_props_per_event_type",
+    oracle="""
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction stays native (`get_json_object`) so the whole
+    plan remains codegen'd — no Python in the hot path."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg(k), 2).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "window_lag_event_gaps",
+    oracle="""
+SELECT event_id,
+       user_id,
+       epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+)
+def q_window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (lag analytic) — the building block of
+    the pure-SQL sessionizer; event_id breaks timestamp ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "asof_last_purchase_before_event",
+    oracle="""
+SELECT event_id,
+       user_id,
+       epoch_us(ts) AS ts_us,
+       MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_purchase_us
+FROM events
+""",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup expressed as a running conditional max — no join,
+    one shuffle on the user key, identical semantics to an ASOF JOIN
+    of events against the purchase subset."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.max(F.when(F.col("event_type") == "purchase", ts_us)).over(w).alias(
+            "last_purchase_us"
+        ),
+    )
+
+
+@query(
+    "distinct_event_users",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates — the dedup the reference's visitors output
+    needed (main.py:157-160 emits one row per hit)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id").dropDuplicates()
