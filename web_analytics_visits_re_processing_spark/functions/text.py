@@ -1,0 +1,88 @@
+"""Text-analysis column functions — all native expressions (no UDFs).
+
+Portable-hash convention: anywhere a hash must be reproducible outside
+Spark (DuckDB oracles, cross-engine fingerprints) we use
+``md5 → first 15 hex digits → base-16 to bigint`` — 60 bits, exact in
+any engine with ``md5`` (DuckDB: ``('0x' || substring(md5(x),1,15))::BIGINT``).
+xxhash64 would be faster but is Spark-specific; swap via ``hash64``'s
+``portable=False`` on a closed Spark-only pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal multi-language stopword sets for the n-gram language-ID
+# heuristic and quality scoring (public common-word lists).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"],
+}
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    return F.split(text, sep)
+
+
+def hash64(col: Column, portable: bool = True) -> Column:
+    """60-bit deterministic hash; portable variant reproducible in any
+    SQL engine via md5 (see module doc)."""
+    if portable:
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(col)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.round(
+        (F.length(t) - token_count(t) + 1) / token_count(t), 4
+    )
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic [0,1] quality: rewards stopword presence and sane
+    token lengths, penalizes very short docs — the standard cheap
+    pre-filter before expensive LLM-pipeline stages."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = token_count(t)
+    sw_ratio = stopword_count(t) / n
+    len_ok = F.when((avg_token_length(t) >= 2) & (avg_token_length(t) <= 12), 1.0).otherwise(0.3)
+    size_ok = F.when(n >= 10, 1.0).otherwise(n / 10.0)
+    return F.round((0.4 * sw_ratio + 0.3 * len_ok + 0.3 * size_ok), 4)
+
+
+def exact_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive exact-dup fingerprint."""
+    return F.md5(text)
+
+
+def shingle_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles via transform over sliding offsets —
+    native, no UDF: shingle i = tokens[i..i+n-1] joined by space."""
+    toks = tokens(text)
+    offsets = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(
+        offsets, lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " ")
+    )

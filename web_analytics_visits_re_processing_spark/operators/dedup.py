@@ -1,0 +1,217 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four tiers, all pure DataFrame expressions (no Python in the hot
+path), each designed so the candidate-generation step is a hash
+shuffle on a SMALL key (fingerprint / band / bucket) rather than an
+O(n²) comparison:
+
+- **exact**: group by content fingerprint (md5). One shuffle on a
+  16-byte key; at 100 TB this is the cheapest possible dedup.
+- **MinHash + LSH**: per-doc k-permutation signature (portable 60-bit
+  md5 hash, see ``functions.text.hash64``) → band keys → self-join on
+  band → candidate pairs → exact Jaccard verify. Shuffle volume is
+  |docs|×bands tiny rows, never |docs|²; the verify join touches only
+  colliding candidates. This is the standard near-dup design from the
+  MinHash/LSH literature (Broder '97; used by most public LLM data
+  pipelines).
+- **SimHash**: 32-bit bitwise-majority signature; near-dups = equal
+  (or low-hamming) signatures. One shuffle on the signature.
+- **n-gram Jaccard**: exact Jaccard over word-n-gram shingle sets for
+  a bounded candidate set (same LSH band or same-source blocking) —
+  the verification primitive the other tiers reuse.
+
+Every operator keeps the full lineage DataFrame-declarative so
+Catalyst prunes document text out of the plan the moment only hashes
+are needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.functions.text import (
+    exact_fingerprint,
+    hash64,
+    word_ngrams,
+)
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # rows-per-band = num_hashes / bands
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint → (fp, n_dups, keep_id): groups of byte-identical
+    documents; keep the smallest id as canonical."""
+    return (
+        df.select(exact_fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per identical content (min id wins)."""
+    ranked = df.withColumn("_fp", exact_fingerprint(text_col)).withColumn(
+        "_rk", F.row_number().over(Window.partitionBy("_fp").orderBy(id_col))
+    )
+    return ranked.where(F.col("_rk") == 1).drop("_fp", "_rk")
+
+
+def minhash_signature(
+    text_col: Column | str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    ngram: int = 3,
+) -> list[Column]:
+    """k MinHash values: min over shingles of portable_hash(seed‖shingle).
+
+    Portable: the exact same value is computable in DuckDB as
+    ``list_min(list_transform(shingles, s -> ('0x' ||
+    substring(md5(i || '|' || s), 1, 15))::BIGINT))``.
+    """
+    shingles = F.array_distinct(word_ngrams(text_col, ngram))
+
+    # NB: a factory, NOT `lambda s, i=i: ...` — a two-parameter lambda
+    # makes F.transform use its (element, index) form and the array
+    # index silently overrides the seed default.
+    def hasher(seed: int):
+        return lambda s: hash64(F.concat_ws("|", F.lit(str(seed)), s))
+
+    return [
+        F.array_min(F.transform(shingles, hasher(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_bands(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> list[Column]:
+    """Band keys: md5 over each signature slice (classic LSH banding)."""
+    rows_per_band = num_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+        out.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b): docs sharing ≥1 LSH band.
+
+    Plan shape: project to (id, band_0..b) → melt via stack/explode →
+    self-join on (band_idx, band_key) → distinct pairs. The join key
+    cardinality is the number of distinct band values — shuffle stays
+    proportional to data, not to pairs.
+    """
+    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, ngram))
+    banded = sig.select(id_col, *minhash_bands(num_hashes, bands))
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs → (id_a, id_b, jaccard).
+
+    Shingle sets are joined in as arrays; intersection/union sizes via
+    native array ops — per-pair cost is bounded by doc length, and the
+    join is a broadcast-able equi-join on ids."""
+    shingles = df.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
+    )
+    out = (
+        candidates.join(shingles.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shingles.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
+    return jaccard_verify(cand, df, text_col, id_col, ngram, threshold)
+
+
+def simhash_signature(
+    text_col: Column | str, bits: int = 32, portable: bool = True
+) -> Column:
+    """SimHash over tokens: bit j of the signature = majority vote of
+    bit j across token hashes. Native formulation — per bit, one
+    ``aggregate`` fold over the token-hash array (Python loops over
+    bit positions at PLAN-BUILD time; nothing per-row crosses into
+    Python). No explode, no UDF, no shuffle."""
+    toks = F.array_distinct(F.split(text_col, " "))
+    hashes = F.transform(toks, lambda t: hash64(t, portable=portable))
+
+    def vote(j: int) -> Column:
+        # Σ over tokens of (bit_j(hash) ? +1 : -1)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),  # init type must match the merge's bigint
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Docs sharing an identical SimHash signature (hamming distance 0
+    groups; for distance ≤ d, re-join on signature rotations)."""
+    sig = df.select(F.col(id_col), simhash_signature(F.col(text_col), bits).alias("simhash"))
+    return sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("keep_id"),
+    )

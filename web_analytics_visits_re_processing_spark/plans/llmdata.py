@@ -1,0 +1,357 @@
+"""LLM-training-data pipeline queries: text analysis, dedup,
+similarity search (BASELINE.json north-star extensions).
+
+Oracle notes:
+- portable hash = md5 hex → 60-bit int; verified bit-identical
+  between Spark (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x'||substring(md5(x),1,15))::BIGINT``).
+- cosine: DuckDB ``list_cosine_similarity`` on ``::DOUBLE[]`` matches
+  Spark's double-precision zip_with/aggregate fold EXACTLY (verified);
+  the float[] variant differs at 1e-8 — always cast.
+- shingles: Spark ``slice(toks, i, n)`` (length-based) ≡ DuckDB
+  ``toks[i:i+n-1]`` (list_slice is end-inclusive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.functions.text import (
+    STOPWORDS,
+    avg_token_length,
+    distinct_token_count,
+    exact_fingerprint,
+    shingle_fingerprint,
+    stopword_count,
+    token_count,
+)
+from web_analytics_visits_re_processing_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_near_dups,
+    minhash_signature,
+    simhash_dup_groups,
+)
+from web_analytics_visits_re_processing_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    l2_norm,
+)
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- text analysis -----------------------------------------------------------
+
+@query(
+    "doc_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       ROUND((length(text) - len(string_split(text, ' ')) + 1)
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents
+""",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokenizer, all codegen'd."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+        avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ({_SW_EN}))) AS sw,
+           ROUND((length(text) - len(string_split(text, ' ')) + 1)
+                 / len(string_split(text, ' ')), 4) AS avg_len
+    FROM documents
+)
+SELECT doc_id, n AS n_tokens, sw AS n_stopwords,
+       ROUND(0.4 * (sw / n)
+             + 0.3 * (CASE WHEN avg_len >= 2 AND avg_len <= 12
+                           THEN 1.0 ELSE 0.3 END)
+             + 0.3 * (CASE WHEN n >= 10 THEN 1.0 ELSE n / 10.0 END),
+             4) AS quality
+FROM t
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality pre-filter: stopword ratio + token-length sanity
+    + doc-size floor (the usual gate before expensive pipeline
+    stages)."""
+    from web_analytics_visits_re_processing_spark.functions.text import quality_score
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stopword_count("text").alias("n_stopwords"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"           len(list_filter(string_split(text, ' '), "
+    f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])}))) AS s_{lang}"
+    for lang in ("en", "de", "es", "fr")
+)
+
+
+@query(
+    "lang_id_predictions",
+    oracle=f"""
+WITH scores AS (
+    SELECT doc_id,
+{_LANG_SCORES_SQL}
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > s_en THEN 'fr'
+            ELSE 'en' END AS lang_pred
+FROM scores
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic): per-language
+    scores, fixed preference order on ties (en → de → es → fr)."""
+    d = _docs(spark, sf_dir)
+    s = {lang: stopword_count("text", lang) for lang in ("en", "de", "es", "fr")}
+    pred = (
+        F.when((s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["es"] > s["en"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["fr"] > s["en"], "fr")
+        .otherwise("en")
+    )
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+@query(
+    "lang_corpus_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp_shingle
+FROM documents
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-sensitive (exact bytes) and
+    order-insensitive (sorted token set) md5 fingerprints."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        exact_fingerprint("text").alias("fp_exact"),
+        shingle_fingerprint("text").alias("fp_shingle"),
+    )
+
+
+# --- dedup -------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+_MINHASH_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )) AS sh
+    FROM documents
+"""
+
+_MINHASH_SIG_COLS_SQL = ",\n".join(
+    f"       list_min(list_transform(sh, s -> ('0x' || substring(md5('{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
+    for i in range(8)
+)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+WITH sh AS ({_MINHASH_SHINGLES_SQL})
+SELECT doc_id,
+{_MINHASH_SIG_COLS_SQL}
+FROM sh
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signature per document over 3-gram shingles,
+    portable-hash based so it's bit-identical across engines."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", *minhash_signature(F.col("text"), num_hashes=8, ngram=3))
+
+
+@query("minhash_lsh_near_dup_pairs")  # rows-only: full LSH pipeline
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH-band→candidate→exact-Jaccard near-dup pairs.
+    Correctness pinned by unit tests with planted near-duplicates and
+    by the oracle-matched ``minhash_signatures`` building block."""
+    return minhash_lsh_near_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query("simhash_dup_groups")  # rows-only: verified via planted dups
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "ngram_jaccard_same_source_pairs",
+    oracle="""
+WITH sh AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )) AS sh
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM sh a JOIN sh b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact Jaccard: same-source candidate pairs (blocking
+    bounds the quadratic term to within-block), native array
+    intersect/union."""
+    from web_analytics_visits_re_processing_spark.functions.text import word_ngrams
+
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(word_ngrams("text", 3)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    )
+    raw = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(raw >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
+# --- similarity search --------------------------------------------------------
+
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+SELECT q.vec_id AS query_id,
+       c.vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 4) AS cos,
+       ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]), 4) DESC,
+                    c.vec_id) AS rk
+FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+WHERE q.vec_id < 10
+QUALIFY rk <= 5
+""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors —
+    the exact baseline the ANN path is measured against."""
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query("embedding_cosine_topk_lsh")  # rows-only: ANN, recall tested vs exact
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+
+@query(
+    "embedding_norms_by_label",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))), 4) AS avg_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
