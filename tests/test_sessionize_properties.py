@@ -1,0 +1,72 @@
+"""Property tests (SURVEY §5.2.3) for the sessionizer on random event
+streams: gap invariants, min/max ordering, count preservation, and
+equivalence of the two formulations (session_window groupBy vs
+lag/running-sum window functions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.operators.sessionize import (
+    sessionize_visits,
+    with_session_columns,
+)
+
+GAP = 1800
+
+
+def _random_events(seed: int, n_users: int = 8, n_events: int = 400):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    t = {u: 0 for u in range(n_users)}
+    for i in range(n_events):
+        u = rng.randrange(n_users)
+        # mix of intra-session steps, exact-gap edges, and big jumps
+        step = rng.choice([1, 10, 600, 1799, 1800, 1801, 5000, 90000])
+        t[u] += step
+        rows.append((i, base + dt.timedelta(seconds=t[u]), u, rng.random()))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_session_invariants(spark, seed):
+    df = spark.createDataFrame(
+        _random_events(seed), "event_id long, ts timestamp, user_id long, value double"
+    )
+    visits = sessionize_visits(df, gap_seconds=GAP).collect()
+    hits = with_session_columns(df, gap_seconds=GAP).collect()
+
+    # count preservation: every input event lands in exactly one session
+    assert len(hits) == df.count()
+    assert sum(v["n_hits"] for v in visits) == len(hits)
+    assert len({v["visit_key"] for v in visits}) == len(visits)
+
+    # per-visit: start = min ts <= max ts = end
+    for v in visits:
+        assert v["visit_start"] <= v["visit_end"]
+
+    # the two formulations agree exactly
+    from_hits = {}
+    for h in hits:
+        k = h["visit_key"]
+        s = from_hits.setdefault(k, [h["visit_start"], h["visit_end"], 0])
+        s[2] += 1
+    assert {v["visit_key"]: [v["visit_start"], v["visit_end"], v["n_hits"]] for v in visits} == from_hits
+
+    # gap semantics per user: consecutive hits within a session differ
+    # by <= GAP; consecutive sessions are separated by > GAP
+    by_user: dict[int, list] = {}
+    for h in sorted(hits, key=lambda r: (r["user_id"], r["ts"])):
+        by_user.setdefault(h["user_id"], []).append(h)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            delta = (b["ts"] - a["ts"]).total_seconds()
+            if b["visit_key"] == a["visit_key"]:
+                assert delta <= GAP
+            else:
+                assert delta > GAP

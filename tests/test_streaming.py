@@ -1,0 +1,67 @@
+"""Streaming semantics: batch ≡ streaming on the same input, and
+append-mode emission with a watermark (sessions emit once closed)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.operators.sessionize import (
+    sessionize_visits,
+)
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    streaming_visits_replay,
+)
+
+
+def test_batch_equals_streaming_sessionization(spark, sf_dir):
+    batch = sessionize_visits(
+        load_table(spark, sf_dir, "events"),
+        extra_aggs=[F.round(F.sum("value"), 2).alias("total_value")],
+    ).select(
+        "visit_key",
+        F.unix_micros("visit_start").alias("visit_start_us"),
+        F.unix_micros("visit_end").alias("visit_end_us"),
+        "n_hits",
+        "total_value",
+    )
+    stream = streaming_visits_replay(spark, sf_dir).select(
+        "visit_key", "visit_start_us", "visit_end_us", "n_hits", "total_value"
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_append_mode_emits_closed_sessions_once(spark, tmp_path):
+    """With watermark delay D, a session whose end + gap + D is behind
+    the max seen event time is closed and emitted in append mode; the
+    newest session stays open (not emitted)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: an early closed session, then a much later session that
+    # keeps the watermark high
+    for s in (0, 1, 2):
+        rows.append((s, base + dt.timedelta(seconds=s), 1, "view", 1.0, "{}"))
+    rows.append((9, base + dt.timedelta(days=2), 1, "view", 1.0, "{}"))
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).parquet(str(src))
+    )
+    visits = sessionize_stream(stream, gap_seconds=1800, watermark_delay="1 hour")
+    run_stream_to_memory(visits, "append_visits", output_mode="append")
+    out = spark.table("append_visits").collect()
+    # only the early session (3 hits) closed; the day-2 session is open
+    assert len(out) == 1
+    assert out[0]["n_hits"] == 3

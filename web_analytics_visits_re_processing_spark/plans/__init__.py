@@ -11,6 +11,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     analytics,
     llmdata,
     relational,
+    streaming_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

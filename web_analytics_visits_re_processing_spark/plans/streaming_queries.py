@@ -1,0 +1,52 @@
+"""Streaming queries in the driver inventory.
+
+Both run the stream to completion (availableNow replay, complete
+mode), so their results equal the batch equivalents — which means the
+batch DuckDB oracles apply verbatim: the strongest possible
+batch≡streaming check the driver can record.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from web_analytics_visits_re_processing_spark.plans.analytics import _SESSION_CTE
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+    streaming_tumbling_counts_replay,
+    streaming_visits_replay,
+)
+
+
+@query(
+    "streaming_sessionize_visits",
+    oracle=_SESSION_CTE
+    + """
+SELECT CAST(user_id AS VARCHAR) || '_' || CAST(epoch_us(MIN(ts)) AS VARCHAR)
+           AS visit_key,
+       user_id,
+       epoch_us(MIN(ts)) AS visit_start_us,
+       epoch_us(MAX(ts)) AS visit_end_us,
+       COUNT(*) AS n_hits,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def q_streaming_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_visits_replay(spark, sf_dir)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_tumbling_counts_replay(spark, sf_dir)
