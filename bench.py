@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Each query is executed to completion (count + a full-result checksum
+action where cheap) with AQE on. Heavy quadratic-ish demos
+(same-source Jaccard) are excluded from the headline set — they're
+correctness demos, not throughput paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference surface
+    "sessionize_visits",
+    "sessionize_hits",
+    "streaming_sessionize_visits",
+    # relational
+    "q1_pricing_summary",
+    "join_revenue_by_region",
+    "join_left_customer_order_counts",
+    "range_join_lineitem_ship_window",
+    "agg_rollup_orders",
+    "count_distinct_nations_per_segment",
+    "window_rank_top3_parts_per_brand",
+    "topk_orders_by_price",
+    "json_props_per_event_type",
+    # llm-data extensions
+    "doc_token_stats",
+    "dedup_exact_groups",
+    "minhash_signatures",
+    "embedding_cosine_topk",
+    "multimodal_image_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    # warm the JVM/codegen paths once with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_inventory_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -355,3 +355,35 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
     )
+
+
+# --- multimodal ---------------------------------------------------------------
+
+@query(
+    "multimodal_image_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) % 640 + 16 AS width,
+       octet_length(encode(text)) % 480 + 9 AS height,
+       octet_length(encode(text)) + 8 AS n_bytes,
+       'img' AS format
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode via Arrow-batched mapInPandas (the real
+    multimodal plumbing; codec stubbed — see operators.multimodal).
+    The oracle replays the synthetic header arithmetic in SQL."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_image_meta,
+        with_synthetic_image_blob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_image_meta(with_synthetic_image_blob(docs)).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "format",
+    )
