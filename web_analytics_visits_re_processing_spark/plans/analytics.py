@@ -251,3 +251,46 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed (main.py:157-160 emits one row per hit)."""
     events = load_table(spark, sf_dir, "events")
     return events.select("user_id").dropDuplicates()
+
+
+@query(
+    "map_functions_props",
+    oracle="""
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+WHERE event_id < 1000
+""",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → MapType + map_keys/element access (nested-type
+    function surface)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return events.where(F.col("event_id") < 1000).select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.try_element_at(m, F.lit("k")).alias("k_value"),
+    )
+
+
+@query(
+    "explode_event_type_chars",
+    oracle="""
+SELECT t.ch AS ch, COUNT(*) AS n
+FROM events, unnest(string_split(event_type, '')) AS t(ch)
+GROUP BY t.ch
+""",
+)
+def q_explode_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest surface: flatten an array column and aggregate
+    (generator → hash agg; partial aggregation keeps the shuffle
+    proportional to distinct keys, not exploded rows)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(F.explode(F.split("event_type", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

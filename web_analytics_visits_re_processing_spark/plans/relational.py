@@ -383,7 +383,7 @@ SELECT o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        year(o_orderdate) AS order_year,
        month(o_orderdate) AS order_month,
-       ROUND(o_totalprice * 1.1, 2) AS price_with_tax,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
        ABS(o_totalprice - 100000) AS price_dist,
        o_orderkey % 7 AS key_mod
 FROM orders
@@ -401,7 +401,84 @@ def scalar_showcase(spark, sf_dir):
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+        # NB: deliberately tie-free — ROUND(x*1.1, 2) on 2-decimal money
+        # hits exact .xx5 halves where Spark (BigDecimal HALF_UP) and
+        # other engines (scaled std::round) legitimately disagree.
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
         F.abs(F.col("o_totalprice") - 100000).alias("price_dist"),
         (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "join_right_orders_customer",
+    oracle="""
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+FROM orders
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+)
+def join_right(spark, sf_dir):
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer_nation_coverage",
+    oracle="""
+SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+       COALESCE(cn.n_cust, 0) AS n_cust,
+       COALESCE(sn.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                 FROM supplier GROUP BY s_nationkey) sn
+  ON cn.nationkey = sn.nationkey
+""",
+)
+def join_full(spark, sf_dir):
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+""",
+)
+def grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the engine's SQL entry point (the DataFrame
+    API covers rollup/cube; sets compose through spark.sql)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
     )
