@@ -116,3 +116,32 @@ def test_pipeline_writes_three_sinks(spark, golden_path, tmp_path):
     hits_df = spark.read.csv(f"{out}/hits", sep=",")
     assert hits_df.count() == 6
     assert len(hits_df.columns) == 12  # reference hit CSV order, main.py:106
+
+
+def test_latin1_gzip_byte_exact_roundtrip(spark, tmp_path):
+    """R15 (/root/reference/encoding_update.py:12-36): a gzipped
+    ISO-8859-1 hit log must round-trip byte-exact through
+    read_hitlog_lines — including bytes that are invalid UTF-8."""
+    import gzip
+
+    from web_analytics_visits_re_processing_spark.sources.hitlog import (
+        read_hitlog_lines,
+    )
+
+    lines = [
+        "1517958846\tuser\thi\tcafé\t\t1,2\tM:Home\tsrv\tibm\tscv",
+        "1517958850\tüser\tlo\tMüller®\t\t204\tM:Beauty\tsrv\tibm\tscv",
+        "plain ascii line",
+    ]
+    p = tmp_path / "latin1.tsv.gz"
+    with gzip.open(p, "wb") as f:
+        f.write("\n".join(lines).encode("iso-8859-1") + b"\n")
+    # sanity: the Latin-1 bytes are NOT valid UTF-8 (é = 0xE9 alone)
+    assert b"\xe9" in gzip.open(p, "rb").read()
+
+    got = [r["value"] for r in read_hitlog_lines(spark, str(p), "ISO-8859-1").collect()]
+    assert sorted(got) == sorted(lines)
+    # and byte-exact when re-encoded
+    assert sorted(s.encode("iso-8859-1") for s in got) == sorted(
+        s.encode("iso-8859-1") for s in lines
+    )
