@@ -65,3 +65,35 @@ def test_append_mode_emits_closed_sessions_once(spark, tmp_path):
     # only the early session (3 hits) closed; the day-2 session is open
     assert len(out) == 1
     assert out[0]["n_hits"] == 3
+
+
+def test_append_replay_matches_batch_and_evicts_state(spark, sf_dir):
+    """The gated append-mode replay equals the batch sessionizer AND
+    actually evicts session state as the watermark advances (the
+    complete-mode replay it replaced kept all state forever)."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        LAST_APPEND_PROGRESS,
+        streaming_visits_append,
+    )
+
+    batch = sessionize_visits(
+        load_table(spark, sf_dir, "events"),
+        extra_aggs=[F.round(F.sum("value"), 2).alias("total_value")],
+    ).select(
+        "visit_key",
+        F.unix_micros("visit_start").alias("visit_start_us"),
+        F.unix_micros("visit_end").alias("visit_end_us"),
+        "n_hits",
+        "total_value",
+    )
+    stream = streaming_visits_append(spark, sf_dir).select(
+        "visit_key", "visit_start_us", "visit_end_us", "n_hits", "total_value"
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0
+
+    # real eviction: sessions were removed from the state store, and at
+    # most the sentinel's own session is left at the end.
+    assert LAST_APPEND_PROGRESS["numRowsRemoved"] >= len(b)
+    assert LAST_APPEND_PROGRESS["numRowsTotal"] <= 1

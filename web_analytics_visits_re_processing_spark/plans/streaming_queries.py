@@ -1,9 +1,12 @@
 """Streaming queries in the driver inventory.
 
-Both run the stream to completion (availableNow replay, complete
-mode), so their results equal the batch equivalents — which means the
-batch DuckDB oracles apply verbatim: the strongest possible
-batch≡streaming check the driver can record.
+Both replay the bounded fixture through the PRODUCTION topology: file
+source → watermark → APPEND mode → parquet file sink (state evicted as
+the watermark advances; a sentinel row flushes the tail — see
+``streaming.sessionize_stream``). The results still equal the batch
+equivalents, so the batch DuckDB oracles apply verbatim: the strongest
+batch≡streaming check the driver can record, now under real state
+eviction instead of the old complete-mode memory-sink replay.
 """
 
 from __future__ import annotations
@@ -13,8 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from web_analytics_visits_re_processing_spark.plans.analytics import _SESSION_CTE
 from web_analytics_visits_re_processing_spark.plans.registry import query
 from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
-    streaming_tumbling_counts_replay,
-    streaming_visits_replay,
+    streaming_tumbling_counts_append,
+    streaming_visits_append,
 )
 
 
@@ -34,7 +37,7 @@ GROUP BY user_id, session_seq
 """,
 )
 def q_streaming_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streaming_visits_replay(spark, sf_dir)
+    return streaming_visits_append(spark, sf_dir)
 
 
 @query(
@@ -49,4 +52,4 @@ GROUP BY 1, 2
 """,
 )
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return streaming_tumbling_counts_replay(spark, sf_dir)
+    return streaming_tumbling_counts_append(spark, sf_dir)

@@ -18,12 +18,25 @@ bounded: AQE doesn't apply to streaming, so size
 ``spark.sql.shuffle.partitions`` to the expected concurrent-session
 key space up front.
 
-The helpers below also expose a **replay** path (``availableNow`` +
-complete mode into a memory sink) used by tests and the driver gate to
-prove batch ≡ streaming on the same fixture.
+Two replay paths over the bounded fixture:
+
+- **append replay** (`streaming_visits_append` — the gated, production
+  topology): file source → watermark → append mode → parquet file
+  sink. A single sentinel row timestamped far past the fixture pushes
+  the final watermark beyond every real session's close, so state is
+  actually EVICTED and every real session is emitted exactly once —
+  the result still equals the batch sessionizer, so the batch DuckDB
+  oracle applies verbatim while exercising real eviction (the
+  complete-mode memory sink never evicted and materialized everything
+  driver-side — the 100 TB scale-killer this replaces).
+- **complete-mode memory replay** (`streaming_visits_replay`) — kept
+  as a test utility only.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,7 +111,9 @@ def run_stream_to_memory(
     timeout_s: int = 300,
 ) -> None:
     """Replay a bounded stream to completion into an in-memory table
-    (test/driver utility — production sinks are files/kafka)."""
+    (TEST utility — the gated/production path is the append replay
+    below). Raises on timeout instead of silently returning a
+    partially-populated table."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
@@ -106,8 +121,151 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not finish within {timeout_s}s; "
+            "memory table would be partial"
+        )
     q.stop()
+
+
+# --- append-mode replay (the production topology, gated) ---------------------
+
+SENTINEL_USER_ID = -1
+_SENTINEL_EVENT_TYPE = "_watermark_flush"
+
+_TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+)
+
+#: stateOperators summary of the last append replay, for tests to
+#: assert real state eviction (numRowsRemoved > 0, ~nothing left).
+LAST_APPEND_PROGRESS: dict[str, int] = {}
+
+
+def _prepare_replay_input(spark: SparkSession, sf_dir: str, workdir: str) -> str:
+    """Copy the events fixture into a stream-source dir and append ONE
+    sentinel row timestamped 1 day past the fixture's max event time.
+
+    Append mode emits a session only when the watermark (max seen ts −
+    delay) passes the session close; without the sentinel every session
+    within ``delay`` of the fixture's end would stay in state forever
+    and the replay would under-produce. The sentinel pushes the final
+    watermark beyond all real sessions — the exact flush a production
+    pipeline gets for free from the next day's data."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts = int64 nanos
+    shutil.rmtree(workdir, ignore_errors=True)
+    input_dir = os.path.join(workdir, "input")
+    raw.write.parquet(input_dir)
+    max_ts = raw.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + 86_400 * 10**9, SENTINEL_USER_ID, _SENTINEL_EVENT_TYPE, 0.0, "{}")],
+        EVENTS_RAW_SCHEMA,
+    )
+    sentinel.write.mode("append").parquet(input_dir)
+    return input_dir
+
+
+def _run_append_to_files(
+    result: DataFrame, workdir: str, timeout_s: int = 300
+) -> tuple[str, dict[str, int]]:
+    """Append-mode → parquet file sink with checkpoint; returns the
+    output path and a state-eviction summary from the final progress."""
+    out = os.path.join(workdir, "out")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"append replay did not finish within {timeout_s}s")
+    stats = {"numRowsTotal": 0, "numRowsRemoved": 0}
+    for p in q.recentProgress:
+        for op in p.get("stateOperators", []):
+            stats["numRowsTotal"] = op.get("numRowsTotal", 0)
+            stats["numRowsRemoved"] += op.get("numRowsRemoved", 0)
+    q.stop()
+    LAST_APPEND_PROGRESS.clear()
+    LAST_APPEND_PROGRESS.update(stats)
+    return out, stats
+
+
+def streaming_visits_append(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Production-topology sessionization replay: file source →
+    watermark → session_window agg → APPEND mode → parquet sink.
+    Result equals the batch sessionizer (same DuckDB oracle) while
+    state is genuinely evicted as the watermark advances."""
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_append_visits", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    events = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    visits = sessionize_stream(events, gap_seconds, watermark_delay)
+    out, _ = _run_append_to_files(visits, workdir)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != SENTINEL_USER_ID)
+        .select(
+            "visit_key",
+            "user_id",
+            F.unix_micros("visit_start").alias("visit_start_us"),
+            F.unix_micros("visit_end").alias("visit_end_us"),
+            "n_hits",
+            "total_value",
+        )
+    )
+
+
+def streaming_tumbling_counts_append(
+    spark: SparkSession, sf_dir: str, width: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts via the same append-mode file-sink
+    topology (windows close and evict as the watermark passes)."""
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_append_tumbling", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    events = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counts = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    out, _ = _run_append_to_files(counts, workdir)
+    return spark.read.parquet(out).where(
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
+    )
 
 
 def streaming_visits_replay(
