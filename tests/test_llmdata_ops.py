@@ -99,3 +99,61 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     exact = e.select(F.countDistinct("user_id")).collect()[0][0]
     approx = QUERIES["approx_count_distinct_users"](spark, sf_dir).collect()[0]["approx_users"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_multiprobe_lsh_beats_single_probe_recall(planted_clusters):
+    """probe_hamming=1 probes all buckets one bit-flip away; at a plane
+    count where single-probe loses neighbors across bucket boundaries,
+    multi-probe recovers them (>= 0.9 recall, and never worse)."""
+    emb = planted_clusters
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    single = cosine_topk_lsh(emb, queries, k=3, dim=64, n_planes=8)
+    multi = cosine_topk_lsh(emb, queries, k=3, dim=64, n_planes=8, probe_hamming=1)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    rs = len(e & {(r["query_id"], r["vec_id"]) for r in single.collect()}) / len(e)
+    rm = len(e & {(r["query_id"], r["vec_id"]) for r in multi.collect()}) / len(e)
+    assert rm >= 0.9, f"multi-probe recall {rm:.2f}"
+    assert rm >= rs, f"multi-probe {rm:.2f} worse than single-probe {rs:.2f}"
+
+
+def test_simhash_near_dup_pairs_pigeonhole_exact(spark):
+    """The pigeonhole block join is lossless: a planted near-identical
+    pair is found at exactly its true hamming distance, and missed the
+    moment max_hamming drops below it."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signature,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    # 3 of 60 tokens replaced → signature hamming 3 (deterministic:
+    # portable md5 hashes, fixed texts)
+    drifted = " ".join(f"x{i}" if i < 3 else f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, drifted),
+            (2, " ".join(f"z{i}" for i in range(60))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_signature(F.col("text")).alias("s")).collect()
+    }
+    true_h = bin(sigs[0] ^ sigs[1]).count("1")
+    assert 0 < true_h < 16  # drift is small but nonzero
+
+    found = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=true_h).collect()
+    }
+    assert found.get((0, 1)) == true_h
+    assert not any(2 in p for p in found)  # unrelated doc stays out
+
+    below = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=true_h - 1).collect()
+    }
+    assert (0, 1) not in below

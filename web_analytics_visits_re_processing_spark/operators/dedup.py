@@ -209,9 +209,73 @@ def simhash_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Docs sharing an identical SimHash signature (hamming distance 0
-    groups; for distance ≤ d, re-join on signature rotations)."""
+    groups; for distance ≤ k see ``simhash_near_dup_pairs``)."""
     sig = df.select(F.col(id_col), simhash_signature(F.col(text_col), bits).alias("simhash"))
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(id_col).alias("keep_id"),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pairs whose SimHash signatures are within ``max_hamming`` bits
+    → (id_a, id_b, hamming).
+
+    Pigeonhole candidate generation (the standard scale shape for
+    hamming-ball search, cf. Manku et al., WWW'07 §3): split the
+    signature into ``max_hamming + 1`` contiguous blocks — two
+    signatures within distance ``max_hamming`` MUST agree on at least
+    one whole block — then equi-join on (block_idx, block_value) and
+    verify with ``bit_count(xor) ≤ k`` on the colliding candidates.
+    Shuffle volume is |docs|×blocks small rows on block keys, never
+    |docs|²; recall is exactly 1 (pigeonhole is lossless), so a
+    brute-force all-pairs oracle must return the identical set.
+    """
+    n_blocks = max_hamming + 1
+    widths = [
+        bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    sig = df.select(
+        F.col(id_col), simhash_signature(F.col(text_col), bits).alias("simhash")
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftright("simhash", offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("block_val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    melted = sig.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
+        id_col, "simhash", "b.block_idx", "b.block_val"
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.where(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
     )

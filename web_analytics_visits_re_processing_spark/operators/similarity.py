@@ -104,20 +104,42 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates = same LSH bucket, then exact rescoring.
 
     With b planes the corpus splits into 2^b buckets; expected
     candidates per query = n/2^b. Recall tuning: more planes → faster
-    + lower recall. (Multi-probe — also joining on neighboring buckets
-    — would raise recall; single-probe keeps the demo plan simple.)
+    + lower recall.
+
+    ``probe_hamming=1`` enables MULTI-PROBE: each query also probes
+    every bucket one bit-flip away (the planes whose side the query
+    sits closest to are the likeliest to disagree for true neighbors),
+    so candidates = corpus vectors whose bucket is within hamming 1 of
+    the query's. The corpus side is untouched — the query side explodes
+    to ``n_planes + 1`` probe rows, still a broadcast, and the join
+    stays an equi-join on the bucket id. Raises recall from ~0.6-0.8 to
+    ≳0.9 at the same plane count for ~(p+1)× the candidate volume —
+    the standard multi-probe LSH trade (Lv et al., VLDB'07).
     """
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming supports 0 (exact bucket) or 1")
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-    )
+    qb = lsh_bucket(F.col(vec_col), dim, n_planes)
+    if probe_hamming == 0:
+        probe = qb.alias("_bucket")
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            probe,
+        )
+    else:
+        probes = F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(probes).alias("_bucket"),
+        )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .where(F.col(query_id_col) != F.col(id_col))
