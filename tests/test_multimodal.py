@@ -46,3 +46,70 @@ def test_metadata_query_prunes_blob_column(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "image" not in plan
     assert back.count() == 20
+
+
+def _make_png(width: int, height: int, rgb=(200, 10, 10)) -> bytes:
+    """Fully valid PNG built with stdlib only (zlib IDAT + correct
+    CRCs) — proves the decoder handles REAL image bytes, not just our
+    own header construction."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width  # filter 0 + truecolor pixels
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_png_bytes(spark):
+    """IHDR parse on fully valid PNGs (correct zlib IDAT and CRCs),
+    mixed with synthetic blobs, garbage, and NULL in one batch."""
+    rows = [
+        (1, _make_png(320, 200)),
+        (2, _make_png(16, 9)),
+        (3, b"\x89IMG" + (42).to_bytes(2, "big") + (7).to_bytes(2, "big") + b"payload"),
+        (4, b"not an image at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    meta = {r["doc_id"]: r for r in decode_image_meta(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["format"]) == (320, 200, "png")
+    assert (meta[2]["width"], meta[2]["height"], meta[2]["format"]) == (16, 9, "png")
+    assert meta[1]["n_bytes"] == len(rows[0][1])
+    assert (meta[3]["width"], meta[3]["height"], meta[3]["format"]) == (42, 7, "img")
+    assert (meta[4]["width"], meta[4]["format"]) == (-1, "unknown")
+    assert (meta[5]["width"], meta[5]["n_bytes"], meta[5]["format"]) == (-1, 0, "unknown")
+
+
+def test_png_blob_query_construction(spark, sf_dir):
+    """with_png_blob builds a well-formed container: signature, IHDR
+    length/type at spec offsets, dimensions recoverable by the real
+    byte-offset parse."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        with_png_blob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    blobs = {r["doc_id"]: bytes(r["image"]) for r in with_png_blob(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, b in blobs.items():
+        n = len(texts[did].encode("utf-8"))
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        assert b[8:12] == (13).to_bytes(4, "big")  # IHDR length
+        assert b[12:16] == b"IHDR"
+        assert int.from_bytes(b[16:20], "big") == n % 640 + 16
+        assert int.from_bytes(b[20:24], "big") == n % 480 + 9
+        assert len(b) == n + 33

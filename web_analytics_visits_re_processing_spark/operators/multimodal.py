@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +34,12 @@ from pyspark.sql import functions as F
 # Magic prefix of the synthetic blob format: 4 bytes magic, then
 # 2 bytes width, 2 bytes height (big-endian), then payload.
 MAGIC = b"\x89IMG"
+
+# Real PNG container: 8-byte signature, then the IHDR chunk whose data
+# starts at offset 16 (4 length + 4 type after the signature) — width
+# is bytes [16:20], height [20:24], both big-endian u32 (PNG spec §5.3,
+# public W3C standard). Pure byte parsing, no codec library needed.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 IMAGE_META_SCHEMA = (
     "doc_id long, width int, height int, n_bytes int, format string"
@@ -61,34 +68,80 @@ def _int_to_be2(col):
     return F.to_binary(F.lpad(F.hex(col), 4, "0"), F.lit("hex"))
 
 
+def _be_uint(slices: pd.Series, width: int) -> np.ndarray:
+    """Fixed-offset byte slices → big-endian uints, one frombuffer over
+    the whole batch (short/None slices decode as 0 — callers mask)."""
+    fill = b"\x00" * width
+    buf = b"".join(
+        s if isinstance(s, (bytes, bytearray)) and len(s) == width else fill
+        for s in slices
+    )
+    return np.frombuffer(buf, dtype=f">u{width}").astype("int64")
+
+
 def decode_image_meta(docs_with_blob: DataFrame, blob_col: str = "image") -> DataFrame:
     """mapInPandas decoder: blob → typed metadata (width, height,
     size, format). One Arrow batch in, one pandas frame out — the
-    shape every real codec UDF (PIL decode, ffmpeg probe) plugs into."""
+    shape every real codec UDF (PIL decode, ffmpeg probe) plugs into.
+
+    Recognizes real PNG headers (pure IHDR byte parse — no codec
+    library) and the synthetic fixture format. Batch internals are
+    vectorized: fixed-offset ``.str`` slices + one ``frombuffer`` per
+    field, no per-row lambdas over whole blobs."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[blob_col]
-            ok = blobs.map(lambda b: b is not None and bytes(b[:4]) == MAGIC)
-            width = blobs.map(
-                lambda b: int.from_bytes(bytes(b[4:6]), "big") if b is not None and bytes(b[:4]) == MAGIC else -1
-            )
-            height = blobs.map(
-                lambda b: int.from_bytes(bytes(b[6:8]), "big") if b is not None and bytes(b[:4]) == MAGIC else -1
-            )
+            is_syn = (blobs.str[:4] == MAGIC).to_numpy(dtype=bool)
+            is_png = (blobs.str[:8] == PNG_MAGIC).to_numpy(dtype=bool)
+            syn_w = _be_uint(blobs.str[4:6], 2)
+            syn_h = _be_uint(blobs.str[6:8], 2)
+            png_w = _be_uint(blobs.str[16:20], 4)
+            png_h = _be_uint(blobs.str[20:24], 4)
+            width = np.select([is_png, is_syn], [png_w, syn_w], default=-1)
+            height = np.select([is_png, is_syn], [png_h, syn_h], default=-1)
+            fmt = np.select([is_png, is_syn], ["png", "img"], default="unknown")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": width.astype("int32"),
                     "height": height.astype("int32"),
-                    "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0).astype("int32"),
-                    "format": ok.map(lambda x: "img" if x else "unknown"),
+                    "n_bytes": blobs.str.len().fillna(0).astype("int32"),
+                    "format": fmt,
                 }
             )
 
     return docs_with_blob.select("doc_id", blob_col).mapInPandas(
         decode, IMAGE_META_SCHEMA
     )
+
+
+def with_png_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a REAL-format PNG container per document (signature +
+    well-formed IHDR chunk + payload), dimensions derived from content
+    length like the synthetic fixture. Native expressions only; the
+    IHDR CRC is not computed (header parsers don't read it — payload
+    validity is the codec's job, exercised with fully valid zlib PNGs
+    in the pytest)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    n = F.octet_length(payload)
+    width = (n % 640 + 16).cast("int")
+    height = ((n % 480) + 9).cast("int")
+    ihdr = F.concat(
+        F.to_binary(F.lit("0000000D"), F.lit("hex")),  # length 13
+        F.encode(F.lit("IHDR"), "utf-8"),
+        _int_to_be4(width),
+        _int_to_be4(height),
+        # bit depth 8, color type 2 (truecolor), compression/filter/
+        # interlace 0, then a 4-byte CRC placeholder
+        F.to_binary(F.lit("080200000000000000"), F.lit("hex")),
+    )
+    return docs.withColumn("image", F.concat(F.lit(PNG_MAGIC), ihdr, payload))
+
+
+def _int_to_be4(col):
+    """4-byte big-endian encoding of an int, as binary."""
+    return F.to_binary(F.lpad(F.hex(col), 8, "0"), F.lit("hex"))
 
 
 def resize_images(docs_with_blob: DataFrame, width: int, height: int) -> DataFrame:

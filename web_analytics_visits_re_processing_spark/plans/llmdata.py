@@ -545,3 +545,37 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("int").alias("n_bytes"),
         "format",
     )
+
+
+@query(
+    "multimodal_png_meta",
+    # 33 = 8-byte PNG signature + IHDR chunk (4 len + 4 type + 13 data
+    # + 4 crc); the decoder reads width/height from the real IHDR byte
+    # offsets, the oracle replays the construction arithmetic.
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) % 640 + 16 AS width,
+       octet_length(encode(text)) % 480 + 9 AS height,
+       octet_length(encode(text)) + 33 AS n_bytes,
+       'png' AS format
+FROM documents
+""",
+)
+def q_multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format PNG container parse: the decoder extracts
+    dimensions from actual IHDR byte offsets (no codec library), so
+    multimodal metadata extraction is exercised on a real image format
+    end-to-end, not just the synthetic fixture header."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_image_meta,
+        with_png_blob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_image_meta(with_png_blob(docs)).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "format",
+    )
