@@ -145,3 +145,20 @@ def test_latin1_gzip_byte_exact_roundtrip(spark, tmp_path):
     assert sorted(s.encode("iso-8859-1") for s in got) == sorted(
         s.encode("iso-8859-1") for s in lines
     )
+
+
+def test_visitor_rows_survive_bad_timestamps(spark, tmp_path):
+    """Reference branch order (main.py:214 vs :216): visitors are
+    emitted before the timestamp stage, so a row with an unparseable
+    ts yields a visitor but never a hit or visit."""
+    p = tmp_path / "badts.tsv"
+    p.write_text(
+        "100\tu1\ta\t\t\t1\tp\ts\tibmA\tscvA\n"
+        "\tu2\tb\t\t\t1\tp\ts\tibmB\tscvB\n"  # empty ts
+    )
+    counts = run_visits_pipeline(spark, str(p), str(tmp_path / "out"))
+    assert counts == {"hits": 1, "visits": 1, "visitors": 2}
+    visitors = {
+        tuple(r) for r in spark.read.csv(str(tmp_path / "out/visitors")).collect()
+    }
+    assert visitors == {("u1_a", "ibmA", "scvA"), ("u2_b", "ibmB", "scvB")}

@@ -157,3 +157,27 @@ def test_simhash_near_dup_pairs_pigeonhole_exact(spark):
         for r in simhash_near_dup_pairs(docs, max_hamming=true_h - 1).collect()
     }
     assert (0, 1) not in below
+
+
+def test_cosine_scores_pandas_matches_native(spark, sf_dir):
+    """The Arrow/BLAS scorer (high-dim fallback) agrees with the
+    native zip_with/aggregate cosine to float tolerance."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine,
+        cosine_scores_pandas,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    native = {
+        r["vec_id"]: r["cos"]
+        for r in emb.select(
+            "vec_id",
+            cosine(F.array(*[F.lit(float(x)) for x in qvec]), F.col("embedding")).alias("cos"),
+        ).collect()
+    }
+    arrow = {r["vec_id"]: r["cos"] for r in cosine_scores_pandas(emb, list(qvec)).collect()}
+    assert set(native) == set(arrow)
+    for k in native:
+        assert abs(native[k] - arrow[k]) < 1e-9

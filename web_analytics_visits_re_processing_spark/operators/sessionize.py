@@ -180,13 +180,21 @@ def visits_from_hits(
     return hits_with_keys.groupBy("visit_key", user_col).agg(*aggs)
 
 
-def salt_sessions(df: DataFrame, user_col: str, buckets: int) -> DataFrame:
-    """Optional skew guard: append a coarse time-bucket to the grouping
-    key before sessionizing a pathologically hot user (e.g. a bot with
-    10^8 hits). Sessions never span a day boundary for such keys —
-    an explicit, documented approximation for the skew escape hatch.
+def salt_sessions(df: DataFrame, user_col: str, ts_col: str = "ts") -> DataFrame:
+    """Optional skew guard: append a coarse time-bucket (UTC day) to
+    the grouping key before sessionizing a pathologically hot user
+    (e.g. a bot with 10^8 hits). Sessions never span a day boundary
+    for such keys — an explicit, documented approximation for the skew
+    escape hatch.
+
+    Works on both timestamp columns (the events fixture) and raw
+    epoch-seconds longs (the hit-log path, where a direct
+    ``to_date(bigint)`` would fail analysis).
     """
+    ts = F.col(ts_col)
+    if not isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        ts = F.timestamp_seconds(ts)
     return df.withColumn(
         "_salted_user",
-        F.concat_ws("#", F.col(user_col).cast("string"), F.to_date("ts").cast("string")),
+        F.concat_ws("#", F.col(user_col).cast("string"), F.to_date(ts).cast("string")),
     )

@@ -22,6 +22,7 @@ where per-element codegen loses to BLAS.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,8 +165,13 @@ def cosine_scores_pandas(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Arrow-vectorized scorer: one numpy matmul per batch. The scale
-    path when dim is large enough that BLAS beats codegen."""
-    import pandas as pd
+    path when dim is large enough that BLAS beats codegen.
+
+    NB: ``pd`` must be module-level — under ``from __future__ import
+    annotations`` PySpark resolves the UDF's string type hints against
+    the function's globals, so a function-local import makes the UDF
+    unresolvable (caught by test_cosine_scores_pandas_matches_native).
+    """
     from pyspark.sql.functions import pandas_udf
 
     qv = np.asarray(query_vec, dtype=np.float64)
@@ -173,7 +179,10 @@ def cosine_scores_pandas(
 
     @pandas_udf("double")
     def _score(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        # float64 up front: accumulating dot/norm in the storage dtype
+        # (float32 embeddings) loses ~1e-7 per component, visibly off
+        # the native double-precision fold.
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
         sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
         return pd.Series(sims)
 

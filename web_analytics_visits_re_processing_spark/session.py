@@ -48,6 +48,12 @@ def get_spark(
 
     conf = {
         "spark.sql.session.timeZone": "UTC",
+        # The events fixture stores TIMESTAMP(NANOS), which Spark 4
+        # rejects outright; read nanos as int64 (rebuilt to micros in
+        # sources.tables.load_table). Set once here — library code only
+        # falls back to an idempotent runtime set for driver-provided
+        # vanilla sessions.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

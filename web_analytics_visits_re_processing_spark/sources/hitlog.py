@@ -64,6 +64,7 @@ def parse_hitlog(
     lines: DataFrame,
     strict_reference_mode: bool = False,
     observation: Observation | None = None,
+    drop_bad_ts: bool = True,
 ) -> DataFrame:
     """Lines → typed hits DataFrame; malformed rows dropped + counted.
 
@@ -75,6 +76,12 @@ def parse_hitlog(
     ``strict_reference_mode`` also drops rows the reference would
     (non-empty ``products_string`` without ``';'``); default keeps
     them with ``line_number=''`` — the sane policy (SURVEY §4.3).
+
+    ``drop_bad_ts=False`` keeps rows whose timestamp doesn't parse
+    (``ts`` NULL): the reference emits VISITOR rows before its
+    timestamp stage (``main.py:214`` vs ``:216``), so a row with an
+    empty ts still yields a visitor — only the sessionization path
+    filters it. Counters still report ``bad_timestamp_rows``.
     """
     cols = F.split(F.col("value"), "\t")
     parsed = lines.select(
@@ -97,7 +104,11 @@ def parse_hitlog(
     short_row = F.col("n") < N_COLUMNS
     bad_ts = F.col("ts_raw").try_cast("long").isNull()
     bad_products = (F.col("products_string") != "") & ~products_has_sep
-    malformed = short_row | bad_ts | (bad_products if strict_reference_mode else F.lit(False))
+    malformed = (
+        short_row
+        | (bad_ts if drop_bad_ts else F.lit(False))
+        | (bad_products if strict_reference_mode else F.lit(False))
+    )
 
     # With an Observation the caller reads counters after the first
     # action (batch); the string-named variant streams metrics to
@@ -133,7 +144,11 @@ def read_hitlog(
     encoding: str = "UTF-8",
     strict_reference_mode: bool = False,
     observation: Observation | None = None,
+    drop_bad_ts: bool = True,
 ) -> DataFrame:
     return parse_hitlog(
-        read_hitlog_lines(spark, path, encoding), strict_reference_mode, observation
+        read_hitlog_lines(spark, path, encoding),
+        strict_reference_mode,
+        observation,
+        drop_bad_ts,
     )

@@ -25,8 +25,20 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimensions small enough to broadcast at any realistic scale factor.
+# Dimensions small enough to broadcast at any realistic scale factor;
+# load_table stamps these with a broadcast hint so every join against
+# them plans broadcast-hash regardless of stale size statistics.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Idempotent fallback for driver-provided vanilla sessions —
+    ``session.get_spark`` sets this up front; only set at runtime when
+    genuinely absent (no per-call global mutation)."""
+    if spark.conf.get(_NANOS_CONF, "false") != "true":
+        spark.conf.set(_NANOS_CONF, "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,11 +51,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     full 64 bits (a double would corrupt epoch-nanos ~1.7e18), and the
     floor matches DuckDB's ``epoch_us`` truncation on the same data.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in BROADCAST_TABLES:
+        df = F.broadcast(df)
     return df
 
 

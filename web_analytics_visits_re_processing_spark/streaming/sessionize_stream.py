@@ -64,7 +64,11 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        ensure_nanos_conf,
+    )
+
+    ensure_nanos_conf(spark)
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -156,7 +160,11 @@ def _prepare_replay_input(spark: SparkSession, sf_dir: str, workdir: str) -> str
     and the replay would under-produce. The sentinel pushes the final
     watermark beyond all real sessions — the exact flush a production
     pipeline gets for free from the next day's data."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        ensure_nanos_conf,
+    )
+
+    ensure_nanos_conf(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts = int64 nanos
     shutil.rmtree(workdir, ignore_errors=True)
     input_dir = os.path.join(workdir, "input")
