@@ -1,0 +1,124 @@
+"""Scaling probe: measure headline operators at a synthetic ~sf1
+(10× the largest shipped fixture) to back the linear-scaling claims
+in BASELINE.md with data.
+
+Builds `.tmp/scale/sf1x/{events,documents}.parquet` by replicating the
+sf0.1 fixtures 10× with shifted keys (user_id/event_id/doc_id offsets
+so the grouping-key cardinality scales with the data — the honest case
+for sessionization and dedup; text gets a per-replica suffix so
+minhash sees distinct docs, not 10 exact copies). Then times the
+events/documents-backed headline queries at both scales with the same
+noop-write full materialization as bench.py and prints one JSON line.
+
+Usage: python scripts/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+REPLICAS = 10
+PROBE_QUERIES = [
+    "sessionize_visits",
+    "sessionize_hits",
+    "tumbling_window_counts",
+    "window_lag_event_gaps",
+    "minhash_signatures",
+    "dedup_exact_groups",
+    "doc_token_stats",
+]
+
+
+def build_scaled_fixture(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        ensure_nanos_conf,
+    )
+
+    ensure_nanos_conf(spark)
+    if os.path.exists(os.path.join(out_dir, "_READY")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+
+    events = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    n_events = events.agg(F.max("event_id")).first()[0] + 1
+    parts = [
+        events.select(
+            (F.col("event_id") + i * n_events).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * n_users).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(REPLICAS)
+    ]
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionAll(p)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    dparts = [
+        docs.select(
+            (F.col("doc_id") + i * n_docs).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(REPLICAS)
+    ]
+    dscaled = dparts[0]
+    for p in dparts[1:]:
+        dscaled = dscaled.unionAll(p)
+    dscaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    with open(os.path.join(out_dir, "_READY"), "w") as f:
+        f.write("ok")
+
+
+def main() -> None:
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="scale-probe", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+    )
+    spark.range(1000).count()
+
+    scaled_dir = os.path.join(REPO, ".tmp", "scale", "sf1x")
+    build_scaled_fixture(spark, scaled_dir)
+
+    out: dict[str, dict[str, float]] = {}
+    for sf_name, sf_dir in (("sf0.1", BASE_SF), ("sf1x", scaled_dir)):
+        timings = {}
+        for name in PROBE_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {sf_name} {name}: {timings[name]}s", file=sys.stderr)
+        out[sf_name] = timings
+
+    ratios = {
+        q: round(out["sf1x"][q] / out["sf0.1"][q], 2) for q in PROBE_QUERIES
+    }
+    print(json.dumps({"replicas": REPLICAS, "timings": out, "ratio_10x_data": ratios}))
+
+
+if __name__ == "__main__":
+    main()

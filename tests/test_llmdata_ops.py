@@ -123,7 +123,7 @@ def test_simhash_near_dup_pairs_pigeonhole_exact(spark):
     moment max_hamming drops below it."""
     from web_analytics_visits_re_processing_spark.operators.dedup import (
         simhash_near_dup_pairs,
-        simhash_signature,
+        simhash_signatures_df,
     )
 
     base = " ".join(f"w{i}" for i in range(60))
@@ -138,10 +138,7 @@ def test_simhash_near_dup_pairs_pigeonhole_exact(spark):
         ],
         "doc_id long, text string",
     )
-    sigs = {
-        r["doc_id"]: r["s"]
-        for r in docs.select("doc_id", simhash_signature(F.col("text")).alias("s")).collect()
-    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures_df(docs).collect()}
     true_h = bin(sigs[0] ^ sigs[1]).count("1")
     assert 0 < true_h < 16  # drift is small but nonzero
 

@@ -39,6 +39,25 @@ from web_analytics_visits_re_processing_spark.functions.text import (
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows-per-band = num_hashes / bands
 
+# k-permutation MinHash constants: mh_i = min over shingles of
+# (A[i] * (h % M) + B[i]) % M, with h the 60-bit portable base hash.
+# M = 2^31-1 (prime); A[i] < 2^30 keeps every product < 2^61 — no
+# bigint overflow in Spark OR DuckDB (DuckDB raises on overflow
+# rather than wrapping, so staying in range is a correctness
+# requirement for the oracle, not just hygiene).
+MINHASH_M = 2_147_483_647
+MINHASH_A = (
+    1_000_000_007,
+    998_244_353,
+    754_974_721,
+    167_772_161,
+    469_762_049,
+    595_591_169,
+    645_922_817,
+    880_803_841,
+)
+MINHASH_B = tuple(range(1, 9))
+
 
 def exact_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -60,29 +79,43 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return ranked.where(F.col("_rk") == 1).drop("_fp", "_rk")
 
 
-def minhash_signature(
-    text_col: Column | str,
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     ngram: int = 3,
-) -> list[Column]:
-    """k MinHash values: min over shingles of portable_hash(seed‖shingle).
+) -> DataFrame:
+    """Per-doc k-permutation MinHash → (id, mh_0..mh_{k-1}).
 
-    Portable: the exact same value is computable in DuckDB as
-    ``list_min(list_transform(shingles, s -> ('0x' ||
-    substring(md5(i || '|' || s), 1, 15))::BIGINT))``.
+    Plan shape (the fast one): explode shingles → ONE portable md5
+    hash per shingle as a regular codegen'd projection → groupBy(id)
+    with k cheap ``min((aᵢ·h + bᵢ) % M)`` aggregates. Partial
+    aggregation combines map-side, so the doc_id shuffle carries one
+    k-long row per doc per partition.
+
+    Why not column expressions over the shingle array: higher-order
+    functions (``transform``/``aggregate``) are interpreted
+    (CodegenFallback) and get NO subexpression elimination, so k
+    signature columns each re-derive the shingle array and re-hash
+    every shingle — measured ~6× slower at sf0.1 than this explode
+    formulation, and the gap widens with k.
+
+    Portable: same values in DuckDB via ``list_min(list_transform(hs,
+    h -> (a * h + b) % M))`` over ``hs = list_transform(shingles,
+    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % M)``.
     """
-    shingles = F.array_distinct(word_ngrams(text_col, ngram))
-
-    # NB: a factory, NOT `lambda s, i=i: ...` — a two-parameter lambda
-    # makes F.transform use its (element, index) form and the array
-    # index silently overrides the seed default.
-    def hasher(seed: int):
-        return lambda s: hash64(F.concat_ws("|", F.lit(str(seed)), s))
-
-    return [
-        F.array_min(F.transform(shingles, hasher(i))).alias(f"mh_{i}")
+    shingles = F.array_distinct(word_ngrams(F.col(text_col), ngram))
+    hashed = df.select(
+        F.col(id_col), F.explode(shingles).alias("_sh")
+    ).select(F.col(id_col), (hash64(F.col("_sh")) % MINHASH_M).alias("_hm"))
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("_hm") + F.lit(MINHASH_B[i])) % MINHASH_M
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS) -> list[Column]:
@@ -110,7 +143,7 @@ def minhash_lsh_candidates(
     cardinality is the number of distinct band values — shuffle stays
     proportional to data, not to pairs.
     """
-    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, ngram))
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram)
     banded = sig.select(id_col, *minhash_bands(num_hashes, bands))
     melted = banded.select(
         id_col,
@@ -180,29 +213,39 @@ def minhash_lsh_near_dups(
     return jaccard_verify(cand, df, text_col, id_col, ngram, threshold)
 
 
-def simhash_signature(
-    text_col: Column | str, bits: int = 32, portable: bool = True
-) -> Column:
-    """SimHash over tokens: bit j of the signature = majority vote of
-    bit j across token hashes. Native formulation — per bit, one
-    ``aggregate`` fold over the token-hash array (Python loops over
-    bit positions at PLAN-BUILD time; nothing per-row crosses into
-    Python). No explode, no UDF, no shuffle."""
-    toks = F.array_distinct(F.split(text_col, " "))
-    hashes = F.transform(toks, lambda t: hash64(t, portable=portable))
+def simhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-doc SimHash → (id, simhash): bit j of the signature =
+    majority vote of bit j across distinct-token hashes.
 
-    def vote(j: int) -> Column:
-        # Σ over tokens of (bit_j(hash) ? +1 : -1)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),  # init type must match the merge's bigint
-            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
+    Plan shape mirrors ``minhash_signatures_df``: explode tokens → one
+    codegen'd hash per token → groupBy(id) with ``bits`` cheap
+    ``sum(bit±1)`` vote aggregates → recombine bits. The per-bit
+    ``aggregate``-fold formulation this replaces re-hashed every token
+    once per bit (interpreted HOFs, no subexpression elimination) —
+    32× the md5 work.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashed = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        F.col(id_col), hash64(F.col("_t"), portable=portable).alias("_h")
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright("_h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
     sig = F.lit(0).cast("long")
     for j in range(bits):
-        sig = sig + F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+        sig = sig + F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_dup_groups(
@@ -210,7 +253,7 @@ def simhash_dup_groups(
 ) -> DataFrame:
     """Docs sharing an identical SimHash signature (hamming distance 0
     groups; for distance ≤ k see ``simhash_near_dup_pairs``)."""
-    sig = df.select(F.col(id_col), simhash_signature(F.col(text_col), bits).alias("simhash"))
+    sig = simhash_signatures_df(df, text_col, id_col, bits)
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(id_col).alias("keep_id"),
@@ -242,9 +285,7 @@ def simhash_near_dup_pairs(
         bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)
     ]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    sig = df.select(
-        F.col(id_col), simhash_signature(F.col(text_col), bits).alias("simhash")
-    )
+    sig = simhash_signatures_df(df, text_col, id_col, bits)
     blocks = F.array(
         *[
             F.struct(

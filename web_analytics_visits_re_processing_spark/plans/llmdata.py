@@ -27,9 +27,12 @@ from web_analytics_visits_re_processing_spark.functions.text import (
     token_count,
 )
 from web_analytics_visits_re_processing_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_M,
     exact_dup_groups,
     minhash_lsh_near_dups,
-    minhash_signature,
+    minhash_signatures_df,
     simhash_dup_groups,
 )
 from web_analytics_visits_re_processing_spark.operators.similarity import (
@@ -217,8 +220,18 @@ _MINHASH_SHINGLES_SQL = """
     FROM documents
 """
 
+# Base hashes once per shingle, then k cheap linear permutations —
+# the same k-permutation scheme as operators.dedup.minhash_signatures_df.
+_MINHASH_BASE_SQL = f"""
+    SELECT doc_id,
+           list_transform(sh, s ->
+               ('0x' || substring(md5(s), 1, 15))::BIGINT % {MINHASH_M}) AS hs
+    FROM sh
+"""
+
 _MINHASH_SIG_COLS_SQL = ",\n".join(
-    f"       list_min(list_transform(sh, s -> ('0x' || substring(md5('{i}|' || s), 1, 15))::BIGINT)) AS mh_{i}"
+    f"       list_min(list_transform(hs, h -> "
+    f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_M})) AS mh_{i}"
     for i in range(8)
 )
 
@@ -226,17 +239,18 @@ _MINHASH_SIG_COLS_SQL = ",\n".join(
 @query(
     "minhash_signatures",
     oracle=f"""
-WITH sh AS ({_MINHASH_SHINGLES_SQL})
+WITH sh AS ({_MINHASH_SHINGLES_SQL}),
+hm AS ({_MINHASH_BASE_SQL})
 SELECT doc_id,
 {_MINHASH_SIG_COLS_SQL}
-FROM sh
+FROM hm
 """,
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-hash MinHash signature per document over 3-gram shingles,
-    portable-hash based so it's bit-identical across engines."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", *minhash_signature(F.col("text"), num_hashes=8, ngram=3))
+    """8-permutation MinHash signature per document over 3-gram
+    shingles, portable-hash based so it's bit-identical across
+    engines."""
+    return minhash_signatures_df(_docs(spark, sf_dir), num_hashes=8, ngram=3)
 
 
 # LSH banding in SQL (mirror of operators.dedup.minhash_bands with
@@ -252,10 +266,11 @@ _MINHASH_BANDED_SQL = "\n    UNION ALL\n".join(
 
 _LSH_CAND_CTE = f"""
 WITH sh AS ({_MINHASH_SHINGLES_SQL}),
+hm AS ({_MINHASH_BASE_SQL}),
 sig AS (
     SELECT doc_id,
 {_MINHASH_SIG_COLS_SQL}
-    FROM sh
+    FROM hm
 ),
 banded AS (
 {_MINHASH_BANDED_SQL}

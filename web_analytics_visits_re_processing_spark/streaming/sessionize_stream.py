@@ -159,15 +159,31 @@ def _prepare_replay_input(spark: SparkSession, sf_dir: str, workdir: str) -> str
     within ``delay`` of the fixture's end would stay in state forever
     and the replay would under-produce. The sentinel pushes the final
     watermark beyond all real sessions — the exact flush a production
-    pipeline gets for free from the next day's data."""
+    pipeline gets for free from the next day's data.
+
+    The input copy is cached per source mtime/size; the sink and
+    checkpoint dirs are always cleaned (a stale checkpoint would make
+    the replay a no-op)."""
     from web_analytics_visits_re_processing_spark.sources.tables import (
         ensure_nanos_conf,
     )
 
     ensure_nanos_conf(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts = int64 nanos
-    shutil.rmtree(workdir, ignore_errors=True)
+    src = f"{sf_dir}/events.parquet"
+    shutil.rmtree(os.path.join(workdir, "out"), ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
     input_dir = os.path.join(workdir, "input")
+    marker = os.path.join(workdir, "_INPUT_META")
+    try:
+        meta = f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    except OSError:
+        meta = f"{src}:unknown"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == meta:
+                return input_dir
+    shutil.rmtree(input_dir, ignore_errors=True)
+    raw = spark.read.parquet(src)  # ts = int64 nanos
     raw.write.parquet(input_dir)
     max_ts = raw.agg(F.max("ts")).first()[0]
     sentinel = spark.createDataFrame(
@@ -175,6 +191,9 @@ def _prepare_replay_input(spark: SparkSession, sf_dir: str, workdir: str) -> str
         EVENTS_RAW_SCHEMA,
     )
     sentinel.write.mode("append").parquet(input_dir)
+    os.makedirs(workdir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(meta)
     return input_dir
 
 
