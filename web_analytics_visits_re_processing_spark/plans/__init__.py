@@ -9,6 +9,7 @@ from web_analytics_visits_re_processing_spark.plans.registry import (
 # Importing the modules below populates the registry.
 from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     analytics,
+    extended,
     hitlog_queries,
     llmdata,
     relational,

@@ -1,0 +1,269 @@
+"""Extended relational surface (round 2): file-format READERS under
+the gate, pivot, exact percentiles, statistical aggregates, ordered
+collection, date/regexp function coverage.
+
+The CSV/JSON reader queries close VERDICT r1 "What's missing" #6 —
+round 1 exercised only the writers. Like the hit-log TSV queries, the
+fixture is derived from ``events`` and round-tripped through the real
+reader path; the oracle computes the same result straight from the
+parquet view (the round trip is lossless for the projected columns),
+so a reader that mangles types, quoting, or nulls hash-mismatches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+_TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+)
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --- file-format readers ------------------------------------------------------
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    return os.path.join(
+        _TMP_ROOT, f"roundtrip_{fmt}", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+
+
+def _events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts re-expressed as epoch micros so the text formats round-trip
+    # exactly (timestamp-string parsing would re-enter tz/format land).
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(epoch_us(ts) % 1000) AS ts_us_checksum,
+       ROUND(SUM(value), 2) AS value_sum,
+       MIN(event_id) AS min_event_id,
+       MAX(user_id) AS max_user_id
+FROM events
+GROUP BY event_type
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("ts_us") % 1000).alias("ts_us_checksum"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("user_id").alias("max_user_id"),
+    )
+
+
+@query("csv_reader_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_csv_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV READER under the gate: events → csv (header, quoted) →
+    ``spark.read.csv`` with explicit schema → aggregate. A reader bug
+    (type coercion, quoting, header skip) breaks the hash match."""
+    out = _roundtrip_dir(sf_dir, "csv")
+    src = _events_projection(spark, sf_dir)
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double"
+    ).option("header", "true").csv(out)
+    return _roundtrip_agg(back)
+
+
+@query("json_reader_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_json_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines READER under the gate (same contract as the CSV
+    round trip; doubles can't round-trip through text by default, so
+    the fixture column set keeps value as a parsed double and the
+    checksum aggregates expose any loss)."""
+    out = _roundtrip_dir(sf_dir, "json")
+    src = _events_projection(spark, sf_dir)
+    src.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double"
+    ).json(out)
+    return _roundtrip_agg(back)
+
+
+# --- pivot --------------------------------------------------------------------
+
+@query(
+    "pivot_event_type_counts",
+    oracle="""
+SELECT user_id % 10 AS user_bucket,
+       """
+    + ",\n       ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in EVENT_TYPES
+    )
+    + """
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot with an explicit value list (no extra values-scan
+    job, stable column order) — the oracle states the equivalent
+    CASE-WHEN conditional aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+# --- exact percentiles & statistical aggregates -------------------------------
+
+@query(
+    "percentiles_by_event_type",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.50), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (``F.percentile`` ≡ DuckDB
+    ``quantile_cont`` — both sort-and-interpolate, so values match to
+    the rounding; the approx sketch variant stays rows-only like
+    approx_count_distinct)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@query(
+    "stats_aggregates_by_type",
+    oracle="""
+SELECT event_type,
+       ROUND(stddev_samp(value), 4) AS value_stddev,
+       ROUND(var_samp(value), 4) AS value_var,
+       ROUND(corr(value, user_id), 4) AS value_user_corr,
+       ROUND(covar_samp(value, user_id), 4) AS value_user_covar
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-stable one-pass moment aggregates (stddev/var/
+    corr/covar) — both engines use Welford-style co-moments, verified
+    to agree at 4 decimals on this data."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+        F.round(F.var_samp("value"), 4).alias("value_var"),
+        F.round(F.corr("value", "user_id"), 4).alias("value_user_corr"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("value_user_covar"),
+    )
+
+
+# --- ordered collection -------------------------------------------------------
+
+@query(
+    "collect_sorted_pages_per_user",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+       COUNT(*) AS n_events
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+""",
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sort_array → join: deterministic ordered
+    collection (raw collect_list order is partition-dependent — always
+    sort before comparing or emitting)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "types_csv"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- date/time + regexp function surface -------------------------------------
+
+@query(
+    "date_functions_orders",
+    oracle="""
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       dayofweek(o_orderdate) AS order_dow,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       datediff('day', DATE '2024-01-01', o_orderdate) AS days_since_2024
+FROM orders
+WHERE o_orderkey < 500
+""",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: trunc, day-of-week, arithmetic, diff.
+    DuckDB ``dayofweek`` is 0=Sunday; Spark's is 1=Sunday — align with
+    ``dayofweek - 1``. Dates are emitted as yyyy-MM-dd strings: a
+    DATE-typed column crosses engines as date objects on one side and
+    datetime64 on the other, which the value comparison can't unify."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.date_format(F.date_add("o_orderdate", 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff("o_orderdate", F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+    )
+
+
+@query(
+    "regexp_functions_customers",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+       CASE WHEN regexp_matches(c_mktsegment, '^(AUTO|BUIL)') THEN 1 ELSE 0 END
+           AS segment_flag
+FROM customer
+WHERE c_custkey < 200
+""",
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract (first group), global replace, rlike
+    flag — identical POSIX-ish patterns evaluate the same in both
+    engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+        F.col("c_mktsegment").rlike("^(AUTO|BUIL)").cast("int").alias("segment_flag"),
+    )
