@@ -1,0 +1,83 @@
+"""Driver-contract verification sweep: drive ``__spark_entry__`` with
+a vanilla SparkSession exactly like the external driver and compare
+every ``queries()`` entry against its ``oracle_sql()`` in DuckDB at
+sf0.01 (columns sorted by name, rows sorted by all columns, floats
+rtol 1e-9; rows-only queries just executed).
+
+Usage:
+    python scripts/verify_sweep.py              # full registry (~4 min)
+    python scripts/verify_sweep.py q1 q2 ...    # only the named queries
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "16")
+    .getOrCreate()
+)
+import __spark_entry__ as e  # noqa: E402
+
+rows = e.entry(spark).collect()
+assert len(rows) > 0
+print("entry smoke OK:", len(rows), "rows", flush=True)
+qs, osql = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:
+    qs = {n: qs[n] for n in sys.argv[1:]}
+
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+fails, done = [], 0
+for name, fn in qs.items():
+    try:
+        mine = fn(spark, sf)
+        if name not in osql:
+            n = mine.count()
+            assert n >= 0
+            done += 1
+            print(f"rows-only {name}: {n}", flush=True)
+            continue
+        mine = norm(mine.toPandas())
+        oracle = norm(con.sql(osql[name]).df())
+        assert list(mine.columns) == list(oracle.columns), "columns"
+        assert len(mine) == len(oracle), f"rows {len(mine)} vs {len(oracle)}"
+        for c in mine.columns:
+            a, b = mine[c], oracle[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                assert np.allclose(
+                    a.astype(float), b.astype(float), rtol=1e-9, equal_nan=True
+                ), f"col {c}"
+            else:
+                assert (a.astype(str) == b.astype(str)).all(), f"col {c}"
+        done += 1
+        print(f"match {name}", flush=True)
+    except Exception as ex:
+        fails.append(name)
+        print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+print(f"SWEEP DONE {done}/{len(qs)} OK; oracle-gated: {len(osql)}", flush=True)
+sys.exit(1 if fails else 0)

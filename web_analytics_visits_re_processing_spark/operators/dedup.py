@@ -279,6 +279,13 @@ def simhash_near_dup_pairs(
     Shuffle volume is |docs|×blocks small rows on block keys, never
     |docs|²; recall is exactly 1 (pigeonhole is lossless), so a
     brute-force all-pairs oracle must return the identical set.
+
+    Scale note: the OUTPUT is quadratic in near-dup group size (a
+    class of m mutual near-dups emits m(m-1)/2 pairs — 2.1M pairs on
+    the dup-heavy sf0.1 fixture). For corpora with large exact-dup
+    classes, collapse to one representative per ``simhash_dup_groups``
+    group first and pair-search representatives; plan-side cost here
+    is already bucketed either way.
     """
     n_blocks = max_hamming + 1
     widths = [
