@@ -97,3 +97,59 @@ def test_append_replay_matches_batch_and_evicts_state(spark, sf_dir):
     # most the sentinel's own session is left at the end.
     assert LAST_APPEND_PROGRESS["numRowsRemoved"] >= len(b)
     assert LAST_APPEND_PROGRESS["numRowsTotal"] <= 1
+
+
+def test_stateful_abandonment_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries session state ACROSS micro-batches
+    (maxFilesPerTrigger=1): an abandoned session split over two files
+    emits exactly once, a converted session emits nothing, and the
+    final session emits via event-time timeout."""
+    import datetime as dt
+
+    from web_analytics_visits_re_processing_spark.streaming.stateful import (
+        abandoned_sessions_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = tmp_path / "src"
+    # file 1: user 1 clicks twice (session A, first half)
+    spark.createDataFrame(
+        [(1, base, 1, "click", 1.0, "{}"), (2, base + dt.timedelta(minutes=5), 1, "click", 1.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # file 2: session A second half (view, still no purchase), then much
+    # later session B (click + purchase → converted), then a flush event
+    spark.createDataFrame(
+        [
+            (3, base + dt.timedelta(minutes=10), 1, "view", 1.0, "{}"),
+            (4, base + dt.timedelta(hours=6), 1, "click", 1.0, "{}"),
+            (5, base + dt.timedelta(hours=6, minutes=2), 1, "purchase", 9.0, "{}"),
+            (9, base + dt.timedelta(days=3), 99, "view", 0.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    result = abandoned_sessions_stream(stream, gap_seconds=1800)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+
+    rows = spark.read.parquet(out_dir).where(F.col("user_id") == 1).collect()
+    assert len(rows) == 1  # session A abandoned; session B converted
+    r = rows[0]
+    us = lambda d: int(d.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert r["session_start_us"] == us(base)
+    assert r["session_end_us"] == us(base + dt.timedelta(minutes=10))
+    assert (r["n_trigger"], r["n_events"]) == (2, 3)

@@ -78,6 +78,24 @@ def shingle_fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
 
 
+# BPE-ish pre-tokenization pattern (word / number / single symbol —
+# the coarse split BPE vocabularies start from, without the merges
+# table). Deliberately restricted to a regex subset that Java
+# (Spark) and RE2 (DuckDB) evaluate identically: char classes,
+# alternation, + — no lookarounds, no \p classes.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization (words, integers, single symbols)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles via transform over sliding offsets —
     native, no UDF: shingle i = tokens[i..i+n-1] joined by space."""

@@ -175,6 +175,37 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+           AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+           AS n_distinct_bpe_tokens,
+       ROUND(length(text)
+             / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 4)
+           AS chars_per_token
+FROM documents
+""",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (words / integers / single
+    symbols — the split BPE vocabularies start from) + chars-per-token,
+    the standard tokens-per-byte curation metric. Same regex subset
+    evaluates identically under Java and RE2."""
+    from web_analytics_visits_re_processing_spark.functions.text import bpe_tokens
+
+    d = _docs(spark, sf_dir)
+    toks = bpe_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+        F.round(F.length("text") / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle="""
 SELECT doc_id,

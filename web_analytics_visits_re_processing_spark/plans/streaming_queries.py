@@ -53,3 +53,32 @@ GROUP BY 1, 2
 )
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts_append(spark, sf_dir)
+
+
+@query(
+    "streaming_abandoned_sessions",
+    # batch equivalent of the stateful operator: sessions containing a
+    # 'click' (add-to-cart stand-in) but no 'purchase'.
+    oracle=_SESSION_CTE
+    + """
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_trigger,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+HAVING SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+""",
+)
+def q_streaming_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    event-time timeouts): abandoned-session detection — emit once per
+    closed session that saw an add-to-cart-class event but no
+    purchase. Hash-gated against the batch-sessionization oracle."""
+    from web_analytics_visits_re_processing_spark.streaming.stateful import (
+        abandoned_sessions_replay,
+    )
+
+    return abandoned_sessions_replay(spark, sf_dir)
