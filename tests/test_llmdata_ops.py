@@ -178,3 +178,48 @@ def test_cosine_scores_pandas_matches_native(spark, sf_dir):
     assert set(native) == set(arrow)
     for k in native:
         assert abs(native[k] - arrow[k]) < 1e-9
+
+
+def test_ivf_ann_recall_on_planted_clusters(planted_clusters):
+    """IVF with sampled centroids and 2-probe search keeps high recall
+    on tight clusters (cluster members quantize to the same cell)."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = planted_clusters
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    # stride 10 → one sampled centroid per planted cluster
+    approx = cosine_topk_ivf(emb, queries, k=3, centroid_stride=10, n_probe=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a long-enough substring
+    (>= window+ngram-1 = 6 tokens here) share at least one
+    fingerprint; fully unrelated docs share none."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words here " + shared + " tail one two"),
+            (1, "completely different lead " + shared),
+            (2, " ".join(f"q{i}" for i in range(30))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", winnowing_fingerprints("text", 3, 4).alias("fps")
+        ).collect()
+    }
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])

@@ -104,3 +104,27 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.transform(
         offsets, lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " ")
     )
+
+
+def winnowing_fingerprints(
+    text: Column | str, ngram: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS scheme): hash every positional k-gram (rolling sequence,
+    duplicates kept), slide a window of ``window`` consecutive hashes,
+    keep each window's minimum → sorted distinct selections.
+
+    Guarantees: any shared substring of ≥ window+ngram-1 tokens
+    between two documents contributes at least one IDENTICAL
+    fingerprint — the property plagiarism/overlap detection needs and
+    plain MinHash doesn't give. Portable-hash based, so the whole
+    construction replays in SQL for the oracle.
+    """
+    grams = word_ngrams(text, ngram)  # positional, duplicates kept
+    hs = F.transform(grams, lambda s: hash64(s))
+    n_windows = F.greatest(F.size(hs) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hs, i, F.lit(window))),
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -187,3 +187,86 @@ def cosine_scores_pandas(
         return pd.Series(sims)
 
     return corpus.select(id_col, _score(F.col(vec_col)).alias("cos"))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into cells around sampled
+    centroids, probe the ``n_probe`` nearest cells per query, exact
+    rescoring inside probed cells.
+
+    Centroids are the deterministic sample ``id % centroid_stride == 0``
+    (IVF without the Lloyd iterations — centroid choice only affects
+    recall, never correctness, and determinism is what makes the
+    operator oracle-checkable). They are collected once as MODEL
+    PARAMETERS (k vectors, like the LSH hyperplanes) and baked into the
+    plan as literals, so cell assignment is a PURE PROJECTION over the
+    corpus scan: k fused dot products, no shuffle, no join for the
+    assignment — the classic IVF trade of k·dim flops per row for a
+    candidate set of ~n/k·n_probe.
+
+    Assignment ties break toward the smaller centroid id on the
+    8-decimal-rounded similarity (cross-engine determinism).
+    """
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in corpus.where(F.col(id_col) % centroid_stride == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    def cell_structs(vec: Column) -> Column:
+        # struct ordering compares fields in order: (sim, -cid) under
+        # array_max → highest sim, then smallest cid.
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 8
+                    ).alias("sim"),
+                    F.lit(-cid).cast("long").alias("neg_cid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+
+    corpus_cells = corpus.select(
+        id_col,
+        vec_col,
+        (-F.array_max(cell_structs(F.col(vec_col)))["neg_cid"]).alias("_cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.slice(
+                F.sort_array(cell_structs(F.col(vec_col)), asc=False),
+                1,
+                n_probe,
+            )
+        ).alias("_probe"),
+    ).select(query_id_col, "_qvec", (-F.col("_probe.neg_cid")).alias("_cell"))
+
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "_cell")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos", "rk")
+    )

@@ -226,6 +226,52 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winnowing_fingerprints",
+    oracle="""
+WITH g AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS grams
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           list_transform(grams,
+               s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hs
+    FROM g
+), m AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               i -> list_min(hs[i:i+3])))) AS fps
+    FROM h
+)
+SELECT doc_id,
+       len(fps) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS digest
+FROM m
+""",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme): digest +
+    count per doc; any ≥6-token shared substring between two docs
+    yields a shared fingerprint."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    d = _docs(spark, sf_dir)
+    fps = winnowing_fingerprints("text", ngram=3, window=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
+            "digest"
+        ),
+    )
+
+
 # --- dedup -------------------------------------------------------------------
 
 @query(
@@ -558,6 +604,56 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+@query(
+    "embedding_cosine_topk_ivf",
+    # full SQL replay of the IVF pipeline: same deterministic centroid
+    # sample, same 8-dp assignment rounding + smaller-cid tie-break,
+    # same 2-probe search (cross joins are fine at oracle scale).
+    oracle="""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+),
+assign AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     c.embedding::DOUBLE[]), 8) DESC,
+                        c.cid) AS crk
+    FROM embeddings e, cent c
+),
+corpus_cells AS (SELECT vec_id, embedding, cid FROM assign WHERE crk = 1),
+query_cells AS (SELECT vec_id, embedding, cid FROM assign
+                WHERE crk <= 2 AND vec_id < 10)
+SELECT query_id, vec_id, cos, rk FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 4) AS cos,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     c.embedding::DOUBLE[]), 4) DESC,
+                        c.vec_id) AS rk
+    FROM query_cells q JOIN corpus_cells c
+      ON q.cid = c.cid AND q.vec_id != c.vec_id
+) WHERE rk <= 5
+""",
+)
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path next to LSH): cell assignment is
+    a pure projection against centroid literals — no shuffle, no join
+    for the quantization step; candidates come from an equi-join on
+    the cell id."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, centroid_stride=64, n_probe=2
     )
 
 
