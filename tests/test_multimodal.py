@@ -113,3 +113,58 @@ def test_png_blob_query_construction(spark, sf_dir):
         assert int.from_bytes(b[16:20], "big") == n % 640 + 16
         assert int.from_bytes(b[20:24], "big") == n % 480 + 9
         assert len(b) == n + 33
+
+
+def test_decode_real_wav_bytes(spark, tmp_path):
+    """RIFF header parse on genuine WAV files written by the stdlib
+    `wave` module (real encoder, not our own construction)."""
+    import io
+    import wave
+
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_audio_meta,
+    )
+
+    def make_wav(channels, rate, n_frames=100):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x01\x02" * channels * n_frames)
+        return buf.getvalue()
+
+    rows = [
+        (1, make_wav(1, 44100)),
+        (2, make_wav(2, 16000)),
+        (3, b"RIFFxxxxNOPE not a wave"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    meta = {r["doc_id"]: r for r in decode_audio_meta(df).collect()}
+    assert (meta[1]["channels"], meta[1]["sample_rate"], meta[1]["bits_per_sample"]) == (1, 44100, 16)
+    assert (meta[2]["channels"], meta[2]["sample_rate"]) == (2, 16000)
+    assert meta[1]["n_bytes"] == len(rows[0][1])
+    assert meta[3]["format"] == "unknown" and meta[3]["channels"] == -1
+    assert meta[4]["format"] == "unknown" and meta[4]["n_bytes"] == 0
+
+
+def test_wav_blob_query_construction(spark, sf_dir):
+    """with_wav_blob writes a canonical 44-byte PCM header the stdlib
+    `wave` reader itself accepts."""
+    import io
+    import wave
+
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        with_wav_blob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    blobs = {r["doc_id"]: bytes(r["audio"]) for r in with_wav_blob(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, b in blobs.items():
+        n = len(texts[did].encode("utf-8"))
+        with wave.open(io.BytesIO(b), "rb") as w:
+            assert w.getnchannels() == n % 2 + 1
+            assert w.getframerate() == 8000 + (n % 8) * 4000
+            assert w.getsampwidth() == 2

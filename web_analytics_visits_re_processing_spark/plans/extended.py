@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,6 +179,77 @@ def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("value"), 4).alias("value_var"),
         F.round(F.corr("value", "user_id"), 4).alias("value_user_corr"),
         F.round(F.covar_samp("value", "user_id"), 4).alias("value_user_covar"),
+    )
+
+
+# --- Pandas-UDF surfaces (grouped-map, grouped-agg) ---------------------------
+
+@query(
+    "zscore_per_user_applyinpandas",
+    oracle="""
+SELECT event_id,
+       user_id,
+       CASE WHEN stddev_samp(value) OVER w > 0
+            THEN ROUND((value - avg(value) OVER w)
+                       / stddev_samp(value) OVER w, 4)
+            ELSE 0.0 END AS value_z
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id)
+""",
+)
+def q_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-user z-score normalization,
+    one Arrow batch per group. Deliberately ALSO expressible as a
+    window aggregate (the oracle) — the point is gating the
+    grouped-map UDF surface itself: schema contract, group iteration,
+    pandas-vs-JVM float agreement (ddof=1 matches stddev_samp)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / sd if sd and sd > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value_z": (z if sd and sd > 0 else pd.Series([0.0] * len(pdf))).round(4),
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, value_z double")
+    )
+
+
+@query(
+    "geomean_value_grouped_agg_udf",
+    oracle="""
+SELECT event_type,
+       ROUND(exp(avg(ln(value))), 4) AS value_geomean
+FROM events
+WHERE value > 0
+GROUP BY event_type
+""",
+)
+def q_geomean_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate ``pandas_udf`` (custom UDAF surface):
+    geometric mean via numpy log-mean-exp per Arrow group, checked
+    against the exp(avg(ln)) SQL identity. NB ``pd``/``np`` must be
+    module-level so the UDF's string type hints resolve (see
+    operators.similarity.cosine_scores_pandas)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    events = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    return events.groupBy("event_type").agg(
+        F.round(geomean("value"), 4).alias("value_geomean")
     )
 
 

@@ -657,6 +657,53 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_near_dup_oracle() -> str:
+    # bucketed candidates (same single-probe LSH bucket) + exact cosine
+    # verify — the oracle replays the identical bucket construction.
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bk
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 4) AS cos
+FROM b a JOIN b c ON a.bk = c.bk AND a.vec_id < c.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   c.embedding::DOUBLE[]), 4) >= 0.5
+"""
+
+
+@query("embedding_near_dup_pairs", oracle=_embedding_near_dup_oracle())
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed self-join (never
+    all-pairs) → exact cosine ≥ 0.5 verify. Completes the dedup ladder
+    (exact → MinHash/Jaccard → SimHash → embedding-cosine)."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine,
+        lsh_bucket,
+    )
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "_bk", lsh_bucket(F.col("embedding"), dim=64, n_planes=8)
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a._bk") == F.col("b._bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+        )
+    )
+
+
 # --- multimodal ---------------------------------------------------------------
 
 @query(
@@ -718,6 +765,41 @@ def q_multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "format",
+    )
+
+
+@query(
+    "multimodal_wav_meta",
+    # 44 = canonical RIFF/WAVE PCM header; parameters derived from
+    # payload length by the same arithmetic the blob builder uses.
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) % 2 + 1 AS channels,
+       8000 + (octet_length(encode(text)) % 8) * 4000 AS sample_rate,
+       16 AS bits_per_sample,
+       octet_length(encode(text)) + 44 AS n_bytes,
+       'wav' AS format
+FROM documents
+""",
+)
+def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format WAV (RIFF) container parse — audio metadata
+    (channels, sample rate, bit depth) from little-endian header
+    fields at the spec offsets; stdlib-``wave``-generated files are
+    decode-verified in pytest."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_audio_meta,
+        with_wav_blob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_audio_meta(with_wav_blob(docs)).select(
+        "doc_id",
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("bits_per_sample").cast("int").alias("bits_per_sample"),
         F.col("n_bytes").cast("int").alias("n_bytes"),
         "format",
     )
