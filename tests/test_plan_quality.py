@@ -1,0 +1,102 @@
+"""Machine-checked plan-quality assertions: the scale properties the
+engine claims (broadcast dims, single-shuffle sessionization, top-k
+pushdown, no Python in native paths, partial aggregation) pinned as
+tests so a regression in plan shape fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    # count shuffle exchanges only (not broadcast exchanges)
+    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+
+
+def test_sessionize_single_shuffle_no_python(spark, sf_dir):
+    plan = _plan(spark, "sessionize_visits", sf_dir)
+    assert _exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_hits_single_shuffle(spark, sf_dir):
+    """lag + running-sum + per-session min/max all ride ONE user_id
+    exchange (ClusteredDistribution satisfied by the coarser hash)."""
+    plan = _plan(spark, "sessionize_hits", sf_dir)
+    assert _exchanges(plan) == 1, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "topk_orders_by_price", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_join_revenue_broadcasts_dims_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "join_revenue_by_region", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bruteforce_cosine_no_corpus_shuffle(spark, sf_dir):
+    """The corpus side must never shuffle — query side broadcast, rank
+    is the only exchange (on the tiny scored side)."""
+    plan = _plan(spark, "embedding_cosine_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_partial_aggregation(spark, sf_dir):
+    """explode → hash-aggregate with map-side partial aggregation
+    (two HashAggregate levels), all codegen, no Python."""
+    plan = _plan(spark, "minhash_signatures", sf_dir)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_hitlog_parse_stays_native(spark, sf_dir):
+    plan = _plan(spark, "hitlog_parse_flags", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_candidates_equijoin_not_allpairs(spark, sf_dir):
+    """Band/bucket candidate generation must plan as an equi-join
+    (hash join on band key), never a cartesian/nested-loop product."""
+    for name in ("minhash_lsh_near_dup_pairs", "simhash_near_dup_pairs"):
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cli_main_end_to_end(spark, tmp_path):
+    """R16: the CLI entry point itself (arg parsing → pipeline →
+    printed counts)."""
+    import contextlib
+    import io
+
+    from web_analytics_visits_re_processing_spark import cli
+
+    src = tmp_path / "feed.tsv"
+    src.write_text(
+        "100\tu1\ta\t\t\t1,2\tp\ts\tibmA\tscvA\n"
+        "5000\tu1\ta\t\t\t204\tp\ts\tibmA\tscvA\n"
+    )
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = cli.main(
+            ["--input", str(src), "--output", str(tmp_path / "out"), "--master", "local[2]"]
+        )
+    assert rc == 0
+    printed = out.getvalue()
+    assert "hits: 2 rows" in printed
+    assert "visits: 2 rows" in printed  # 3900s gap > 1800 → two sessions
+    assert "visitors: 1 rows" in printed
