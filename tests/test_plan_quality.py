@@ -100,3 +100,21 @@ def test_cli_main_end_to_end(spark, tmp_path):
     assert "hits: 2 rows" in printed
     assert "visits: 2 rows" in printed  # 3900s gap > 1800 → two sessions
     assert "visitors: 1 rows" in printed
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    """The shipdate predicate must reach the parquet scan as a pushed
+    filter (row-group skipping at 100 TB), and the scan must not read
+    columns the query never touches."""
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200], plan
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" not in read_schema, read_schema
+
+
+def test_sql_text_path_same_plan_space(spark, sf_dir):
+    """spark.sql text compiles into the same optimized plan space:
+    broadcast joins for the dims, no cartesian."""
+    plan = _plan(spark, "sql_q3_shipping_priority", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan

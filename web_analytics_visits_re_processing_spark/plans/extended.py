@@ -340,3 +340,92 @@ def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
         F.col("c_mktsegment").rlike("^(AUTO|BUIL)").cast("int").alias("segment_flag"),
     )
+
+
+# --- SQL-text entry path ------------------------------------------------------
+
+def _register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "sql_q3_shipping_priority",
+    oracle="""
+SELECT o.o_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT entry path (everything else in the registry is
+    DataFrame API): temp views + ``spark.sql`` — the same Catalyst
+    plan space, exercised through the parser. TPC-H Q3 shape: 3-way
+    join, pushed filters, agg, top-10."""
+    _register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql("""
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """)
+
+
+@query(
+    "sql_corrupt_json_policy",
+    # 7 = event_ids 0..97 with id % 13 == 0 (malformed rows planted by
+    # the fixture writer); the reader must keep good rows and count the
+    # corrupt ones rather than fail or silently drop.
+    oracle="""
+SELECT COUNT(*) FILTER (WHERE event_id % 13 != 0) AS n_good,
+       COUNT(*) FILTER (WHERE event_id % 13 = 0) AS n_corrupt,
+       SUM(user_id) FILTER (WHERE event_id % 13 != 0) AS user_id_sum
+FROM events
+WHERE event_id < 98
+""",
+)
+def q_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON reader policy: corrupt records land in
+    ``_corrupt_record`` instead of failing the scan or vanishing —
+    the drop-don't-crash contract the hit-log parser follows, on the
+    JSON surface."""
+    out = _roundtrip_dir(sf_dir, "corrupt_json")
+    src = _events_projection(spark, sf_dir).where(F.col("event_id") < 98)
+    lines = src.select(
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.concat(F.lit('{"event_id": '), F.col("event_id"), F.lit(", BROKEN")),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "user_id")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(out)
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("user_id"))).alias(
+            "user_id_sum"
+        ),
+    )
