@@ -390,9 +390,9 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_corrupt_json_policy",
-    # 7 = event_ids 0..97 with id % 13 == 0 (malformed rows planted by
-    # the fixture writer); the reader must keep good rows and count the
-    # corrupt ones rather than fail or silently drop.
+    # event_ids 0..97 with id % 13 == 0 are written as malformed JSON
+    # by the fixture writer; the reader must keep good rows and count
+    # the corrupt ones rather than fail or silently drop.
     oracle="""
 SELECT COUNT(*) FILTER (WHERE event_id % 13 != 0) AS n_good,
        COUNT(*) FILTER (WHERE event_id % 13 = 0) AS n_corrupt,

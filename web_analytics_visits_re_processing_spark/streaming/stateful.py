@@ -27,6 +27,14 @@ Batch equivalence: the result equals "sessionize, keep sessions with
 trigger>0 and convert=0" — SQL-expressible, so this operator is
 hash-gated against the same lag/running-sum DuckDB oracle as the
 sessionizer (``plans/streaming_queries.py``).
+
+Known simplification: within a batch events are sorted by event time,
+but an event that arrives in a LATER micro-batch with a timestamp
+inside the carried session's past is appended forward (state tracks a
+single running session, not a mergeable interval set). The built-in
+``session_window`` aggregation handles cross-batch late merges
+generally; use it when late re-ordering beyond batch boundaries
+matters more than custom emit predicates.
 """
 
 from __future__ import annotations
