@@ -162,3 +162,42 @@ def test_visitor_rows_survive_bad_timestamps(spark, tmp_path):
         tuple(r) for r in spark.read.csv(str(tmp_path / "out/visitors")).collect()
     }
     assert visitors == {("u1_a", "ibmA", "scvA"), ("u2_b", "ibmB", "scvB")}
+
+
+def test_parser_roundtrip_fuzz(spark):
+    """Hypothesis fuzz: any tab/newline-free field contents survive
+    TSV construction → parse without corruption, reordering, or
+    cross-field bleed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    field = st.text(
+        alphabet=st.characters(blacklist_characters="\t\n\r", blacklist_categories=("Cs",)),
+        max_size=12,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        ts=st.integers(min_value=0, max_value=2**31 - 1),
+        tracking=field,
+        page=field,
+        server=field,
+        ibm=field,
+        scv=field,
+    )
+    def check(ts, tracking, page, server, ibm, scv):
+        line = "\t".join(
+            [str(ts), "uhi", "ulo", tracking, "", "2,204", page, server, ibm, scv]
+        )
+        out = parse_hitlog(spark.createDataFrame([(line,)], "value string")).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["ts"] == ts
+        assert r["user_id"] == "uhi_ulo"
+        assert r["tracking_code"] == tracking
+        assert (r["page"], r["server"], r["ibm_id"], r["scv_id"]) == (
+            page, server, ibm, scv,
+        )
+        assert (r["pdp_view"], r["payment"], r["order"]) == (1, 1, 0)
+
+    check()

@@ -100,3 +100,31 @@ def test_salt_sessions_on_both_ts_types(spark):
         salt_sessions(stamps, "user_id", "ts"), user_col="_salted_user"
     )
     assert visits.count() == 2
+
+
+def test_hot_key_sessionization_completes_and_is_correct(spark):
+    """Power-law reality check: one bot user with 30k hits among
+    normal users — the window formulation must spill/sort through it
+    and produce exactly the sessions the gap rule implies."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    # bot: 30k hits, one every 2s → ONE giant session
+    for i in range(30_000):
+        rows.append((i, base + dt.timedelta(seconds=2 * i), 0, 1.0))
+    # normal users: 3 hits each, two sessions
+    for u in range(1, 20):
+        rows.append((100_000 + u * 10, base, u, 1.0))
+        rows.append((100_000 + u * 10 + 1, base + dt.timedelta(seconds=60), u, 1.0))
+        rows.append((100_000 + u * 10 + 2, base + dt.timedelta(hours=3), u, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    visits = sessionize_visits(df).collect()
+    by_user = {}
+    for v in visits:
+        by_user.setdefault(v["user_id"], []).append(v)
+    assert len(by_user[0]) == 1 and by_user[0][0]["n_hits"] == 30_000
+    for u in range(1, 20):
+        assert sorted(v["n_hits"] for v in by_user[u]) == [1, 2]
