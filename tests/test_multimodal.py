@@ -3,9 +3,6 @@ shape, metadata correctness, and column pruning of the blob."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
-
 from web_analytics_visits_re_processing_spark.operators.multimodal import (
     decode_image_meta,
     resize_images,
@@ -30,10 +27,72 @@ def test_decode_image_meta_roundtrip(spark, sf_dir):
         assert r["height"] == len(payload) % 480 + 9
 
 
-def test_codec_stub_raises(spark, sf_dir):
-    docs = with_synthetic_image_blob(load_table(spark, sf_dir, "documents").limit(1))
-    with pytest.raises(NotImplementedError):
-        resize_images(docs, 64, 64)
+def test_resize_images_real_roundtrip(spark):
+    """resize_images does a FULL pixel round trip (decode → nearest
+    resample → re-encode): output blobs are valid PNGs whose pixels
+    equal the numpy-side nearest-neighbor reference; bad blobs yield
+    null image / -1 dims instead of failing the batch."""
+    import numpy as np
+
+    from web_analytics_visits_re_processing_spark.operators.imagecodec import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(7)
+    imgs = {
+        1: rng.randint(0, 256, (20, 31, 3), dtype=np.uint8),
+        2: rng.randint(0, 256, (5, 4, 3), dtype=np.uint8),  # upscale
+    }
+    rows = [(k, encode_png(v)) for k, v in imgs.items()] + [
+        (3, b"garbage"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    out = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    for did, img in imgs.items():
+        r = out[did]
+        assert (r["width"], r["height"]) == (8, 8)
+        got = decode_png(bytes(r["image"]))
+        assert (got == resize_nearest(img, 8, 8)).all()
+    assert out[3]["image"] is None and out[3]["width"] == -1
+    assert out[4]["image"] is None and out[4]["width"] == -1
+
+
+def test_sample_frames_spark(spark):
+    """sample_frames over real APNG containers: every 2nd frame comes
+    back as a standalone decodable PNG with the right pixels; a plain
+    PNG yields one frame; garbage yields the -1 sentinel row."""
+    import numpy as np
+
+    from web_analytics_visits_re_processing_spark.operators.imagecodec import (
+        decode_png,
+        encode_apng,
+        encode_png,
+    )
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (6, 7, 3), dtype=np.uint8) for _ in range(5)]
+    single = rng.randint(0, 256, (3, 3, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_apng(frames)),
+        (2, encode_png(single)),
+        (3, b"nope"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, video binary")
+    out = sample_frames(df, every_n=2).collect()
+    by_key = {(r["doc_id"], r["frame_index"]): r for r in out}
+    assert sorted(k for k in by_key if k[0] == 1) == [(1, 0), (1, 2), (1, 4)]
+    for idx in (0, 2, 4):
+        r = by_key[(1, idx)]
+        assert (r["width"], r["height"]) == (7, 6)
+        assert (decode_png(bytes(r["frame"])) == frames[idx]).all()
+    assert (decode_png(bytes(by_key[(2, 0)]["frame"])) == single).all()
+    assert by_key[(3, -1)]["frame"] is None and by_key[(3, -1)]["width"] == -1
 
 
 def test_metadata_query_prunes_blob_column(spark, sf_dir, tmp_path):

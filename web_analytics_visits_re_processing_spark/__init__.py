@@ -23,7 +23,7 @@ Design principles (SURVEY.md §1.3/§4):
   Streaming with a watermark (streaming/ package).
 - **Python only at the edges.** Pandas UDFs (Arrow-batched) appear only
   where built-in expressions genuinely cannot express the semantics
-  (e.g. vectorized embedding math fallbacks, multimodal decode stubs).
+  (e.g. vectorized embedding math, the pure-Python image codec).
 """
 
 from web_analytics_visits_re_processing_spark.session import get_spark

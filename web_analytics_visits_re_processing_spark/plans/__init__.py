@@ -14,6 +14,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     llmdata,
     relational,
     streaming_queries,
+    webanalytics,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -718,9 +718,9 @@ FROM documents
 """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode via Arrow-batched mapInPandas (the real
-    multimodal plumbing; codec stubbed — see operators.multimodal).
-    The oracle replays the synthetic header arithmetic in SQL."""
+    """Binary-column decode via Arrow-batched mapInPandas (the
+    multimodal metadata fast path — header fields only, no pixel
+    decode). The oracle replays the synthetic header arithmetic."""
     from web_analytics_visits_re_processing_spark.operators.multimodal import (
         decode_image_meta,
         with_synthetic_image_blob,
@@ -802,4 +802,104 @@ def q_multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bits_per_sample").cast("int").alias("bits_per_sample"),
         F.col("n_bytes").cast("int").alias("n_bytes"),
         "format",
+    )
+
+
+@query(
+    "multimodal_resize_pixels",
+    # Closed-form replay of a REAL decode→resize→encode→decode round
+    # trip: the fixture pixels are (doc_id*7 + x*3 + y*5 + c*11) % 256
+    # at w=n%24+4 × h=n%16+4, and nearest-neighbor maps output (i,j)
+    # to source (i*w//8, j*h//8) — so the resized pixel sum is a pure
+    # arithmetic aggregate DuckDB computes without any image code.
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           octet_length(encode(text)) % 24 + 4 AS w,
+           octet_length(encode(text)) % 16 + 4 AS h
+    FROM documents
+)
+SELECT p.doc_id, 8 AS width, 8 AS height,
+       SUM((p.doc_id * 7 + ((i.range * p.w) // 8) * 3
+            + ((j.range * p.h) // 8) * 5 + c.range * 11) % 256)::BIGINT
+           AS pixel_sum
+FROM p, range(8) i, range(8) j, range(3) c
+GROUP BY p.doc_id
+""",
+)
+def q_multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, value-verified: gradient PNGs (valid zlib
+    pixel data) → full decode → nearest-neighbor 8×8 → PNG re-encode →
+    second decode → per-image pixel sum. Every byte of the resized
+    image round-trips through the pure-Python codec
+    (operators/imagecodec.py); the oracle replays the arithmetic in
+    SQL. No shuffle — two chained mapInPandas over the scan."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        png_pixel_stats,
+        resize_images,
+        with_gradient_png,
+    )
+
+    docs = _docs(spark, sf_dir)
+    resized = resize_images(with_gradient_png(docs), width=8, height=8)
+    return png_pixel_stats(resized).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("pixel_sum").cast("long").alias("pixel_sum"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    # APNG fixture: n%5+2 frames of w=n%12+3 × h=n%10+3; frame f's
+    # pixels are the gradient + f*13. sample_frames keeps indices
+    # 0, 2, 4 — the oracle enumerates them and sums pixels in closed
+    # form. Frame payloads are real zlib; extraction is the spec's
+    # fdAT→IDAT conversion.
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           octet_length(encode(text)) % 12 + 3 AS w,
+           octet_length(encode(text)) % 10 + 3 AS h,
+           octet_length(encode(text)) % 5 + 2 AS nf
+    FROM documents
+),
+fr AS (
+    SELECT p.*, f.range AS fi
+    FROM p, range(6) f
+    WHERE f.range < p.nf AND f.range % 2 = 0
+)
+SELECT fr.doc_id, fr.fi::INT AS frame_index,
+       fr.w::INT AS width, fr.h::INT AS height,
+       SUM((fr.doc_id * 7 + x.range * 3 + y.range * 5 + c.range * 11
+            + fr.fi * 13) % 256)::BIGINT AS pixel_sum
+FROM fr, range(14) x, range(12) y, range(3) c
+WHERE x.range < fr.w AND y.range < fr.h
+GROUP BY fr.doc_id, fr.fi, fr.w, fr.h
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling: APNG containers → chunk-level
+    frame extraction (every 2nd frame) → each sampled frame re-emitted
+    as a standalone PNG → full pixel decode + sum. The in-batch
+    explode means one input row → ceil(nf/2) output rows with no
+    Spark-side shuffle; a 100 TB video corpus samples at file-split
+    parallelism."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        png_pixel_stats,
+        sample_frames,
+        with_gradient_apng,
+    )
+
+    docs = _docs(spark, sf_dir)
+    frames = sample_frames(with_gradient_apng(docs), every_n=2)
+    return png_pixel_stats(
+        frames, blob_col="frame", id_cols=("doc_id", "frame_index")
+    ).select(
+        "doc_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("pixel_sum").cast("long").alias("pixel_sum"),
     )

@@ -1,0 +1,297 @@
+"""Domain-depth web-analytics queries over the ``events`` stream:
+funnel conversion, weekly cohort retention, last-touch attribution,
+session path n-grams, bounce rate.
+
+These are the analyses a user of the reference pipeline (sessionized
+clickstream, reference ``main.py:209-234``) runs downstream of the
+visits/hits tables; the reference itself stops at sessionization, so
+this module is part of the §2.2 gap surface. Every query is a native
+DataFrame plan with a full DuckDB oracle.
+
+Scale notes are per-query; the common theme is *one* user-keyed
+exchange feeding chained window/aggregate steps (Spark satisfies a
+``(user, session)`` window with the ``user`` hash partitioning), and
+final small aggregates arriving via map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.operators.sessionize import (
+    sessionize_visits,
+    with_session_columns,
+)
+from web_analytics_visits_re_processing_spark.plans.analytics import _SESSION_CTE
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+GAP_US = 1800 * 1_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "funnel_stage_counts",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage_order, 'view' AS stage, COUNT(*)::BIGINT AS n_users FROM v
+UNION ALL
+SELECT 2, 'click_after_view', COUNT(*)::BIGINT FROM c
+UNION ALL
+SELECT 3, 'purchase_after_click', COUNT(*)::BIGINT FROM p
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (strictly increasing
+    event time). Single-shuffle formulation: three chained window
+    aggregates over the SAME ``user_id`` partitioning (first view,
+    first click after it, first purchase after that) — Spark plans one
+    exchange + three Window ops, then a global map-side-partial
+    count-distinct; the oracle uses the equivalent join chain."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("t1", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(is_("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(is_("purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    agg = staged.agg(
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n1"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n2"),
+        F.count_distinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, 2, 'click_after_view', n2,"
+            " 3, 'purchase_after_click', n3)"
+            " AS (stage_order, stage, n_users)"
+        )
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+WITH wk AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), cohort AS (
+    SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id
+)
+SELECT strftime(cohort.cw, '%Y-%m-%d') AS cohort_week,
+       (datediff('day', cohort.cw, wk.w) // 7)::INT AS week_offset,
+       COUNT(DISTINCT wk.user_id)::BIGINT AS n_active
+FROM wk JOIN cohort USING (user_id)
+GROUP BY cohort.cw, week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week; for each (cohort week, week offset) the distinct active
+    users. Active-weeks are pre-deduped (user, week) pairs — the
+    count-distinct downstream shuffles pairs, not raw events. Week
+    boundaries are Monday-truncated in both engines; weeks cross the
+    comparator as yyyy-MM-dd strings (DATE objects don't)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    )
+    wk = ev.distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.to_date("w"), F.to_date("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+SELECT event_id, user_id, ts_us, touch_type, touch_ts_us FROM (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS touch_ts_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+) WHERE event_type = 'purchase'
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    preceding non-purchase event of the same user (type + time; NULL
+    when the purchase opens the stream). One user-keyed exchange; the
+    ``last(..., ignorenulls)`` frame scans backwards without a
+    self-join — the O(n²) trap the naive formulation hits."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    non_purchase_ts = F.when(
+        F.col("event_type") != "purchase", F.unix_micros("ts")
+    )
+    return (
+        ev.withColumn("touch_type", F.last(non_purchase, ignorenulls=True).over(w))
+        .withColumn(
+            "touch_ts_us", F.last(non_purchase_ts, ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "touch_type",
+            "touch_ts_us",
+        )
+    )
+
+
+@query(
+    "session_path_3grams",
+    # Sessionizer CTE inlined (needs event_id for deterministic
+    # ordering); trigram list built 1-indexed with list_transform.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WHERE ts IS NOT NULL
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), paths AS (
+    SELECT user_id, session_seq,
+           list(event_type ORDER BY ts, event_id) AS types
+    FROM sess GROUP BY user_id, session_seq
+), grams AS (
+    SELECT unnest(list_transform(
+               range(1, greatest(len(types) - 1, 1)),
+               i -> types[i] || '>' || types[i + 1] || '>' || types[i + 2]
+           )) AS path
+    FROM paths
+)
+SELECT path, COUNT(*)::BIGINT AS n FROM grams GROUP BY path
+""",
+)
+def q_session_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: per 30-min session, the ordered event-type
+    sequence, exploded into overlapping 3-step paths and counted
+    corpus-wide. Sessionization + per-session collect ride ONE
+    user-keyed exchange (collect_list is sorted post-hoc — raw
+    collect order is partition-dependent); the trigram explode is
+    per-row; the final count is a low-cardinality hash agg (≤125
+    distinct paths at 5 event types)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    hits = with_session_columns(
+        ev, "user_id", "ts", 1800, order_cols=["event_id"]
+    )
+    paths = hits.groupBy("user_id", "session_seq").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    types = F.transform(F.col("seq"), lambda x: x["event_type"])
+    grams = F.when(
+        F.size(types) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(types) - 2),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at(types, i),
+                F.element_at(types, i + 1),
+                F.element_at(types, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        paths.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "bounce_rate_weekly",
+    oracle=_SESSION_CTE
+    + """
+, visits AS (
+    SELECT user_id, session_seq, MIN(ts) AS visit_start, COUNT(*) AS n_hits
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT strftime(date_trunc('week', visit_start), '%Y-%m-%d') AS week,
+       COUNT(*)::BIGINT AS n_sessions,
+       SUM(CASE WHEN n_hits = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       ROUND(SUM(CASE WHEN n_hits = 1 THEN 1 ELSE 0 END)
+             / COUNT(*)::DOUBLE, 4) AS bounce_rate
+FROM visits
+GROUP BY date_trunc('week', visit_start)
+""",
+)
+def q_bounce_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate (single-hit sessions / sessions) per week of
+    session start — the classic health metric over the sessionizer's
+    output. Reuses ``sessionize_visits`` verbatim: one user-keyed
+    exchange for sessions, then a tiny per-week hash agg."""
+    visits = sessionize_visits(
+        _events(spark, sf_dir), user_col="user_id", ts_col="ts", gap_seconds=1800
+    )
+    bounce = F.sum(F.when(F.col("n_hits") == 1, 1).otherwise(0))
+    return (
+        visits.groupBy(
+            F.date_format(F.date_trunc("week", F.col("visit_start")), "yyyy-MM-dd")
+            .alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.alias("n_bounces"),
+            F.round(bounce / F.count(F.lit(1)), 4).alias("bounce_rate"),
+        )
+    )
