@@ -1,0 +1,68 @@
+"""Connected-components operator: planted clusters, singleton
+handling, transitivity across chains, and the non-convergence guard.
+See also the oracle-gated `dedup_connected_components` query, which
+runs the same operator over real LSH near-dup pairs."""
+
+from __future__ import annotations
+
+import pytest
+
+from web_analytics_visits_re_processing_spark.operators.graph import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "id_a long, id_b long")
+
+
+def test_chain_singleton_and_second_cluster(spark):
+    """A~B, B~C clusters A,B,C together without an A~C edge; an
+    isolated node is its own component; a disjoint pair stays
+    separate."""
+    nodes = _nodes(spark, [1, 2, 3, 5, 6, 7])
+    edges = _edges(spark, [(1, 2), (2, 3), (6, 7)])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_long_chain_converges_and_is_canonical_flags(spark):
+    """A 12-node chain (diameter 11) converges under the default
+    iteration cap; exactly one canonical doc per component."""
+    ids = list(range(100, 112))
+    nodes = _nodes(spark, ids + [500])
+    edges = _edges(spark, list(zip(ids, ids[1:])))
+    rows = dedup_components(nodes, _edges(spark, list(zip(ids, ids[1:])))).collect()
+    comp = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in rows}
+    assert all(comp[i] == (100, i == 100) for i in ids)
+    assert comp[500] == (500, True)
+    # exactly one canonical per component
+    assert sum(1 for c, canon in comp.values() if canon) == 2
+
+
+def test_edge_direction_irrelevant(spark):
+    """Min label propagates against edge direction too (symmetrized)."""
+    nodes = _nodes(spark, [1, 9])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, _edges(spark, [(9, 1)])).collect()
+    }
+    assert got == {1: 1, 9: 1}
+
+
+def test_nonconvergence_raises(spark):
+    """A chain longer than max_iterations fails loudly instead of
+    returning partially-propagated (wrong) clusters."""
+    ids = list(range(10))
+    nodes = _nodes(spark, ids)
+    edges = _edges(spark, list(zip(ids, ids[1:])))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=3)

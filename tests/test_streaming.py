@@ -153,3 +153,72 @@ def test_stateful_abandonment_across_batches(spark, tmp_path):
     assert r["session_start_us"] == us(base)
     assert r["session_end_us"] == us(base + dt.timedelta(minutes=10))
     assert (r["n_trigger"], r["n_events"]) == (2, 3)
+
+
+def test_streaming_dedup_equals_batch_distinct_with_eviction(spark, sf_dir):
+    """Watermarked dropDuplicates == batch DISTINCT on the same keys,
+    and dedup key state is actually evicted (the event-time member of
+    the key is what permits it)."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        LAST_APPEND_PROGRESS,
+        streaming_dedup_append,
+    )
+
+    got = {
+        tuple(r)
+        for r in streaming_dedup_append(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.date_trunc("minute", F.col("ts"))).alias("ts_min_us"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert LAST_APPEND_PROGRESS["numRowsRemoved"] > 0
+
+
+def test_streaming_interval_join_equals_batch_join(spark, sf_dir):
+    """Stream-stream interval join == the batch time-bounded self-join
+    (inner join emits on match; watermark+interval bound the state)."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_interval_join_append,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        tuple(r)
+        for r in clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("cu").alias("user_id"),
+            F.unix_micros("cts").alias("click_ts_us"),
+            F.unix_micros("pts").alias("purchase_ts_us"),
+        )
+        .collect()
+    }
+    got = {
+        tuple(r) for r in streaming_interval_join_append(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

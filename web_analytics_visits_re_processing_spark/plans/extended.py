@@ -429,3 +429,120 @@ def q_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id_sum"
         ),
     )
+
+
+# --- round-3 additions: ORC reader, unpivot, arg-max, skew-safe agg ----------
+
+@query("orc_reader_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_orc_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC READER under the gate (columnar sibling of the parquet
+    path — same round-trip contract as the CSV/JSON readers; ORC is
+    binary+typed so the projection round-trips losslessly)."""
+    out = _roundtrip_dir(sf_dir, "orc")
+    src = _events_projection(spark, sf_dir)
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double"
+    ).orc(out)
+    return _roundtrip_agg(back)
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice::DOUBLE AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_size', p_size::DOUBLE FROM part
+""",
+)
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (``DataFrame.unpivot`` / ``melt``): the part
+    table's numeric measures stacked into (measure, val) rows — a
+    narrow per-row expansion, no shuffle."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_retailprice", "p_size"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+    )
+
+
+@query(
+    "argmax_event_per_user",
+    # Composite (value, event_id) tiebreak encoded as ONE exact BIGINT
+    # key (round(value*100) * 2^40 + event_id): DuckDB's arg_max takes
+    # only scalar ordering keys, and the integer encoding keeps the
+    # comparison bit-exact in both engines (value has 2 decimals;
+    # event_id < 2^40).
+    oracle="""
+SELECT user_id,
+       arg_max(event_type,
+               CAST(round(value * 100) AS BIGINT) * 1099511627776 + event_id)
+           AS top_event_type,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_argmax_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user arg-max (``max_by``): the event type of each user's
+    highest-value event, ties broken by event_id. One hash aggregate —
+    the single-shuffle alternative to the window/row_number top-1
+    pattern (no sort, map-side partial arg-max)."""
+    key = (
+        F.round(F.col("value") * 100, 0).cast("long") * F.lit(1099511627776).cast("long")
+        + F.col("event_id")
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", key).alias("top_event_type"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "salted_two_stage_agg",
+    # Result ≡ a plain GROUP BY — salting is pure plan shape. Sums are
+    # rounded: distributed addition order differs from DuckDB's.
+    oracle="""
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: 5 event types over millions of
+    rows is a worst-case skewed groupBy (5 reducers own everything).
+    Stage 1 fans each hot key out across 16 salt buckets (uniform
+    shuffle); stage 2 re-aggregates the 5×16 partials — the classic
+    salting pattern, gated to prove it changes the plan, not the
+    answer. (Spark's partial aggregation already map-side-combines;
+    explicit salting is the escape hatch when per-key state, e.g.
+    count-distinct, defeats partial agg.)"""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(hash64(F.col("event_id").cast("string")), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("n_partial"),
+        F.sum("value").alias("sum_partial"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_partial").alias("n_events"),
+        F.round(F.sum("sum_partial"), 2).alias("value_sum"),
+    )

@@ -903,3 +903,287 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.col("pixel_sum").cast("long").alias("pixel_sum"),
     )
+
+
+# --- dedup clustering (connected components) ---------------------------------
+
+# Transitive closure of the SAME LSH near-dup pair pipeline the
+# minhash_lsh_near_dup_pairs oracle replays: min-label reachability as
+# a recursive CTE (label m propagates along any path inside a
+# component because every non-minimum node id exceeds m, so the
+# r.label < s.nbr pruning never blocks the true minimum).
+_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + _LSH_CAND_CTE.split("WITH ", 1)[1]
+    + """
+, pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.sh, sb.sh))
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+),
+sym AS (
+    SELECT id_a AS node, id_b AS nbr FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT s.nbr AS node, r.label
+    FROM reach r JOIN sym s ON s.node = r.node
+    WHERE r.label < s.nbr
+)
+SELECT node AS doc_id, MIN(label)::BIGINT AS component,
+       (node = MIN(label)) AS is_canonical
+FROM reach GROUP BY node
+"""
+)
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → transitive dedup CLUSTERS via distributed
+    min-label propagation (operators/graph.py): A~B and B~C put A, B,
+    C in one component with the minimum doc_id as canonical — the
+    keep-one decision a pair list alone can't make. The oracle chains
+    the full LSH pair pipeline into a recursive-CTE reachability
+    closure, so candidate generation, Jaccard verify AND clustering
+    are hash-gated end to end."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        dedup_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    return dedup_components(docs, pairs)
+
+
+# --- deterministic sampling + chunking ---------------------------------------
+
+@query(
+    "stratified_sample_deterministic",
+    oracle="""
+SELECT doc_id, lang,
+       ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS sample_bucket
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (downsample dominant 'en',
+    keep more of the rest) — the training-data mix knob. Hash-mod
+    bucketing instead of ``sample()``: reproducible across runs,
+    engines and partitionings (seeded RNG sampling is none of those),
+    and it's a pure narrow filter — no shuffle, pushes to the scan."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    bucket = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("sample_bucket", bucket)
+        .where(
+            F.col("sample_bucket")
+            < F.when(F.col("lang") == "en", 20).otherwise(50)
+        )
+        .select("doc_id", "lang", "sample_bucket")
+    )
+
+
+@query(
+    "doc_chunks_overlap",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, toks, n,
+           unnest(range(greatest(1, ceil((n - 8) / 6.0)::INT + 1))) AS chunk_idx
+    FROM t
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       len(list_slice(toks, chunk_idx * 6 + 1, chunk_idx * 6 + 8))::INT
+           AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx * 6 + 1, chunk_idx * 6 + 8), ' ')
+           AS chunk_text
+FROM c
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 8, stride 6 → overlap
+    2) — the context-window prep step for training corpora. Chunk
+    count is closed-form (no while-loop UDF): explode a 0..n_chunks-1
+    sequence, slice per index. Narrow explode, no shuffle; output rows
+    ∝ tokens/stride. Short docs yield exactly one (possibly short)
+    chunk; slice clamps the tail chunk in both engines."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), (F.ceil((n - F.lit(8)) / F.lit(6.0)) + F.lit(1)).cast("int")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * 6 + 1, 8)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+# --- TF-IDF ------------------------------------------------------------------
+
+@query(
+    "tfidf_top_terms",
+    # Rank by the INTEGER key (tf DESC, df ASC, term ASC) so ordering
+    # never depends on float ulps; the tf-idf score itself is emitted
+    # rounded to 6 dp (ln differs across libms at ~1e-16 — invisible
+    # at 6 dp, decisive only under exact ordering).
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+tfc AS (
+    SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+    FROM tf GROUP BY doc_id, term
+),
+dfc AS (
+    SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+    SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+           ROUND(tfc.tf * ln(n.n_docs / CAST(dfc.df AS DOUBLE)), 6) AS tfidf,
+           row_number() OVER (
+               PARTITION BY tfc.doc_id
+               ORDER BY tfc.tf DESC, dfc.df ASC, tfc.term ASC
+           ) AS rnk
+    FROM tfc JOIN dfc USING (term), n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk::INT AS rnk
+FROM scored WHERE rnk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF with top-3 terms per document. Shape at scale:
+    token explode → two hash aggs (term counts ride map-side partial
+    aggregation; vocabulary ≪ corpus), document-frequency table joined
+    back BROADCAST (a vocabulary fits in memory at any corpus size —
+    it grows sub-linearly), N as a broadcast scalar, then one
+    per-doc-partitioned window for the top-k."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    rnk_w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tfc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 6
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# --- embedding quantization --------------------------------------------------
+
+@query(
+    "embedding_int8_quantize",
+    # Absmax int8 quantization replayed value-exactly: scale, the
+    # position-weighted integer checksum of the quantized vector, and
+    # the reconstruction MSE. IEEE doubles make x/scale identical in
+    # both engines; round() is half-away-from-zero in both.
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (
+    SELECT vec_id, label, v,
+           list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+    FROM e
+),
+q AS (
+    SELECT vec_id, label, v, scale,
+           list_transform(v, x ->
+               greatest(-127.0, least(127.0, round(x / scale)))) AS qv
+    FROM s
+)
+SELECT vec_id, label,
+       ROUND(scale, 9) AS scale_r,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * i)) AS BIGINT) AS q_checksum,
+       ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)))
+             / len(qv), 12) AS mse_r
+FROM q
+""",
+)
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization of the embedding column — the storage
+    /bandwidth-reduction pass an embedding corpus runs before ANN
+    serving. Pure narrow projection (no shuffle, no UDF); emits the
+    per-vector scale, an order-sensitive integer checksum of the
+    quantized values (any rounding divergence breaks it), and the
+    reconstruction MSE."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.round(x / F.col("scale"), 0))
+        ),
+    )
+    idx = F.sequence(F.lit(1), F.size(F.col("qv")))
+    err = F.zip_with(
+        F.col("v"),
+        F.col("qv"),
+        lambda a, b: (a - b * F.col("scale")) * (a - b * F.col("scale")),
+    )
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", "label", v.alias("v"))
+        .withColumn("scale", scale)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            "label",
+            F.round("scale", 9).alias("scale_r"),
+            F.aggregate(
+                F.zip_with(F.col("qv"), idx, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            .cast("long")
+            .alias("q_checksum"),
+            F.round(
+                F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("qv"),
+                12,
+            ).alias("mse_r"),
+        )
+    )

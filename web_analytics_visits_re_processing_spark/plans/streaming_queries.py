@@ -82,3 +82,48 @@ def q_streaming_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return abandoned_sessions_replay(spark, sf_dir)
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+SELECT DISTINCT user_id, event_type,
+       epoch_us(date_trunc('minute', ts)) AS ts_min_us
+FROM events
+""",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates ≡ batch DISTINCT, with key
+    state genuinely evicted (event-time member in the dedup key)."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_dedup_append,
+    )
+
+    return streaming_dedup_append(spark, sf_dir)
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTES
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases ≤30 min after a same-user
+    click) ≡ the batch time-bounded self-join oracle, with join state
+    bounded by watermark + interval condition."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_interval_join_append,
+    )
+
+    return streaming_interval_join_append(spark, sf_dir)

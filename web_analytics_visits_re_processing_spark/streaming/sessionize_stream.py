@@ -336,3 +336,100 @@ def streaming_tumbling_counts_replay(
     )
     run_stream_to_memory(counts, "streaming_tumbling", "complete")
     return spark.table("streaming_tumbling")
+
+
+def streaming_dedup_append(
+    spark: SparkSession, sf_dir: str, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming DEDUPLICATION under a watermark: ``dropDuplicates``
+    keyed on (user_id, event_type, minute-truncated event time) via
+    the append-mode file-sink topology.
+
+    The truncated event-time column is part of the dedup key — that is
+    what lets Spark EVICT key state once the watermark passes the
+    minute bucket (a dedup key set without an event-time member is
+    retained forever, the unbounded-state trap). Duplicate-key rows
+    are suppressed at first sight, so append output = the distinct key
+    set and the batch DISTINCT oracle applies verbatim."""
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_append_dedup", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    events = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_min", F.date_trunc("minute", F.col("ts")))
+    )
+    deduped = (
+        events.withWatermark("ts_min", watermark_delay)
+        .dropDuplicates(["user_id", "event_type", "ts_min"])
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts_min").alias("ts_min_us"),
+        )
+    )
+    out, _ = _run_append_to_files(deduped, workdir)
+    return spark.read.parquet(out).where(
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
+    )
+
+
+def streaming_interval_join_append(
+    spark: SparkSession,
+    sf_dir: str,
+    max_gap_minutes: int = 30,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval bound:
+    purchases joined to same-user clicks at most ``max_gap_minutes``
+    earlier, append-mode through the file-sink topology.
+
+    The watermark is declared on the RAW stream before the event-type
+    filters so the sentinel row still advances it (and flushes join
+    state); the interval condition is what bounds each side's state —
+    clicks older than watermark − gap are evicted, the mechanism that
+    makes stream-stream joins feasible at all. Inner-join rows emit as
+    matches arrive, so the batch self-join oracle applies verbatim."""
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_append_ssjoin", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+
+    def side() -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(input_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", watermark_delay)
+        )
+
+    clicks = side().where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = side().where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            click_user_id = purchase_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {max_gap_minutes} MINUTES
+            """
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user_id").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+    out, _ = _run_append_to_files(joined, workdir)
+    return spark.read.parquet(out)
