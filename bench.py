@@ -47,6 +47,17 @@ HEADLINE = [
     "embedding_cosine_topk_lsh_multiprobe",
     "multimodal_image_meta",
     "multimodal_png_meta",
+    # round-3 additions
+    "dedup_connected_components",
+    "tfidf_top_terms",
+    "token_entropy",
+    "doc_chunks_overlap",
+    "multimodal_resize_pixels",
+    "funnel_stage_counts",
+    "session_path_3grams",
+    "argmax_event_per_user",
+    "gap_fill_hourly_counts",
+    "cdc_merge_latest_state",
 ]
 
 

@@ -118,3 +118,51 @@ def test_sql_text_path_same_plan_space(spark, sf_dir):
     plan = _plan(spark, "sql_q3_shipping_priority", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_tfidf_broadcasts_vocab_and_scalar(spark, sf_dir):
+    """The document-frequency table and the N scalar join in as
+    broadcasts — the corpus-side term rows never shuffle for them
+    (the only exchanges are the two aggregations and the per-doc
+    window)."""
+    plan = _plan(spark, "tfidf_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row N scalar
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    """Hash-mod stratified sampling is a pure narrow filter."""
+    plan = _plan(spark, "stratified_sample_deterministic", sf_dir)
+    assert _exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_chunks_narrow_explode(spark, sf_dir):
+    """Chunking is scan → explode → project: no shuffle, no Python."""
+    plan = _plan(spark, "doc_chunks_overlap", sf_dir)
+    assert _exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_argmax_single_aggregation_no_sort(spark, sf_dir):
+    """max_by plans as one hash/object aggregate over one exchange —
+    no window sort pass."""
+    plan = _plan(spark, "argmax_event_per_user", sf_dir)
+    assert _exchanges(plan) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_gap_fill_spine_broadcast(spark, sf_dir):
+    """The hour spine × type dim side is broadcast; the event counts
+    aggregate is the only shuffle."""
+    plan = _plan(spark, "gap_fill_hourly_counts", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    """Run-start detection (lag) and interval stitching (lead) share
+    one user-keyed exchange."""
+    plan = _plan(spark, "scd2_user_segments", sf_dir)
+    assert _exchanges(plan) == 1, plan

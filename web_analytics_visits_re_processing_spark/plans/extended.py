@@ -546,3 +546,173 @@ def q_salted_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_partial").alias("n_events"),
         F.round(F.sum("sum_partial"), 2).alias("value_sum"),
     )
+
+
+# --- data-engineering surface: gap-fill, SCD2, CDC merge ---------------------
+
+@query(
+    "gap_fill_hourly_counts",
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, epoch_us(s.h) AS hour_us,
+       COALESCE(c.n, 0)::BIGINT AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN c ON c.event_type = t.event_type AND c.h = s.h
+""",
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine GAP FILL: hourly per-type counts with explicit
+    zero rows for silent hours — the dense series dashboards and
+    downstream models need. The spine is generated (``sequence`` over
+    the global min/max hour — one tiny agg), cross-joined with the
+    distinct-type dim (both broadcast-size at any data scale: hours ×
+    types ≪ events), then LEFT-joined to the real hash-aggregated
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(spine)
+        .crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "scd2_user_segments",
+    oracle="""
+WITH o AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS segment,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS valid_to_us
+FROM starts
+""",
+)
+def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event stream:
+    consecutive same-type runs collapse into one versioned row with
+    [valid_from, valid_to) — valid_to NULL marks the current version.
+    Run-start detection (lag) and interval stitching (lead) share ONE
+    user-keyed exchange; no self-join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return starts.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
+@query(
+    "cdc_merge_latest_state",
+    # Key state = latest (ts, event_id) row per (user_id, event_type);
+    # the merge classifies keys against a T-split snapshot: rows whose
+    # key exists only before T are 'unchanged', only after 'insert',
+    # both 'update'. T = median-ish fixed epoch of the fixture range.
+    oracle="""
+WITH keyed AS (
+    SELECT user_id, event_type, ts, event_id, value,
+           epoch_us(ts) >= 1705500000000000 AS is_update,
+           row_number() OVER (
+               PARTITION BY user_id, event_type,
+                            epoch_us(ts) >= 1705500000000000
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+),
+base AS (SELECT * FROM keyed WHERE NOT is_update AND rn = 1),
+upd  AS (SELECT * FROM keyed WHERE is_update AND rn = 1)
+SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+       COALESCE(u.event_type, b.event_type) AS event_type,
+       COALESCE(epoch_us(u.ts), epoch_us(b.ts)) AS ts_us,
+       COALESCE(u.value, b.value) AS value,
+       CASE WHEN b.user_id IS NULL THEN 'insert'
+            WHEN u.user_id IS NULL THEN 'unchanged'
+            ELSE 'update' END AS change_type
+FROM base b FULL OUTER JOIN upd u
+  ON b.user_id = u.user_id AND b.event_type = u.event_type
+""",
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert) semantics without a table format: latest
+    state per key from the base snapshot full-outer-joined with the
+    update batch — updates win, and every output row is classified
+    insert / update / unchanged (what a MERGE INTO audit emits). Both
+    snapshots reduce via one window top-1 over the same key exchange;
+    the outer join is key-aligned (same partitioning, no extra
+    shuffle under AQE)."""
+    from pyspark.sql import Window
+
+    split_us = 1_705_500_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        (F.unix_micros("ts") >= split_us).alias("is_update"),
+    )
+    w = Window.partitionBy("user_id", "event_type", "is_update").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    base = latest.where(~F.col("is_update")).alias("b")
+    upd = latest.where(F.col("is_update")).alias("u")
+    return base.join(
+        upd,
+        (F.col("b.user_id") == F.col("u.user_id"))
+        & (F.col("b.event_type") == F.col("u.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce("u.user_id", "b.user_id").alias("user_id"),
+        F.coalesce("u.event_type", "b.event_type").alias("event_type"),
+        F.coalesce(F.unix_micros("u.ts"), F.unix_micros("b.ts")).alias("ts_us"),
+        F.coalesce("u.value", "b.value").alias("value"),
+        F.when(F.col("b.user_id").isNull(), "insert")
+        .when(F.col("u.user_id").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("change_type"),
+    )

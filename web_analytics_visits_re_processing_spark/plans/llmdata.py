@@ -1187,3 +1187,37 @@ def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse_r"),
         )
     )
+
+
+@query(
+    "token_entropy",
+    # H = ln(n) - Σ c·ln(c) / n (algebraic form shared verbatim by
+    # both engines so the float work is identical op-for-op).
+    oracle="""
+WITH tc AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM tc GROUP BY doc_id, tok)
+SELECT doc_id,
+       SUM(c)::BIGINT AS n_tokens,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+FROM c GROUP BY doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per document — the repetitiveness signal
+    quality filters cut on (boilerplate/spam ≈ low entropy). Explode →
+    two chained hash aggs, both map-side combinable."""
+    counts = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy"),
+    )
