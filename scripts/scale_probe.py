@@ -33,6 +33,11 @@ PROBE_QUERIES = [
     "minhash_signatures",
     "dedup_exact_groups",
     "doc_token_stats",
+    "dedup_connected_components",
+    "tfidf_top_terms",
+    "token_entropy",
+    "rolling_1h_user_value",
+    "cdc_merge_latest_state",
 ]
 
 

@@ -716,3 +716,125 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("change_type"),
     )
+
+
+@query(
+    "sql_exists_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+)
+""",
+)
+def q_sql_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated scalar subquery through the
+    SQL parser: customers with at least one above-average-price order.
+    Catalyst decorrelates EXISTS into a left-semi hash join and plans
+    the scalar as a broadcast single-row subquery — the declarative
+    form costs nothing over the hand-built semi join."""
+    _register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        )
+    """)
+
+
+@query(
+    "levenshtein_nation_pairs",
+    oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist
+FROM nation a
+JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+""",
+)
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string similarity (fuzzy matching): nation-name
+    pairs blocked by region — the block-key equi-join keeps the pair
+    space bounded, the same candidate-then-score shape as the LSH
+    dedup pipeline (never all-pairs across the corpus)."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.alias("a")
+    b = nation.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+        F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).alias("edit_dist"),
+    )
+
+
+@query(
+    "value_histogram_by_type",
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 0.5) AS BIGINT) AS bucket,
+       COUNT(*)::BIGINT AS n,
+       ROUND(MIN(value), 2) AS bucket_min,
+       ROUND(MAX(value), 2) AS bucket_max
+FROM events
+GROUP BY event_type, bucket
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (0.5-wide buckets) per event type — one
+    hash aggregate on a derived key; bucket count is bounded by the
+    value range, so the shuffle is tiny regardless of row count."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 0.5).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("bucket_min"),
+            F.round(F.max("value"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@query(
+    "rolling_1h_user_value",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(SUM(value) OVER w, 2) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling window (RANGE frame): per event, the count
+    and value sum of the same user's events in the preceding hour —
+    the sliding-lookback feature windows row-count frames can't
+    express (peers at the same timestamp are in-frame in both
+    engines). One user-keyed exchange."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+    )

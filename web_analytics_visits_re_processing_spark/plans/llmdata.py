@@ -1221,3 +1221,21 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
         ).alias("entropy"),
     )
+
+
+@query(
+    "token_positions",
+    oracle="""
+SELECT t.doc_id, u.pos - 1 AS pos, u.tok
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+     LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS pos) u
+""",
+)
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal token table (``posexplode``): (doc_id, position, token)
+    — the inverted-index/window-feature building block. Narrow
+    explode, position comes from the generator itself (no window
+    needed to number tokens)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
