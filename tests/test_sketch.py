@@ -1,0 +1,89 @@
+"""Count-min sketch properties, deterministic per-group sampling, and
+the approx-percentile error bound (the rows-only gate entry's
+correctness pin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.operators.sketch import (
+    cms_estimate,
+    count_min_table,
+)
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+
+def test_cms_upper_bounds_and_bounded_size(spark):
+    """Estimates never undercount (min over rows of inflate-only
+    buckets), and the sketch table is ≤ depth×width rows even when
+    keys ≫ width (forced collisions)."""
+    n_keys, reps = 500, 7
+    df = spark.range(n_keys * reps).select(
+        (F.col("id") % n_keys).cast("string").alias("k")
+    )
+    cms = count_min_table(df, "k", depth=4, width=64)
+    assert cms.count() <= 4 * 64
+    keys = df.distinct()
+    est = cms_estimate(cms, keys, "k", depth=4, width=64)
+    bad = est.where(F.col("cms_estimate") < reps).count()
+    assert bad == 0  # every true count is `reps`; estimates only inflate
+    # and with 500 keys in 64 buckets, collisions must inflate SOME key
+    assert est.where(F.col("cms_estimate") > reps).count() > 0
+
+
+def test_cms_exact_when_no_collisions(spark):
+    """Few keys in a wide sketch ⇒ estimates are exact."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    cms = count_min_table(df, "k", depth=4, width=64)
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(cms, df.distinct(), "k").collect()
+    }
+    assert est == {"a": 5, "b": 3, "c": 1}
+
+
+def test_per_source_sample_exactly_k(spark, sf_dir):
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    sample = QUERIES["per_source_doc_sample"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    per_group = {
+        r["source"]: r["n"]
+        for r in sample.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_group == {s: min(3, n) for s, n in sizes.items()}
+
+
+def test_approx_percentiles_within_bound(spark, sf_dir):
+    """GK sketch with accuracy A guarantees rank error ≤ n/A; assert
+    the approximate p50/p95 sit within the exact values at the
+    rank-shifted quantiles (the sketch's actual contract, tighter in
+    practice)."""
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    import math
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in QUERIES["approx_value_percentiles"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    for etype, (p50a, p95a) in approx.items():
+        vals = sorted(
+            r["value"]
+            for r in ev.where(F.col("event_type") == etype).select("value").collect()
+        )
+        n = len(vals)
+        eps = 1.0 / 10000  # rank fraction error = 1/accuracy
+        for q, got in ((0.5, p50a), (0.95, p95a)):
+            # GK returns an actual element whose RANK is within eps·n
+            # of q·n (±1 rank of slack for the discrete boundary).
+            lo = vals[max(math.floor((q - eps) * n) - 1, 0)]
+            hi = vals[min(math.ceil((q + eps) * n) + 1, n - 1)]
+            assert lo <= got <= hi, (etype, q, got, lo, hi)

@@ -838,3 +838,111 @@ def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("value_1h"),
     )
+
+
+# --- sketches + sampling ------------------------------------------------------
+
+_CMS_BUCKET = (
+    "('0x' || substring(md5(CAST({j} AS VARCHAR) || '|' || {key}), 1, 15))"
+    "::BIGINT % 64"
+)
+
+
+@query(
+    "cms_event_type_estimates",
+    # Build AND probe replayed bucket-exactly (portable hash) — the
+    # rare sketch whose whole pipeline hash-matches an SQL oracle.
+    oracle=f"""
+WITH cms AS (
+    SELECT r.range AS j,
+           {_CMS_BUCKET.format(j="r.range", key="event_type")} AS bucket,
+           COUNT(*) AS c
+    FROM events, range(4) r
+    GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT event_type FROM events),
+probes AS (
+    SELECT k.event_type, r.range AS j,
+           {_CMS_BUCKET.format(j="r.range", key="k.event_type")} AS bucket
+    FROM keys k, range(4) r
+),
+est AS (
+    SELECT p.event_type, MIN(cms.c) AS cms_estimate
+    FROM probes p JOIN cms ON cms.j = p.j AND cms.bucket = p.bucket
+    GROUP BY p.event_type
+),
+exact AS (SELECT event_type, COUNT(*)::BIGINT AS exact_count FROM events GROUP BY event_type)
+SELECT est.event_type, est.cms_estimate::BIGINT AS cms_estimate, exact.exact_count
+FROM est JOIN exact USING (event_type)
+""",
+)
+def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py): frequency estimates
+    from a ≤ depth×width-row sketch table vs the exact counts. The
+    shuffle carries a CONSTANT number of rows regardless of input size
+    — the sketch answer to heavy-hitter counting when distinct keys
+    outnumber memory. Estimates upper-bound truth (collisions only
+    inflate); with 5 keys in 64 buckets they are exact here, which the
+    oracle's exact_count column proves."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = count_min_table(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return cms_estimate(cms, keys, "event_type").join(exact, "event_type")
+
+
+@query(
+    "per_source_doc_sample",
+    oracle="""
+SELECT source, doc_id, rn::INT AS rn FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 3
+""",
+)
+def q_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k 'reservoir' per group: exactly min(k, n)
+    docs per source, chosen by portable-hash order — reproducible
+    across runs/engines/partitionings where RNG reservoirs are not.
+    One group-keyed exchange; at scale, rank-by-hash prunes with a
+    window top-k."""
+    from pyspark.sql import Window
+
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    w = Window.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query("approx_value_percentiles")  # rows-only: sketch output is
+# implementation-specific (Greenwald-Khanna); the error bound is
+# pinned by test_approx_percentiles_within_bound instead.
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (``percentile_approx``, GK sketch) per
+    event type — the mergeable-sketch path for quantiles over data too
+    big to sort. Accuracy 10000 ⇒ rank error ≤ n/10000 per group;
+    asserted against the exact interpolated percentile in pytest."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        )
+    )
