@@ -1,0 +1,104 @@
+"""Streaming operability: checkpoint recovery (exactly-once across a
+stop/restart) and the foreachBatch upsert sink (stream → latest-state
+serving table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path: str, rows):
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop a file-source stream, add more input, restart with the
+    SAME checkpoint + sink: previously-processed files are not
+    re-emitted and new files are — exactly-once output across the
+    restart."""
+    import datetime as dt
+
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    base = dt.datetime(2024, 1, 1)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(input_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    _write_events(
+        spark, input_dir, [(i, i % 3, base, 1.0) for i in range(10)]
+    )
+    run_once()
+    got1 = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got1 == list(range(10))
+
+    _write_events(
+        spark, input_dir, [(i, i % 3, base, 2.0) for i in range(10, 25)]
+    )
+    run_once()
+    got2 = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == list(range(25))  # no duplicates, nothing dropped
+
+
+def test_foreach_batch_upsert_latest_state(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) upsert into the
+    versioned snapshot; the final state equals the batch
+    latest-per-key result, later batches overriding earlier ones."""
+    import datetime as dt
+
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    input_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+
+    # file 1: users 1,2; file 2 (later ts): user 2 update + user 3
+    _write_events(spark, input_dir, [(1, 1, t(0), 10.0), (2, 2, t(1), 20.0)])
+    _write_events(spark, input_dir, [(3, 2, t(5), 99.0), (4, 3, t(6), 30.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+    )
+    run_upsert_stream(
+        stream, state, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_state(spark, state).collect()
+    }
+    assert got == {1: (1, 10.0), 2: (3, 99.0), 3: (4, 30.0)}
+
+    # idempotent re-merge: replaying the same data changes nothing
+    _write_events(spark, input_dir, [(3, 2, t(5), 99.0)])
+    run_upsert_stream(
+        stream, state, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    got2 = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_state(spark, state).collect()
+    }
+    assert got2 == got

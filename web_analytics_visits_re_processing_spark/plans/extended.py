@@ -946,3 +946,40 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
         )
     )
+
+
+# --- Python UDTF surface ------------------------------------------------------
+
+@query(
+    "udtf_token_bigrams",
+    oracle="""
+SELECT t.doc_id, u.pos - 1 AS pos,
+       u.tok || ' ' || t.toks[u.pos + 1] AS bigram
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+     LATERAL (SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos) u
+WHERE u.pos < len(t.toks)
+""",
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF under LATERAL — completes the Python-extension
+    matrix (scalar pandas_udf, grouped-map/agg, mapInPandas,
+    applyInPandasWithState, and table functions). Row-at-a-time Python
+    generators are the SLOW path — this exact result is expressible
+    natively (see `token_positions`/`doc_chunks_overlap`), which is
+    why it's gated for API completeness but excluded from the bench
+    headline."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v_udtf")
+    return spark.sql(
+        "SELECT doc_id, b.pos, b.bigram "
+        "FROM documents_v_udtf, LATERAL bigrams_udtf(text) b"
+    )
