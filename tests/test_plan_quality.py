@@ -166,3 +166,26 @@ def test_scd2_single_user_exchange(spark, sf_dir):
     one user-keyed exchange."""
     plan = _plan(spark, "scd2_user_segments", sf_dir)
     assert _exchanges(plan) == 1, plan
+
+
+def test_funnel_two_exchanges(spark, sf_dir):
+    """Window stages + per-user collapse share one user_id exchange;
+    the only other exchange is the single-row global sum."""
+    plan = _plan(spark, "funnel_stage_counts", sf_dir)
+    assert _exchanges(plan) == 2, plan
+
+
+def test_cdc_merge_single_exchange_no_join(spark, sf_dir):
+    """The conditional-max_by formulation folds base and update
+    snapshots in ONE aggregation — no join node, one exchange."""
+    plan = _plan(spark, "cdc_merge_latest_state", sf_dir)
+    assert _exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cohort_retention_no_join(spark, sf_dir):
+    """Cohort week is a window-min over the deduped (user, week)
+    pairs — no join back, ≤3 exchanges."""
+    plan = _plan(spark, "cohort_retention_weekly", sf_dir)
+    assert "Join" not in plan, plan
+    assert _exchanges(plan) <= 3, plan

@@ -682,37 +682,31 @@ FROM base b FULL OUTER JOIN upd u
 )
 def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE (upsert) semantics without a table format: latest
-    state per key from the base snapshot full-outer-joined with the
-    update batch — updates win, and every output row is classified
-    insert / update / unchanged (what a MERGE INTO audit emits). Both
-    snapshots reduce via one window top-1 over the same key exchange;
-    the outer join is key-aligned (same partitioning, no extra
-    shuffle under AQE)."""
-    from pyspark.sql import Window
-
+    state per key with base-vs-update classification (what a MERGE
+    INTO audit emits), as ONE aggregation — two conditional ``max_by``
+    slots (base side / update side; ``max_by`` skips null ordering
+    keys) fold both snapshots in a single key exchange, replacing the
+    window-top-1 + full-outer-join formulation the oracle still
+    spells out (4 exchanges → 1; plan-pinned in
+    test_cdc_merge_single_exchange_no_join)."""
     split_us = 1_705_500_000_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id", "value",
         (F.unix_micros("ts") >= split_us).alias("is_update"),
     )
-    w = Window.partitionBy("user_id", "event_type", "is_update").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    ord_ = F.struct("ts", "event_id")
+    row = F.struct("ts", "value")
+    merged = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(row, F.when(~F.col("is_update"), ord_)).alias("b"),
+        F.max_by(row, F.when(F.col("is_update"), ord_)).alias("u"),
     )
-    latest = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    base = latest.where(~F.col("is_update")).alias("b")
-    upd = latest.where(F.col("is_update")).alias("u")
-    return base.join(
-        upd,
-        (F.col("b.user_id") == F.col("u.user_id"))
-        & (F.col("b.event_type") == F.col("u.event_type")),
-        "full_outer",
-    ).select(
-        F.coalesce("u.user_id", "b.user_id").alias("user_id"),
-        F.coalesce("u.event_type", "b.event_type").alias("event_type"),
+    return merged.select(
+        "user_id",
+        "event_type",
         F.coalesce(F.unix_micros("u.ts"), F.unix_micros("b.ts")).alias("ts_us"),
         F.coalesce("u.value", "b.value").alias("value"),
-        F.when(F.col("b.user_id").isNull(), "insert")
-        .when(F.col("u.user_id").isNull(), "unchanged")
+        F.when(F.col("b").isNull(), "insert")
+        .when(F.col("u").isNull(), "unchanged")
         .otherwise("update")
         .alias("change_type"),
     )

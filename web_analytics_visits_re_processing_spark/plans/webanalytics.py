@@ -60,11 +60,12 @@ SELECT 3, 'purchase_after_click', COUNT(*)::BIGINT FROM p
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase (strictly increasing
-    event time). Single-shuffle formulation: three chained window
+    event time). Single-user-shuffle formulation: three chained window
     aggregates over the SAME ``user_id`` partitioning (first view,
-    first click after it, first purchase after that) — Spark plans one
-    exchange + three Window ops, then a global map-side-partial
-    count-distinct; the oracle uses the equivalent join chain."""
+    first click after it, first purchase after that) — one exchange +
+    three Window ops, a per-user collapse that REUSES that
+    partitioning, and a single-row global sum; the oracle uses the
+    equivalent join chain. Plan-pinned at two exchanges."""
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     w = Window.partitionBy("user_id")
     is_ = lambda t: F.col("event_type") == t  # noqa: E731
@@ -83,16 +84,20 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    agg = staged.agg(
-        F.count_distinct(
-            F.when(F.col("t1").isNotNull(), F.col("user_id"))
-        ).alias("n1"),
-        F.count_distinct(
-            F.when(F.col("t2").isNotNull(), F.col("user_id"))
-        ).alias("n2"),
-        F.count_distinct(
-            F.when(F.col("t3").isNotNull(), F.col("user_id"))
-        ).alias("n3"),
+    # Collapse to one row per user FIRST — the groupBy reuses the
+    # window's user_id partitioning (no new exchange), so the final
+    # global count sums user-rows, not event-rows, and the plan stays
+    # at two exchanges total instead of re-shuffling every event
+    # through a count-distinct expand.
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull()).alias("h1"),
+        F.max(F.col("t2").isNotNull()).alias("h2"),
+        F.max(F.col("t3").isNotNull()).alias("h3"),
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("h2"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("h3"), 1).otherwise(0)).alias("n3"),
     )
     return agg.select(
         F.expr(
@@ -129,9 +134,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", F.col("ts")).alias("w")
     )
     wk = ev.distinct()
-    cohort = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
+    # cohort week as a window-min over the deduped pairs: the (user,
+    # week) distinct exchange feeds a user-partitioned window instead
+    # of a groupBy + join back (4 exchanges + join → 3 exchanges).
+    wk = wk.withColumn("cw", F.min("w").over(Window.partitionBy("user_id")))
     return (
-        wk.join(cohort, "user_id")
+        wk
         .groupBy(
             F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff(F.to_date("w"), F.to_date("cw")) / 7)
