@@ -145,27 +145,37 @@ def minhash_lsh_candidates(
     """
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram)
     banded = sig.select(id_col, *minhash_bands(num_hashes, bands))
+    # All band keys ride along so the first-agreeing-band guard below
+    # can dedupe multi-band collisions as a join-time expression
+    # instead of a distinct() shuffle over the pair stream (pairs are
+    # quadratic in dup-group size; bands×|docs| melt rows are not).
     melted = banded.select(
         id_col,
+        *[f"band_{b}" for b in range(bands)],
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
                 for b in range(bands)
             ])
         ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    ).select(
+        id_col, *[f"band_{b}" for b in range(bands)], "band.band_idx", "band.band_key"
+    )
     a = melted.alias("a")
     b = melted.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    earlier_agrees = F.lit(False)
+    for j in range(bands - 1):
+        earlier_agrees = earlier_agrees | (
+            (F.lit(j) < F.col("a.band_idx"))
+            & (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & ~earlier_agrees,
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
 
 
 def jaccard_verify(
@@ -308,20 +318,36 @@ def simhash_near_dup_pairs(
         id_col, "simhash", "b.block_idx", "b.block_val"
     )
     a, b = melted.alias("a"), melted.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    def _block_of(col: Column, i: int) -> Column:
+        return F.shiftright(col, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    # First-agreeing-block guard: a pair whose signatures agree on m
+    # blocks would surface m times from the equi-join; instead of
+    # deduping with a distinct() — a full shuffle of the PAIR stream,
+    # the one quadratic-in-group-size artifact — emit only from the
+    # smallest agreeing block. The guard is a pure expression on the
+    # carried signatures (no earlier block may also agree), so the
+    # join output flows straight to the verify filter with no
+    # post-join exchange at all.
+    sig_a, sig_b = F.col("a.simhash"), F.col("b.simhash")
+    earlier_agrees = F.lit(False)
+    for j in range(n_blocks - 1):
+        earlier_agrees = earlier_agrees | (
+            (F.lit(j) < F.col("a.block_idx"))
+            & (_block_of(sig_a, j) == _block_of(sig_b, j))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.block_idx") == F.col("b.block_idx"))
+        & (F.col("a.block_val") == F.col("b.block_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & ~earlier_agrees,
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.simhash").alias("sig_b"),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.where(hamming <= max_hamming).select(
