@@ -977,3 +977,42 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, b.pos, b.bigram "
         "FROM documents_v_udtf, LATERAL bigrams_udtf(text) b"
     )
+
+
+@query(
+    "variant_try_functions",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::INT AS k_int,
+       json_extract(props, '$.missing')::INT AS missing_int,
+       TRY_CAST(event_type AS INT) AS type_as_int,
+       FLOOR(value * 1000000 / NULLIF(json_extract(props, '$.k')::INT - 60, 0))
+           ::BIGINT AS safe_div_micros
+FROM events
+""",
+)
+def q_variant_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT + ANSI-safe ``try_*`` surface: semi-structured
+    props parsed once into a variant, typed path extraction
+    (``try_variant_get`` — missing paths yield NULL, not errors),
+    NULL-on-failure casts, and division that nulls instead of raising
+    on zero. All narrow projections; the variant parse replaces
+    per-path JSON re-parsing (one parse, many extractions — the
+    binary-encoded variant is the scale answer to schema-on-read
+    columns)."""
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        k.alias("k_int"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+        F.expr("try_cast(event_type AS int)").alias("type_as_int"),
+        # floor of the 1e6-scaled quotient, NOT round(x, 6): Spark's
+        # round on doubles goes through the decimal string (HALF_UP on
+        # "0.2615625") while DuckDB rounds the raw binary double — a
+        # quotient landing on the 6-dp half boundary flips between
+        # engines. floor of the identical double never does.
+        F.floor(F.try_divide(F.col("value") * F.lit(1_000_000.0), k - 60))
+        .cast("long")
+        .alias("safe_div_micros"),
+    )
