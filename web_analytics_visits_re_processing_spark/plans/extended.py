@@ -1016,3 +1016,65 @@ def q_variant_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("safe_div_micros"),
     )
+
+
+@query(
+    "window_rank_functions",
+    # percent_rank/cume_dist emitted RAW (not rounded): both engines
+    # compute the same integer-ratio doubles bit-identically, while
+    # round() could flip on a half-boundary ratio.
+    oracle="""
+SELECT event_id, user_id,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       dense_rank() OVER w AS drank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over a total order (ts, event_id):
+    ntile quartiles, percent_rank, cume_dist, dense_rank — one
+    user-keyed exchange serves all four."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+@query(
+    "hof_array_functions",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, t -> length(t) > 4))::INT AS n_long,
+       len(list_filter(toks, t -> length(t) >= 8)) > 0 AS has_rare,
+       len(list_filter(toks, t -> length(t) > 12)) = 0 AS all_short,
+       list_sum(list_transform(toks, t -> length(t)))::BIGINT AS total_chars
+FROM t
+""",
+)
+def q_hof_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter / exists / forall /
+    aggregate) over the token array — the lambda-expression surface.
+    Narrow projection; fine off the hot path (HOFs are interpreted —
+    see minhash_signatures_df's docstring for when to explode
+    instead)."""
+    toks = F.split(F.col("text"), " ")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.exists(toks, lambda t: F.length(t) >= 8).alias("has_rare"),
+        F.forall(toks, lambda t: F.length(t) <= 12).alias("all_short"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+    )

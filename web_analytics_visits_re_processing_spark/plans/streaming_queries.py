@@ -127,3 +127,65 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_interval_join_append(spark, sf_dir)
+
+
+@query(
+    "streaming_foreach_batch_upsert",
+    oracle="""
+SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM (
+    SELECT user_id, event_type, ts, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+)
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink under the gate: the stream-maintained
+    latest-state serving table (versioned-snapshot merge,
+    streaming/upsert_sink.py) must equal the batch latest-per-key
+    oracle. maxFilesPerTrigger splits the replay into several
+    micro-batches, so multiple incremental merges — not one big batch
+    — produce the final state; the merge being idempotent
+    latest-per-key makes the result invariant to the batch split."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        _SENTINEL_EVENT_TYPE,
+        _TMP_ROOT,
+        _prepare_replay_input,
+    )
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_upsert", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    ckpt = os.path.join(workdir, "ckpt_upsert")
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", "4")
+        .parquet(input_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .where(F.col("event_type") != _SENTINEL_EVENT_TYPE)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    run_upsert_stream(
+        stream, state, ckpt,
+        key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"],
+    )
+    return read_state(spark, state).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
