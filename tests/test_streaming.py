@@ -222,3 +222,33 @@ def test_streaming_interval_join_equals_batch_join(spark, sf_dir):
         tuple(r) for r in streaming_interval_join_append(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tumbling_complete_replay_equals_batch(spark, sf_dir):
+    """Complete-mode memory replay of the tumbling-window counts (the
+    TEST utility; the gated query uses the append topology) equals the
+    batch windowed aggregate."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_tumbling_counts_replay,
+    )
+
+    got = {
+        tuple(r) for r in streaming_tumbling_counts_replay(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

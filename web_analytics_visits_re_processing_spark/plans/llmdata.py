@@ -193,13 +193,16 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols — the split BPE vocabularies start from) + chars-per-token,
     the standard tokens-per-byte curation metric. Same regex subset
     evaluates identically under Java and RE2."""
-    from web_analytics_visits_re_processing_spark.functions.text import bpe_tokens
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        bpe_token_count,
+        bpe_tokens,
+    )
 
     d = _docs(spark, sf_dir)
     toks = bpe_tokens("text")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
         F.round(F.length("text") / F.size(toks), 4).alias("chars_per_token"),
     )
