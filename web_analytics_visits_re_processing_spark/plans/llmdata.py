@@ -1242,3 +1242,105 @@ def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
+
+
+@query(
+    "dup_ngram_fraction",
+    # Spark slice(toks, i, 3) ≡ DuckDB toks[i:i+2] (end-inclusive);
+    # docs shorter than 3 tokens have no trigrams → fraction 0.
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN n >= 3 THEN
+               list_transform(range(1, n - 1),
+                              i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END AS grams
+    FROM t
+)
+SELECT doc_id,
+       len(grams)::INT AS n_grams,
+       len(list_distinct(grams))::INT AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(1.0 - len(list_distinct(grams)) / len(grams), 4)
+            ELSE 0.0 END AS dup_fraction
+FROM g
+""",
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction — the Gopher-style repetitiousness
+    signal (high fraction ⇒ boilerplate/spam; the quality-filter
+    companion to [[token_entropy]]'s distribution view). Narrow
+    projection over the shingle array, no shuffle."""
+    from web_analytics_visits_re_processing_spark.functions.text import word_ngrams
+
+    grams = word_ngrams(F.col("text"), 3)
+    n_grams = F.size(F.col("grams"))
+    n_distinct = F.size(F.array_distinct(F.col("grams")))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            n_grams.cast("int").alias("n_grams"),
+            n_distinct.cast("int").alias("n_distinct_grams"),
+            F.when(
+                n_grams > 0,
+                F.round(F.lit(1.0) - n_distinct / n_grams, 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+_LANG_PRED_SQL_CTE = f"""
+WITH scores AS (
+    SELECT doc_id, lang,
+{_LANG_SCORES_SQL}
+    FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > s_en THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM scores
+)
+"""
+
+
+@query(
+    "lang_id_confusion",
+    oracle=_LANG_PRED_SQL_CTE
+    + """
+SELECT lang, lang_pred, COUNT(*)::BIGINT AS n_docs
+FROM pred GROUP BY lang, lang_pred
+""",
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled ``lang`` column — the eval loop a curation pipeline runs
+    on its classifiers. Reuses the exact `lang_id_predictions` scoring
+    (same stopword votes, same tie order); one tiny hash agg on
+    (label, prediction)."""
+    from web_analytics_visits_re_processing_spark.functions.text import stopword_count
+
+    d = _docs(spark, sf_dir)
+    s = {lang: stopword_count("text", lang) for lang in ("en", "de", "es", "fr")}
+    pred = (
+        F.when((s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["es"] > s["en"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["fr"] > s["en"], "fr")
+        .otherwise("en")
+    )
+    return (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
