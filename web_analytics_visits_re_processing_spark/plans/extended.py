@@ -1078,3 +1078,40 @@ def q_hof_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("total_chars"),
     )
+
+
+@query(
+    "python_datasource_synthetic",
+    # The custom source's generator is closed-form per row id, so the
+    # oracle rebuilds the entire "external system" from range(5000).
+    oracle="""
+SELECT (i.range % 50)::BIGINT AS user_id,
+       COUNT(*)::BIGINT AS n_rows,
+       ROUND(SUM((i.range * 7 % 100) / 10.0), 2) AS value_sum,
+       MIN(i.range)::BIGINT AS min_event_id,
+       MAX(i.range)::BIGINT AS max_event_id
+FROM range(5000) i
+GROUP BY 1
+""",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 DataSource API,
+    sources/pysource.py) under the gate: 8 declared input partitions,
+    each read on an executor — the connector extension point,
+    parallelized like a file scan. The aggregate proves every
+    partition delivered exactly its slice."""
+    from web_analytics_visits_re_processing_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )

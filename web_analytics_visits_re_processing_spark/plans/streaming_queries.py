@@ -189,3 +189,30 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_state(spark, state).select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
     )
+
+
+@query(
+    "streaming_interval_join_left",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTES
+""",
+)
+def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: unmatched clicks must emit a
+    null-padded row exactly once — and only after the watermark proves
+    no in-window purchase can still arrive (the hard emission rule
+    outer stream joins add over inner ones). ≡ the batch left join."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_interval_join_append,
+    )
+
+    return streaming_interval_join_append(spark, sf_dir, how="left_outer")

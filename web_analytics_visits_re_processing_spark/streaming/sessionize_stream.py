@@ -381,6 +381,7 @@ def streaming_interval_join_append(
     sf_dir: str,
     max_gap_minutes: int = 30,
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join with an event-time interval bound:
     purchases joined to same-user clicks at most ``max_gap_minutes``
@@ -391,26 +392,41 @@ def streaming_interval_join_append(
     state); the interval condition is what bounds each side's state —
     clicks older than watermark − gap are evicted, the mechanism that
     makes stream-stream joins feasible at all. Inner-join rows emit as
-    matches arrive, so the batch self-join oracle applies verbatim."""
+    matches arrive; with ``how="left_outer"`` an unmatched click emits
+    its null-padded row only once the watermark proves no purchase can
+    still arrive — either way the batch self-join oracle applies
+    verbatim (the sentinel flushes the tail)."""
     workdir = os.path.join(
-        _TMP_ROOT, "stream_append_ssjoin", os.path.basename(sf_dir.rstrip("/")) or "sf"
+        _TMP_ROOT, f"stream_append_ssjoin_{how}",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
 
-    def side() -> DataFrame:
+    def side(etype: str) -> DataFrame:
+        # The event-type filter KEEPS the sentinel row: Catalyst
+        # pushes deterministic filters below the EventTimeWatermark
+        # node, so a filter that dropped the sentinel would stop it
+        # from ever advancing the watermark — observed as the last
+        # unmatched rows never flushing in the outer-join variant.
+        # The sentinel has user_id = -1 and so matches nothing; it is
+        # dropped from the read-back instead.
         return (
             spark.readStream.schema(EVENTS_RAW_SCHEMA)
             .parquet(input_dir)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             .withWatermark("ts", watermark_delay)
+            .where(
+                (F.col("event_type") == etype)
+                | (F.col("user_id") == SENTINEL_USER_ID)
+            )
         )
 
-    clicks = side().where(F.col("event_type") == "click").select(
+    clicks = side("click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("click_user_id"),
         F.col("ts").alias("click_ts"),
     )
-    purchases = side().where(F.col("event_type") == "purchase").select(
+    purchases = side("purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("purchase_user_id"),
         F.col("ts").alias("purchase_ts"),
@@ -424,6 +440,7 @@ def streaming_interval_join_append(
             AND purchase_ts <= click_ts + INTERVAL {max_gap_minutes} MINUTES
             """
         ),
+        how,
     ).select(
         "click_id",
         "purchase_id",
@@ -432,4 +449,6 @@ def streaming_interval_join_append(
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
     )
     out, _ = _run_append_to_files(joined, workdir)
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).where(
+        F.col("user_id") != SENTINEL_USER_ID
+    )
