@@ -189,3 +189,42 @@ def test_cohort_retention_no_join(spark, sf_dir):
     plan = _plan(spark, "cohort_retention_weekly", sf_dir)
     assert "Join" not in plan, plan
     assert _exchanges(plan) <= 3, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The runtime skew answer the engine relies on at 100 TB: AQE
+    detects an oversized join partition (one hot key) and splits it —
+    `skew=true` appears in the FINAL adaptive plan. Thresholds are
+    lowered so the property is checkable on local data; salting
+    (salt_sessions / salted_two_stage_agg) remains the explicit
+    escape hatch where per-key state defeats AQE."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        skewed = spark.range(200_000).select(
+            F.when(F.col("id") % 10 == 0, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = skewed.join(dim, "k").groupBy().count()
+        assert j.collect()[0][0] > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
