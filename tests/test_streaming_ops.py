@@ -102,3 +102,43 @@ def test_foreach_batch_upsert_latest_state(spark, tmp_path):
         for r in read_state(spark, state).collect()
     }
     assert got2 == got
+
+
+def test_python_streaming_source_contiguous_offsets(spark):
+    """Custom Python STREAMING data source: micro-batches advance the
+    tracked offset, delivered rows are gap-free and duplicate-free
+    (the exactly-once offset contract), and values follow the
+    generator formula."""
+    import time
+
+    from web_analytics_visits_re_processing_spark.sources.pysource import (
+        register_stream,
+    )
+
+    register_stream(spark)
+    df = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("batch", "7")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("synth_ticks")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("synth_ticks").count() >= 14:  # ≥2 batches
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    rows = {r["event_id"]: r for r in spark.table("synth_ticks").collect()}
+    n = len(rows)
+    assert n >= 14
+    assert sorted(rows) == list(range(n))  # contiguous, no dupes/gaps
+    for i, r in rows.items():
+        assert (r["user_id"], r["value"]) == (i % 50, (i * 7 % 100) / 10.0)

@@ -57,3 +57,55 @@ class SyntheticEventsSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-register overwrites)."""
     spark.dataSource.register(SyntheticEventsSource)
+
+
+# --- streaming variant --------------------------------------------------------
+
+try:  # SimpleDataSourceStreamReader: PySpark >= 4.0
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = object
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked synthetic stream: each micro-batch emits the
+    next ``batch`` ids. ``read`` advances the offset; ``readBetween
+    Offsets`` makes any committed range REPLAYABLE — that is the
+    exactly-once contract a custom streaming source must honor for
+    checkpoint recovery (Spark re-reads from the last committed
+    offset after a crash)."""
+
+    def __init__(self, options: dict):
+        self.batch = int(options.get("batch", 10))
+        self.users = int(options.get("users", 50))
+
+    def _rows(self, start: int, end: int):
+        return iter(
+            [(i, i % self.users, (i * 7 % 100) / 10.0) for i in range(start, end)]
+        )
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        s = start["i"]
+        return self._rows(s, s + self.batch), {"i": s + self.batch}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["i"], end["i"])
+
+
+class TickStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return TickStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(TickStreamSource)
