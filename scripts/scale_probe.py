@@ -2,7 +2,7 @@
 (10× the largest shipped fixture) to back the linear-scaling claims
 in BASELINE.md with data.
 
-Builds `.tmp/scale/sf1x/{events,documents}.parquet` by replicating the
+Replica count overridable via SPARK_GRAFT_REPLICAS. Builds `.tmp/scale/sf1x/{events,documents}.parquet` by replicating the
 sf0.1 fixtures 10× with shifted keys (user_id/event_id/doc_id offsets
 so the grouping-key cardinality scales with the data — the honest case
 for sessionization and dedup; text gets a per-replica suffix so
@@ -24,7 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE_SF = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 PROBE_QUERIES = [
     "sessionize_visits",
     "sessionize_hits",
