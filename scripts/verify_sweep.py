@@ -62,12 +62,32 @@ for name, fn in qs.items():
             done += 1
             print(f"rows-only {name}: {n}", flush=True)
             continue
+        rel = con.sql(osql[name])
+        # Driver-exactness guard: DuckDB HUGEINT/DECIMAL aggregates land
+        # in pandas as float64 while Spark returns bigint, which passes
+        # a tolerance compare but fails the driver's exact hash (the
+        # entire r02 red set was this). Catch it at the type level,
+        # before pandas erases the distinction.
+        hug = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        assert not hug, f"oracle emits HUGEINT/DECIMAL (cast ::BIGINT): {hug}"
         mine = norm(mine.toPandas())
-        oracle = norm(con.sql(osql[name]).df())
+        oracle = norm(rel.df())
         assert list(mine.columns) == list(oracle.columns), "columns"
         assert len(mine) == len(oracle), f"rows {len(mine)} vs {len(oracle)}"
         for c in mine.columns:
             a, b = mine[c], oracle[c]
+            a_num = pd.api.types.is_integer_dtype(a) or pd.api.types.is_float_dtype(a)
+            b_num = pd.api.types.is_integer_dtype(b) or pd.api.types.is_float_dtype(b)
+            if a_num and b_num:
+                # int-vs-float dtype drift hashes differently (6 vs 6.0)
+                # even when values agree — fail it like the driver would.
+                assert pd.api.types.is_float_dtype(a) == pd.api.types.is_float_dtype(
+                    b
+                ), f"col {c} dtype {a.dtype} vs {b.dtype}"
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 assert np.allclose(
                     a.astype(float), b.astype(float), rtol=1e-9, equal_nan=True

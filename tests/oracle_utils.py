@@ -44,6 +44,17 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, float_tol: float = 1e
     a, b = _normalize(mine), _normalize(oracle)
     for c in a.columns:
         av, bv = a[c], b[c]
+        a_num = pd.api.types.is_integer_dtype(av) or pd.api.types.is_float_dtype(av)
+        b_num = pd.api.types.is_integer_dtype(bv) or pd.api.types.is_float_dtype(bv)
+        if a_num and b_num:
+            # The driver hashes exactly, so int-vs-float dtype drift
+            # (Spark bigint vs a DuckDB HUGEINT that pandas renders as
+            # float64) must FAIL here even though every value matches
+            # numerically — tolerance comparison is only for float-vs-
+            # float columns.
+            assert pd.api.types.is_float_dtype(av) == pd.api.types.is_float_dtype(
+                bv
+            ), f"dtype mismatch in column {c!r}: spark={av.dtype} oracle={bv.dtype}"
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = pd.to_numeric(av, errors="coerce")
             bv = pd.to_numeric(bv, errors="coerce")

@@ -22,16 +22,16 @@ from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import
 def test_batch_equals_streaming_sessionization(spark, sf_dir):
     batch = sessionize_visits(
         load_table(spark, sf_dir, "events"),
-        extra_aggs=[F.round(F.sum("value"), 2).alias("total_value")],
+        extra_aggs=[F.sum(F.floor(F.col("value") * 100)).alias("total_value_cents")],
     ).select(
         "visit_key",
         F.unix_micros("visit_start").alias("visit_start_us"),
         F.unix_micros("visit_end").alias("visit_end_us"),
         "n_hits",
-        "total_value",
+        "total_value_cents",
     )
     stream = streaming_visits_replay(spark, sf_dir).select(
-        "visit_key", "visit_start_us", "visit_end_us", "n_hits", "total_value"
+        "visit_key", "visit_start_us", "visit_end_us", "n_hits", "total_value_cents"
     )
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
@@ -78,16 +78,16 @@ def test_append_replay_matches_batch_and_evicts_state(spark, sf_dir):
 
     batch = sessionize_visits(
         load_table(spark, sf_dir, "events"),
-        extra_aggs=[F.round(F.sum("value"), 2).alias("total_value")],
+        extra_aggs=[F.sum(F.floor(F.col("value") * 100)).alias("total_value_cents")],
     ).select(
         "visit_key",
         F.unix_micros("visit_start").alias("visit_start_us"),
         F.unix_micros("visit_end").alias("visit_end_us"),
         "n_hits",
-        "total_value",
+        "total_value_cents",
     )
     stream = streaming_visits_append(spark, sf_dir).select(
-        "visit_key", "visit_start_us", "visit_end_us", "n_hits", "total_value"
+        "visit_key", "visit_start_us", "visit_end_us", "n_hits", "total_value_cents"
     )
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
@@ -241,13 +241,13 @@ def test_tumbling_complete_replay_equals_batch(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents_sum"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"),
             "event_type",
             "n_events",
-            "value_sum",
+            "value_cents_sum",
         )
         .collect()
     }

@@ -53,8 +53,8 @@ def _events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUNDTRIP_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(epoch_us(ts) % 1000) AS ts_us_checksum,
-       ROUND(SUM(value), 2) AS value_sum,
+       SUM(epoch_us(ts) % 1000)::BIGINT AS ts_us_checksum,
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS value_cents_sum,
        MIN(event_id) AS min_event_id,
        MAX(user_id) AS max_user_id
 FROM events
@@ -63,10 +63,16 @@ GROUP BY event_type
 
 
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    # value checksum is SUM over per-row floor-scaled integers, not
+    # ROUND(SUM(double)): a long sum is invariant to partition count
+    # and reduction order, so the hash can't flip on a half-boundary
+    # double. The ::BIGINT casts keep DuckDB's SUM out of HUGEINT
+    # (which lands in pandas as float64 and breaks an exact hash
+    # against Spark's bigint).
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("ts_us") % 1000).alias("ts_us_checksum"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum(F.floor(F.col("value") * 100)).alias("value_cents_sum"),
         F.min("event_id").alias("min_event_id"),
         F.max("user_id").alias("max_user_id"),
     )
@@ -109,7 +115,9 @@ def q_json_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id % 10 AS user_bucket,
        """
     + ",\n       ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        # ::BIGINT: DuckDB SUM(int) is HUGEINT → float64 in pandas,
+        # which breaks the driver's exact hash against Spark's bigint.
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
         for t in EVENT_TYPES
     )
     + """
@@ -396,7 +404,7 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT COUNT(*) FILTER (WHERE event_id % 13 != 0) AS n_good,
        COUNT(*) FILTER (WHERE event_id % 13 = 0) AS n_corrupt,
-       SUM(user_id) FILTER (WHERE event_id % 13 != 0) AS user_id_sum
+       CAST(SUM(user_id) FILTER (WHERE event_id % 13 != 0) AS BIGINT) AS user_id_sum
 FROM events
 WHERE event_id < 98
 """,

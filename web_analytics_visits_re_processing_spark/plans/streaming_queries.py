@@ -31,7 +31,7 @@ SELECT CAST(user_id AS VARCHAR) || '_' || CAST(epoch_us(MIN(ts)) AS VARCHAR)
        epoch_us(MIN(ts)) AS visit_start_us,
        epoch_us(MAX(ts)) AS visit_end_us,
        COUNT(*) AS n_hits,
-       ROUND(SUM(value), 2) AS total_value
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS total_value_cents
 FROM sess
 GROUP BY user_id, session_seq
 """,
@@ -46,7 +46,7 @@ def q_streaming_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS value_sum
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS value_cents_sum
 FROM events
 GROUP BY 1, 2
 """,
@@ -64,7 +64,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        epoch_us(MIN(ts)) AS session_start_us,
        epoch_us(MAX(ts)) AS session_end_us,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_trigger,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_trigger,
        COUNT(*) AS n_events
 FROM sess
 GROUP BY user_id, session_seq

@@ -95,7 +95,7 @@ def sessionize_stream(
             F.min("ts").alias("visit_start"),
             F.max("ts").alias("visit_end"),
             F.count(F.lit(1)).alias("n_hits"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.floor(F.col("value") * 100)).alias("total_value_cents"),
         )
     )
     return visits.select(
@@ -104,7 +104,7 @@ def sessionize_stream(
         "visit_start",
         "visit_end",
         "n_hits",
-        "total_value",
+        "total_value_cents",
     )
 
 
@@ -256,7 +256,7 @@ def streaming_visits_append(
             F.unix_micros("visit_start").alias("visit_start_us"),
             F.unix_micros("visit_end").alias("visit_end_us"),
             "n_hits",
-            "total_value",
+            "total_value_cents",
         )
     )
 
@@ -280,13 +280,13 @@ def streaming_tumbling_counts_append(
         .groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents_sum"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"),
             "event_type",
             "n_events",
-            "value_sum",
+            "value_cents_sum",
         )
     )
     out, _ = _run_append_to_files(counts, workdir)
@@ -311,7 +311,7 @@ def streaming_visits_replay(
         F.unix_micros("visit_start").alias("visit_start_us"),
         F.unix_micros("visit_end").alias("visit_end_us"),
         "n_hits",
-        "total_value",
+        "total_value_cents",
     )
 
 
@@ -325,13 +325,13 @@ def streaming_tumbling_counts_replay(
         .groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents_sum"),
         )
         .select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"),
             "event_type",
             "n_events",
-            "value_sum",
+            "value_cents_sum",
         )
     )
     run_stream_to_memory(counts, "streaming_tumbling", "complete")
