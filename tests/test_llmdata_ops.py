@@ -190,12 +190,47 @@ def test_ivf_ann_recall_on_planted_clusters(planted_clusters):
     emb = planted_clusters
     queries = emb.where(F.col("vec_id") % 10 == 0)
     exact = cosine_topk_bruteforce(emb, queries, k=3)
-    # stride 10 → one sampled centroid per planted cluster
-    approx = cosine_topk_ivf(emb, queries, k=3, centroid_stride=10, n_probe=2)
+    # 20 hash-sampled centroids over 20 tight clusters: whichever rows
+    # the hash picks, a cluster's members quantize to the SAME cell
+    # (near-identical vectors), so neighbors stay co-probed.
+    approx = cosine_topk_ivf(emb, queries, k=3, n_centroids=20, n_probe=2)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_centroid_budget_is_fixed_and_oracle_replayable(spark):
+    """The centroid sample is O(n_centroids) regardless of corpus size
+    (the round-2 scale-killer was an O(n/stride) collect), and the
+    ranking hash is pure integer arithmetic that DuckDB replays
+    bit-for-bit — the property the SQL oracle's ORDER BY/LIMIT rests
+    on."""
+    import duckdb
+
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        centroid_rank_hash,
+    )
+
+    ids = spark.range(0, 5000).select(F.col("id").alias("vec_id"))
+    picked = [
+        r["vec_id"]
+        for r in ids.orderBy(
+            centroid_rank_hash(F.col("vec_id")).asc(), F.col("vec_id").asc()
+        )
+        .limit(16)
+        .collect()
+    ]
+    assert len(picked) == 16
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT r AS vec_id FROM range(5000) t(r) "
+            "ORDER BY ((r % 2147483648) * 1103515245 + 12345) % 2147483648, r "
+            "LIMIT 16"
+        ).fetchall()
+    ]
+    assert picked == duck
 
 
 def test_winnowing_shared_substring_shares_fingerprint(spark):

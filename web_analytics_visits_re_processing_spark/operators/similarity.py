@@ -189,11 +189,28 @@ def cosine_scores_pandas(
     return corpus.select(id_col, _score(F.col(vec_col)).alias("cos"))
 
 
+#: LCG constants (Numerical Recipes): the centroid-ranking hash must be
+#: pure integer arithmetic so Spark and the DuckDB oracle compute the
+#: exact same sample. The pre-mod keeps the product < 2^63 (no overflow,
+#: which Spark-ANSI and DuckDB would both reject rather than wrap).
+_CENT_HASH_MULT = 1103515245
+_CENT_HASH_ADD = 12345
+_CENT_HASH_MOD = 2147483648
+
+
+def centroid_rank_hash(id_col: Column) -> Column:
+    """Deterministic pseudo-random rank for centroid sampling; identical
+    arithmetic is replayed in the SQL oracle."""
+    return (
+        (id_col % _CENT_HASH_MOD) * _CENT_HASH_MULT + _CENT_HASH_ADD
+    ) % _CENT_HASH_MOD
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_stride: int = 64,
+    n_centroids: int = 64,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -203,23 +220,34 @@ def cosine_topk_ivf(
     centroids, probe the ``n_probe`` nearest cells per query, exact
     rescoring inside probed cells.
 
-    Centroids are the deterministic sample ``id % centroid_stride == 0``
+    Centroids are a FIXED-BUDGET deterministic sample: the
+    ``n_centroids`` corpus rows with the smallest LCG hash of their id
     (IVF without the Lloyd iterations — centroid choice only affects
-    recall, never correctness, and determinism is what makes the
-    operator oracle-checkable). They are collected once as MODEL
-    PARAMETERS (k vectors, like the LSH hyperplanes) and baked into the
-    plan as literals, so cell assignment is a PURE PROJECTION over the
-    corpus scan: k fused dot products, no shuffle, no join for the
-    assignment — the classic IVF trade of k·dim flops per row for a
-    candidate set of ~n/k·n_probe.
+    recall, never correctness, and the integer-arithmetic hash is what
+    makes the sample oracle-replayable). The top-k-by-hash runs as
+    TakeOrderedAndProject (per-partition heap of ``n_centroids``, no
+    full sort), so the driver collects O(n_centroids·dim) — independent
+    of corpus size, unlike a stride sample whose centroid count grows
+    with n and eventually OOMs the driver / blows up the expression
+    tree. Collected once as MODEL PARAMETERS (like the LSH
+    hyperplanes) and baked into the plan as literals, cell assignment
+    is a PURE PROJECTION over the corpus scan: n_centroids fused dot
+    products, no shuffle, no join for the assignment — the classic IVF
+    trade of k·dim flops per row for a candidate set of
+    ~n/n_centroids·n_probe. Past ~1k centroids the literal expression
+    tree itself gets large; at that point switch assignment to a
+    broadcast-join + min_by aggregation instead of literals.
 
     Assignment ties break toward the smaller centroid id on the
     8-decimal-rounded similarity (cross-engine determinism).
     """
     cents = sorted(
         (r[0], list(r[1]))
-        for r in corpus.where(F.col(id_col) % centroid_stride == 0)
-        .select(id_col, vec_col)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(
+            centroid_rank_hash(F.col(id_col)).asc(), F.col(id_col).asc()
+        )
+        .limit(n_centroids)
         .collect()
     )
 

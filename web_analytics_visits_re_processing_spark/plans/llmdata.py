@@ -612,12 +612,16 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_cosine_topk_ivf",
-    # full SQL replay of the IVF pipeline: same deterministic centroid
-    # sample, same 8-dp assignment rounding + smaller-cid tie-break,
-    # same 2-probe search (cross joins are fine at oracle scale).
+    # full SQL replay of the IVF pipeline: same fixed-budget LCG-hash
+    # centroid sample (64 smallest-hash ids — integer arithmetic only,
+    # so both engines pick the identical set), same 8-dp assignment
+    # rounding + smaller-cid tie-break, same 2-probe search (cross
+    # joins are fine at oracle scale).
     oracle="""
 WITH cent AS (
-    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0
+    SELECT vec_id AS cid, embedding FROM embeddings
+    ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id
+    LIMIT 64
 ),
 assign AS (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -656,7 +660,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return cosine_topk_ivf(
-        emb, emb.where(F.col("vec_id") < 10), k=5, centroid_stride=64, n_probe=2
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=64, n_probe=2
     )
 
 
