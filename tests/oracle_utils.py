@@ -13,11 +13,20 @@ from web_analytics_visits_re_processing_spark.sources.tables import TABLE_NAMES
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views over the fixture tables. DuckDB binds views eagerly, so a
+    table absent from ``sf_dir`` is skipped (custom test fixtures carry
+    only the tables their oracle reads); Spark-written directory
+    parquet gets a glob instead of the single-file path."""
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

@@ -133,6 +133,36 @@ def test_apng_varying_frame_dims():
     assert (ic.decode_png(ex[1][2]) == f1).all()
 
 
+def test_apng_default_image_is_not_a_frame():
+    """Spec-legal default image: an IDAT that carries real payload but
+    has NO preceding fcTL (while fcTLs exist) is canvas-only — it must
+    be excluded from the emitted frames even though its data is
+    non-empty."""
+
+    def idat_payload(img):
+        for ctype, data in ic.iter_chunks(ic.encode_png(img)):
+            if ctype == b"IDAT":
+                return bytes(data)
+
+    default_img = np.zeros((4, 6, 3), np.uint8)
+    anim = np.full((4, 6, 3), 7, np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0)
+    actl = struct.pack(">II", 1, 0)
+    fctl = struct.pack(">IIIIIHHBB", 0, 6, 4, 0, 0, 1, 10, 0, 0)
+    blob = (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"acTL", actl)
+        + ic._chunk(b"IDAT", idat_payload(default_img))  # default: no fcTL
+        + ic._chunk(b"fcTL", fctl)
+        + ic._chunk(b"fdAT", struct.pack(">I", 1) + idat_payload(anim))
+        + ic._chunk(b"IEND", b"")
+    )
+    ex = ic.extract_frames(blob)
+    assert len(ex) == 1
+    assert (ic.decode_png(ex[0][2]) == anim).all()
+
+
 def test_error_paths():
     with pytest.raises(ValueError):
         ic.decode_png(b"not a png")

@@ -233,6 +233,30 @@ def test_ivf_centroid_budget_is_fixed_and_oracle_replayable(spark):
     assert picked == duck
 
 
+def test_dup_ngram_fraction_short_docs_have_zero_trigrams(spark, tmp_path):
+    """A document under 3 tokens has NO trigrams (n_grams = 0), matching
+    the oracle's empty-list branch — word_ngrams' clamp-to-one-short-gram
+    convention (right for minhash shingles) must not leak into this
+    query. The sf fixtures carry no <3-token docs, so this pins the
+    guard on a fixture that does."""
+    from web_analytics_visits_re_processing_spark.plans import ORACLES, QUERIES
+
+    from tests.oracle_utils import assert_matches_oracle
+
+    spark.createDataFrame(
+        [
+            (0, "one", "s"),
+            (1, "two tokens", "s"),
+            (2, "a a a a b", "s"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["dup_ngram_fraction"](spark, str(tmp_path))
+    got = {r["doc_id"]: r["n_grams"] for r in out.collect()}
+    assert got[0] == 0 and got[1] == 0 and got[2] == 3
+    assert_matches_oracle(out, ORACLES["dup_ngram_fraction"], str(tmp_path))
+
+
 def test_winnowing_shared_substring_shares_fingerprint(spark):
     """Winnowing guarantee: documents sharing a long-enough substring
     (>= window+ngram-1 = 6 tokens here) share at least one

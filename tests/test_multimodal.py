@@ -27,6 +27,27 @@ def test_decode_image_meta_roundtrip(spark, sf_dir):
         assert r["height"] == len(payload) % 480 + 9
 
 
+def test_decode_image_meta_truncated_headers_are_unknown(spark):
+    """A blob carrying a format signature but truncated before the
+    fixed-offset header fields must classify as 'unknown' with -1 dims
+    (the repo-wide undecodable convention), not decode zero-filled
+    0×0 dimensions."""
+    from web_analytics_visits_re_processing_spark.operators.imagecodec import (
+        PNG_SIG,
+    )
+
+    rows = [
+        (1, PNG_SIG),  # signature only
+        (2, PNG_SIG + b"\x00" * 10),  # dies inside IHDR fields (< 24)
+        (3, b"\x89IMG" + b"\x00"),  # synthetic magic, no dims (< 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    out = {r["doc_id"]: r for r in decode_image_meta(df).collect()}
+    for did in (1, 2, 3):
+        assert out[did]["format"] == "unknown", did
+        assert out[did]["width"] == -1 and out[did]["height"] == -1, did
+
+
 def test_resize_images_real_roundtrip(spark):
     """resize_images does a FULL pixel round trip (decode → nearest
     resample → re-encode): output blobs are valid PNGs whose pixels

@@ -44,6 +44,27 @@ def test_cms_exact_when_no_collisions(spark):
     assert est == {"a": 5, "b": 3, "c": 1}
 
 
+def test_cms_unseen_keys_count_empty_buckets_as_zero(spark):
+    """Canonical CMS takes the min over ALL depth counters, counting
+    absent (j, bucket) rows as 0 — a probe for a key never built into
+    the sketch must return estimate 0 (or the honest collision count),
+    not vanish or inflate because the inner join dropped its empty
+    buckets."""
+    build = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "k string")
+    cms = count_min_table(build, "k", depth=4, width=64)
+    # width 64 with 2 built keys: an unseen key collides with a built
+    # bucket in all 4 rows with probability ~ (2/64)^4 ≈ 1e-6 — these
+    # probes land on at least one empty bucket, so the min must be 0.
+    probes = spark.createDataFrame([("zz",), ("unseen",), ("a",)], "k string")
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(cms, probes, "k").collect()
+    }
+    assert set(est) == {"zz", "unseen", "a"}, "no probe key may vanish"
+    assert est["a"] == 5
+    assert est["zz"] == 0 and est["unseen"] == 0
+
+
 def test_per_source_sample_exactly_k(spark, sf_dir):
     from web_analytics_visits_re_processing_spark.plans import QUERIES
 

@@ -230,12 +230,12 @@ def extract_frames(blob: bytes) -> list[tuple[int, int, bytes]]:
         elif ctype == b"fcTL":
             saw_fctl = True
             _seq, fw, fh = struct.unpack(">III", data[:12])
-            cur = {"w": fw, "h": fh, "data": []}
+            cur = {"w": fw, "h": fh, "data": [], "declared": True}
             frames.append(cur)
         elif ctype == b"IDAT":
             if cur is None:  # plain PNG (or IDAT before any fcTL)
                 w, h, _d, _c = parse_ihdr(ihdr)
-                cur = {"w": w, "h": h, "data": []}
+                cur = {"w": w, "h": h, "data": [], "declared": False}
                 frames.append(cur)
             cur["data"].append(bytes(data))
         elif ctype == b"fdAT":
@@ -246,9 +246,11 @@ def extract_frames(blob: bytes) -> list[tuple[int, int, bytes]]:
         raise ValueError("missing IHDR")
     # APNG allows a default image that is NOT part of the animation
     # (IDAT with no preceding fcTL while fcTLs exist) — we only emit
-    # fcTL-declared frames in that case.
+    # fcTL-declared frames in that case. The declared flag, not empty
+    # data, identifies it: a spec-legal default image DOES carry IDAT
+    # payload and must still be excluded.
     if saw_fctl:
-        frames = [f for f in frames if f["data"]]
+        frames = [f for f in frames if f["declared"] and f["data"]]
     _w, _h, depth, color_type = parse_ihdr(ihdr)
     out = []
     for f in frames:

@@ -94,8 +94,17 @@ def decode_image_meta(docs_with_blob: DataFrame, blob_col: str = "image") -> Dat
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[blob_col]
-            is_syn = (blobs.str[:4] == MAGIC).to_numpy(dtype=bool)
-            is_png = (blobs.str[:8] == PNG_MAGIC).to_numpy(dtype=bool)
+            nbytes = blobs.str.len().fillna(0).to_numpy(dtype="int64")
+            # Classification requires the full fixed-offset header, not
+            # just the signature: a PNG-signed blob truncated before
+            # the IHDR fields (len < 24) must fall through to the
+            # 'unknown'/-1 convention, not decode as a 0×0 png from the
+            # _be_uint zero fill. Same guard for the 8-byte synthetic
+            # header.
+            is_syn = (blobs.str[:4] == MAGIC).to_numpy(dtype=bool) & (nbytes >= 8)
+            is_png = (blobs.str[:8] == PNG_MAGIC).to_numpy(dtype=bool) & (
+                nbytes >= 24
+            )
             syn_w = _be_uint(blobs.str[4:6], 2)
             syn_h = _be_uint(blobs.str[6:8], 2)
             png_w = _be_uint(blobs.str[16:20], 4)

@@ -89,8 +89,13 @@ def cms_estimate(
             )
         ).alias("p"),
     ).select(key_col, "p.j", "p.bucket")
+    # LEFT join + coalesce-to-0: a canonical CMS estimate is the min
+    # over ALL depth counters including empty buckets (count 0). An
+    # inner join would silently drop the empty rows, inflating the
+    # estimate for unseen keys (min over non-empty buckets only) or
+    # losing the key entirely when every bucket is empty.
     return (
-        probes.join(F.broadcast(cms), ["j", "bucket"])
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )

@@ -869,8 +869,8 @@ probes AS (
     FROM keys k, range(4) r
 ),
 est AS (
-    SELECT p.event_type, MIN(cms.c) AS cms_estimate
-    FROM probes p JOIN cms ON cms.j = p.j AND cms.bucket = p.bucket
+    SELECT p.event_type, MIN(COALESCE(cms.c, 0)) AS cms_estimate
+    FROM probes p LEFT JOIN cms ON cms.j = p.j AND cms.bucket = p.bucket
     GROUP BY p.event_type
 ),
 exact AS (SELECT event_type, COUNT(*)::BIGINT AS exact_count FROM events GROUP BY event_type)

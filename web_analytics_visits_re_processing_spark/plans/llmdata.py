@@ -1280,9 +1280,18 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (high fraction ⇒ boilerplate/spam; the quality-filter
     companion to [[token_entropy]]'s distribution view). Narrow
     projection over the shingle array, no shuffle."""
-    from web_analytics_visits_re_processing_spark.functions.text import word_ngrams
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        tokens,
+        word_ngrams,
+    )
 
-    grams = word_ngrams(F.col("text"), 3)
+    # word_ngrams clamps to one (short) gram for docs under n tokens
+    # (the minhash shingle convention); the oracle's <3-token branch is
+    # an empty list, so guard explicitly — n_grams must be 0, not 1,
+    # for a 2-token document.
+    grams = F.when(
+        F.size(tokens(F.col("text"))) >= 3, word_ngrams(F.col("text"), 3)
+    ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(F.col("grams"))
     n_distinct = F.size(F.array_distinct(F.col("grams")))
     return (
