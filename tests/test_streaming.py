@@ -224,6 +224,32 @@ def test_streaming_interval_join_equals_batch_join(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_sliding_append_replay_equals_batch_and_evicts(spark, sf_dir):
+    """The sliding-window append replay equals the batch sliding
+    aggregate (sentinel weightless via conditional count) and windows
+    are genuinely evicted from state as the watermark advances."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        LAST_APPEND_PROGRESS,
+        streaming_sliding_counts_append,
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streaming_sliding_counts_append(spark, sf_dir).collect()}
+    assert b == s and len(b) > 0
+    assert LAST_APPEND_PROGRESS["numRowsRemoved"] >= len(b)
+    # at most the sentinel's own (unclosed) windows remain in state
+    assert LAST_APPEND_PROGRESS["numRowsTotal"] <= 2
+
+
 def test_tumbling_complete_replay_equals_batch(spark, sf_dir):
     """Complete-mode memory replay of the tumbling-window counts (the
     TEST utility; the gated query uses the append topology) equals the

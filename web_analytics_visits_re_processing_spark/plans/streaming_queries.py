@@ -56,6 +56,29 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_sliding_counts",
+    # identical to the batch sliding_window_counts oracle: explicit
+    # half-hour-slot arithmetic replays F.window(1h, 30min) assignment.
+    oracle="""
+SELECT (epoch_us(ts) // 1800000000) * 1800000000
+           - (s.i * 1800000000) AS window_start_us,
+       COUNT(*) AS n_events
+FROM events, (SELECT unnest([0, 1]) AS i) s
+WHERE (epoch_us(ts) // 1800000000) - s.i >= 0
+GROUP BY 1
+""",
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows under real append-mode replay with
+    watermark eviction — equals the batch sliding-window oracle."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_sliding_counts_append,
+    )
+
+    return streaming_sliding_counts_append(spark, sf_dir)
+
+
+@query(
     "streaming_abandoned_sessions",
     # batch equivalent of the stateful operator: sessions containing a
     # 'click' (add-to-cart stand-in) but no 'purchase'.

@@ -295,6 +295,53 @@ def streaming_tumbling_counts_append(
     )
 
 
+def streaming_sliding_counts_append(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts (1h windows every 30 min — each event in
+    width/slide overlapping windows) via the append-mode file-sink
+    topology. The last windowing mode to get a real ``readStream``
+    replay: tumbling/session/dedup/interval-join already have one.
+
+    Sentinel handling differs from tumbling: there is no event_type in
+    the output schema to filter on read-back, and filtering the
+    sentinel BEFORE the watermark would stop it advancing the watermark
+    (Catalyst pushes pre-agg filters below the EventTimeWatermark node
+    — the round-2 outer-join lesson). So the sentinel flows through the
+    watermark and the window assignment, but a conditional count makes
+    it weightless, and the post-agg ``n_events > 0`` filter (legal
+    above a streaming agg, references an agg output so it can't be
+    pushed down) drops any sentinel-only window."""
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_append_sliding", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    events = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counts = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") != _SENTINEL_EVENT_TYPE, 1).otherwise(0)
+            ).alias("n_events")
+        )
+        .where(F.col("n_events") > 0)
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+    out, _ = _run_append_to_files(counts, workdir)
+    return spark.read.parquet(out)
+
+
 def streaming_visits_replay(
     spark: SparkSession,
     sf_dir: str,
