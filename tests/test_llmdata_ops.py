@@ -200,6 +200,68 @@ def test_ivf_ann_recall_on_planted_clusters(planted_clusters):
     assert recall >= 0.9, f"IVF recall {recall:.2f}"
 
 
+def test_rep_collapse_shrinks_pair_stream_and_expands_losslessly(spark):
+    """On a dup-heavy corpus the collapsed pair search emits far fewer
+    rows than the direct one, while expand_rep_pairs rebuilds the
+    EXACT direct pair set (signatures are pure functions of text, so
+    collapsing exact classes loses nothing)."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        collapse_exact_reps,
+        expand_rep_pairs,
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_collapsed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = base.replace("river", "creek")
+    rows = (
+        [(i, base) for i in range(8)]  # exact class of 8
+        + [(10 + i, near) for i in range(5)]  # exact class of 5, near-dup of base
+        + [(20, " ".join(f"tok{j}" for j in range(12)))]  # unrelated singleton
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    direct = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    collapsed = simhash_near_dup_pairs_collapsed(docs, max_hamming=3).collect()
+    _, mapping = collapse_exact_reps(docs)
+    rep_pairs = simhash_near_dup_pairs_collapsed(docs, max_hamming=3)
+    expanded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in expand_rep_pairs(rep_pairs, mapping).collect()
+    }
+    assert expanded == direct and len(direct) > 0
+    # 8+5 mutual near-dups → direct emits C(13,2)=78 pairs (plus none
+    # for the singleton); collapsed emits ONE rep-level pair.
+    assert len(direct) == 78
+    assert len(collapsed) == 1
+    assert collapsed[0]["n_docs_a"] * collapsed[0]["n_docs_b"] == collapsed[0][
+        "n_expanded_pairs"
+    ]
+
+    # minhash twin: same collapse, jaccard scores (intra-class = 1.0)
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+        minhash_near_dups_collapsed,
+    )
+
+    direct_mh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_near_dups(docs, threshold=0.5).collect()
+    }
+    rep_mh = minhash_near_dups_collapsed(docs, threshold=0.5)
+    expanded_mh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in expand_rep_pairs(
+            rep_mh, mapping, score_cols=("jaccard",), intra_values=(1.0,)
+        ).collect()
+    }
+    assert expanded_mh == direct_mh and len(direct_mh) > 0
+    assert rep_mh.count() < len(direct_mh)
+
+
 def test_ivf_centroid_budget_is_fixed_and_oracle_replayable(spark):
     """The centroid sample is O(n_centroids) regardless of corpus size
     (the round-2 scale-killer was an O(n/stride) collect), and the

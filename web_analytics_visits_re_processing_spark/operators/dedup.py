@@ -223,6 +223,164 @@ def minhash_lsh_near_dups(
     return jaccard_verify(cand, df, text_col, id_col, ngram, threshold)
 
 
+def collapse_exact_reps(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Representative-collapse pre-pass for pair search: one doc (min
+    id) survives per exact-fingerprint class.
+
+    Returns ``(reps, mapping)``: ``reps`` keeps every input column plus
+    ``n_docs`` (class size) for the representatives only; ``mapping``
+    is ``(id_col, rep_id)`` for every input doc. One shuffle on the
+    16-byte fingerprint produces both (two window functions over the
+    same partitioning).
+
+    Why: near-dup pair output is quadratic in dup-group size — a class
+    of m byte-identical docs alone emits m(m-1)/2 pairs. Collapsing
+    first makes the pair stream quadratic only in DISTINCT-text group
+    size; the full pair set stays recoverable lazily via
+    ``expand_rep_pairs`` (signatures are pure functions of text, so
+    every class member has its representative's signature)."""
+    wfp = Window.partitionBy("_fp")
+    ranked = (
+        df.withColumn("_fp", exact_fingerprint(text_col))
+        .withColumn("_rep", F.min(id_col).over(wfp))
+        .withColumn("_n", F.count(F.lit(1)).over(wfp))
+    )
+    reps = (
+        ranked.where(F.col(id_col) == F.col("_rep"))
+        .drop("_fp", "_rep")
+        .withColumnRenamed("_n", "n_docs")
+    )
+    mapping = ranked.select(F.col(id_col), F.col("_rep").alias("rep_id"))
+    return reps, mapping
+
+
+def simhash_near_dup_pairs_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash pair search over exact-dup class REPRESENTATIVES →
+    (id_a, id_b, hamming, n_docs_a, n_docs_b, n_expanded_pairs).
+
+    The pair stream shrinks from quadratic-in-dup-group-size to
+    quadratic-in-distinct-text-group-size (the mitigation named in
+    ``simhash_near_dup_pairs``'s scale note); ``n_expanded_pairs``
+    (= n_docs_a × n_docs_b) counts the doc-level pairs each rep pair
+    stands for, and ``expand_rep_pairs`` materializes them on demand."""
+    reps, _ = collapse_exact_reps(df, text_col, id_col)
+    pairs = simhash_near_dup_pairs(
+        reps.drop("n_docs"), text_col, id_col, bits, max_hamming
+    )
+    return _annotate_class_sizes(pairs, reps, id_col, ("hamming",))
+
+
+def minhash_near_dups_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline over exact-dup class
+    REPRESENTATIVES → (id_a, id_b, jaccard, n_docs_a, n_docs_b,
+    n_expanded_pairs) — same collapse rationale as
+    ``simhash_near_dup_pairs_collapsed`` (jaccard is a pure function
+    of text, so rep-level scores stand for every class member)."""
+    reps, _ = collapse_exact_reps(df, text_col, id_col)
+    pairs = minhash_lsh_near_dups(
+        reps.drop("n_docs"), text_col, id_col, num_hashes, bands, ngram, threshold
+    )
+    return _annotate_class_sizes(pairs, reps, id_col, ("jaccard",))
+
+
+def _annotate_class_sizes(
+    pairs: DataFrame, reps: DataFrame, id_col: str, score_cols: tuple[str, ...]
+) -> DataFrame:
+    """Join class sizes onto rep-level pairs and count the doc-level
+    pairs each stands for (broadcastable equi-joins on rep ids)."""
+    sizes = reps.select(F.col(id_col), "n_docs")
+    return (
+        pairs.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "n_docs", "n_docs_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "n_docs", "n_docs_b"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            *score_cols,
+            "n_docs_a",
+            "n_docs_b",
+            (F.col("n_docs_a") * F.col("n_docs_b")).alias("n_expanded_pairs"),
+        )
+    )
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame,
+    mapping: DataFrame,
+    id_col: str = "doc_id",
+    score_cols: tuple[str, ...] = ("hamming",),
+    intra_values: tuple = (0,),
+) -> DataFrame:
+    """Lazily expand rep-level pairs to the full doc-level pair set:
+    cross-class pairs via two mapping joins (each member inherits its
+    representative's signature, so hamming/jaccard carry over
+    verbatim — the scores are pure functions of text) plus intra-class
+    pairs, whose scores are the byte-identical constants in
+    ``intra_values`` (hamming 0, jaccard 1.0, ...). Disjoint by
+    construction — cross pairs different classes, intra pairs the same
+    class — so the union needs no dedup."""
+    cross = (
+        rep_pairs.select("id_a", "id_b", *score_cols)
+        .join(
+            mapping.select(
+                F.col("rep_id").alias("id_a"), F.col(id_col).alias("_doc_a")
+            ),
+            "id_a",
+        )
+        .join(
+            mapping.select(
+                F.col("rep_id").alias("id_b"), F.col(id_col).alias("_doc_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_doc_a", "_doc_b").alias("id_a"),
+            F.greatest("_doc_a", "_doc_b").alias("id_b"),
+            *score_cols,
+        )
+    )
+    score_types = {f.name: f.dataType for f in rep_pairs.schema.fields}
+    x, y = mapping.alias("x"), mapping.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    ).select(
+        F.col(f"x.{id_col}").alias("id_a"),
+        F.col(f"y.{id_col}").alias("id_b"),
+        *[
+            F.lit(v).cast(score_types[c]).alias(c)
+            for c, v in zip(score_cols, intra_values)
+        ],
+    )
+    return cross.unionByName(intra)
+
+
 def simhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",

@@ -452,6 +452,97 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+_REPS_CTE = """cls AS (
+    SELECT doc_id, text,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_docs
+    FROM documents
+),
+reps AS (SELECT doc_id, text, n_docs FROM cls WHERE doc_id = rep_id)"""
+
+
+@query(
+    "minhash_rep_collapsed_pairs",
+    # the full LSH replay (shingles → 8-perm signatures → banding →
+    # candidates → exact Jaccard) restricted to exact-class
+    # representatives, annotated with collapsed multiplicities.
+    oracle="WITH "
+    + _REPS_CTE
+    + ",\n"
+    + _LSH_CAND_CTE.replace("WITH ", "").replace("FROM documents", "FROM reps")
+    + """
+SELECT c.id_a, c.id_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh))
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard,
+       ra.n_docs AS n_docs_a, rb.n_docs AS n_docs_b,
+       ra.n_docs * rb.n_docs AS n_expanded_pairs
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+JOIN reps ra ON ra.doc_id = c.id_a
+JOIN reps rb ON rb.doc_id = c.id_b
+WHERE len(list_intersect(sa.sh, sb.sh))
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+""",
+)
+def q_minhash_rep_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup search over exact-class representatives —
+    the LSH-side twin of simhash_rep_collapsed_pairs (same collapse
+    pre-pass, jaccard instead of hamming)."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        minhash_near_dups_collapsed,
+    )
+
+    return minhash_near_dups_collapsed(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "simhash_rep_collapsed_pairs",
+    # replay: exact-fingerprint classes → min-id representatives with
+    # class sizes → brute-force simhash pairs over representatives
+    # only, annotated with the doc-level pair count each rep pair
+    # stands for. COUNT(*) OVER is BIGINT (not HUGEINT) in DuckDB, as
+    # is a BIGINT product, so no casts needed on the size columns.
+    oracle=f"""
+WITH cls AS (
+    SELECT doc_id, text,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_docs
+    FROM documents
+),
+reps AS (SELECT doc_id, text, n_docs FROM cls WHERE doc_id = rep_id),
+h AS ({_SIMHASH_TOKEN_HASHES_SQL.replace("FROM documents", "FROM reps")}),
+sig AS (
+    SELECT doc_id,
+         {_SIMHASH_SIG_SQL}
+           AS simhash
+    FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming,
+       ra.n_docs AS n_docs_a, rb.n_docs AS n_docs_b,
+       ra.n_docs * rb.n_docs AS n_expanded_pairs
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+JOIN reps ra ON ra.doc_id = a.doc_id
+JOIN reps rb ON rb.doc_id = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_rep_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-collapse pair search: exact-dup classes shrink to
+    one min-id representative BEFORE the pigeonhole pair join, so the
+    pair stream is quadratic only in distinct-text group size (the
+    fixture's dup-heavy classes emit one rep pair each instead of
+    |class_a|x|class_b| rows); n_expanded_pairs records the collapsed
+    multiplicity and expand_rep_pairs rebuilds the full set lazily —
+    pinned equal to the direct pair search in pytest."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        simhash_near_dup_pairs_collapsed,
+    )
+
+    return simhash_near_dup_pairs_collapsed(_docs(spark, sf_dir), max_hamming=3)
+
+
 @query(
     "ngram_jaccard_same_source_pairs",
     oracle=_LSH_CAND_CTE
