@@ -142,3 +142,35 @@ def test_python_streaming_source_contiguous_offsets(spark):
     assert sorted(rows) == list(range(n))  # contiguous, no dupes/gaps
     for i, r in rows.items():
         assert (r["user_id"], r["value"]) == (i % 50, (i * 7 % 100) / 10.0)
+
+
+def test_streaming_cms_constant_state_across_batches(spark, sf_dir):
+    """The stream-built CMS equals the batch-built sketch
+    bucket-for-bucket, the serving snapshot never exceeds depth×width
+    rows, and the replay genuinely ran as MULTIPLE incremental merges
+    (versioned snapshots), not one big batch."""
+    import os
+
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        count_min_table,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        _TMP_ROOT,
+        streaming_cms_state,
+    )
+
+    got = streaming_cms_state(spark, sf_dir, max_files_per_trigger=1)
+    want = count_min_table(
+        load_table(spark, sf_dir, "events"), "event_type"
+    )
+    g = {(r["j"], r["bucket"]): r["c"] for r in got.collect()}
+    w = {(r["j"], r["bucket"]): r["c"] for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert len(g) <= 4 * 64
+
+    state = os.path.join(
+        _TMP_ROOT, "stream_cms", os.path.basename(sf_dir.rstrip("/")) or "sf", "state"
+    )
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) >= 2, "expected multiple incremental merges"

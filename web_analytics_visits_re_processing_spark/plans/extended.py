@@ -850,11 +850,11 @@ _CMS_BUCKET = (
 )
 
 
-@query(
-    "cms_event_type_estimates",
-    # Build AND probe replayed bucket-exactly (portable hash) — the
-    # rare sketch whose whole pipeline hash-matches an SQL oracle.
-    oracle=f"""
+# Build AND probe replayed bucket-exactly (portable hash) — the rare
+# sketch whose whole pipeline hash-matches an SQL oracle. Shared with
+# the STREAMING build (plans/streaming_queries.py): the stream-built
+# sketch must equal the batch-built one bucket-for-bucket.
+CMS_ORACLE = f"""
 WITH cms AS (
     SELECT r.range AS j,
            {_CMS_BUCKET.format(j="r.range", key="event_type")} AS bucket,
@@ -876,8 +876,10 @@ est AS (
 exact AS (SELECT event_type, COUNT(*)::BIGINT AS exact_count FROM events GROUP BY event_type)
 SELECT est.event_type, est.cms_estimate::BIGINT AS cms_estimate, exact.exact_count
 FROM est JOIN exact USING (event_type)
-""",
-)
+"""
+
+
+@query("cms_event_type_estimates", oracle=CMS_ORACLE)
 def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketch.py): frequency estimates
     from a ≤ depth×width-row sketch table vs the exact counts. The

@@ -214,6 +214,36 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.extended import CMS_ORACLE
+
+    return CMS_ORACLE
+
+
+@query("streaming_cms_event_counts", oracle=_cms_oracle())
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained from the STREAM (update-mode
+    streaming agg → foreachBatch upsert snapshot): sketch state is
+    ≤ depth×width rows regardless of stream length, and the finished
+    sketch equals the batch build bucket-for-bucket — so the batch CMS
+    oracle gates the whole streaming path verbatim."""
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        cms_estimate,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_cms_state,
+    )
+
+    cms = streaming_cms_state(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("event_type").distinct()
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return cms_estimate(cms, keys, "event_type").join(exact, "event_type")
+
+
 @query(
     "streaming_interval_join_left",
     oracle="""

@@ -342,6 +342,59 @@ def streaming_sliding_counts_append(
     return spark.read.parquet(out)
 
 
+def streaming_cms_state(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 64,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Count-min sketch built INCREMENTALLY from the event stream:
+    stream → (j, bucket) explode → streaming count agg (update mode)
+    → foreachBatch upsert into the versioned serving snapshot.
+
+    The whole point of a sketch on a stream: the streaming-agg state
+    AND the serving table are both ≤ depth×width rows no matter how
+    many events flow through — heavy-hitter counting whose state never
+    grows. Update-mode batches deliver changed buckets' new CUMULATIVE
+    counts; counts only grow, so latest-per-key ordered by the count
+    itself is the correct merge. The finished sketch must equal the
+    batch-built one bucket-for-bucket (same portable hash), which the
+    shared SQL oracle checks."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        count_min_table,
+    )
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_cms", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+        # no watermark in play, so the pre-agg sentinel filter is safe
+        # (the pushdown hazard only exists below an EventTimeWatermark)
+        .where(F.col("event_type") != _SENTINEL_EVENT_TYPE)
+    )
+    cms_stream = count_min_table(events, "event_type", depth, width)
+    run_upsert_stream(
+        cms_stream,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["j", "bucket"],
+        order_cols=["c"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
+
+
 def streaming_visits_replay(
     spark: SparkSession,
     sf_dir: str,

@@ -78,14 +78,22 @@ def run_upsert_stream(
     key_cols: list[str],
     order_cols: list[str],
     timeout_s: int = 300,
+    output_mode: str | None = None,
 ) -> None:
     """Drive a stream into the upsert sink with ``foreachBatch``
-    (availableNow: drain everything pending, then stop)."""
+    (availableNow: drain everything pending, then stop).
+
+    ``output_mode='update'`` is required when ``stream_df`` is itself a
+    streaming aggregation (each micro-batch then delivers the changed
+    keys' new cumulative values, and latest-per-key merge keeps the
+    most recent one)."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda df, _epoch: upsert_batch(df, state_dir, key_cols, order_cols)
+    )
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
     q = (
-        stream_df.writeStream.foreachBatch(
-            lambda df, _epoch: upsert_batch(df, state_dir, key_cols, order_cols)
-        )
-        .option("checkpointLocation", checkpoint_dir)
+        writer.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
