@@ -262,6 +262,31 @@ def test_rep_collapse_shrinks_pair_stream_and_expands_losslessly(spark):
     assert rep_mh.count() < len(direct_mh)
 
 
+def test_ivf_join_assignment_equals_literal_path(planted_clusters):
+    """The broadcast-join max_by assignment (no collect, no literal
+    tree) must be bit-identical to the literal-projection path — same
+    hash-sampled centroids, same 8-dp rounding and smaller-cid
+    tie-break, so identical cells, neighbors, and scores."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_join,
+    )
+
+    emb = planted_clusters
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    lit_path = {
+        tuple(r)
+        for r in cosine_topk_ivf(emb, queries, k=3, n_centroids=20, n_probe=2).collect()
+    }
+    join_path = {
+        tuple(r)
+        for r in cosine_topk_ivf_join(
+            emb, queries, k=3, n_centroids=20, n_probe=2
+        ).collect()
+    }
+    assert lit_path == join_path and len(lit_path) > 0
+
+
 def test_ivf_centroid_budget_is_fixed_and_oracle_replayable(spark):
     """The centroid sample is O(n_centroids) regardless of corpus size
     (the round-2 scale-killer was an O(n/stride) collect), and the

@@ -282,7 +282,84 @@ def cosine_topk_ivf(
             )
         ).alias("_probe"),
     ).select(query_id_col, "_qvec", (-F.col("_probe.neg_cid")).alias("_cell"))
+    return _probe_rescore_topk(corpus_cells, probes, k, id_col, query_id_col, vec_col)
 
+
+def cosine_topk_ivf_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN with JOIN-based cell assignment — the escalation path
+    ``cosine_topk_ivf`` names for centroid counts past the literal
+    expression tree's comfort zone (~1k): centroids NEVER leave the
+    executors. Same deterministic LCG-hash sample, kept as a DataFrame;
+    assignment is corpus × broadcast(centroids) → ``max_by`` over the
+    (8-dp sim, smaller-cid) preference — bit-identical cells to the
+    literal path, so both variants share one oracle.
+
+    The trade: the pure-projection literal path assigns with zero
+    shuffle; this path pays one corpus-sized shuffle for the
+    ``groupBy(id)`` reduction (map-side combine makes it one row per
+    corpus row) but scales in n_centroids without touching the driver
+    or the plan size. Scoring uses the interpreted HOF cosine per
+    (row × centroid) pair — at very high dim swap the assignment
+    scorer for the Arrow/BLAS ``cosine_scores_pandas`` shape."""
+    cents = (
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .orderBy(centroid_rank_hash(F.col("_cid")).asc(), F.col("_cid").asc())
+        .limit(n_centroids)
+    )
+    pref = F.struct(
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 8).alias("sim"),
+        (-F.col("_cid")).cast("long").alias("neg_cid"),
+    )
+    corpus_cells = (
+        corpus.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.max_by(F.col("_cid"), pref).alias("_cell"),
+        )
+    )
+    qscored = (
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            query_id_col,
+            "_qvec",
+            "_cid",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 8).alias("_sim"),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("_cid").asc()
+    )
+    probes = (
+        qscored.withColumn("_rk", F.row_number().over(wq))
+        .where(F.col("_rk") <= n_probe)
+        .select(query_id_col, "_qvec", F.col("_cid").alias("_cell"))
+    )
+    return _probe_rescore_topk(corpus_cells, probes, k, id_col, query_id_col, vec_col)
+
+
+def _probe_rescore_topk(
+    corpus_cells: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF tail: candidates from the cell equi-join (probe side
+    broadcast), exact rescoring, per-query top-k window."""
     scored = (
         corpus_cells.join(F.broadcast(probes), "_cell")
         .where(F.col(query_id_col) != F.col(id_col))

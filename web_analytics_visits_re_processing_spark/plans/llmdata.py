@@ -701,14 +701,13 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_cosine_topk_ivf",
-    # full SQL replay of the IVF pipeline: same fixed-budget LCG-hash
-    # centroid sample (64 smallest-hash ids — integer arithmetic only,
-    # so both engines pick the identical set), same 8-dp assignment
-    # rounding + smaller-cid tie-break, same 2-probe search (cross
-    # joins are fine at oracle scale).
-    oracle="""
+# full SQL replay of the IVF pipeline: same fixed-budget LCG-hash
+# centroid sample (64 smallest-hash ids — integer arithmetic only, so
+# both engines pick the identical set), same 8-dp assignment rounding +
+# smaller-cid tie-break, same 2-probe search (cross joins are fine at
+# oracle scale). Shared by BOTH assignment strategies (literal
+# projection and broadcast-join max_by) — they must agree cell-for-cell.
+_IVF_ORACLE = """
 WITH cent AS (
     SELECT vec_id AS cid, embedding FROM embeddings
     ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id
@@ -738,8 +737,10 @@ SELECT query_id, vec_id, cos, rk FROM (
     FROM query_cells q JOIN corpus_cells c
       ON q.cid = c.cid AND q.vec_id != c.vec_id
 ) WHERE rk <= 5
-""",
-)
+"""
+
+
+@query("embedding_cosine_topk_ivf", oracle=_IVF_ORACLE)
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the second scale path next to LSH): cell assignment is
     a pure projection against centroid literals — no shuffle, no join
@@ -751,6 +752,22 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=64, n_probe=2
+    )
+
+
+@query("embedding_cosine_topk_ivf_join", oracle=_IVF_ORACLE)
+def q_embedding_topk_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with broadcast-join cell assignment (no driver collect,
+    no literal expression tree — the >1k-centroid escalation path).
+    Must produce bit-identical cells and neighbors to the literal
+    variant, so the SAME oracle gates both."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_ivf_join,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_ivf_join(
         emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=64, n_probe=2
     )
 
