@@ -1,0 +1,44 @@
+"""Plan-shape pins for the TPC-H-shaped SQL-text battery: the parser
+path must land on the same physical strategies the DataFrame surface
+is pinned to — broadcast dims, semi/anti rewrites for IN / NOT
+EXISTS, no cartesian products anywhere."""
+
+from __future__ import annotations
+
+import re
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "sql_q5_regional_supplier_volume", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_in_subquery_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(spark, "sql_q18_large_volume_orders", sf_dir)
+    assert re.search(r"LeftSemi", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_plans_as_anti_join(spark, sf_dir):
+    plan = _plan(spark, "sql_q22_idle_high_balance_customers", sf_dir)
+    assert re.search(r"LeftAnti", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_dual_alias_nation_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "sql_q7_nation_trade_volume", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q10_topk_no_full_sort_materialization(spark, sf_dir):
+    plan = _plan(spark, "sql_q10_returned_item_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan

@@ -13,6 +13,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     hitlog_queries,
     llmdata,
     relational,
+    sqlbattery,
     streaming_queries,
     webanalytics,
 )
