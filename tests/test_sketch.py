@@ -108,3 +108,65 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
             lo = vals[max(math.floor((q - eps) * n) - 1, 0)]
             hi = vals[min(math.ceil((q + eps) * n) + 1, n - 1)]
             assert lo <= got <= hi, (etype, q, got, lo, hi)
+
+
+def test_hll_mergeable_and_bounded(spark):
+    """Register tables from disjoint slices merge by register-wise MAX
+    into exactly the whole-data register table (the property that
+    makes HLL reaggregatable across partitions/days), and the table
+    is ≤ m rows however many distinct keys stream through."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        HLL_M,
+        hll_registers,
+    )
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("k"))
+    a = df.where(F.col("k").cast("long") % 2 == 0)
+    b = df.where(F.col("k").cast("long") % 2 == 1)
+    whole = hll_registers(df, "k")
+    assert whole.count() <= HLL_M
+    merged = (
+        hll_registers(a, "k")
+        .unionByName(hll_registers(b, "k"))
+        .groupBy("r_idx")
+        .agg(F.max("r_rho").alias("r_rho"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_estimate_within_standard_error(spark):
+    """m=64 ⇒ ~13% standard error; planting known cardinalities and
+    asserting 3σ keeps the test deterministic (fixed hash, no RNG)."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    for n in (300, 3000):
+        df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+        est = hll_estimate(hll_registers(df, "k")).collect()[0]
+        e = est["hll_estimate_e4"] / 10000.0
+        assert abs(e - n) / n < 0.40, (n, e)
+
+
+def test_streaming_hll_state_bounded_and_equal_to_batch(spark, sf_dir):
+    """The stream-built register table stays ≤ m rows per group and
+    equals the batch build register-for-register (monotone max
+    merge across micro-batches)."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        HLL_M,
+        hll_registers,
+    )
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_hll_state,
+    )
+
+    streamed = streaming_hll_state(spark, sf_dir, max_files_per_trigger=2)
+    ev = load_table(spark, sf_dir, "events")
+    batch = hll_registers(ev, "user_id", ("event_type",))
+    n_groups = ev.select("event_type").distinct().count()
+    assert streamed.count() <= HLL_M * n_groups
+    s = streamed.select("event_type", "r_idx", "r_rho")
+    assert s.exceptAll(batch).count() == 0
+    assert batch.exceptAll(s).count() == 0

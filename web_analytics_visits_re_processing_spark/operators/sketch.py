@@ -99,3 +99,94 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+# --- HyperLogLog --------------------------------------------------------------
+#
+# Flajolet et al. 2007: distinct counting from a fixed m-register
+# table of max leading-zero ranks. Same Spark-first contract as the
+# CMS above — no UDF, no driver-side sketch object, and the portable
+# hash makes BOTH the register table and the estimate replayable in
+# SQL (registers are pure integer arithmetic; the estimate's only
+# float steps are built from exact integers in a fixed expression
+# order, then floor-scaled).
+#
+# Scale shape: one explode-free narrow projection into a hash
+# aggregate keyed on (group, register). Map-side partial MAX combines
+# before the shuffle, so the exchange carries ≤ m rows per group per
+# partition and the final state is ≤ m rows per group — distinct
+# counting whose shuffle is constant in the number of input rows AND
+# in the number of distinct keys. Register tables from disjoint
+# slices merge by register-wise MAX (pinned in pytest), which is what
+# makes the sketch reaggregatable across days/partitions at 100 TB.
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+# hash64 yields 60 portable bits; P index bits leave 54 for the rank,
+# so rho ∈ [1, 55] with 55 = "remainder all zeros".
+HLL_MAX_RHO = 55
+# alpha_64 is a published constant (not derived in floats at runtime).
+HLL_ALPHA_M = 0.709
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The register table: ``(group..., r_idx, r_rho)`` with ≤ m rows
+    per group. r_rho = rank of the leftmost 1-bit of the hash
+    remainder (bit-identical in any engine with md5 + bin)."""
+    h = hash64(F.col(key_col).cast("string"))
+    rem = F.shiftright(h, HLL_P)
+    rho = (
+        F.when(rem == 0, F.lit(HLL_MAX_RHO))
+        .otherwise(F.lit(HLL_MAX_RHO) - F.length(F.bin(rem)))
+        .cast("long")
+    )
+    return (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("r_idx"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "r_idx")
+        .agg(F.max("rho").alias("r_rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Cardinality estimate from a register table.
+
+    Float hazard note: the harmonic-mean denominator is accumulated
+    as the EXACT integer ``sum(2^(55 - rho))`` (≤ 2^61, fits int64) —
+    summation order cannot perturb it, unlike summing ``2^-rho``
+    doubles. The remaining float steps (one divide, optionally one
+    ln for the small-range linear-counting branch) use literals
+    written identically in the SQL oracle, and the output ships
+    floor-scaled ×1e4."""
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO} - r_rho)")).alias(
+            "s_present"
+        ),
+    )
+    v_empty = (F.lit(HLL_M) - F.col("n_set")).cast("long")
+    s_scaled = (
+        F.col("s_present") + v_empty * F.lit(1 << HLL_MAX_RHO).cast("long")
+    ).cast("long")
+    raw = (
+        F.lit(HLL_ALPHA_M * HLL_M * HLL_M)
+        * F.lit(float(1 << HLL_MAX_RHO))
+        / s_scaled.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        *group_cols,
+        v_empty.alias("v_empty"),
+        s_scaled.alias("s_scaled"),
+        F.floor(est * 10000).cast("long").alias("hll_estimate_e4"),
+    )

@@ -1125,3 +1125,96 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+# Portable-hash HLL pieces shared by the register and estimate oracles
+# (and by the STREAMING build in plans/streaming_queries.py, whose
+# stream-built register table must equal this batch one).
+_HLL_REGS_CTE = """
+h AS (
+    SELECT event_type,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+regs AS (
+    SELECT event_type,
+           hv & 63 AS r_idx,
+           MAX(CASE WHEN (hv >> 6) = 0 THEN 55
+                    ELSE 55 - length(bin(hv >> 6)) END)::BIGINT AS r_rho
+    FROM h GROUP BY 1, 2
+)
+"""
+
+HLL_REGISTERS_ORACLE = f"""
+WITH {_HLL_REGS_CTE}
+SELECT event_type, r_idx, r_rho FROM regs
+"""
+
+HLL_ESTIMATE_ORACLE = f"""
+WITH {_HLL_REGS_CTE},
+per AS (
+    SELECT event_type, COUNT(*) AS n_set,
+           CAST(SUM(1::BIGINT << (55 - r_rho)) AS BIGINT) AS s_present
+    FROM regs GROUP BY 1
+),
+fin AS (
+    SELECT event_type,
+           CAST(64 - n_set AS BIGINT) AS v_empty,
+           CAST(s_present + (64 - n_set) * (1::BIGINT << 55) AS BIGINT) AS s_scaled
+    FROM per
+),
+est AS (
+    SELECT event_type, v_empty, s_scaled,
+           CAST(FLOOR(10000 * CASE
+               WHEN (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968) / s_scaled <= 160.0
+                    AND v_empty > 0
+               THEN 64 * ln(64 / CAST(v_empty AS DOUBLE))
+               ELSE (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968) / s_scaled
+           END) AS BIGINT) AS hll_estimate_e4
+    FROM fin
+),
+exact AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT est.event_type, est.v_empty, est.s_scaled, est.hll_estimate_e4, exact.n_exact
+FROM est JOIN exact USING (event_type)
+"""
+
+
+@query("hll_registers_users", oracle=HLL_REGISTERS_ORACLE)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (operators/sketch.py): per-event-type
+    distinct-user sketch state, ≤ 64 rows per group with map-side MAX
+    combine — the register table IS the shuffle payload, constant in
+    both input rows and distinct keys. Pure integer arithmetic on the
+    portable hash, so the sketch state itself is hash-gated (rare for
+    a sketch; approx_count_distinct is rows-only because Spark's HLL++
+    internals aren't replayable)."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_registers(ev, "user_id", ("event_type",))
+
+
+@query("hll_distinct_users_estimate", oracle=HLL_ESTIMATE_ORACLE)
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimates vs exact distinct counts. The
+    harmonic-mean denominator is accumulated as the exact integer
+    sum(2^(55-rho)) — float-summation-order-proof — and the final
+    estimate ships floor-scaled; the linear-counting small-range
+    branch (Flajolet et al. §4) kicks in via the same literals on
+    both sides."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ("event_type",))
+    est = hll_estimate(regs, ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type")

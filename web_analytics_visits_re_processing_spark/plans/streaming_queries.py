@@ -269,3 +269,26 @@ def q_streaming_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return streaming_interval_join_append(spark, sf_dir, how="left_outer")
+
+
+def _hll_regs_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.extended import (
+        HLL_REGISTERS_ORACLE,
+    )
+
+    return HLL_REGISTERS_ORACLE
+
+
+@query("streaming_hll_registers", oracle=_hll_regs_oracle())
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user registers maintained from the STREAM
+    (update-mode MAX agg → foreachBatch upsert snapshot): state is
+    ≤ 64 rows per event_type forever, rho merges are monotone, and
+    the finished register table equals the batch build
+    register-for-register — the batch HLL oracle gates the streaming
+    path verbatim."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_hll_state,
+    )
+
+    return streaming_hll_state(spark, sf_dir).select("event_type", "r_idx", "r_rho")

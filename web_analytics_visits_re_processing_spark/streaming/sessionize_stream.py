@@ -395,6 +395,56 @@ def streaming_cms_state(
     return read_state(spark, state)
 
 
+def streaming_hll_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table maintained INCREMENTALLY from the
+    event stream: stream → (group, register) streaming MAX agg
+    (update mode) → foreachBatch upsert into the versioned serving
+    snapshot.
+
+    Same constant-state contract as ``streaming_cms_state``: the
+    streaming-agg state and the serving table are both ≤ m rows per
+    group forever. Register rho values only ever grow, so
+    latest-per-key ordered by rho itself is the correct monotone
+    merge, and the finished register table equals the batch-built one
+    register-for-register (same portable hash) — the batch HLL oracle
+    gates the whole streaming path verbatim."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_registers,
+    )
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_hll", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+        # no watermark in play, so the pre-agg sentinel filter is safe
+        .where(F.col("event_type") != _SENTINEL_EVENT_TYPE)
+    )
+    regs_stream = hll_registers(events, "user_id", ("event_type",))
+    run_upsert_stream(
+        regs_stream,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["event_type", "r_idx"],
+        order_cols=["r_rho"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
+
+
 def streaming_visits_replay(
     spark: SparkSession,
     sf_dir: str,
