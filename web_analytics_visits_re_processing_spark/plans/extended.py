@@ -1218,3 +1218,138 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     )
     return est.join(exact, "event_type")
+
+
+# Portable bloom hash in SQL: h1/h2 from the salted md5 hash, k=3
+# double-hashed positions mod m=4096 (operators/bloom.py).
+_BLOOM_H = (
+    "('0x' || substring(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+
+BLOOM_MEMBERSHIP_ORACLE = f"""
+WITH recent AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '2001-06-01'
+),
+bloom AS (
+    SELECT DISTINCT
+        (({_BLOOM_H.format(salt="b1", key="o_custkey")}
+          + r.range * {_BLOOM_H.format(salt="b2", key="o_custkey")}) % 4096) AS p
+    FROM recent, range(3) r
+),
+probe_pos AS (
+    SELECT c_custkey, c_mktsegment,
+           ((h1 + r.range * h2) % 4096) AS p
+    FROM (
+        SELECT c_custkey, c_mktsegment,
+               {_BLOOM_H.format(salt="b1", key="c_custkey")} AS h1,
+               {_BLOOM_H.format(salt="b2", key="c_custkey")} AS h2
+        FROM customer
+    ), range(3) r
+),
+hits AS (
+    SELECT pp.c_custkey,
+           ANY_VALUE(pp.c_mktsegment) AS c_mktsegment,
+           (COUNT(b.p) = 3) AS maybe
+    FROM probe_pos pp LEFT JOIN bloom b ON b.p = pp.p
+    GROUP BY pp.c_custkey
+),
+truth AS (SELECT o_custkey AS c_custkey, 1 AS is_true FROM recent)
+SELECT h.c_mktsegment,
+       COUNT(*) AS n_probed,
+       COUNT(*) FILTER (WHERE h.maybe) AS n_maybe,
+       COUNT(*) FILTER (WHERE t.is_true IS NOT NULL) AS n_true,
+       COUNT(*) FILTER (WHERE h.maybe AND t.is_true IS NULL) AS n_false_pos
+FROM hits h LEFT JOIN truth t ON t.c_custkey = h.c_custkey
+GROUP BY h.c_mktsegment
+ORDER BY h.c_mktsegment
+"""
+
+
+@query("bloom_membership_recent_buyers", oracle=BLOOM_MEMBERSHIP_ORACLE)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/bloom.py): probe every
+    customer against a ≤ m-row filter built from recent buyers. No
+    false negatives (n_true rows all pass — the oracle proves it:
+    n_maybe = n_true + n_false_pos), false positives at the standard
+    (1-e^{-kn/m})^k rate — and because the hash is portable, even the
+    exact FP count is hash-gated, which no RNG-seeded bloom could be."""
+    from web_analytics_visits_re_processing_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = (
+        orders.where(F.col("o_orderdate") >= F.lit("2001-06-01").cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    bloom = bloom_build(recent, "o_custkey")
+    probed = bloom_probe(bloom, cust.select("c_custkey"), "c_custkey")
+    truth = recent.select(F.col("o_custkey").alias("c_custkey"), F.lit(1).alias("is_true"))
+    return (
+        probed.join(cust.select("c_custkey", "c_mktsegment"), "c_custkey")
+        .join(truth, "c_custkey", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.count_if(F.col("maybe_present")).alias("n_maybe"),
+            F.count_if(F.col("is_true").isNotNull()).alias("n_true"),
+            F.count_if(
+                F.col("maybe_present") & F.col("is_true").isNull()
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+@query(
+    "bloom_pruned_join_urgent_items",
+    # The oracle is the PLAIN join: bloom false positives pass the
+    # prefilter but are removed by the exact join, so pruned ≡ plain —
+    # that equality is the correctness contract of join pruning.
+    oracle="""
+SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= DATE '2001-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pruning via a literal packed bloom: the small side's keys
+    are packed into m/64 int64 words (constant ~1 KB driver collect)
+    and the big side is prefiltered by a projection-time membership
+    predicate — zero extra shuffle, filter pushed to the scan. At
+    100 TB this is the explicit-pipeline version of Spark's runtime
+    bloom-filter join pruning: shuffle input drops by the join
+    selectivity before the exchange, not after."""
+    from web_analytics_visits_re_processing_spark.operators.bloom import (
+        bloom_member_expr,
+        bloom_words,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+    )
+    words = bloom_words(urgent, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        bloom_member_expr(words, F.col("l_orderkey"))
+    )
+    return (
+        li.join(urgent.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("order_month")
+    )
