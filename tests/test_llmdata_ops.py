@@ -369,3 +369,51 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
     }
     assert fps[0] & fps[1], "shared substring must share a fingerprint"
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_duplicated_ngram_spans_planted(spark):
+    """Two docs share an exact 6-token run (planted); a third doc is
+    all-unique tokens. The shared run must come back as ONE merged
+    span covering exactly those 6 tokens in both docs (the three
+    overlapping duplicated 4-grams merge), and the unique doc must
+    not appear."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 {shared} u4 u5"),
+            (2, f"v1 {shared} v2 v3 v4 v5"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_spans(docs, n=4).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1: tokens 4..9 are the shared run; doc 2: tokens 2..7
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 6
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 6
+    assert out[1]["dup_frac_e4"] == 6 * 10000 // 11
+
+
+def test_duplicated_ngram_spans_internal_repetition(spark):
+    """A single doc repeating its own 4-gram counts (corpus count ≥ 2
+    within one document — the Lee et al. semantics), and disjoint
+    duplicated regions stay separate spans."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x1 x2 x3 x4 x5 a b c d")],
+        "doc_id long, text string",
+    )
+    rows = duplicated_ngram_spans(docs, n=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_spans"] == 2 and r["dup_tokens"] == 8

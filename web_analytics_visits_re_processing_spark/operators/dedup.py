@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from web_analytics_visits_re_processing_spark.functions.text import (
     exact_fingerprint,
     hash64,
+    tokens,
     word_ngrams,
 )
 
@@ -510,4 +511,86 @@ def simhash_near_dup_pairs(
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.where(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )
+
+
+# --- exact duplicated-substring spans (Lee et al. 2022 shape) -----------------
+
+def duplicated_ngram_spans(
+    docs: DataFrame, n: int = 4, min_count: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document merged spans of tokens covered by any n-gram that
+    occurs ≥ min_count times in the WHOLE corpus — the distributed
+    fixed-length approximation of exact-substring training-data dedup
+    (Lee et al. 2022 use suffix arrays on one machine; a fixed n with
+    a gram-hash shuffle is the standard horizontally-scalable shape:
+    every length-≥n duplicated substring is exactly the union of its
+    duplicated n-gram windows, which is what the span merge computes).
+
+    Shape: gram hashes built array-side (one ``transform`` per doc —
+    tokens never explode), ONE shuffle keyed on the 60-bit gram hash
+    to find global duplicates, one membership join back, then a
+    per-doc window pass (gaps-and-islands: running-max end, island =
+    cumsum of gap starts) that merges overlapping-or-adjacent windows
+    into maximal spans. Output is quadratic in nothing — ≤ one row
+    per (doc, maximal span).
+
+    Returns one row per doc that has ≥ 1 duplicated span:
+    ``doc_id, n_tokens, n_spans, dup_tokens, dup_frac_e4`` (the
+    fraction ships as integer-division basis points — float-free)."""
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        F.col(id_col), toks.alias("toks")
+    ).where(F.size("toks") >= n)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: hash64(F.array_join(F.slice(F.col("toks"), i, n), " ")),
+    )
+    g = d.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(gram_hashes).alias("p", "h"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("p") + 1).alias("start"),
+        (F.col("p") + n).alias("end"),
+        "h",
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+    hits = g.join(dup, "h").select(id_col, "n_tokens", "start", "end")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("end").over(w_prev)
+    is_new = (
+        prev_end.isNull() | (F.col("start") > prev_end + 1)
+    ).cast("int")
+    isl = hits.withColumn("island", F.sum(is_new).over(w_run))
+    spans = isl.groupBy(id_col, "island").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("start").alias("s"),
+        F.max("end").alias("e"),
+    )
+    return spans.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        "dup_tokens",
+        F.expr("dup_tokens * 10000 div n_tokens").alias("dup_frac_e4"),
     )

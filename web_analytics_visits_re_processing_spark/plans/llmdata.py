@@ -1465,3 +1465,74 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "dup_ngram_spans",
+    # Full SQL replay of the span pipeline: gram hashes (portable),
+    # global count >= 2, membership join back, gaps-and-islands merge
+    # of overlapping-or-adjacent windows, integer-division basis
+    # points. DuckDB list slice toks[i:i+3] is 1-based INCLUSIVE-end
+    # (4 tokens) == Spark slice(toks, i, 4).
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+    SELECT doc_id, toks, len(toks) AS n_tokens,
+           UNNEST(range(1, GREATEST(len(toks) - 2, 1))) AS i
+    FROM t WHERE len(toks) >= 4
+),
+g AS (
+    SELECT doc_id, n_tokens, i AS start, i + 3 AS e,
+           ('0x' || substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT AS h
+    FROM idx
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.n_tokens, g.start, g.e FROM g JOIN dup USING (h)),
+marked AS (
+    SELECT *,
+           MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_end
+    FROM hits
+),
+isl AS (
+    SELECT *,
+           SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens, island,
+           MIN(start) AS s, MAX(e) AS e
+    FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       n_tokens,
+       COUNT(*) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(CAST(SUM(e - s + 1) AS BIGINT) * 10000 // n_tokens AS BIGINT)
+           AS dup_frac_e4
+FROM spans
+GROUP BY doc_id, n_tokens
+""",
+)
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (operators/dedup.py,
+    duplicated_ngram_spans): which token ranges of each document are
+    covered by a 4-gram occurring ≥2 times corpus-wide — the
+    train-data dedup signal of Lee et al. 2022, in its horizontally
+    scalable fixed-n form (one gram-hash shuffle + one membership
+    join + a per-doc window pass; nothing quadratic, tokens never
+    leave their documents)."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(docs, n=4)
