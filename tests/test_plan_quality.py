@@ -228,3 +228,11 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_filter_flags_zero_shuffle(spark, sf_dir):
+    """The whole Gopher battery (incl. the top-token repetition gate)
+    is array-side projection work — no exchange at all."""
+    plan = _plan(spark, "quality_filter_flags", sf_dir)
+    assert _exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1536,3 +1536,99 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_ngram_spans(docs, n=4)
+
+
+@query(
+    "quality_filter_flags",
+    # Every flag is integer arithmetic (mean-word-length and ratio
+    # thresholds cross-multiplied instead of divided), so the whole
+    # battery is exact — no float compare anywhere.
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           lc,
+           len(list_distinct(toks)) AS n_distinct,
+           len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+               AS n_stop,
+           list_max(list_transform(list_distinct(toks),
+               d -> len(list_filter(toks, x -> x = d)))) AS top_tok
+    FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       (n_tokens BETWEEN 20 AND 1000) AS wc_ok,
+       (3 * n_tokens <= lc - n_tokens + 1
+        AND lc - n_tokens + 1 <= 10 * n_tokens) AS mwl_ok,
+       (n_distinct * 10 >= n_tokens * 3) AS ttr_ok,
+       (top_tok * 5 <= n_tokens) AS rep_ok,
+       (n_stop * 10 <= n_tokens * 4) AS stop_ok,
+       ((n_tokens BETWEEN 20 AND 1000)
+        AND 3 * n_tokens <= lc - n_tokens + 1
+        AND lc - n_tokens + 1 <= 10 * n_tokens
+        AND n_distinct * 10 >= n_tokens * 3
+        AND top_tok * 5 <= n_tokens
+        AND n_stop * 10 <= n_tokens * 4) AS keep
+FROM m
+""",
+)
+def q_quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter battery (Rae et al. 2021 §A1.1 /
+    C4 Raffel et al. 2020): per-doc named boolean gates — word count
+    in [20, 1000], mean word length in [3, 10], type-token ratio
+    ≥ 0.3, most-common-token fraction ≤ 0.2 (the repetitiousness
+    gate), stopword fraction ≤ 0.4 — and the conjunctive keep bit.
+
+    Scale shape: everything including the top-token count is computed
+    ARRAY-SIDE per document (transform over distinct tokens — O(n·d)
+    per doc for bounded doc lengths) so the battery is a pure
+    zero-shuffle projection; the alternative explode→groupBy form
+    costs a corpus-wide shuffle to learn the same per-doc number.
+    Thresholds cross-multiplied into integer comparisons — exact, no
+    float compare in the gate."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        STOPWORDS,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        F.length("text").alias("lc"),
+    )
+    n = F.col("n_tokens")
+    mwl_lo = 3 * n <= F.col("lc") - n + 1
+    mwl_hi = F.col("lc") - n + 1 <= 10 * n
+    flags = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.col("lc"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(
+            F.filter("toks", lambda x: x.isin(*STOPWORDS["en"]))
+        ).alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda dtok: F.size(F.filter("toks", lambda x: x == dtok)),
+            )
+        ).alias("top_tok"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        n.between(20, 1000).alias("wc_ok"),
+        (mwl_lo & mwl_hi).alias("mwl_ok"),
+        (F.col("n_distinct") * 10 >= n * 3).alias("ttr_ok"),
+        (F.col("top_tok") * 5 <= n).alias("rep_ok"),
+        (F.col("n_stop") * 10 <= n * 4).alias("stop_ok"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("wc_ok") & F.col("mwl_ok") & F.col("ttr_ok")
+        & F.col("rep_ok") & F.col("stop_ok"),
+    )
