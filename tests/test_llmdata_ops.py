@@ -417,3 +417,53 @@ def test_duplicated_ngram_spans_internal_repetition(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_spans"] == 2 and r["dup_tokens"] == 8
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three tight, well-separated planted clusters; ids are laid out
+    so the deterministic LCG init (ids 0, 37, 74 are the 3 smallest
+    hashes in 0..89) seeds one centroid in each planted cluster —
+    after one Lloyd round the planted partition is recovered exactly.
+    (The fixture embeddings table's `label` column is NOT geometric —
+    1-NN label accuracy there is chance level — so recovery is pinned
+    on planted data instead.)"""
+    from web_analytics_visits_re_processing_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    centers = {0: (10.0, 0.0, 0.0), 1: (0.0, 10.0, 0.0), 2: (0.0, 0.0, 10.0)}
+    # ids 0..29 -> planted 0, 30..59 -> planted 1, 60..89 -> planted 2
+    # except we place the init ids 0/37/74 in distinct planted clusters
+    # (they already are: 0->0, 37->1, 74->2).
+    rows = []
+    for i in range(90):
+        planted = i // 30
+        cx, cy, cz = centers[planted]
+        j = (i % 7) * 0.01  # small deterministic jitter
+        rows.append((i, [cx + j, cy - j, cz + 2 * j], planted))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    assigned = kmeans_assign(emb, k=3, n_updates=1).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    # every kmeans cluster maps 1:1 onto a planted cluster
+    per = assigned.groupBy("cluster", "label").count().collect()
+    assert len(per) == 3, per
+    assert all(r["count"] == 30 for r in per), per
+
+
+def test_kmeans_identical_points_collapse_to_one_cluster(spark):
+    """All-identical inputs: every init centroid coincides, ties all
+    break to cid 0, the update drops the empty clusters, and the
+    final assignment is a single surviving cluster."""
+    from web_analytics_visits_re_processing_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [0.25, -0.5, 0.125]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_assign(emb, k=3, n_updates=1).collect()
+    assert {r["cluster"] for r in rows} == {0}

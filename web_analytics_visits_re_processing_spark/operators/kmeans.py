@@ -1,0 +1,121 @@
+"""Distributed k-means (Lloyd) over embedding columns — INTEGER-EXACT
+so every iteration is bit-reproducible across engines and runs.
+
+The float hazard in distributed k-means is that centroid means are
+float sums whose value depends on reduction order, so two runs (or
+two engines) can flip a boundary assignment and diverge. This
+implementation removes floats from the state entirely:
+
+- vectors are quantized once to int64 micro-units
+  (``floor(x · 1e6)`` — exact on IEEE doubles in any engine);
+- distances are exact int64 sums of squared component diffs
+  (≤ 64 · (2·10^6)^2 ≈ 2.6e14, well inside int64);
+- centroid updates are ``floor(sum / count)`` with the division done
+  on exact-in-double integers (component sums stay < 2^53 up to
+  ~10^9 rows per cluster; past that, split the mean hierarchically);
+- ties break toward the smaller centroid id (struct ordering).
+
+Scale shape per iteration: assignment is a pure projection against
+k·dim centroid literals (the same bounded-model-parameter contract as
+the IVF centroids — no shuffle, no join), and the update is
+posexplode → groupBy(cluster, pos) whose map-side partial aggregation
+means the shuffle carries ≤ k·dim rows per partition — constant in
+corpus size. The driver holds exactly k·dim ints between iterations.
+
+Init is the fixed-budget LCG-hash sample shared with the IVF operator
+(``similarity.centroid_rank_hash``): deterministic, O(k·dim) driver
+state, replayed verbatim in the SQL oracle. Empty clusters are
+DROPPED at the update (the surviving centroid set is the means of
+non-empty cells), which the oracle mirrors naturally.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.operators.similarity import (
+    centroid_rank_hash,
+)
+
+QUANT_SCALE = 1_000_000.0
+
+
+def quantize_vec(vec: Column) -> Column:
+    """float array → exact int64 micro-units (floor, not round: floor
+    of an IEEE double is unambiguous in every engine)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long")
+    )
+
+
+def _sqdist(q: Column, cent: list[int]) -> Column:
+    c = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest centroid per row — pure projection, zero shuffle.
+    struct(d, cid) under array_min ⇒ min distance, tie → smaller cid."""
+    structs = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col("q"), c).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return pts.withColumn("cluster", F.array_min(structs)["cid"])
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 10,
+    n_updates: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's algorithm, ``n_updates`` update rounds, returning the
+    final assignment ``(id, cluster)`` under the last centroid set."""
+    pts = emb.select(id_col, quantize_vec(F.col(vec_col)).alias("q"))
+    init_rows = (
+        pts.orderBy(centroid_rank_hash(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    # cid 0..k-1 in id order of the sampled rows (matches the oracle's
+    # row_number() OVER (ORDER BY vec_id) - 1); clusters KEEP their cid
+    # across updates (an empty cluster drops out without renumbering
+    # the survivors).
+    cents = [
+        (cid, list(r["q"]))
+        for cid, r in enumerate(sorted(init_rows, key=lambda r: r[id_col]))
+    ]
+    for _ in range(n_updates):
+        assigned = _assign(pts, cents)
+        rows = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        sizes: dict[int, int] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["s"]
+            sizes[r["cluster"]] = r["n"]
+        # floor(sum / count) on exact-in-double integers — identical to
+        # the oracle's FLOOR(SUM(v)::DOUBLE / COUNT(*)); empty clusters
+        # simply have no rows and drop out.
+        cents = [
+            (cid, [int(math.floor(comp[p] / sizes[cid])) for p in sorted(comp)])
+            for cid, comp in sorted(by_cluster.items())
+        ]
+    return _assign(pts, cents).select(id_col, "cluster")

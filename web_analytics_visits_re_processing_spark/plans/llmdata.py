@@ -1632,3 +1632,80 @@ def q_quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wc_ok") & F.col("mwl_ok") & F.col("ttr_ok")
         & F.col("rep_ok") & F.col("stop_ok"),
     )
+
+
+# k-means distance in SQL: exact int64 squared L2 over the quantized
+# vectors (list_zip + numeric struct index; every partial sum is far
+# below 2^53, so list_sum's order is irrelevant).
+_KM_DIST = (
+    "CAST(list_sum(list_transform(list_zip({q}, {c}),"
+    " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+)
+
+KMEANS_ORACLE = f"""
+WITH pts AS (
+    SELECT vec_id,
+           [CAST(FLOOR(x * 1000000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+    FROM embeddings
+),
+init AS (
+    SELECT vec_id, q FROM pts
+    ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id
+    LIMIT 10
+),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c FROM init
+),
+d1 AS (
+    SELECT p.vec_id, c0.cid, {_KM_DIST.format(q="p.q", c="c0.c")} AS d
+    FROM pts p CROSS JOIN c0
+),
+a1 AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+expl AS (
+    SELECT a1.cluster AS cid, UNNEST(list_zip(p.q, range(64))) AS s
+    FROM a1 JOIN pts p USING (vec_id)
+),
+upd AS (
+    SELECT cid, s[2] AS pos,
+           CAST(FLOOR(CAST(SUM(s[1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM expl GROUP BY cid, s[2]
+),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM upd GROUP BY cid),
+d2 AS (
+    SELECT p.vec_id, c1.cid, {_KM_DIST.format(q="p.q", c="c1.c")} AS d
+    FROM pts p CROSS JOIN c1
+),
+a2 AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2
+    ) WHERE rn = 1
+)
+SELECT vec_id, cluster FROM a2
+"""
+
+
+@query("kmeans_embedding_clusters", oracle=KMEANS_ORACLE)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact distributed k-means (operators/kmeans.py): one
+    Lloyd update round over the quantized embeddings, k=10, LCG-hash
+    deterministic init. The ENTIRE iterative algorithm — init sample,
+    both assignment passes, the centroid mean update — is replayed
+    verbatim in the SQL oracle, which is only possible because the
+    state is integer end-to-end (float means would diverge on
+    reduction order). Per-iteration cost: a zero-shuffle literal
+    projection for assignment + a shuffle carrying ≤ k·dim rows per
+    partition for the update."""
+    from web_analytics_visits_re_processing_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=10, n_updates=1)
