@@ -66,3 +66,50 @@ def test_nonconvergence_raises(spark):
     edges = _edges(spark, list(zip(ids, ids[1:])))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iterations=3)
+
+
+def test_pagerank_matches_pure_python_simulation(spark):
+    """The integer-exact rank update is simple enough to simulate in
+    plain Python — the distributed loop must agree exactly, edge for
+    edge, iteration for iteration."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        pagerank_scaled,
+    )
+
+    edges = [
+        (1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1), (4, 1, 5), (2, 4, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_e6"]
+        for r in pagerank_scaled(df, n_iter=3).collect()
+    }
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    wout = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        nxt = {n: 150_000 for n in nodes}
+        for s, d, w in edges:
+            nxt[d] += (r[s] * 85 * w) // (100 * wout[s])
+        r = nxt
+    assert got == r
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    """A node every other node points at must out-rank the spokes."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        pagerank_scaled,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 99, 1) for i in range(1, 6)] + [(99, 1, 1)],
+        "src long, dst long, w long",
+    )
+    ranks = {
+        r["node"]: r["rank_e6"]
+        for r in pagerank_scaled(df, n_iter=3).collect()
+    }
+    assert ranks[99] == max(ranks.values())

@@ -303,3 +303,80 @@ def q_bounce_rate_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(bounce / F.count(F.lit(1)), 4).alias("bounce_rate"),
         )
     )
+
+
+# One PageRank iteration in SQL (shared template): ranks {rin} → {rout}
+# over the edge CTE `e` (src, dst, w, wout) and node CTE `nodes`.
+_PR_ITER = """
+{rout} AS (
+    SELECT n.node,
+           CAST(150000 + COALESCE(SUM(({rin}.r * 85 * e.w) // (100 * e.wout)), 0)
+                AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN e ON e.dst = n.node
+    LEFT JOIN {rin} ON {rin}.node = e.src
+    GROUP BY n.node
+)"""
+
+PAGERANK_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+),
+tr AS (
+    SELECT LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           k AS dst
+    FROM seq
+),
+edges AS (
+    SELECT src, dst, COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst FROM edges
+),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+e AS (
+    SELECT edges.src, edges.dst, CAST(edges.w AS BIGINT) AS w, outw.wout
+    FROM edges JOIN outw USING (src)
+),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{_PR_ITER.format(rin="r0", rout="r1")},
+{_PR_ITER.format(rin="r1", rout="r2")},
+{_PR_ITER.format(rin="r2", rout="r3")}
+SELECT node, r AS rank_e6 FROM r3
+"""
+
+
+@query("pagerank_prop_transitions", oracle=PAGERANK_ORACLE)
+def q_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the per-user event-property transition graph
+    (operators/graph.py, pagerank_scaled): edges are consecutive
+    events' props.k values per user (lag over ONE user-keyed
+    exchange), aggregated to a weighted 100-node graph; 3 iterations
+    of the integer-exact rank update. The whole iterative algorithm
+    — edge build, out-strength, every rank round — replays as
+    unrolled SQL CTEs, which only works because the rank state is
+    int64 millionths (float contributions would diverge on shuffle
+    summation order)."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        pagerank_scaled,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    tr = seq.select(F.lag("k").over(w).alias("src"), F.col("k").alias("dst"))
+    edges = (
+        tr.where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_scaled(edges, n_iter=3)
