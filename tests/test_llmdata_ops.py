@@ -467,3 +467,49 @@ def test_kmeans_identical_points_collapse_to_one_cluster(spark):
     )
     rows = kmeans_assign(emb, k=3, n_updates=1).collect()
     assert {r["cluster"] for r in rows} == {0}
+
+
+def test_pq_adc_retrieves_within_planted_cluster(spark):
+    """PQ's contract on clustered data: with well-separated planted
+    clusters, every ADC top-k neighbor of a query comes from the
+    query's own cluster (cross-cluster ADC distance dwarfs the
+    quantization error inside one)."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    centers = {0: (10.0, 0.0, 0.0, -5.0), 1: (0.0, 10.0, -5.0, 0.0),
+               2: (-5.0, 0.0, 10.0, 5.0)}
+    rows = []
+    for i in range(90):
+        planted = i // 30
+        c = centers[planted]
+        j = (i % 7) * 0.01
+        vec = [c[d % 4] + j * ((d % 3) - 1) for d in range(64)]
+        rows.append((i, vec, planted))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.where(F.col("vec_id").isin(0, 30, 60))
+    books = pq_codebooks(emb)
+    got = pq_adc_topk(emb, queries, books, k=5).join(
+        emb.select(F.col("vec_id"), F.col("label").alias("n_label")), "vec_id"
+    )
+    bad = got.where((F.col("query_id") / 30).cast("int") != F.col("n_label"))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_pq_encode_zero_shuffle(spark, sf_dir):
+    """Encode is a pure projection against codebook literals."""
+    import re
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["pq_encode_codes"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.findall(r"Exchange (?:hash|range|Single)", plan), plan

@@ -1709,3 +1709,108 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=10, n_updates=1)
+
+
+# PQ shared SQL pieces: quantized points, the 16-row LCG codebook
+# sample split into 8 contiguous subspaces of 8 dims, and per-(vec,
+# subspace) code assignment by exact int64 subvector distance.
+_PQ_BASE_CTE = """
+pts AS (
+    SELECT vec_id,
+           [CAST(FLOOR(x * 1000000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+    FROM embeddings
+),
+init AS (
+    SELECT vec_id, q FROM pts
+    ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id
+    LIMIT 16
+),
+books AS (
+    SELECT row_number() OVER (PARTITION BY s.range ORDER BY i.vec_id) - 1 AS code,
+           s.range AS sub,
+           i.q[s.range * 8 + 1 : s.range * 8 + 8] AS cb
+    FROM init i, range(8) s
+),
+codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT p.vec_id, b.sub, b.code,
+               row_number() OVER (
+                   PARTITION BY p.vec_id, b.sub
+                   ORDER BY CAST(list_sum(list_transform(
+                       list_zip(p.q[b.sub * 8 + 1 : b.sub * 8 + 8], b.cb),
+                       s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT),
+                       b.code
+               ) AS rn
+        FROM pts p CROSS JOIN books b
+    ) WHERE rn = 1
+)
+"""
+
+PQ_ENCODE_ORACLE = f"""
+WITH {_PQ_BASE_CTE}
+SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code FROM codes
+"""
+
+PQ_ADC_ORACLE = f"""
+WITH {_PQ_BASE_CTE},
+qd AS (
+    SELECT p.vec_id AS query_id, b.sub, b.code,
+           CAST(list_sum(list_transform(
+               list_zip(p.q[b.sub * 8 + 1 : b.sub * 8 + 8], b.cb),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS d
+    FROM pts p CROSS JOIN books b
+    WHERE p.vec_id < 10
+),
+cand AS (
+    SELECT qd.query_id, c.vec_id,
+           CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+    FROM codes c
+    JOIN qd ON qd.sub = c.sub AND qd.code = c.code
+    GROUP BY qd.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id
+    ) AS rank
+    FROM cand
+) WHERE rank <= 5
+"""
+
+
+@query("pq_encode_codes", oracle=PQ_ENCODE_ORACLE)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/pq.py): every embedding
+    compressed to 8 subspace codes (32× smaller than float32) by a
+    zero-shuffle argmin projection against the deterministic sampled
+    codebooks. Integer-exact end to end, so the code assignment —
+    normally an implementation-specific artifact — is hash-gated."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb)
+    enc = pq_encode(emb, books)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
+
+
+@query("pq_adc_topk_neighbors", oracle=PQ_ADC_ORACLE)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ-compressed corpus: queries precompute an
+    8×16 distance table (a projection on the broadcast query side);
+    each candidate costs 8 table lookups instead of a 64-dim dot
+    product and reads the 8-byte code row instead of the 256-byte
+    vector — the memory/compute trade that makes billion-vector ANN
+    feasible. The full approximate ranking is hash-gated (exact
+    integer ADC distances)."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb)
+    return pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), books, k=5)
