@@ -58,6 +58,15 @@ HEADLINE = [
     "argmax_event_per_user",
     "gap_fill_hourly_counts",
     "cdc_merge_latest_state",
+    # round-4 additions (driver round r03)
+    "sql_q5_regional_supplier_volume",
+    "bloom_pruned_join_urgent_items",
+    "hll_distinct_users_estimate",
+    "dup_ngram_spans",
+    "quality_filter_flags",
+    "kmeans_embedding_clusters",
+    "pagerank_prop_transitions",
+    "pq_adc_topk_neighbors",
 ]
 
 

@@ -38,15 +38,24 @@ from web_analytics_visits_re_processing_spark.functions.text import hash64
 DEFAULT_M = 4096  # bits
 DEFAULT_K = 3  # hash functions
 
-
-def _h(key: Column, salt: str) -> Column:
-    return hash64(F.concat_ws("|", F.lit(salt), key))
+# MINSTD-style constants for the pure-integer double hash. The md5
+# portable hash costs ~3.5 µs/row (conv hex→dec dominates, not md5) —
+# per-row noise for sketches probed once per key, but the bloom
+# prefilter runs on EVERY big-side row of a join, where integer
+# multiply-mod is ~free and equally replayable in any SQL engine.
+_MERS31 = 2147483647  # 2^31 - 1 (prime)
+_A1, _A2 = 48271, 69621
 
 
 def bloom_positions(key: Column, k: int = DEFAULT_K, m: int = DEFAULT_M) -> list[Column]:
-    """k bit positions for a key (double hashing; h1, h2 < 2^60 so
-    h1 + (k-1)·h2 stays well inside int64)."""
-    h1, h2 = _h(key, "b1"), _h(key, "b2")
+    """k bit positions for an INTEGRAL key — Kirsch–Mitzenmacher
+    double hashing from two multiply-mod-prime mixes (h2 odd-ified so
+    it never degenerates). String keys: pre-hash with
+    ``functions.text.hash64`` and pass the int. ``(key % p)·A`` and
+    ``h1 + (k-1)·h2`` stay far inside int64 (no ANSI overflow)."""
+    kk = F.pmod(key.cast("long"), F.lit(_MERS31))
+    h1 = F.pmod(kk * _A1, F.lit(_MERS31))
+    h2 = F.pmod(kk * _A2, F.lit(_MERS31)) * 2 + 1
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
 
 
@@ -54,7 +63,7 @@ def bloom_build(
     df: DataFrame, key_col: str, k: int = DEFAULT_K, m: int = DEFAULT_M
 ) -> DataFrame:
     """The filter itself: distinct set positions, ≤ m rows."""
-    key = F.col(key_col).cast("string")
+    key = F.col(key_col)
     return (
         df.select(F.explode(F.array(*bloom_positions(key, k, m))).alias("pos"))
         .distinct()
@@ -70,7 +79,7 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership for ``keys``: ``maybe_present`` iff all k positions
     are set. Bloom side broadcasts (≤ m rows by construction)."""
-    key = F.col(key_col).cast("string")
+    key = F.col(key_col)
     probes = keys.select(
         F.col(key_col),
         F.explode(F.array(*bloom_positions(key, k, m))).alias("pos"),
@@ -117,7 +126,7 @@ def bloom_member_expr(
     filter — no join, no shuffle; Catalyst pushes it to the scan."""
     arr = F.array(*[F.lit(w).cast("long") for w in words])
     cond = F.lit(True)
-    for pos in bloom_positions(key.cast("string"), k, m):
+    for pos in bloom_positions(key, k, m):
         word = F.element_at(arr, (F.call_function("shiftright", pos, F.lit(6)) + 1).cast("int"))
         bit = F.call_function("shiftright", word, pos.bitwiseAND(63)).bitwiseAND(1)
         cond = cond & (bit == 1)

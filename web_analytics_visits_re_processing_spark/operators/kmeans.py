@@ -51,28 +51,30 @@ def quantize_vec(vec: Column) -> Column:
     )
 
 
-def _sqdist(q: Column, cent: list[int]) -> Column:
-    c = F.array(*[F.lit(int(v)).cast("long") for v in cent])
-    return F.aggregate(
-        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest centroid per row — pure projection, zero shuffle.
-    struct(d, cid) under array_min ⇒ min distance, tie → smaller cid."""
-    structs = F.array(
-        *[
-            F.struct(
-                _sqdist(F.col("q"), c).alias("d"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, c in cents
-        ]
-    )
-    return pts.withColumn("cluster", F.array_min(structs)["cid"])
+    struct(d, cid) under array_min ⇒ min distance, tie → smaller cid.
+
+    Built as ONE HOF expression over the centroid set as a single
+    constant array literal: per-centroid Python Column arithmetic
+    costs a py4j round-trip per node (seconds of driver time), and
+    flat generated arithmetic at this width risks janino-OOM on a
+    default-memory driver — the interpreted HOF fold has neither
+    problem (see operators/pq.py for the full three-form history)."""
+    cents_sql = "array(" + ", ".join(
+        f"named_struct('cid', {int(cid)}L, 'c', array("
+        + ", ".join(f"{int(v)}L" for v in c)
+        + "))"
+        for cid, c in cents
+    ) + ")"
+    expr = f"""
+    array_min(transform({cents_sql}, e ->
+      named_struct(
+        'd', aggregate(zip_with(q, e.c, (a, b) -> (a - b) * (a - b)),
+                       0L, (acc, x) -> acc + x),
+        'cid', e.cid))).cid
+    """
+    return pts.withColumn("cluster", F.expr(expr))
 
 
 def kmeans_assign(

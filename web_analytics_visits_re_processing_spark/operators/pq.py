@@ -16,23 +16,36 @@ never data-proportional), distances are exact int64 sums. That makes
 ENCODE and the full ADC top-k replayable in SQL — the gate no
 float-codebook PQ could pass.
 
+Expression-shape lessons (this operator went through three forms):
+1. m·n_codes separate ``aggregate(zip_with(...))`` Column objects —
+   ~1000 py4j round-trips cost ~9 s of DRIVER time per plan build.
+2. Flat multiply-add arithmetic generated as SQL strings — builds in
+   1 s, but whole-stage codegen emits a source file so large that
+   janino compilation OOMs a default-memory (1 g) driver session.
+3. (current) ONE higher-order-function expression folding over the
+   codebook as a single constant array-of-arrays literal: HOFs are
+   interpreted, so the generated codegen source stays tiny (no janino
+   hazard), and the whole expression is one SQL parse (no py4j storm).
+   Interpretation costs ~1 ms/row — fine for a projection that
+   parallelizes per-partition with zero shuffle.
+
 Scale shape:
 - ``pq_encode`` is a ZERO-SHUFFLE projection: per subspace, argmin
-  over n_codes literal sub-centroids (struct-ordering ties to the
-  smaller code). The output row is (id, m small ints) — the
-  compressed corpus.
+  over n_codes codebook entries (struct-ordering ties to the smaller
+  code). The output row is (id, m small ints) — the compressed corpus.
 - ``pq_adc_topk`` broadcasts the (tiny) query side carrying its
-  precomputed m×n_codes table as an array literal column; candidate
-  scoring is ``m`` array lookups per row (zip_with + aggregate, all
-  codegen); the only exchange is the per-query top-k window over
-  scored rows — identical shape to the exact brute-force scorer, but
-  each row costs m lookups instead of d multiplies and the corpus
-  state read is the 8-byte code row, not the 256-byte vector.
+  precomputed m×n_codes table as an array column; candidate scoring
+  is ``m`` array lookups per row; the only exchange is the per-query
+  top-k window over scored rows (WindowGroupLimit prunes to k per
+  partition before the shuffle) — identical shape to the exact
+  brute-force scorer, but each row costs m lookups instead of d
+  multiplies and the corpus state read is the 8-byte code row, not
+  the 256-byte vector.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from web_analytics_visits_re_processing_spark.operators.kmeans import quantize_vec
@@ -66,17 +79,38 @@ def pq_codebooks(
     ]
 
 
-def _sub(q: Column, s: int) -> Column:
-    return F.slice(q, s * PQ_DSUB + 1, PQ_DSUB)
-
-
-def _subdist(sub: Column, cb: list[int]) -> Column:
-    c = F.array(*[F.lit(int(v)).cast("long") for v in cb])
-    return F.aggregate(
-        F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _books_sql(books: list[list[list[int]]]) -> str:
+    """The whole codebook as one constant array<array<array<bigint>>>
+    literal — constant-folded once, referenced everywhere."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(v)}L" for v in cb) + ")"
+                for cb in books[s]
+            )
+            + ")"
+            for s in range(PQ_M)
+        )
+        + ")"
     )
+
+
+_QUANT_SQL = (
+    "transform({vec}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+
+# exact int64 |sub_s - cb|² between the row's subspace-s slice and one
+# codebook entry (both array<bigint>)
+_SUBDIST_SQL = (
+    "aggregate(zip_with(slice(_q, {s} * {dsub} + 1, {dsub}), {cb},"
+    " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+)
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.selectExpr(id_col, _QUANT_SQL.format(vec=vec_col) + " AS _q")
 
 
 def pq_encode(
@@ -87,24 +121,17 @@ def pq_encode(
 ) -> DataFrame:
     """Compress: ``(id, codes array<int>)`` — nearest sub-centroid per
     subspace, ties to the smaller code. Pure projection, no shuffle."""
-    pts = emb.select(id_col, quantize_vec(F.col(vec_col)).alias("q"))
-    codes = F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _subdist(_sub(F.col("q"), s), cb).alias("d"),
-                            F.lit(c).cast("int").alias("code"),
-                        )
-                        for c, cb in enumerate(books[s])
-                    ]
-                )
-            )["code"]
-            for s in range(PQ_M)
-        ]
+    sub = _SUBDIST_SQL.format(
+        s="s", dsub=PQ_DSUB, cb=f"element_at(element_at({_books_sql(books)}, s + 1), c + 1)"
     )
-    return pts.select(id_col, codes.alias("codes"))
+    codes = f"""
+    transform(sequence(0, {PQ_M - 1}), s ->
+      array_min(transform(sequence(0, {PQ_CODES - 1}), c ->
+        named_struct('d', {sub}, 'code', CAST(c AS INT)))).code)
+    """
+    return _quantized(emb, id_col, vec_col).selectExpr(
+        id_col, f"({codes}) AS codes"
+    )
 
 
 def pq_adc_topk(
@@ -116,25 +143,23 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """ADC top-k: per-query m×n_codes distance table built as a
-    projection on the (broadcast) query side; candidates pay m array
-    lookups each. Output ``(query_id, neighbor id, adc_dist, rank)``."""
+    """ADC top-k: per-query m×n_codes squared-distance table built as
+    a projection on the (broadcast) query side; candidates pay m
+    array lookups each. Output ``(query_id, neighbor, adc_dist,
+    rank)``."""
     codes = pq_encode(emb, books, id_col, vec_col)
-    dtab = F.array(
-        *[
-            F.array(
-                *[
-                    _subdist(_sub(F.col("q"), s), books[s][c])
-                    for c in range(PQ_CODES)
-                ]
-            )
-            for s in range(PQ_M)
-        ]
+    sub = _SUBDIST_SQL.format(
+        s="s", dsub=PQ_DSUB, cb=f"element_at(element_at({_books_sql(books)}, s + 1), c + 1)"
     )
-    qside = queries.select(
-        F.col(id_col).alias(query_id_col),
-        quantize_vec(F.col(vec_col)).alias("q"),
-    ).select(query_id_col, dtab.alias("dtab"))
+    dtab = f"""
+    transform(sequence(0, {PQ_M - 1}), s ->
+      transform(sequence(0, {PQ_CODES - 1}), c -> {sub}))
+    """
+    qside = _quantized(
+        queries.select(F.col(id_col).alias(query_id_col), vec_col),
+        query_id_col,
+        vec_col,
+    ).selectExpr(query_id_col, f"({dtab}) AS dtab")
     scored = codes.join(F.broadcast(qside)).select(
         query_id_col,
         id_col,

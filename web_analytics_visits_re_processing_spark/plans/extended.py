@@ -1220,10 +1220,13 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
-# Portable bloom hash in SQL: h1/h2 from the salted md5 hash, k=3
-# double-hashed positions mod m=4096 (operators/bloom.py).
-_BLOOM_H = (
-    "('0x' || substring(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+# Portable integer bloom hash in SQL (operators/bloom.py): two
+# multiply-mod-prime mixes of the key, k=3 double-hashed positions
+# mod m=4096 — pure int64 arithmetic, no md5/conv per probed row.
+_BLOOM_POS = (
+    "((((({key}) % 2147483647) * 48271) % 2147483647"
+    " + {i} * ((((({key}) % 2147483647) * 69621) % 2147483647) * 2 + 1))"
+    " % 4096)"
 )
 
 
@@ -1233,19 +1236,13 @@ WITH recent AS (
 ),
 bloom AS (
     SELECT DISTINCT
-        (({_BLOOM_H.format(salt="b1", key="o_custkey")}
-          + r.range * {_BLOOM_H.format(salt="b2", key="o_custkey")}) % 4096) AS p
+        {_BLOOM_POS.format(key="o_custkey", i="r.range")} AS p
     FROM recent, range(3) r
 ),
 probe_pos AS (
     SELECT c_custkey, c_mktsegment,
-           ((h1 + r.range * h2) % 4096) AS p
-    FROM (
-        SELECT c_custkey, c_mktsegment,
-               {_BLOOM_H.format(salt="b1", key="c_custkey")} AS h1,
-               {_BLOOM_H.format(salt="b2", key="c_custkey")} AS h2
-        FROM customer
-    ), range(3) r
+           {_BLOOM_POS.format(key="c_custkey", i="r.range")} AS p
+    FROM customer, range(3) r
 ),
 hits AS (
     SELECT pp.c_custkey,
