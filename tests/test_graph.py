@@ -58,14 +58,71 @@ def test_edge_direction_irrelevant(spark):
     assert got == {1: 1, 9: 1}
 
 
-def test_nonconvergence_raises(spark):
-    """A chain longer than max_iterations fails loudly instead of
-    returning partially-propagated (wrong) clusters."""
+def test_deep_chain_escalates_to_star_and_is_correct(spark):
+    """A chain longer than max_iterations escalates to the large-star/
+    small-star finish and still returns the exact components (never a
+    partial answer)."""
     ids = list(range(10))
-    nodes = _nodes(spark, ids)
+    nodes = _nodes(spark, ids + [99])
     edges = _edges(spark, list(zip(ids, ids[1:])))
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, max_iterations=3)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges, max_iterations=3).collect()
+    }
+    assert got == {i: 0 for i in ids} | {99: 99}
+
+
+def test_star_components_long_chain_and_random_graph(spark):
+    """star_components alone: a 120-node chain (diameter 119, far past
+    the simple-propagation default) and a deterministic random graph
+    both match a pure-Python union-find."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        star_components,
+    )
+
+    def uf_components(n_nodes, pairs):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id per component
+        roots = {}
+        for i in range(n_nodes):
+            r = find(i)
+            roots.setdefault(r, i)
+        return {i: roots[find(i)] for i in range(n_nodes)}
+
+    chain = list(zip(range(120), range(1, 120)))
+    got = {
+        r["node"]: r["component"]
+        for r in star_components(_edges(spark, chain)).collect()
+    }
+    assert got == {i: 0 for i in range(120)}
+
+    # LCG-derived pseudo-random graph, fixed seed → deterministic.
+    x, pairs = 1234567, []
+    for _ in range(150):
+        x = (48271 * x) % 2147483647
+        a = x % 80
+        x = (48271 * x) % 2147483647
+        b = x % 80
+        if a != b:
+            pairs.append((a, b))
+    expect = uf_components(80, pairs)
+    touched = {a for a, _ in pairs} | {b for _, b in pairs}
+    got = {
+        r["node"]: r["component"]
+        for r in star_components(_edges(spark, pairs)).collect()
+    }
+    assert got == {i: c for i, c in expect.items() if i in touched}
 
 
 def test_pagerank_matches_pure_python_simulation(spark):

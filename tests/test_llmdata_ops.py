@@ -453,6 +453,30 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert all(r["count"] == 30 for r in per), per
 
 
+def test_kmeans_join_variant_bit_identical_to_literal(spark):
+    """The broadcast-join assignment escalation (>1k centroids) must
+    agree with the literal-HOF path assignment-for-assignment — same
+    exact int64 distances, same (d, cid) tie ordering."""
+    from web_analytics_visits_re_processing_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    rows = []
+    for i in range(60):
+        # deterministic mildly-clustered layout with boundary points
+        rows.append((i, [float((i * 7) % 13) / 3, float((i * 5) % 11) / 4]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=5, n_updates=2, assign_via="literal").collect()
+    }
+    join = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=5, n_updates=2, assign_via="join").collect()
+    }
+    assert lit == join
+
+
 def test_kmeans_identical_points_collapse_to_one_cluster(spark):
     """All-identical inputs: every init centroid coincides, ties all
     break to cid 0, the update drops the empty clusters, and the

@@ -25,16 +25,95 @@ Scale design (the 100 TB question):
   flow, not data movement; the label table itself never leaves the
   executors. This is the same driver-loop shape GraphX/MLlib use for
   iterative algorithms.
-- For graphs with giant components / long chains, the large-star /
-  small-star variant (alternating min over neighbors-plus-self)
-  halves diameter per round; the hook below keeps the simple variant
-  because dedup clusters are shallow.
+- For graphs with giant components / long chains, simple propagation
+  needs O(diameter) rounds. ``connected_components`` therefore runs
+  the cheap variant (1 shuffle/round) for ``max_iterations`` rounds,
+  and on non-convergence CONTRACTS the graph through the labels found
+  so far and finishes the quotient graph with the alternating
+  large-star / small-star algorithm (Kiveris et al. 2014, "Connected
+  Components in MapReduce and Beyond") — O(log d) rounds of two
+  shuffles each, so a 10^6-diameter path graph costs ~20 star rounds
+  instead of 10^6 propagation rounds. Shallow dedup graphs never pay
+  the star machinery; pathological ones converge instead of raising.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge set in canonical orientation ``(a < b)``,
+    self-loops dropped, deduplicated."""
+    a, b = F.col(src_col), F.col(dst_col)
+    return (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One LARGE-STAR round: every node u connects each strictly-larger
+    neighbor to ``min(Γ(u) ∪ {u})``. One groupBy shuffle; output stays
+    canonical (the min is ≤ u < nbr)."""
+    sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    mins = sym.groupBy("node").agg(F.min("nbr").alias("mn"))
+    return (
+        sym.join(mins, "node")
+        .where(F.col("nbr") > F.col("node"))
+        .select(F.least("mn", "node").alias("a"), F.col("nbr").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One SMALL-STAR round: every node connects its smaller neighbors
+    (and itself) to the minimum of those. In canonical ``(a, b)`` form
+    ``b`` is the center and the ``a``s are its smaller neighborhood —
+    one groupBy shuffle, output canonical by construction."""
+    mins = e.groupBy("b").agg(F.min("a").alias("mn"))
+    leaves = (
+        e.join(mins, "b")
+        .where(F.col("a") != F.col("mn"))
+        .select(F.col("mn").alias("a"), F.col("a").alias("b"))
+    )
+    centers = mins.select(F.col("mn").alias("a"), F.col("b"))
+    return leaves.union(centers).distinct()
+
+
+def star_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. 2014): converges in O(log diameter) rounds to a
+    star forest whose centers are the component minima. Returns
+    ``(node, component)`` for every NON-ISOLATED node (callers handle
+    singletons; cf. ``connected_components``). 40 rounds covers any
+    graph that fits in 2^40 nodes — exceeding it means corrupt input,
+    so fail loudly."""
+    e = _canonical_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    if e.isEmpty():
+        return e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        converged = e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
+        e = e2
+        if converged:
+            # Star forest in canonical form: a = center = component
+            # min, b = leaf. Centers label themselves.
+            leaves = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+            centers = e.select(F.col("a").alias("node"), F.col("a").alias("component")).distinct()
+            return leaves.union(centers).distinct()
+    raise RuntimeError(
+        f"star_components did not converge in {max_rounds} rounds"
+    )
 
 
 def connected_components(
@@ -48,10 +127,12 @@ def connected_components(
     """Label every node with the MINIMUM node id reachable from it.
 
     Returns ``(node_col, component)`` — one row per node; singletons
-    (no incident edge) are their own component. Raises ``RuntimeError``
-    if ``max_iterations`` passes without convergence (a diameter that
-    big means the input is not a dedup graph — fail loudly rather
-    than return wrong clusters).
+    (no incident edge) are their own component. If ``max_iterations``
+    simple-propagation rounds don't converge (component diameter >
+    cap), the graph is contracted through the labels found so far and
+    the quotient graph is finished with the O(log d) large-star/
+    small-star algorithm — correct clusters either way, never a
+    partial answer.
     """
     sym = (
         edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
@@ -87,11 +168,30 @@ def connected_components(
             labels = new_labels.drop("_changed")
             if converged:
                 return labels.select(F.col("node").alias(node_col), "component")
+        # Diameter exceeds the propagation budget. Every simple round
+        # contracted distance ≥1, so the QUOTIENT graph (edges mapped
+        # through current labels, self-loops dropped) is far smaller
+        # than the input; finish it with the star algorithm and map
+        # the composition back: final(u) = star(label(u)).
+        la = labels.select(F.col("node").alias("_na"), F.col("component").alias("_ca"))
+        lb = labels.select(F.col("node").alias("_nb"), F.col("component").alias("_cb"))
+        q_edges = (
+            sym.join(la, sym["node"] == la["_na"])
+            .join(lb, sym["nbr"] == lb["_nb"])
+            .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"))
+        )
+        star = star_components(q_edges).select(
+            F.col("node").alias("_q"), F.col("component").alias("_qc")
+        )
+        return (
+            labels.join(star, labels["component"] == star["_q"], "left")
+            .select(
+                F.col("node").alias(node_col),
+                F.coalesce(F.col("_qc"), F.col("component")).alias("component"),
+            )
+        )
     finally:
         sym.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} iterations"
-    )
 
 
 def dedup_components(

@@ -77,15 +77,62 @@ def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     return pts.withColumn("cluster", F.expr(expr))
 
 
+def _assign_join(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """JOIN-based nearest-centroid assignment — the escalation path for
+    centroid sets past the literal expression tree's comfort zone
+    (~1k; same contract as ``similarity.cosine_topk_ivf_join``):
+    centroids ride a broadcast DataFrame instead of a plan literal, so
+    plan size stays constant in k. Distances are the SAME exact int64
+    squared-L2; ``min_by`` over ``struct(d, cid)`` reproduces
+    ``array_min``'s (min d, tie → smaller cid) ordering bit for bit,
+    so both variants share one oracle.
+
+    The trade vs ``_assign``: the literal path assigns with zero
+    shuffle; this path pays one corpus-sized shuffle for the
+    ``groupBy(id)`` argmin reduction (map-side combine → one row per
+    corpus row per partition) but never grows the plan or the driver
+    beyond the k·dim model state."""
+    spark = pts.sparkSession
+    cents_df = spark.createDataFrame(
+        [(int(cid), [int(v) for v in c]) for cid, c in cents],
+        "_cid long, _c array<long>",
+    )
+    d = F.aggregate(
+        F.zip_with("q", "_c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    other = [c for c in pts.columns if c != "q"]
+    pref = F.struct(F.col("_d").alias("d"), F.col("_cid").alias("cid"))
+    return (
+        pts.crossJoin(F.broadcast(cents_df))
+        .withColumn("_d", d)
+        .groupBy(*other)
+        .agg(
+            F.first("q").alias("q"),
+            F.min_by(F.col("_cid"), pref).alias("cluster"),
+        )
+    )
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 10,
     n_updates: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_via: str = "auto",
 ) -> DataFrame:
     """Lloyd's algorithm, ``n_updates`` update rounds, returning the
-    final assignment ``(id, cluster)`` under the last centroid set."""
+    final assignment ``(id, cluster)`` under the last centroid set.
+
+    ``assign_via``: ``"literal"`` (zero-shuffle HOF projection),
+    ``"join"`` (broadcast-join argmin — constant plan size, the >1k-
+    centroid path), or ``"auto"`` (literal up to 1000 centroids, join
+    beyond). Both produce bit-identical assignments."""
+    if assign_via == "auto":
+        assign_via = "literal" if k <= 1000 else "join"
+    assign = _assign if assign_via == "literal" else _assign_join
     pts = emb.select(id_col, quantize_vec(F.col(vec_col)).alias("q"))
     init_rows = (
         pts.orderBy(centroid_rank_hash(F.col(id_col)).asc(), F.col(id_col).asc())
@@ -101,7 +148,7 @@ def kmeans_assign(
         for cid, r in enumerate(sorted(init_rows, key=lambda r: r[id_col]))
     ]
     for _ in range(n_updates):
-        assigned = _assign(pts, cents)
+        assigned = assign(pts, cents)
         rows = (
             assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -120,4 +167,4 @@ def kmeans_assign(
             (cid, [int(math.floor(comp[p] / sizes[cid])) for p in sorted(comp)])
             for cid, comp in sorted(by_cluster.items())
         ]
-    return _assign(pts, cents).select(id_col, "cluster")
+    return assign(pts, cents).select(id_col, "cluster")

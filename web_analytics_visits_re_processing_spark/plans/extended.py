@@ -277,7 +277,10 @@ GROUP BY user_id
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set → sort_array → join: deterministic ordered
     collection (raw collect_list order is partition-dependent — always
-    sort before comparing or emitting)."""
+    sort before comparing or emitting). Whale-key safe: the set is
+    bounded by the EVENT-TYPE DOMAIN (≤5 distinct values), not by a
+    user's row count, and dedup happens in the map-side partial
+    aggregate — a 10^6-hit bot user still contributes ≤5 elements."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.where(F.col("user_id") < 20)

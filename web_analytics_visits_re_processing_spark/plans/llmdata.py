@@ -1196,10 +1196,13 @@ FROM scored WHERE rnk <= 3
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF with top-3 terms per document. Shape at scale:
     token explode → two hash aggs (term counts ride map-side partial
-    aggregation; vocabulary ≪ corpus), document-frequency table joined
-    back BROADCAST (a vocabulary fits in memory at any corpus size —
-    it grows sub-linearly), N as a broadcast scalar, then one
-    per-doc-partitioned window for the top-k."""
+    aggregation), document-frequency table joined back on ``term``
+    with NO forced broadcast — at 100 TB of web text the unique-token
+    table (typos, URLs, hex blobs) is billions of rows, so the hint
+    must stay with AQE, which promotes the join to broadcast at
+    runtime exactly when the measured vocabulary is actually small.
+    N rides as a broadcast scalar (1 row), then one per-doc-partitioned
+    window takes the top-k."""
     docs = _docs(spark, sf_dir)
     terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1211,7 +1214,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tfc.join(F.broadcast(dfc), "term")
+        tfc.join(dfc, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -1709,6 +1712,23 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=10, n_updates=1)
+
+
+@query("kmeans_embedding_clusters_join", oracle=KMEANS_ORACLE)
+def q_kmeans_clusters_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >1k-centroid escalation path for k-means assignment
+    (``operators/kmeans.py::_assign_join``): centroids ride a
+    broadcast DataFrame and the argmin is a ``min_by`` groupBy instead
+    of a plan-literal HOF fold — constant plan size in k, one
+    map-side-combined corpus shuffle per assignment. Bit-identical to
+    the literal path (same exact int64 distances, same tie ordering),
+    so it is gated on the SAME unrolled SQL oracle."""
+    from web_analytics_visits_re_processing_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=10, n_updates=1, assign_via="join")
 
 
 # PQ shared SQL pieces: quantized points, the 16-row LCG codebook

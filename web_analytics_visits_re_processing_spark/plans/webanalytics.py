@@ -230,37 +230,41 @@ SELECT path, COUNT(*)::BIGINT AS n FROM grams GROUP BY path
 """,
 )
 def q_session_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session path mining: per 30-min session, the ordered event-type
-    sequence, exploded into overlapping 3-step paths and counted
-    corpus-wide. Sessionization + per-session collect ride ONE
-    user-keyed exchange (collect_list is sorted post-hoc — raw
-    collect order is partition-dependent); the trigram explode is
-    per-row; the final count is a low-cardinality hash agg (≤125
+    """Session path mining: per 30-min session, overlapping 3-step
+    event-type paths counted corpus-wide. Trigrams come from ``lead``
+    windows over the SAME user-keyed exchange the sessionizer already
+    paid — each row pairs with its next two same-session events, so no
+    per-session array is ever materialized (a bot user with 10^6 hits
+    previously produced one giant ``collect_list`` row — the
+    reference's own mega-session OOM, ``main.py:115-119``, in
+    miniature; with ``lead`` the whale key costs nothing beyond its
+    row count). The final count is a low-cardinality hash agg (≤125
     distinct paths at 5 event types)."""
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
     hits = with_session_columns(
         ev, "user_id", "ts", 1800, order_cols=["event_id"]
     )
-    paths = hits.groupBy("user_id", "session_seq").agg(
-        F.array_sort(
-            F.collect_list(F.struct("ts", "event_id", "event_type"))
-        ).alias("seq")
-    )
-    types = F.transform(F.col("seq"), lambda x: x["event_type"])
-    grams = F.when(
-        F.size(types) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(types) - 2),
-            lambda i: F.concat_ws(
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # lead over the USER window (not (user, session) — that would be a
+    # second shuffle on the compound key); same-session membership is
+    # checked on the led session_seq instead.
+    grams = hits.select(
+        F.col("session_seq"),
+        F.when(
+            (F.lead("session_seq", 1).over(w) == F.col("session_seq"))
+            & (F.lead("session_seq", 2).over(w) == F.col("session_seq")),
+            F.concat_ws(
                 ">",
-                F.element_at(types, i),
-                F.element_at(types, i + 1),
-                F.element_at(types, i + 2),
+                F.col("event_type"),
+                F.lead("event_type", 1).over(w),
+                F.lead("event_type", 2).over(w),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).alias("path"),
+    )
     return (
-        paths.select(F.explode(grams).alias("path"))
+        grams.where(F.col("path").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
     )

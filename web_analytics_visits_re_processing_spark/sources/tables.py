@@ -41,21 +41,34 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
         spark.conf.set(_NANOS_CONF, "true")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table from ``{sf_dir}/{name}.parquet``.
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every event-time column to a plain TIMESTAMP,
+    whichever physical layout the fixture generation used:
 
-    Spark 4 rejects parquet TIMESTAMP(NANOS) columns outright
-    (PARQUET_TYPE_ILLEGAL); the ``events`` fixture stores ``ts`` as
-    nanos. We read nanos as raw int64 (legacy conf) and rebuild a
-    microsecond TIMESTAMP with integer division — ``div`` keeps the
-    full 64 bits (a double would corrupt epoch-nanos ~1.7e18), and the
-    floor matches DuckDB's ``epoch_us`` truncation on the same data.
+    - legacy TIMESTAMP(NANOS) ``ts`` (read as int64 under the
+      nanosAsLong conf) → rebuild a microsecond TIMESTAMP with integer
+      division (``div`` keeps the full 64 bits; a double would corrupt
+      epoch-nanos ~1.7e18, and the floor matches DuckDB's ``epoch_us``
+      truncation on the same data);
+    - naive ``timestamp[us]`` (Spark 4 reads it as TIMESTAMP_NTZ,
+      which ``unix_micros`` / ``session_window`` / numeric casts all
+      reject) → cast to TIMESTAMP. Value-exact under the UTC session
+      timezone set in ``session.get_spark`` — the wall-clock instants
+      are identical, matching DuckDB's naive read of the same parquet.
     """
-    ensure_nanos_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from ``{sf_dir}/{name}.parquet``, timestamps
+    normalized (see ``normalize_timestamps``)."""
+    ensure_nanos_conf(spark)
+    df = normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name in BROADCAST_TABLES:
         df = F.broadcast(df)
     return df

@@ -69,12 +69,18 @@ def read_events_stream(
     )
 
     ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # Probe the fixture's physical layout with a batch read: legacy
+    # TIMESTAMP(NANOS) arrives as int64 under the nanosAsLong conf;
+    # newer fixtures store naive timestamp[us] (TIMESTAMP_NTZ).
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # FileStreamSource requires a directory/glob, not a bare file path.
     df = reader.parquet(f"{sf_dir}/events.parquet" if "*" in sf_dir else f"{sf_dir}/events*.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def sessionize_stream(
@@ -183,7 +189,17 @@ def _prepare_replay_input(spark: SparkSession, sf_dir: str, workdir: str) -> str
             if f.read() == meta:
                 return input_dir
     shutil.rmtree(input_dir, ignore_errors=True)
-    raw = spark.read.parquet(src)  # ts = int64 nanos
+    raw = spark.read.parquet(src)
+    # Normalize the replay copy to the int64-nanos layout every
+    # downstream readStream expects (EVENTS_RAW_SCHEMA), whichever
+    # layout the fixture has: legacy TIMESTAMP(NANOS) already arrives
+    # as long under the nanosAsLong conf; newer naive timestamp[us]
+    # fixtures arrive as TIMESTAMP_NTZ and are rebuilt as epoch nanos
+    # (value-exact under the UTC session timezone).
+    if not isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast(T.TimestampType())) * F.lit(1000)
+        )
     raw.write.parquet(input_dir)
     max_ts = raw.agg(F.max("ts")).first()[0]
     sentinel = spark.createDataFrame(
