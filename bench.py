@@ -67,6 +67,9 @@ HEADLINE = [
     "kmeans_embedding_clusters",
     "pagerank_prop_transitions",
     "pq_adc_topk_neighbors",
+    # round-5 additions
+    "minhash_realistic_near_dup_pairs",
+    "kmeans_embedding_clusters_join",
 ]
 
 

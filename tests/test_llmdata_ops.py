@@ -453,6 +453,50 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert all(r["count"] == 30 for r in per), per
 
 
+def test_minhash_params_deterministic_bounded_and_frozen_prefix():
+    """Generated permutation params: first 8 are the frozen oracle
+    constants; all A < 2^30 (the no-overflow contract for both
+    engines); regeneration is bit-stable."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        minhash_params,
+    )
+
+    a, b = minhash_params(64)
+    assert a[:8] == MINHASH_A and b[:8] == MINHASH_B
+    assert len(a) == len(b) == 64
+    assert all(1 <= x < (1 << 30) for x in a)
+    assert all(1 <= x for x in b)
+    assert minhash_params(64) == (a, b)
+    assert minhash_params(16) == (a[:16], b[:16])
+
+
+def test_minhash_realistic_catches_planted_near_dups(spark):
+    """64-hash/16-band LSH at the 0.5 S-curve midpoint: planted
+    high-Jaccard pairs (one word changed in 40) are found; unrelated
+    docs are not paired."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+    )
+
+    base = " ".join(f"tok{(i * 17) % 97}x{i}" for i in range(40))
+    variant = base.replace("tok0x0", "changedword")  # jaccard ≈ 37/43
+    rows = [(1, base), (2, variant)]
+    # unrelated fillers with disjoint vocabulary
+    for i in range(3, 23):
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_near_dups(
+            docs, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.8
+
+
 def test_kmeans_join_variant_bit_identical_to_literal(spark):
     """The broadcast-join assignment escalation (>1k centroids) must
     agree with the literal-HOF path assignment-for-assignment — same

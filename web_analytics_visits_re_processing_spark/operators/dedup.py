@@ -60,6 +60,26 @@ MINHASH_A = (
 MINHASH_B = tuple(range(1, 9))
 
 
+def minhash_params(num_hashes: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(A, B) permutation parameters for ``num_hashes`` permutations.
+
+    The first 8 are the frozen constants above (keeps every committed
+    oracle string stable); beyond 8 they come from a deterministic
+    MINSTD LCG — same engine-portable bounded-parameter recipe as the
+    k-means/PQ/IVF codebooks. Every A stays < 2^30 so ``A·h`` with
+    ``h < M = 2^31-1`` is < 2^61: no int64 overflow in Spark, and no
+    overflow ERROR in DuckDB (which raises rather than wraps — a
+    correctness requirement for the oracle, not hygiene)."""
+    a, b = list(MINHASH_A[:num_hashes]), list(MINHASH_B[:num_hashes])
+    x = 20_260_813  # fixed seed — params are part of the model contract
+    while len(a) < num_hashes:
+        x = (48271 * x) % MINHASH_M
+        a.append(x % ((1 << 30) - 1) + 1)
+        x = (48271 * x) % MINHASH_M
+        b.append(x % (MINHASH_M - 1) + 1)
+    return tuple(a), tuple(b)
+
+
 def exact_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -110,9 +130,10 @@ def minhash_signatures_df(
     hashed = df.select(
         F.col(id_col), F.explode(shingles).alias("_sh")
     ).select(F.col(id_col), (hash64(F.col("_sh")) % MINHASH_M).alias("_hm"))
+    pa, pb = minhash_params(num_hashes)
     aggs = [
         F.min(
-            (F.lit(MINHASH_A[i]) * F.col("_hm") + F.lit(MINHASH_B[i])) % MINHASH_M
+            (F.lit(pa[i]) * F.col("_hm") + F.lit(pb[i])) % MINHASH_M
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
@@ -145,31 +166,30 @@ def minhash_lsh_candidates(
     proportional to data, not to pairs.
     """
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram)
-    banded = sig.select(id_col, *minhash_bands(num_hashes, bands))
-    # All band keys ride along so the first-agreeing-band guard below
-    # can dedupe multi-band collisions as a join-time expression
-    # instead of a distinct() shuffle over the pair stream (pairs are
-    # quadratic in dup-group size; bands×|docs| melt rows are not).
+    banded = sig.select(
+        id_col, F.array(*minhash_bands(num_hashes, bands)).alias("bands")
+    )
+    # The full band-key ARRAY rides along so the first-agreeing-band
+    # guard below can dedupe multi-band collisions as a join-time
+    # expression instead of a distinct() shuffle over the pair stream
+    # (pairs are quadratic in dup-group size; bands×|docs| melt rows
+    # are not). One array column instead of `bands` separate columns
+    # keeps the join condition a SINGLE expression — at realistic
+    # parameter counts (16+ bands) the per-column formulation made
+    # janino compile a guard with 2×bands column comparisons, and the
+    # one-shot codegen time dwarfed the actual run.
     melted = banded.select(
-        id_col,
-        *[f"band_{b}" for b in range(bands)],
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select(
-        id_col, *[f"band_{b}" for b in range(bands)], "band.band_idx", "band.band_key"
+        id_col, "bands", F.posexplode("bands").alias("band_idx", "band_key")
     )
     a = melted.alias("a")
     b = melted.alias("b")
-    earlier_agrees = F.lit(False)
-    for j in range(bands - 1):
-        earlier_agrees = earlier_agrees | (
-            (F.lit(j) < F.col("a.band_idx"))
-            & (F.col(f"a.band_{j}") == F.col(f"b.band_{j}"))
-        )
+    # slice(zip_with(...)) not sequence(): sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark, while slice(arr, 1, 0) is the empty
+    # prefix we want at band_idx = 0.
+    earlier_agrees = F.expr(
+        "exists(slice(zip_with(a.bands, b.bands, (x, y) -> x = y),"
+        " 1, a.band_idx), v -> v)"
+    )
     return a.join(
         b,
         (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -78,40 +78,36 @@ def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
 
 
 def _assign_join(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """JOIN-based nearest-centroid assignment — the escalation path for
-    centroid sets past the literal expression tree's comfort zone
-    (~1k; same contract as ``similarity.cosine_topk_ivf_join``):
-    centroids ride a broadcast DataFrame instead of a plan literal, so
-    plan size stays constant in k. Distances are the SAME exact int64
-    squared-L2; ``min_by`` over ``struct(d, cid)`` reproduces
-    ``array_min``'s (min d, tie → smaller cid) ordering bit for bit,
-    so both variants share one oracle.
-
-    The trade vs ``_assign``: the literal path assigns with zero
-    shuffle; this path pays one corpus-sized shuffle for the
-    ``groupBy(id)`` argmin reduction (map-side combine → one row per
-    corpus row per partition) but never grows the plan or the driver
-    beyond the k·dim model state."""
+    """BROADCAST-PACKED nearest-centroid assignment — the escalation
+    path for centroid sets past the literal expression tree's comfort
+    zone (~1k): the whole centroid set rides ONE broadcast row as an
+    ``array<struct<cid, c>>`` column, and the identical HOF argmin
+    fold as ``_assign`` runs against that column instead of a plan
+    literal. Plan size is constant in k (the data moves in the
+    broadcast, not the expression tree), the crossJoin with a 1-row
+    side is a broadcast nested-loop that degenerates to a projection,
+    and assignment stays ZERO-shuffle — strictly better than the
+    row-per-centroid broadcast-join + ``min_by`` groupBy form, which
+    pays a corpus-wide argmin shuffle with the vector riding every
+    row. Distances and tie order are bit-identical to ``_assign``
+    (same expression, different operand source), so both variants
+    share one oracle."""
     spark = pts.sparkSession
     cents_df = spark.createDataFrame(
-        [(int(cid), [int(v) for v in c]) for cid, c in cents],
-        "_cid long, _c array<long>",
+        [([(int(cid), [int(v) for v in c]) for cid, c in cents],)],
+        "_cents array<struct<cid: bigint, c: array<bigint>>>",
     )
-    d = F.aggregate(
-        F.zip_with("q", "_c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    other = [c for c in pts.columns if c != "q"]
-    pref = F.struct(F.col("_d").alias("d"), F.col("_cid").alias("cid"))
+    expr = """
+    array_min(transform(_cents, e ->
+      named_struct(
+        'd', aggregate(zip_with(q, e.c, (a, b) -> (a - b) * (a - b)),
+                       0L, (acc, x) -> acc + x),
+        'cid', e.cid))).cid
+    """
     return (
         pts.crossJoin(F.broadcast(cents_df))
-        .withColumn("_d", d)
-        .groupBy(*other)
-        .agg(
-            F.first("q").alias("q"),
-            F.min_by(F.col("_cid"), pref).alias("cluster"),
-        )
+        .withColumn("cluster", F.expr(expr))
+        .drop("_cents")
     )
 
 

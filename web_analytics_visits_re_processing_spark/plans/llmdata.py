@@ -32,6 +32,7 @@ from web_analytics_visits_re_processing_spark.operators.dedup import (
     MINHASH_M,
     exact_dup_groups,
     minhash_lsh_near_dups,
+    minhash_params,
     minhash_signatures_df,
     simhash_dup_groups,
 )
@@ -384,6 +385,76 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a full hash-match on the whole LSH pipeline — candidate
     generation included — not just the signature building block."""
     return minhash_lsh_near_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+# Realistic-parameter MinHash-LSH: 64 permutations / 16 bands of r=4
+# rows — the S-curve midpoint (1/16)^(1/4) ≈ 0.5 matches the 0.5
+# Jaccard verify threshold, the parameter regime public LLM-data
+# pipelines actually run (the 8/4 config above demonstrates the
+# machinery at demo scale). Params beyond the 8 frozen constants come
+# from operators.dedup.minhash_params' deterministic LCG, so the SQL
+# below replays the identical 64-permutation pipeline literal for
+# literal.
+_MH64_A, _MH64_B = minhash_params(64)
+
+_MH64_SIG_COLS_SQL = ",\n".join(
+    f"       list_min(list_transform(hs, h -> "
+    f"({_MH64_A[i]} * h + {_MH64_B[i]}) % {MINHASH_M})) AS mh_{i}"
+    for i in range(64)
+)
+
+_MH64_BANDED_SQL = "\n    UNION ALL\n".join(
+    "    SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+        b=b,
+        key=" || '|' || ".join(
+            f"CAST(mh_{4 * b + j} AS VARCHAR)" for j in range(4)
+        ),
+    )
+    for b in range(16)
+)
+
+
+@query(
+    "minhash_realistic_near_dup_pairs",
+    oracle=f"""
+WITH sh AS ({_MINHASH_SHINGLES_SQL}),
+hm AS ({_MINHASH_BASE_SQL}),
+sig AS (
+    SELECT doc_id,
+{_MH64_SIG_COLS_SQL}
+    FROM hm
+),
+banded AS (
+{_MH64_BANDED_SQL}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh))
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.sh, sb.sh))
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+""",
+)
+def q_minhash_realistic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-parameter near-dup pass: 64-permutation MinHash,
+    16 bands × 4 rows (S-curve midpoint ≈ 0.5, aligned with the 0.5
+    exact-Jaccard verify), full pipeline hash-gated in SQL. Plan shape
+    is identical to the 8/4 demo config — the 64 signature aggregates
+    all ride the ONE shingle-hash shuffle's map-side combine, and the
+    band melt emits 16 small rows per doc — so the scale contract
+    (shuffle ∝ docs×bands, never docs²) is unchanged; only the
+    constants grow."""
+    return minhash_lsh_near_dups(
+        _docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.5
+    )
 
 
 _SIMHASH_TOKEN_HASHES_SQL = """
@@ -1717,12 +1788,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("kmeans_embedding_clusters_join", oracle=KMEANS_ORACLE)
 def q_kmeans_clusters_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The >1k-centroid escalation path for k-means assignment
-    (``operators/kmeans.py::_assign_join``): centroids ride a
-    broadcast DataFrame and the argmin is a ``min_by`` groupBy instead
-    of a plan-literal HOF fold — constant plan size in k, one
-    map-side-combined corpus shuffle per assignment. Bit-identical to
-    the literal path (same exact int64 distances, same tie ordering),
-    so it is gated on the SAME unrolled SQL oracle."""
+    (``operators/kmeans.py::_assign_join``): the centroid set rides
+    ONE broadcast row as an array<struct> column and the same HOF
+    argmin fold runs against it — constant plan size in k, assignment
+    still ZERO-shuffle. Bit-identical to the literal path (same exact
+    int64 distances, same tie ordering), so it is gated on the SAME
+    unrolled SQL oracle."""
     from web_analytics_visits_re_processing_spark.operators.kmeans import (
         kmeans_assign,
     )
