@@ -70,6 +70,8 @@ HEADLINE = [
     # round-5 additions
     "minhash_realistic_near_dup_pairs",
     "kmeans_embedding_clusters_join",
+    "decontaminate_train_docs",
+    "pack_training_sequences",
 ]
 
 

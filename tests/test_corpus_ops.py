@@ -1,0 +1,107 @@
+"""Corpus-curation operators (operators/corpus.py): benchmark
+decontamination, concat-and-chunk sequence packing, temperature
+resampling. Planted deterministic cases — the oracle-gated registry
+queries (`decontaminate_train_docs`, `pack_training_sequences`,
+`temperature_sample_langs`) run the same operators over the fixture
+corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+from web_analytics_visits_re_processing_spark.operators.corpus import (
+    contamination_flags,
+    pack_sequences,
+    temperature_sample,
+)
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """A train doc sharing one 5-gram with the eval set is flagged; a
+    disjoint-vocabulary doc is not; n_grams counts DISTINCT grams."""
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains eval 5-gram "beta gamma delta epsilon zeta"
+            (1, "intro beta gamma delta epsilon zeta outro"),
+            (2, "totally different words with no shared grams here"),
+            # repeated gram inside one doc still counts once
+            (3, "x y z w v x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_overlap"], r["contaminated"])
+        for r in contamination_flags(train, eval_docs, n=5, min_overlap=1).collect()
+    }
+    assert got[1][1] >= 1 and got[1][2] is True
+    assert got[2] == (4, 0, False)  # 8 tokens -> 4 grams, no overlap
+    # doc 3: 10 tokens -> 6 positional grams, but "x y z w v" occurs
+    # at positions 1 AND 6 -> 5 distinct
+    assert got[3] == (5, 0, False)
+
+
+def test_pack_sequences_offsets_and_boundary_spans(spark):
+    """Hand-checked layout: one shard, seq_len 10 — a doc crossing the
+    boundary spans two sequences; offsets are the exclusive cumsum."""
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["a"] * 6)),   # offset 0, seqs 0-0
+            (16, " ".join(["b"] * 6)),  # offset 6, crosses 10 -> seqs 0-1
+            (32, " ".join(["c"] * 10)), # offset 12, seqs 1-2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["shard"], r["start_offset"], r["first_seq"], r["last_seq"], r["n_seqs"]
+        )
+        for r in pack_sequences(docs, seq_len=10, n_shards=16).collect()
+    }
+    assert got[0] == (0, 0, 0, 0, 1)
+    assert got[16] == (0, 6, 0, 1, 2)
+    assert got[32] == (0, 12, 1, 2, 2)
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    """Docs in different shards get independent offset streams."""
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "b b b b"), (16, "c c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["start_offset"])
+        for r in pack_sequences(docs, seq_len=10, n_shards=16).collect()
+    }
+    assert got[0] == (0, 0)
+    assert got[1] == (1, 0)   # own shard, own stream
+    assert got[16] == (0, 3)  # after doc 0 in shard 0
+
+
+def test_temperature_sample_rates_and_membership(spark):
+    """1:4 language imbalance -> min lang keeps 10^6 ppm, the big one
+    floor(sqrt(1/4)*10^6) = 500000 ppm; membership equals the salted
+    portable-hash rule computed independently in Python."""
+    rows = [(i, "small") for i in range(5)] + [
+        (100 + i, "big") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["doc_id"]: (r["lang"], r["rate_ppm"], r["kept"])
+        for r in temperature_sample(docs).collect()
+    }
+    assert all(got[i] == ("small", 1_000_000, True) for i in range(5))
+
+    def keep(doc_id, rate):
+        h = int(hashlib.md5(f"{doc_id}|tsample".encode()).hexdigest()[:15], 16)
+        return (h % 1_000_000) < rate
+
+    for i in range(20):
+        lang, rate, kept = got[100 + i]
+        assert (lang, rate) == ("big", 500_000)
+        assert kept == keep(100 + i, rate)
+    # the curve actually downsamples: not everything survives
+    assert 0 < sum(1 for i in range(20) if got[100 + i][2]) < 20

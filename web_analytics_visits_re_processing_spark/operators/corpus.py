@@ -1,0 +1,177 @@
+"""Corpus-curation operators for LLM-training-data pipelines:
+benchmark decontamination, sequence packing, and temperature
+resampling — the steps between "deduplicated documents" and "training
+batches" that the dedup/quality tiers (``operators/dedup.py``,
+``plans/llmdata.py``) feed into.
+
+All three are pure DataFrame expressions on the portable 60-bit hash
+(``functions.text.hash64``), so every decision — which doc is flagged
+contaminated, which sequence a token lands in, which doc survives
+resampling — replays verbatim in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.functions.text import (
+    hash64,
+    token_count,
+    word_ngrams,
+)
+
+
+def contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document whose
+    distinct token ``n``-grams overlap the EVAL set's gram set in at
+    least ``min_overlap`` grams (the standard n-gram contamination
+    check run before any pretraining corpus ships).
+
+    Returns ``(id_col, n_grams, n_overlap, contaminated)`` — one row
+    per training doc, zero-overlap docs included.
+
+    Scale shape: eval benchmarks are tiny next to the corpus (10^3-10^5
+    docs), so the distinct eval gram-hash set BROADCASTS and the
+    corpus-side probe is explode → broadcast-hash LEFT join → one
+    doc-keyed groupBy whose counts combine map-side — the only
+    corpus-wide shuffle carries one small row per doc per partition.
+    Grams are distinct'd ARRAY-side before the explode, so a gram
+    repeated inside one doc costs one probe row. If the eval set ever
+    outgrows broadcast, drop the hint and the same plan degrades to a
+    shuffle equi-join on the gram hash.
+    """
+    eval_grams = (
+        eval_docs.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g")
+        )
+        .select(hash64(F.col("_g")).alias("_gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
+    ).select(id_col, hash64(F.col("_g")).alias("_gh"))
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_overlap",
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    batch layout: within a shard, documents concatenate in id order
+    and sequence boundaries fall every ``seq_len`` tokens. Emits per
+    doc: its shard, token count, starting token offset in the shard
+    stream, and the first/last/count of the fixed-length sequences it
+    lands in (a doc spanning a boundary is split across sequences —
+    the usual pretraining treatment, not padded bin packing).
+
+    Scale shape: the running offset is a window cumsum PARTITIONED BY
+    SHARD — there is deliberately no global ordering (a single-
+    partition window is the classic 100 TB bottleneck); parallelism =
+    ``n_shards``, so size it to the cluster (thousands at scale). The
+    shard assignment ``id mod n_shards`` is deterministic and engine-
+    portable, and within-shard layout depends only on ids — the whole
+    layout replays in SQL.
+    """
+    d = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("first_seq", F.expr(f"start_offset div {seq_len}"))
+        .withColumn(
+            "last_seq", F.expr(f"(start_offset + n_tokens - 1) div {seq_len}")
+        )
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            "start_offset",
+            "first_seq",
+            "last_seq",
+            (F.col("last_seq") - F.col("first_seq") + 1).alias("n_seqs"),
+        )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "tsample",
+) -> DataFrame:
+    """Deterministic temperature-style language rebalancing: every doc
+    of the SMALLEST language is kept; a language with ``n_l`` docs
+    keeps ``floor(sqrt(n_min / n_l) · 10^6)`` per million — the T = 2
+    temperature curve that upweights low-resource languages relative
+    to proportional sampling (cf. the multilingual-pretraining
+    sampling literature). The keep decision hashes the salted doc id,
+    so membership is a pure function of (corpus counts, id): no RNG,
+    reproducible across engines and runs.
+
+    Float-portability note: ``sqrt`` and double division are IEEE
+    correctly-rounded single operations, so ``floor(sqrt(n_min/n_l) ·
+    1e6)`` is bit-identical in Spark and DuckDB — the only floats in
+    the operator pass through exactly two rounded ops before the
+    integer floor.
+
+    Returns ``(id_col, lang, rate_ppm, kept)`` for every input doc.
+    Scale shape: per-language counts are a tiny agg (|langs| rows)
+    broadcast back onto the corpus; the keep decision is a projection
+    — zero corpus-wide shuffle beyond the count.
+    """
+    counts = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_nl"))
+    rates = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("_nl").alias("_nmin")))
+    ).select(
+        lang_col,
+        F.floor(F.sqrt(F.col("_nmin") / F.col("_nl")) * F.lit(1_000_000))
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    keep_hash = hash64(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))
+    ) % F.lit(1_000_000)
+    return (
+        docs.select(id_col, lang_col)
+        .join(F.broadcast(rates), lang_col)
+        .select(
+            id_col,
+            lang_col,
+            "rate_ppm",
+            (keep_hash < F.col("rate_ppm")).alias("kept"),
+        )
+    )

@@ -1905,3 +1905,124 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(emb)
     return pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), books, k=5)
+
+
+# --- corpus curation: decontamination / packing / resampling ------------------
+# (operators/corpus.py — the steps between "deduplicated documents"
+# and "training batches"; all decisions ride the portable hash, so
+# each replays verbatim in SQL.)
+
+@query(
+    "decontaminate_train_docs",
+    # Eval split = doc_id % 97 == 0 (stand-in for an external
+    # benchmark table); both engines join on the SAME 60-bit md5 gram
+    # hash, so even a hash collision produces identical output.
+    oracle="""
+WITH g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+           )) AS gs
+    FROM documents
+),
+ev AS (
+    SELECT DISTINCT ('0x' || substring(md5(x.g), 1, 15))::BIGINT AS gh
+    FROM (SELECT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0) x
+),
+dg AS (
+    SELECT doc_id, ('0x' || substring(md5(x.g), 1, 15))::BIGINT AS gh
+    FROM (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 97 <> 0) x
+)
+SELECT dg.doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+       SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated
+FROM dg LEFT JOIN ev ON dg.gh = ev.gh
+GROUP BY dg.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 97 != 0)
+    flagged by distinct 5-gram overlap with the eval split's gram set
+    (broadcast). The corpus-side plan is explode → broadcast-hash left
+    join → one map-side-combined doc-keyed groupBy; see
+    ``operators.corpus.contamination_flags`` for the 100 TB notes."""
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        contamination_flags,
+    )
+
+    d = _docs(spark, sf_dir)
+    return contamination_flags(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=5,
+        min_overlap=1,
+    )
+
+
+@query(
+    "pack_training_sequences",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, doc_id % 16 AS shard,
+           len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+    FROM t
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS first_seq,
+       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+       CAST((start_offset + n_tokens - 1) // 512
+            - start_offset // 512 + 1 AS BIGINT) AS n_seqs
+FROM o
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token sequences, 16
+    shards): per doc, its shard-stream offset and the sequence span it
+    lands in. The running offset is a cumsum window partitioned by
+    shard — parallelism = n_shards by construction, never a global
+    sort (see ``operators.corpus.pack_sequences``)."""
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512, n_shards=16)
+
+
+@query(
+    "temperature_sample_langs",
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*)::BIGINT AS nl FROM documents GROUP BY lang),
+m AS (SELECT MIN(nl) AS nmin FROM c),
+r AS (
+    SELECT lang,
+           CAST(FLOOR(SQRT(nmin / CAST(nl AS DOUBLE)) * 1000000) AS BIGINT)
+               AS rate_ppm
+    FROM c, m
+)
+SELECT d.doc_id, d.lang, r.rate_ppm,
+       ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|tsample'), 1, 15))::BIGINT
+           % 1000000 < r.rate_ppm AS kept
+FROM documents d JOIN r USING (lang)
+""",
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T=2 temperature rebalancing across languages:
+    keep-rate floor(sqrt(n_min/n_l)·1e6) ppm, membership by salted
+    portable hash — no RNG, so the exact kept set is SQL-gated. The
+    only floats (one division, one sqrt) are IEEE correctly-rounded
+    single ops, identical in both engines before the integer floor."""
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        temperature_sample,
+    )
+
+    return temperature_sample(_docs(spark, sf_dir))
