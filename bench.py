@@ -72,6 +72,7 @@ HEADLINE = [
     "kmeans_embedding_clusters_join",
     "decontaminate_train_docs",
     "pack_training_sequences",
+    "embedding_cosine_topk_jl_rerank",
 ]
 
 

@@ -38,6 +38,11 @@ PROBE_QUERIES = [
     "token_entropy",
     "rolling_1h_user_value",
     "cdc_merge_latest_state",
+    # round-5 additions (documents/events-backed)
+    "session_path_3grams",
+    "minhash_realistic_near_dup_pairs",
+    "decontaminate_train_docs",
+    "pack_training_sequences",
 ]
 
 

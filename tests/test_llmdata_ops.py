@@ -91,6 +91,29 @@ def test_lsh_ann_recall_on_planted_clusters(planted_clusters):
         assert q // 10 == v // 10
 
 
+def test_jl_rerank_recall_on_planted_clusters(planted_clusters):
+    """Two-stage JL rerank: the 16-dim integer sketch cut keeps the
+    true neighbors on tight planted clusters (candidates 20 ≫ k=3),
+    and the reranked scores are the exact cosines — top-3 recall vs
+    brute force stays high and in-cluster."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_jl_rerank,
+    )
+
+    emb = planted_clusters
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    approx = cosine_topk_jl_rerank(emb, queries, k=3, n_candidates=20)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]): r["cos"] for r in approx.collect()}
+    recall = len(e & set(a)) / len(e)
+    assert recall >= 0.9, f"JL rerank recall {recall:.2f}"
+    # stage-2 scores are EXACT cosines, so overlapping pairs agree
+    ex = {(r["query_id"], r["vec_id"]): r["cos"] for r in exact.collect()}
+    for pair in e & set(a):
+        assert a[pair] == ex[pair]
+
+
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     from web_analytics_visits_re_processing_spark.plans import QUERIES
     from web_analytics_visits_re_processing_spark.sources.tables import load_table

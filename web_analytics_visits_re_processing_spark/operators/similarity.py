@@ -375,3 +375,113 @@ def _probe_rescore_topk(
         .where(F.col("rk") <= k)
         .select(query_id_col, id_col, "cos", "rk")
     )
+
+
+# --- JL dim-reduce → candidate → exact rerank ---------------------------------
+
+def jl_signs(in_dim: int = 64, out_dim: int = 16, seed: int = 9_157) -> list[list[int]]:
+    """±1 sign matrix for the signed (Achlioptas-style) Johnson-
+    Lindenstrauss projection — out_dim rows of in_dim signs from the
+    same MINSTD LCG recipe as the PQ/IVF codebooks: deterministic,
+    O(out_dim·in_dim) bounded model-parameter state, replayed as
+    literals in the SQL oracle."""
+    x, rows = seed, []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            x = (48271 * x) % 2147483647
+            row.append(1 if (x & 1) else -1)
+        rows.append(row)
+    return rows
+
+
+def jl_project(vec_q: Column, signs: list[list[int]]) -> Column:
+    """Project the int64 micro-quantized vector ``vec_q`` through the
+    ±1 sign matrix: out_j = Σᵢ s_ji·qᵢ — INTEGER-EXACT (sums of ±q
+    components stay far inside int64), a pure zero-shuffle projection,
+    and engine-portable so both the sketch and everything ranked on it
+    replay verbatim in SQL."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec_q,
+                    F.array(*[F.lit(s).cast("long") for s in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for row in signs
+        ]
+    )
+
+
+def cosine_topk_jl_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage ANN — the third classic billion-scale shape next to
+    IVF (partition pruning) and PQ (compressed-domain ranking):
+    DIM-REDUCE → CANDIDATE → EXACT RERANK.
+
+    Stage 1 scores every (query, corpus) pair in the 16-dim INTEGER
+    sketch space — ¼ the multiply-adds of the full 64-dim float
+    cosine, integer-exact so the candidate cut is deterministic and
+    SQL-replayable (float sketch scores would tie-break on ulps).
+    Candidates = per-query top ``n_candidates`` by (sketch dot desc,
+    id). Stage 2 reranks ONLY the candidates with the exact 64-dim
+    cosine. The corpus side never shuffles: sketches are a zero-
+    shuffle projection, stage 1 is corpus × broadcast(query sketches),
+    and both window cuts partition by query id over the tiny candidate
+    stream.
+
+    Like all sketch-space cuts this trades recall for compute — the
+    planted-cluster pytest pins what survives; widen ``n_candidates``
+    or ``out_dim`` for tighter guarantees.
+    """
+    signs = jl_signs(in_dim, out_dim)
+    quant = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0)).cast("long")
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), jl_project(quant, signs).alias("_sk")
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        jl_project(quant, signs).alias("_qsk"),
+    )
+    sk_dot = F.aggregate(
+        F.zip_with("_sk", "_qsk", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_skdot").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, vec_col, "_qvec", sk_dot.alias("_skdot"))
+        .withColumn("_crk", F.row_number().over(wq))
+        .where(F.col("_crk") <= n_candidates)
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        cand.select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos", "rk")
+    )

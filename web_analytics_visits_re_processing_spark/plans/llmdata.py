@@ -2026,3 +2026,71 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return temperature_sample(_docs(spark, sf_dir))
+
+
+# --- JL two-stage rerank ANN --------------------------------------------------
+# The sign matrix is generated by the same deterministic LCG helper
+# the operator uses, so the sketch arithmetic below is literal-for-
+# literal identical in both engines (integer-exact: the candidate cut
+# is hash-gateable, which a float sketch could never be).
+
+def _jl_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        jl_signs,
+    )
+
+    signs = jl_signs(64, 16)
+    sk_cols = ",\n".join(
+        "           CAST(list_sum(list_transform(list_zip(q, ["
+        + ", ".join(str(s) for s in row)
+        + "]), z -> z[1] * z[2])) AS BIGINT) AS s{j}".format(j=j)
+        for j, row in enumerate(signs)
+    )
+    sk_dot = " + ".join(f"c.s{j} * qq.s{j}" for j in range(16))
+    return f"""
+WITH pts AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           [CAST(FLOOR(x * 1000000) AS BIGINT) FOR x IN embedding::DOUBLE[]] AS q
+    FROM embeddings
+),
+sk AS (
+    SELECT vec_id, v,
+{sk_cols}
+    FROM pts
+),
+cand AS (
+    SELECT qq.vec_id AS query_id, c.vec_id, qq.v AS qv, c.v AS cv,
+           ROW_NUMBER() OVER (
+               PARTITION BY qq.vec_id
+               ORDER BY ({sk_dot}) DESC, c.vec_id
+           ) AS crk
+    FROM sk qq JOIN sk c ON qq.vec_id != c.vec_id
+    WHERE qq.vec_id < 10
+)
+SELECT query_id, vec_id,
+       ROUND(list_cosine_similarity(qv, cv), 4) AS cos,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(list_cosine_similarity(qv, cv), 4) DESC, vec_id
+       ) AS INT) AS rk
+FROM cand
+WHERE crk <= 20
+QUALIFY rk <= 5
+"""
+
+
+@query("embedding_cosine_topk_jl_rerank", oracle=_jl_oracle())
+def q_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (dim-reduce → candidate → exact rerank), the
+    third classic billion-scale shape next to IVF and PQ: candidates
+    cut in a 16-dim INTEGER Johnson-Lindenstrauss sketch space (¼ the
+    multiply-adds, integer-exact so the cut itself is gated), then
+    only the top-20 candidates per query pay the full 64-dim cosine.
+    Corpus side: zero-shuffle sketch projection + broadcast-query
+    scoring — no corpus shuffle at any stage."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_jl_rerank,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_jl_rerank(emb, emb.where(F.col("vec_id") < 10), k=5)
