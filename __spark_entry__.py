@@ -26,32 +26,95 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["sessionize_visits"](spark, "/root/testdata/sf0.001")
 
 
-def _sampled_in_past_rounds() -> set[str]:
-    """Query names already covered by a past driver correctness round
-    (read from the committed CORRECTNESS_r*.json artifacts)."""
+def _sampling_history() -> tuple[set[str], set[str]]:
+    """From the committed CORRECTNESS_r*.json artifacts: (queries ever
+    sampled by a driver round, queries NOT fully passing in the LATEST
+    round — errors/mismatches that need a fresh hard signal)."""
     import glob
     import json
+    import re
 
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+    latest_bad: set[str] = set()
+    paths = sorted(
+        glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for i, path in enumerate(paths):
         try:
             with open(path) as f:
                 payload = json.load(f)
         except (OSError, ValueError):
             continue
         rows = payload.get("queries", payload) if isinstance(payload, dict) else {}
-        if isinstance(rows, dict):
-            seen.update(rows.keys())
-    return seen
+        if not isinstance(rows, dict):
+            continue
+        seen.update(rows.keys())
+        if i == len(paths) - 1:
+            for name, rec in rows.items():
+                # record shape: {err, rows_match, schema_match,
+                # hash_match, spark_rows, oracle_rows}; None = not
+                # applicable (e.g. rows-only gates), False = failed.
+                ok = (
+                    isinstance(rec, dict)
+                    and not rec.get("err")
+                    and rec.get("rows_match") is not False
+                    and rec.get("schema_match") is not False
+                    and rec.get("hash_match") is not False
+                )
+                if not ok:
+                    latest_bad.add(name)
+    return seen, latest_bad
+
+
+# Round-5 pinned tier: (a) the r04 LOCAL-sweep-red queries outside the
+# driver's r04 sample (whole-tier proof that the TIMESTAMP_NTZ fix
+# landed — streaming replays + the timestamp-consuming webanalytics
+# trio), (b) this round's new operators (first-ever hard signal).
+_PINNED = frozenset(
+    {
+        "streaming_sessionize_visits",
+        "streaming_tumbling_counts",
+        "streaming_sliding_counts",
+        "streaming_abandoned_sessions",
+        "streaming_dedup_events",
+        "streaming_interval_join",
+        "streaming_interval_join_left",
+        "streaming_foreach_batch_upsert",
+        "streaming_cms_event_counts",
+        "streaming_hll_registers",
+        "attribution_last_touch",
+        "session_path_3grams",
+        "bounce_rate_weekly",
+        "minhash_realistic_near_dup_pairs",
+        "kmeans_embedding_clusters_join",
+        "decontaminate_train_docs",
+        "pack_training_sequences",
+        "temperature_sample_langs",
+        "embedding_cosine_topk_jl_rerank",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry, ordered so queries NEVER sampled by a past driver
-    correctness round come first — the driver checks a 50-query prefix
-    per round, so this rotation steadily converts local-only signals
-    into hard driver-verified ones without dropping any query."""
-    seen = _sampled_in_past_rounds()
-    ordered = sorted(QUERIES, key=lambda name: (name in seen,))
+    """Registry ordered for the driver's 50-query-prefix sample:
+    (1) queries that errored/mismatched in the LATEST driver round —
+    a regression fix needs a fresh hard signal the round after;
+    (2) the pinned tier above;
+    (3) queries never sampled by any round — steadily converts
+    local-only signals into driver-verified ones;
+    (4) everything else, registry order. Self-maintaining: any future
+    regression automatically re-enters the next round's sample."""
+    seen, latest_bad = _sampling_history()
+
+    def prio(name: str) -> int:
+        if name in latest_bad:
+            return 0
+        if name in _PINNED:
+            return 1
+        return 2 if name not in seen else 3
+
+    ordered = sorted(QUERIES, key=lambda name: (prio(name),))
     return {name: QUERIES[name] for name in ordered}
 
 
