@@ -294,3 +294,294 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment
     """)
+
+
+# --- round-5: the rest of the classic TPC-H battery ---------------------------
+# Q2/Q11 need partsupp and Q4/Q12/Q20/Q21's commit/receipt-date or
+# shipmode columns don't exist in the cut-down fixture; those shapes
+# are adapted (noted per query) — every other query is the classic
+# form. All 12 below share ONE SQL text between the Spark run and the
+# DuckDB oracle (no date-string emission, so zero dialect drift);
+# money stays exact integer cents per the module convention.
+
+def _dual(name: str, doc: str, sql: str, tables: tuple[str, ...]):
+    """Register a query whose Spark SQL and DuckDB oracle are the SAME
+    text — the strongest possible parser-path parity check."""
+
+    @query(name, oracle=sql)
+    def _q(spark: SparkSession, sf_dir: str, _sql=sql, _tables=tables) -> DataFrame:
+        _views(spark, sf_dir, _tables)
+        return spark.sql(_sql)
+
+    _q.__doc__ = doc
+    return _q
+
+
+_dual(
+    "sql_q4_order_priority_check",
+    """TPC-H Q4 shape (adapted: no commit/receipt dates in the fixture
+    — 'late' means a lineitem shipped after the order date): priority
+    counts over an EXISTS semi-join, one quarter window.""",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    ("orders", "lineitem"),
+)
+
+_dual(
+    "sql_q6_forecast_revenue",
+    """TPC-H Q6: single-table predicate scan with the classic
+    discount-band + quantity filter — the pure pushdown/codegen
+    benchmark; revenue as exact per-row floored cents.""",
+    """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    ("lineitem",),
+)
+
+_dual(
+    "sql_q8_national_market_share",
+    """TPC-H Q8: market share of one supplier nation inside a region's
+    PROMO-part market, per order year — 8-table join tree; the share
+    ratio is a single correctly-rounded division of two exact integer
+    sums, emitted alongside both operands.""",
+    """
+SELECT order_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END) AS BIGINT)
+           AS nation_cents,
+       CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END)
+             / CAST(SUM(vol_cents) AS DOUBLE), 6) AS mkt_share
+FROM (
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           n2.n_name AS nation,
+           CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS vol_cents
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+) volumes
+GROUP BY order_year
+ORDER BY order_year
+""",
+    ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+)
+
+_dual(
+    "sql_q9_product_type_profit",
+    """TPC-H Q9 shape (adapted: no partsupp supply cost — profit is
+    discounted revenue): per supplier-nation per year over parts whose
+    name contains 'red', LIKE-filtered mid-join-tree.""",
+    """
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, CAST(YEAR(o.o_orderdate) AS INT)
+ORDER BY nation, o_year DESC
+""",
+    ("part", "lineitem", "supplier", "orders", "nation"),
+)
+
+_dual(
+    "sql_q12_shipping_priority_classes",
+    """TPC-H Q12 shape (adapted: no shipmode column — lines classed by
+    l_linestatus): orders⋈lineitem with the classic two-bucket CASE
+    aggregation on order priority.""",
+    """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+    ("orders", "lineitem"),
+)
+
+_dual(
+    "sql_q14_promo_revenue_share",
+    """TPC-H Q14: PROMO-part share of one month's revenue — CASE-gated
+    numerator and total emitted as exact cents with the ratio as one
+    rounded division.""",
+    """
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                      ELSE 0 END)
+             / CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                    AS DOUBLE), 6) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1997-09-01' AND l.l_shipdate < DATE '1997-10-01'
+""",
+    ("lineitem", "part"),
+)
+
+_dual(
+    "sql_q15_top_supplier",
+    """TPC-H Q15: top revenue supplier(s) for a quarter — grouped
+    revenue CTE consumed twice (join + scalar-subquery MAX), ties kept
+    like the spec.""",
+    """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    ("supplier", "lineitem"),
+)
+
+_dual(
+    "sql_q16_part_supplier_counts",
+    """TPC-H Q16 shape (adapted: lineitem is the part↔supplier bridge
+    — the fixture has no partsupp): distinct supplier counts per
+    (brand, type, size) with a NOT IN exclusion subquery (negative-
+    balance suppliers).""",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    ("part", "lineitem", "supplier"),
+)
+
+_dual(
+    "sql_q17_small_quantity_revenue",
+    """TPC-H Q17: revenue locked in small-quantity orders of one brand
+    — correlated scalar subquery (20% of the part's average quantity)
+    that Catalyst rewrites to an aggregate-join.""",
+    """
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2'
+  AND l.l_quantity < (
+      SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+    ("lineitem", "part"),
+)
+
+_dual(
+    "sql_q19_discounted_revenue",
+    """TPC-H Q19 shape (adapted: no container column — brand × size ×
+    quantity bands): the classic disjunction-of-conjunctions predicate
+    that exercises join-filter factoring.""",
+    """
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    ("lineitem", "part"),
+)
+
+_dual(
+    "sql_q20_promotion_part_suppliers",
+    """TPC-H Q20 shape (adapted: threshold on the supplier's shipped
+    quantity of 'red' parts in the year, no partsupp availability):
+    IN over a grouped HAVING subquery → broadcast semi-join.""",
+    """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+      AND l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY l.l_suppkey
+    HAVING SUM(l.l_quantity) > 50
+)
+ORDER BY s.s_suppkey
+""",
+    ("supplier", "lineitem", "part"),
+)
+
+_dual(
+    "sql_q21_waiting_suppliers",
+    """TPC-H Q21 shape (adapted: 'the one who kept the order waiting'
+    = sole latest shipper in a multi-supplier finished order, via
+    shipdate instead of the missing commit/receipt dates): EXISTS +
+    NOT EXISTS double correlation on the same fact table.""",
+    """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+""",
+    ("supplier", "lineitem", "orders"),
+)
