@@ -585,3 +585,77 @@ ORDER BY numwait DESC, s.s_name
 """,
     ("supplier", "lineitem", "orders"),
 )
+
+
+_dual(
+    "sql_recursive_month_spine",
+    """WITH RECURSIVE (Spark 4 recursive CTE support): generate the
+    1995-2001 monthly calendar spine by recursion — no table drives
+    the month list — LEFT-join order counts onto it so empty months
+    surface as explicit zero rows (the recursive form of the
+    gap-fill pattern; same text runs in both engines).""",
+    """
+WITH RECURSIVE months(m) AS (
+    SELECT CAST(DATE '1995-01-01' AS DATE)
+    UNION ALL
+    SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+    WHERE m < DATE '2001-07-01'
+)
+SELECT CAST(YEAR(m) * 100 + MONTH(m) AS INT) AS ym,
+       COUNT(o.o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+GROUP BY CAST(YEAR(m) * 100 + MONTH(m) AS INT)
+ORDER BY ym
+""",
+    ("orders",),
+)
+
+
+_dual(
+    "sql_string_functions_battery",
+    """Portable string-function battery (split_part / translate /
+    repeat / reverse / lpad / rpad / ascii / chr / left / right /
+    ANSI POSITION / levenshtein) — one projection, same text in both
+    engines; the function surface a SQL user migrating off any
+    warehouse expects to keep working.""",
+    """
+SELECT c_custkey,
+       split_part(c_name, '#', 2)                    AS name_num,
+       translate(c_mktsegment, 'AEIOU', 'aeiou')     AS seg_tr,
+       repeat(CAST(c_custkey % 10 AS STRING), 3)     AS rep3,
+       reverse(c_name)                               AS name_rev,
+       lpad(CAST(c_custkey AS STRING), 8, '0')       AS key_pad,
+       rpad(CAST(c_custkey AS STRING), 8, '_')       AS key_rpad,
+       ascii(c_mktsegment)                           AS seg_ascii,
+       chr(CAST(c_custkey % 26 + 65 AS INT))         AS key_chr,
+       left(c_name, 8)                               AS name_l8,
+       right(c_name, 4)                              AS name_r4,
+       POSITION('#' IN c_name)                       AS hash_pos,
+       levenshtein(c_mktsegment, 'BUILDING')         AS seg_lev
+FROM customer
+WHERE c_custkey < 100
+ORDER BY c_custkey
+""",
+    ("customer",),
+)
+
+_dual(
+    "sql_bitwise_agg_battery",
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) per
+    market segment — XOR/AND/OR folds are commutative+associative, so
+    shuffle order cannot perturb them: exact cross-engine agreement by
+    construction.""",
+    """
+SELECT c_mktsegment,
+       bit_and(c_custkey) AS key_and,
+       bit_or(c_custkey)  AS key_or,
+       bit_xor(c_custkey) AS key_xor,
+       COUNT(*)           AS n_custs
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    ("customer",),
+)
