@@ -236,3 +236,53 @@ def test_quality_filter_flags_zero_shuffle(spark, sf_dir):
     plan = _plan(spark, "quality_filter_flags", sf_dir)
     assert _exchanges(plan) == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_join_variant_zero_shuffle_assignment(spark, sf_dir):
+    """The >1k-centroid escalation must stay a broadcast-packed
+    projection: zero shuffle exchanges in the whole assignment query
+    (the centroid set rides ONE broadcast row, not a join that
+    re-partitions the corpus)."""
+    plan = _plan(spark, "kmeans_embedding_clusters_join", sf_dir)
+    assert _exchanges(plan) == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_jl_rerank_corpus_never_shuffles(spark, sf_dir):
+    """Sketch projection + broadcast-query scoring: every exchange in
+    the plan partitions by the QUERY id over the candidate stream
+    (window cuts), never the corpus — no hashpartitioning on the
+    corpus id column."""
+    plan = _plan(spark, "embedding_cosine_topk_jl_rerank", sf_dir)
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "query_id" in m.group(1), m.group(0)
+
+
+def test_temperature_sample_no_corpus_exchange(spark, sf_dir):
+    """Keep-decision is a projection: the only aggregation shuffles
+    the tiny per-language count table (and its single-row min), and
+    the rates join back as a broadcast — the doc stream itself never
+    hash-partitions."""
+    plan = _plan(spark, "temperature_sample_langs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    # every shuffle in the plan belongs to the lang-count aggregation
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "lang" in m.group(1), m.group(0)
+
+
+def test_pack_sequences_single_shard_window_exchange(spark, sf_dir):
+    """The packing layout is ONE cumsum window partitioned by shard —
+    exactly one shuffle, no global (single-partition) sort."""
+    plan = _plan(spark, "pack_training_sequences", sf_dir)
+    assert _exchanges(plan) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    """The eval gram set probes as a broadcast join; the corpus-side
+    groupBy is the only doc-keyed shuffle and combines map-side (two
+    HashAggregate levels)."""
+    plan = _plan(spark, "decontaminate_train_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
