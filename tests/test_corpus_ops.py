@@ -81,6 +81,30 @@ def test_pack_sequences_shards_are_independent(spark):
     assert got[16] == (0, 3)  # after doc 0 in shard 0
 
 
+def test_pack_sequences_offsets_partition_the_shard_stream(spark):
+    """Structural invariant on a 200-doc deterministic corpus: within
+    every shard, offsets ordered by doc_id are exactly contiguous
+    (each start = previous start + previous n_tokens, beginning at 0)
+    — i.e. the layout is a partition of the concatenated token
+    stream with no gaps or overlaps."""
+    # token counts vary deterministically 1..7
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range((i * 13) % 7 + 1))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pack_sequences(docs, seq_len=16, n_shards=8).collect()
+    by_shard: dict = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for shard, items in by_shard.items():
+        items.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in items:
+            assert r["start_offset"] == expect, (shard, r)
+            assert r["first_seq"] == r["start_offset"] // 16
+            assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // 16
+            expect += r["n_tokens"]
+
+
 def test_temperature_sample_rates_and_membership(spark):
     """1:4 language imbalance -> min lang keeps 10^6 ppm, the big one
     floor(sqrt(1/4)*10^6) = 500000 ppm; membership equals the salted
