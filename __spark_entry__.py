@@ -80,6 +80,7 @@ _PINNED = frozenset(
         "streaming_dedup_events",
         "streaming_interval_join",
         "streaming_interval_join_left",
+        "streaming_interval_join_full",
         "streaming_foreach_batch_upsert",
         "streaming_cms_event_counts",
         "streaming_hll_registers",

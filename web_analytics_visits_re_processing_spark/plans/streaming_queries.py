@@ -292,3 +292,32 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_hll_state(spark, sf_dir).select("event_type", "r_idx", "r_rho")
+
+
+@query(
+    "streaming_interval_join_full",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       COALESCE(c.user_id, p.user_id) AS user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTES
+""",
+)
+def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both emission rules at
+    once: unmatched clicks AND unmatched purchases each surface their
+    null-padded row exactly once, only after the watermark proves no
+    in-window partner can still arrive; state on both sides is evicted
+    by the interval bound. ≡ the batch full join verbatim (the
+    sentinel flushes both tails)."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_interval_join_append,
+    )
+
+    return streaming_interval_join_append(spark, sf_dir, how="full_outer")

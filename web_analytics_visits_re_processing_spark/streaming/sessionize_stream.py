@@ -610,7 +610,13 @@ def streaming_interval_join_append(
     ).select(
         "click_id",
         "purchase_id",
-        F.col("click_user_id").alias("user_id"),
+        # coalesce, not click_user_id alone: with how="full_outer" an
+        # unmatched PURCHASE emits null click columns, and a null
+        # user_id would make the sentinel read-back filter drop the
+        # row (null comparison) — the purchase side carries the id.
+        F.coalesce(F.col("click_user_id"), F.col("purchase_user_id")).alias(
+            "user_id"
+        ),
         F.unix_micros("click_ts").alias("click_ts_us"),
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
     )
