@@ -174,3 +174,45 @@ def test_streaming_cms_constant_state_across_batches(spark, sf_dir):
     )
     versions = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(versions) >= 2, "expected multiple incremental merges"
+
+
+def test_transform_with_state_lifetime_stats(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (ValueState + event-time
+    timers): per-user lifetime stats emitted once per user when the
+    watermark passes last_event + gap, equal to the batch groupBy.
+    SKIPS where google.protobuf is unavailable (the state-server
+    protocol dependency; absent in the no-install container) — the
+    operator code path is exercised wherever the dependency exists."""
+    import pytest
+
+    from web_analytics_visits_re_processing_spark.streaming.tws import (
+        transform_with_state_available,
+        user_lifetime_replay,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "state-server protocol cannot start in this container")
+
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: (r["first_ts_us"], r["last_ts_us"], r["n_events"], r["value_cents"])
+        for r in user_lifetime_replay(spark, sf_dir).collect()
+    }
+    exact = {
+        r["user_id"]: (r["f"], r["l"], r["n"], r["c"])
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("f"),
+            F.unix_micros(F.max("ts")).alias("l"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("c"),
+        )
+        .collect()
+    }
+    assert got == exact
