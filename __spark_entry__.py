@@ -93,6 +93,7 @@ _PINNED = frozenset(
         "pack_training_sequences",
         "temperature_sample_langs",
         "embedding_cosine_topk_jl_rerank",
+        "arrow_byte_stats",
     }
 )
 

@@ -1353,3 +1353,45 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# --- mapInArrow (Arrow-native batch transform, no pandas hop) -----------------
+
+@query(
+    "arrow_byte_stats",
+    # strlen = UTF-8 byte length in DuckDB (octet_length is
+    # blob-only there); space count via the length-minus-replace
+    # identity.
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces
+FROM documents
+""",
+)
+def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the last cell of the Python-vectorization
+    matrix (scalar/grouped pandas_udf, applyInPandas, mapInPandas,
+    applyInPandasWithState, UDTF, and now raw Arrow RecordBatches with
+    no pandas conversion hop): per-doc UTF-8 byte length and space
+    count computed entirely in ``pyarrow.compute`` kernels — zero
+    per-row Python, zero pandas materialization, zero shuffle. The
+    same values are trivially SQL-expressible, which is exactly what
+    makes the Arrow path hash-gateable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int32()),
+                    pc.cast(pc.count_substring(text, " "), pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(fn, "doc_id long, n_bytes int, n_spaces int")
