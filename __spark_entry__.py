@@ -94,6 +94,7 @@ _PINNED = frozenset(
         "temperature_sample_langs",
         "embedding_cosine_topk_jl_rerank",
         "arrow_byte_stats",
+        "interpolate_hourly_value_series",
     }
 )
 

@@ -129,3 +129,46 @@ def test_temperature_sample_rates_and_membership(spark):
         assert kept == keep(100 + i, rate)
     # the curve actually downsamples: not everything survives
     assert 0 < sum(1 for i in range(20) if got[100 + i][2]) < 20
+
+
+def test_linear_interpolation_math_and_edges(spark):
+    """operators-level check of the interpolation expression used by
+    `interpolate_hourly_value_series` via a planted series: a 3-hour
+    interior gap interpolates at the exact linear positions; leading
+    and trailing gaps stay null (no extrapolation)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # hours 0..6 for one type; observed only at hours 2 (=100) and 6 (=500)
+    rows = [(h, {2: 100, 6: 500}.get(h)) for h in range(8)]
+    g = spark.createDataFrame(rows, "hn long, cents long")
+    pw = Window.orderBy("hn").rowsBetween(Window.unboundedPreceding, -1)
+    nw = Window.orderBy("hn").rowsBetween(1, Window.unboundedFollowing)
+    hn_nn = F.when(F.col("cents").isNotNull(), F.col("hn"))
+    w = g.select(
+        "hn", "cents",
+        F.last("cents", ignorenulls=True).over(pw).alias("pv"),
+        F.last(hn_nn, ignorenulls=True).over(pw).alias("ph"),
+        F.first("cents", ignorenulls=True).over(nw).alias("nv"),
+        F.first(hn_nn, ignorenulls=True).over(nw).alias("nh"),
+    )
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("hn") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double"),
+        4,
+    )
+    out = {
+        r["hn"]: r["v"]
+        for r in w.select(
+            "hn",
+            F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+            .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+            .alias("v"),
+        ).collect()
+    }
+    assert out[0] is None and out[1] is None      # leading gap: no extrapolation
+    assert out[2] == 100.0 and out[6] == 500.0    # observed pass through
+    assert out[3] == 200.0 and out[4] == 300.0 and out[5] == 400.0
+    assert out[7] is None                          # trailing gap

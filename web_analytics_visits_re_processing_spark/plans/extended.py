@@ -1395,3 +1395,124 @@ def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(fn, "doc_id long, n_bytes int, n_spaces int")
+
+
+@query(
+    "interpolate_hourly_value_series",
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events GROUP BY 1, 2
+),
+g AS (
+    SELECT t.event_type,
+           epoch_us(s.h) AS hour_us,
+           (epoch_us(s.h) // 3600000000)::BIGINT AS hn,
+           c.cents
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN c ON c.event_type = t.event_type AND c.h = s.h
+),
+w AS (
+    SELECT event_type, hour_us, hn, cents,
+           last_value(cents IGNORE NULLS) OVER pw AS pv,
+           last_value(CASE WHEN cents IS NOT NULL THEN hn END IGNORE NULLS)
+               OVER pw AS ph,
+           first_value(cents IGNORE NULLS) OVER nw AS nv,
+           first_value(CASE WHEN cents IS NOT NULL THEN hn END IGNORE NULLS)
+               OVER nw AS nh
+    FROM g
+    WINDOW pw AS (PARTITION BY event_type ORDER BY hn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           nw AS (PARTITION BY event_type ORDER BY hn
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_us,
+       cents IS NULL AS interpolated,
+       CASE WHEN cents IS NOT NULL THEN ROUND(CAST(cents AS DOUBLE), 4)
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN ROUND(pv + (nv - pv) * CAST(hn - ph AS DOUBLE)
+                                      / CAST(nh - ph AS DOUBLE), 4)
+            ELSE NULL END AS cents_filled
+FROM w
+""",
+)
+def q_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE + linear interpolation: the hourly
+    per-type value series (exact integer cents) on the dense calendar
+    spine, with silent interior hours linearly interpolated between
+    their IGNORE-NULLS window neighbors (leading/trailing gaps stay
+    null — interpolation, not extrapolation). The base metric is an
+    exact int, and the interpolation is two correctly-rounded IEEE ops
+    in an identical expression shape on both engines, so even the
+    interpolated values hash-gate. Scale shape: events reduce in one
+    hash agg; the spine×types series (hours × types ≪ events) carries
+    the windows, partitioned by type — never a global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    cents = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 100)).alias("cents")
+    )
+    g = (
+        F.broadcast(spine)
+        .crossJoin(F.broadcast(types))
+        .join(cents, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            F.expr("unix_micros(h) div 3600000000").alias("hn"),
+            "cents",
+        )
+    )
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("hn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nw = (
+        Window.partitionBy("event_type")
+        .orderBy("hn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    hn_nn = F.when(F.col("cents").isNotNull(), F.col("hn"))
+    w = g.select(
+        "event_type",
+        "hour_us",
+        "hn",
+        "cents",
+        F.last("cents", ignorenulls=True).over(pw).alias("pv"),
+        F.last(hn_nn, ignorenulls=True).over(pw).alias("ph"),
+        F.first("cents", ignorenulls=True).over(nw).alias("nv"),
+        F.first(hn_nn, ignorenulls=True).over(nw).alias("nh"),
+    )
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("hn") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double"),
+        4,
+    )
+    return w.select(
+        "event_type",
+        "hour_us",
+        F.col("cents").isNull().alias("interpolated"),
+        F.when(F.col("cents").isNotNull(), F.round(F.col("cents").cast("double"), 4))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("cents_filled"),
+    )
