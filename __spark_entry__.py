@@ -95,6 +95,7 @@ _PINNED = frozenset(
         "embedding_cosine_topk_jl_rerank",
         "arrow_byte_stats",
         "interpolate_hourly_value_series",
+        "dsir_importance_scores",
     }
 )
 

@@ -172,3 +172,31 @@ def test_linear_interpolation_math_and_edges(spark):
     assert out[2] == 100.0 and out[6] == 500.0    # observed pass through
     assert out[3] == 200.0 and out[4] == 300.0 and out[5] == 400.0
     assert out[7] is None                          # trailing gap
+
+
+def test_importance_scores_prefer_target_like_docs(spark):
+    """DSIR contract on planted data: a raw doc written in the target
+    corpus's vocabulary out-scores (per gram) a doc with disjoint
+    vocabulary — its grams land in buckets the target populated."""
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        importance_scores,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 5) for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta gamma delta"),
+            (2, "zork quux blorb frotz gnusto rezrov yomin bozbar"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["score_e6"])
+        for r in importance_scores(raw, target, n_buckets=1024, ngram=2).collect()
+    }
+    # same gram counts -> directly comparable totals
+    assert got[1][0] == got[2][0] == 7
+    assert got[1][1] > got[2][1]

@@ -175,3 +175,69 @@ def temperature_sample(
             (keep_hash < F.col("rate_ppm")).alias("kept"),
         )
     )
+
+
+def importance_scores(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 1024,
+    ngram: int = 2,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped importance scoring (Xie et al. 2023, "Data
+    Selection via Importance Resampling"): rank raw documents by how
+    much their hashed n-gram profile looks like a TARGET corpus.
+    Features are n-grams hashed into ``n_buckets`` buckets; each
+    bucket gets the add-one-smoothed likelihood ratio
+    ``(target_count+1)·scale div (raw_count+1)`` and a document scores
+    the SUM of its grams' bucket ratios (positional grams — repeats
+    count, as in hashed-count features).
+
+    Integer-exact variant: the published method sums log-ratios, but
+    float logs would make the score depend on summation order across
+    engines; truncating-integer linear ratios keep the same target-
+    likeness ordering signal while making every score replay exactly
+    in SQL (the same reasoning as the integer PageRank/k-means).
+
+    Scale shape: TWO bucket-count aggregates (map-side combined, each
+    output ≤ n_buckets rows — constant in corpus size), collected as
+    bounded model state (like centroid/codebook literals) into ONE
+    ratio-array literal, then scoring is a ZERO-SHUFFLE array-side
+    fold per document: grams never explode and docs never shuffle.
+
+    Returns ``(id_col, n_grams, score_e6)``.
+    """
+    def grams_of(df: DataFrame):
+        return F.transform(
+            word_ngrams(F.col(text_col), ngram),
+            lambda g: hash64(g) % n_buckets,
+        )
+
+    def bucket_counts(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(F.explode(grams_of(df)).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {int(r["b"]): int(r["c"]) for r in rows}
+
+    raw_c = bucket_counts(docs)
+    tgt_c = bucket_counts(target_docs)
+    ratios = [
+        ((tgt_c.get(b, 0) + 1) * scale) // (raw_c.get(b, 0) + 1)
+        for b in range(n_buckets)
+    ]
+    ratio_arr = F.array(*[F.lit(int(r)).cast("long") for r in ratios])
+    score = F.aggregate(
+        F.transform(grams_of(docs), lambda b: F.element_at(ratio_arr, (b + 1).cast("int"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(word_ngrams(F.col(text_col), ngram)).alias("n_grams"),
+        score.alias("score_e6"),
+    )

@@ -2094,3 +2094,68 @@ def q_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return cosine_topk_jl_rerank(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "dsir_importance_scores",
+    # Target split = doc_id % 97 == 0 (the same stand-in split the
+    # decontamination gate uses); the oracle recomputes both bucket
+    # tables and the per-doc positional-gram ratio sum from scratch —
+    # Spark's collected ratio literal must equal the SQL-side join,
+    # bucket for bucket, or the hash mismatches.
+    oracle="""
+WITH g AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+               i -> ('0x' || substring(md5(array_to_string(
+                        string_split(text, ' ')[i:i+1], ' ')), 1, 15))::BIGINT
+                    % 1024
+           ) AS bs
+    FROM documents
+),
+raw AS (
+    SELECT b, COUNT(*) AS c
+    FROM (SELECT unnest(bs) AS b FROM g WHERE doc_id % 97 <> 0) GROUP BY b
+),
+tgt AS (
+    SELECT b, COUNT(*) AS c
+    FROM (SELECT unnest(bs) AS b FROM g WHERE doc_id % 97 = 0) GROUP BY b
+),
+buckets AS (SELECT range AS b FROM range(0, 1024)),
+ratio AS (
+    SELECT buckets.b,
+           ((COALESCE(tgt.c, 0) + 1) * 1000000) // (COALESCE(raw.c, 0) + 1) AS r
+    FROM buckets
+    LEFT JOIN raw ON raw.b = buckets.b
+    LEFT JOIN tgt ON tgt.b = buckets.b
+),
+d AS (SELECT doc_id, unnest(bs) AS b FROM g WHERE doc_id % 97 <> 0)
+SELECT d.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(ratio.r) AS BIGINT) AS score_e6
+FROM d JOIN ratio ON ratio.b = d.b
+GROUP BY d.doc_id
+""",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023): training docs
+    scored by hashed-bigram likeness to the target split, with the
+    integer-exact add-one likelihood-ratio variant
+    (``operators.corpus.importance_scores``) so the full score — not
+    just a ranking — hash-gates. Plan shape: two ≤1024-row bucket
+    aggregates become ONE ratio-array literal (bounded model state,
+    like centroids/codebooks), and scoring is a zero-shuffle
+    array-side fold per doc — grams never explode for scoring and the
+    corpus never shuffles."""
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        importance_scores,
+    )
+
+    d = _docs(spark, sf_dir)
+    return importance_scores(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n_buckets=1024,
+        ngram=2,
+    )
