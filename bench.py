@@ -73,6 +73,11 @@ HEADLINE = [
     "decontaminate_train_docs",
     "pack_training_sequences",
     "embedding_cosine_topk_jl_rerank",
+    "dsir_importance_scores",
+    "interpolate_hourly_value_series",
+    "sql_q8_national_market_share",
+    "sql_q21_waiting_suppliers",
+    "arrow_byte_stats",
 ]
 
 

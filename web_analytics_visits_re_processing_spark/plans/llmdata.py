@@ -2143,11 +2143,10 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored by hashed-bigram likeness to the target split, with the
     integer-exact add-one likelihood-ratio variant
     (``operators.corpus.importance_scores``) so the full score — not
-    just a ranking — hash-gates. Plan shape: two ≤1024-row bucket
-    aggregates become ONE ratio-array literal (bounded model state,
-    like centroids/codebooks), and scoring is a zero-shuffle
-    array-side fold per doc — grams never explode for scoring and the
-    corpus never shuffles."""
+    just a ranking — hash-gates. Plan shape: codegen'd gram explode,
+    two ≤1024-row map-side-combined bucket aggregates, the ratio
+    table as a 1024-row BROADCAST join (model state never touches the
+    driver), one doc-keyed groupBy with map-side partial sums."""
     from web_analytics_visits_re_processing_spark.operators.corpus import (
         importance_scores,
     )
