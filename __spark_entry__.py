@@ -96,6 +96,7 @@ _PINNED = frozenset(
         "arrow_byte_stats",
         "interpolate_hourly_value_series",
         "dsir_importance_scores",
+        "conversion_latency_histogram",
     }
 )
 

@@ -384,3 +384,56 @@ def q_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank_scaled(edges, n_iter=3)
+
+
+@query(
+    "conversion_latency_histogram",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+    FROM events
+    GROUP BY user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN u ON u.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= u.s_ts
+    GROUP BY e.user_id
+)
+SELECT CAST((epoch_us(p.p_ts) - epoch_us(u.s_ts)) // 3600000000 AS BIGINT)
+           AS latency_hours,
+       COUNT(*) AS n_users
+FROM u JOIN p ON p.user_id = u.user_id
+GROUP BY 1
+ORDER BY latency_hours
+""",
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: hours from a user's FIRST signup
+    to their first purchase at-or-after it, histogrammed — the
+    time-to-convert curve growth teams read daily. Plan: one user
+    hash agg for first-signup, a semi-shaped conditional min for the
+    first qualifying purchase, then a tiny bucket agg; integer hour
+    buckets via epoch-micros div, no float time math anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        u.join(p, "user_id")
+        .select(
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(s_ts)) div 3600000000"
+            ).alias("latency_hours")
+        )
+        .groupBy("latency_hours")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
