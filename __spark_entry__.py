@@ -97,6 +97,8 @@ _PINNED = frozenset(
         "interpolate_hourly_value_series",
         "dsir_importance_scores",
         "conversion_latency_histogram",
+        "session_entry_exit_matrix",
+        "repeat_purchase_intervals",
     }
 )
 

@@ -437,3 +437,90 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("latency_hours")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "session_entry_exit_matrix",
+    # list(... ORDER BY ts, event_id) endpoints == Spark's
+    # min_by/max_by over the (ts, event_id) struct — same total order.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WHERE ts IS NOT NULL
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), ends AS (
+    SELECT user_id, session_seq,
+           list(event_type ORDER BY ts, event_id)[1] AS entry_type,
+           list(event_type ORDER BY ts, event_id)[-1] AS exit_type
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT entry_type, exit_type, COUNT(*) AS n_sessions
+FROM ends GROUP BY entry_type, exit_type
+""",
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit transition matrix: which event type opens a session
+    × which closes it (the landing/exit-page analysis, typed). One
+    user-keyed exchange shared by the sessionizer windows and the
+    per-session ``min_by``/``max_by`` endpoint collapse (the groupBy
+    reuses the user hash partitioning); the matrix agg is ≤ |types|²
+    rows. Endpoints are ordered by (ts, event_id) — deterministic
+    under timestamp ties."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    hits = with_session_columns(ev, "user_id", "ts", 1800, order_cols=["event_id"])
+    order_key = F.struct("ts", "event_id")
+    ends = hits.groupBy("user_id", "session_seq").agg(
+        F.min_by("event_type", order_key).alias("entry_type"),
+        F.max_by("event_type", order_key).alias("exit_type"),
+    )
+    return ends.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+@query(
+    "repeat_purchase_intervals",
+    oracle="""
+WITH p AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST((epoch_us(ts) - epoch_us(prev_ts)) // 3600000000 AS BIGINT)
+           AS interval_hours,
+       COUNT(*) AS n_pairs
+FROM p WHERE prev_ts IS NOT NULL
+GROUP BY 1
+ORDER BY interval_hours
+""",
+)
+def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval histogram: hours between a user's
+    consecutive purchases (repeat-buyer cadence). Purchases are
+    filtered at the scan (pushdown), one user-keyed window exchange
+    over the small purchase slice, integer hour buckets — no float
+    time math."""
+    p = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        p.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            F.expr(
+                "(unix_micros(ts) - unix_micros(prev_ts)) div 3600000000"
+            ).alias("interval_hours")
+        )
+        .groupBy("interval_hours")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
