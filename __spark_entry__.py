@@ -26,21 +26,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["sessionize_visits"](spark, "/root/testdata/sf0.001")
 
 
-def _sampling_history() -> tuple[set[str], set[str]]:
-    """From the committed CORRECTNESS_r*.json artifacts: (queries ever
-    sampled by a driver round, queries NOT fully passing in the LATEST
-    round — errors/mismatches that need a fresh hard signal)."""
+def _sampling_history() -> tuple[dict[str, int], set[str]]:
+    """From the committed CORRECTNESS_r*.json artifacts:
+    (last_pass, latest_bad).
+
+    ``last_pass[name]`` = newest round in which the driver fully
+    verified the query. "Verified" means hash-green for oracle-gated
+    queries; for designed rows-only queries (no ``ORACLES`` entry,
+    e.g. sketch internals) the driver records ``err: 'no_oracle'`` and
+    runs the weaker rows-only check — that IS their pass, so it counts.
+    A gated query whose record says ``no_oracle`` (sampled before its
+    oracle existed) does NOT count as passed and stays in the
+    never-verified tier until a hash-green row lands.
+
+    ``latest_bad`` = queries whose LATEST-round record is a genuine
+    failure (error or mismatch) — a regression needs a fresh hard
+    signal the round after the fix."""
     import glob
     import json
     import re
 
-    seen: set[str] = set()
+    last_pass: dict[str, int] = {}
     latest_bad: set[str] = set()
     paths = sorted(
         glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     for i, path in enumerate(paths):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         try:
             with open(path) as f:
                 payload = json.load(f)
@@ -49,79 +62,47 @@ def _sampling_history() -> tuple[set[str], set[str]]:
         rows = payload.get("queries", payload) if isinstance(payload, dict) else {}
         if not isinstance(rows, dict):
             continue
-        seen.update(rows.keys())
-        if i == len(paths) - 1:
-            for name, rec in rows.items():
-                # record shape: {err, rows_match, schema_match,
-                # hash_match, spark_rows, oracle_rows}; None = not
-                # applicable (e.g. rows-only gates), False = failed.
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            # record shape: {err, rows_match, schema_match, hash_match,
+            # spark_rows, oracle_rows}; None = not applicable.
+            if name in ORACLES:
                 ok = (
-                    isinstance(rec, dict)
-                    and not rec.get("err")
+                    not rec.get("err")
+                    and rec.get("hash_match") is True
                     and rec.get("rows_match") is not False
                     and rec.get("schema_match") is not False
-                    and rec.get("hash_match") is not False
                 )
-                if not ok:
-                    latest_bad.add(name)
-    return seen, latest_bad
-
-
-# Round-5 pinned tier: (a) the r04 LOCAL-sweep-red queries outside the
-# driver's r04 sample (whole-tier proof that the TIMESTAMP_NTZ fix
-# landed — streaming replays + the timestamp-consuming webanalytics
-# trio), (b) this round's new operators (first-ever hard signal).
-_PINNED = frozenset(
-    {
-        "streaming_sessionize_visits",
-        "streaming_tumbling_counts",
-        "streaming_sliding_counts",
-        "streaming_abandoned_sessions",
-        "streaming_dedup_events",
-        "streaming_interval_join",
-        "streaming_interval_join_left",
-        "streaming_interval_join_full",
-        "streaming_foreach_batch_upsert",
-        "streaming_cms_event_counts",
-        "streaming_hll_registers",
-        "attribution_last_touch",
-        "session_path_3grams",
-        "bounce_rate_weekly",
-        "minhash_realistic_near_dup_pairs",
-        "kmeans_embedding_clusters_join",
-        "decontaminate_train_docs",
-        "pack_training_sequences",
-        "temperature_sample_langs",
-        "embedding_cosine_topk_jl_rerank",
-        "arrow_byte_stats",
-        "interpolate_hourly_value_series",
-        "dsir_importance_scores",
-        "conversion_latency_histogram",
-        "session_entry_exit_matrix",
-        "repeat_purchase_intervals",
-    }
-)
+            else:
+                ok = rec.get("err") in (None, "no_oracle")
+            if ok:
+                last_pass[name] = rnd
+            elif i == len(paths) - 1:
+                latest_bad.add(name)
+    return last_pass, latest_bad
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query-prefix sample:
-    (1) queries that errored/mismatched in the LATEST driver round —
-    a regression fix needs a fresh hard signal the round after;
-    (2) the pinned tier above;
-    (3) queries never sampled by any round — steadily converts
-    local-only signals into driver-verified ones;
-    (4) everything else, registry order. Self-maintaining: any future
-    regression automatically re-enters the next round's sample."""
-    seen, latest_bad = _sampling_history()
+    (1) queries genuinely failing in the LATEST driver round — a
+    regression fix needs a fresh hard signal the round after;
+    (2) queries NEVER driver-verified (never sampled, or sampled only
+    before their oracle existed) — converts local-only signals into
+    driver-hash rows;
+    (3) everything already verified, stalest pass first — so hard
+    signals keep rotating across the whole registry. Self-maintaining:
+    any future regression automatically re-enters tier 1."""
+    last_pass, latest_bad = _sampling_history()
 
-    def prio(name: str) -> int:
+    def prio(name: str) -> tuple[int, int]:
         if name in latest_bad:
-            return 0
-        if name in _PINNED:
-            return 1
-        return 2 if name not in seen else 3
+            return (0, 0)
+        if name not in last_pass:
+            return (1, 0)
+        return (2, last_pass[name])
 
-    ordered = sorted(QUERIES, key=lambda name: (prio(name),))
+    ordered = sorted(QUERIES, key=prio)  # stable: registry order within ties
     return {name: QUERIES[name] for name in ordered}
 
 
