@@ -180,6 +180,7 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SENTINEL_EVENT_TYPE,
         _TMP_ROOT,
         _prepare_replay_input,
+        _read_replay_stream,
     )
     from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
         read_state,
@@ -195,13 +196,7 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string,"
-            " value double, props string"
-        )
-        .option("maxFilesPerTrigger", "4")
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _read_replay_stream(spark, input_dir, max_files_per_trigger=4)
         .where(F.col("event_type") != _SENTINEL_EVENT_TYPE)
         .select("event_id", "user_id", "event_type", "ts", "value")
     )

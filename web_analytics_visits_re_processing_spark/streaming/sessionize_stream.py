@@ -47,8 +47,9 @@ from web_analytics_visits_re_processing_spark.operators.sessionize import (
     visit_key_col,
 )
 
-# events.parquet physical schema (ts stored as TIMESTAMP(NANOS) →
-# read as long under nanosAsLong, rebuilt to micros like load_table).
+# One-row sentinel schema for createDataFrame-based tests (the replay
+# staging itself writes the sentinel with pyarrow in the fixture's own
+# physical layout — see _prepare_replay_input).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -156,25 +157,74 @@ _TMP_ROOT = os.path.join(
 LAST_APPEND_PROGRESS: dict[str, int] = {}
 
 
+def _fixture_files(src: str) -> list[str]:
+    if os.path.isdir(src):
+        return sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return [src]
+
+
+def _max_event_ts(files: list[str]):
+    """Max of the ``ts`` column across the fixture's parquet files from
+    ROW-GROUP FOOTER STATISTICS — no data scan; falls back to reading
+    just the ts column where a writer omitted stats. Returns a naive
+    datetime (timestamp layouts) or int (raw int64 layouts)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    best = None
+    for f in files:
+        md = pq.read_metadata(f)
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        idx = names.index("ts")
+        file_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                file_max = None
+                break
+            file_max = st.max if file_max is None else max(file_max, st.max)
+        if file_max is None:
+            file_max = pc.max(pq.read_table(f, columns=["ts"]).column("ts")).as_py()
+        best = file_max if best is None else max(best, file_max)
+    return best
+
+
 def _prepare_replay_input(spark: SparkSession, sf_dir: str, workdir: str) -> str:
-    """Copy the events fixture into a stream-source dir and append ONE
-    sentinel row timestamped 1 day past the fixture's max event time.
+    """Stage the events fixture as a stream-source dir and add ONE
+    sentinel row timestamped 10 days past the fixture's max event time.
 
     Append mode emits a session only when the watermark (max seen ts −
     delay) passes the session close; without the sentinel every session
     within ``delay`` of the fixture's end would stay in state forever
     and the replay would under-produce. The sentinel pushes the final
     watermark beyond all real sessions — the exact flush a production
-    pipeline gets for free from the next day's data.
+    pipeline gets for free from the next day's data. (10 days, not 1:
+    the longest window any replay uses is the 1-day session gap in
+    ``streaming/tws.py``, and the sentinel must out-run gap + delay.)
 
-    The input copy is cached per source mtime/size; the sink and
+    ZERO data movement: the fixture file(s) are HARDLINKED into the
+    input dir (copied only if the link fails, e.g. cross-device), the
+    max event time comes from parquet row-group footer statistics, and
+    the sentinel is one pyarrow-written row in the fixture's own
+    physical schema — whatever its timestamp layout. No Spark job runs.
+    The previous staging (Spark read → int64-nanos rewrite → write)
+    cost ~5 s of every streaming bench entry at sf0.1, because the
+    cache below is keyed on fixture mtime and the fixtures regenerate
+    every round. Downstream readers must therefore probe the layout —
+    use ``_read_replay_stream``, never a hard-coded schema.
+
+    The staged input is cached per source mtime/size; the sink and
     checkpoint dirs are always cleaned (a stale checkpoint would make
     the replay a no-op)."""
-    from web_analytics_visits_re_processing_spark.sources.tables import (
-        ensure_nanos_conf,
-    )
+    import datetime
 
-    ensure_nanos_conf(spark)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     src = f"{sf_dir}/events.parquet"
     shutil.rmtree(os.path.join(workdir, "out"), ignore_errors=True)
     shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
@@ -189,28 +239,61 @@ def _prepare_replay_input(spark: SparkSession, sf_dir: str, workdir: str) -> str
             if f.read() == meta:
                 return input_dir
     shutil.rmtree(input_dir, ignore_errors=True)
-    raw = spark.read.parquet(src)
-    # Normalize the replay copy to the int64-nanos layout every
-    # downstream readStream expects (EVENTS_RAW_SCHEMA), whichever
-    # layout the fixture has: legacy TIMESTAMP(NANOS) already arrives
-    # as long under the nanosAsLong conf; newer naive timestamp[us]
-    # fixtures arrive as TIMESTAMP_NTZ and are rebuilt as epoch nanos
-    # (value-exact under the UTC session timezone).
-    if not isinstance(raw.schema["ts"].dataType, T.LongType):
-        raw = raw.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast(T.TimestampType())) * F.lit(1000)
-        )
-    raw.write.parquet(input_dir)
-    max_ts = raw.agg(F.max("ts")).first()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + 86_400 * 10**9, SENTINEL_USER_ID, _SENTINEL_EVENT_TYPE, 0.0, "{}")],
-        EVENTS_RAW_SCHEMA,
+    os.makedirs(input_dir)
+    files = _fixture_files(src)
+    for i, f in enumerate(files):
+        dst = os.path.join(input_dir, f"part-{i:05d}.parquet")
+        try:
+            os.link(f, dst)
+        except OSError:
+            shutil.copyfile(f, dst)
+    schema = pq.read_schema(files[0]).remove_metadata()
+    max_ts = _max_event_ts(files)
+    if isinstance(max_ts, datetime.datetime):
+        sentinel_ts = max_ts + datetime.timedelta(days=10)
+    else:  # raw int64 epoch-nanos layout
+        sentinel_ts = int(max_ts) + 10 * 86_400 * 10**9
+    values = {
+        "event_id": -1,
+        "ts": sentinel_ts,
+        "user_id": SENTINEL_USER_ID,
+        "event_type": _SENTINEL_EVENT_TYPE,
+        "value": 0.0,
+        "props": "{}",
+    }
+    sentinel = pa.Table.from_arrays(
+        [pa.array([values[f.name]], type=f.type) for f in schema], schema=schema
     )
-    sentinel.write.mode("append").parquet(input_dir)
+    pq.write_table(sentinel, os.path.join(input_dir, "part-sentinel.parquet"))
     os.makedirs(workdir, exist_ok=True)
     with open(marker, "w") as f:
         f.write(meta)
     return input_dir
+
+
+def _read_replay_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over a staged replay dir with ``ts`` normalized to
+    session-tz TimestampType whatever the fixture's physical layout
+    (legacy TIMESTAMP(NANOS) arrives as int64 under the nanosAsLong
+    conf; newer naive timestamp[us] arrives as TIMESTAMP_NTZ, which
+    ``session_window``/``unix_micros`` reject) — the streaming twin of
+    ``sources.tables.normalize_timestamps``. The schema probe is a
+    batch footer read, no data scan."""
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        ensure_nanos_conf,
+    )
+
+    ensure_nanos_conf(spark)
+    batch_schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(input_dir)
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def _run_append_to_files(
@@ -256,11 +339,7 @@ def streaming_visits_append(
         _TMP_ROOT, "stream_append_visits", os.path.basename(sf_dir.rstrip("/")) or "sf"
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_replay_stream(spark, input_dir)
     visits = sessionize_stream(events, gap_seconds, watermark_delay)
     out, _ = _run_append_to_files(visits, workdir)
     return (
@@ -286,11 +365,7 @@ def streaming_tumbling_counts_append(
         _TMP_ROOT, "stream_append_tumbling", os.path.basename(sf_dir.rstrip("/")) or "sf"
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_replay_stream(spark, input_dir)
     counts = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", width), "event_type")
@@ -335,11 +410,7 @@ def streaming_sliding_counts_append(
         _TMP_ROOT, "stream_append_sliding", os.path.basename(sf_dir.rstrip("/")) or "sf"
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_replay_stream(spark, input_dir)
     counts = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", width, slide))
@@ -391,13 +462,10 @@ def streaming_cms_state(
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
     state = os.path.join(workdir, "state")
     shutil.rmtree(state, ignore_errors=True)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_dir)
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger).where(
         # no watermark in play, so the pre-agg sentinel filter is safe
         # (the pushdown hazard only exists below an EventTimeWatermark)
-        .where(F.col("event_type") != _SENTINEL_EVENT_TYPE)
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
     )
     cms_stream = count_min_table(events, "event_type", depth, width)
     run_upsert_stream(
@@ -521,11 +589,8 @@ def streaming_dedup_append(
         _TMP_ROOT, "stream_append_dedup", os.path.basename(sf_dir.rstrip("/")) or "sf"
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("ts_min", F.date_trunc("minute", F.col("ts")))
+    events = _read_replay_stream(spark, input_dir).withColumn(
+        "ts_min", F.date_trunc("minute", F.col("ts"))
     )
     deduped = (
         events.withWatermark("ts_min", watermark_delay)
@@ -577,9 +642,7 @@ def streaming_interval_join_append(
         # The sentinel has user_id = -1 and so matches nothing; it is
         # dropped from the read-back instead.
         return (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .parquet(input_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _read_replay_stream(spark, input_dir)
             .withWatermark("ts", watermark_delay)
             .where(
                 (F.col("event_type") == etype)

@@ -153,9 +153,9 @@ def abandoned_sessions_replay(
     other streaming queries — see ``sessionize_stream``)."""
     from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
         _TMP_ROOT,
-        EVENTS_RAW_SCHEMA,
         SENTINEL_USER_ID,
         _prepare_replay_input,
+        _read_replay_stream,
         _run_append_to_files,
     )
 
@@ -163,11 +163,7 @@ def abandoned_sessions_replay(
         _TMP_ROOT, "stream_abandoned", os.path.basename(sf_dir.rstrip("/")) or "sf"
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_replay_stream(spark, input_dir)
     result = abandoned_sessions_stream(events, gap_seconds)
     out, _ = _run_append_to_files(result, workdir)
     return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER_ID)

@@ -177,9 +177,9 @@ def user_lifetime_replay(
     every timer fires and all state is evicted."""
     from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
         _TMP_ROOT,
-        EVENTS_RAW_SCHEMA,
         SENTINEL_USER_ID,
         _prepare_replay_input,
+        _read_replay_stream,
         _run_append_to_files,
     )
 
@@ -190,12 +190,7 @@ def user_lifetime_replay(
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
     shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger)
     result = user_lifetime_stream(events, gap_seconds)
     out, _ = _run_append_to_files(result, workdir)
     return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER_ID)
