@@ -177,6 +177,10 @@ def temperature_sample(
     )
 
 
+#: last persisted exploded-gram DataFrame (see importance_scores).
+_LAST_GRAM_CACHE: dict[str, DataFrame] = {}
+
+
 def importance_scores(
     docs: DataFrame,
     target_docs: DataFrame,
@@ -227,9 +231,16 @@ def importance_scores(
     # pass at sf0.1). MEMORY_AND_DISK spill-safe; at extreme scale
     # where caching the exploded grams is worse than re-hashing, pass
     # cache_grams=False and pay the second codegen pass instead.
+    # At most ONE invocation's gram cache is live: the previous call's
+    # persisted grams are released here (non-blocking), so a long-lived
+    # session never accumulates exploded-gram partitions.
     doc_b = gram_rows(docs, F.col(id_col))
     if cache_grams:
+        prev = _LAST_GRAM_CACHE.pop("df", None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
         doc_b = doc_b.persist()
+        _LAST_GRAM_CACHE["df"] = doc_b
     raw_counts = doc_b.groupBy("b").agg(F.count(F.lit(1)).alias("_rc"))
     tgt_counts = gram_rows(target_docs).groupBy("b").agg(
         F.count(F.lit(1)).alias("_tc")

@@ -2100,9 +2100,11 @@ def q_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_importance_scores",
     # Target split = doc_id % 97 == 0 (the same stand-in split the
     # decontamination gate uses); the oracle recomputes both bucket
-    # tables and the per-doc positional-gram ratio sum from scratch —
-    # Spark's collected ratio literal must equal the SQL-side join,
-    # bucket for bucket, or the hash mismatches.
+    # tables and the per-doc gram ratio sum from scratch — Spark's
+    # distributed broadcast-ratio table (built from the spine
+    # left-join, never collected to the driver) must equal the
+    # oracle's recomputed bucket join, bucket for bucket, or the hash
+    # mismatches.
     oracle="""
 WITH g AS (
     SELECT doc_id,
