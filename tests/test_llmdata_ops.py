@@ -604,3 +604,45 @@ def test_pq_encode_zero_shuffle(spark, sf_dir):
         .toString()
     )
     assert not re.findall(r"Exchange (?:hash|range|Single)", plan), plan
+
+
+def test_incremental_minhash_dedup_cross_run(spark, tmp_path):
+    """A new shard deduped against a frozen corpus via a PERSISTED band
+    table: the planted cross-run dup is matched, the clean new doc is
+    not, and the corpus is only consulted through the on-disk index +
+    candidate verify join."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        incremental_minhash_matches,
+        minhash_band_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, BASE),
+            (101, "completely different content about database engines " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    # "Run 1" freezes the corpus index to disk; "run 2" reads it back.
+    idx_path = str(tmp_path / "band_index")
+    minhash_band_table(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    new = spark.createDataFrame(
+        [
+            (200, BASE.replace("summer", "winter")),  # near-dup of corpus 100
+            (201, "an entirely unrelated document about orbital mechanics " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["new_id"]: r
+        for r in incremental_minhash_matches(
+            new, corpus, index, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {200, 201}
+    assert got[200]["is_dup"] and got[200]["matched_corpus_id"] == 100
+    assert got[200]["jaccard"] >= 0.8
+    assert not got[201]["is_dup"]
+    assert got[201]["matched_corpus_id"] is None and got[201]["jaccard"] is None

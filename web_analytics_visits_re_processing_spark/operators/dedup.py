@@ -614,3 +614,117 @@ def duplicated_ngram_spans(
         "dup_tokens",
         F.expr("dup_tokens * 10000 div n_tokens").alias("dup_frac_e4"),
     )
+
+
+# --- incremental (cross-run) dedup -------------------------------------------
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    ngram: int = 3,
+) -> DataFrame:
+    """The persistable LSH index of a frozen corpus: one row per
+    (doc, band) — ``(id, band_idx, band_key)``.
+
+    This is the artifact a training-data pipeline writes once per
+    corpus freeze and probes on every new crawl shard (see
+    ``incremental_minhash_matches``). At 100 TB the table is written
+    bucketed by ``band_key`` so shard probes are join-pruned to the
+    colliding buckets; row count is |corpus| × bands regardless of
+    document size."""
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, ngram)
+    return sig.select(
+        F.col(id_col), F.array(*minhash_bands(num_hashes, bands)).alias("bands")
+    ).select(id_col, F.posexplode("bands").alias("band_idx", "band_key"))
+
+
+def incremental_minhash_matches(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_band_table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-run dedup: probe a NEW shard against the persisted band
+    table of a FROZEN corpus — the missing piece between within-corpus
+    dedup and a real ingestion pipeline, where each day's crawl must
+    be deduped against everything already accepted without ever
+    re-signing the corpus.
+
+    Plan shape (the scale design): the new shard's banded signatures
+    are tiny relative to the corpus, so the probe side is BROADCAST
+    into the candidate equi-join on (band_idx, band_key) — the frozen
+    band table is never re-shuffled (and in production is read
+    bucketed by band_key, so the scan itself prunes to colliding
+    buckets). Candidates collapse to distinct (new_id, corpus_id)
+    pairs (bounded by collisions, never |new|×|corpus|), then exact
+    Jaccard verifies each pair: the candidate set joins the corpus
+    text by id — again broadcast-able, touching only matched corpus
+    docs. One row per new doc: its best surviving match (highest
+    Jaccard, ties to the smallest corpus id) or NULLs if clean.
+
+    Returns ``(new_id, matched_corpus_id, jaccard, is_dup)``.
+    """
+    sig = minhash_signatures_df(new_docs, text_col, id_col, num_hashes, ngram)
+    probe = sig.select(
+        F.col(id_col), F.array(*minhash_bands(num_hashes, bands)).alias("bands")
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(
+            corpus_band_table.select(
+                F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+    def _shingles(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias(f"sh_{out_id}"),
+        )
+
+    verified = (
+        F.broadcast(cand)
+        .join(_shingles(corpus_docs, "corpus_id"), "corpus_id")
+        .join(F.broadcast(_shingles(new_docs, "new_id")), "new_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_new_id", "sh_corpus_id"))
+                / F.size(F.array_union("sh_new_id", "sh_corpus_id")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy("new_id").agg(
+        F.max_by(
+            F.struct(F.col("corpus_id"), F.col("jaccard")),
+            F.struct(F.col("jaccard").alias("j"), (-F.col("corpus_id")).alias("nid")),
+        ).alias("m")
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("m.corpus_id").alias("matched_corpus_id"),
+            F.col("m.jaccard").alias("jaccard"),
+            F.col("m").isNotNull().alias("is_dup"),
+        )
+    )

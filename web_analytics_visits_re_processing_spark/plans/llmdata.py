@@ -2160,3 +2160,111 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=1024,
         ngram=2,
     )
+
+
+# --- incremental (cross-run) dedup -------------------------------------------
+
+def _persisted_band_table(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> DataFrame:
+    """The frozen corpus's LSH band index, genuinely PERSISTED: written
+    to parquet once per fixture generation (cache keyed on the
+    documents fixture's mtime/size, like the streaming replay staging)
+    and read back for every probe — the probe really runs against an
+    on-disk index, not a recomputed lineage. In production this is the
+    artifact written bucketed by band_key at corpus freeze."""
+    import os
+    import shutil
+
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        minhash_band_table,
+    )
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    workdir = os.path.join(
+        repo, ".tmp", "minhash_index", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    path = os.path.join(workdir, "bands")
+    marker = os.path.join(workdir, "_INPUT_META")
+    src = f"{sf_dir}/documents.parquet"
+    try:
+        meta = f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    except OSError:
+        meta = f"{src}:unknown"
+    cached = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            cached = f.read() == meta
+    if not cached:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(workdir, exist_ok=True)
+        minhash_band_table(corpus).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write(meta)
+    return spark.read.parquet(path)
+
+
+@query(
+    "incremental_minhash_dedup",
+    oracle=f"""
+WITH sh AS ({_MINHASH_SHINGLES_SQL}),
+hm AS ({_MINHASH_BASE_SQL}),
+sig AS (
+    SELECT doc_id,
+{_MINHASH_SIG_COLS_SQL}
+    FROM hm
+),
+banded AS (
+{_MINHASH_BANDED_SQL}
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM banded n JOIN banded c
+      ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+    WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+verified AS (
+    SELECT cand.new_id, cand.corpus_id,
+           ROUND(len(list_intersect(sa.sh, sb.sh))
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.new_id
+    JOIN sh sb ON sb.doc_id = cand.corpus_id
+),
+best AS (
+    SELECT new_id, corpus_id, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, corpus_id ASC) AS rn
+    FROM verified
+    WHERE jaccard >= 0.5
+)
+SELECT d.doc_id AS new_id,
+       b.corpus_id AS matched_corpus_id,
+       b.jaccard AS jaccard,
+       b.corpus_id IS NOT NULL AS is_dup
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+""",
+)
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup — each new crawl shard probed against the
+    PERSISTED band table of the frozen corpus (here: docs with
+    doc_id % 5 == 0 play the new shard, the rest the frozen corpus).
+    The index is written to parquet once per corpus freeze and only
+    read thereafter; the probe side is broadcast so the corpus is
+    never re-signed or re-shuffled (see
+    ``operators.dedup.incremental_minhash_matches``). One row per new
+    doc: best verified match (Jaccard ≥ 0.5) or NULLs if clean. The
+    oracle replays the persisted-band probe — same signatures, same
+    banding, same candidate join and best-match rule — from scratch
+    in SQL."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        incremental_minhash_matches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    index = _persisted_band_table(spark, sf_dir, corpus)
+    return incremental_minhash_matches(new, corpus, index, threshold=0.5)
