@@ -316,3 +316,46 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return streaming_interval_join_append(spark, sf_dir, how="full_outer")
+
+
+# --- transformWithStateInPandas (runtime-conditional) ------------------------
+#
+# The transformWithState state-server protocol speaks protobuf and
+# ``google.protobuf`` is absent in no-install containers, so the gate
+# registers ONLY where the runtime can actually execute it (probed at
+# registry-build time) — a driver container that ships protobuf
+# hash-verifies the custom-stateful operator for free, and this
+# container keeps the skip-marked pytest instead of a gate that can
+# only error. Batch equivalence: the timer-emitted set equals the
+# batch groupBy verbatim (order-free aggregates), which is what makes
+# a custom-stateful streaming operator SQL-oracle-able at all.
+
+from web_analytics_visits_re_processing_spark.streaming.tws import (  # noqa: E402
+    transform_with_state_available,
+)
+
+if transform_with_state_available():
+
+    @query(
+        "streaming_tws_user_lifetime",
+        oracle="""
+SELECT user_id,
+       epoch_us(MIN(ts)) AS first_ts_us,
+       epoch_us(MAX(ts)) AS last_ts_us,
+       COUNT(*) AS n_events,
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events
+GROUP BY user_id
+""",
+    )
+    def q_streaming_tws_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user lifetime aggregates via transformWithStateInPandas
+        (ValueState merge + re-armed event-time timer, emitted exactly
+        once per user when the watermark passes last_event + gap — see
+        ``streaming.tws``), replayed append-mode with the sentinel
+        flushing every timer."""
+        from web_analytics_visits_re_processing_spark.streaming.tws import (
+            user_lifetime_replay,
+        )
+
+        return user_lifetime_replay(spark, sf_dir)
