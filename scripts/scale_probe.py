@@ -101,6 +101,49 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
         f.write("ok")
 
 
+def skew_probe(spark) -> dict:
+    """Planted-whale skew probe: sf0.1 events + ONE synthetic user with
+    ~2M hits at 1-second cadence (one mega-session; override
+    $SPARK_GRAFT_WHALE_HITS). Times the plain sessionizer — whose
+    user-key shuffle lands the whole whale on ONE reducer — against
+    the ``salt_sessions`` escape hatch, which appends the UTC day to
+    the grouping key so the whale fans out across ~24 reducers
+    (documented approximation: salted sessions split at day
+    boundaries). Both paths run the identical session_window agg and
+    full noop materialization."""
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.sessionize import (
+        salt_sessions,
+        sessionize_visits,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    whale_hits = int(os.environ.get("SPARK_GRAFT_WHALE_HITS", "2000000"))
+    events = load_table(spark, BASE_SF, "events").select("user_id", "ts")
+    whale_id = events.agg(F.max("user_id")).first()[0] + 1
+    base_us = events.agg(F.min(F.unix_micros("ts"))).first()[0]
+    whale = spark.range(whale_hits).select(
+        F.lit(whale_id).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(1_000_000)
+        ).alias("ts"),
+    )
+    df = events.unionByName(whale)
+    out: dict[str, float | int] = {"whale_hits": whale_hits}
+    for label, d, ucol in (
+        ("plain", df, "user_id"),
+        ("salted", salt_sessions(df, "user_id"), "_salted_user"),
+    ):
+        t0 = time.perf_counter()
+        sessionize_visits(d, user_col=ucol).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
+        print(f"# skew {label}: {out[f'{label}_sec']}s", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     from web_analytics_visits_re_processing_spark.plans import QUERIES
     from web_analytics_visits_re_processing_spark.session import get_spark
@@ -127,7 +170,17 @@ def main() -> None:
     ratios = {
         q: round(out["sf1x"][q] / out["sf0.1"][q], 2) for q in PROBE_QUERIES
     }
-    print(json.dumps({"replicas": REPLICAS, "timings": out, "ratio_10x_data": ratios}))
+    skew = skew_probe(spark)
+    print(
+        json.dumps(
+            {
+                "replicas": REPLICAS,
+                "timings": out,
+                "ratio_10x_data": ratios,
+                "skew_probe": skew,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
