@@ -286,3 +286,16 @@ def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
     plan = _plan(spark, "decontaminate_train_docs", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_incremental_dedup_probe_side_broadcasts(spark, sf_dir):
+    """Cross-run dedup: the frozen corpus is consulted only through
+    the persisted band index + candidate verify join — the probe and
+    candidate sides broadcast (no corpus re-shuffle), and the band
+    candidate join is an equi-join, never a product."""
+    plan = _plan(spark, "incremental_minhash_dedup", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # corpus band table arrives from the persisted parquet index
+    assert "band_idx" in plan and "band_key" in plan, plan
