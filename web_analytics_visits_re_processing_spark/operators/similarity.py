@@ -86,14 +86,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane bucket id: bit i = sign(v·hᵢ). The planes are
-    literal arrays in the plan — deterministic across runs/executors."""
+    literal arrays in the plan — deterministic across runs/executors.
+    The plane matrix ships as ONE parsed SQL literal and the bit fold
+    is a single zip_with/aggregate pair (per-value ``F.lit`` built
+    n_planes×dim py4j Columns and dominated invocation time — the
+    jl_project/PQ lesson; CAST('<repr>' AS DOUBLE) round-trips
+    exactly, and shiftleft takes a column amount in SQL)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(vec_col, plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    mat_sql = ", ".join(
+        "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p) + ")"
+        for p in planes
+    )
+    bits = F.zip_with(
+        F.expr(f"array({mat_sql})"),
+        F.expr(f"sequence(0, {int(n_planes) - 1}, 1)"),
+        lambda p, i: F.call_function(
+            "shiftleft", (dot(vec_col, p) > 0).cast("long"), i
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def cosine_topk_lsh(
@@ -251,19 +262,28 @@ def cosine_topk_ivf(
         .collect()
     )
 
+    # Both literal arrays ship as ONE parsed SQL expression each (the
+    # PQ codebook / jl_project lesson): the per-value
+    # ``F.lit(float(x))`` formulation issued n_centroids×dim py4j
+    # calls per call site (~10k for the default 64×64, twice) and cost
+    # 11.9 s of every invocation in pure DataFrame BUILD time
+    # (measured; CAST('<repr>' AS DOUBLE) round-trips exactly).
+    cvecs_sql = ", ".join(
+        "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cvec) + ")"
+        for _cid, cvec in cents
+    )
+    negids_sql = ", ".join(f"{-cid}L" for cid, _cvec in cents)
+
     def cell_structs(vec: Column) -> Column:
         # struct ordering compares fields in order: (sim, -cid) under
         # array_max → highest sim, then smallest cid.
-        return F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 8
-                    ).alias("sim"),
-                    F.lit(-cid).cast("long").alias("neg_cid"),
-                )
-                for cid, cvec in cents
-            ]
+        return F.zip_with(
+            F.expr(f"array({cvecs_sql})"),
+            F.expr(f"array({negids_sql})"),
+            lambda cvec, ncid: F.struct(
+                F.round(cosine(vec, cvec), 8).alias("sim"),
+                ncid.alias("neg_cid"),
+            ),
         )
 
     corpus_cells = corpus.select(
@@ -400,20 +420,26 @@ def jl_project(vec_q: Column, signs: list[list[int]]) -> Column:
     ±1 sign matrix: out_j = Σᵢ s_ji·qᵢ — INTEGER-EXACT (sums of ±q
     components stay far inside int64), a pure zero-shuffle projection,
     and engine-portable so both the sketch and everything ranked on it
-    replay verbatim in SQL."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    vec_q,
-                    F.array(*[F.lit(s).cast("long") for s in row]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for row in signs
-        ]
+    replay verbatim in SQL.
+
+    The sign matrix ships as ONE parsed SQL array-of-arrays literal
+    (the PQ codebook lesson, ``operators/pq.py:_books_sql``): the
+    previous ``F.array(*[F.lit(s).cast("long") ...])`` formulation
+    issued ~2×out_dim×in_dim py4j calls per projection and cost
+    ~3.9 s of every invocation in pure DataFrame BUILD time at
+    out_dim=16/in_dim=64 (measured; execution itself is 0.6 s). One
+    ``F.expr`` string is one py4j call; same values, same plan."""
+    rows_sql = ", ".join(
+        "array(" + ", ".join(f"{int(s)}L" for s in row) + ")" for row in signs
+    )
+    mat = F.expr(f"array({rows_sql})")
+    return F.transform(
+        mat,
+        lambda row: F.aggregate(
+            F.zip_with(vec_q, row, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
