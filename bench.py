@@ -107,6 +107,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "embedding_cosine_topk_ivf_join",
     "incremental_minhash_dedup",
+    "pii_redaction_stats",
+    "leakage_safe_split",
 ]
 
 

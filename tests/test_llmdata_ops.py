@@ -646,3 +646,42 @@ def test_incremental_minhash_dedup_cross_run(spark, tmp_path):
     assert got[200]["jaccard"] >= 0.8
     assert not got[201]["is_dup"]
     assert got[201]["matched_corpus_id"] is None and got[201]["jaccard"] is None
+
+
+def test_pii_redaction_planted(spark):
+    from web_analytics_visits_re_processing_spark.plans.llmdata import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk host 192.168.0.1 call +4915512345678 done")],
+        "doc_id long, text string",
+    )
+    got = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
+    assert got == "mail <EMAIL> host <IP> call <PHONE> done", got
+
+
+def test_leakage_safe_split_keeps_clusters_together(planted_docs):
+    """Docs 0/1/2 form one near-dup cluster — they must all land on
+    the SAME side of the split, whatever side that is."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+    )
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        dedup_components,
+    )
+
+    docs = planted_docs
+    pairs = minhash_lsh_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    comp = dedup_components(docs, pairs).select("doc_id", "component")
+    side = hash64(F.col("component").cast("string")) % 10
+    rows = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in comp.select(
+            "doc_id",
+            "component",
+            F.when(side < 8, "train").otherwise("val").alias("split"),
+        ).collect()
+    }
+    assert rows[0][0] == rows[1][0] == rows[2][0] == 0  # one cluster
+    assert rows[0][1] == rows[1][1] == rows[2][1]       # one side
+    assert {rows[3][0], rows[4][0]} == {3, 4}           # singletons intact

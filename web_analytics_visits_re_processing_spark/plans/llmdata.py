@@ -2268,3 +2268,127 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") % 5 == 0)
     index = _persisted_band_table(spark, sf_dir, corpus)
     return incremental_minhash_matches(new, corpus, index, threshold=0.5)
+
+
+# --- PII redaction + leakage-safe split --------------------------------------
+
+# Portable patterns: same semantics under Java regex (Spark) and RE2
+# (DuckDB) — character classes, bounded repeats, \b, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def redact_pii(text: F.Column) -> F.Column:
+    """Chained all-occurrence redaction: emails → IPv4 → phones (the
+    order is part of the contract; '+'-prefixed phones cannot overlap
+    the dotted IPs, and both are counted on the PRE-redaction text).
+    A pure zero-shuffle projection — at 100 TB this runs inside the
+    scan's codegen stage."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com from 10.0.'
+                || CAST(doc_id % 200 AS VARCHAR) || '.'
+                || CAST(doc_id % 250 AS VARCHAR)
+                || ' tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+               AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t,
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9]{7,15}', '<PHONE>', 'g')) AS clean_fp
+FROM aug
+""",
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count + redact emails /
+    IPv4s / '+'-phones, fingerprint the scrubbed text. The synthetic
+    fixture text carries no digits at all, so BOTH engines first
+    append the same deterministic per-doc PII tail (visible in the
+    oracle verbatim) — the gate then exercises real redaction on
+    every row instead of vacuously hashing zeros: counts come from
+    the pre-redaction text, ``clean_fp = md5`` of the post-redaction
+    text, so a single mis-redacted character anywhere mismatches.
+    Zero-shuffle projection; patterns portable Java-regex/RE2."""
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +1555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+    )
+    d = docs.select("doc_id", aug.alias("_t"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("_t", F.lit(PII_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("_t", F.lit(PII_IPV4_RE), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.size(F.regexp_extract_all("_t", F.lit(PII_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(redact_pii(F.col("_t"))).alias("clean_fp"),
+    )
+
+
+_SPLIT_ORACLE = _CC_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
+, comp AS (
+    SELECT node AS doc_id, MIN(label)::BIGINT AS component
+    FROM reach GROUP BY node
+)
+SELECT doc_id, component,
+       CASE WHEN ('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT
+                 % 10 < 8
+            THEN 'train' ELSE 'val' END AS split
+FROM comp
+"""
+
+
+@query("leakage_safe_split", oracle=_SPLIT_ORACLE)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split that can NEVER leak near-duplicates across the
+    boundary: the unit of assignment is the connected near-dup
+    CLUSTER, not the document — a doc-level hash split puts a doc and
+    its paraphrase on opposite sides, inflating eval (the standard
+    contamination failure). Side = portable hash of the component
+    label mod 10 (< 8 → train), so every member of a component lands
+    together by construction. Chains the full LSH pair pipeline +
+    min-label clustering; the oracle replays all of it plus the split
+    arithmetic."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        dedup_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    comp = dedup_components(docs, pairs).select("doc_id", "component")
+    side = hash64(F.col("component").cast("string")) % 10
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(side < 8, "train").otherwise("val").alias("split"),
+    )
