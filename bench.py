@@ -109,6 +109,9 @@ HEADLINE = [
     "incremental_minhash_dedup",
     "pii_redaction_stats",
     "leakage_safe_split",
+    "sessionize_dynamic_gap",
+    "null_semantics_battery",
+    "set_ops_all_variants",
 ]
 
 

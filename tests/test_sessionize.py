@@ -59,3 +59,32 @@ def test_lag_formulation_equals_session_window_fuzz(spark):
         assert native == lagged
 
     check()
+
+
+def test_dynamic_gap_running_end_merges_past_short_gap(spark):
+    """A long-gap event holds the session open across later short-gap
+    events: with view(gap 30m)@t0, click(gap 5m)@t400s, click@t900s the
+    lag-only rule would split at t900 (500s > click's 300s gap), but
+    the session window end is still t0+30m — Spark merges all three.
+    Pins the running-max semantics the dynamic-gap oracle replays."""
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [
+            (1, "view", 0),
+            (2, "click", 400),
+            (3, "click", 900),
+        ],
+        "event_id long, event_type string, t long",
+    ).select("event_id", "event_type", F.timestamp_seconds("t").alias("ts"),
+             F.lit(7).alias("user_id"))
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("300 seconds"))
+        .otherwise(F.lit("1800 seconds"))
+    )
+    got = (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["n"] == 3, got

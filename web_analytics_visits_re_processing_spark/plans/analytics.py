@@ -294,3 +294,74 @@ def q_explode_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ch")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "sessionize_dynamic_gap",
+    # DYNAMIC-gap sessions merge on interval OVERLAP with the RUNNING
+    # window end — max(ts+gap) over all previous session members — not
+    # the previous event alone: a long-gap event can hold the session
+    # open across several short-gap events, so a lag-only rule would
+    # split sessions Spark merges. Gaps-and-islands with a running-max
+    # frame replays it exactly (inclusive boundary: an event exactly
+    # at the running end merges, the same empirical rule as fixed-gap
+    # session_window).
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) AS ts_us,
+           CASE event_type WHEN 'click' THEN 300000000
+                           WHEN 'purchase' THEN 600000000
+                           ELSE 1800000000 END AS gap_us
+    FROM events
+    WHERE ts IS NOT NULL
+), seq AS (
+    SELECT user_id, ts_us,
+           CASE WHEN ts_us > MAX(ts_us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS is_new
+    FROM g
+), sess AS (
+    SELECT user_id, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+)
+SELECT user_id,
+       MIN(ts_us) AS visit_start_us,
+       MAX(ts_us) AS visit_end_us,
+       COUNT(*) AS n_hits
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DYNAMIC session gaps — ``session_window`` with a
+    gap EXPRESSION (clicks time out in 5 min, purchases in 10, the
+    rest in 30), the API surface the reference's fixed 1800 s cannot
+    express (``main.py:207``). Same single user-keyed exchange as the
+    fixed-gap sessionizer; the merge rule is interval overlap against
+    the running window end, which the oracle replays with a
+    running-max gaps-and-islands window."""
+    events = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("300 seconds"))
+        .when(F.col("event_type") == "purchase", F.lit("600 seconds"))
+        .otherwise(F.lit("1800 seconds"))
+    )
+    return (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("_start").alias("visit_start_us"),
+            F.unix_micros("_end").alias("visit_end_us"),
+            "n_hits",
+        )
+    )

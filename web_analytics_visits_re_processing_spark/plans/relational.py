@@ -482,3 +482,120 @@ def grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         """
     )
+
+
+@query(
+    "set_ops_all_variants",
+    # Bag-semantics set ops: ALL variants keep multiplicities
+    # (INTERSECT ALL = min(count), EXCEPT ALL = count difference) —
+    # the half of the set-op surface the distinct variants above
+    # don't touch. Aggregated to (nationkey, op, n) so the result is
+    # deterministic and hash-comparable.
+    oracle="""
+WITH u AS (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+),
+i AS (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+),
+e AS (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+)
+SELECT nationkey, op, COUNT(*) AS n FROM (
+    SELECT nationkey, 'union_all' AS op FROM u
+    UNION ALL
+    SELECT nationkey, 'intersect_all' AS op FROM i
+    UNION ALL
+    SELECT nationkey, 'except_all' AS op FROM e
+) GROUP BY nationkey, op
+""",
+)
+def set_ops_all_variants(spark, sf_dir):
+    """UNION ALL / INTERSECT ALL / EXCEPT ALL (bag semantics — kept
+    multiplicities are what the distinct set-op trio above can't
+    express), collapsed to per-key counts for a deterministic gate."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    tagged = (
+        c.unionAll(s).withColumn("op", F.lit("union_all"))
+        .unionByName(c.intersectAll(s).withColumn("op", F.lit("intersect_all")))
+        .unionByName(c.exceptAll(s).withColumn("op", F.lit("except_all")))
+    )
+    return tagged.groupBy("nationkey", "op").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "null_semantics_battery",
+    # SQL null semantics in one gate: null-safe equality (<=> / IS NOT
+    # DISTINCT FROM), NULLS FIRST/LAST window ordering, NULLIF/NVL2,
+    # and count(col) vs count(*) asymmetry. The fixture has no null
+    # cells, so nulls are INJECTED deterministically (orderkey ends in
+    # 1 → null priority) identically in both engines.
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 1 THEN NULL ELSE o_orderpriority END AS pr,
+           o_custkey
+    FROM orders
+)
+SELECT o_custkey,
+       COUNT(*) AS n_rows,
+       COUNT(pr) AS n_nonnull,
+       SUM(CASE WHEN pr IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_nullsafe_null,
+       SUM(CASE WHEN NULLIF(COALESCE(pr, 'X'), 'X') IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_roundtrip_null,
+       MIN(pr) AS min_pr,
+       FIRST(pr ORDER BY pr ASC NULLS FIRST, o_orderkey ASC) AS first_nulls_first
+FROM base
+GROUP BY o_custkey
+HAVING COUNT(*) >= 2
+""",
+)
+def null_semantics_battery(spark, sf_dir):
+    """Null-handling surface in one query: injected nulls, null-safe
+    equality (``eqNullSafe`` ≡ IS NOT DISTINCT FROM), NULLIF/COALESCE
+    round-trip, count(col)-skips-nulls asymmetry, and NULLS FIRST
+    window ordering (min_by over an explicit null-ordered struct would
+    hide it; ``first`` over the sorted window pins it)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 1, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("pr"),
+        "o_custkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("pr").asc_nulls_first(), F.col("o_orderkey").asc()
+    )
+    stamped = base.withColumn("_first", F.first("pr", ignorenulls=False).over(w))
+    return (
+        stamped.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("pr").alias("n_nonnull"),
+            F.sum(
+                F.when(F.col("pr").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).alias("n_nullsafe_null"),
+            F.sum(
+                F.when(
+                    F.nullif(F.coalesce(F.col("pr"), F.lit("X")), F.lit("X")).isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_roundtrip_null"),
+            F.min("pr").alias("min_pr"),
+            F.first("_first").alias("first_nulls_first"),
+        )
+        .where(F.col("n_rows") >= 2)
+    )
