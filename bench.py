@@ -112,6 +112,7 @@ HEADLINE = [
     "sessionize_dynamic_gap",
     "null_semantics_battery",
     "set_ops_all_variants",
+    "binaryfile_png_ingest",
 ]
 
 

@@ -2392,3 +2392,102 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.when(side < 8, "train").otherwise("val").alias("split"),
     )
+
+
+# --- binaryFile ingestion (the multimodal data-lake source path) -------------
+
+def _staged_png_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one real .png FILE per document (content =
+    ``with_png_blob``'s container, written from the EXECUTORS via
+    foreachPartition — no driver collect), cached per fixture
+    generation like the streaming replay staging. This is the on-disk
+    shape a multimodal lake actually has: a directory of opaque media
+    files, not blobs already inside a table."""
+    import os
+    import shutil
+
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        with_png_blob,
+    )
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    workdir = os.path.join(
+        repo, ".tmp", "png_files", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    out = os.path.join(workdir, "imgs")
+    marker = os.path.join(workdir, "_INPUT_META")
+    src = f"{sf_dir}/documents.parquet"
+    try:
+        meta = f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    except OSError:
+        meta = f"{src}:unknown"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == meta:
+                return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r['doc_id']}.png"), "wb") as f:
+                f.write(bytes(r["image"]))
+
+    with_png_blob(_docs(spark, sf_dir)).select("doc_id", "image").foreachPartition(
+        write_part
+    )
+    os.makedirs(workdir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(meta)
+    return out
+
+
+@query(
+    "binaryfile_png_ingest",
+    # Same construction arithmetic as multimodal_png_meta — what's new
+    # under test is the SOURCE: the bytes round-trip through real .png
+    # files on disk and Spark's binaryFile reader, so any corruption
+    # in staging, file listing, or content transfer mismatches.
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) % 640 + 16 AS width,
+       octet_length(encode(text)) % 480 + 9 AS height,
+       octet_length(encode(text)) + 33 AS n_bytes,
+       'png' AS format
+FROM documents
+""",
+)
+def q_binaryfile_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal INGESTION path: a directory of real .png files read
+    with Spark's ``binaryFile`` source (path, length, content — the
+    standard data-lake entry point for opaque media; files become scan
+    partitions governed by maxPartitionBytes, so a 100 TB image corpus
+    parallelizes by file with no custom reader), doc identity parsed
+    from the filename, then the same IHDR byte-offset decoder as
+    ``multimodal_png_meta``. End-to-end: write → list → read →
+    decode, hash-gated against the construction arithmetic."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    img_dir = _staged_png_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(img_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("image"),
+        )
+    )
+    return decode_image_meta(files).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "format",
+    )
