@@ -113,6 +113,8 @@ HEADLINE = [
     "null_semantics_battery",
     "set_ops_all_variants",
     "binaryfile_png_ingest",
+    "mixture_rebalance_sources",
+    "curation_pipeline",
 ]
 
 

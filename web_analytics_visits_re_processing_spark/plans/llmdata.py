@@ -2491,3 +2491,207 @@ def q_binaryfile_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("int").alias("n_bytes"),
         "format",
     )
+
+
+@query(
+    "mixture_rebalance_sources",
+    # Uniform-mixture rebalance: every source downsampled (in
+    # expectation) to the smallest source's volume — keep_ppm =
+    # min_count·1e6 div count(source), membership by the salted
+    # portable hash (no RNG, replayable row-for-row). The model state
+    # is one row per source; at 100 TB it broadcasts.
+    oracle="""
+WITH counts AS (
+    SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+),
+rates AS (
+    SELECT source, c,
+           (SELECT MIN(c) FROM counts) * 1000000 // c AS keep_ppm
+    FROM counts
+)
+SELECT d.doc_id, d.source, r.keep_ppm,
+       (('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000) < r.keep_ppm AS kept
+FROM documents d JOIN rates r ON r.source = d.source
+""",
+)
+def q_mixture_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing — the "data mixing" step of a
+    training pipeline: compute each source's keep-rate so all sources
+    contribute equally (every source downsampled to the smallest
+    one's volume, the uniform-target special case of weighted
+    mixing), then decide membership per doc with the salted portable
+    hash — no RNG, so the exact kept set replays in SQL and across
+    reruns/engines (the temperature-resampling design, aimed at
+    source mixing instead of language smoothing). Per-source counts
+    are a tiny aggregate joined back (AQE broadcasts it); the corpus
+    scan itself is never shuffled."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    min_c = counts.agg(F.min("c").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_c)).select(
+        "source", F.expr("m * 1000000 div c").alias("keep_ppm")
+    )
+    keep_hash = hash64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))) % 1_000_000
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "keep_ppm",
+            (keep_hash < F.col("keep_ppm")).alias("kept"),
+        )
+    )
+
+
+@query(
+    "curation_pipeline",
+    # End-to-end composition of the canonical single-purpose gates
+    # (quality_filter_flags, dedup_exact_groups, decontaminate_train_
+    # docs — same formulas, same constants): one verdict row per
+    # training doc with the per-stage reasons and the conjunctive
+    # kept bit.
+    oracle="""
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS lc
+    FROM documents
+    WHERE doc_id % 97 <> 0
+),
+m AS (
+    SELECT doc_id, text,
+           len(toks) AS n_tokens,
+           lc,
+           len(list_distinct(toks)) AS n_distinct,
+           len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+               AS n_stop,
+           list_max(list_transform(list_distinct(toks),
+               d -> len(list_filter(toks, x -> x = d)))) AS top_tok
+    FROM t
+),
+q AS (
+    SELECT doc_id,
+           ((n_tokens BETWEEN 20 AND 1000)
+            AND 3 * n_tokens <= lc - n_tokens + 1
+            AND lc - n_tokens + 1 <= 10 * n_tokens
+            AND n_distinct * 10 >= n_tokens * 3
+            AND top_tok * 5 <= n_tokens
+            AND n_stop * 10 <= n_tokens * 4) AS quality_ok
+    FROM m
+),
+fp AS (
+    SELECT doc_id,
+           (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_exact_dup
+    FROM t
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+           )) AS gs
+    FROM documents
+),
+ev AS (
+    SELECT DISTINCT ('0x' || substring(md5(x.g), 1, 15))::BIGINT AS gh
+    FROM (SELECT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0) x
+),
+dg AS (
+    SELECT doc_id, ('0x' || substring(md5(x.g), 1, 15))::BIGINT AS gh
+    FROM (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 97 <> 0) x
+),
+contam AS (
+    SELECT dg.doc_id,
+           SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) >= 1 AS contaminated
+    FROM dg LEFT JOIN ev ON dg.gh = ev.gh
+    GROUP BY dg.doc_id
+)
+SELECT q.doc_id, q.quality_ok, fp.is_exact_dup, contam.contaminated,
+       (q.quality_ok AND NOT fp.is_exact_dup AND NOT contam.contaminated) AS kept
+FROM q
+JOIN fp USING (doc_id)
+JOIN contam USING (doc_id)
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole-corpus curation run a training-data user actually
+    executes — quality gates + exact dedup + benchmark
+    decontamination COMPOSED into one verdict per training doc
+    (doc_id % 97 != 0; the eval split drives decontamination), with
+    per-stage reasons so rejected docs are auditable:
+    ``(doc_id, quality_ok, is_exact_dup, contaminated, kept)``.
+
+    Same formulas and constants as the canonical single-purpose gates
+    (``quality_filter_flags``, ``dedup_exact_groups``,
+    ``decontaminate_train_docs``) — this query pins that they compose.
+    Plan shape: quality is a zero-shuffle array-side projection
+    stamped inline; dedup is one fingerprint-window exchange over the
+    same scan (no self-join); contamination is the broadcast eval-gram
+    probe + one doc-keyed map-side-combined groupBy; one final
+    doc-keyed join stitches the verdict."""
+    from pyspark.sql import Window
+
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        STOPWORDS,
+        exact_fingerprint,
+        tokens,
+    )
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        contamination_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+
+    toks = tokens(F.col("text"))
+    n = F.size("toks")
+    base = train.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        F.length("text").alias("lc"),
+    ).select(
+        "doc_id",
+        "text",
+        (
+            n.between(20, 1000)
+            & (3 * n <= F.col("lc") - n + 1)
+            & (F.col("lc") - n + 1 <= 10 * n)
+            & (F.size(F.array_distinct("toks")) * 10 >= n * 3)
+            & (
+                F.array_max(
+                    F.transform(
+                        F.array_distinct("toks"),
+                        lambda dtok: F.size(F.filter("toks", lambda x: x == dtok)),
+                    )
+                )
+                * 5
+                <= n
+            )
+            & (
+                F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS["en"]))) * 10
+                <= n * 4
+            )
+        ).alias("quality_ok"),
+    )
+    wfp = Window.partitionBy(exact_fingerprint("text"))
+    stamped = base.withColumn(
+        "is_exact_dup", F.col("doc_id") != F.min("doc_id").over(wfp)
+    ).drop("text")
+    contam = contamination_flags(
+        train, docs.where(F.col("doc_id") % 97 == 0), n=5, min_overlap=1
+    ).select("doc_id", "contaminated")
+    return stamped.join(contam, "doc_id").select(
+        "doc_id",
+        "quality_ok",
+        "is_exact_dup",
+        "contaminated",
+        (
+            F.col("quality_ok")
+            & ~F.col("is_exact_dup")
+            & ~F.col("contaminated")
+        ).alias("kept"),
+    )
