@@ -83,13 +83,34 @@ def _sampling_history() -> tuple[dict[str, int], set[str]]:
     return last_pass, latest_bad
 
 
+# Queries first registered in round 6 (after the r05 artifact): they
+# queue BEHIND the older never-verified backlog inside tier 1, so the
+# 45 queries the r05 verdict targeted all fit the 50-slot prefix
+# before this round's additions start consuming slots. Harmless once
+# sampled (tier-1 membership ends at the first hash-green row).
+_REGISTERED_R06 = frozenset(
+    {
+        "incremental_minhash_dedup",
+        "pii_redaction_stats",
+        "leakage_safe_split",
+        "sessionize_dynamic_gap",
+        "set_ops_all_variants",
+        "null_semantics_battery",
+        "binaryfile_png_ingest",
+        "mixture_rebalance_sources",
+        "curation_pipeline",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query-prefix sample:
     (1) queries genuinely failing in the LATEST driver round — a
     regression fix needs a fresh hard signal the round after;
     (2) queries NEVER driver-verified (never sampled, or sampled only
     before their oracle existed) — converts local-only signals into
-    driver-hash rows;
+    driver-hash rows; the long-waiting backlog outranks this round's
+    brand-new registrations;
     (3) everything already verified, stalest pass first — so hard
     signals keep rotating across the whole registry. Self-maintaining:
     any future regression automatically re-enters tier 1."""
@@ -99,7 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in latest_bad:
             return (0, 0)
         if name not in last_pass:
-            return (1, 0)
+            return (1, 1 if name in _REGISTERED_R06 else 0)
         return (2, last_pass[name])
 
     ordered = sorted(QUERIES, key=prio)  # stable: registry order within ties
