@@ -685,3 +685,41 @@ def test_leakage_safe_split_keeps_clusters_together(planted_docs):
     assert rows[0][0] == rows[1][0] == rows[2][0] == 0  # one cluster
     assert rows[0][1] == rows[1][1] == rows[2][1]       # one side
     assert {rows[3][0], rows[4][0]} == {3, 4}           # singletons intact
+
+
+def test_curation_stages_compose(spark):
+    """Each rejection reason fires independently and the kept bit is
+    their conjunction: a good doc survives, its exact copy is dropped
+    as a dup, a doc sharing a 5-gram with the eval split is dropped as
+    contaminated, and a tiny doc fails quality."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        exact_fingerprint,
+    )
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        contamination_flags,
+    )
+
+    good = ("the data " + "value table row scan key " * 8).strip()  # 42 toks
+    eval_text = "benchmark secret answer sequence here plus context"
+    leaky = good + " benchmark secret answer sequence here"
+    train = spark.createDataFrame(
+        [(1, good), (2, good), (3, leaky), (4, "tiny doc")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(970, eval_text)], "doc_id long, text string")
+
+    from pyspark.sql import Window
+
+    wfp = Window.partitionBy(exact_fingerprint("text"))
+    dup = train.select(
+        "doc_id", (F.col("doc_id") != F.min("doc_id").over(wfp)).alias("is_dup")
+    )
+    contam = contamination_flags(train, ev, n=5, min_overlap=1).select(
+        "doc_id", "contaminated"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dup.join(contam, "doc_id").collect()
+    }
+    assert not got[1]["is_dup"] and got[2]["is_dup"]
+    assert got[3]["contaminated"] and not got[1]["contaminated"]
