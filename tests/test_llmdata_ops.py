@@ -723,3 +723,37 @@ def test_curation_stages_compose(spark):
     }
     assert not got[1]["is_dup"] and got[2]["is_dup"]
     assert got[3]["contaminated"] and not got[1]["contaminated"]
+
+
+def test_semdedup_planted_dup_and_cluster_blindness(spark):
+    """SemDeDup semantics on planted geometry: two near-identical
+    vectors in the same k-means cluster -> the HIGHER id is flagged
+    and the lower survives as the representative; a third vector that
+    is similar to one of them but lands in a DIFFERENT cluster is NOT
+    flagged (cluster-blindness is the paper's documented recall
+    trade-off - pair search never crosses cluster boundaries)."""
+    from web_analytics_visits_re_processing_spark.operators.semdedup import (
+        semdedup_verdicts,
+    )
+
+    centers = {0: (10.0, 0.0, 0.0), 1: (0.0, 10.0, 0.0), 2: (0.0, 0.0, 10.0)}
+    rows = []
+    for i in range(90):
+        planted = i // 30
+        cx, cy, cz = centers[planted]
+        j = (i % 7) * 0.01
+        rows.append((i, [float(cx + j), float(cy - j), float(cz + 2 * j)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in semdedup_verdicts(emb, k=3, n_updates=1, tau=0.999).collect()
+    }
+    # ids 0 and 7 share jitter j=0 -> identical vectors, same cluster:
+    # higher id flagged, lower (the representative) not.
+    assert got[7] is True and got[0] is False
+    # every within-cluster jittered vector is cosine>=0.999 to its
+    # cluster-mates here, so only the min id of each planted cluster
+    # survives; cross-cluster vectors (e.g. 30 vs 0) are orthogonal
+    # and cluster-separated -> min ids of OTHER clusters not flagged.
+    assert got[30] is False and got[60] is False
+    assert sum(1 for v in got.values() if not v) == 3

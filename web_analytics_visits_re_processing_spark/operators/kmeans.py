@@ -118,18 +118,28 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_via: str = "auto",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Lloyd's algorithm, ``n_updates`` update rounds, returning the
-    final assignment ``(id, cluster)`` under the last centroid set.
+    final assignment ``(id, *keep_cols, cluster)`` under the last
+    centroid set.
 
     ``assign_via``: ``"literal"`` (zero-shuffle HOF projection),
     ``"join"`` (broadcast-join argmin — constant plan size, the >1k-
     centroid path), or ``"auto"`` (literal up to 1000 centroids, join
-    beyond). Both produce bit-identical assignments."""
+    beyond). Both produce bit-identical assignments.
+
+    ``keep_cols`` rides extra input columns through to the output so a
+    consumer that needs the vector next to its cluster (SemDeDup's
+    within-cluster pair scan) avoids a corpus-wide re-join against the
+    narrow assignment — the pass-through costs nothing because
+    assignment is a projection."""
     if assign_via == "auto":
         assign_via = "literal" if k <= 1000 else "join"
     assign = _assign if assign_via == "literal" else _assign_join
-    pts = emb.select(id_col, quantize_vec(F.col(vec_col)).alias("q"))
+    pts = emb.select(
+        id_col, *keep_cols, quantize_vec(F.col(vec_col)).alias("q")
+    )
     init_rows = (
         pts.orderBy(centroid_rank_hash(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(k)
@@ -163,4 +173,4 @@ def kmeans_assign(
             (cid, [int(math.floor(comp[p] / sizes[cid])) for p in sorted(comp)])
             for cid, comp in sorted(by_cluster.items())
         ]
-    return assign(pts, cents).select(id_col, "cluster")
+    return assign(pts, cents).select(id_col, *keep_cols, "cluster")

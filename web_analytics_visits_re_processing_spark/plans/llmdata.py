@@ -1802,6 +1802,48 @@ def q_kmeans_clusters_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=10, n_updates=1, assign_via="join")
 
 
+# SemDeDup oracle: the FULL kmeans replay (init sample, both
+# assignment passes, the integer centroid update) nested as a derived
+# table, then the within-cluster pair scan + min-id-partner EXISTS —
+# the entire cluster→pair→verdict chain replays in one SQL text.
+_SEMDEDUP_ORACLE = f"""
+WITH asg AS ({KMEANS_ORACLE}),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 4) >= 0.35
+)
+SELECT asg.vec_id, asg.cluster,
+       EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = asg.vec_id)
+           AS is_semantic_dup
+FROM asg
+"""
+
+
+@query("semdedup_semantic_dups", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means the
+    embeddings, then near-dup pairs ONLY within each cluster (the
+    clustering is what kills the N² — pair search cost is
+    Σ|cluster|², and k grows with the corpus to keep clusters
+    bounded). Composes the integer-exact kmeans (bit-reproducible
+    assignment, so the oracle replays the full Lloyd pass) with the
+    4-dp portable cosine; verdict rule = min-id representative of
+    every dup chain survives. τ=0.35 is tuned to the synthetic
+    near-orthogonal embeddings (real corpora: 0.95+). Plan shape: one
+    cluster-keyed equi-join for pairs, one id-keyed stamp join — the
+    corpus never sees an all-pairs product."""
+    from web_analytics_visits_re_processing_spark.operators.semdedup import (
+        semdedup_verdicts,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return semdedup_verdicts(emb, k=10, n_updates=1, tau=0.35)
+
+
 # PQ shared SQL pieces: quantized points, the 16-row LCG codebook
 # sample split into 8 contiguous subspaces of 8 dims, and per-(vec,
 # subspace) code assignment by exact int64 subvector distance.
