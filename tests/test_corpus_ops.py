@@ -200,3 +200,36 @@ def test_importance_scores_prefer_target_like_docs(spark):
     # same gram counts -> directly comparable totals
     assert got[1][0] == got[2][0] == 7
     assert got[1][1] > got[2][1]
+
+
+def test_line_dedup_strips_boilerplate_only(spark):
+    """Planted CCNet case: a 5-token footer shared by 3 docs is
+    stripped from all of them; a chunk shared by only 2 docs stays
+    (min_docs=3); unique content is untouched and order-preserved."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        line_dedup_stats,
+    )
+
+    footer = "visit our site for more"       # 5 tokens, in docs 1-3
+    pair = "only two docs share this"        # 5 tokens, in docs 1-2
+    uniq = {i: f"unique words number {i} here" for i in (1, 2, 3)}
+    rows = [
+        (1, f"{uniq[1]} {footer} {pair}"),
+        (2, f"{pair} {footer} {uniq[2]}"),
+        (3, f"{footer} {uniq[3]}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup_stats(docs, chunk_tokens=5, min_docs=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1]["n_lines"] == 3 and got[1]["n_dup_lines"] == 1
+    assert got[1]["kept_fp"] == md5(f"{uniq[1]} {pair}")
+    assert got[2]["kept_fp"] == md5(f"{pair} {uniq[2]}")
+    assert got[3]["kept_fp"] == md5(uniq[3])
+    assert got[3]["dup_ppm"] == 500_000

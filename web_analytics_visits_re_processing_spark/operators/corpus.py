@@ -266,3 +266,102 @@ def importance_scores(
             F.sum("_r").alias("score_e6"),
         )
     )
+
+
+def line_dedup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level deduplication (Wenzek et al. 2020):
+    hash every "line" of every document, count how many DISTINCT
+    documents each line appears in across the whole corpus, and strip
+    the lines that recur in ≥ ``min_docs`` docs — the standard
+    boilerplate killer (headers, footers, nav bars, cookie banners)
+    that document-level dedup cannot touch because the surrounding
+    text differs.
+
+    The synthetic corpus has no newlines, so a "line" here is each
+    consecutive non-overlapping ``chunk_tokens``-token window — the
+    unit is a parameter; the algorithm (global line frequency →
+    per-doc strip) is the real CCNet shape either way.
+
+    Returns one row per doc: ``(id_col, n_lines, n_dup_lines,
+    dup_ppm, kept_fp)`` where ``dup_ppm`` is the integer-exact
+    duplicated-line fraction in parts-per-million and ``kept_fp`` is
+    the md5 of the doc's surviving text (dup lines removed, original
+    order) — any mis-stripped character anywhere mismatches the gate.
+
+    Scale shape: line frequency is distinct(line, doc) → groupBy(line)
+    with map-side combine (NOT a window collect_set, whose per-line
+    state would be unbounded on a universal boilerplate line — the
+    whale-chunk hazard); the flag ride-back is an equi-join on the
+    line hash (AQE broadcasts it when the dup set is small, which it
+    always is relative to the corpus); the final per-doc collapse is
+    one doc-keyed groupBy re-assembling surviving lines in order.
+    No driver state, no all-pairs anything.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.array_join(
+                        F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, F.col("c.chunk_idx"), F.col("c.chunk"))
+    dup_lines = (
+        chunks.select("chunk", id_col)
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("chunk", F.lit(True).alias("_dup"))
+    )
+    flagged = chunks.join(dup_lines, "chunk", "left").select(
+        id_col,
+        "chunk_idx",
+        "chunk",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("is_dup"),
+                        F.struct(F.col("chunk_idx"), F.col("chunk")),
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_lines"),
+            kept_text.alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_dup_lines",
+            # integer `div`, not a double divide + cast: Spark's
+            # double→long cast truncates while DuckDB's rounds, so the
+            # float path would disagree on .5 boundaries.
+            F.expr("(n_dup_lines * 1000000L) div n_lines").alias("dup_ppm"),
+            F.md5(F.col("_kept")).alias("kept_fp"),
+        )
+    )

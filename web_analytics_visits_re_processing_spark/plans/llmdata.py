@@ -2004,6 +2004,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "line_dedup_stats",
+    # The kept-text fingerprint makes the gate byte-exact: a single
+    # mis-stripped or re-ordered chunk anywhere flips the md5. The
+    # FILTERed list aggregate can be empty (all lines dup) → COALESCE
+    # to '' matches Spark's empty collect_list → array_join → ''.
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(t[(i*5+1):((i+1)*5)], ' ') AS chunk
+    FROM toks, UNNEST(range(CAST(ceil(len(t) / 5.0) AS BIGINT))) AS u(i)
+),
+dup AS (
+    SELECT chunk
+    FROM (SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+    WHERE df >= 3
+),
+flagged AS (
+    SELECT c.doc_id, c.chunk_idx, c.chunk, (d.chunk IS NOT NULL) AS is_dup
+    FROM chunks c LEFT JOIN dup d USING (chunk)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (is_dup) AS n_dup_lines,
+       (count(*) FILTER (is_dup) * 1000000) // count(*) AS dup_ppm,
+       md5(COALESCE(array_to_string(
+           list(chunk ORDER BY chunk_idx) FILTER (NOT is_dup), ' '), ''))
+           AS kept_fp
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020): global line
+    frequency over the whole corpus, then strip lines recurring in ≥3
+    docs — the boilerplate killer document-level dedup can't express.
+    Lines = consecutive 5-token windows (the synthetic corpus has no
+    newlines; the unit is a knob, the global-frequency→strip shape is
+    the real algorithm). Frequency is distinct(line,doc)→groupBy(line)
+    with map-side combine — deliberately NOT a window collect_set,
+    whose state is unbounded on a universal boilerplate line; the
+    stamp-back is a line-keyed equi-join AQE broadcasts when the dup
+    set is small. Gate hashes the md5 of each doc's surviving text."""
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        line_dedup_stats,
+    )
+
+    return line_dedup_stats(_docs(spark, sf_dir), chunk_tokens=5, min_docs=3)
+
+
+@query(
     "pack_training_sequences",
     oracle="""
 WITH t AS (
