@@ -170,3 +170,21 @@ def test_pagerank_sink_heavy_node_ranks_highest(spark):
         for r in pagerank_scaled(df, n_iter=3).collect()
     }
     assert ranks[99] == max(ranks.values())
+
+
+def test_triangle_counts_planted(spark):
+    """K4 on {1,2,3,4} -> 4 triangles, every member in exactly 3; a
+    star hub (10-{20,21,22,23}) and a path (30-31-32) are
+    triangle-free and must not appear; duplicate/reversed/self edges
+    are canonicalized away before counting."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(10, x) for x in (20, 21, 22, 23)]
+    path = [(30, 31), (31, 32)]
+    noisy = k4 + star + path + [(2, 1), (3, 3), (1, 2)]  # rev + self + dup
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -275,3 +275,75 @@ def pagerank_scaled(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_e6"))
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    simple graph → ``(node, n_triangles)`` for every node in ≥1
+    triangle.
+
+    Distributed shape (the standard MapReduce triangle algorithm,
+    Suri & Vassilvitskii 2011 "Counting triangles and the curse of
+    the last reducer"): re-orient every edge from the endpoint with
+    the smaller ``(degree, id)`` rank to the larger, enumerate wedges
+    only from each node's OUT-edges, and close them with one join
+    against the oriented edge list. The degree ordering is the whole
+    point at scale — it bounds total wedge count at O(m^{3/2})
+    regardless of skew, where naive id-ordering explodes
+    quadratically on a high-degree hub (the "curse of the last
+    reducer"). Each 3-clique is enumerated exactly once (its
+    rank-minimal vertex owns it), then unpivoted to the three member
+    nodes for the per-node counts.
+
+    Exchanges: degree groupBy, the orientation join, the wedge
+    self-join on the owning node, the closing equi-join on (v, w),
+    and the final node groupBy (map-side combined) — all equi-joins
+    on graph keys; no driver state, no products.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = edges.where(a != b).select(
+        F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")
+    ).distinct()
+    deg = (
+        und.select(F.col("pa").alias("node"))
+        .unionAll(und.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("degb"))
+    ranked = und.join(da, "pa").join(db, "pb")
+    lower_first = F.struct(F.col("dega"), F.col("pa")) < F.struct(
+        F.col("degb"), F.col("pb")
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(lower_first, F.col("degb")).otherwise(F.col("dega")).alias(
+            "ddst"
+        ),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            F.struct(F.col("o1.ddst"), F.col("o1.dst"))
+            < F.struct(F.col("o2.ddst"), F.col("o2.dst"))
+        ),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -524,3 +524,59 @@ def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("interval_hours")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "triangle_count_copurchase",
+    # id-ordered 3-clique enumeration (a<b<c rides the canonical
+    # pa<pb edge construction) — orientation-free, so it gates the
+    # degree-ordered Spark plan on the pure triangle SET.
+    oracle="""
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM e e1
+    JOIN e e2 ON e2.pa = e1.pb
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+nodes AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node AS l_partkey, count(*) AS n_triangles
+FROM nodes GROUP BY node
+""",
+)
+def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts sharing an
+    order — the market-basket cohesion metric): per-part triangle
+    participation via the degree-ordered distributed algorithm (Suri
+    & Vassilvitskii 2011, ``operators/graph.py::triangle_counts``).
+    The degree orientation bounds wedge enumeration at O(m^{3/2})
+    under any skew — a hub part never owns its own wedges — while the
+    oracle enumerates the same 3-clique set id-ordered; both unpivot
+    to identical per-node counts. Edge build is one orderkey-keyed
+    self-join (order sizes are bounded, so candidate pairs per order
+    are too)."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("l_partkey"), "n_triangles"
+    )
