@@ -1299,6 +1299,159 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- inverted index + collocations -------------------------------------------
+
+@query(
+    "inverted_index_postings",
+    # postings_head is the TRUNCATED posting list (first 20 doc ids
+    # ascending) — bounded output per term, the impact-ordered-index
+    # convention; df/tf_total still cover the full corpus.
+    oracle="""
+WITH td AS (
+    SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    GROUP BY term, doc_id
+)
+SELECT term,
+       COUNT(*)::BIGINT AS df,
+       SUM(tf)::BIGINT AS tf_total,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+           AS postings_head_csv
+FROM td GROUP BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-engine primitive over the
+    corpus: term → document frequency, total term frequency, and the
+    head of the ascending posting list. Scale shape: explode → ONE
+    (term, doc) hash agg with map-side combine, then a term-keyed
+    window row_number to TRUNCATE the posting list to its first 20
+    doc ids BEFORE any collect_list runs — per-term collected state
+    is bounded at 20 regardless of how stoppy the term is (a
+    collect-then-slice plan would hold the full posting list of 'the'
+    in one aggregation buffer). Full lists at scale ship sharded
+    (term, doc-range) → parquet instead of as arrays."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    td = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rn = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        td.withColumn("_rn", F.row_number().over(rn))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            # CSV-serialized (repo array-output convention: the driver
+            # compare stringifies arrays differently per engine)
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("_rn") <= 20, F.col("doc_id")))
+                ),
+                ",",
+            ).alias("postings_head_csv"),
+        )
+    )
+
+
+@query(
+    "pmi_top_bigrams",
+    # Integer-exact PMI surrogate: ((c_xy * n_uni) div c_x) * 1e6 div
+    # c_y — a constant multiple of p(xy)/(p(x)p(y)) up to truncation,
+    # identical truncation cascade in both engines, so the ORDER (the
+    # thing PMI is for) replays exactly. 128-bit decimal is the
+    # escalation once c_xy·n_uni approaches int64.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (
+    SELECT term, COUNT(*)::BIGINT AS c
+    FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+),
+n AS (SELECT SUM(c)::BIGINT AS n_uni FROM uni),
+bi AS (
+    SELECT gram, COUNT(*)::BIGINT AS c_xy
+    FROM (
+        SELECT array_to_string(t[i:i+1], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ) GROUP BY gram
+),
+scored AS (
+    SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+           c_xy, u1.c AS c_x, u2.c AS c_y,
+           ((c_xy * n.n_uni) // u1.c) * 1000000 // u2.c AS score_e6
+    FROM bi JOIN uni u1 ON u1.term = split_part(gram, ' ', 1)
+            JOIN uni u2 ON u2.term = split_part(gram, ' ', 2), n
+    WHERE c_xy >= 5
+)
+SELECT * FROM scored
+ORDER BY score_e6 DESC, w1, w2 LIMIT 50
+""",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information — the
+    classic phrase-mining signal (Mikolov et al. 2013 used the same
+    count ratio for word2vec phrase joining). The score is the
+    integer-exact surrogate ((c_xy·N) div c_x)·1e6 div c_y: a
+    constant multiple of the PMI ratio whose truncation cascade is
+    engine-identical, so ranking gates exactly without float logs.
+    Plan: two map-side-combined count aggs (bigrams via one
+    array-side sequence transform, no double explode), unigram table
+    joined twice on the word (AQE broadcasts it when the vocabulary
+    is small), N as a broadcast scalar, TakeOrdered top-50."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n_uni"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, 2), " "),
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bi.select(
+            F.split("gram", " ")[0].alias("w1"),
+            F.split("gram", " ")[1].alias("w2"),
+            "c_xy",
+        )
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("((c_xy * n_uni) div c_x) * 1000000 div c_y").alias(
+                "score_e6"
+            ),
+        )
+        .orderBy(F.col("score_e6").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
 # --- embedding quantization --------------------------------------------------
 
 @query(
