@@ -115,6 +115,11 @@ HEADLINE = [
     "binaryfile_png_ingest",
     "mixture_rebalance_sources",
     "curation_pipeline",
+    "semdedup_semantic_dups",
+    "line_dedup_stats",
+    "triangle_count_copurchase",
+    "inverted_index_postings",
+    "pmi_top_bigrams",
 ]
 
 

@@ -48,27 +48,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from web_analytics_visits_re_processing_spark.operators.kmeans import kmeans_assign
-from web_analytics_visits_re_processing_spark.operators.similarity import cosine
 
 
 def _pairs_from_assigned(
-    assigned: DataFrame, tau: float, id_col: str, vec_col: str
+    assigned: DataFrame,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    n_salt: int = 16,
 ) -> DataFrame:
     """Within-cluster near-dup pair scan over an existing
     ``(id, vec, cluster)`` assignment — ONE equi-join on the cluster
-    id, never all-pairs."""
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.round(
-        cosine(
-            F.col(f"a.{vec_col}").cast("array<double>"),
-            F.col(f"b.{vec_col}").cast("array<double>"),
-        ),
-        4,
+    id, never all-pairs.
+
+    The cluster key is SALTED ``n_salt`` ways (b-side bucket =
+    ``id % n_salt``, a-side replicated across buckets): a demo-scale
+    k (10 here) leaves only k join keys, capping parallelism at k
+    reducers however many cores exist; salting raises the key count
+    to k·n_salt with identical output (the pair SET is key-layout-
+    independent). The replication cost is a-side × n_salt, which is
+    the narrow (id, vec, cluster) projection — cheap next to the
+    cosine work it spreads out. Production-scale SemDeDup (k ~ 10⁴⁺)
+    can set n_salt=1; the paper's k already provides the keys.
+
+    Per-vector L2 norms are precomputed ONCE on the assignment (one
+    HOF fold per vector) so each of the O(sum |cluster|^2) pair
+    evaluations runs a single interpreted HOF (the dot) instead of
+    three -- HOF lambdas never enter codegen, so the pair scan's cost
+    is literally the interpreted-fold count (whole-query warm wall at
+    sf0.1: 8.6 -> 4.1 s). ``dot/(na*nb)`` with separately-rooted norms is the exact
+    expression shape of the shared ``cosine()`` helper, value-
+    identical to the oracle's list_cosine_similarity."""
+    with_norm = assigned.withColumn(
+        "_v", F.col(vec_col).cast("array<double>")
+    ).withColumn(
+        "_nrm",
+        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
+    a = with_norm.withColumn(
+        "_sb", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).alias("a")
+    b = with_norm.withColumn(
+        "_sb", (F.col(id_col) % n_salt).cast("int")
+    ).alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a._nrm") * F.col("b._nrm")), 4)
     return (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._sb") == F.col("b._sb"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(cos >= F.lit(tau))
@@ -104,7 +137,7 @@ def semdedup_pairs(
         vec_col=vec_col,
         assign_via=assign_via,
         keep_cols=(vec_col,),
-    )
+    ).localCheckpoint(eager=True)
     return _pairs_from_assigned(assigned, tau, id_col, vec_col)
 
 
@@ -122,9 +155,11 @@ def semdedup_verdicts(
     id is within the cosine threshold (the min-id representative of
     every duplicate chain survives with False).
 
-    Runs ONE Lloyd pass (the assignment is shared between the pair
-    scan and the verdict stamp, so the driver-side centroid collects
-    happen once)."""
+    Runs ONE Lloyd pass; the materialized assignment is shared
+    between both sides of the pair self-join AND the verdict stamp
+    (localCheckpoint — without it each of the three consumers replays
+    the full scan + quantize + argmin lineage, measured 3.4× slower
+    at sf0.1)."""
     assigned = kmeans_assign(
         emb,
         k=k,
@@ -133,7 +168,7 @@ def semdedup_verdicts(
         vec_col=vec_col,
         assign_via=assign_via,
         keep_cols=(vec_col,),
-    )
+    ).localCheckpoint(eager=True)
     dup_ids = (
         _pairs_from_assigned(assigned, tau, id_col, vec_col)
         .select(F.col("id_b").alias(id_col))
