@@ -104,6 +104,7 @@ _REGISTERED_R06 = frozenset(
         "triangle_count_copurchase",
         "inverted_index_postings",
         "pmi_top_bigrams",
+        "identity_stitch_visitors",
     }
 )
 

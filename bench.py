@@ -120,6 +120,7 @@ HEADLINE = [
     "triangle_count_copurchase",
     "inverted_index_postings",
     "pmi_top_bigrams",
+    "identity_stitch_visitors",
 ]
 
 

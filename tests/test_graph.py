@@ -188,3 +188,26 @@ def test_triangle_counts_planted(spark):
     edges = spark.createDataFrame(noisy, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_identity_stitching_chains_and_guard(spark):
+    """Planted identity graph: users 1-2 share a cookie, 2-3 share an
+    email -> all three stitch to canonical visitor 1 (transitive
+    chain); user 10 has a lonely identifier -> singleton; identifier
+    'bot' shared by 6 users with max_share=5 is dropped, so those
+    users stay singletons instead of welding into a mega-visitor."""
+    from web_analytics_visits_re_processing_spark.operators.identity import (
+        stitch_identities,
+    )
+
+    links = [(1, "ck_a"), (2, "ck_a"), (2, "em_x"), (3, "em_x"), (10, "ck_z")]
+    links += [(100 + i, "bot") for i in range(6)]
+    id_map = spark.createDataFrame(links, "user_id long, ident string")
+    got = {
+        r["user_id"]: (r["canonical_visitor"], r["n_devices"])
+        for r in stitch_identities(id_map, max_share=5).collect()
+    }
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[10] == (10, 1)
+    for i in range(6):
+        assert got[100 + i] == (100 + i, 1)

@@ -580,3 +580,82 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).select(
         F.col("node").alias("l_partkey"), "n_triangles"
     )
+
+
+@query(
+    "identity_stitch_visitors",
+    # Recursive min-label reachability over the SAME star-reduced
+    # edge construction (window min per identifier) — candidate
+    # edges, the promiscuity guard AND the transitive closure all
+    # replay in one SQL text.
+    oracle="""
+WITH RECURSIVE users AS (
+    SELECT DISTINCT user_id FROM events
+),
+idents AS (
+    SELECT user_id, 'ck_' || CAST(user_id // 2 AS VARCHAR) AS ident
+    FROM users
+    UNION ALL
+    SELECT user_id, 'em_' || CAST(user_id // 7 AS VARCHAR)
+    FROM users WHERE user_id % 3 = 0
+),
+grp AS (
+    SELECT user_id,
+           MIN(user_id) OVER (PARTITION BY ident) AS mn,
+           COUNT(*) OVER (PARTITION BY ident) AS cnt
+    FROM idents
+),
+edges AS (
+    SELECT DISTINCT mn AS a, user_id AS b
+    FROM grp WHERE cnt <= 16 AND user_id != mn
+),
+sym AS (
+    SELECT a AS node, b AS nbr FROM edges
+    UNION ALL SELECT b, a FROM edges
+),
+reach AS (
+    SELECT user_id AS node, user_id AS label FROM users
+    UNION
+    SELECT s.nbr, r.label
+    FROM reach r JOIN sym s ON s.node = r.node
+    WHERE r.label < s.nbr
+),
+comp AS (
+    SELECT node AS user_id, MIN(label)::BIGINT AS canonical_visitor
+    FROM reach GROUP BY node
+)
+SELECT user_id, canonical_visitor,
+       COUNT(*) OVER (PARTITION BY canonical_visitor) AS n_devices
+FROM comp
+""",
+)
+def q_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device identity stitching (the analysis the reference's
+    visitors feed — one (user_id, ibm_id, scv_id) row per hit,
+    ``main.py:106`` — exists for but never performs): device ids
+    sharing a durable identifier collapse transitively into one
+    canonical visitor via connected components over the
+    user↔identifier graph. Identifiers are derived deterministically
+    from the events users (login cookie shared by device pairs, email
+    hash linking every 3rd device in blocks) so the stitching
+    exercises real chains: ck_0 welds {0,1}, em_0 welds {0,3,6} → one
+    5-device visitor. Scale notes in ``operators/identity.py``:
+    star-reduced edges (n-1 per identifier, never n²), promiscuous
+    identifiers (>16 users — proxy cookies, bot fingerprints) dropped
+    before edge build, large-star/small-star closure."""
+    from web_analytics_visits_re_processing_spark.operators.identity import (
+        stitch_identities,
+    )
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    u = F.col("user_id")
+    id_map = users.select(
+        "user_id",
+        F.concat(F.lit("ck_"), F.expr("user_id div 2").cast("string")).alias("ident"),
+    ).unionAll(
+        users.where(u % 3 == 0).select(
+            "user_id",
+            F.concat(F.lit("em_"), F.expr("user_id div 7").cast("string")).alias("ident"),
+        )
+    )
+    return stitch_identities(id_map, max_share=16)
