@@ -105,6 +105,7 @@ _REGISTERED_R06 = frozenset(
         "inverted_index_postings",
         "pmi_top_bigrams",
         "identity_stitch_visitors",
+        "histogram_quantiles_by_type",
     }
 )
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "inverted_index_postings",
     "pmi_top_bigrams",
     "identity_stitch_visitors",
+    "histogram_quantiles_by_type",
 ]
 
 

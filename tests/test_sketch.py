@@ -170,3 +170,35 @@ def test_streaming_hll_state_bounded_and_equal_to_batch(spark, sf_dir):
     s = streamed.select("event_type", "r_idx", "r_rho")
     assert s.exceptAll(batch).count() == 0
     assert batch.exceptAll(s).count() == 0
+
+
+def test_histogram_quantiles_cumulative_rule(spark):
+    """Planted distribution: 100 values 0.01..1.00 in one group ->
+    p50 = bin 50 (cum 50 reaches n/2), p90 = 90, p99 = 99; a
+    two-value group pins the smallest-bin-reaching-rank rule (p50 of
+    {1.00, 2.00} is the FIRST bin with cum*2 >= n, i.e. 100)."""
+    from pyspark.sql import functions as F
+
+    rows = [("a", i / 100.0) for i in range(1, 101)]
+    rows += [("b", 1.0), ("b", 2.0)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    from pyspark.sql import Window
+
+    b = (
+        ev.select("event_type", F.floor(F.col("value") * 100).cast("long").alias("bin"))
+        .groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type", "bin",
+        F.sum("c").over(wc).alias("cum"), F.sum("c").over(wn).alias("n"),
+    )
+    out = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("bin"))).alias("p50"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("bin"))).alias("p90"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("bin"))).alias("p99"),
+    )
+    got = {r["event_type"]: (r["p50"], r["p90"], r["p99"]) for r in out.collect()}
+    assert got["a"] == (50, 90, 99)
+    assert got["b"] == (100, 200, 200)

@@ -955,6 +955,79 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "histogram_quantiles_by_type",
+    # The cumulative-count rule: quantile_p = the smallest bin whose
+    # running count reaches ceil(p·n) — pure integer arithmetic, so
+    # the sketch's ANSWER (unlike percentile_approx's GK internals)
+    # replays verbatim in SQL.
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS bin,
+           COUNT(*)::BIGINT AS c
+    FROM events GROUP BY event_type, bin
+),
+cum AS (
+    SELECT event_type, bin, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM b
+)
+SELECT event_type, MAX(n)::BIGINT AS n,
+       MIN(CASE WHEN cum * 2 >= n THEN bin END)::BIGINT AS p50_cents,
+       MIN(CASE WHEN cum * 10 >= n * 9 THEN bin END)::BIGINT AS p90_cents,
+       MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END)::BIGINT AS p99_cents
+FROM cum GROUP BY event_type
+""",
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles via a fixed-width integer histogram — the MERGEABLE
+    distributed-quantile design that, unlike ``percentile_approx``
+    (GK sketch, implementation-specific internals → rows-only gate),
+    is integer-exact end to end and therefore hash-gateable: bin
+    values to cents, count per (type, bin) with map-side combine
+    (shuffle state = bin domain, constant in row count), then read
+    p50/p90/p99 off the cumulative counts as the smallest bin whose
+    running count reaches ceil(p·n) — the comparisons are
+    cross-multiplied integers, no float ranks. Error is bounded by
+    bin width (½ cent), known a priori — the trade the GK sketch
+    makes adaptively, made static and replayable. A global sort
+    computes exact quantiles; THIS is what you do at 100 TB
+    instead."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("bin"))).alias(
+            "p50_cents"
+        ),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("bin"))
+        ).alias("p90_cents"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("bin"))
+        ).alias("p99_cents"),
+    )
+
+
 # --- Python UDTF surface ------------------------------------------------------
 
 @query(
