@@ -106,6 +106,7 @@ _REGISTERED_R06 = frozenset(
         "pmi_top_bigrams",
         "identity_stitch_visitors",
         "histogram_quantiles_by_type",
+        "streaming_static_enrich",
     }
 )
 

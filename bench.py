@@ -122,6 +122,7 @@ HEADLINE = [
     "pmi_top_bigrams",
     "identity_stitch_visitors",
     "histogram_quantiles_by_type",
+    "streaming_static_enrich",
 ]
 
 

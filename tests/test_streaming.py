@@ -278,3 +278,27 @@ def test_tumbling_complete_replay_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_static_enrich_buckets_and_sentinel(spark):
+    """Stream-static join replay at sf0.001: every customer-matched
+    user lands in a real market segment, user ids outside the dim
+    fall in 'NONE', and no sentinel-only window leaks (the flush row
+    sits 10 days out - its window must be dropped by the weightless
+    count rule)."""
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_static_enrich_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_static_enrich_append(spark, sf).cache()
+    segs = {r["segment"] for r in out.select("segment").distinct().collect()}
+    assert segs - {"NONE"}, segs  # at least one real segment
+    ev = load_table(spark, sf, "events")
+    n_total = ev.count()
+    assert out.agg(F.sum("n_events")).first()[0] == n_total
+    max_ev_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    assert out.agg(F.max("window_start_us")).first()[0] <= max_ev_us

@@ -359,3 +359,29 @@ GROUP BY user_id
         )
 
         return user_lifetime_replay(spark, sf_dir)
+
+
+@query(
+    "streaming_static_enrich",
+    # batch equivalent: same left join against the customer dim, same
+    # tumbling-hour arithmetic as the streaming_tumbling oracle.
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       COALESCE(c.c_mktsegment, 'NONE') AS segment,
+       COUNT(*) AS n_events,
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS value_cents_sum
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT join (the stateless enrichment topology —
+    dimension stamps without join state) + windowed per-segment agg
+    under real append-mode replay; equals the batch join verbatim.
+    Completes the streaming join matrix: stream-stream inner/left/
+    full interval joins + stream-static."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_static_enrich_append,
+    )
+
+    return streaming_static_enrich_append(spark, sf_dir)

@@ -687,3 +687,64 @@ def streaming_interval_join_append(
     return spark.read.parquet(out).where(
         F.col("user_id") != SENTINEL_USER_ID
     )
+
+
+def streaming_static_enrich_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC join — the one join topology next to the
+    stream-stream interval family: the event stream enriched against
+    a static dimension (the customer table as the user→market-segment
+    dim), then windowed per segment. Stream-static joins are
+    STATELESS on the stream side (no join state, no watermark
+    requirement for the join itself — the static side is just there,
+    re-broadcast per micro-batch if small), which is exactly why the
+    topology matters: it is the cheap enrichment path a 100 TB
+    pipeline uses for dimension stamps, keeping stateful machinery
+    for stream-stream correlation only.
+
+    LEFT join (stream side preserved) so un-enriched users surface in
+    a 'NONE' bucket instead of vanishing. Sentinel handling follows
+    the sliding-window lesson (filtering before the watermark node
+    would stop it advancing): the sentinel flows through join and
+    window, a conditional count makes it weightless, and the post-agg
+    ``n_events > 0`` drops its window."""
+    workdir = os.path.join(
+        _TMP_ROOT,
+        "stream_append_static_join",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    events = _read_replay_stream(spark, input_dir)
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    not_sentinel = F.col("event_type") != _SENTINEL_EVENT_TYPE
+    enriched = (
+        events.withWatermark("ts", "1 hour")
+        .join(dim, "user_id", "left")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            F.coalesce("segment", F.lit("NONE")).alias("segment"),
+        )
+        .agg(
+            F.sum(F.when(not_sentinel, 1).otherwise(0)).alias("n_events"),
+            F.sum(
+                F.when(
+                    not_sentinel, F.floor(F.col("value") * 100)
+                ).otherwise(0)
+            ).alias("value_cents_sum"),
+        )
+        .where(F.col("n_events") > 0)
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "segment",
+            "n_events",
+            "value_cents_sum",
+        )
+    )
+    out, _ = _run_append_to_files(enriched, workdir)
+    return spark.read.parquet(out)
