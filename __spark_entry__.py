@@ -107,6 +107,7 @@ _REGISTERED_R06 = frozenset(
         "identity_stitch_visitors",
         "histogram_quantiles_by_type",
         "streaming_static_enrich",
+        "hard_negative_mining",
     }
 )
 

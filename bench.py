@@ -123,6 +123,7 @@ HEADLINE = [
     "identity_stitch_visitors",
     "histogram_quantiles_by_type",
     "streaming_static_enrich",
+    "hard_negative_mining",
 ]
 
 

@@ -849,3 +849,27 @@ def test_pmi_ranks_planted_collocation_first(spark):
     )
     s = {(r["w1"], r["w2"]): r["s"] for r in scored}
     assert s[("aa", "bb")] > s[("xx", "yy")]
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Planted geometry: the nearest vector overall shares the
+    anchor's label and must be SKIPPED; the top hard negative is the
+    nearest different-label vector; ranks are dense over negatives
+    only."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),   # anchor
+        (1, [0.99, 0.14, 0.0], 7), # same label, most similar -> excluded
+        (2, [0.9, 0.43, 0.0], 3),  # best hard negative
+        (3, [0.0, 1.0, 0.0], 3),
+        (4, [0.0, 0.0, 1.0], 5),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negatives(
+        emb, emb.where("vec_id = 0"), k=3
+    ).orderBy("rk").collect()
+    assert [r["vec_id"] for r in got] == [2, 3, 4]
+    assert got[0]["rk"] == 1 and 1 not in {r["vec_id"] for r in got}

@@ -511,3 +511,51 @@ def cosine_topk_jl_rerank(
         .where(F.col("rk") <= k)
         .select(query_id_col, id_col, "cos", "rk")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label →
+    (query_id, vec_id, cos, rk). "Hard" = maximally confusable — the
+    negatives that actually move a contrastive loss, vs the
+    uninformative random negatives in-batch sampling yields.
+
+    Same scale shape as ``cosine_topk_bruteforce``: the anchor set
+    broadcasts, the corpus never shuffles except the per-anchor top-k
+    window, and the label-mismatch predicate rides the broadcast join
+    (at production scale swap the crossJoin for the IVF/LSH candidate
+    path exactly as the ANN family escalates — the mining rule is
+    unchanged, only candidate generation narrows)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(
+            (F.col(query_id_col) != F.col(id_col))
+            & (F.col(label_col) != F.col("_qlabel"))
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cos", "rk")
+    )

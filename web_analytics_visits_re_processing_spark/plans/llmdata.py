@@ -2941,3 +2941,37 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("contaminated")
         ).alias("kept"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+SELECT q.vec_id AS query_id,
+       c.vec_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 4) AS cos,
+       ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]), 4) DESC,
+                    c.vec_id) AS rk
+FROM embeddings q
+JOIN embeddings c ON q.vec_id != c.vec_id AND q.label != c.label
+WHERE q.vec_id < 10
+QUALIFY rk <= 5
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training data prep): per
+    anchor, the top-5 most-similar vectors with a DIFFERENT label —
+    the maximally-confusable negatives that actually move a
+    contrastive loss, vs the uninformative random negatives of
+    in-batch sampling. Broadcast anchors, shuffle-free corpus scan,
+    per-anchor top-k window; the IVF/LSH candidate paths swap in at
+    production scale exactly as the ANN family escalates."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=5)
