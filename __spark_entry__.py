@@ -108,6 +108,12 @@ _REGISTERED_R06 = frozenset(
         "histogram_quantiles_by_type",
         "streaming_static_enrich",
         "hard_negative_mining",
+        "retention_cond_counts",
+        "rolling_7day_active_users",
+        "window_funnel_depths",
+        "position_based_attribution",
+        "anomaly_daily_revenue",
+        "bot_detection_flags",
     }
 )
 

@@ -659,3 +659,378 @@ def q_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stitch_identities(id_map, max_share=16)
+
+
+# --- round-6 analytics depth: retention, rolling actives, windowFunnel,
+# position-based attribution, integer-exact anomaly flags, bot heuristics.
+
+
+@query(
+    "retention_cond_counts",
+    oracle="""
+WITH fs AS (
+    SELECT user_id, MIN(ts) AS first_signup FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), u AS (
+    SELECT e.user_id,
+           MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+           MAX(CASE WHEN e.event_type = 'click'
+                     AND fs.first_signup IS NOT NULL
+                     AND e.ts > fs.first_signup THEN 1 ELSE 0 END) AS c,
+           MAX(CASE WHEN e.event_type = 'purchase'
+                     AND fs.first_signup IS NOT NULL
+                     AND e.ts > fs.first_signup THEN 1 ELSE 0 END) AS p
+    FROM events e LEFT JOIN fs USING (user_id)
+    GROUP BY e.user_id
+)
+SELECT SUM(s)::BIGINT AS n_signup,
+       SUM(c)::BIGINT AS n_signup_then_click,
+       SUM(p)::BIGINT AS n_signup_then_purchase
+FROM u
+""",
+)
+def q_retention_conds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``retention()``: per user, (1) ever signed up,
+    (2) clicked strictly after the FIRST signup, (3) purchased
+    strictly after it — then global counts. One user-keyed exchange:
+    the first-signup timestamp is a window min over the same
+    partitioning the per-user collapse reuses (no self-join), and the
+    final one-row sum arrives via map-side partial aggregation."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    fs = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    after = lambda t: (  # noqa: E731
+        (F.col("event_type") == t)
+        & F.col("first_signup").isNotNull()
+        & (F.col("ts") > F.col("first_signup"))
+    )
+    per_user = (
+        ev.withColumn("first_signup", fs)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            ).alias("s"),
+            F.max(F.when(after("click"), 1).otherwise(0)).alias("c"),
+            F.max(F.when(after("purchase"), 1).otherwise(0)).alias("p"),
+        )
+    )
+    return per_user.agg(
+        F.sum("s").alias("n_signup"),
+        F.sum("c").alias("n_signup_then_click"),
+        F.sum("p").alias("n_signup_then_purchase"),
+    )
+
+
+@query(
+    "rolling_7day_active_users",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), g AS (SELECT DISTINCT d FROM ud)
+SELECT strftime(g.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT CASE WHEN u.d = g.d THEN u.user_id END)::BIGINT AS dau,
+       COUNT(DISTINCT u.user_id)::BIGINT AS wau
+FROM g JOIN ud u ON u.d <= g.d AND u.d >= g.d - 6
+GROUP BY g.d
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) plus same-day actives (DAU)
+    per calendar day — the rolling-distinct metric a plain window
+    cannot express (`COUNT(DISTINCT) OVER RANGE` is unsupported).
+    Scale shape: events collapse FIRST to distinct (user, day) rows
+    (one exchange, map-side combine — the only pass over the raw
+    stream), the day grid is tiny and broadcast, and the range join
+    fans each user-day to ≤7 grid days before the per-day distinct
+    count. The raw event table is never range-joined."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select(F.col("d").alias("g")).distinct()
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("g")) & (F.col("d") >= F.date_sub(F.col("g"), 6)),
+        )
+        .groupBy("g")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("d") == F.col("g"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
+        )
+        .select(F.date_format("g", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
+
+
+_FUNNEL_WINDOW_US = 3600 * 1_000_000  # 1-hour conversion window
+
+
+@query(
+    "window_funnel_depths",
+    oracle=f"""
+WITH s AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+           MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER w AS lv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), s2 AS (
+    SELECT *, CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                    AND t <= lv + {_FUNNEL_WINDOW_US} THEN lv END AS qa
+    FROM s
+), s3 AS (
+    SELECT *, MAX(qa) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS ba
+    FROM s2
+), per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d1,
+           MAX(CASE WHEN qa IS NOT NULL THEN 1 ELSE 0 END) AS d2,
+           MAX(CASE WHEN event_type = 'purchase' AND ba IS NOT NULL
+                     AND t <= ba + {_FUNNEL_WINDOW_US}
+                    THEN 1 ELSE 0 END) AS d3
+    FROM s3 GROUP BY user_id
+)
+SELECT CASE WHEN d3 = 1 THEN 3 WHEN d2 = 1 THEN 2
+            WHEN d1 = 1 THEN 1 ELSE 0 END AS depth,
+       COUNT(*)::BIGINT AS n_users
+FROM per_user GROUP BY 1
+""",
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: deepest view → click →
+    purchase chain per user where the whole chain fits inside a
+    1-hour window anchored at the chain's view. Zero self-joins — the
+    naive formulation joins events to events per funnel level (at
+    100 TB, a quadratic per-user blow-up on active users); here the
+    existence tests ride TWO chained running-max frames over ONE
+    user-keyed exchange: latest prior view, then best (latest) anchor
+    among qualified clicks — both monotone, so the running max IS the
+    existence witness."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.withColumn(
+        "lv", F.max(F.when(F.col("event_type") == "view", F.col("t"))).over(wprev)
+    )
+    s2 = s.withColumn(
+        "qa",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("lv").isNotNull()
+            & (F.col("t") <= F.col("lv") + _FUNNEL_WINDOW_US),
+            F.col("lv"),
+        ),
+    )
+    s3 = s2.withColumn("ba", F.max("qa").over(wprev))
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("d1"),
+        F.max(F.when(F.col("qa").isNotNull(), 1).otherwise(0)).alias("d2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("ba").isNotNull()
+                & (F.col("t") <= F.col("ba") + _FUNNEL_WINDOW_US),
+                1,
+            ).otherwise(0)
+        ).alias("d3"),
+    )
+    depth = (
+        F.when(F.col("d3") == 1, 3)
+        .when(F.col("d2") == 1, 2)
+        .when(F.col("d1") == 1, 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(depth.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "position_based_attribution",
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_id, event_type, ts,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS seg
+    FROM events
+), t AS (
+    SELECT *,
+           SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_rank,
+           SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, seg) AS n_touch,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, seg) AS has_conv
+    FROM s
+)
+SELECT event_type AS touch_type,
+       SUM(CASE WHEN n_touch = 1 THEN 10000
+                WHEN n_touch = 2 THEN 5000
+                WHEN touch_rank = 1
+                    THEN 4000 + 2000 - (n_touch - 2) * (2000 // (n_touch - 2))
+                WHEN touch_rank = n_touch THEN 4000
+                ELSE 2000 // (n_touch - 2) END)::BIGINT AS total_credit_bp,
+       COUNT(*)::BIGINT AS n_touches
+FROM t
+WHERE event_type IN ('view', 'click') AND has_conv = 1
+GROUP BY event_type
+""",
+)
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution in integer
+    basis points: each purchase's path = the view/click touches since
+    the previous purchase; first and last touch earn 40% each, the
+    middle touches split 20% by integer division with the remainder
+    pinned to the first touch — 10000 bp conserve EXACTLY per
+    converting path, so the gate is float-free. Paths are delimited
+    by a running purchase count (gaps-and-islands, no self-join);
+    per-path ranks/sizes ride a (user, seg) window whose exchange is
+    the only addition over the user-keyed scan. The naive per-
+    conversion join (purchases × preceding touches, unbounded
+    lookback) is quadratic on whale users at 100 TB — the segment
+    form is linear."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_touch = F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+    s = ev.withColumn("seg", F.coalesce(F.sum(is_purchase).over(w_prev), F.lit(0)))
+    w_seg = Window.partitionBy("user_id", "seg")
+    w_seg_run = w_seg.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = (
+        s.withColumn("touch_rank", F.sum(is_touch).over(w_seg_run))
+        .withColumn("n_touch", F.sum(is_touch).over(w_seg))
+        .withColumn("has_conv", F.max(is_purchase).over(w_seg))
+    )
+    mid = F.expr("2000 div (n_touch - 2)")
+    credit = (
+        F.when(F.col("n_touch") == 1, 10000)
+        .when(F.col("n_touch") == 2, 5000)
+        .when(F.col("touch_rank") == 1, 4000 + 2000 - (F.col("n_touch") - 2) * mid)
+        .when(F.col("touch_rank") == F.col("n_touch"), 4000)
+        .otherwise(mid)
+    )
+    return (
+        t.where(F.col("event_type").isin("view", "click") & (F.col("has_conv") == 1))
+        .groupBy(F.col("event_type").alias("touch_type"))
+        .agg(
+            F.sum(credit).alias("total_credit_bp"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )
+
+
+@query(
+    "anomaly_daily_revenue",
+    oracle="""
+WITH d AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS revenue_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), g AS (
+    SELECT COUNT(*)::BIGINT AS n, SUM(revenue_cents)::BIGINT AS s,
+           SUM(revenue_cents * revenue_cents)::BIGINT AS q
+    FROM d
+)
+SELECT day, revenue_cents,
+       CASE WHEN (g.n * revenue_cents - g.s) * (g.n * revenue_cents - g.s)
+                 > 9 * (g.n * g.q - g.s * g.s)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM d, g
+""",
+)
+def q_anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ anomaly flags on daily purchase revenue with ZERO float
+    math: z² = (x−μ)²/σ² > 9 cross-multiplies to
+    (n·x − S)² > 9(n·Q − S²) over integer cent sums (S=Σx, Q=Σx²) —
+    the same trick as the histogram quantiles, so the flag replays
+    bit-exactly in any engine. One groupBy to days, a one-row global
+    aggregate broadcast back over the day table. Magnitudes: cents
+    sums square into ~10¹⁴ at sf0.1; a 100-TB deployment lifts the
+    sums to DECIMAL(38,0) (Spark and DuckDB both widen exactly) —
+    the comparison is unchanged."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("revenue_cents"))
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("revenue_cents").alias("s"),
+        F.sum(F.col("revenue_cents") * F.col("revenue_cents")).alias("q"),
+    )
+    dev = F.col("n") * F.col("revenue_cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        "revenue_cents",
+        F.when(dev * dev > 9 * var_n2, 1).otherwise(0).alias("is_anomaly"),
+    )
+
+
+@query(
+    "bot_detection_flags",
+    oracle="""
+WITH pm AS (
+    SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS ne
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       SUM(n)::BIGINT AS n_events,
+       COUNT(*)::BIGINT AS n_active_minutes,
+       MAX(n)::BIGINT AS max_per_minute,
+       CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS epm_ppm,
+       CASE WHEN MAX(n) >= 5 THEN 1 ELSE 0 END AS is_burst,
+       CASE WHEN SUM(ne) * 2 > SUM(n) THEN 1 ELSE 0 END AS is_error_bot
+FROM pm GROUP BY user_id
+""",
+)
+def q_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-detection heuristics per user: burst rate (max hits in any
+    single minute bucket — the poor man's max-over-sliding-window,
+    exact for bucket-aligned bursts), events-per-active-minute in
+    integer ppm, and a majority-error flag. Two-level aggregation —
+    (user, minute) partials combine map-side before the per-user
+    collapse, so the shuffle carries minute buckets, not raw hits;
+    both aggs hash-partition on a user-prefixed key, and AQE coalesces
+    the tiny second exchange. This is the profile you compute BEFORE
+    sessionizing 100 TB so the whale detector (`salt_sessions`) knows
+    its targets."""
+    ev = _events(spark, sf_dir)
+    per_min = ev.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 60000000").alias("minute")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("ne"),
+    )
+    return per_min.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+        F.max("n").alias("max_per_minute"),
+        F.expr("(sum(n) * 1000000) div count(1)").alias("epm_ppm"),
+        F.max(F.when(F.col("n") >= 5, 1).otherwise(0)).alias("is_burst"),
+        F.when(F.sum("ne") * 2 > F.sum("n"), 1).otherwise(0).alias("is_error_bot"),
+    )
