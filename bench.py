@@ -130,6 +130,11 @@ HEADLINE = [
     "position_based_attribution",
     "anomaly_daily_revenue",
     "bot_detection_flags",
+    "knn_label_vote",
+    "bm25_doc_ranking",
+    "fuzzy_trigram_part_match",
+    "key_skew_profile",
+    "table_profile_stats",
 ]
 
 

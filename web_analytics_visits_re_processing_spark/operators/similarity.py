@@ -559,3 +559,44 @@ def hard_negatives(
         .where(F.col("rk") <= k)
         .select(query_id_col, id_col, "cos", "rk")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k-nearest-neighbor label vote → (query_id, pred_label,
+    n_votes): majority label among the k exact nearest corpus vectors
+    (4-dp portable cosine, neighbor-id tiebreak), prediction ties
+    broken toward the SMALLER label — every step deterministic and
+    SQL-replayable.
+
+    Scale shape: the neighbor search is ``cosine_topk_bruteforce``
+    (anchor set broadcast, corpus scan shuffle-free, per-anchor top-k
+    window); the vote then touches only |queries|·k rows, which
+    BROADCAST back onto the corpus for the label stamp — the corpus
+    is never shuffled for the join. At production scale the IVF/LSH
+    candidate paths swap in under the unchanged vote rule."""
+    topk = cosine_topk_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    labeled = corpus.select(id_col, label_col).join(
+        F.broadcast(topk.select(query_id_col, id_col)), on=id_col
+    )
+    votes = labeled.groupBy(query_id_col, label_col).agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_votes").desc(), F.col(label_col)
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(query_id_col, F.col(label_col).alias("pred_label"), "n_votes")
+    )

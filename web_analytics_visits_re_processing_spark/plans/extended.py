@@ -1589,3 +1589,139 @@ def q_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
         .alias("cents_filled"),
     )
+
+
+# --- round-6 operability diagnostics: skew profiler, table profiler ----------
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH u AS (
+    SELECT 'user_id' AS col, CAST(user_id AS VARCHAR) AS key FROM events
+    UNION ALL
+    SELECT 'event_type', event_type FROM events
+), counts AS (
+    SELECT col, key, COUNT(*)::BIGINT AS cnt FROM u GROUP BY col, key
+), tot AS (
+    SELECT col, SUM(cnt)::BIGINT AS n, COUNT(*)::BIGINT AS k
+    FROM counts GROUP BY col
+)
+SELECT col, key, cnt,
+       (cnt * 1000000) // t.n AS share_ppm,
+       (cnt * 100 * t.k) // t.n AS skew_x100
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY col
+                                   ORDER BY cnt DESC, key) AS rk
+      FROM counts) c
+JOIN tot t USING (col)
+WHERE rk <= 10
+""",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler — the diagnostic you run BEFORE
+    choosing a partitioning at 100 TB: per candidate shuffle key
+    (user_id, event_type), the 10 heaviest keys with integer ppm
+    share and a ×100 skew factor (count ÷ mean count — ≥ say 1000
+    flags a whale for `salt_sessions` / AQE skew handling). One
+    unpivoted scan, one (col, key) hash agg with map-side combine
+    (shuffle state = distinct keys), per-col totals joined back from
+    a tiny agg; the top-10 window sees only the grouped counts."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        F.lit("user_id").alias("col"),
+        F.col("user_id").cast("string").alias("key"),
+    ).unionAll(ev.select(F.lit("event_type"), F.col("event_type")))
+    counts = u.groupBy("col", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.groupBy("col").agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col").orderBy(F.col("cnt").desc(), F.col("key"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .join(F.broadcast(tot), "col")
+        .select(
+            "col",
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000) div n").alias("share_ppm"),
+            F.expr("(cnt * 100 * k) div n").alias("skew_x100"),
+        )
+    )
+
+
+@query(
+    "table_profile_stats",
+    oracle="""
+SELECT 'o_orderkey' AS col,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+       MIN(o_orderkey)::DOUBLE AS min_num, MAX(o_orderkey)::DOUBLE AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_custkey)::BIGINT,
+       MIN(o_custkey)::DOUBLE, MAX(o_custkey)::DOUBLE FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_orderstatus)::BIGINT, NULL, NULL FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_totalprice)::BIGINT,
+       MIN(FLOOR(o_totalprice * 100))::DOUBLE,
+       MAX(FLOOR(o_totalprice * 100))::DOUBLE FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_orderdate)::BIGINT,
+       MIN(epoch_us(o_orderdate))::DOUBLE,
+       MAX(epoch_us(o_orderdate))::DOUBLE FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_orderpriority)::BIGINT, NULL, NULL FROM orders
+""",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table data profile of ``orders`` — per column: null
+    count, EXACT distinct count, numeric min/max (cents for the
+    price, epoch-µs for the date, NULL for categoricals). The
+    ingest-time sanity check a lakehouse runs per partition drop.
+    Spark plans the 6 count-distincts as one EXPAND (one scan, one
+    exchange) rather than 6 scans; at 100 TB the exact distincts
+    downgrade to the HLL path (`approx_count_distinct_users`) — the
+    profile shape is unchanged. Single pass, no joins."""
+    o = load_table(spark, sf_dir, "orders")
+    cols: list[tuple[str, F.Column | None]] = [
+        ("o_orderkey", F.col("o_orderkey")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_orderstatus", None),
+        ("o_totalprice", F.floor(F.col("o_totalprice") * 100)),
+        ("o_orderdate", F.unix_micros("o_orderdate")),
+        ("o_orderpriority", None),
+    ]
+    aggs: list[F.Column] = []
+    for name, num in cols:
+        aggs.append(
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"{name}__nn")
+        )
+        aggs.append(F.count_distinct(F.col(name)).alias(f"{name}__nd"))
+        lo = F.min(num).cast("double") if num is not None else F.lit(None).cast("double")
+        hi = F.max(num).cast("double") if num is not None else F.lit(None).cast("double")
+        aggs.append(lo.alias(f"{name}__mn"))
+        aggs.append(hi.alias(f"{name}__mx"))
+    one_row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', `{name}__nn`, `{name}__nd`, `{name}__mn`, `{name}__mx`"
+        for name, _ in cols
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+            " as (col, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )

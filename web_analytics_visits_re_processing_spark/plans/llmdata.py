@@ -2975,3 +2975,227 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return hard_negatives(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+# --- round-6: kNN classification, BM25 ranking, fuzzy entity matching --------
+
+
+@query(
+    "knn_label_vote",
+    oracle="""
+WITH topk AS (
+    SELECT q.vec_id AS query_id, c.vec_id, c.label,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     c.embedding::DOUBLE[]), 4)
+                            DESC,
+                        c.vec_id) AS rk
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 20
+), votes AS (
+    SELECT query_id, label, COUNT(*)::BIGINT AS n_votes
+    FROM topk WHERE rk <= 10 GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, n_votes
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes)
+WHERE vr = 1
+""",
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the embedding corpus: majority label of
+    the 10 exact nearest neighbors for the first 20 anchors, ties to
+    the smaller label. The vote is the standard semi-supervised
+    labeler for training-data curation (propagate gold labels onto
+    an unlabeled crawl). Scale notes in
+    ``operators/similarity.py:knn_classify``."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return knn_classify(emb, emb.where(F.col("vec_id") < 20), k=10)
+
+
+# BM25 with k1 = 6/5 and b = 3/4 — exactly representable rationals, so
+# the per-term saturation tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) reduces
+# to the integer fraction 44·tf·A / (20·tf·A + 6·A + 18·dl·N) with
+# A = Σdl (avgdl = A/N). The idf factor uses the PMI-style linear
+# ppm surrogate (N−df+0.5)/(df+0.5) — monotone in df like the log
+# form, integer-exact, engine-portable (documented trade: more
+# weight spread between rare/common terms than log-idf).
+_BM25_TERMS = ("dup", "merge", "window")
+
+
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), g AS (
+    SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS a FROM dl
+), tf AS (
+    SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tok
+    WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+    GROUP BY term, doc_id
+), df AS (
+    SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT tf.doc_id,
+           ((2 * (g.n - df.df) + 1) * 1000000 // (2 * df.df + 1))
+               * (44 * tf.tf * g.a)
+               // (20 * tf.tf * g.a + 6 * g.a + 18 * dl.dl * g.n)
+               AS term_score
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g
+)
+SELECT doc_id, SUM(term_score)::BIGINT AS score_scaled,
+       COUNT(*)::BIGINT AS n_matched_terms
+FROM scored GROUP BY doc_id
+ORDER BY score_scaled DESC, doc_id LIMIT 20
+""",
+)
+def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed 3-term query — the retrieval
+    scorer the inverted index exists for. Integer-exact end to end:
+    k1=6/5 and b=3/4 make the saturation term one integer fraction,
+    and the idf is the linear ppm surrogate (see module comment), so
+    the top-20 replays bit-for-bit in any engine. Scale shape: one
+    (term, doc) hash agg for tf restricted BY THE QUERY TERMS at the
+    scan (predicate pushdown on the exploded term — at 100 TB the
+    probe hits the persisted inverted index instead of re-exploding
+    the corpus), doc lengths from a doc-keyed agg the tf join reuses,
+    the 3-row df table and 1-row corpus stats broadcast, TakeOrdered
+    for the top-20 (no global sort)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("a"))
+    tf = (
+        tok.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.expr(
+                "((2 * (n - df) + 1) * 1000000 div (2 * df + 1))"
+                " * (44 * tf * a)"
+                " div (20 * tf * a + 6 * a + 18 * dl * n)"
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "fuzzy_trigram_part_match",
+    # Probe list: every distinct part name with its 2nd character
+    # deleted (deterministic typo). Blocking on shared trigrams, exact
+    # Jaccard verify with cross-multiplied integers (≥ 2/5), best
+    # match per probe by (scaled Jaccard desc, name asc).
+    oracle="""
+WITH names AS (
+    SELECT DISTINCT p_name FROM part
+), probes AS (
+    SELECT p_name AS probe_src, substr(p_name, 1, 1) || substr(p_name, 3)
+               AS probe FROM names
+), ngrams AS (
+    SELECT p_name AS name, unnest(list_distinct([substr(p_name, i, 3)
+               FOR i IN range(1, len(p_name) - 1)])) AS gram
+    FROM names
+), pgrams AS (
+    SELECT probe, unnest(list_distinct([substr(probe, i, 3)
+               FOR i IN range(1, len(probe) - 1)])) AS gram
+    FROM probes
+), sizes_n AS (SELECT name, COUNT(*)::BIGINT AS n_sz FROM ngrams GROUP BY name),
+sizes_p AS (SELECT probe, COUNT(*)::BIGINT AS p_sz FROM pgrams GROUP BY probe),
+cand AS (
+    SELECT p.probe, n.name, COUNT(*)::BIGINT AS inter
+    FROM pgrams p JOIN ngrams n USING (gram)
+    GROUP BY p.probe, n.name
+), verified AS (
+    SELECT c.probe, c.name,
+           (c.inter * 1000000) // (sp.p_sz + sn.n_sz - c.inter) AS jacc_ppm
+    FROM cand c JOIN sizes_p sp USING (probe) JOIN sizes_n sn USING (name)
+    WHERE c.inter * 5 >= 2 * (sp.p_sz + sn.n_sz - c.inter)
+)
+SELECT probe, name AS matched_name, jacc_ppm
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+                                   ORDER BY jacc_ppm DESC, name) AS rk
+      FROM verified)
+WHERE rk = 1
+""",
+)
+def q_fuzzy_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity resolution) by trigram blocking:
+    deterministically misspelled probes (2nd character deleted) are
+    matched back to the part-name catalog. The all-pairs edit-distance
+    join is the classic quadratic trap (`levenshtein_nation_pairs` is
+    the small-dim demo); the scale path blocks on SHARED TRIGRAMS —
+    candidates are an equi-join on gram, grouped to intersection
+    counts — then verifies exact Jaccard ≥ 2/5 with cross-multiplied
+    integers and keeps the best match per probe (ppm-scaled Jaccard,
+    name tiebreak). Candidate volume is bounded by gram selectivity,
+    never |probes|×|catalog|."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    grams = lambda col: F.array_distinct(  # noqa: E731
+        F.expr(
+            f"transform(sequence(1, greatest(length({col}) - 2, 0)),"
+            f" i -> substr({col}, i, 3))"
+        )
+    )
+    ngrams = (
+        names.select(F.col("p_name").alias("name"))
+        .select("name", F.explode(grams("name")).alias("gram"))
+    )
+    probes = names.select(
+        F.concat(
+            F.substring("p_name", 1, 1), F.expr("substr(p_name, 3)")
+        ).alias("probe")
+    )
+    pgrams = probes.select("probe", F.explode(grams("probe")).alias("gram"))
+    sizes_n = ngrams.groupBy("name").agg(F.count(F.lit(1)).alias("n_sz"))
+    sizes_p = pgrams.groupBy("probe").agg(F.count(F.lit(1)).alias("p_sz"))
+    cand = (
+        pgrams.join(ngrams, "gram")
+        .groupBy("probe", "name")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union_sz = F.col("p_sz") + F.col("n_sz") - F.col("inter")
+    verified = (
+        cand.join(F.broadcast(sizes_p), "probe")
+        .join(F.broadcast(sizes_n), "name")
+        .where(F.col("inter") * 5 >= 2 * union_sz)
+        .select(
+            "probe",
+            "name",
+            F.expr(
+                "(inter * 1000000) div (p_sz + n_sz - inter)"
+            ).alias("jacc_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe").orderBy(F.col("jacc_ppm").desc(), F.col("name"))
+    return (
+        verified.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("probe", F.col("name").alias("matched_name"), "jacc_ppm")
+    )
