@@ -119,6 +119,7 @@ _REGISTERED_R06 = frozenset(
         "fuzzy_trigram_part_match",
         "key_skew_profile",
         "table_profile_stats",
+        "kcore_copurchase_parts",
     }
 )
 

@@ -135,6 +135,7 @@ HEADLINE = [
     "fuzzy_trigram_part_match",
     "key_skew_profile",
     "table_profile_stats",
+    "kcore_copurchase_parts",
 ]
 
 

@@ -211,3 +211,30 @@ def test_identity_stitching_chains_and_guard(spark):
     assert got[10] == (10, 1)
     for i in range(6):
         assert got[100 + i] == (100 + i, 1)
+
+
+def test_k_core_peels_pendants_and_keeps_k4(spark):
+    from web_analytics_visits_re_processing_spark.operators.graph import k_core
+
+    # K4 on {1,2,3,4} (all in-core degree 3), a pendant chain 4-10-11,
+    # and a separate triangle {20,21,22} (degree 2, peeled at k=3).
+    # Removing 11 demotes 10, which then peels too -> multi-round.
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    edges = k4 + [(4, 10), (10, 11), (20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the triangle survives as its own 2-core; chain still peels.
+    got2 = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert set(got2) == {1, 2, 3, 4, 20, 21, 22}
+    assert got2[20] == got2[21] == got2[22] == 2
+    assert got2[4] == 3  # edge to the peeled pendant does not count
+
+
+def test_k_core_empty_when_over_k(spark):
+    from web_analytics_visits_re_processing_spark.operators.graph import k_core
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert k_core(tri, k=3).count() == 0

@@ -1034,3 +1034,76 @@ def q_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("n") >= 5, 1).otherwise(0)).alias("is_burst"),
         F.when(F.sum("ne") * 2 > F.sum("n"), 1).otherwise(0).alias("is_error_bot"),
     )
+
+
+# k-core oracle: the peel loop unrolled to a fixed 20 rounds of
+# (degree, filter) CTE pairs — 11 rounds converge the sf0.01
+# co-purchase graph, and extra rounds past the fixpoint are no-ops,
+# so the unrolled depth only needs to EXCEED convergence, not match
+# it. Generated, not handwritten.
+_KCORE_K = 3
+
+
+def _kcore_oracle(k: int, rounds: int = 20) -> str:
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS MATERIALIZED (SELECT pa AS n, pb AS m FROM e0
+                        UNION ALL SELECT pb, pa FROM e0),
+nodes0 AS (SELECT DISTINCT n FROM sym)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+deg{i} AS MATERIALIZED (
+    SELECT s.n, COUNT(*) AS d FROM sym s
+    JOIN nodes{i} x ON s.n = x.n
+    JOIN nodes{i} y ON s.m = y.n
+    GROUP BY s.n
+), nodes{i + 1} AS MATERIALIZED (SELECT n FROM deg{i} WHERE d >= {k})"""
+        )
+    parts.append(
+        f"""
+SELECT s.n AS node, COUNT(*)::BIGINT AS core_degree FROM sym s
+JOIN nodes{rounds} x ON s.n = x.n
+JOIN nodes{rounds} y ON s.m = y.n
+GROUP BY s.n"""
+    )
+    return "".join(parts)
+
+
+@query("kcore_copurchase_parts", oracle=_kcore_oracle(_KCORE_K))
+def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-≥2 co-purchase graph (parts sharing ≥2
+    orders — the frequent-itemset edge filter): the maximal subgraph
+    where every part has ≥3 qualifying co-purchase partners, with
+    each survivor's in-core degree. The cohesion filter you run
+    before community detection or graph-embedding training at
+    100 TB. Peeling loop + scale notes in
+    ``operators/graph.py::k_core``; the edge build is the triangle
+    query's per-order pair join (order sizes are bounded, so the
+    self-join fan-out is linear in lineitems) plus the support
+    HAVING."""
+    from web_analytics_visits_re_processing_spark.operators.graph import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return k_core(edges, k=_KCORE_K)
