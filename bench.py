@@ -136,6 +136,10 @@ HEADLINE = [
     "key_skew_profile",
     "table_profile_stats",
     "kcore_copurchase_parts",
+    "time_decay_attribution",
+    "longest_daily_streaks",
+    "association_rules_pairs",
+    "referential_integrity_audit",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Planted-case tests: time-decay weight/share arithmetic, streak
+islands, association-rule confidence/lift/support-floor, FK audit
+orphan counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def test_time_decay_weights(spark, tmp_path):
+    # view 2 h before conversion (weight 2^22), click 30 min before
+    # (age_h = 0 -> weight 2^24): shares 1/5 and 4/5 exactly.
+    rows = [
+        (1, T0, 1, "view", 0.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=90), 1, "click", 0.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=120), 1, "purchase", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    got = {
+        r["touch_type"]: r["total_credit_ppm"]
+        for r in QUERIES["time_decay_attribution"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"view": 200_000, "click": 800_000}
+
+
+def test_longest_daily_streaks(spark, tmp_path):
+    day = dt.timedelta(days=1)
+    active = [0, 1, 2, 6, 7]  # runs of 3 and 2
+    rows = [(i, T0 + d * day, 1, "view", 0.0, "{}") for i, d in enumerate(active)]
+    rows.append((99, T0, 2, "view", 0.0, "{}"))
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    got = {
+        r["user_id"]: (r["n_active_days"], r["longest_streak"])
+        for r in QUERIES["longest_daily_streaks"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (5, 3), 2: (1, 1)}
+
+
+def test_association_rules_confidence_and_floor(spark, tmp_path):
+    # Orders 1-3 contain parts {1,2}; order 4 contains {1,3}.
+    # Pair (1,2): support 3 (kept). Pair (1,3): support 1 (dropped).
+    rows = [(o, p) for o in (1, 2, 3) for p in (1, 2)] + [(4, 1), (4, 3)]
+    _write(spark, tmp_path, "lineitem",
+           [(o, p, 1.0, 1.0) for o, p in rows],
+           "l_orderkey long, l_partkey long, l_quantity double, "
+           "l_extendedprice double")
+    out = QUERIES["association_rules_pairs"](spark, str(tmp_path)).collect()
+    rules = {(r["antecedent"], r["consequent"]): r for r in out}
+    assert set(rules) == {(1, 2), (2, 1)}
+    # s_1 = 4 orders, s_2 = 3, N = 4.
+    assert rules[(1, 2)]["confidence_ppm"] == 750_000  # 3/4
+    assert rules[(2, 1)]["confidence_ppm"] == 1_000_000  # 3/3
+    assert rules[(1, 2)]["lift_x1e6"] == 1_000_000  # 3*4/(4*3)
+
+
+def test_referential_integrity_orphans(spark, tmp_path):
+    _write(spark, tmp_path, "region", [(0, "R")], "r_regionkey int, r_name string")
+    _write(spark, tmp_path, "nation", [(0, "N", 0), (1, "M", 9)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    _write(spark, tmp_path, "customer", [(1, "c", 0, 0.0, "S")],
+           "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+           "c_mktsegment string")
+    _write(spark, tmp_path, "supplier", [(1, "s", 7)],
+           "s_suppkey long, s_name string, s_nationkey int")
+    _write(spark, tmp_path, "orders",
+           [(10, 1, "O", 1.0, T0, "P"), (11, 99, "O", 1.0, T0, "P")],
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    _write(spark, tmp_path, "lineitem", [(10, 1, 1.0, 1.0), (55, 1, 1.0, 1.0)],
+           "l_orderkey long, l_partkey long, l_quantity double, "
+           "l_extendedprice double")
+    got = {
+        r["chk"]: r["n_violations"]
+        for r in QUERIES["referential_integrity_audit"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "lineitem_orphan_orders": 1,      # orderkey 55
+        "orders_orphan_customers": 1,     # custkey 99
+        "customer_orphan_nations": 0,
+        "supplier_orphan_nations": 1,     # nationkey 7
+        "nation_orphan_regions": 1,       # regionkey 9
+        "orders_without_lineitems": 1,    # order 11
+    }
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

@@ -1107,3 +1107,272 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return k_core(edges, k=_KCORE_K)
+
+
+@query(
+    "time_decay_attribution",
+    # weight = 2^(24 − min(age_hours, 24)) — pure integer (shiftleft),
+    # halving per hour of age with a 24 h floor at weight 1; credit
+    # share in ppm by integer division, so conservation is checkable
+    # to ≤ n_touch ppm truncation per conversion.
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS t,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS seg
+    FROM events
+), t AS (
+    SELECT *,
+           MAX(CASE WHEN event_type = 'purchase' THEN t END)
+               OVER (PARTITION BY user_id, seg) AS conv_t
+    FROM s
+), w AS (
+    SELECT *,
+           (1::BIGINT << (24 - LEAST((conv_t - t) // 3600000000, 24)))
+               AS wt
+    FROM t
+    WHERE event_type IN ('view', 'click') AND conv_t IS NOT NULL
+), sh AS (
+    SELECT *, SUM(wt) OVER (PARTITION BY user_id, seg) AS wsum FROM w
+)
+SELECT event_type AS touch_type,
+       SUM((wt * 1000000) // wsum)::BIGINT AS total_credit_ppm,
+       COUNT(*)::BIGINT AS n_touches
+FROM sh GROUP BY event_type
+""",
+)
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the third standard model
+    beside last-touch and U-shaped: each touch in a conversion's path
+    (touches since the previous purchase) earns weight 2^(24−age_h),
+    halving per hour of age with a floor at 1, and the conversion's
+    1 000 000 ppm of credit splits proportionally by INTEGER
+    arithmetic (shiftleft weights, integer-division shares) — no
+    float exp/log anywhere, so the gate is exact. Same linear
+    gaps-and-islands segmentation as the U-shaped model (running
+    purchase count, (user, seg) windows); the conversion timestamp is
+    a window max, never a join."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", F.unix_micros("ts").alias("t")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = ev.withColumn("seg", F.coalesce(F.sum(is_purchase).over(w_prev), F.lit(0)))
+    w_seg = Window.partitionBy("user_id", "seg")
+    t = s.withColumn(
+        "conv_t",
+        F.max(F.when(F.col("event_type") == "purchase", F.col("t"))).over(w_seg),
+    )
+    w = (
+        t.where(
+            F.col("event_type").isin("view", "click") & F.col("conv_t").isNotNull()
+        )
+        .withColumn(
+            "wt",
+            F.expr(
+                "shiftleft(1L, cast(24 - least((conv_t - t) div 3600000000, 24)"
+                " as int))"
+            ),
+        )
+        .withColumn("wsum", F.sum("wt").over(w_seg))
+    )
+    return w.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.sum(F.expr("(wt * 1000000) div wsum")).alias("total_credit_ppm"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+
+
+@query(
+    "longest_daily_streaks",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), isl AS (
+    SELECT user_id,
+           (d - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+    FROM ud
+), runs AS (
+    SELECT user_id, island, COUNT(*)::BIGINT AS run_len
+    FROM isl GROUP BY user_id, island
+)
+SELECT user_id, SUM(run_len)::BIGINT AS n_active_days,
+       MAX(run_len)::BIGINT AS longest_streak
+FROM runs GROUP BY user_id
+""",
+)
+def q_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric behind every 'N-day streak' badge. Classic
+    gaps-and-islands: distinct active days, island id = epoch-day −
+    row_number (constant within a consecutive run), run lengths per
+    island, max per user. One exchange does all of it: the distinct,
+    the window and both groupBys share the user-keyed hash
+    partitioning, so Spark plans a single shuffle."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.max("run_len").alias("longest_streak"),
+    )
+
+
+@query(
+    "association_rules_pairs",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+    SELECT COUNT(DISTINCT o)::BIGINT AS n_orders FROM op
+), item AS (
+    SELECT p, COUNT(*)::BIGINT AS s FROM op GROUP BY p
+), pair AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS s_ab
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+), rules AS (
+    SELECT pa AS antecedent, pb AS consequent, s_ab FROM pair
+    UNION ALL
+    SELECT pb, pa, s_ab FROM pair
+)
+SELECT r.antecedent, r.consequent, r.s_ab AS support,
+       (r.s_ab * 1000000) // ia.s AS confidence_ppm,
+       (r.s_ab * n.n_orders * 1000000) // (ia.s * ic.s) AS lift_x1e6
+FROM rules r
+JOIN item ia ON ia.p = r.antecedent
+JOIN item ic ON ic.p = r.consequent, n
+ORDER BY lift_x1e6 DESC, antecedent, consequent LIMIT 50
+""",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts:
+    a→b with integer-ppm confidence (s_ab/s_a) and ×10⁶ lift
+    (s_ab·N/(s_a·s_b)), support ≥ 3 orders, top-50 by lift — the
+    Apriori level-2 pass. Scale shape: baskets collapse to distinct
+    (order, part) FIRST; the pair join fans out per order (basket
+    sizes are bounded, so linear in lineitems); the item-support
+    table is small and broadcast onto the rule set; TakeOrdered for
+    the top-50. Level-k itemsets at 100 TB iterate the same
+    candidate-join + HAVING pruning (Apriori's monotonicity), never
+    materializing unsupported candidates."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = op.select("o").distinct().count()
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 3)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "s_ab"
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "s_ab"
+        )
+    )
+    ia = item.select(F.col("p").alias("antecedent"), F.col("s").alias("s_a"))
+    ic = item.select(F.col("p").alias("consequent"), F.col("s").alias("s_c"))
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("support"),
+            F.expr("(s_ab * 1000000) div s_a").alias("confidence_ppm"),
+            F.expr(f"(s_ab * {n_orders}L * 1000000) div (s_a * s_c)").alias(
+                "lift_x1e6"
+            ),
+        )
+        .orderBy(F.col("lift_x1e6").desc(), "antecedent", "consequent")
+        .limit(50)
+    )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+SELECT 'lineitem_orphan_orders' AS chk, COUNT(*)::BIGINT AS n_violations
+FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_orphan_customers', COUNT(*)::BIGINT
+FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer_orphan_nations', COUNT(*)::BIGINT
+FROM customer c WHERE NOT EXISTS (
+    SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier_orphan_nations', COUNT(*)::BIGINT
+FROM supplier s WHERE NOT EXISTS (
+    SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+UNION ALL
+SELECT 'nation_orphan_regions', COUNT(*)::BIGINT
+FROM nation n WHERE NOT EXISTS (
+    SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+UNION ALL
+SELECT 'orders_without_lineitems', COUNT(*)::BIGINT
+FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across the whole star schema — the ingest
+    gate a lakehouse runs per partition drop: orphan counts for every
+    FK edge (lineitem→orders, orders→customer, customer/supplier→
+    nation, nation→region) plus childless orders. Each check is one
+    ANTI join; the dimension sides (nation, region, customer at this
+    schema's scale) broadcast, the two fact-fact checks (lineitem↔
+    orders) shuffle on the key they'd be bucketed on in a real
+    deployment — with bucketed layout (`sources/layout.py`) they run
+    zero-exchange. Aggregates are single-row counts unioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    def orphan(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        return (
+            child.join(
+                parent.select(F.col(pk).alias(ck)), on=ck, how="left_anti"
+            ).agg(F.lit(name).alias("chk"), F.count(F.lit(1)).alias("n_violations"))
+        )
+
+    checks = [
+        orphan("lineitem_orphan_orders", li, "l_orderkey", o, "o_orderkey"),
+        orphan("orders_orphan_customers", o, "o_custkey", c, "c_custkey"),
+        orphan("customer_orphan_nations", c, "c_nationkey", n, "n_nationkey"),
+        orphan("supplier_orphan_nations", s, "s_nationkey", n, "n_nationkey"),
+        orphan("nation_orphan_regions", n, "n_regionkey", r, "r_regionkey"),
+        orphan("orders_without_lineitems", o, "o_orderkey", li, "l_orderkey"),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out
