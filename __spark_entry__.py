@@ -124,6 +124,8 @@ _REGISTERED_R06 = frozenset(
         "longest_daily_streaks",
         "association_rules_pairs",
         "referential_integrity_audit",
+        "incremental_sessionize_visits",
+        "bfs_hops_copurchase",
     }
 )
 

@@ -140,6 +140,8 @@ HEADLINE = [
     "longest_daily_streaks",
     "association_rules_pairs",
     "referential_integrity_audit",
+    "incremental_sessionize_visits",
+    "bfs_hops_copurchase",
 ]
 
 

@@ -238,3 +238,26 @@ def test_k_core_empty_when_over_k(spark):
         [(1, 2), (2, 3), (1, 3)], "src long, dst long"
     )
     assert k_core(tri, k=3).count() == 0
+
+
+def test_bfs_hops_layers_and_truncation(spark):
+    from web_analytics_visits_re_processing_spark.operators.graph import bfs_hops
+
+    # Path 1-2-...-9 plus an unreachable pair {50,51}: from 1, node d
+    # is at distance d-1; truncation at 6 hops excludes 8 and 9's
+    # distances beyond 6 -> nodes 8,9 at dist 7,8 are absent.
+    edges = [(i, i + 1) for i in range(1, 9)] + [(50, 51)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(df, source=1, max_hops=6).collect()}
+    assert got == {i: i - 1 for i in range(1, 8)}
+    assert 50 not in got and 51 not in got
+
+
+def test_bfs_hops_min_over_branches(spark):
+    from web_analytics_visits_re_processing_spark.operators.graph import bfs_hops
+
+    # Diamond: 1-2-4 and 1-3-4 plus a long way 1-5-6-4: dist(4) = 2.
+    edges = [(1, 2), (2, 4), (1, 3), (3, 4), (1, 5), (5, 6), (6, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(df, source=1, max_hops=6).collect()}
+    assert got[4] == 2 and got[6] == 2 and got[5] == 1

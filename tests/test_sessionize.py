@@ -88,3 +88,48 @@ def test_dynamic_gap_running_end_merges_past_short_gap(spark):
         .collect()
     )
     assert len(got) == 1 and got[0]["n"] == 3, got
+
+
+def test_incremental_merge_equals_full_batch(spark):
+    """Boundary matrix for merge_incremental_visits: merge at EXACTLY
+    the gap, split at gap+1s, prior-only and new-only users, multiple
+    interior sessions both sides — incremental must equal full batch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.sessionize import (
+        merge_incremental_visits,
+        sessionize_visits,
+    )
+
+    cut = dt.datetime(2024, 1, 16)
+    m = lambda mins: cut + dt.timedelta(minutes=mins)  # noqa: E731
+    rows = [
+        # user 1: prior session ending exactly 30 min before the first
+        # new event -> MUST merge (merge-at-exactly-gap rule)
+        (1, m(-120)), (1, m(-90)), (1, m(-30)), (1, m(0)), (1, m(5)),
+        # user 2: boundary gap 30 min + 1 s -> must NOT merge
+        (2, m(-31)), (2, dt.datetime(2024, 1, 16, 0, 0, 1)),
+        # user 3: prior-only (two sessions)
+        (3, m(-300)), (3, m(-200)),
+        # user 4: new-only
+        (4, m(10)), (4, m(100)),
+        # user 5: interior sessions on both sides + mergeable boundary
+        (5, m(-500)), (5, m(-400)), (5, m(-20)), (5, m(1)), (5, m(90)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    prior = sessionize_visits(ev.where(F.col("ts") < F.lit(cut)))
+    new = sessionize_visits(ev.where(F.col("ts") >= F.lit(cut)))
+    inc = merge_incremental_visits(prior, new)
+    full = sessionize_visits(ev)
+    cols = ["visit_key", "user_id", "visit_start", "visit_end", "n_hits"]
+    assert sorted(map(tuple, inc.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+    got = {(r["user_id"], r["visit_start"]): r["n_hits"] for r in inc.collect()}
+    # user 1: {-120,-90} merge (exactly-gap), -30 splits off, then the
+    # boundary glues {-30, 0, +5} across the cutoff.
+    assert got[(1, m(-120))] == 2
+    assert got[(1, m(-30))] == 3
+    assert got[(2, m(-31))] == 1 and got[(2, dt.datetime(2024, 1, 16, 0, 0, 1))] == 1

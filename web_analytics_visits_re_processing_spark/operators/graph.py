@@ -420,3 +420,50 @@ def k_core(
     return deg.where(F.col("core_degree") >= k).select(
         F.col("n").alias("node"), "core_degree"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from ``source`` over an undirected
+    graph, truncated at ``max_hops`` → ``(node, dist)``. The
+    recommendation radius / degrees-of-separation primitive.
+
+    Distributed shape: frontier relaxation — each round unions the
+    current distance table with (neighbor, dist+1) via ONE equi-join
+    against the symmetrized edge list and re-minimizes per node; a
+    node's distance only ever decreases, so ``max_hops`` rounds yield
+    exactly the ≤ max_hops BFS layers. Fixed-round truncation is part
+    of the contract (both engines run the same 6 rounds — no
+    convergence race). Rounds ``localCheckpoint`` (lineage doubling —
+    the CC lesson). At 100 TB the refinement is delta-stepping: relax
+    only the NEW frontier (dist == round) instead of the whole table —
+    same layers, smaller joins."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb"))
+        .distinct()
+    )
+    sym = und.select(
+        F.col("pa").alias("n"), F.col("pb").alias("m")
+    ).unionAll(
+        und.select(F.col("pb").alias("n"), F.col("pa").alias("m"))
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "n long, dist int")
+    for _ in range(max_hops):
+        relaxed = dist.join(sym, "n").select(
+            F.col("m").alias("n"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("n").alias("node"), "dist")

@@ -198,3 +198,98 @@ def salt_sessions(df: DataFrame, user_col: str, ts_col: str = "ts") -> DataFrame
         "_salted_user",
         F.concat_ws("#", F.col(user_col).cast("string"), F.to_date(ts).cast("string")),
     )
+
+
+def merge_incremental_visits(
+    prior: DataFrame,
+    new: DataFrame,
+    user_col: str = "user_id",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+) -> DataFrame:
+    """Incremental sessionization: merge a NEW batch's visits
+    (all events ≥ some time cutoff) into the PRIOR visits table
+    (all events < the cutoff) so the result equals full-batch
+    sessionization over the union — without re-reading history.
+
+    This is the batch half of the Lambda bridge: at 100 TB you
+    sessionize each daily drop against yesterday's visits table
+    instead of re-scanning the whole corpus. Correctness rests on
+    session locality: with a TIME-ALIGNED split, the only possible
+    cross-boundary interaction is the last prior session vs the
+    first new session of each user — interior sessions cannot change.
+    So the merge is: mark per-user extremes with two row_number
+    windows, join ONE row per user, glue when the boundary gap is
+    ≤ gap (Spark's merge-at-exactly-gap rule — strict > splits),
+    and pass everything else through untouched. All windows and the
+    join are user-keyed: one exchange per input, no event-level
+    work. The equivalence gate (oracle = full-batch SQL over ALL
+    events) is the strongest available: any drift from the batch
+    semantics hash-mismatches.
+
+    Inputs are ``sessionize_visits`` outputs (visit_key, user,
+    visit_start, visit_end, n_hits). The merged row recomputes its
+    visit_key from the PRIOR start, exactly as full batch would.
+    """
+    u = F.col(user_col)
+    gap_us = gap_seconds * 1_000_000
+    w_last = Window.partitionBy(user_col).orderBy(F.col("visit_end").desc())
+    w_first = Window.partitionBy(user_col).orderBy("visit_start")
+    p = prior.withColumn("_rn", F.row_number().over(w_last))
+    n = new.withColumn("_rn", F.row_number().over(w_first))
+    prior_rest = p.where(F.col("_rn") > 1).drop("_rn")
+    new_rest = n.where(F.col("_rn") > 1).drop("_rn")
+    lasts = p.where(F.col("_rn") == 1).drop("_rn")
+    firsts = n.where(F.col("_rn") == 1).drop("_rn")
+    j = firsts.alias("f").join(
+        lasts.alias("l").select(
+            u.alias("_pu"),
+            F.col("visit_key").alias("_pkey"),
+            F.col("visit_start").alias("_pstart"),
+            F.col("visit_end").alias("_pend"),
+            F.col("n_hits").alias("_pn"),
+        ),
+        on=u == F.col("_pu"),
+        how="full_outer",
+    )
+    merges = F.col("_pu").isNotNull() & u.isNotNull() & (
+        F.unix_micros(F.col("f.visit_start")) - F.unix_micros(F.col("_pend"))
+        <= gap_us
+    )
+    glued = j.select(
+        F.coalesce(u, F.col("_pu")).alias(user_col),
+        F.when(merges, F.col("_pkey"))
+        .otherwise(F.coalesce(F.col("f.visit_key"), F.col("_pkey")))
+        .alias("visit_key"),
+        F.when(merges, F.col("_pstart"))
+        .otherwise(F.coalesce(F.col("f.visit_start"), F.col("_pstart")))
+        .alias("visit_start"),
+        F.coalesce(F.col("f.visit_end"), F.col("_pend")).alias("visit_end"),
+        F.when(merges, F.col("f.n_hits") + F.col("_pn"))
+        .otherwise(F.coalesce(F.col("f.n_hits"), F.col("_pn")))
+        .alias("n_hits"),
+        # un-merged prior last must ALSO survive when the user has new
+        # visits: emit it as a second struct and inline-explode.
+        F.when(
+            ~merges & F.col("_pu").isNotNull() & u.isNotNull(),
+            F.struct(
+                F.col("_pkey").alias("visit_key"),
+                F.col("_pstart").alias("visit_start"),
+                F.col("_pend").alias("visit_end"),
+                F.col("_pn").alias("n_hits"),
+            ),
+        ).alias("_carry"),
+    )
+    carried = glued.where(F.col("_carry").isNotNull()).select(
+        user_col,
+        F.col("_carry.visit_key").alias("visit_key"),
+        F.col("_carry.visit_start").alias("visit_start"),
+        F.col("_carry.visit_end").alias("visit_end"),
+        F.col("_carry.n_hits").alias("n_hits"),
+    )
+    cols = [user_col, "visit_key", "visit_start", "visit_end", "n_hits"]
+    return (
+        glued.select(*cols)
+        .unionAll(carried.select(*cols))
+        .unionAll(prior_rest.select(*cols))
+        .unionAll(new_rest.select(*cols))
+    )

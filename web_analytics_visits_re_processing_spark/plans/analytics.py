@@ -365,3 +365,57 @@ def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
         )
     )
+
+
+@query(
+    "incremental_sessionize_visits",
+    # The STRONGEST gate shape in the registry: the Spark side
+    # sessionizes two time-split batches independently and merges
+    # them incrementally; the oracle sessionizes the FULL stream in
+    # one pass. Equality proves the incremental path reproduces
+    # batch semantics exactly (boundary glue, merge-at-exactly-gap,
+    # key recomputation) — not merely that both engines agree on one
+    # formula.
+    oracle=_SESSION_CTE
+    + """
+SELECT CAST(user_id AS VARCHAR) || '_' || CAST(epoch_us(MIN(ts)) AS VARCHAR)
+           AS visit_key,
+       user_id,
+       epoch_us(MIN(ts)) AS visit_start_us,
+       epoch_us(MAX(ts)) AS visit_end_us,
+       COUNT(*) AS n_hits
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def q_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization across a mid-month cutoff: history
+    (< Jan 16) and the new drop (≥ Jan 16) are sessionized as
+    separate batches — the daily-drop pattern that avoids re-scanning
+    100 TB of history — then glued by
+    ``operators/sessionize.py::merge_incremental_visits`` (one
+    user-keyed row per side joins; interior sessions pass through
+    untouched). Gated against FULL-batch sessionization of all
+    events."""
+    from web_analytics_visits_re_processing_spark.operators.sessionize import (
+        merge_incremental_visits,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    prior = sessionize_visits(
+        events.where(F.col("ts") < cutoff), user_col="user_id", ts_col="ts",
+        gap_seconds=1800,
+    )
+    new = sessionize_visits(
+        events.where(F.col("ts") >= cutoff), user_col="user_id", ts_col="ts",
+        gap_seconds=1800,
+    )
+    merged = merge_incremental_visits(prior, new, gap_seconds=1800)
+    return merged.select(
+        "visit_key",
+        "user_id",
+        F.unix_micros("visit_start").alias("visit_start_us"),
+        F.unix_micros("visit_end").alias("visit_end_us"),
+        "n_hits",
+    )

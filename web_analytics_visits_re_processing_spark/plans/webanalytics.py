@@ -1376,3 +1376,70 @@ def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionAll(chk)
     return out
+
+
+def _bfs_oracle(rounds: int = 6) -> str:
+    """Frontier relaxation unrolled to the same fixed ``rounds`` the
+    Spark side runs; every round CTE MATERIALIZED (two references per
+    round inline exponentially otherwise — the k-core lesson)."""
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS MATERIALIZED (SELECT pa AS n, pb AS m FROM e0
+                        UNION ALL SELECT pb, pa FROM e0),
+src AS MATERIALIZED (SELECT MIN(n) AS s FROM sym),
+dist0 AS MATERIALIZED (SELECT s AS n, 0 AS d FROM src)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+dist{i + 1} AS MATERIALIZED (
+    SELECT n, MIN(d) AS d FROM (
+        SELECT n, d FROM dist{i}
+        UNION ALL
+        SELECT sym.m AS n, dist{i}.d + 1 AS d
+        FROM dist{i} JOIN sym ON sym.n = dist{i}.n
+    ) GROUP BY n
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n AS node, d::INT AS dist FROM dist{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query("bfs_hops_copurchase", oracle=_bfs_oracle(6))
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances (≤ 6) from the minimum part in the
+    support-≥2 co-purchase graph — the recommendation-radius /
+    degrees-of-separation query. Fixed-round frontier relaxation in
+    both engines (truncation is part of the contract, so there is no
+    convergence race to gate). Shape + scale notes in
+    ``operators/graph.py::bfs_hops``."""
+    from web_analytics_visits_re_processing_spark.operators.graph import bfs_hops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    source = edges.agg(
+        F.min(F.least(F.col("src"), F.col("dst")))
+    ).collect()[0][0]
+    return bfs_hops(edges, source=int(source), max_hops=6)
