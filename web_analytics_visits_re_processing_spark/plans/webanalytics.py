@@ -1439,7 +1439,4 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
-    source = edges.agg(
-        F.min(F.least(F.col("src"), F.col("dst")))
-    ).collect()[0][0]
-    return bfs_hops(edges, source=int(source), max_hops=6)
+    return bfs_hops(edges, source=None, max_hops=6)
