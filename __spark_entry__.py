@@ -126,6 +126,10 @@ _REGISTERED_R06 = frozenset(
         "referential_integrity_audit",
         "incremental_sessionize_visits",
         "bfs_hops_copurchase",
+        "streaming_histogram_quantiles",
+        "salted_skew_join_segments",
+        "schema_evolution_union",
+        "bigram_lm_surprisal_scores",
     }
 )
 

@@ -142,6 +142,10 @@ HEADLINE = [
     "referential_integrity_audit",
     "incremental_sessionize_visits",
     "bfs_hops_copurchase",
+    "streaming_histogram_quantiles",
+    "salted_skew_join_segments",
+    "schema_evolution_union",
+    "bigram_lm_surprisal_scores",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Planted-case tests: salted-join plan shape + equality, schema
+evolution NULL resolution, bigram surprisal arithmetic, streamed
+histogram ≡ batch bins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+T0 = dt.datetime(2024, 1, 10)
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def test_salted_join_plan_and_equality(spark, tmp_path):
+    # whale: user 7 owns 50 of 60 events; equality vs plain join.
+    rows = [(i, T0, 7, "view", 1.0, "{}") for i in range(50)]
+    rows += [(100 + i, T0, i, "view", 2.0, "{}") for i in range(10)]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    _write(
+        spark, tmp_path, "customer",
+        [(7, "c7", 0, 0.0, "WHALESEG"), (3, "c3", 0, 0.0, "SMALL")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    df = QUERIES["salted_skew_join_segments"](spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # the hint kept it in the shuffle regime
+    assert "_salt" in plan
+    got = {r["segment"]: (r["n_events"], r["value_cents_sum"]) for r in df.collect()}
+    # user 7 also appears once in the spread batch: 50×100 + 200 cents.
+    assert got["WHALESEG"] == (51, 5200)
+    assert got["SMALL"] == (1, 200)
+    assert got["NONE"] == (8, 1600)
+
+
+def test_schema_evolution_null_resolution(spark, tmp_path):
+    early = dt.datetime(2024, 1, 5)
+    late = dt.datetime(2024, 1, 20)
+    rows = [
+        (1, early, 1, "view", 0.0, "{}"),
+        (2, early, 2, "click", 0.0, "{}"),   # type dropped in v1 staging
+        (3, late, 1, "click", 0.0, "{}"),
+        (4, late, 3, "click", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["event_type"]: (r["n_events"], r["n_users"])
+        for r in QUERIES["schema_evolution_union"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"MISSING": (2, 2), "click": (2, 2)}
+
+
+def test_bigram_surprisal_arithmetic(spark, tmp_path):
+    # Corpus: "a b" x3 and one "a c". c(a)=4; surprisal(a,b) =
+    # 1e6*4//3 = 1333333; surprisal(a,c) = 4e6.
+    rows = [(i, "a b", "en", "s", 3) for i in range(3)] + [(9, "a c", "en", "s", 3)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_surprisal_ppm"])
+        for r in QUERIES["bigram_lm_surprisal_scores"](spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (1, 1_333_333)
+    assert got[9] == (1, 4_000_000)
+
+
+def test_streaming_histogram_state_equals_batch(spark, sf_dir):
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_histogram_state,
+    )
+
+    streamed = streaming_histogram_state(spark, sf_dir, max_files_per_trigger=2)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = streamed.select("event_type", "bin", "c")
+    assert s.exceptAll(batch).count() == 0
+    assert batch.exceptAll(s).count() == 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

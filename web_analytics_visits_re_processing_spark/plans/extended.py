@@ -1725,3 +1725,122 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (col, n_nulls, n_distinct, min_num, max_num)"
         )
     )
+
+
+@query(
+    "salted_skew_join_segments",
+    oracle="""
+SELECT COALESCE(c.c_mktsegment, 'NONE') AS segment,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(FLOOR(e.value * 100)::BIGINT)::BIGINT AS value_cents_sum
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join — the classic whale-key fix for shuffle joins,
+    gated on exact equality with the plain join. The fact side
+    (events) extends its key with ``pmod(hash(event_id), 8)`` so a
+    hot user's rows spread over 8 reducers instead of one; the dim
+    side replicates each row across all 8 salts with ONE
+    ``explode(sequence(...))`` (never a cross join). The join result
+    is row-identical to the unsalted join — which is exactly what the
+    DuckDB oracle checks. When the dim fits in memory you broadcast
+    instead (no shuffle to skew); salting is the fix for the
+    SHUFFLE-join regime at 100 TB where neither side broadcasts, and
+    AQE's skew-join split only handles sort-merge spills — salting
+    also fixes the hash-partition imbalance AQE can't re-split
+    (single-key hotspots). The aggregate after the join reuses the
+    salted partitioning's superset (segment groupBy re-shuffles a
+    tiny enriched projection)."""
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_fact = ev.withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(n_salt)).cast("int")
+    )
+    replicated_dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.expr(f"sequence(0, {n_salt - 1})")).alias("_salt"),
+    )
+    # hint forces the SHUFFLE-join regime the technique exists for —
+    # without it Catalyst would broadcast this demo-sized dim and the
+    # salt would never reach the executed plan (plan-shape pytest
+    # pins shuffle join + salted keys).
+    joined = salted_fact.join(
+        replicated_dim.hint("shuffle_hash"),
+        on=[
+            salted_fact["user_id"] == replicated_dim["c_custkey"],
+            salted_fact["_salt"] == replicated_dim["_salt"],
+        ],
+        how="left",
+    )
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).alias("value_cents_sum"),
+    )
+
+
+@query(
+    "schema_evolution_union",
+    # The oracle recomputes the CONTENT from the original events —
+    # v1 rows (first half-month) carry NULL event_type, v2 rows keep
+    # it — so the gate checks Spark's write → mergeSchema-read round
+    # trip preserves every row and resolves the missing column to
+    # NULL, without the oracle touching the staged files.
+    oracle="""
+WITH unioned AS (
+    SELECT event_id, user_id,
+           CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN event_type END
+               AS event_type
+    FROM events
+)
+SELECT COALESCE(event_type, 'MISSING') AS event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM unioned GROUP BY 1
+""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the reader — the data-lake reality where
+    last month's partitions lack this month's columns: the first
+    half-month is staged WITHOUT ``event_type`` (schema v1), the rest
+    WITH it (v2), and one ``mergeSchema=true`` parquet read unifies
+    them, resolving the missing column to NULL. At 100 TB this is the
+    default read mode of any long-lived table (schema-per-file
+    footers merge on the driver; the scan stays columnar and pruned).
+    Gate: the merged read must reproduce, row-for-row, the
+    NULL-for-old-partitions semantics the oracle recomputes from the
+    source table."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_schema_evo",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev.where(F.col("ts") < cutoff).select("event_id", "user_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "v=1"))
+    ev.where(F.col("ts") >= cutoff).select(
+        "event_id", "user_id", "event_type"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v=1"), os.path.join(base, "v=2")
+    )
+    return merged.groupBy(
+        F.coalesce("event_type", F.lit("MISSING")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -3199,3 +3199,67 @@ def q_fuzzy_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("probe", F.col("name").alias("matched_name"), "jacc_ppm")
     )
+
+
+@query(
+    "bigram_lm_surprisal_scores",
+    # integer surprisal surrogate: 10⁶·c(w1)/c(w1,w2) truncated — a
+    # constant-scaled inverse conditional probability, monotone with
+    # −log p(w2|w1); per-doc sums/averages are integer-exact, the
+    # PMI/BM25 convention.
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM tok, LATERAL unnest(range(1, len(t))) AS u(i)
+), uni AS (
+    SELECT w1, COUNT(*)::BIGINT AS c1 FROM big GROUP BY w1
+), bi AS (
+    SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM big GROUP BY w1, w2
+), scored AS (
+    SELECT b.doc_id, (1000000 * uni.c1) // bi.c12 AS s
+    FROM big b JOIN bi USING (w1, w2) JOIN uni USING (w1)
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       SUM(s)::BIGINT AS sum_surprisal,
+       (SUM(s) // COUNT(*))::BIGINT AS avg_surprisal_ppm
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring — the CCNet/KenLM perplexity
+    filter re-expressed exactly: a bigram model trained on the corpus
+    itself scores every document's mean surprisal (documents whose
+    word transitions are rare under the corpus LM are boilerplate,
+    spam, or wrong-language — the top tail is what you drop). The
+    float −log p sum becomes an integer inverse-probability ppm sum
+    (monotone per bigram, module comment), so the gate is exact.
+    Scale shape: ONE bigram explode feeds both the model aggregates
+    and the scoring pass; the model joins back by (w1,w2)/(w1) equi-
+    joins that AQE broadcasts while the model fits (vocab² worst
+    case; at 100 TB the model is pruned to top-K bigrams with an
+    unseen-bigram backoff bucket — the join shape is unchanged)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.split("text", " ").alias("t"))
+    big = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("doc_id", F.expr("(1000000 * c1) div c12").alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("s").alias("sum_surprisal"),
+        F.expr("(sum(s) div count(1))").alias("avg_surprisal_ppm"),
+    )

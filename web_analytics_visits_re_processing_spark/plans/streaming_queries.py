@@ -385,3 +385,70 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_static_enrich_append(spark, sf_dir)
+
+
+@query(
+    "streaming_histogram_quantiles",
+    # identical oracle to the batch histogram_quantiles_by_type —
+    # binning commutes with streaming aggregation, so the served
+    # state must equal the batch histogram bin-for-bin.
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS bin,
+           COUNT(*)::BIGINT AS c
+    FROM events GROUP BY event_type, bin
+),
+cum AS (
+    SELECT event_type, bin, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM b
+)
+SELECT event_type, MAX(n)::BIGINT AS n,
+       MIN(CASE WHEN cum * 2 >= n THEN bin END)::BIGINT AS p50_cents,
+       MIN(CASE WHEN cum * 10 >= n * 9 THEN bin END)::BIGINT AS p90_cents,
+       MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END)::BIGINT AS p99_cents
+FROM cum GROUP BY event_type
+""",
+)
+def q_streaming_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution quantiles maintained ON the stream: (type, bin)
+    counts accumulate through update-mode streaming agg + snapshot
+    upsert (state = bin domain, constant in row count), and p50/p90/
+    p99 read off the SERVED state with the cross-multiplied integer
+    cumulative rule. The mergeable histogram is the design that makes
+    streaming quantiles possible at all — GK sketch state is neither
+    inspectable nor engine-portable; bins add. Gate: the streamed
+    state must reproduce the batch histogram exactly, then the same
+    quantile read-off."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_histogram_state,
+    )
+
+    b = streaming_histogram_state(spark, sf_dir)
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("bin"))).alias(
+            "p50_cents"
+        ),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("bin"))
+        ).alias("p90_cents"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("bin"))
+        ).alias("p99_cents"),
+    )

@@ -748,3 +748,52 @@ def streaming_static_enrich_append(
     )
     out, _ = _run_append_to_files(enriched, workdir)
     return spark.read.parquet(out)
+
+
+def streaming_histogram_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """(type, cent-bin) histogram counts maintained INCREMENTALLY from
+    the event stream — the streaming face of the mergeable-quantile
+    design (`histogram_quantiles_by_type`): binning commutes with
+    streaming aggregation, so the running state is exactly the batch
+    histogram at every point in time. That mergeability is the whole
+    argument for histogram quantiles over GK sketches at 100 TB —
+    bins merge across micro-batches, executors AND days with plain
+    addition.
+
+    Topology = the CMS/HLL serving pattern: stream → (type, bin)
+    streaming count agg (update mode; state = bin domain, constant in
+    row count) → foreachBatch upsert into the versioned snapshot,
+    latest-per-key ordered by the monotone count. Quantile read-off
+    (smallest bin whose cumulative count reaches ceil(p·n)) happens on
+    the SERVED state — exactly how a dashboard consumes it."""
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_hist", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger).where(
+        # no watermark in play → pre-agg sentinel filter is safe
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
+    )
+    bins = events.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    run_upsert_stream(
+        bins,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["event_type", "bin"],
+        order_cols=["c"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
