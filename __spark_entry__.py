@@ -130,6 +130,9 @@ _REGISTERED_R06 = frozenset(
         "salted_skew_join_segments",
         "schema_evolution_union",
         "bigram_lm_surprisal_scores",
+        "phrase_search_positions",
+        "distribution_drift_by_type",
+        "weekly_revenue_wow_change",
     }
 )
 

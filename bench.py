@@ -146,6 +146,9 @@ HEADLINE = [
     "salted_skew_join_segments",
     "schema_evolution_union",
     "bigram_lm_surprisal_scores",
+    "phrase_search_positions",
+    "distribution_drift_by_type",
+    "weekly_revenue_wow_change",
 ]
 
 

@@ -93,5 +93,51 @@ def test_streaming_histogram_state_equals_batch(spark, sf_dir):
     assert batch.exceptAll(s).count() == 0
 
 
+def test_phrase_search_adjacency(spark, tmp_path):
+    rows = [
+        (1, "fast scan x fast scan", "en", "s", 5),   # 2 matches, first at 0
+        (2, "fast x scan", "en", "s", 3),             # non-adjacent: no row
+        (3, "scan fast", "en", "s", 2),               # wrong order: no row
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in QUERIES["phrase_search_positions"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 0)}
+
+
+def test_distribution_drift_zero_and_shift(spark, tmp_path):
+    h1 = dt.datetime(2024, 1, 5)
+    h2 = dt.datetime(2024, 1, 20)
+    # type "same": identical value sets both halves -> drift 0.
+    rows = [(i, h1, 1, "same", float(v), "{}") for i, v in enumerate([1, 2, 2])]
+    rows += [(10 + i, h2, 1, "same", float(v), "{}") for i, v in enumerate([1, 2, 2])]
+    # type "moved": all mass moves bin 1 -> bin 5.
+    rows += [(20, h1, 1, "moved", 1.0, "{}"), (21, h2, 1, "moved", 5.0, "{}")]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["event_type"]: (r["drift_score"], r["top_drift_bin"])
+        for r in QUERIES["distribution_drift_by_type"](spark, str(tmp_path)).collect()
+    }
+    assert got["same"][0] == 0
+    # moved: bins 1 and 5 each differ by the full 1e6 ppm.
+    assert got["moved"] == (2 * 1_000_000**2, 1)
+
+
+def test_weekly_wow_change_bp(spark, tmp_path):
+    w1 = dt.datetime(2024, 1, 1)   # Monday
+    w2 = dt.datetime(2024, 1, 8)
+    rows = [(1, w1, 1, "purchase", 1.0, "{}"),
+            (2, w2, 1, "purchase", 1.5, "{}")]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {r["week"]: r for r in
+           QUERIES["weekly_revenue_wow_change"](spark, str(tmp_path)).collect()}
+    assert got["2024-01-01"]["delta_cents"] is None
+    assert got["2024-01-08"]["delta_cents"] == 50
+    assert got["2024-01-08"]["change_bp"] == 5000
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

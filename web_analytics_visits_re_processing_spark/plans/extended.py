@@ -1844,3 +1844,138 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "distribution_drift_by_type",
+    # drift score = Σ_bins (share1_ppm − share2_ppm)² — the L2² drift
+    # statistic on binned distributions, integer-exact where PSI's
+    # ln(p2/p1) is not replayable; same decision signal (0 ⇔
+    # identical distributions, grows with divergence).
+    oracle="""
+WITH halves AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END AS half,
+           FLOOR(value)::BIGINT AS bin
+    FROM events
+), bc AS (
+    SELECT event_type, half, bin, COUNT(*)::BIGINT AS c
+    FROM halves GROUP BY 1, 2, 3
+), tot AS (
+    SELECT event_type, half, SUM(c)::BIGINT AS n FROM bc GROUP BY 1, 2
+), shares AS (
+    SELECT bc.event_type, bc.bin,
+           SUM(CASE WHEN bc.half = 1
+                    THEN (bc.c * 1000000) // t.n ELSE 0 END) AS ppm1,
+           SUM(CASE WHEN bc.half = 2
+                    THEN (bc.c * 1000000) // t.n ELSE 0 END) AS ppm2
+    FROM bc JOIN tot t ON t.event_type = bc.event_type AND t.half = bc.half
+    GROUP BY bc.event_type, bc.bin
+)
+SELECT event_type,
+       SUM((ppm1 - ppm2) * (ppm1 - ppm2))::BIGINT AS drift_score,
+       COUNT(*)::BIGINT AS n_bins,
+       MIN(CASE WHEN (ppm1 - ppm2) * (ppm1 - ppm2) =
+                     (SELECT MAX((s2.ppm1 - s2.ppm2) * (s2.ppm1 - s2.ppm2))
+                      FROM shares s2 WHERE s2.event_type = shares.event_type)
+                THEN bin END)::BIGINT AS top_drift_bin
+FROM shares GROUP BY event_type
+""",
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the training-pipeline guard that
+    catches feature drift before it poisons a model: per event type,
+    the value distribution of the first half-month vs the second,
+    binned to whole units, compared by the integer L2² score on
+    ppm shares (PSI's ln(p₂/p₁) is float and truncation-fragile; the
+    squared-share-difference statistic carries the same 0-iff-equal,
+    grows-with-divergence signal exactly). Also reports the worst
+    bin. Scale shape: one (type, half, bin) count with map-side
+    combine — shuffle state is the bin domain; per-half totals and
+    the share pivot ride tiny broadcasts; no sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    bc = ev.select(
+        "event_type",
+        F.when(F.col("ts") < cutoff, 1).otherwise(2).alias("half"),
+        F.floor("value").cast("long").alias("bin"),
+    ).groupBy("event_type", "half", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = bc.groupBy("event_type", "half").agg(F.sum("c").alias("n"))
+    shares = (
+        bc.join(F.broadcast(tot), ["event_type", "half"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(
+                F.when(F.col("half") == 1, F.expr("(c * 1000000) div n")).otherwise(0)
+            ).alias("ppm1"),
+            F.sum(
+                F.when(F.col("half") == 2, F.expr("(c * 1000000) div n")).otherwise(0)
+            ).alias("ppm2"),
+        )
+    )
+    d2 = (F.col("ppm1") - F.col("ppm2")) * (F.col("ppm1") - F.col("ppm2"))
+    w = Window.partitionBy("event_type")
+    scored = shares.withColumn("d2", d2).withColumn("mx", F.max("d2").over(w))
+    return scored.groupBy("event_type").agg(
+        F.sum("d2").alias("drift_score"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.min(F.when(F.col("d2") == F.col("mx"), F.col("bin"))).alias(
+            "top_drift_bin"
+        ),
+    )
+
+
+@query(
+    "weekly_revenue_wow_change",
+    oracle="""
+WITH wk AS (
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS revenue_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY date_trunc('week', ts)
+)
+SELECT week, revenue_cents,
+       revenue_cents - LAG(revenue_cents) OVER (ORDER BY week)
+           AS delta_cents,
+       CASE WHEN LAG(revenue_cents) OVER (ORDER BY week) > 0
+            THEN ((revenue_cents - LAG(revenue_cents) OVER (ORDER BY week))
+                  * 10000) // LAG(revenue_cents) OVER (ORDER BY week)
+       END AS change_bp
+FROM wk
+""",
+)
+def q_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change in integer basis points — the
+    KPI-dashboard staple. The single-partition lag window runs over
+    WEEK rows (a handful), not events: the heavy lifting is the
+    map-side-combined weekly cent sum; the unpartitioned window's
+    single-task stage sees ~52 rows/year, which is the correct
+    trade (a global sort of events for this would be the mistake)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+                "week"
+            )
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("revenue_cents"))
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue_cents").over(w)
+    return wk.select(
+        "week",
+        "revenue_cents",
+        (F.col("revenue_cents") - prev).alias("delta_cents"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "((revenue_cents - lag(revenue_cents) over (order by week))"
+                " * 10000) div lag(revenue_cents) over (order by week)"
+            ),
+        ).alias("change_bp"),
+    )

@@ -3263,3 +3263,50 @@ def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("sum_surprisal"),
         F.expr("(sum(s) div count(1))").alias("avg_surprisal_ppm"),
     )
+
+
+@query(
+    "phrase_search_positions",
+    # fixed 2-token phrase; DuckDB's generate_subscripts-free lateral
+    # range() mirrors posexplode's 0-based ordinals (both sides use
+    # 0-based pos).
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS term
+    FROM tok, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+), w1 AS (SELECT doc_id, pos FROM pos WHERE term = 'fast'),
+w2 AS (SELECT doc_id, pos FROM pos WHERE term = 'scan')
+SELECT w1.doc_id, COUNT(*)::BIGINT AS n_matches,
+       MIN(w1.pos)::BIGINT AS first_pos
+FROM w1 JOIN w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+GROUP BY w1.doc_id
+""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the adjacency join that makes
+    \"fast scan\" a phrase, not a bag: term postings carry ordinal
+    positions and the phrase is an equi-join on (doc, pos+1).
+    Completes the retrieval stack (inverted index → BM25 → phrase).
+    Scale shape: the two term filters prune BEFORE the join (at
+    100 TB they are probes of the persisted POSITIONAL index, not
+    text re-scans — same join, different source), and the adjacency
+    join keys on doc_id so both postings co-locate on one
+    exchange pair. Never a regex over the corpus."""
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    w1 = pos.where(F.col("term") == "fast").select("doc_id", "pos")
+    w2 = pos.where(F.col("term") == "scan").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        w1.join(w2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
