@@ -299,3 +299,48 @@ def test_incremental_dedup_probe_side_broadcasts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     # corpus band table arrives from the persisted parquet index
     assert "band_idx" in plan and "band_key" in plan, plan
+
+
+def test_association_rules_item_supports_broadcast(spark, sf_dir):
+    """The item-support table rides broadcast joins onto the rule
+    set (two BroadcastHashJoins), the top-50 is TakeOrdered (no
+    global sort), and nothing is a cartesian product."""
+    plan = _plan(spark, "association_rules_pairs", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_no_cartesian_and_take_ordered(spark, sf_dir):
+    """BM25: df/global-stats sides broadcast, top-20 via TakeOrdered,
+    no Python nodes in the scoring path."""
+    plan = _plan(spark, "bm25_doc_ranking", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_stays_in_shuffle_regime(spark, sf_dir):
+    """The salted demo must NOT degrade to a broadcast join (the
+    technique exists for the shuffle regime) and the executed join
+    keys must include the salt."""
+    plan = _plan(spark, "salted_skew_join_segments", sf_dir)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "_salt" in plan, plan
+
+
+def test_rolling_actives_day_grid_broadcasts(spark, sf_dir):
+    """The 30-row day grid broadcasts; the raw event table is never
+    range-joined (the join input is the deduped user-day table)."""
+    plan = _plan(spark, "rolling_7day_active_users", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_funnel_single_user_exchange(spark, sf_dir):
+    """Both chained running-max frames and the per-user collapse ride
+    ONE user-keyed exchange — the zero-self-join windowFunnel claim;
+    the depth histogram adds its tiny final exchange."""
+    plan = _plan(spark, "window_funnel_depths", sf_dir)
+    assert _exchanges(plan) <= 2, plan
+    assert "Join" not in plan, plan
