@@ -133,6 +133,7 @@ _REGISTERED_R06 = frozenset(
         "phrase_search_positions",
         "distribution_drift_by_type",
         "weekly_revenue_wow_change",
+        "partitioned_write_roundtrip",
     }
 )
 

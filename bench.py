@@ -149,6 +149,7 @@ HEADLINE = [
     "phrase_search_positions",
     "distribution_drift_by_type",
     "weekly_revenue_wow_change",
+    "partitioned_write_roundtrip",
 ]
 
 

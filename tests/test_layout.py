@@ -63,3 +63,58 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     n_purchase = back.count()
     n_all = spark.read.parquet(p).count()
     assert 0 < n_purchase < n_all
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark, tmp_path):
+    """The idempotent-backfill contract: rewriting ONE partition's
+    data under dynamic partitionOverwriteMode replaces only that
+    partition; static overwrite would truncate the table."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, p string, v long"
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(base)
+    # backfill partition a with corrected values
+    fix = spark.createDataFrame([(1, "a", 11)], "id long, p string, v long")
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p")
+        .parquet(base)
+    )
+    got = {(r["p"], r["id"]): r["v"] for r in spark.read.parquet(base).collect()}
+    assert got == {("a", 1): 11, ("b", 3): 30}  # b untouched, a replaced
+
+    plan = (
+        spark.read.parquet(base)
+        .where(F.col("p") == "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(p" in plan, plan
+
+
+def test_small_file_compaction_preserves_rows(spark, tmp_path):
+    """Compaction: 32 tiny files → ≤4 right-sized files via
+    repartition + maxRecordsPerFile, rows byte-identical."""
+    import glob
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compact")
+    spark.range(0, 1000).repartition(32).write.mode("overwrite").parquet(src)
+    n_small = len(glob.glob(src + "/part-*.parquet"))
+    assert n_small == 32
+    df = spark.read.parquet(src)
+    (
+        df.repartition(2)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500)
+        .parquet(out)
+    )
+    n_big = len(glob.glob(out + "/part-*.parquet"))
+    assert n_big <= 4
+    a = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert a == list(range(1000))

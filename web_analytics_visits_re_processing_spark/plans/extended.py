@@ -1979,3 +1979,60 @@ def q_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("change_bp"),
     )
+
+
+@query(
+    "partitioned_write_roundtrip",
+    # content gate: the partitioned write → partition-pruned read
+    # round trip must preserve every row; the oracle recomputes the
+    # pruned slice straight from the source table.
+    oracle="""
+SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS value_cents_sum
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY 1, 2
+""",
+)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-lake WRITE path: events land partitioned by
+    (event_type, day) — hive-style directories, the layout every
+    downstream reader prunes on — and the read-back is filtered to
+    two types so ``PartitionFilters`` (not data filters) prune the
+    scan; dynamic partition overwrite is ON, so re-running a day's
+    backfill replaces ONLY the partitions it touches (the idempotent
+    backfill contract — static overwrite would truncate the whole
+    table; the pytest pins untouched-partition survival). At 100 TB
+    add a `.repartition(partition_cols)` before the write to get one
+    file per partition per shuffle task instead of
+    files × tasks."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_part_write",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type", "day")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base).where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return back.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).alias("value_cents_sum"),
+    )
