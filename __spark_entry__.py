@@ -134,6 +134,8 @@ _REGISTERED_R06 = frozenset(
         "distribution_drift_by_type",
         "weekly_revenue_wow_change",
         "partitioned_write_roundtrip",
+        "also_bought_top3",
+        "ab_test_readout",
     }
 )
 

@@ -43,6 +43,25 @@ PROBE_QUERIES = [
     "minhash_realistic_near_dup_pairs",
     "decontaminate_train_docs",
     "pack_training_sequences",
+    # round-6 additions: events-backed analytics depth…
+    "window_funnel_depths",
+    "position_based_attribution",
+    "rolling_7day_active_users",
+    "longest_daily_streaks",
+    "bot_detection_flags",
+    "incremental_sessionize_visits",
+    # …documents-backed retrieval/LM…
+    "bm25_doc_ranking",
+    "bigram_lm_surprisal_scores",
+    "phrase_search_positions",
+    # …and lineitem-backed graph/itemset heavyweights (disjoint-shard
+    # replication: orderkeys AND partkeys shift, so the co-purchase
+    # graph grows as 10 disjoint shards — the "more data, more
+    # entities" case, matching the user_id convention above).
+    "association_rules_pairs",
+    "triangle_count_copurchase",
+    "kcore_copurchase_parts",
+    "bfs_hops_copurchase",
 ]
 
 
@@ -96,6 +115,25 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
         dscaled = dscaled.unionAll(p)
     dscaled.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
+    )
+
+    li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+    n_orders = li.agg(F.max("l_orderkey")).first()[0] + 1
+    n_parts = li.agg(F.max("l_partkey")).first()[0] + 1
+    other_cols = [c for c in li.columns if c not in ("l_orderkey", "l_partkey")]
+    lparts = [
+        li.select(
+            (F.col("l_orderkey") + i * n_orders).alias("l_orderkey"),
+            (F.col("l_partkey") + i * n_parts).alias("l_partkey"),
+            *other_cols,
+        )
+        for i in range(REPLICAS)
+    ]
+    lscaled = lparts[0]
+    for p in lparts[1:]:
+        lscaled = lscaled.unionAll(p)
+    lscaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
     )
     with open(os.path.join(out_dir, "_READY"), "w") as f:
         f.write("ok")

@@ -98,5 +98,51 @@ def test_referential_integrity_orphans(spark, tmp_path):
     }
 
 
+
+def test_also_bought_top3_ranking(spark, tmp_path):
+    # part 1 shares 3 orders with 2, 2 orders with 3, 2 orders with 4,
+    # 1 order with 5 (below support floor).
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, 1), (o, 2)]
+    for o in (4, 5):
+        rows += [(o, 1), (o, 3)]
+    for o in (6, 7):
+        rows += [(o, 1), (o, 4)]
+    rows += [(8, 1), (8, 5)]
+    _write(spark, tmp_path, "lineitem",
+           [(o, p, 1.0, 1.0) for o, p in rows],
+           "l_orderkey long, l_partkey long, l_quantity double, "
+           "l_extendedprice double")
+    out = QUERIES["also_bought_top3"](spark, str(tmp_path)).collect()
+    part1 = sorted(
+        [(r["rk"], r["also_bought"], r["n_shared_orders"]) for r in out
+         if r["part"] == 1]
+    )
+    # rank 1 = part 2 (3 orders); ranks 2,3 = parts 3,4 (2 each,
+    # id tiebreak); part 5 (1 order) below the floor.
+    assert part1 == [(1, 2, 3), (2, 3, 2), (3, 4, 2)]
+    assert all(r["part"] != 5 for r in out)
+
+
+def test_ab_readout_per_user_unit(spark, tmp_path):
+    # Variant 0: users 2 (converted, 3 purchases!) and 4 (not).
+    # Variant 1: user 1 (converted once).
+    # Per-USER conversion: v0 = 1/2 -> 500000 ppm, v1 = 1/1.
+    rows = [
+        (1, T0, 2, "purchase", 1.0, "{}"),
+        (2, T0, 2, "purchase", 1.0, "{}"),
+        (3, T0, 2, "purchase", 1.0, "{}"),
+        (4, T0, 4, "view", 0.0, "{}"),
+        (5, T0, 1, "purchase", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    got = {r["variant"]: r for r in
+           QUERIES["ab_test_readout"](spark, str(tmp_path)).collect()}
+    assert got[0]["n_users"] == 2 and got[0]["n_converters"] == 1
+    assert got[0]["conv_ppm"] == 500_000  # NOT 3/4 of events
+    assert got[1]["conv_ppm"] == 1_000_000
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

@@ -1440,3 +1440,110 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return bfs_hops(edges, source=None, max_hops=6)
+
+
+@query(
+    "also_bought_top3",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pair AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS s_ab
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+), rules AS (
+    SELECT pa AS part, pb AS also_bought, s_ab FROM pair
+    UNION ALL
+    SELECT pb, pa, s_ab FROM pair
+)
+SELECT part, also_bought, s_ab AS n_shared_orders, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+                                   ORDER BY s_ab DESC, also_bought) AS rk
+      FROM rules)
+WHERE rk <= 3
+""",
+)
+def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers who bought X also bought…' — the per-item top-3
+    serving table, the output shape recommendation carousels read.
+    Same bounded-basket pair aggregation as the association rules
+    (distinct (order, part) first, per-order fan-out linear in
+    lineitems, support ≥ 2), then a part-keyed top-3 window — per-key
+    state is 3 rows, and the window's exchange doubles as the
+    serving table's natural bucketing (probe by part at serve time).
+    The global-top-50-by-lift view and this per-item view share the
+    pair table at scale — materialize it once."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 2)
+    )
+    rules = pair.select(
+        F.col("pa").alias("part"), F.col("pb").alias("also_bought"), "s_ab"
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("part"), F.col("pa").alias("also_bought"), "s_ab"
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("s_ab").desc(), F.col("also_bought")
+    )
+    return (
+        rules.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("part", "also_bought", F.col("s_ab").alias("n_shared_orders"), "rk")
+    )
+
+
+@query(
+    "ab_test_readout",
+    oracle="""
+WITH assign AS (
+    SELECT user_id, user_id % 2 AS variant,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+           COUNT(*)::BIGINT AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT variant,
+       COUNT(*)::BIGINT AS n_users,
+       SUM(converted)::BIGINT AS n_converters,
+       ((SUM(converted) * 1000000) // COUNT(*))::BIGINT AS conv_ppm,
+       ((SUM(n_events) * 1000000) // COUNT(*))::BIGINT AS events_per_user_ppm
+FROM assign GROUP BY variant
+""",
+)
+def q_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with deterministic assignment
+    (variant = user_id % 2 — in production, a salted hash of the
+    unit id; never RNG, so re-runs reproduce): per variant, users,
+    converters, integer-ppm conversion rate and engagement. The
+    per-user collapse happens BEFORE the variant aggregate — the
+    unit of analysis is the user, so conversion is a per-user max,
+    not an event count (the classic readout bug this gate pins
+    against). Two map-side-combined aggregations, user-keyed then
+    2-row."""
+    ev = _events(spark, sf_dir)
+    assign = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return assign.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converters"),
+        F.expr("(sum(converted) * 1000000) div count(1)").alias("conv_ppm"),
+        F.expr("(sum(n_events) * 1000000) div count(1)").alias(
+            "events_per_user_ppm"
+        ),
+    )
