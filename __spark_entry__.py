@@ -136,6 +136,9 @@ _REGISTERED_R06 = frozenset(
         "partitioned_write_roundtrip",
         "also_bought_top3",
         "ab_test_readout",
+        "product_communities",
+        "equal_freq_feature_bins",
+        "weighted_sample_orders",
     }
 )
 

@@ -152,6 +152,9 @@ HEADLINE = [
     "partitioned_write_roundtrip",
     "also_bought_top3",
     "ab_test_readout",
+    "product_communities",
+    "equal_freq_feature_bins",
+    "weighted_sample_orders",
 ]
 
 

@@ -144,5 +144,53 @@ def test_ab_readout_per_user_unit(spark, tmp_path):
     assert got[0]["n_users"] == 2 and got[0]["n_converters"] == 1
     assert got[0]["conv_ppm"] == 500_000  # NOT 3/4 of events
     assert got[1]["conv_ppm"] == 1_000_000
+
+
+def test_product_communities_lift_filter(spark, tmp_path):
+    # Cluster A = {1,2} (3 shared orders), cluster B = {10,11} (3
+    # shared orders). Part 99 appears in EVERY order (the bestseller):
+    # its pairs have lift <= 1 and must NOT weld A and B together.
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, 1), (o, 2), (o, 99)]
+    for o in (4, 5, 6):
+        rows += [(o, 10), (o, 11), (o, 99)]
+    _write(spark, tmp_path, "lineitem",
+           [(o, p, 1.0, 1.0) for o, p in rows],
+           "l_orderkey long, l_partkey long, l_quantity double, "
+           "l_extendedprice double")
+    out = QUERIES["product_communities"](spark, str(tmp_path)).collect()
+    comm = {r["part"]: r["community"] for r in out}
+    assert comm[1] == comm[2] == 1
+    assert comm[10] == comm[11] == 10
+    assert 99 not in comm  # bestseller: no positive-lift edge survives
+    sizes = {r["part"]: r["community_size"] for r in out}
+    assert sizes[1] == 2 and sizes[10] == 2
+
+
+def test_equal_freq_bins_deciles(spark, tmp_path):
+    rows = [(i, T0, 1, "view", i / 100.0, "{}") for i in range(1, 21)]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    out = QUERIES["equal_freq_feature_bins"](spark, str(tmp_path)).collect()
+    per = {r["decile"]: (r["n"], r["lo_cents"], r["hi_cents"]) for r in out}
+    assert len(per) == 10 and all(n == 2 for n, _, _ in per.values())
+    assert per[1] == (2, 1, 2) and per[10] == (2, 19, 20)
+
+
+def test_weighted_sample_extremes(spark, tmp_path):
+    # max-price order has w_ppm = 1e6 -> always kept; zero-price order
+    # has w_ppm = 0 -> never kept.
+    _write(spark, tmp_path, "orders",
+           [(1, 1, "O", 100.0, T0, "MAX"), (2, 1, "O", 0.0, T0, "ZERO")],
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    got = {r["o_orderpriority"]: (r["n_kept"], r["kept_value_cents"])
+           for r in QUERIES["weighted_sample_orders"](spark, str(tmp_path)).collect()}
+    assert got["MAX"] == (1, 10000)
+    assert got["ZERO"] == (0, 0)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

@@ -2036,3 +2036,111 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100)).alias("value_cents_sum"),
     )
+
+
+@query(
+    "equal_freq_feature_bins",
+    oracle="""
+WITH t AS (
+    SELECT event_type, FLOOR(value * 100)::BIGINT AS cents,
+           NTILE(10) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS decile
+    FROM events
+)
+SELECT event_type, decile,
+       COUNT(*)::BIGINT AS n,
+       MIN(cents)::BIGINT AS lo_cents,
+       MAX(cents)::BIGINT AS hi_cents
+FROM t GROUP BY event_type, decile
+""",
+)
+def q_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning — the discretization step
+    before monotone models / WOE encoding: decile assignment by
+    ``ntile(10)`` per event type (deterministic under the
+    (value, event_id) total order, so both engines assign
+    identically), then per-bin population and cent boundaries. One
+    type-keyed exchange serves the window AND the groupBy. At 100 TB
+    the exact ntile's per-type sort gives way to the histogram-
+    quantile boundaries (`histogram_quantiles_by_type`) with a
+    broadcast bin-lookup — same output contract, no global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return t.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+@query(
+    "weighted_sample_orders",
+    # membership: salted 60-bit md5 of the order key mod 1e6 <
+    # price-proportional ppm — no RNG, replays row-for-row; the same
+    # portable-hash convention as temperature_sample.
+    oracle="""
+WITH mx AS (
+    SELECT MAX(FLOOR(o_totalprice * 100)::BIGINT) AS max_cents FROM orders
+), w AS (
+    SELECT o_orderkey, o_orderpriority,
+           FLOOR(o_totalprice * 100)::BIGINT AS cents,
+           (FLOOR(o_totalprice * 100)::BIGINT * 1000000) // mx.max_cents
+               AS w_ppm
+    FROM orders, mx
+), k AS (
+    SELECT *,
+           ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|wsample'),
+                              1, 15))::BIGINT % 1000000 < w_ppm AS kept
+    FROM w
+)
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS n_total,
+       SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN kept THEN cents ELSE 0 END)::BIGINT AS kept_value_cents
+FROM k GROUP BY o_orderpriority
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VALUE-WEIGHTED sampling (probability-proportional
+    -to-size): each order's inclusion probability is its price as a
+    fraction of the maximum, membership decided by a salted portable
+    hash — no RNG, so the exact kept set replays in SQL and re-runs
+    are idempotent (the property Bernoulli `sample()` throws away).
+    This is importance sampling for pipeline debugging: a 1%-ish
+    slice that over-represents the revenue the analyst actually
+    cares about. One-row max broadcast, keep decision is a pure
+    projection — zero shuffle beyond the tiny priority rollup."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.max(F.floor(F.col("o_totalprice") * 100)).alias("max_cents")
+    )
+    w = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr(
+            "(cast(floor(o_totalprice * 100) as bigint) * 1000000)"
+            " div max_cents"
+        ).alias("w_ppm"),
+    )
+    kept = (
+        hash64(F.concat_ws("|", F.col("o_orderkey").cast("string"), F.lit("wsample")))
+        % F.lit(1_000_000)
+        < F.col("w_ppm")
+    )
+    return w.withColumn("kept", kept).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("cents")).otherwise(0)).alias(
+            "kept_value_cents"
+        ),
+    )

@@ -1547,3 +1547,107 @@ def q_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_user_ppm"
         ),
     )
+
+
+@query(
+    "product_communities",
+    # Same edge rule as the association mining (support ≥ 3, POSITIVE
+    # lift), then the recursive min-label closure — edge construction
+    # and clustering replay in one SQL text.
+    oracle="""
+WITH RECURSIVE op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+    SELECT COUNT(DISTINCT o)::BIGINT AS n_orders FROM op
+), item AS (
+    SELECT p, COUNT(*)::BIGINT AS s FROM op GROUP BY p
+), pair AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS s_ab
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+), edges AS (
+    SELECT pa, pb FROM pair
+    JOIN item ia ON ia.p = pair.pa
+    JOIN item ib ON ib.p = pair.pb, n
+    WHERE (s_ab * n.n_orders * 1000000) // (ia.s * ib.s) > 1000000
+), nodes AS (
+    SELECT pa AS node FROM edges UNION SELECT pb FROM edges
+), sym AS (
+    SELECT pa AS node, pb AS nbr FROM edges
+    UNION ALL SELECT pb, pa FROM edges
+), reach AS (
+    SELECT node, node AS label FROM nodes
+    UNION
+    SELECT s.nbr, r.label
+    FROM reach r JOIN sym s ON s.node = r.node
+    WHERE r.label < s.nbr
+), comp AS (
+    SELECT node AS part, MIN(label)::BIGINT AS community
+    FROM reach GROUP BY node
+)
+SELECT part, community,
+       COUNT(*) OVER (PARTITION BY community) AS community_size
+FROM comp
+""",
+)
+def q_product_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-category discovery by composition: the association
+    miner's POSITIVE-LIFT edges (support ≥ 3, lift > 1 — pairs
+    co-bought MORE than independence predicts) feed connected
+    components, and the components ARE the emergent categories — the
+    unsupervised taxonomy a merchandiser reads. This is the intended
+    composition of two operators already in the registry (association
+    edge rule + CC closure), pinned as its own gate because
+    composition bugs (edge-rule drift, closure over the wrong node
+    set) are exactly what component-level gates miss. Lift filtering
+    keeps the graph sparse where raw co-occurrence would connect
+    everything through bestsellers — the same reason the identity
+    stitcher drops promiscuous identifiers."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = op.select("o").distinct().count()
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 3)
+    )
+    edges = (
+        pair.join(
+            F.broadcast(item.select(F.col("p").alias("pa"), F.col("s").alias("sa"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(item.select(F.col("p").alias("pb"), F.col("s").alias("sb"))),
+            "pb",
+        )
+        .where(
+            F.expr(f"(s_ab * {n_orders}L * 1000000) div (sa * sb)") > 1_000_000
+        )
+        .select("pa", "pb")
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("node"))
+        .union(edges.select("pb"))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, edges, node_col="node", src_col="pa", dst_col="pb"
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("part"),
+        F.col("component").alias("community"),
+        F.count(F.lit(1)).over(w).alias("community_size"),
+    )
