@@ -139,6 +139,8 @@ _REGISTERED_R06 = frozenset(
         "product_communities",
         "equal_freq_feature_bins",
         "weighted_sample_orders",
+        "posting_compression_sizing",
+        "streaming_topk_user_leaderboard",
     }
 )
 

@@ -155,6 +155,8 @@ HEADLINE = [
     "product_communities",
     "equal_freq_feature_bins",
     "weighted_sample_orders",
+    "posting_compression_sizing",
+    "streaming_topk_user_leaderboard",
 ]
 
 

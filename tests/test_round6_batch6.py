@@ -139,5 +139,41 @@ def test_weekly_wow_change_bp(spark, tmp_path):
     assert got["2024-01-08"]["change_bp"] == 5000
 
 
+
+def test_posting_gamma_bits_arithmetic(spark, tmp_path):
+    # 'x' in docs 0..99 and every 10th doc up to 1000 -> df >= 100;
+    # verify against a pure-Python Elias-gamma costing.
+    ids = list(range(100)) + list(range(100, 1001, 10))
+    rows = [(i, "x", "en", "s", 1) for i in ids]
+    rows.append((5000, "onlyonce", "en", "s", 1))
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    out = QUERIES["posting_compression_sizing"](spark, str(tmp_path)).collect()
+    assert len(out) == 1  # the df=1 term is below the floor
+    r = out[0]
+    gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+    exp = sum(2 * g.bit_length() - 1 for g in gaps)
+    assert r["df"] == len(ids)
+    assert r["gamma_bits"] == exp
+    assert r["ratio_ppm"] == exp * 1_000_000 // (len(ids) * 64)
+
+
+def test_streaming_user_totals_equal_batch(spark, sf_dir):
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_user_totals_state,
+    )
+
+    streamed = streaming_user_totals_state(spark, sf_dir, max_files_per_trigger=2)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100)).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    s = streamed.select("user_id", "total_cents", "n_events")
+    assert s.exceptAll(batch).count() == 0
+    assert batch.exceptAll(s).count() == 0
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

@@ -3310,3 +3310,68 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").alias("first_pos"),
         )
     )
+
+
+@query(
+    "posting_compression_sizing",
+    # Elias-γ costing: gap g ≥ 1 encodes in 2·⌊log₂ g⌋+1 =
+    # 2·len(bin(g))−1 bits; both engines' bin() is unpadded binary,
+    # so the bit count is integer-identical.
+    oracle="""
+WITH td AS (
+    SELECT DISTINCT term, doc_id
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+), gaps AS (
+    SELECT term, doc_id,
+           doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY term
+                                               ORDER BY doc_id), -1) AS gap
+    FROM td
+)
+SELECT term,
+       COUNT(*)::BIGINT AS df,
+       (COUNT(*) * 64)::BIGINT AS raw_bits,
+       SUM(2 * LENGTH(bin(gap)) - 1)::BIGINT AS gamma_bits,
+       ((SUM(2 * LENGTH(bin(gap)) - 1) * 1000000)
+            // (COUNT(*) * 64))::BIGINT AS ratio_ppm
+FROM gaps GROUP BY term HAVING COUNT(*) >= 100
+""",
+)
+def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index compression costing — the sizing pass you run
+    before choosing a posting-list codec at 100 TB: per frequent term
+    (df ≥ 100), the Elias-γ bit cost of delta-gap-encoded postings
+    vs raw 64-bit ids, in integer ppm. Dense terms (small gaps)
+    compress ~20×; the costing itself is one term-keyed window (lag
+    for gaps) over the distinct (term, doc) table — the same exchange
+    the index build uses, so the sizing rides the build for free.
+    bin()-length gives ⌊log₂⌋+1 identically in both engines — no
+    float log."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    td = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = td.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+        ).alias("gap"),
+    )
+    bits = 2 * F.length(F.bin("gap")) - 1
+    return (
+        gaps.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            (F.count(F.lit(1)) * 64).alias("raw_bits"),
+            F.sum(bits).alias("gamma_bits"),
+            F.expr(
+                "(sum(2 * length(bin(gap)) - 1) * 1000000)"
+                " div (count(1) * 64)"
+            ).alias("ratio_ppm"),
+        )
+        .where(F.col("df") >= 100)
+    )

@@ -452,3 +452,39 @@ def q_streaming_histogram_quantiles(
             F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("bin"))
         ).alias("p99_cents"),
     )
+
+
+@query(
+    "streaming_topk_user_leaderboard",
+    oracle="""
+SELECT user_id,
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS total_cents,
+       COUNT(*)::BIGINT AS n_events,
+       ROW_NUMBER() OVER (ORDER BY SUM(FLOOR(value * 100)::BIGINT) DESC,
+                          user_id) AS rk
+FROM events
+GROUP BY user_id
+QUALIFY rk <= 10
+""",
+)
+def q_streaming_topk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k leaderboard: per-user cumulative value rides
+    the update-mode agg + snapshot-upsert serving pattern; the top-10
+    ranks on the SERVED state (keeping top-k inside the stream would
+    need arbitrary stateful processing for nothing — the served table
+    is already per-key). Gate: the streamed totals must equal batch
+    totals exactly, then the same deterministic rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_user_totals_state,
+    )
+
+    t = streaming_user_totals_state(spark, sf_dir)
+    w = Window.orderBy(F.col("total_cents").desc(), F.col("user_id"))
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("user_id", "total_cents", "n_events", "rk")
+    )

@@ -797,3 +797,45 @@ def streaming_histogram_state(
         output_mode="update",
     )
     return read_state(spark, state)
+
+
+def streaming_user_totals_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Per-user cumulative value maintained INCREMENTALLY from the
+    event stream (update-mode sum agg → snapshot upsert; totals only
+    grow, so latest-per-key ordered by the total itself is the
+    correct merge — the CMS/HLL/histogram serving pattern's fourth
+    instance). The leaderboard read (top-k on the SERVED state) stays
+    batch-side: maintaining top-k INSIDE the stream would need
+    arbitrary stateful processing for no benefit — the served table
+    is already small."""
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_totals", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger).where(
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
+    )
+    totals = events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100)).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    run_upsert_stream(
+        totals,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["user_id"],
+        order_cols=["total_cents"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
