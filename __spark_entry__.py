@@ -141,6 +141,10 @@ _REGISTERED_R06 = frozenset(
         "weighted_sample_orders",
         "posting_compression_sizing",
         "streaming_topk_user_leaderboard",
+        "hll_merge_groups",
+        "rfm_segments",
+        "k_anonymity_audit",
+        "gdpr_delete_cascade",
     }
 )
 

@@ -157,6 +157,10 @@ HEADLINE = [
     "weighted_sample_orders",
     "posting_compression_sizing",
     "streaming_topk_user_leaderboard",
+    "hll_merge_groups",
+    "rfm_segments",
+    "k_anonymity_audit",
+    "gdpr_delete_cascade",
 ]
 
 

@@ -132,5 +132,90 @@ def test_table_profile_nulls_and_distincts(spark, tmp_path):
     assert out["o_orderkey"]["n_distinct"] == 3 and out["o_orderkey"]["n_nulls"] == 0
 
 
+
+def test_hll_merge_equals_direct(spark, sf_dir):
+    """Mergeability at the operator level: per-group registers merged
+    by MAX must equal registers computed globally in one pass."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_registers,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        hll_registers(ev, "user_id", ("event_type",))
+        .groupBy("r_idx")
+        .agg(F.max("r_rho").alias("r_rho"))
+    )
+    direct = hll_registers(ev, "user_id", ())
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_rfm_scores_extremes(spark, tmp_path):
+    base = dt.datetime(2024, 1, 31)
+    rows = []
+    # user u: u purchases of $u each, last purchase (5-u) days before
+    # the anchor -> user 5 is best on all three axes, user 1 worst.
+    eid = 0
+    for u in range(1, 6):
+        for k in range(u):
+            rows.append((eid, base - dt.timedelta(days=5 - u, hours=k + 1),
+                         u, "purchase", float(u), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r for r in
+           QUERIES["rfm_segments"](spark, str(tmp_path)).collect()}
+    assert got[5]["segment"] == "R5F5M5"
+    assert got[1]["segment"] == "R1F1M1"
+    assert got[1]["recency_days"] == 4 and got[5]["recency_days"] == 0
+    assert got[3]["frequency"] == 3 and got[3]["monetary_cents"] == 900
+
+
+def test_k_anonymity_flags_small_classes(spark, tmp_path):
+    rows = [(i, f"c{i}", 0, 0.0, "BIG") for i in range(6)]
+    rows += [(10, "x", 1, 0.0, "TINY"), (11, "y", 1, 0.0, "TINY")]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {(r["c_nationkey"], r["c_mktsegment"]): (r["n"], r["at_risk"])
+           for r in QUERIES["k_anonymity_audit"](spark, str(tmp_path)).collect()}
+    assert got[(0, "BIG")] == (6, 0)
+    assert got[(1, "TINY")] == (2, 1)
+
+
+def test_gdpr_cascade_counts(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    # customers 0 (deleted: 0 % 97 == 0) and 1; orders: 2 for cust 0,
+    # 1 for cust 1; lineitems: 3 under cust 0's orders, 1 under cust 1.
+    spark.createDataFrame(
+        [(0, "a", 0, 0.0, "S"), (1, "b", 0, 0.0, "S")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 0, "O", 1.0, t0, "P"), (11, 0, "O", 1.0, t0, "P"),
+         (12, 1, "O", 1.0, t0, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 1, 1.0, 1.0), (10, 2, 1.0, 1.0), (11, 1, 1.0, 1.0),
+         (12, 3, 1.0, 1.0)],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["tbl"]: (r["n_deleted"], r["n_remaining"]) for r in
+           QUERIES["gdpr_delete_cascade"](spark, str(tmp_path)).collect()}
+    assert got == {"customer": (1, 1), "orders": (2, 1), "lineitem": (3, 1)}
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

@@ -2144,3 +2144,239 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_value_cents"
         ),
     )
+
+
+@query(
+    "hll_merge_groups",
+    # The oracle computes the GLOBAL register table directly; the
+    # Spark side MERGES the per-event-type sketches by register MAX.
+    # Equality is the mergeability theorem (max is associative),
+    # machine-checked — the property that lets per-day sketches roll
+    # into monthly distincts without touching raw data.
+    oracle="""
+WITH h AS (
+    SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+    FROM events
+), regs AS (
+    SELECT hv & 63 AS r_idx,
+           MAX(CASE WHEN (hv >> 6) = 0 THEN 55
+                    ELSE 55 - length(bin(hv >> 6)) END)::BIGINT AS r_rho
+    FROM h GROUP BY 1
+), per AS (
+    SELECT COUNT(*) AS n_set,
+           CAST(SUM(1::BIGINT << (55 - r_rho)) AS BIGINT) AS s_present
+    FROM regs
+), fin AS (
+    SELECT CAST(64 - n_set AS BIGINT) AS v_empty,
+           CAST(s_present + (64 - n_set) * (1::BIGINT << 55) AS BIGINT)
+               AS s_scaled
+    FROM per
+), est AS (
+    SELECT v_empty, s_scaled,
+           CAST(FLOOR(10000 * CASE
+               WHEN (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968)
+                        / s_scaled <= 160.0 AND v_empty > 0
+               THEN 64 * ln(64 / CAST(v_empty AS DOUBLE))
+               ELSE (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968)
+                        / s_scaled
+           END) AS BIGINT) AS hll_estimate_e4
+    FROM fin
+)
+SELECT est.v_empty, est.s_scaled, est.hll_estimate_e4,
+       (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS n_exact
+FROM est
+""",
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE — the property that makes HLL worth carrying at
+    100 TB: the per-event-type register tables (already a gated
+    query) roll up to ONE global distinct-users sketch by register
+    MAX, no raw-data re-scan. The oracle computes the global sketch
+    DIRECTLY from events; equality of (register sum, estimate) is a
+    machine check of the mergeability theorem, not just of one
+    formula. Per-day → per-month rollups at scale are this exact
+    shape with dates for event types."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_group = hll_registers(ev, "user_id", ("event_type",))
+    merged = per_group.groupBy("r_idx").agg(F.max("r_rho").alias("r_rho"))
+    est = hll_estimate(merged, ())
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "v_empty", "s_scaled", "hll_estimate_e4", "n_exact"
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH anchor AS (
+    SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events
+), rfm AS (
+    SELECT user_id,
+           (anchor.d0 - MAX(CAST(ts AS DATE))) AS recency_days,
+           COUNT(*)::BIGINT AS frequency,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS monetary_cents
+    FROM events, anchor
+    WHERE event_type = 'purchase'
+    GROUP BY user_id, anchor.d0
+), scored AS (
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+    FROM rfm
+)
+SELECT user_id, recency_days::BIGINT AS recency_days, frequency,
+       monetary_cents, r_score, f_score, m_score,
+       'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+FROM scored
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the CRM feature-assembly staple:
+    per purchasing user, recency (days since last purchase, anchored
+    at the corpus max date so the gate is time-independent),
+    frequency and monetary cents, each quintile-scored by
+    deterministic ntile (5 = best; user_id tiebreaks), concatenated
+    into the 'R5F4M3' segment code a campaign tool consumes. The
+    unpartitioned ntile windows rank USERS (cardinality thousands,
+    not events) — the same deliberate single-partition trade as the
+    weekly-KPI lag; at true scale swap in the histogram-quantile
+    boundaries broadcast as a lookup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    rfm = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100)).alias("monetary_cents"),
+        )
+        .select(
+            "user_id",
+            F.datediff("d0", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    f_w = Window.orderBy("frequency", "user_id")
+    m_w = Window.orderBy("monetary_cents", "user_id")
+    scored = (
+        rfm.withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.lit("R"), F.col("r_score").cast("string"),
+            F.lit("F"), F.col("f_score").cast("string"),
+            F.lit("M"), F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*)::BIGINT AS n,
+       CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
+FROM customer GROUP BY 1, 2
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: equivalence-class sizes with the k<5 risk flag
+    — the privacy gate you run before releasing a 'pseudonymized'
+    extract, because classes of 1-4 re-identify by join with any
+    public nation/segment attribute. One map-side-combined groupBy;
+    at 100 TB the remediation (generalize or suppress the flagged
+    classes) consumes this exact output."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.when(F.count(F.lit(1)) < 5, 1).otherwise(0).alias("at_risk"),
+    )
+
+
+@query(
+    "gdpr_delete_cascade",
+    oracle="""
+WITH del AS (
+    SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT 'customer' AS tbl,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM del))::BIGINT AS n_deleted,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM del))::BIGINT
+           AS n_remaining
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del))::BIGINT,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM del))::BIGINT
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem l JOIN orders o
+            ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey IN (SELECT c_custkey FROM del))::BIGINT,
+       (SELECT COUNT(*) FROM lineitem l JOIN orders o
+            ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM del))::BIGINT
+""",
+)
+def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact analysis: a deletion list (every
+    97th customer — in production, the DSAR queue) cascaded through
+    the FK graph customer → orders → lineitem, reporting per table
+    the rows to purge and the rows that remain. SEMI/ANTI joins
+    against the broadcast deletion list — the same two-sided split a
+    real purge job executes (rewrite each partition keeping the anti
+    side), so this query is its dry run. Transitive reach (lineitem)
+    goes through the orders join, not a second scan of the deletion
+    list."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dels = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+
+    def split(df: DataFrame, key: str, name: str) -> DataFrame:
+        d = F.broadcast(dels.select(F.col("c_custkey").alias(key)))
+        gone = df.join(d, key, "left_semi").agg(
+            F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n_deleted")
+        )
+        kept = df.join(d, key, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_remaining")
+        )
+        return gone.crossJoin(kept)
+
+    li_o = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+        "l_orderkey",
+    )
+    out = (
+        split(c, "c_custkey", "customer")
+        .unionAll(split(o, "o_custkey", "orders"))
+        .unionAll(split(li_o, "o_custkey", "lineitem"))
+    )
+    return out.select("tbl", "n_deleted", "n_remaining")
