@@ -145,6 +145,9 @@ _REGISTERED_R06 = frozenset(
         "rfm_segments",
         "k_anonymity_audit",
         "gdpr_delete_cascade",
+        "dedup_cluster_size_histogram",
+        "new_vs_returning_daily",
+        "power_users_pareto",
     }
 )
 

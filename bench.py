@@ -161,6 +161,9 @@ HEADLINE = [
     "rfm_segments",
     "k_anonymity_audit",
     "gdpr_delete_cascade",
+    "dedup_cluster_size_histogram",
+    "new_vs_returning_daily",
+    "power_users_pareto",
 ]
 
 

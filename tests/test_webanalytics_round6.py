@@ -143,5 +143,36 @@ def test_rolling_7day_active_users(spark, tmp_path):
     }
 
 
+
+def test_new_vs_returning_daily(spark, tmp_path):
+    day = 24 * 60
+    rows = [
+        (1, 0, 1, "view", 0.0), (2, 1, 2, "view", 0.0),   # day 1: both new
+        (3, day, 1, "view", 0.0),                          # day 2: 1 returns
+        (4, 2 * day, 3, "view", 0.0), (5, 2 * day, 1, "view", 0.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["day"]: (r["new_users"], r["returning_users"]) for r in
+           QUERIES["new_vs_returning_daily"](spark, sf).collect()}
+    assert got == {
+        "2024-01-01": (2, 0),
+        "2024-01-02": (0, 1),
+        "2024-01-03": (1, 1),
+    }
+
+
+def test_power_users_pareto_shares(spark, tmp_path):
+    # 10 users: user u spends $u -> decile 1 = the $10 user with
+    # 10/55 of revenue = 181818 ppm; shares sum to ~1e6 (truncation).
+    rows = [(u, 0, u, "purchase", float(u)) for u in range(1, 11)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["power_users_pareto"](spark, sf).collect()
+    shares = {r["decile"]: r["revenue_share_ppm"] for r in out}
+    assert len(shares) == 10
+    assert shares[1] == 10 * 100 * 1_000_000 // 5500
+    assert shares[10] == 1 * 100 * 1_000_000 // 5500
+    assert 999_990 <= sum(shares.values()) <= 1_000_000
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

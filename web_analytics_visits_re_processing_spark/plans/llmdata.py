@@ -3375,3 +3375,53 @@ def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 100)
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    # extends _CC_ORACLE's closure with a size rollup: the histogram
+    # of component sizes — same edge pipeline, one more aggregation.
+    oracle=_CC_ORACLE.replace(
+        """
+SELECT node AS doc_id, MIN(label)::BIGINT AS component,
+       (node = MIN(label)) AS is_canonical
+FROM reach GROUP BY node
+""",
+        """
+, comp AS (
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), sizes AS (
+    SELECT component, COUNT(*)::BIGINT AS cluster_size
+    FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       COUNT(*)::BIGINT AS n_clusters,
+       SUM(cluster_size)::BIGINT AS n_docs,
+       SUM(cluster_size - 1)::BIGINT AS n_removable
+FROM sizes GROUP BY cluster_size
+""",
+    ),
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report — the number the pipeline owner actually
+    reads before committing a dedup run: the distribution of near-dup
+    cluster sizes, with per-size doc counts and the removable-doc
+    total (size − 1 per cluster, keep-one policy). Composes the LSH
+    pair pipeline + CC closure (both already gated) with a two-level
+    rollup; at 100 TB this is the report that decides whether dedup
+    is worth a full-corpus rewrite (Σ removable vs corpus size)."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        dedup_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    comp = dedup_components(docs, pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+    )

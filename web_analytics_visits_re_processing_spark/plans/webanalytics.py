@@ -1651,3 +1651,91 @@ def q_product_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("community"),
         F.count(F.lit(1)).over(w).alias("community_size"),
     )
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), fs AS (
+    SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY user_id
+)
+SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+       SUM(CASE WHEN ud.d = fs.first_d THEN 1 ELSE 0 END)::BIGINT AS new_users,
+       SUM(CASE WHEN ud.d > fs.first_d THEN 1 ELSE 0 END)::BIGINT
+           AS returning_users
+FROM ud JOIN fs USING (user_id)
+GROUP BY ud.d
+""",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning users per day — the growth-accounting split
+    every product dashboard leads with. Events collapse to distinct
+    user-days first (the only pass over the raw stream); first-seen
+    day is a window min over the SAME user partitioning (no join
+    back); the day rollup is a tiny map-side-combined agg."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id")
+    stamped = ud.withColumn("first_d", F.min("d").over(w))
+    return (
+        stamped.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("d") > F.col("first_d"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+@query(
+    "power_users_pareto",
+    oracle="""
+WITH rev AS (
+    SELECT user_id, SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), dec AS (
+    SELECT user_id, cents,
+           NTILE(10) OVER (ORDER BY cents DESC, user_id) AS decile
+    FROM rev
+), tot AS (SELECT SUM(cents)::BIGINT AS total FROM rev)
+SELECT decile,
+       COUNT(*)::BIGINT AS n_users,
+       SUM(cents)::BIGINT AS revenue_cents,
+       ((SUM(cents) * 1000000) // tot.total)::BIGINT AS revenue_share_ppm
+FROM dec, tot GROUP BY decile, tot.total
+""",
+)
+def q_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto check): purchasing users
+    decile-ranked by spend, each decile's integer-ppm share of total
+    revenue — decile 1's share IS the 80/20 answer. The unpartitioned
+    ntile ranks USERS (thousands of rows); the revenue rollup that
+    feeds it is the only event-scale work."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
+    dec = rev.withColumn("decile", F.ntile(10).over(w))
+    tot = rev.agg(F.sum("cents").alias("total"))
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("revenue_cents"),
+            F.expr("(sum(cents) * 1000000) div first(total)").alias(
+                "revenue_share_ppm"
+            ),
+        )
+        .drop("total")
+    )
