@@ -164,6 +164,9 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "new_vs_returning_daily",
     "power_users_pareto",
+    "revenue_share_within_region",
+    "trimmed_mean_by_type",
+    "mad_outlier_flags",
 ]
 
 

@@ -175,5 +175,57 @@ def test_streaming_user_totals_equal_batch(spark, sf_dir):
     assert batch.exceptAll(s).count() == 0
 
 
+
+def test_revenue_share_sums_and_rank(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "region", [(0, "R0"), (1, "R1")],
+           "r_regionkey int, r_name string")
+    _write(spark, tmp_path, "nation",
+           [(0, "NA", 0), (1, "NB", 0), (2, "NC", 1)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    _write(spark, tmp_path, "customer",
+           [(1, "a", 0, 0.0, "S"), (2, "b", 1, 0.0, "S"), (3, "c", 2, 0.0, "S")],
+           "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+           "c_mktsegment string")
+    _write(spark, tmp_path, "orders",
+           [(10, 1, "O", 3.0, t0, "P"), (11, 2, "O", 1.0, t0, "P"),
+            (12, 3, "O", 2.0, t0, "P")],
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    got = {r["nation"]: r for r in
+           QUERIES["revenue_share_within_region"](spark, str(tmp_path)).collect()}
+    assert got["NA"]["share_ppm"] == 750_000 and got["NA"]["rank_in_region"] == 1
+    assert got["NB"]["share_ppm"] == 250_000 and got["NB"]["rank_in_region"] == 2
+    assert got["NC"]["share_ppm"] == 1_000_000  # alone in its region
+
+
+def test_trimmed_mean_drops_tails(spark, tmp_path):
+    # 10 values 1..10 dollars: trim drops rank 1 and rank 10 exactly
+    # (rn*10 > 10 fails for rn=1; (10-rn)*10 >= 10 fails for rn=10),
+    # keeping 2..9 -> mean = 5.5 dollars = 550 cents.
+    rows = [(i, t, 1, "view", float(i), "{}")
+            for i, t in zip(range(1, 11),
+                            [dt.datetime(2024, 1, 1, 0, m) for m in range(10)])]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["trimmed_mean_by_type"](spark, str(tmp_path)).collect()
+    assert r["n_kept"] == 8
+    assert r["kept_cents"] == sum(i * 100 for i in range(2, 10))
+    assert r["trimmed_mean_ppm"] == r["kept_cents"] * 1_000_000 // 8
+
+
+def test_mad_outliers_robust_to_whale(spark, tmp_path):
+    # 9 values at $1.00 + one at $100.00: median 100c, MAD 0 ->
+    # the whale (ad 9900 > 0) is the only outlier. The 3-sigma rule
+    # on the same data would also fire, but MAD stays fixed if the
+    # whale grows 100x (the robustness property).
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), 1, "view", 1.0, "{}")
+            for i in range(9)]
+    rows.append((99, dt.datetime(2024, 1, 1, 0, 30), 2, "view", 100.0, "{}"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["mad_outlier_flags"](spark, str(tmp_path)).collect()
+    assert r["median_cents"] == 100 and r["mad_cents"] == 0
+    assert r["n_outliers"] == 1
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

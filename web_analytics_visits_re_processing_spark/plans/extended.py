@@ -2380,3 +2380,196 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(split(li_o, "o_custkey", "lineitem"))
     )
     return out.select("tbl", "n_deleted", "n_remaining")
+
+
+@query(
+    "revenue_share_within_region",
+    oracle="""
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           SUM(FLOOR(o.o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, cents,
+       ((cents * 1000000) // SUM(cents) OVER (PARTITION BY region))::BIGINT
+           AS share_ppm,
+       RANK() OVER (PARTITION BY region ORDER BY cents DESC, nation)
+           AS rank_in_region
+FROM rev
+""",
+)
+def q_revenue_share_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total within group (Oracle's RATIO_TO_REPORT,
+    integer-ppm form): each nation's share of its region's revenue
+    plus its in-region rank — the BI drill-down staple. The window
+    runs over the ~25-row nation rollup, never events; the revenue
+    rollup itself broadcasts its three dimension joins (nation,
+    region hinted; customer AQE-sized)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    wr = Window.partitionBy("region").orderBy(F.col("cents").desc(), "nation")
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr(
+            "(cents * 1000000) div sum(cents) over (partition by region)"
+        ).alias("share_ppm"),
+        F.rank().over(wr).alias("rank_in_region"),
+    )
+
+
+@query(
+    "trimmed_mean_by_type",
+    # 10%-trimmed mean: drop the lowest and highest decile BY RANK
+    # (row_number over (value, event_id) — deterministic), average the
+    # middle 80% in integer cents ppm. The robust-location statistic
+    # that survives the fat tails the plain mean doesn't.
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, FLOOR(value * 100)::BIGINT AS cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), mid AS (
+    SELECT event_type, cents, n FROM ranked
+    WHERE rn * 10 > n AND (n - rn) * 10 >= n
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_kept,
+       SUM(cents)::BIGINT AS kept_cents,
+       ((SUM(cents) * 1000000) // COUNT(*))::BIGINT AS trimmed_mean_ppm
+FROM mid GROUP BY event_type
+""",
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per event type — the robust complement to the
+    3σ anomaly rule: rank rows deterministically, keep the middle 80%
+    by the cross-multiplied integer rank tests (rn·10 > n and
+    (n−rn)·10 ≥ n — no float percent anywhere), then an integer-ppm
+    mean of cents. One type-keyed exchange serves ranking and both
+    aggregates. At 100 TB the per-type sort gives way to
+    histogram-bin trimming (drop the tail BINS) — same statistic to
+    bin precision."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rn") * 10 > F.col("n"))
+        & ((F.col("n") - F.col("rn")) * 10 >= F.col("n"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("cents").alias("kept_cents"),
+        F.expr("(sum(cents) * 1000000) div count(1)").alias("trimmed_mean_ppm"),
+    )
+
+
+@query(
+    "mad_outlier_flags",
+    # Robust outliers with ZERO float math: med = the cents value at
+    # the ceil(n/2) rank (smallest value whose rank reaches n/2 via
+    # cross-multiplied integers), MAD = the same rule over |x − med|,
+    # flag |x − med| > 3·MAD. Counts per type keep the output small.
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, FLOOR(value * 100)::BIGINT AS cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), med AS (
+    SELECT event_type, MIN(CASE WHEN rn * 2 >= n THEN cents END) AS med
+    FROM ranked GROUP BY event_type
+), dev AS (
+    SELECT r.event_type, r.cents, ABS(r.cents - m.med) AS ad, m.med,
+           ROW_NUMBER() OVER (PARTITION BY r.event_type
+                              ORDER BY ABS(r.cents - m.med), r.cents, r.rn)
+               AS arn,
+           COUNT(*) OVER (PARTITION BY r.event_type) AS n
+    FROM ranked r JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, MIN(CASE WHEN arn * 2 >= n THEN ad END) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type, MAX(d.med)::BIGINT AS median_cents,
+       MAX(mad.mad)::BIGINT AS mad_cents,
+       COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+           AS n_outliers
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the robust
+    alternative to the 3σ rule (one whale day moves a mean+stddev
+    fence; it barely moves median+MAD). Entirely integer: both
+    medians read off cross-multiplied ranks (the histogram-quantile
+    rule applied to exact ranks), the fence is |x−med| > 3·MAD. Two
+    type-keyed window passes + one broadcast med/mad join; at 100 TB
+    both medians come from the mergeable cent-bin histogram instead
+    of ranks — same fence to bin precision."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n"), F.col("cents"))
+        ).alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("cents") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("ad", "cents", "rn")
+    dev = dev.withColumn("arn", F.row_number().over(wd))
+    mad = dev.groupBy("event_type").agg(
+        F.min(F.when(F.col("arn") * 2 >= F.col("n"), F.col("ad"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
