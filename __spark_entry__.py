@@ -151,6 +151,10 @@ _REGISTERED_R06 = frozenset(
         "revenue_share_within_region",
         "trimmed_mean_by_type",
         "mad_outlier_flags",
+        "spearman_value_time_by_type",
+        "gini_revenue_by_nation",
+        "dow_seasonality_index",
+        "kmv_distinct_users",
     }
 )
 

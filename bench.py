@@ -167,6 +167,10 @@ HEADLINE = [
     "revenue_share_within_region",
     "trimmed_mean_by_type",
     "mad_outlier_flags",
+    "spearman_value_time_by_type",
+    "gini_revenue_by_nation",
+    "dow_seasonality_index",
+    "kmv_distinct_users",
 ]
 
 

@@ -8,6 +8,7 @@ from web_analytics_visits_re_processing_spark.plans.registry import (
 
 # Importing the modules below populates the registry.
 from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
+    advstats,
     analytics,
     extended,
     hitlog_queries,

@@ -1,0 +1,276 @@
+"""Advanced statistics tier — rank correlation, inequality, seasonality
+and the KMV distinct sketch, all integer-exact and hash-gated.
+
+Design rule shared with the robust-statistics tier (extended.py): no
+float statistic ever exists. Ranks, cents/dollar sums, cross-multiplied
+integer comparisons and truncated integer division (`div` / `//`)
+produce bit-identical results in Spark and DuckDB, so each formula is
+replayable at the gate rather than rows-only.
+
+Reference parity note: the reference pipeline (hit-log sessionize,
+reference repo `re_process_visits.py`) has no statistics surface at
+all — this tier is part of the §2.2 gap set (capabilities a 100 TB
+analytics engine needs that the 303-line Beam script lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.functions.text import hash64
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+
+@query(
+    "spearman_value_time_by_type",
+    # Spearman rank correlation between value and event time per type,
+    # in basis points: rho = 1 - 6*sum(d^2)/(n(n^2-1)). Ranks are
+    # row_numbers under deterministic (key, event_id) total orders, so
+    # d^2 is integer-exact; the bp form keeps 6e4*sum(d^2) inside
+    # BIGINT up to n ~ 5e5 per group.
+    oracle="""
+WITH ranked AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS ry,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       MAX(n)::BIGINT AS n,
+       SUM((rx - ry) * (rx - ry))::BIGINT AS d2_sum,
+       (10000 - (60000 * SUM((rx - ry) * (rx - ry)))
+                    // (MAX(n) * (MAX(n) * MAX(n) - 1)))::BIGINT AS rho_bp
+FROM ranked
+GROUP BY event_type
+""",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (basis points) between value and event
+    time per event type — the monotone-trend detector that, unlike
+    Pearson, needs no products of raw magnitudes (whose squares
+    overflow int64 at scale) and is immune to whales: everything is
+    ranks. Both rank windows share the ONE event_type-keyed exchange
+    (same partition key, two sort orders); the d^2 aggregate rides the
+    same partitioning. At 100 TB per-group exact ranking gives way to
+    histogram-bucketed approximate ranks — the formula is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    wx = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wy = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    d = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(d).alias("d2_sum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "d2_sum",
+            F.expr(
+                "10000 - (60000 * d2_sum) div (n * (n * n - 1))"
+            ).alias("rho_bp"),
+        )
+    )
+
+
+@query(
+    "gini_revenue_by_nation",
+    # Gini coefficient of per-customer revenue within each nation, ppm:
+    # G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending
+    # (i = row_number over (dollars, custkey)). Whole dollars keep
+    # 2e6*sum(i*x_i) inside BIGINT per nation at sf0.1; at larger SF
+    # the numerator upgrades to decimal(38,0)/HUGEINT — same formula.
+    oracle="""
+WITH rev AS (
+    SELECT o_custkey, SUM(FLOOR(o_totalprice)::BIGINT)::BIGINT AS dollars
+    FROM orders GROUP BY o_custkey
+), tagged AS (
+    SELECT n.n_name AS nation, r.dollars,
+           ROW_NUMBER() OVER (PARTITION BY n.n_name
+                              ORDER BY r.dollars, r.o_custkey) AS i,
+           COUNT(*) OVER (PARTITION BY n.n_name) AS n,
+           SUM(r.dollars) OVER (PARTITION BY n.n_name) AS sx
+    FROM rev r
+    JOIN customer c ON c.c_custkey = r.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT nation,
+       MAX(n)::BIGINT AS n_customers,
+       MAX(sx)::BIGINT AS revenue_dollars,
+       (((2 * SUM(i * dollars) - (MAX(n) + 1) * MAX(sx)) * 1000000)
+            // (MAX(n) * MAX(sx)))::BIGINT AS gini_ppm
+FROM tagged
+GROUP BY nation
+""",
+)
+def q_gini_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration per nation
+    (ppm) — the inequality KPI behind 'how whale-dependent is this
+    market'. The classic rank-weighted identity needs one sorted pass:
+    customers rank within nation by revenue, and sum(i*x_i) rides the
+    SAME nation-keyed exchange as the rank window. The heavy work
+    (per-customer rollup) happens BEFORE the window, on the orders
+    groupBy — the window sees one row per customer, never per order.
+    Dimension joins broadcast under AQE."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice")).alias("dollars")
+    )
+    tagged = (
+        rev.join(c, rev["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "dollars", "o_custkey")
+    )
+    wi = Window.partitionBy("nation").orderBy("dollars", "o_custkey")
+    wn = Window.partitionBy("nation")
+    ranked = tagged.select(
+        "nation",
+        "dollars",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("dollars").over(wn).alias("sx"),
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.max("sx").alias("revenue_dollars"),
+            F.sum(F.col("i") * F.col("dollars")).alias("sixi"),
+        )
+        .select(
+            "nation",
+            "n_customers",
+            "revenue_dollars",
+            F.expr(
+                "((2 * sixi - (n_customers + 1) * revenue_dollars) * 1000000)"
+                " div (n_customers * revenue_dollars)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+@query(
+    "dow_seasonality_index",
+    # Day-of-week seasonality per event type: each weekday's share of
+    # the type's value, scaled so a flat week reads 1e6 per day
+    # (index = cents*7e6 div total). weekday is Monday=0 in both
+    # engines (Spark weekday(), DuckDB isodow()-1).
+    oracle="""
+WITH d AS (
+    SELECT event_type, (isodow(ts) - 1)::BIGINT AS dow,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, cents,
+       ((cents * 7 * 1000000)
+            // SUM(cents) OVER (PARTITION BY event_type))::BIGINT
+           AS index_ppm
+FROM d
+""",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type — the calendar
+    pattern a capacity planner or anomaly detector normalizes by
+    before flagging anything. Index 1,000,000 = a perfectly flat week;
+    1,400,000 = this weekday carries 1.4x its uniform share. The
+    groupBy collapses events to ≤ 5x7 rows map-side; the share window
+    runs over that tiny rollup, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.weekday("ts").cast("long").alias("dow")
+    ).agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    return d.select(
+        "event_type",
+        "dow",
+        "cents",
+        F.expr(
+            "(cents * 7 * 1000000)"
+            " div sum(cents) over (partition by event_type)"
+        ).alias("index_ppm"),
+    )
+
+
+# 60-bit hash space of functions.text.hash64 (15 hex chars of md5).
+_KMV_SPACE = 1 << 60
+_KMV_K = 256
+
+
+@query(
+    "kmv_distinct_users",
+    # KMV (k-minimum-values) distinct-count sketch, k=256: keep the k
+    # smallest distinct 60-bit hashes; estimate = |space| / (kth/(k-1)).
+    # The divisor-first form keeps (k-1)*space inside BIGINT while
+    # losing only ~1/(k-1) relative precision to truncation. Exact
+    # count rides along so the gate pins sketch AND truth.
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT
+        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            AS hv
+    FROM events
+), ranked AS (
+    SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM h
+), kth AS (
+    SELECT COUNT(*)::BIGINT AS k_eff, MAX(hv) AS kth_hash
+    FROM ranked WHERE rn <= {_KMV_K}
+)
+SELECT kth.k_eff AS k,
+       kth.kth_hash,
+       ({_KMV_SPACE} // (kth.kth_hash // (kth.k_eff - 1)))::BIGINT
+           AS kmv_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS n_exact
+FROM kth
+""",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (Bar-Yossef et al. 2002): the k
+    smallest hash values of a 60-bit portable hash estimate distinct
+    users as |space|/(kth/(k-1)) — if n distinct hashes spread
+    uniformly, the kth smallest sits near k/n of the space. Like the
+    HLL tier it is mergeable (union of KMV sets, re-take k smallest —
+    per-shard sketches roll up without re-scanning), but unlike HLL
+    the estimator is pure integer division, so the gate hash-checks
+    the ESTIMATE itself, not just registers. The global top-k runs as
+    a TakeOrdered over distinct hashes — k rows to the driver, never
+    the user set. Below k distinct values the sketch degrades
+    gracefully (k_eff = observed count, estimate ≈ exact); above,
+    standard error ~ 1/sqrt(k-2) ≈ 6%, pinned by pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        hash64(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    kth = (
+        h.orderBy("hv")
+        .limit(_KMV_K)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.max("hv").alias("kth_hash"),
+        )
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            "k",
+            "kth_hash",
+            F.expr(
+                f"{_KMV_SPACE}L div (kth_hash div (k - 1))"
+            ).alias("kmv_estimate"),
+            "n_exact",
+        )
+    )
