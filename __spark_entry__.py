@@ -155,6 +155,10 @@ _REGISTERED_R06 = frozenset(
         "gini_revenue_by_nation",
         "dow_seasonality_index",
         "kmv_distinct_users",
+        "dwell_time_by_type",
+        "markov_next_event_probs",
+        "changepoint_scan_daily",
+        "open_order_aging_buckets",
     }
 )
 

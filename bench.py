@@ -171,6 +171,10 @@ HEADLINE = [
     "gini_revenue_by_nation",
     "dow_seasonality_index",
     "kmv_distinct_users",
+    "dwell_time_by_type",
+    "markov_next_event_probs",
+    "changepoint_scan_daily",
+    "open_order_aging_buckets",
 ]
 
 

@@ -2573,3 +2573,61 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "open_order_aging_buckets",
+    # Aging report over open orders: days since order date, anchored
+    # at the corpus max orderdate (time-independent gate), bucketed
+    # into the standard AR aging bands per priority.
+    oracle="""
+WITH anchor AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders
+), aged AS (
+    SELECT o_orderpriority,
+           (anchor.d0 - CAST(o_orderdate AS DATE)) AS age_days,
+           FLOOR(o_totalprice * 100)::BIGINT AS cents
+    FROM orders, anchor WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 180 THEN '91-180'
+            ELSE '180+' END AS bucket,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(cents)::BIGINT AS value_cents,
+       MAX(age_days)::BIGINT AS oldest_days
+FROM aged GROUP BY 1, 2
+""",
+)
+def q_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging buckets — the AR/fulfillment backlog report:
+    every still-open order's age (vs the corpus max orderdate, so the
+    gate is time-independent) banded into 0-30/31-90/91-180/180+ days
+    per priority, with count, value and the oldest straggler. The
+    status filter pushes to the parquet scan; the bucket CASE is a
+    zero-shuffle projection; one map-side-combined groupBy ends it."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
+    aged = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderpriority",
+            F.datediff("d0", F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("age_days"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return aged.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("value_cents"),
+        F.max("age_days").alias("oldest_days"),
+    )

@@ -1739,3 +1739,182 @@ def q_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+@query(
+    "dwell_time_by_type",
+    # Dwell = micros until the user's NEXT event, kept only when the
+    # gap is <= 30 min (otherwise the hit ends its session and has no
+    # dwell). Mean reported in integer ms via two truncated divisions
+    # replayed identically in SQL.
+    oracle="""
+WITH seq AS (
+    SELECT event_type,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               - epoch_us(ts) AS dwell_us
+    FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_hits,
+       COUNT(CASE WHEN dwell_us <= 1800000000 THEN 1 END)::BIGINT
+           AS n_dwells,
+       COALESCE(SUM(CASE WHEN dwell_us <= 1800000000
+                         THEN dwell_us END), 0)::BIGINT AS dwell_us_sum,
+       (COALESCE(SUM(CASE WHEN dwell_us <= 1800000000
+                          THEN dwell_us END), 0)
+            // GREATEST(COUNT(CASE WHEN dwell_us <= 1800000000
+                              THEN 1 END), 1) // 1000)::BIGINT
+           AS mean_dwell_ms
+FROM seq
+GROUP BY event_type
+""",
+)
+def q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dwell time — how long a hit holds attention
+    before the same user's next action. The lead window rides ONE
+    user-keyed exchange (the same partitioning every sessionization
+    query uses — at scale these chain with zero extra shuffles);
+    session-final hits (gap > 30 min or last-ever) contribute to
+    n_hits but not to dwell, exactly how a web-analytics tool defines
+    time-on-page (and why exit pages famously read as zero)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("dwell_us"),
+    )
+    in_sess = F.col("dwell_us") <= GAP_US
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.count(F.when(in_sess, 1)).alias("n_dwells"),
+        F.coalesce(
+            F.sum(F.when(in_sess, F.col("dwell_us"))), F.lit(0)
+        ).alias("dwell_us_sum"),
+        F.expr(
+            "coalesce(sum(case when dwell_us <= 1800000000 "
+            "then dwell_us end), 0) "
+            "div greatest(count(case when dwell_us <= 1800000000 "
+            "then 1 end), 1) div 1000"
+        ).alias("mean_dwell_ms"),
+    )
+
+
+@query(
+    "markov_next_event_probs",
+    # First-order Markov transition matrix over within-session
+    # consecutive event pairs: P(next | cur) in integer ppm. The
+    # 30-min gap rule keeps cross-session jumps out of the chain.
+    oracle="""
+WITH seq AS (
+    SELECT event_type AS cur_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap_us
+    FROM events
+), pairs AS (
+    SELECT cur_type, next_type, COUNT(*)::BIGINT AS n
+    FROM seq WHERE gap_us <= 1800000000
+    GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, n,
+       ((n * 1000000)
+            // SUM(n) OVER (PARTITION BY cur_type))::BIGINT AS p_ppm
+FROM pairs
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition probabilities between consecutive
+    in-session events (integer ppm) — the model behind next-action
+    prediction and Markov-chain attribution's removal effect. One
+    user-keyed exchange produces the pair stream; the pair groupBy
+    collapses to <= |types|^2 rows map-side, and the row-normalizing
+    window runs over that 25-row matrix, never events."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    )
+    pairs = (
+        seq.where(F.col("gap_us") <= GAP_US)
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.expr(
+            "(n * 1000000) div sum(n) over (partition by cur_type)"
+        ).alias("p_ppm"),
+    )
+
+
+@query(
+    "changepoint_scan_daily",
+    # CUSUM-style changepoint scan over the daily purchase-revenue
+    # series: D_t = |n*cum_t - t*total| peaks at the day the level
+    # shifts (it is n*|cum_t - (t/n)*total| with the float share
+    # cross-multiplied away). is_peak marks the maximizing day(s).
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), scanned AS (
+    SELECT day, cents,
+           SUM(cents) OVER (ORDER BY day) AS cum_cents,
+           ROW_NUMBER() OVER (ORDER BY day) AS t,
+           COUNT(*) OVER () AS n,
+           SUM(cents) OVER () AS total
+    FROM daily
+)
+SELECT day, cents, cum_cents::BIGINT AS cum_cents,
+       ABS(n * cum_cents - t * total)::BIGINT AS d_stat,
+       CASE WHEN ABS(n * cum_cents - t * total)
+                 = MAX(ABS(n * cum_cents - t * total)) OVER ()
+            THEN 1 ELSE 0 END AS is_peak
+FROM scanned
+""",
+)
+def q_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection on daily revenue — the scan statistic
+    D_t = |n*cum_t - t*total| (the integer cross-multiplied form of
+    the maximum deviation of the cumulative series from its linear
+    trend, the workhorse behind CUSUM/Pettitt tests). A level shift
+    on day k makes D_t peak at k. The events scan collapses to ~30
+    day rows map-side; every window (running sum, rank, global max)
+    runs single-partition over those 30 rows by design — the same
+    deliberate trade as the weekly-KPI lag window."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    wd = Window.orderBy("day")
+    wall = Window.partitionBy()
+    scanned = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cents"),
+        F.row_number().over(wd).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    d = F.abs(F.col("n") * F.col("cum_cents") - F.col("t") * F.col("total"))
+    return scanned.select(
+        "day",
+        "cents",
+        "cum_cents",
+        d.alias("d_stat"),
+        F.when(d == F.max(d).over(wall), 1).otherwise(0).alias("is_peak"),
+    )
