@@ -159,6 +159,8 @@ _REGISTERED_R06 = frozenset(
         "markov_next_event_probs",
         "changepoint_scan_daily",
         "open_order_aging_buckets",
+        "markov_removal_attribution",
+        "degree_distribution_copurchase",
     }
 )
 

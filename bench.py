@@ -175,6 +175,8 @@ HEADLINE = [
     "markov_next_event_probs",
     "changepoint_scan_daily",
     "open_order_aging_buckets",
+    "markov_removal_attribution",
+    "degree_distribution_copurchase",
 ]
 
 

@@ -1918,3 +1918,345 @@ def q_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("d_stat"),
         F.when(d == F.max(d).over(wall), 1).otherwise(0).alias("is_peak"),
     )
+
+
+# Markov removal-effect attribution: absorption probabilities by fixed
+# 20-round value iteration (fixed truncation is part of the contract —
+# both engines run the SAME rounds, no convergence race; the chain's
+# cycle mass decays geometrically so 20 rounds sit far past practical
+# convergence). Oracle rounds generated AS MATERIALIZED (the k-core
+# exponential-inlining lesson).
+_MARKOV_ROUNDS = 20
+
+
+def _markov_oracle(rounds: int = _MARKOV_ROUNDS) -> str:
+    parts = [
+        f"""
+WITH seq AS MATERIALIZED (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'CONV'
+                ELSE event_type END AS state,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS MATERIALIZED (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), trunc AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT *, COALESCE(SUM(is_conv) OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS conv_before
+        FROM sess
+    ) WHERE conv_before = 0
+), mid AS (
+    SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id),
+                    'START') AS src,
+           state AS dst
+    FROM trunc
+), tails AS (
+    SELECT state AS src, 'NULL' AS dst FROM (
+        SELECT state,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               MAX(is_conv) OVER (PARTITION BY user_id, session_seq)
+                   AS has_conv
+        FROM trunc
+    ) WHERE rn = 1 AND has_conv = 0
+), counts AS MATERIALIZED (
+    SELECT src, dst, COUNT(*)::BIGINT AS n
+    FROM (SELECT * FROM mid UNION ALL SELECT * FROM tails)
+    GROUP BY src, dst
+), t_full AS MATERIALIZED (
+    SELECT src, dst,
+           ((n * 1000000) // SUM(n) OVER (PARTITION BY src))::BIGINT
+               AS p_ppm
+    FROM counts
+), channels AS MATERIALIZED (
+    SELECT DISTINCT state FROM trunc WHERE state <> 'CONV'
+), scenarios AS MATERIALIZED (
+    SELECT state AS scenario FROM channels
+    UNION ALL SELECT 'FULL'
+), states AS MATERIALIZED (
+    SELECT DISTINCT state FROM (
+        SELECT state FROM channels
+        UNION ALL SELECT 'START' UNION ALL SELECT 'CONV'
+        UNION ALL SELECT 'NULL'
+    )
+), t_scen AS MATERIALIZED (
+    SELECT sc.scenario, t.src, t.dst, t.p_ppm
+    FROM scenarios sc CROSS JOIN t_full t
+    WHERE sc.scenario = 'FULL'
+       OR (t.src <> sc.scenario AND t.dst <> sc.scenario)
+), grid AS MATERIALIZED (
+    SELECT sc.scenario, st.state FROM scenarios sc CROSS JOIN states st
+), p0 AS MATERIALIZED (
+    SELECT scenario, state,
+           CASE WHEN state = 'CONV' THEN 1000000 ELSE 0 END::BIGINT
+               AS p_ppm
+    FROM grid
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+p{i + 1} AS MATERIALIZED (
+    SELECT g.scenario, g.state,
+           (CASE WHEN g.state = 'CONV' THEN 1000000
+                 WHEN g.state = 'NULL' THEN 0
+                 ELSE COALESCE(a.v, 0) END)::BIGINT AS p_ppm
+    FROM grid g
+    LEFT JOIN (
+        SELECT t.scenario, t.src AS state,
+               SUM(t.p_ppm * p.p_ppm) // 1000000 AS v
+        FROM t_scen t
+        JOIN p{i} p ON p.scenario = t.scenario AND p.state = t.dst
+        GROUP BY t.scenario, t.src
+    ) a ON a.scenario = g.scenario AND a.state = g.state
+)"""
+        )
+    parts.append(
+        f"""
+SELECT s.scenario, s.p_ppm AS p_conv_ppm,
+       (CASE WHEN s.scenario = 'FULL' THEN 0
+             ELSE 1000000 - (s.p_ppm * 1000000)
+                                // GREATEST(f.p_ppm, 1)
+        END)::BIGINT AS removal_effect_ppm
+FROM p{rounds} s
+CROSS JOIN (SELECT p_ppm FROM p{rounds}
+            WHERE scenario = 'FULL' AND state = 'START') f
+WHERE s.state = 'START'"""
+    )
+    return "".join(parts)
+
+
+@query("markov_removal_attribution", oracle=_markov_oracle())
+def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution by removal effect (Anderl et al.
+    2014) — the data-driven alternative to the positional models
+    already in the registry: journeys are in-session event paths
+    truncated at the first purchase (START → touches → CONV, or →
+    NULL for non-converting sessions); channel credit is how much the
+    global conversion probability DROPS when the channel's node is
+    deleted from the chain (its edges redirect to NULL, probabilities
+    deliberately NOT renormalized — the standard removal-effect
+    convention). Absorption probabilities come from 20 fixed rounds
+    of integer-ppm value iteration p(i) = Σ_j T[i→j]·p(j) div 1e6
+    over the (scenario × state) grid — all 5 removal scenarios
+    iterate TOGETHER as one ~48-row table, localCheckpointed per
+    round (the CC/Lloyd lineage lesson). Scale shape: the only
+    event-scale work is journey extraction + transition counting on
+    the ONE user-keyed exchange; the chain solve touches a
+    |channels|²-sized table regardless of corpus size."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_conv"
+        ),
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = seq.withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    trunc = sess.withColumn(
+        "conv_before",
+        F.coalesce(
+            F.sum("is_conv").over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).where(F.col("conv_before") == 0)
+    mid = trunc.select(
+        F.coalesce(F.lag("state").over(ws), F.lit("START")).alias("src"),
+        F.col("state").alias("dst"),
+    )
+    wlast = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wsess = Window.partitionBy("user_id", "session_seq")
+    tails = (
+        trunc.withColumn("rn", F.row_number().over(wlast))
+        .withColumn("has_conv", F.max("is_conv").over(wsess))
+        .where((F.col("rn") == 1) & (F.col("has_conv") == 0))
+        .select(F.col("state").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    counts = (
+        mid.unionAll(tails)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t_full = counts.select(
+        "src",
+        "dst",
+        F.expr("(n * 1000000) div sum(n) over (partition by src)").alias(
+            "p_ppm"
+        ),
+    )
+    channels = (
+        trunc.select("state").where(F.col("state") != "CONV").distinct()
+    )
+    scenarios = channels.select(F.col("state").alias("scenario")).unionAll(
+        spark.createDataFrame([("FULL",)], "scenario string")
+    )
+    states = (
+        channels.unionAll(
+            spark.createDataFrame(
+                [("START",), ("CONV",), ("NULL",)], "state string"
+            )
+        )
+        .distinct()
+    )
+    t_scen = (
+        scenarios.crossJoin(t_full)
+        .where(
+            (F.col("scenario") == "FULL")
+            | (
+                (F.col("src") != F.col("scenario"))
+                & (F.col("dst") != F.col("scenario"))
+            )
+        )
+        .localCheckpoint()
+    )
+    grid = scenarios.crossJoin(states).localCheckpoint()
+    p = grid.select(
+        "scenario",
+        "state",
+        F.when(F.col("state") == "CONV", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        agg = (
+            t_scen.alias("t")
+            .join(
+                p.alias("p"),
+                (F.col("t.scenario") == F.col("p.scenario"))
+                & (F.col("t.dst") == F.col("p.state")),
+            )
+            .groupBy(
+                F.col("t.scenario").alias("scenario"),
+                F.col("t.src").alias("state"),
+            )
+            .agg(F.expr("sum(t.p_ppm * p.p_ppm) div 1000000").alias("v"))
+        )
+        p = (
+            grid.join(agg, ["scenario", "state"], "left")
+            .select(
+                "scenario",
+                "state",
+                F.when(F.col("state") == "CONV", F.lit(1000000))
+                .when(F.col("state") == "NULL", F.lit(0))
+                .otherwise(F.coalesce(F.col("v"), F.lit(0)))
+                .cast("long")
+                .alias("p_ppm"),
+            )
+            .localCheckpoint()
+        )
+    start = p.where(F.col("state") == "START").select(
+        "scenario", F.col("p_ppm").alias("p_conv_ppm")
+    )
+    full = start.where(F.col("scenario") == "FULL").select(
+        F.col("p_conv_ppm").alias("p_full")
+    )
+    return start.crossJoin(F.broadcast(full)).select(
+        "scenario",
+        "p_conv_ppm",
+        F.when(F.col("scenario") == "FULL", F.lit(0))
+        .otherwise(
+            F.lit(1000000)
+            - F.expr("(p_conv_ppm * 1000000) div greatest(p_full, 1)")
+        )
+        .cast("long")
+        .alias("removal_effect_ppm"),
+    )
+
+
+@query(
+    "degree_distribution_copurchase",
+    # Degree histogram of the support-≥2 co-purchase graph: how many
+    # parts have exactly d qualifying partners — the first diagnostic
+    # over any large graph (power-law check, hub detection) and the
+    # input to choosing between the wedge- and edge-centric triangle
+    # strategies already in the registry.
+    oracle="""
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), deg AS (
+    SELECT n, COUNT(*)::BIGINT AS degree FROM (
+        SELECT pa AS n, pb AS m FROM e0 UNION ALL SELECT pb, pa FROM e0
+    ) GROUP BY n
+)
+SELECT degree, COUNT(*)::BIGINT AS n_nodes,
+       SUM(COUNT(*)) OVER (ORDER BY degree DESC
+                           ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS n_nodes_at_least
+FROM deg GROUP BY degree
+""",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the support-≥2 co-purchase graph with
+    the complementary cumulative count (nodes of degree ≥ d) — the
+    power-law diagnostic run before any graph algorithm at 100 TB:
+    it sizes the hubs that decide salting strategy, triangle
+    orientation, and whether a promiscuity guard is needed. Edge
+    build is the shared bounded-basket pair join; degrees are one
+    map-side-combined groupBy; the histogram + CCDF window run over
+    ≤ max-degree rows."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    e0 = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    sym = e0.select(F.col("pa").alias("n")).unionAll(
+        e0.select(F.col("pb").alias("n"))
+    )
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    wc = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(wc).alias("n_nodes_at_least"),
+    )
