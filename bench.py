@@ -177,6 +177,10 @@ HEADLINE = [
     "open_order_aging_buckets",
     "markov_removal_attribution",
     "degree_distribution_copurchase",
+    "item_cosine_similarity_top3",
+    "session_conversion_by_entry",
+    "user_event_mix_impurity",
+    "zorder_locality_stats",
 ]
 
 

@@ -2631,3 +2631,73 @@ def q_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("value_cents"),
         F.max("age_days").alias("oldest_days"),
     )
+
+
+# Morton (Z-order) interleave of two 16-bit keys via pure integer
+# arithmetic — ((x div 2^b) % 2) * 2^(2b) terms — so the SAME formula
+# replays in Spark (`div`) and DuckDB (`//`) with no engine-specific
+# bit operators.
+def _morton_terms(xcol: str, ycol: str, op: str) -> str:
+    terms = []
+    for b in range(16):
+        terms.append(f"(({xcol} {op} {2 ** b}) % 2) * {2 ** (2 * b)}")
+        terms.append(f"(({ycol} {op} {2 ** b}) % 2) * {2 ** (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_locality_stats",
+    # Z-order layout audit: orders keyed by the Morton interleave of
+    # (custkey low 16 bits, orderdate epoch-day low 16 bits), cut into
+    # 64 equal z-ranges; per range, the min/max of BOTH dimensions —
+    # the zone-map ranges a z-sorted file layout would expose.
+    oracle=f"""
+WITH keyed AS (
+    SELECT (o_custkey % 65536) AS xk,
+           (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                % 65536) AS yk
+    FROM orders
+), z AS (
+    SELECT xk, yk, ({_morton_terms('xk', 'yk', '//')}) AS zval
+    FROM keyed
+)
+SELECT (zval // {2 ** 26})::BIGINT AS z_bucket,
+       COUNT(*)::BIGINT AS n_orders,
+       MIN(xk)::BIGINT AS min_x, MAX(xk)::BIGINT AS max_x,
+       MIN(yk)::BIGINT AS min_y, MAX(yk)::BIGINT AS max_y
+FROM z GROUP BY 1
+""",
+)
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit — the multi-dimensional
+    data-clustering technique behind Delta/Iceberg OPTIMIZE ZORDER:
+    interleaving the bits of (customer, order-day) gives a single
+    sort key under which ANY contiguous range spans a bounded
+    rectangle of BOTH dimensions, so per-file zone maps (the min/max
+    this query reports per z-range) prune two-dimensional predicates
+    a single-column sort can only prune on one. The interleave is 32
+    generated pure-integer terms (no UDF, fully codegen'd); the
+    audit agg is one map-side-combined groupBy over 64 buckets. At
+    100 TB this key feeds `repartitionByRange(zval).sortWithinPartitions`
+    before the partitioned write already gated in
+    `partitioned_write_roundtrip`."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        (F.col("o_custkey") % 65536).alias("xk"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            % 65536
+        ).alias("yk"),
+    )
+    z = keyed.select(
+        "xk", "yk", F.expr(_morton_terms("xk", "yk", "div")).alias("zval")
+    )
+    return z.groupBy(
+        F.expr(f"zval div {2 ** 26}").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("xk").alias("min_x"),
+        F.max("xk").alias("max_x"),
+        F.min("yk").alias("min_y"),
+        F.max("yk").alias("max_y"),
+    )

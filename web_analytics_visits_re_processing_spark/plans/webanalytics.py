@@ -2260,3 +2260,214 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.sum("n_nodes").over(wc).alias("n_nodes_at_least"),
     )
+
+
+@query(
+    "item_cosine_similarity_top3",
+    # Item-item collaborative filtering (Sarwar et al. 2001) with the
+    # float cosine replaced by its square in integer ppm:
+    # cos²(x,y) = c_xy² / (c_x·c_y) — monotone in cos for
+    # non-negative co-occurrence counts, so the ranking replays
+    # bit-for-bit. Support ≥ 2 prunes before the pair expansion.
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+    SELECT l_partkey, COUNT(*)::BIGINT AS c FROM op GROUP BY 1
+), pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*)::BIGINT AS cxy
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+    SELECT pa AS item, pb AS other, cxy FROM pairs
+    UNION ALL SELECT pb, pa, cxy FROM pairs
+), scored AS (
+    SELECT s.item, s.other,
+           ((s.cxy * s.cxy * 1000000) // (ia.c * ib.c))::BIGINT
+               AS cos2_ppm
+    FROM sym s
+    JOIN item ia ON ia.l_partkey = s.item
+    JOIN item ib ON ib.l_partkey = s.other
+), ranked AS (
+    SELECT item, other, cos2_ppm,
+           ROW_NUMBER() OVER (PARTITION BY item
+                              ORDER BY cos2_ppm DESC, other) AS rnk
+    FROM scored
+)
+SELECT item, other, cos2_ppm, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity serving table (top-3 per part) —
+    the collaborative-filtering upgrade of `also_bought_top3`:
+    co-occurrence counts normalized by each item's own popularity,
+    so a pairing with a niche item that ALWAYS co-occurs outranks a
+    merely-frequent pairing with a bestseller (the promiscuous-hub
+    failure raw counts have, pinned by pytest). The float cosine is
+    replaced by cos² in integer ppm — monotone, so the ranking is
+    identical and SQL-replayable. Scale shape: bounded-basket pair
+    join + support pruning (the shared association-rules path), item
+    supports joined back under AQE's broadcast decision, per-item
+    top-3 window on the pair table's own item-keyed exchange — the
+    serving table's natural bucketing."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "cxy"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "cxy"
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(ia), "item")
+        .join(F.broadcast(ib), "other")
+        .select(
+            "item",
+            "other",
+            F.expr("(cxy * cxy * 1000000) div (ca * cb)").alias("cos2_ppm"),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(
+        F.col("cos2_ppm").desc(), "other"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select("item", "other", "cos2_ppm", "rnk")
+    )
+
+
+@query(
+    "session_conversion_by_entry",
+    # Conversion rate by session ENTRY event type — which front door
+    # converts. Sessions via the standard lag/running-sum rewrite;
+    # entry = first event under the (ts, event_id) order; converted =
+    # session contains a purchase.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), per_session AS (
+    SELECT user_id, session_seq,
+           MIN({{'ts': ts, 'eid': event_id, 'et': event_type}}).et
+               AS entry_type,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT entry_type,
+       COUNT(*)::BIGINT AS n_sessions,
+       SUM(converted)::BIGINT AS n_converted,
+       ((SUM(converted) * 1000000) // COUNT(*))::BIGINT AS cvr_ppm
+FROM per_session GROUP BY entry_type
+""",
+)
+def q_session_conversion_by_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion rate by session entry type — the landing-page
+    report: sessions grouped by their FIRST event's type, with the
+    share containing a purchase (integer ppm). The per-session
+    collapse uses min_by over the (ts, event_id) order — no second
+    window pass and no join back — and everything to that point rides
+    ONE user-keyed exchange; the final rollup is ≤ |types| rows."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.min(
+            F.struct("ts", "event_id", "event_type")
+        )["event_type"].alias("entry_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        F.expr("(sum(converted) * 1000000) div count(1)").alias("cvr_ppm"),
+    )
+
+
+@query(
+    "user_event_mix_impurity",
+    # Gini impurity of each user's event-type mix in integer ppm:
+    # 1e6 − Σ c_i² · 1e6 div n² — the entropy surrogate with no
+    # float log, 0 = single-type user, → 800000 for a uniform
+    # 5-type mix.
+    oracle="""
+WITH ct AS (
+    SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       SUM(c)::BIGINT AS n_events,
+       COUNT(*)::BIGINT AS n_types,
+       (1000000 - (SUM(c * c) * 1000000) // (SUM(c) * SUM(c)))::BIGINT
+           AS impurity_ppm
+FROM ct GROUP BY user_id
+""",
+)
+def q_user_event_mix_impurity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user behavioral diversity as Gini impurity of the event-type
+    mix (integer ppm) — the segmentation feature separating
+    single-purpose users (impurity 0) from full-funnel browsers
+    (→ 800000 at a uniform 5-type mix). The impurity form carries the
+    same 0-iff-pure, max-at-uniform signal as Shannon entropy with
+    ZERO float math (the drift monitor's L2-vs-PSI argument again).
+    Two-level aggregation: (user, type) partials combine map-side,
+    then one user-keyed collapse — the shuffle carries ≤ 5 rows per
+    user, and both aggs share the user-prefixed hash partitioning."""
+    ev = _events(spark, sf_dir)
+    ct = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return ct.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            "1000000 - (sum(c * c) * 1000000) div (sum(c) * sum(c))"
+        ).alias("impurity_ppm"),
+    )
