@@ -181,6 +181,9 @@ HEADLINE = [
     "session_conversion_by_entry",
     "user_event_mix_impurity",
     "zorder_locality_stats",
+    "vocab_coverage_curve",
+    "truncation_loss_report",
+    "cross_source_overlap_matrix",
 ]
 
 

@@ -22,9 +22,11 @@ from web_analytics_visits_re_processing_spark.functions.text import (
     avg_token_length,
     distinct_token_count,
     exact_fingerprint,
+    hash64,
     shingle_fingerprint,
     stopword_count,
     token_count,
+    word_ngrams,
 )
 from web_analytics_visits_re_processing_spark.operators.dedup import (
     MINHASH_A,
@@ -3424,4 +3426,189 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+    )
+
+
+@query(
+    "vocab_coverage_curve",
+    # Token coverage of the top-N vocabulary for N in (5, 10, 20) —
+    # the OOV-rate curve a tokenizer-vocab decision reads. Ranking is
+    # deterministic ((count desc, token)); coverage in integer ppm.
+    # N values sized to the synthetic corpus's vocabulary; the shape
+    # is N=(32k, 64k, 128k) on a real corpus.
+    oracle="""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+    SELECT tok, COUNT(*)::BIGINT AS c FROM tok GROUP BY tok
+), ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn,
+           SUM(c) OVER () AS total
+    FROM counts
+), sizes AS (
+    SELECT unnest([5, 10, 20]) AS vocab_size
+)
+SELECT s.vocab_size::BIGINT AS vocab_size,
+       SUM(CASE WHEN r.rn <= s.vocab_size THEN r.c ELSE 0 END)::BIGINT
+           AS covered_tokens,
+       MAX(r.total)::BIGINT AS total_tokens,
+       ((SUM(CASE WHEN r.rn <= s.vocab_size THEN r.c ELSE 0 END)
+             * 1000000) // MAX(r.total))::BIGINT AS coverage_ppm
+FROM sizes s CROSS JOIN ranked r
+GROUP BY s.vocab_size
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — for candidate vocab sizes N, the
+    share of all corpus tokens covered by the N most frequent types
+    (1e6 − coverage = the OOV rate that becomes <unk> at training
+    time). The explode collapses to per-type counts map-side; the
+    rank window runs over the TYPE table (vocabulary-sized, not
+    corpus-sized — the same events-vs-rollup discipline as every
+    window in this repo), and the curve evaluation is a 3×|vocab|
+    conditional aggregate. At 100 TB the type table still fits the
+    single window partition for any real vocabulary (≤ millions);
+    beyond that the count-histogram boundary trick applies."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), "tok")
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    sizes = spark.createDataFrame(
+        [(5,), (10,), (20,)], "vocab_size long"
+    )
+    return (
+        F.broadcast(sizes)
+        .crossJoin(ranked)
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("vocab_size"), F.col("c"))
+                .otherwise(0)
+            ).alias("covered_tokens"),
+            F.max("total").alias("total_tokens"),
+            F.expr(
+                "(sum(case when rn <= vocab_size then c else 0 end)"
+                " * 1000000) div max(total)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+@query(
+    "truncation_loss_report",
+    # Token loss under candidate context caps (16/32/64 on this
+    # corpus; 512/2k/8k in production): docs over the cap and the ppm
+    # of all tokens a hard truncation would discard.
+    oracle="""
+WITH lens AS (
+    SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents
+), caps AS (
+    SELECT unnest([16, 32, 64]) AS cap
+)
+SELECT c.cap::BIGINT AS cap,
+       COUNT(CASE WHEN l.n > c.cap THEN 1 END)::BIGINT AS n_docs_over,
+       SUM(GREATEST(l.n - c.cap, 0))::BIGINT AS tokens_lost,
+       ((SUM(GREATEST(l.n - c.cap, 0)) * 1000000)
+            // SUM(l.n))::BIGINT AS loss_ppm
+FROM caps c CROSS JOIN lens l
+GROUP BY c.cap
+""",
+)
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss report — before fixing a training context
+    length, the share of corpus tokens a hard per-document cap would
+    discard, per candidate cap. The doc scan collapses to one length
+    per doc (a zero-shuffle projection — token counting never leaves
+    the scan stage); the 3-row cap table broadcasts and the loss agg
+    combines map-side. The sibling of `pack_training_sequences`
+    (which avoids this loss by concat-and-chunk) — this query is the
+    number that justifies packing."""
+    d = _docs(spark, sf_dir)
+    lens = d.select(F.size(F.split("text", " ")).cast("long").alias("n"))
+    caps = spark.createDataFrame([(16,), (32,), (64,)], "cap long")
+    return (
+        F.broadcast(caps)
+        .crossJoin(lens)
+        .groupBy("cap")
+        .agg(
+            F.count(F.when(F.col("n") > F.col("cap"), 1)).alias(
+                "n_docs_over"
+            ),
+            F.sum(F.greatest(F.col("n") - F.col("cap"), F.lit(0))).alias(
+                "tokens_lost"
+            ),
+            F.expr(
+                "(sum(greatest(n - cap, 0)) * 1000000) div sum(n)"
+            ).alias("loss_ppm"),
+        )
+    )
+
+
+@query(
+    "cross_source_overlap_matrix",
+    # Contamination matrix between corpus sources: distinct shared
+    # 5-gram hashes per source pair — the cheap leak detector run
+    # before mixing crawls (exact-dup overlap is zero on this corpus;
+    # gram overlap is the signal that survives paraphrase-level
+    # near-duplication).
+    oracle="""
+WITH g AS (
+    SELECT DISTINCT source,
+           ('0x' || substring(md5(x.g), 1, 15))::BIGINT AS gh
+    FROM (
+        SELECT source, unnest(list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+        ))) AS g
+        FROM documents
+    ) x
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS shared_grams
+FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the count of distinct 5-gram hashes they share — the
+    audit run before mixing crawl snapshots or vendor datasets, where
+    systematic overlap means double-counting (and the mixture weights
+    of `mixture_rebalance_sources` silently shift). Scale shape: the
+    gram explode collapses to DISTINCT (source, gram-hash) rows in
+    one map-side-combined pass, so the self-join carries one row per
+    source per gram — grams shared by s sources expand to s(s−1)/2
+    pair rows, and the gram-hash equi-join buckets naturally (never
+    |A|×|B| docs). A universal-boilerplate gram is the whale here;
+    the line-dedup promiscuity guard (drop grams in > max_share
+    sources) is the named downgrade."""
+    d = _docs(spark, sf_dir)
+    g = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 5))
+            ).alias("_g"),
+        )
+        .select("source", hash64(F.col("_g")).alias("gh"))
+        .distinct()
+    )
+    a = g.select(F.col("source").alias("source_a"), "gh")
+    b = g.select(F.col("source").alias("source_b"), "gh")
+    return (
+        a.join(b, "gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
