@@ -344,3 +344,49 @@ def test_window_funnel_single_user_exchange(spark, sf_dir):
     plan = _plan(spark, "window_funnel_depths", sf_dir)
     assert _exchanges(plan) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_spearman_single_exchange(spark, sf_dir):
+    """Both rank windows + the d² aggregate ride ONE event_type
+    exchange (same partition key, two sort orders)."""
+    plan = _plan(spark, "spearman_value_time_by_type", sf_dir)
+    assert _exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_item_cosine_broadcast_supports_no_cartesian(spark, sf_dir):
+    """Item-support joins broadcast; the pair expansion is an o-keyed
+    equi-join, never a cartesian."""
+    plan = _plan(spark, "item_cosine_similarity_top3", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_source_overlap_equi_join(spark, sf_dir):
+    """The source-pair matrix comes from a gram-hash EQUI-join of the
+    distinct (source, gram) table with itself — a nested-loop over
+    sources would be the |A|×|B| failure the docstring rules out."""
+    plan = _plan(spark, "cross_source_overlap_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_dwell_markov_share_user_exchange(spark, sf_dir):
+    """The dwell lead-window query keeps to the user exchange + the
+    final type rollup — no third shuffle, no Python."""
+    plan = _plan(spark, "dwell_time_by_type", sf_dir)
+    assert _exchanges(plan) <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_coverage_rank_over_type_table(spark, sf_dir):
+    """The corpus-scale stage is explode → two-level HashAggregate
+    (map-side combine); the single-partition window exists but runs
+    AFTER the vocabulary collapse."""
+    plan = _plan(spark, "vocab_coverage_curve", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
