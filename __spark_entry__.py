@@ -168,6 +168,9 @@ _REGISTERED_R06 = frozenset(
         "vocab_coverage_curve",
         "truncation_loss_report",
         "cross_source_overlap_matrix",
+        "label_centroid_distances",
+        "daily_percentile_bands",
+        "activity_heatmap_dow_hour",
     }
 )
 

@@ -184,6 +184,9 @@ HEADLINE = [
     "vocab_coverage_curve",
     "truncation_loss_report",
     "cross_source_overlap_matrix",
+    "label_centroid_distances",
+    "daily_percentile_bands",
+    "activity_heatmap_dow_hour",
 ]
 
 

@@ -3612,3 +3612,85 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
+
+
+@query(
+    "label_centroid_distances",
+    # Class-separability audit: per-label centroid in the k-means
+    # micro-unit convention (floor(x·1e6) int64; centroid = truncated
+    # integer division — Spark `div` and DuckDB `//` both truncate
+    # toward zero, so negatives are safe), pairwise squared L2 between
+    # centroids, ranked closest-first.
+    oracle="""
+WITH q AS (
+    SELECT label, u.d, FLOOR(u.e * 1000000)::BIGINT AS qv
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS d) u
+), cent AS (
+    SELECT label, d, (SUM(qv) // COUNT(*))::BIGINT AS m
+    FROM q GROUP BY label, d
+), pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           SUM((a.m - b.m) * (a.m - b.m))::BIGINT AS d2_micro
+    FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT label_a, label_b, d2_micro,
+       ROW_NUMBER() OVER (ORDER BY d2_micro, label_a, label_b)
+           AS closeness_rank
+FROM pairs
+""",
+)
+def q_label_centroid_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-separability audit over the labeled embedding table: the
+    pairwise squared-L2 distance matrix between per-label centroids,
+    closest pairs first — the 5-minute check that tells you which
+    classes a downstream classifier will confuse and whether a
+    labeling pass leaked (two labels with near-zero centroid distance
+    are one class wearing two names). Integer-exact end to end via
+    the k-means micro-unit convention (floor(x·1e6), truncated-
+    division centroids — Spark `div` ≡ DuckDB `//` toward zero, so
+    negative components are safe). Scale shape: ONE (label, dim)
+    exchange aggregates the corpus; the pair join runs on the
+    |labels|·dim centroid table (640 rows here) and broadcasts — the
+    corpus is never pair-joined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("d0", "e"),
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("e").cast("double") * 1000000).cast("long").alias("qv"),
+    )
+    cent = q.groupBy("label", "d").agg(
+        F.expr("sum(qv) div count(1)").alias("m")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "d", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "d", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "d")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+            ).alias("d2_micro")
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("d2_micro", "label_a", "label_b")
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "d2_micro",
+        F.row_number().over(wr).alias("closeness_rank"),
+    )

@@ -2471,3 +2471,108 @@ def q_user_event_mix_impurity(
             "1000000 - (sum(c * c) * 1000000) div (sum(c) * sum(c))"
         ).alias("impurity_ppm"),
     )
+
+
+@query(
+    "daily_percentile_bands",
+    # p50/p90 daily bands via the mergeable cumulative-count rule on
+    # exact cent bins (the histogram-quantile design, grouped by day):
+    # pXX = smallest cents whose running count satisfies the
+    # cross-multiplied integer rank test — no float rank ever exists.
+    oracle="""
+WITH b AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           FLOOR(value * 100)::BIGINT AS cents,
+           COUNT(*)::BIGINT AS c
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT day, cents, c,
+           SUM(c) OVER (PARTITION BY day ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS run,
+           SUM(c) OVER (PARTITION BY day) AS n
+    FROM b
+)
+SELECT day,
+       MAX(n)::BIGINT AS n,
+       MIN(CASE WHEN run * 2 >= n THEN cents END)::BIGINT AS p50_cents,
+       MIN(CASE WHEN run * 10 >= 9 * n THEN cents END)::BIGINT AS p90_cents
+FROM cum GROUP BY day
+""",
+)
+def q_daily_percentile_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily p50/p90 value bands — the trend chart behind every
+    latency/revenue SLO dashboard, built the mergeable way: events
+    collapse map-side to (day, cent-bin) counts, so the shuffle
+    carries the bin domain (constant per day), and the percentile
+    reads off cumulative counts with cross-multiplied integer rank
+    tests. Because binned counts ADD across partitions, days and
+    micro-batches, this exact shape is what the streaming histogram
+    replay serves — percentile_approx's GK sketch can't be gated or
+    merged this cleanly (the histogram-quantiles argument, now as a
+    time series)."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("day").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wd = Window.partitionBy("day")
+    cum = b.select(
+        "day",
+        "cents",
+        F.sum("c").over(wc).alias("run"),
+        F.sum("c").over(wd).alias("n"),
+    )
+    return cum.groupBy("day").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("run") * 2 >= F.col("n"), F.col("cents"))
+        ).alias("p50_cents"),
+        F.min(
+            F.when(F.col("run") * 10 >= 9 * F.col("n"), F.col("cents"))
+        ).alias("p90_cents"),
+    )
+
+
+@query(
+    "activity_heatmap_dow_hour",
+    # The weekday × hour activity heatmap behind every traffic
+    # dashboard; share in integer ppm of all events. weekday is
+    # Monday=0 in both engines (Spark weekday(), DuckDB isodow()-1).
+    oracle="""
+WITH cell AS (
+    SELECT (isodow(ts) - 1)::BIGINT AS dow,
+           EXTRACT(hour FROM ts)::BIGINT AS hour,
+           COUNT(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events,
+       ((n_events * 1000000) // SUM(n_events) OVER ())::BIGINT
+           AS share_ppm
+FROM cell
+""",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap with each cell's traffic share
+    (integer ppm) — the load-shape picture capacity planning and
+    anomaly baselines start from. Events collapse map-side to ≤ 168
+    cells; the share window runs over those 168 rows. Composes with
+    `dow_seasonality_index` (the 1-D marginal) and the changepoint
+    scan (which needs this baseline removed before flagging)."""
+    ev = _events(spark, sf_dir)
+    cell = ev.groupBy(
+        F.weekday("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return cell.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.expr(
+            "(n_events * 1000000) div sum(n_events) over ()"
+        ).alias("share_ppm"),
+    )
