@@ -171,6 +171,9 @@ _REGISTERED_R06 = frozenset(
         "label_centroid_distances",
         "daily_percentile_bands",
         "activity_heatmap_dow_hour",
+        "peak_concurrent_sessions_daily",
+        "nearest_purchase_to_signup",
+        "log_value_histogram",
     }
 )
 

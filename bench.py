@@ -187,6 +187,9 @@ HEADLINE = [
     "label_centroid_distances",
     "daily_percentile_bands",
     "activity_heatmap_dow_hour",
+    "peak_concurrent_sessions_daily",
+    "nearest_purchase_to_signup",
+    "log_value_histogram",
 ]
 
 

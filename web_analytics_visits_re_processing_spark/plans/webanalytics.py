@@ -2576,3 +2576,268 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_events * 1000000) div sum(n_events) over ()"
         ).alias("share_ppm"),
     )
+
+
+@query(
+    "peak_concurrent_sessions_daily",
+    # Sweep-line concurrency: each session emits +1 at its start
+    # minute and −1 one past its end minute; per-day running sums over
+    # the MINUTE GRID (≤1440 rows/day) give the concurrency curve,
+    # peak and first peak minute. Sessions credit their START day.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT user_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq,
+           ts
+    FROM seq
+), spans AS (
+    SELECT strftime(CAST(MIN(ts) AS DATE), '%Y-%m-%d') AS day,
+           epoch_us(MIN(ts)) // 60000000 AS start_min,
+           epoch_us(MAX(ts)) // 60000000 AS end_min
+    FROM sess GROUP BY user_id, session_seq
+), bounds AS (
+    SELECT day, start_min AS minute, 1 AS delta, 1 AS starts FROM spans
+    UNION ALL
+    SELECT day, end_min + 1, -1, 0 FROM spans
+), cells AS (
+    SELECT day, minute, SUM(delta)::BIGINT AS delta,
+           SUM(starts)::BIGINT AS starts
+    FROM bounds GROUP BY day, minute
+), curve AS (
+    SELECT day, minute, starts,
+           SUM(delta) OVER (PARTITION BY day ORDER BY minute
+                            ROWS UNBOUNDED PRECEDING) AS run
+    FROM cells
+), peaked AS (
+    SELECT day, minute, starts, run,
+           MAX(run) OVER (PARTITION BY day) AS peak
+    FROM curve
+)
+SELECT day,
+       SUM(starts)::BIGINT AS n_sessions,
+       MAX(peak)::BIGINT AS peak_concurrent,
+       MIN(CASE WHEN run = peak THEN minute END)::BIGINT AS peak_minute
+FROM peaked GROUP BY day
+""",
+)
+def q_peak_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity number
+    (simultaneous load, not daily volume) via the classic sweep-line:
+    sessions become ±1 boundary events, boundaries collapse map-side
+    onto the MINUTE GRID, and the running-sum window walks ≤1440
+    minute rows per day — never raw events, which is what makes
+    interval-overlap counting tractable at 100 TB (the naive form is
+    an events×events overlap join). Midnight-spanning sessions credit
+    their start day end-to-end (documented choice, replayed in the
+    oracle)."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = sess.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.to_date(F.min("ts")), "yyyy-MM-dd").alias("day"),
+        F.expr("unix_micros(min(ts)) div 60000000").alias("start_min"),
+        F.expr("unix_micros(max(ts)) div 60000000").alias("end_min"),
+    )
+    bounds = spans.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_min").alias("minute"),
+                    F.lit(1).alias("delta"),
+                    F.lit(1).alias("starts"),
+                ),
+                F.struct(
+                    (F.col("end_min") + 1).alias("minute"),
+                    F.lit(-1).alias("delta"),
+                    F.lit(0).alias("starts"),
+                ),
+            )
+        ).alias("b"),
+    ).select("day", "b.minute", "b.delta", "b.starts")
+    cells = bounds.groupBy("day", "minute").agg(
+        F.sum("delta").alias("delta"), F.sum("starts").alias("starts")
+    )
+    wrun = Window.partitionBy("day").orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wday = Window.partitionBy("day")
+    curve = cells.select(
+        "day",
+        "minute",
+        "starts",
+        F.sum("delta").over(wrun).alias("run"),
+    ).withColumn("peak", F.max("run").over(wday))
+    return curve.groupBy("day").agg(
+        F.sum("starts").alias("n_sessions"),
+        F.max("peak").alias("peak_concurrent"),
+        F.min(
+            F.when(F.col("run") == F.col("peak"), F.col("minute"))
+        ).alias("peak_minute"),
+    )
+
+
+@query(
+    "nearest_purchase_to_signup",
+    # Nearest-in-time correlation: for each signup, the same user's
+    # closest purchase within ±1 day (ties → earlier purchase, then
+    # event_id). The Spark side runs the day-bucketed candidate join
+    # (each signup probes 3 user-day buckets); the oracle replays the
+    # unbucketed filter join — equality proves bucketing loses no
+    # candidate.
+    oracle="""
+WITH s AS (
+    SELECT event_id AS signup_id, user_id, epoch_us(ts) AS s_us
+    FROM events WHERE event_type = 'signup'
+), p AS (
+    SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'
+), cand AS (
+    SELECT s.signup_id, s.user_id, p.purchase_id,
+           ABS(p.p_us - s.s_us) AS abs_dt_us,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.signup_id
+               ORDER BY ABS(p.p_us - s.s_us), p.p_us, p.purchase_id
+           ) AS rn
+    FROM s JOIN p ON p.user_id = s.user_id
+    WHERE ABS(p.p_us - s.s_us) <= 86400000000
+)
+SELECT signup_id, user_id, purchase_id, abs_dt_us::BIGINT AS abs_dt_us
+FROM cand WHERE rn = 1
+""",
+)
+def q_nearest_purchase_to_signup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-neighbor-in-time join: each signup matched to the same
+    user's closest purchase within ±24 h — the two-sided counterpart
+    of the backward-only as-of join already gated. Scale shape: a
+    raw |signups|×|purchases| per-user join explodes on whale users,
+    so each signup probes exactly THREE (user, day) buckets
+    (day−1/day/day+1, exploded array-side) against day-bucketed
+    purchases — the interval-join bucketing trick; the ±1-day filter
+    then runs on candidates only, and min_by picks the winner in the
+    same signup-keyed aggregate. The oracle does the unbucketed
+    join, so the gate proves the 3-bucket probe loses no candidate."""
+    ev = _events(spark, sf_dir)
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.expr("unix_micros(ts) div 86400000000").alias("p_day"),
+    )
+    probes = s.select(
+        "signup_id",
+        "user_id",
+        "s_us",
+        F.explode(
+            F.array(
+                F.expr("s_us div 86400000000 - 1"),
+                F.expr("s_us div 86400000000"),
+                F.expr("s_us div 86400000000 + 1"),
+            )
+        ).alias("p_day"),
+    )
+    cand = probes.join(p, ["user_id", "p_day"]).where(
+        F.abs(F.col("p_us") - F.col("s_us")) <= 86400000000
+    )
+    best = cand.groupBy("signup_id", "user_id").agg(
+        F.min(
+            F.struct(
+                F.abs(F.col("p_us") - F.col("s_us")).alias("abs_dt_us"),
+                F.col("p_us").alias("p_us"),
+                F.col("purchase_id").alias("purchase_id"),
+            )
+        ).alias("w")
+    )
+    return best.select(
+        "signup_id",
+        "user_id",
+        F.col("w.purchase_id").alias("purchase_id"),
+        F.col("w.abs_dt_us").alias("abs_dt_us"),
+    )
+
+
+@query(
+    "log_value_histogram",
+    # Log2-scale value histogram per event type: bucket = number of
+    # binary digits of the cent value (len(bin(cents))), lower bound
+    # 2^(bucket−1) — the constant-bucket-count histogram for
+    # long-tailed metrics, pure integer via bin().
+    oracle="""
+WITH v AS (
+    SELECT event_type, FLOOR(value * 100)::BIGINT AS cents,
+           length(bin(FLOOR(value * 100)::BIGINT))::BIGINT AS bucket
+    FROM events
+)
+SELECT event_type, bucket,
+       (CASE WHEN bucket > 1
+             THEN (1::BIGINT << (bucket - 1)::INTEGER) ELSE 0 END)::BIGINT
+           AS lo_cents,
+       COUNT(*)::BIGINT AS n,
+       MIN(cents)::BIGINT AS min_cents,
+       MAX(cents)::BIGINT AS max_cents
+FROM v GROUP BY 1, 2
+""",
+)
+def q_log_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-scale value histogram per event type — the long-tail
+    histogram whose bucket count stays ~40 no matter the value range
+    (linear cent bins need millions of buckets on money-like tails).
+    Bucket = binary digit count of the cent value via bin() — the
+    posting-compression query's no-float-log trick reused — so both
+    engines agree bit-for-bit; per-bucket min/max double as zone-map
+    style evidence the bucketing is monotone. One map-side-combined
+    groupBy; shuffle state = ≤ |types|·40 rows."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bucket = F.length(F.bin("cents")).cast("long")
+    return v.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.expr(
+            "case when bucket > 1"
+            " then shiftleft(1L, cast(bucket - 1 as int)) else 0L end"
+        ).alias("lo_cents"),
+        "n",
+        "min_cents",
+        "max_cents",
+    )
