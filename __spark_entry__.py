@@ -174,6 +174,8 @@ _REGISTERED_R06 = frozenset(
         "peak_concurrent_sessions_daily",
         "nearest_purchase_to_signup",
         "log_value_histogram",
+        "auc_mann_whitney",
+        "score_decile_gains",
     }
 )
 

@@ -190,6 +190,8 @@ HEADLINE = [
     "peak_concurrent_sessions_daily",
     "nearest_purchase_to_signup",
     "log_value_histogram",
+    "auc_mann_whitney",
+    "score_decile_gains",
 ]
 
 

@@ -274,3 +274,179 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+@query(
+    "auc_mann_whitney",
+    # AUC via the Mann-Whitney U statistic with midrank tie handling,
+    # entirely in integers: ranks double so midranks stay integral
+    # (2·midrank = min_rn + max_rn of the tie group);
+    # AUC_ppm = (Σ_pos 2·midrank − npos(npos+1)) · 1e6
+    #               div (2·npos·nneg).
+    # Score = user's click count; label = user ever purchased.
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS score,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS label
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT score, label,
+           ROW_NUMBER() OVER (ORDER BY score, user_id) AS rn
+    FROM u
+), mid AS (
+    SELECT score, label,
+           MIN(rn) OVER (PARTITION BY score)
+               + MAX(rn) OVER (PARTITION BY score) AS r2
+    FROM ranked
+), agg AS (
+    SELECT COUNT(*)::BIGINT AS n_users,
+           SUM(label)::BIGINT AS npos,
+           (COUNT(*) - SUM(label))::BIGINT AS nneg,
+           SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END)::BIGINT AS s2
+    FROM mid
+)
+SELECT n_users, npos, nneg,
+       ((s2 - npos * (npos + 1)) * 1000000
+            // GREATEST(2 * npos * nneg, 1))::BIGINT AS auc_ppm
+FROM agg
+""",
+)
+def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of 'click count predicts purchase' computed as the
+    Mann-Whitney U statistic — the model-evaluation primitive every
+    offline scoring pipeline needs, and the reason rank statistics
+    matter at scale: AUC needs NO threshold sweep, just one global
+    rank of the score column. Ties take midranks, kept integral by
+    working in DOUBLED rank units (2·midrank = min+max row_number of
+    the tie group — no .5 ever exists), so the result is exact
+    integer ppm. Scale shape: the per-user collapse rides one user
+    exchange; the rank windows run over USERS; at 100 TB the global
+    rank swaps to the histogram-CDF form (bin scores, cumulative
+    counts give tie-group min/max ranks directly) with the same
+    downstream arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    wr = Window.orderBy("score", "user_id")
+    wt = Window.partitionBy("score")
+    mid = u.select(
+        "score",
+        "label",
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "label",
+        (F.min("rn").over(wt) + F.max("rn").over(wt)).alias("r2"),
+    )
+    agg = mid.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("label").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("nneg"),
+        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0)).alias(
+            "s2"
+        ),
+    )
+    return agg.select(
+        "n_users",
+        "npos",
+        "nneg",
+        F.expr(
+            "(s2 - npos * (npos + 1)) * 1000000"
+            " div greatest(2 * npos * nneg, 1)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "score_decile_gains",
+    # Gains table: users ranked by score (click count) descending into
+    # deciles; per decile the converter capture (cumulative ppm of all
+    # positives) and lift vs the base rate — the campaign-targeting
+    # readout. All shares integer ppm.
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS score,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS label
+    FROM events GROUP BY user_id
+), dec AS (
+    SELECT label,
+           NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+    FROM u
+), per AS (
+    SELECT decile, COUNT(*)::BIGINT AS n_users,
+           SUM(label)::BIGINT AS n_pos
+    FROM dec GROUP BY decile
+), tot AS (
+    SELECT SUM(n_users) AS tu, SUM(n_pos) AS tp FROM per
+)
+SELECT p.decile, p.n_users, p.n_pos,
+       ((SUM(p.n_pos) OVER (ORDER BY p.decile ROWS UNBOUNDED PRECEDING)
+             * 1000000) // GREATEST(t.tp, 1))::BIGINT
+           AS cum_capture_ppm,
+       ((p.n_pos * t.tu * 1000000)
+            // GREATEST(p.n_users * t.tp, 1))::BIGINT AS lift_ppm
+FROM per p CROSS JOIN tot t
+""",
+)
+def q_score_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table for the click-count→purchase
+    score: users split into score deciles (best first), each decile
+    reporting how many converters it captures cumulatively and its
+    lift over the base conversion rate (1e6 = average) — the readout
+    that decides 'target the top 2 deciles'. Companion to
+    `auc_mann_whitney` (AUC is the area under exactly this curve) and
+    `power_users_pareto` (same decile machinery, revenue instead of
+    labels). Windows run over USERS and then over TEN decile rows;
+    the user collapse is the only event-scale stage."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    wd = Window.orderBy(F.col("score").desc(), "user_id")
+    per = (
+        u.select("label", F.ntile(10).over(wd).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("label").alias("n_pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_users").alias("tu"), F.sum("n_pos").alias("tp")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_pos",
+            F.expr(
+                "(sum(n_pos) over (order by decile"
+                " rows between unbounded preceding and current row)"
+                " * 1000000) div greatest(tp, 1)"
+            ).alias("cum_capture_ppm"),
+            F.expr(
+                "(n_pos * tu * 1000000)"
+                " div greatest(n_users * tp, 1)"
+            ).alias("lift_ppm"),
+        )
+    )
