@@ -176,6 +176,7 @@ _REGISTERED_R06 = frozenset(
         "log_value_histogram",
         "auc_mann_whitney",
         "score_decile_gains",
+        "ann_recall_at_5",
     }
 )
 

@@ -192,6 +192,7 @@ HEADLINE = [
     "log_value_histogram",
     "auc_mann_whitney",
     "score_decile_gains",
+    "ann_recall_at_5",
 ]
 
 

@@ -62,6 +62,19 @@ PROBE_QUERIES = [
     "triangle_count_copurchase",
     "kcore_copurchase_parts",
     "bfs_hops_copurchase",
+    # round-6 session-2 additions: events-backed statistics/journeys…
+    "spearman_value_time_by_type",
+    "markov_removal_attribution",
+    "dwell_time_by_type",
+    "peak_concurrent_sessions_daily",
+    "nearest_purchase_to_signup",
+    "auc_mann_whitney",
+    "user_event_mix_impurity",
+    # …documents-backed corpus audits…
+    "cross_source_overlap_matrix",
+    "vocab_coverage_curve",
+    # …and the lineitem-backed CF serving table (disjoint shards).
+    "item_cosine_similarity_top3",
 ]
 
 

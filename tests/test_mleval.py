@@ -72,3 +72,12 @@ def test_gains_capture_and_lift(spark, tmp_path):
     assert got[2] == (1, 1, 1_000_000, 5_000_000)
     assert got[10] == (1, 0, 1_000_000, 0)
     assert len(got) == 10
+
+
+def test_ann_recall_invariants(spark, sf_dir):
+    rows = QUERIES["ann_recall_at_5"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hit"] <= 5
+        assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // 5

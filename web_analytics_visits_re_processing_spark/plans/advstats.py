@@ -28,8 +28,9 @@ from web_analytics_visits_re_processing_spark.sources.tables import load_table
     # Spearman rank correlation between value and event time per type,
     # in basis points: rho = 1 - 6*sum(d^2)/(n(n^2-1)). Ranks are
     # row_numbers under deterministic (key, event_id) total orders, so
-    # d^2 is integer-exact; the bp form keeps 6e4*sum(d^2) inside
-    # BIGINT up to n ~ 5e5 per group.
+    # d^2 is integer-exact. The 6e4·Σd² product is int128-wide
+    # (Spark decimal(38,0) ≡ DuckDB HUGEINT — the scale probe caught
+    # the int64 form overflowing under ANSI mode at 2e5 rows/group).
     oracle="""
 WITH ranked AS (
     SELECT event_type,
@@ -43,8 +44,9 @@ WITH ranked AS (
 SELECT event_type,
        MAX(n)::BIGINT AS n,
        SUM((rx - ry) * (rx - ry))::BIGINT AS d2_sum,
-       (10000 - (60000 * SUM((rx - ry) * (rx - ry)))
-                    // (MAX(n) * (MAX(n) * MAX(n) - 1)))::BIGINT AS rho_bp
+       (10000 - (60000::HUGEINT * SUM((rx - ry) * (rx - ry))::HUGEINT)
+                    // (MAX(n)::HUGEINT * (MAX(n)::HUGEINT * MAX(n) - 1))
+       )::BIGINT AS rho_bp
 FROM ranked
 GROUP BY event_type
 """,
@@ -64,8 +66,11 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = Window.partitionBy("event_type")
     ranked = ev.select(
         "event_type",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
+        # row_number() is IntegerType: the rank difference squares past
+        # int32 at ~5e4 rows/group, so widen BEFORE the multiply (the
+        # scale probe caught this under ANSI mode at sf1x).
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
     d = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
@@ -80,7 +85,9 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "d2_sum",
             F.expr(
-                "10000 - (60000 * d2_sum) div (n * (n * n - 1))"
+                "cast(10000 - (cast(60000 as decimal(38,0)) * d2_sum)"
+                " div (cast(n as decimal(38,0)) * n * n"
+                "      - cast(n as decimal(38,0))) as long)"
             ).alias("rho_bp"),
         )
     )
@@ -90,9 +97,10 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gini_revenue_by_nation",
     # Gini coefficient of per-customer revenue within each nation, ppm:
     # G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending
-    # (i = row_number over (dollars, custkey)). Whole dollars keep
-    # 2e6*sum(i*x_i) inside BIGINT per nation at sf0.1; at larger SF
-    # the numerator upgrades to decimal(38,0)/HUGEINT — same formula.
+    # (i = row_number over (dollars, custkey)). The 2e6·sum(i·x_i)
+    # numerator runs int128-wide (decimal(38,0) ≡ HUGEINT) so the
+    # formula survives any SF under ANSI mode; per-row i·dollars and
+    # the plain sums stay comfortably in int64.
     oracle="""
 WITH rev AS (
     SELECT o_custkey, SUM(FLOOR(o_totalprice)::BIGINT)::BIGINT AS dollars
@@ -110,8 +118,9 @@ WITH rev AS (
 SELECT nation,
        MAX(n)::BIGINT AS n_customers,
        MAX(sx)::BIGINT AS revenue_dollars,
-       (((2 * SUM(i * dollars) - (MAX(n) + 1) * MAX(sx)) * 1000000)
-            // (MAX(n) * MAX(sx)))::BIGINT AS gini_ppm
+       (((2::HUGEINT * SUM(i * dollars)
+              - (MAX(n) + 1)::HUGEINT * MAX(sx)) * 1000000)
+            // (MAX(n)::HUGEINT * MAX(sx)))::BIGINT AS gini_ppm
 FROM tagged
 GROUP BY nation
 """,
@@ -157,8 +166,11 @@ def q_gini_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "revenue_dollars",
             F.expr(
-                "((2 * sixi - (n_customers + 1) * revenue_dollars) * 1000000)"
-                " div (n_customers * revenue_dollars)"
+                "cast(((cast(2 as decimal(38,0)) * sixi"
+                " - (cast(n_customers as decimal(38,0)) + 1)"
+                "   * revenue_dollars) * 1000000)"
+                " div (cast(n_customers as decimal(38,0))"
+                "      * revenue_dollars) as long)"
             ).alias("gini_ppm"),
         )
     )
@@ -309,8 +321,8 @@ WITH u AS (
     FROM mid
 )
 SELECT n_users, npos, nneg,
-       ((s2 - npos * (npos + 1)) * 1000000
-            // GREATEST(2 * npos * nneg, 1))::BIGINT AS auc_ppm
+       ((s2::HUGEINT - npos::HUGEINT * (npos + 1)) * 1000000
+            // GREATEST(2::HUGEINT * npos * nneg, 1))::BIGINT AS auc_ppm
 FROM agg
 """,
 )
@@ -359,8 +371,10 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "npos",
         "nneg",
         F.expr(
-            "(s2 - npos * (npos + 1)) * 1000000"
-            " div greatest(2 * npos * nneg, 1)"
+            "cast(((cast(s2 as decimal(38,0))"
+            " - cast(npos as decimal(38,0)) * (npos + 1)) * 1000000)"
+            " div cast(greatest(2 * npos * nneg, 1)"
+            "          as decimal(38,0)) as long)"
         ).alias("auc_ppm"),
     )
 

@@ -3694,3 +3694,91 @@ def q_label_centroid_distances(
         "d2_micro",
         F.row_number().over(wr).alias("closeness_rank"),
     )
+
+
+_ANN_EXACT_CTE = """
+exact AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rk <= 5
+)"""
+
+
+@query(
+    "ann_recall_at_5",
+    # Recall@5 of the single-probe LSH path vs the exact brute-force
+    # top-5, per query and with the id sets compared directly (cosine
+    # is 4-dp-rounded identically on both sides, so the exact set is
+    # deterministic). The ORACLE recomputes BOTH paths — hyperplane
+    # buckets included — so the gate covers the entire eval harness.
+    oracle=f"""
+WITH cb AS (
+    SELECT vec_id, embedding, {{bucket_sql}} AS b
+    FROM embeddings
+),
+qb AS (SELECT * FROM cb WHERE vec_id < 10),
+approx AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rk
+        FROM qb q JOIN cb c ON q.b = c.b AND q.vec_id != c.vec_id
+    ) WHERE rk <= 5
+),
+{_ANN_EXACT_CTE}
+SELECT e.query_id,
+       COUNT(*)::BIGINT AS n_exact,
+       COUNT(a.vec_id)::BIGINT AS n_hit,
+       ((COUNT(a.vec_id) * 1000000) // COUNT(*))::BIGINT AS recall_ppm
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+""".replace("{bucket_sql}", _lsh_bucket_sql("embedding")),
+)
+def q_ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the single-probe LSH ANN path against the exact
+    brute-force top-5 — THE metric an ANN index is judged by, and the
+    eval loop every index-tuning decision (plane count, probe radius,
+    IVF nlist) runs through. Composes two already-gated queries and
+    compares id SETS per query via a left join on the exact list;
+    the oracle recomputes both paths end to end (hyperplane bucket
+    literals included), so hash equality certifies the whole eval
+    harness, not just the final division. Scale shape: the exact arm
+    is the broadcast-query/shuffle-free-corpus baseline (eval query
+    sets are small BY DESIGN — that is what makes exact ground truth
+    affordable even when the corpus is 100 TB); the comparison join
+    touches |queries|·k rows."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries_df, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = cosine_topk_lsh(emb, queries_df, k=5, dim=64).select(
+        "query_id", F.col("vec_id").alias("a_vec_id")
+    )
+    hit = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["vec_id"] == approx["a_vec_id"]),
+        "left",
+    ).select(exact["query_id"].alias("query_id"), "vec_id", "a_vec_id")
+    return hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_vec_id").alias("n_hit"),
+        F.expr(
+            "(count(a_vec_id) * 1000000) div count(1)"
+        ).alias("recall_ppm"),
+    )
