@@ -2478,7 +2478,10 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ev.select(
         "event_type",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        F.row_number().over(w).alias("rn"),
+        # long rank: the int32 row_number would overflow the rn*10
+        # cross-multiplied test past ~2e8 rows/group (the Spearman
+        # scale-probe lesson applied preemptively).
+        F.row_number().over(w).cast("long").alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
     mid = ranked.where(
@@ -2545,7 +2548,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ev.select(
         "event_type",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
     med = ranked.groupBy("event_type").agg(
@@ -2557,7 +2560,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ad", F.abs(F.col("cents") - F.col("med"))
     )
     wd = Window.partitionBy("event_type").orderBy("ad", "cents", "rn")
-    dev = dev.withColumn("arn", F.row_number().over(wd))
+    dev = dev.withColumn("arn", F.row_number().over(wd).cast("long"))
     mad = dev.groupBy("event_type").agg(
         F.min(F.when(F.col("arn") * 2 >= F.col("n"), F.col("ad"))).alias("mad")
     )
