@@ -193,6 +193,8 @@ HEADLINE = [
     "auc_mann_whitney",
     "score_decile_gains",
     "ann_recall_at_5",
+    "part_demand_trend_top20",
+    "skip_bigram_type_pairs",
 ]
 
 

@@ -2704,3 +2704,79 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yk").alias("min_y"),
         F.max("yk").alias("max_y"),
     )
+
+
+@query(
+    "part_demand_trend_top20",
+    # Integer OLS slope of weekly shipped quantity per part: slope =
+    # (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) in ppm, weeks indexed from the
+    # corpus min week (broadcast scalar) so x stays small. Top-20
+    # risers via TakeOrdered; den guard for single-week parts.
+    oracle="""
+WITH w AS (
+    SELECT l_partkey,
+           (epoch_us(l_shipdate) // 604800000000
+                - (SELECT MIN(epoch_us(l_shipdate) // 604800000000)
+                   FROM lineitem))::BIGINT AS x,
+           SUM(FLOOR(l_quantity)::BIGINT)::BIGINT AS y
+    FROM lineitem GROUP BY 1, 2
+), fit AS (
+    SELECT l_partkey,
+           COUNT(*)::BIGINT AS n_weeks,
+           SUM(y)::BIGINT AS total_qty,
+           (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS num,
+           (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS den
+    FROM w GROUP BY l_partkey
+)
+SELECT l_partkey, n_weeks, total_qty,
+       ((num * 1000000) // GREATEST(den, 1))::BIGINT AS slope_ppm
+FROM fit
+ORDER BY slope_ppm DESC, l_partkey LIMIT 20
+""",
+)
+def q_part_demand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-trend screening: per part, the ordinary-least-squares
+    slope of its weekly shipped quantity — entirely in integers
+    (weeks index from the corpus min week, the classic n·Σxy − ΣxΣy
+    cross-multiplied form, ppm output), ranked to the top-20 risers.
+    This is the replenishment-planning sweep: which SKUs are
+    accelerating. Scale shape: lineitems collapse map-side to
+    (part, week) cells; the regression is one part-keyed aggregate
+    over ≤ |weeks| rows per part; ranking is TakeOrdered (top-20 to
+    the driver, never a global sort). Slope magnitudes stay in int64
+    because x is a small week index, not an epoch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w0 = li.agg(
+        F.expr("min(unix_micros(l_shipdate) div 604800000000)").alias("w0")
+    )
+    w = (
+        li.crossJoin(F.broadcast(w0))
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "unix_micros(l_shipdate) div 604800000000 - w0"
+            ).alias("x"),
+        )
+        .agg(F.sum(F.floor("l_quantity")).alias("y"))
+    )
+    fit = w.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("y").alias("total_qty"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        ).alias("num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        ).alias("den"),
+    )
+    scored = fit.select(
+        "l_partkey",
+        "n_weeks",
+        "total_qty",
+        F.expr("(num * 1000000) div greatest(den, 1)").alias("slope_ppm"),
+    )
+    return scored.orderBy(
+        F.col("slope_ppm").desc(), "l_partkey"
+    ).limit(20)

@@ -2841,3 +2841,115 @@ def q_log_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_cents",
         "max_cents",
     )
+
+
+@query(
+    "skip_bigram_type_pairs",
+    # PrefixSpan-lite: ordered type pairs (a before b ANYWHERE in the
+    # same session, not necessarily adjacent), support = sessions
+    # containing the pattern. Sessions first collapse to one row per
+    # (session, type) — first-occurrence time — so the pair join fans
+    # out ≤ |types|² per session, never |events|².
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), firsts AS (
+    SELECT user_id, session_seq, event_type,
+           MIN(epoch_us(ts)) AS first_us
+    FROM sess GROUP BY 1, 2, 3
+), tot AS (
+    SELECT COUNT(*) AS n_sessions
+    FROM (SELECT DISTINCT user_id, session_seq FROM firsts)
+)
+SELECT a.event_type AS first_type, b.event_type AS then_type,
+       COUNT(*)::BIGINT AS support,
+       ((COUNT(*) * 1000000) // t.n_sessions)::BIGINT AS support_ppm
+FROM firsts a
+JOIN firsts b
+  ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+ AND (a.first_us < b.first_us
+      OR (a.first_us = b.first_us AND a.event_type < b.event_type))
+CROSS JOIN tot t
+GROUP BY 1, 2, t.n_sessions
+""",
+)
+def q_skip_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, level 2 (PrefixSpan-lite): how many
+    sessions see type a before type b — ANYWHERE before, not just
+    adjacent, which is what distinguishes real ordering patterns
+    ('signup happens before first purchase') from the adjacency
+    n-grams already gated. The scale discipline is the collapse
+    BEFORE the pair join: each session reduces to one first-occurrence
+    row per type (≤ |types| rows), so the self-join fans out ≤ |types|²
+    per session where the naive event-level join is quadratic in
+    session length — the whale-session killer. Equal first-occurrence
+    timestamps tiebreak lexicographically (replayed in the oracle).
+    Level-k patterns iterate this same join, exactly like the Apriori
+    escalation note on `association_rules_pairs`."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    firsts = sess.groupBy("user_id", "session_seq", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("first_us")
+    )
+    tot = (
+        firsts.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    a = firsts.select(
+        "user_id",
+        "session_seq",
+        F.col("event_type").alias("first_type"),
+        F.col("first_us").alias("a_us"),
+    )
+    b = firsts.select(
+        "user_id",
+        "session_seq",
+        F.col("event_type").alias("then_type"),
+        F.col("first_us").alias("b_us"),
+    )
+    pairs = a.join(b, ["user_id", "session_seq"]).where(
+        (F.col("a_us") < F.col("b_us"))
+        | (
+            (F.col("a_us") == F.col("b_us"))
+            & (F.col("first_type") < F.col("then_type"))
+        )
+    )
+    return (
+        pairs.groupBy("first_type", "then_type")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_type",
+            "then_type",
+            "support",
+            F.expr("(support * 1000000) div n_sessions").alias(
+                "support_ppm"
+            ),
+        )
+    )
