@@ -179,6 +179,9 @@ _REGISTERED_R06 = frozenset(
         "ann_recall_at_5",
         "part_demand_trend_top20",
         "skip_bigram_type_pairs",
+        "wow_revenue_contribution",
+        "basket_size_stats",
+        "supplier_hhi_by_nation",
     }
 )
 

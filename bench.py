@@ -195,6 +195,9 @@ HEADLINE = [
     "ann_recall_at_5",
     "part_demand_trend_top20",
     "skip_bigram_type_pairs",
+    "wow_revenue_contribution",
+    "basket_size_stats",
+    "supplier_hhi_by_nation",
 ]
 
 

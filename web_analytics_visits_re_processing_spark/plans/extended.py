@@ -2780,3 +2780,194 @@ def q_part_demand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("slope_ppm").desc(), "l_partkey"
     ).limit(20)
+
+
+@query(
+    "wow_revenue_contribution",
+    # 'Why did revenue move': the last week's delta vs the prior week
+    # decomposed by event type — each type's share of the TOTAL delta
+    # in ppm (shares sum to ~1e6 up to truncation) plus its own
+    # growth in basis points. Weeks are epoch-week integers (no
+    # weekofyear localism).
+    oracle="""
+WITH wk AS (
+    SELECT event_type, epoch_us(ts) // 604800000000 AS w,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events
+    GROUP BY 1, 2
+), last2 AS (
+    SELECT MAX(w) AS wmax FROM wk
+), cmp AS (
+    SELECT e.event_type,
+           SUM(CASE WHEN e.w = l.wmax THEN e.cents ELSE 0 END) AS cur,
+           SUM(CASE WHEN e.w = l.wmax - 1 THEN e.cents ELSE 0 END) AS prev
+    FROM wk e CROSS JOIN last2 l
+    GROUP BY e.event_type
+), tot AS (
+    SELECT SUM(cur - prev) AS total_delta FROM cmp
+)
+SELECT c.event_type,
+       c.cur::BIGINT AS cur_cents,
+       c.prev::BIGINT AS prev_cents,
+       (c.cur - c.prev)::BIGINT AS delta_cents,
+       (((c.cur - c.prev) * 1000000)
+            // (CASE WHEN t.total_delta = 0 THEN 1
+                     ELSE t.total_delta END))::BIGINT AS contrib_ppm,
+       (((c.cur - c.prev) * 10000)
+            // GREATEST(c.prev, 1))::BIGINT AS growth_bp
+FROM cmp c CROSS JOIN tot t
+""",
+)
+def q_wow_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement decomposition — the 'why did the
+    number move' follow-up to `weekly_revenue_wow_change`: the final
+    week's delta split by event type, each type's contribution to
+    the TOTAL delta in ppm (a negative contributor offset by a
+    positive one is exactly what this surfaces) plus per-type growth
+    in basis points. Events collapse map-side to (type, epoch-week)
+    cells; everything after runs on ≤ |types|·|weeks| rows with the
+    two-week comparison as a conditional aggregate — no joins, no
+    second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+    ).agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    wmax = wk.agg(F.max("w").alias("wmax"))
+    cmp_df = (
+        wk.crossJoin(F.broadcast(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("w") == F.col("wmax"), F.col("cents")).otherwise(0)
+            ).alias("cur"),
+            F.sum(
+                F.when(F.col("w") == F.col("wmax") - 1, F.col("cents")).otherwise(0)
+            ).alias("prev"),
+        )
+    )
+    tot = cmp_df.agg(F.sum(F.col("cur") - F.col("prev")).alias("total_delta"))
+    return (
+        cmp_df.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("cur").alias("cur_cents"),
+            F.col("prev").alias("prev_cents"),
+            (F.col("cur") - F.col("prev")).alias("delta_cents"),
+            F.expr(
+                "((cur - prev) * 1000000) div"
+                " (case when total_delta = 0 then 1 else total_delta end)"
+            ).alias("contrib_ppm"),
+            F.expr(
+                "((cur - prev) * 10000) div greatest(prev, 1)"
+            ).alias("growth_bp"),
+        )
+    )
+
+
+@query(
+    "basket_size_stats",
+    # Order-size distribution: baskets (distinct parts per order)
+    # histogrammed, with per-size order counts and mean basket value
+    # in integer cents — the 'do bigger baskets spend more per item'
+    # readout.
+    oracle="""
+WITH per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_partkey)::BIGINT AS basket_size,
+           SUM(FLOOR(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT basket_size,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(cents)::BIGINT AS total_cents,
+       (SUM(cents) // COUNT(*))::BIGINT AS mean_cents
+FROM per_order GROUP BY basket_size
+""",
+)
+def q_basket_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution with mean basket value per size — the
+    merchandising readout behind bundle pricing and the bounded-
+    basket assumption every pair-join operator in this repo leans on
+    (this query IS the evidence that assumption holds: the histogram's
+    max size bounds the pair fan-out). Two map-side-combined
+    aggregates on the same order key — the second groupBy's input is
+    one row per order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_partkey").alias("basket_size"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("cents"),
+    )
+    return per_order.groupBy("basket_size").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.expr("sum(cents) div count(1)").alias("mean_cents"),
+    )
+
+
+@query(
+    "supplier_hhi_by_nation",
+    # Herfindahl-Hirschman concentration of supplier revenue within
+    # each nation: HHI = Σ share² with shares in ppm, so the index is
+    # Σ(share_ppm²) div 1e6 — 1e6 = monopoly, 1e6/n = perfect
+    # competition. Pure integers; the antitrust-style market-
+    # concentration screen, paired with the Gini tier.
+    oracle="""
+WITH rev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           SUM(FLOOR(l.l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+), shares AS (
+    SELECT s_nationkey, l_suppkey,
+           (cents * 1000000)
+               // SUM(cents) OVER (PARTITION BY s_nationkey) AS share_ppm
+    FROM rev
+)
+SELECT n.n_name AS nation,
+       COUNT(*)::BIGINT AS n_suppliers,
+       (SUM(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm
+FROM shares sh JOIN nation n ON n.n_nationkey = sh.s_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation as the Herfindahl-
+    Hirschman index in ppm (1e6 = one supplier takes everything;
+    1e6/n = perfectly even) — the concentration screen procurement
+    and antitrust analyses start from, and the quadratic companion
+    to `gini_revenue_by_nation` (HHI weights big shares harder). All
+    integer: ppm shares off the nation-keyed window, squared and
+    rescaled by one division. The lineitem scan collapses to
+    (nation, supplier) cells map-side; windows and the HHI sum run
+    over the supplier rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == s["s_suppkey"],
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("cents"))
+    )
+    shares = rev.select(
+        "s_nationkey",
+        F.expr(
+            "(cents * 1000000)"
+            " div sum(cents) over (partition by s_nationkey)"
+        ).alias("share_ppm"),
+    )
+    return (
+        shares.join(
+            F.broadcast(n), shares["s_nationkey"] == n["n_nationkey"]
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr(
+                "sum(share_ppm * share_ppm) div 1000000"
+            ).alias("hhi_ppm"),
+        )
+    )
