@@ -182,6 +182,7 @@ _REGISTERED_R06 = frozenset(
         "wow_revenue_contribution",
         "basket_size_stats",
         "supplier_hhi_by_nation",
+        "streaming_activity_heatmap",
     }
 )
 

@@ -198,6 +198,7 @@ HEADLINE = [
     "wow_revenue_contribution",
     "basket_size_stats",
     "supplier_hhi_by_nation",
+    "streaming_activity_heatmap",
 ]
 
 

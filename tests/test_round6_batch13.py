@@ -99,3 +99,22 @@ def test_supplier_hhi_extremes(spark, tmp_path):
     }
     assert got["MONO"] == (1, 1_000_000)
     assert got["DUO"] == (2, 500_000)
+
+
+def test_streaming_heatmap_state_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_heatmap_state,
+    )
+
+    streamed = streaming_heatmap_state(spark, sf_dir, max_files_per_trigger=2)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.weekday("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    got = {(r["dow"], r["hour"]): r["c"] for r in streamed.collect()}
+    want = {(r["dow"], r["hour"]): r["c"] for r in batch.collect()}
+    assert got == want and len(got) > 0

@@ -488,3 +488,52 @@ def q_streaming_topk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("user_id", "total_cents", "n_events", "rk")
     )
+
+
+@query(
+    "streaming_activity_heatmap",
+    # identical oracle to the batch heatmap — calendar bucketing
+    # commutes with streaming aggregation, so the served state must
+    # equal the batch cells count-for-count; shares read off the
+    # SERVED state.
+    oracle="""
+WITH cell AS (
+    SELECT (isodow(ts) - 1)::BIGINT AS dow,
+           EXTRACT(hour FROM ts)::BIGINT AS hour,
+           COUNT(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events,
+       ((n_events * 1000000) // SUM(n_events) OVER ())::BIGINT
+           AS share_ppm
+FROM cell
+""",
+)
+def q_streaming_activity_heatmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The weekday × hour load-shape heatmap maintained ON the stream
+    (18th streaming replay): (dow, hour) cells accumulate through the
+    update-mode agg + snapshot-upsert serving pattern — state is
+    CONSTANT at ≤ 168 rows no matter the traffic volume, the extreme
+    case of the bounded-state argument every sketch replay makes.
+    Traffic shares read off the SERVED state, exactly how a live ops
+    dashboard consumes it. Gate: streamed cells must equal the batch
+    heatmap count-for-count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_heatmap_state,
+    )
+
+    cells = streaming_heatmap_state(spark, sf_dir)
+    wall = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hour",
+        F.col("c").alias("n_events"),
+        F.expr(
+            "(c * 1000000) div sum(c) over ()"
+        ).alias("share_ppm"),
+    )

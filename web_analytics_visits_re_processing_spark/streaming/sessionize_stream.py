@@ -799,6 +799,49 @@ def streaming_histogram_state(
     return read_state(spark, state)
 
 
+def streaming_heatmap_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """(weekday, hour) activity-cell counts maintained INCREMENTALLY
+    from the event stream — the load-shape heatmap served live. Same
+    argument as the histogram replay: calendar bucketing commutes
+    with streaming aggregation, so the running state equals the batch
+    heatmap at every point in time, and the state is CONSTANT at
+    ≤ 168 cells no matter how much traffic streams through. Topology
+    = the CMS/HLL/histogram/totals serving pattern (update-mode agg →
+    foreachBatch snapshot upsert, latest-per-key by the monotone
+    count)."""
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_heatmap", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger).where(
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
+    )
+    cells = events.groupBy(
+        F.weekday("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    run_upsert_stream(
+        cells,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["dow", "hour"],
+        order_cols=["c"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
+
+
 def streaming_user_totals_state(
     spark: SparkSession,
     sf_dir: str,
