@@ -183,6 +183,8 @@ _REGISTERED_R06 = frozenset(
         "basket_size_stats",
         "supplier_hhi_by_nation",
         "streaming_activity_heatmap",
+        "dn_retention_summary",
+        "ltv_curve_by_age",
     }
 )
 

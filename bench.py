@@ -199,6 +199,8 @@ HEADLINE = [
     "basket_size_stats",
     "supplier_hhi_by_nation",
     "streaming_activity_heatmap",
+    "dn_retention_summary",
+    "ltv_curve_by_age",
 ]
 
 

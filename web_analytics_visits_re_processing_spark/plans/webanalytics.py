@@ -2953,3 +2953,177 @@ def q_skip_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dn_retention_summary",
+    # Classic D1/D7/D14 retention: share of users with activity on
+    # EXACTLY first_day + N, among users whose observation window
+    # covers day N (right-censoring guard — without it late cohorts
+    # deflate D14). Integer ppm.
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), f AS (
+    SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id
+), hz AS (
+    SELECT MAX(d) AS dmax FROM ud
+), flags AS (
+    SELECT f.user_id,
+           MAX(CASE WHEN ud.d = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+           MAX(CASE WHEN ud.d = f.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+           MAX(CASE WHEN ud.d = f.d0 + 14 THEN 1 ELSE 0 END) AS r14,
+           MAX(f.d0) AS d0
+    FROM f JOIN ud ON ud.user_id = f.user_id
+    GROUP BY f.user_id
+)
+SELECT
+    COUNT(*)::BIGINT AS n_users,
+    SUM(CASE WHEN hz.dmax - d0 >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_obs_1,
+    SUM(CASE WHEN hz.dmax - d0 >= 7 THEN 1 ELSE 0 END)::BIGINT AS n_obs_7,
+    SUM(CASE WHEN hz.dmax - d0 >= 14 THEN 1 ELSE 0 END)::BIGINT AS n_obs_14,
+    ((SUM(CASE WHEN hz.dmax - d0 >= 1 THEN r1 ELSE 0 END) * 1000000)
+         // GREATEST(SUM(CASE WHEN hz.dmax - d0 >= 1 THEN 1 ELSE 0 END), 1)
+    )::BIGINT AS d1_ppm,
+    ((SUM(CASE WHEN hz.dmax - d0 >= 7 THEN r7 ELSE 0 END) * 1000000)
+         // GREATEST(SUM(CASE WHEN hz.dmax - d0 >= 7 THEN 1 ELSE 0 END), 1)
+    )::BIGINT AS d7_ppm,
+    ((SUM(CASE WHEN hz.dmax - d0 >= 14 THEN r14 ELSE 0 END) * 1000000)
+         // GREATEST(SUM(CASE WHEN hz.dmax - d0 >= 14 THEN 1 ELSE 0 END), 1)
+    )::BIGINT AS d14_ppm
+FROM flags CROSS JOIN hz
+""",
+)
+def q_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7/D14 retention — the growth-team headline numbers: of the
+    users first seen on day X, what share came back EXACTLY on day
+    X+N, computed only over users whose observation window actually
+    reaches day N (the right-censoring guard; without it every recent
+    cohort deflates D14 and the metric 'decays' artificially as the
+    corpus ages). One distinct user-day collapse, the first-seen min
+    and the return flags all ride the SAME user-keyed exchange; the
+    final rollup is one row. Complements `cohort_retention_weekly`
+    (the full matrix) and `new_vs_returning_daily` (the volume
+    split)."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wz = Window.partitionBy("user_id")
+    flags = (
+        ud.withColumn("d0", F.min("d").over(wz))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.datediff("d", "d0") == 1, 1).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.datediff("d", "d0") == 7, 1).otherwise(0)
+            ).alias("r7"),
+            F.max(
+                F.when(F.datediff("d", "d0") == 14, 1).otherwise(0)
+            ).alias("r14"),
+            F.max("d0").alias("d0"),
+        )
+    )
+    hz = ud.agg(F.max("d").alias("dmax"))
+    j = flags.crossJoin(F.broadcast(hz)).withColumn(
+        "obs", F.datediff("dmax", "d0")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("obs") >= 1, 1).otherwise(0)).alias("n_obs_1"),
+        F.sum(F.when(F.col("obs") >= 7, 1).otherwise(0)).alias("n_obs_7"),
+        F.sum(F.when(F.col("obs") >= 14, 1).otherwise(0)).alias("n_obs_14"),
+        F.expr(
+            "(sum(case when obs >= 1 then r1 else 0 end) * 1000000)"
+            " div greatest(sum(case when obs >= 1 then 1 else 0 end), 1)"
+        ).alias("d1_ppm"),
+        F.expr(
+            "(sum(case when obs >= 7 then r7 else 0 end) * 1000000)"
+            " div greatest(sum(case when obs >= 7 then 1 else 0 end), 1)"
+        ).alias("d7_ppm"),
+        F.expr(
+            "(sum(case when obs >= 14 then r14 else 0 end) * 1000000)"
+            " div greatest(sum(case when obs >= 14 then 1 else 0 end), 1)"
+        ).alias("d14_ppm"),
+    )
+
+
+@query(
+    "ltv_curve_by_age",
+    # LTV curve: mean cumulative purchase revenue per user by account
+    # age (days since first event), right-censored — at age a only
+    # users observable for ≥ a days count. The per-(user, age) grid is
+    # |users|×15, built by a broadcast age spine + conditional sum.
+    oracle="""
+WITH ud AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           SUM(CASE WHEN event_type = 'purchase'
+                    THEN FLOOR(value * 100)::BIGINT ELSE 0 END)::BIGINT
+               AS cents
+    FROM events GROUP BY 1, 2
+), f AS (
+    SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id
+), hz AS (
+    SELECT MAX(d) AS dmax FROM ud
+), ages AS (
+    SELECT unnest(range(0, 15)) AS age
+), cells AS (
+    SELECT a.age, f.user_id,
+           SUM(CASE WHEN ud.d - f.d0 <= a.age THEN ud.cents
+                    ELSE 0 END)::BIGINT AS cum_cents
+    FROM f
+    JOIN ud ON ud.user_id = f.user_id
+    CROSS JOIN ages a
+    CROSS JOIN hz
+    WHERE hz.dmax - f.d0 >= a.age
+    GROUP BY a.age, f.user_id
+)
+SELECT age::BIGINT AS age,
+       COUNT(*)::BIGINT AS n_users,
+       SUM(cum_cents)::BIGINT AS total_cum_cents,
+       (SUM(cum_cents) // COUNT(*))::BIGINT AS mean_cum_cents
+FROM cells GROUP BY age
+""",
+)
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value curve: mean cumulative purchase revenue
+    per user at account age 0..14 days, right-censored so each age
+    point averages only users actually observable that long (the
+    censoring bug — averaging everyone — bends every real LTV curve
+    downward). Scale shape: events collapse to (user, day) cells
+    map-side; the 15-row age spine broadcasts against the per-user
+    day rows, and the conditional cumulative sum turns the
+    carry-forward problem (a user with no day-3 purchase still has
+    day-3 LTV) into one aggregate — no per-user gap filling, no
+    window over the event stream."""
+    ev = _events(spark, sf_dir)
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100),
+            ).otherwise(0)
+        ).alias("cents")
+    )
+    wz = Window.partitionBy("user_id")
+    udf0 = ud.withColumn("d0", F.min("d").over(wz))
+    hz = ud.agg(F.max("d").alias("dmax"))
+    ages = spark.range(0, 15).select(F.col("id").alias("age"))
+    cells = (
+        udf0.crossJoin(F.broadcast(ages))
+        .crossJoin(F.broadcast(hz))
+        .where(F.datediff("dmax", "d0") >= F.col("age"))
+        .groupBy("age", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.datediff("d", "d0") <= F.col("age"), F.col("cents")
+                ).otherwise(0)
+            ).alias("cum_cents")
+        )
+    )
+    return cells.groupBy("age").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cum_cents").alias("total_cum_cents"),
+        F.expr("sum(cum_cents) div count(1)").alias("mean_cum_cents"),
+    )
