@@ -390,3 +390,41 @@ def test_vocab_coverage_rank_over_type_table(spark, sf_dir):
     plan = _plan(spark, "vocab_coverage_curve", sf_dir)
     assert plan.count("HashAggregate") >= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_part_trend_take_ordered(spark, sf_dir):
+    """Top-20 risers via TakeOrdered — never a global sort."""
+    plan = _plan(spark, "part_demand_trend_top20", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_skip_bigram_equi_join_no_cartesian(spark, sf_dir):
+    """The pair join runs on (user, session) keys after the per-type
+    collapse — no cartesian/nested-loop anywhere."""
+    plan = _plan(spark, "skip_bigram_type_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_peak_concurrency_minute_grid(spark, sf_dir):
+    """Sweep-line: boundaries collapse into a two-level HashAggregate
+    before any window — the minute grid, not raw events, feeds the
+    running sum."""
+    plan = _plan(spark, "peak_concurrent_sessions_daily", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "supplier_hhi_by_nation", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ltv_broadcasts_age_spine(spark, sf_dir):
+    """The 15-row age spine joins via broadcast nested loop (a range
+    predicate on a broadcast side is fine at 15 rows); the corpus
+    side never cartesian-joins another large side."""
+    plan = _plan(spark, "ltv_curve_by_age", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
