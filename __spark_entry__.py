@@ -185,6 +185,9 @@ _REGISTERED_R06 = frozenset(
         "streaming_activity_heatmap",
         "dn_retention_summary",
         "ltv_curve_by_age",
+        "winsorized_mean_by_type",
+        "longest_growth_streak_weeks",
+        "ngram_containment_pairs",
     }
 )
 

@@ -201,6 +201,9 @@ HEADLINE = [
     "streaming_activity_heatmap",
     "dn_retention_summary",
     "ltv_curve_by_age",
+    "winsorized_mean_by_type",
+    "longest_growth_streak_weeks",
+    "ngram_containment_pairs",
 ]
 
 

@@ -2971,3 +2971,177 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi_ppm"),
         )
     )
+
+
+@query(
+    "winsorized_mean_by_type",
+    # Winsorized mean: tails CLAMPED to the p10/p90 boundary values
+    # (vs the trimmed mean, which drops them). Boundaries via the
+    # cross-multiplied integer rank rule on the same one exchange;
+    # clamping is a projection, the mean is integer ppm.
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, FLOOR(value * 100)::BIGINT AS cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), bounds AS (
+    SELECT event_type,
+           MIN(CASE WHEN rn * 10 >= n THEN cents END) AS lo,
+           MIN(CASE WHEN rn * 10 >= 9 * n THEN cents END) AS hi
+    FROM ranked GROUP BY event_type
+)
+SELECT r.event_type,
+       COUNT(*)::BIGINT AS n,
+       b.lo::BIGINT AS lo_cents,
+       b.hi::BIGINT AS hi_cents,
+       ((SUM(LEAST(GREATEST(r.cents, b.lo), b.hi)) * 1000000)
+            // COUNT(*))::BIGINT AS winsorized_mean_ppm
+FROM ranked r JOIN bounds b ON b.event_type = r.event_type
+GROUP BY r.event_type, b.lo, b.hi
+""",
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type — the robust-location cousin of
+    the trimmed mean that CLAMPS the tails to the p10/p90 boundary
+    values instead of dropping them (keeps n, bounds influence; the
+    estimator of choice when sample size itself matters). Boundaries
+    come off the same cross-multiplied integer rank rule as the
+    trimmed mean; the clamp is a zero-shuffle projection and the
+    boundary table (≤ |types| rows) broadcasts back. Completes the
+    robust-statistics trio: trimmed mean, MAD fences, winsorized
+    mean."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") * 10 >= F.col("n"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") * 10 >= 9 * F.col("n"), F.col("cents"))
+        ).alias("hi"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "event_type")
+    return clamped.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "(sum(least(greatest(cents, lo), hi)) * 1000000)"
+            " div count(1)"
+        ).alias("winsorized_mean_ppm"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        "winsorized_mean_ppm",
+    )
+
+
+@query(
+    "longest_growth_streak_weeks",
+    # Longest run of consecutive week-over-week revenue increases —
+    # the gaps-and-islands trick on the tiny weekly rollup: up-weeks
+    # marked by lag, islands keyed by week_index − running_up_count.
+    oracle="""
+WITH wk AS (
+    SELECT epoch_us(ts) // 604800000000 AS w,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), flagged AS (
+    SELECT w, cents,
+           CASE WHEN cents > LAG(cents) OVER (ORDER BY w)
+                THEN 1 ELSE 0 END AS up,
+           ROW_NUMBER() OVER (ORDER BY w) AS i
+    FROM wk
+), isl AS (
+    SELECT w, up,
+           i - SUM(up) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+               AS island
+    FROM flagged
+), runs AS (
+    SELECT island, COUNT(*)::BIGINT AS len,
+           MIN(w)::BIGINT AS from_w, MAX(w)::BIGINT AS to_w
+    FROM isl WHERE up = 1 GROUP BY island
+)
+SELECT COALESCE(MAX(len), 0)::BIGINT AS longest_streak,
+       MIN(CASE WHEN len = (SELECT MAX(len) FROM runs) THEN from_w END
+       )::BIGINT AS streak_from_week,
+       MIN(CASE WHEN len = (SELECT MAX(len) FROM runs) THEN to_w END
+       )::BIGINT AS streak_to_week,
+       (SELECT COUNT(*) FROM wk)::BIGINT AS n_weeks
+FROM runs
+""",
+)
+def q_growth_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive week-over-week revenue growth streak (with
+    its week span) — the 'N straight weeks of growth' line in every
+    earnings narrative, computed by the gaps-and-islands trick over
+    the WEEKLY rollup: up-weeks flagged by lag, runs keyed by
+    week_index minus the running up-count. The windows walk ≤ a few
+    hundred week rows by design (single-partition, the weekly-KPI
+    trade); events collapse map-side first."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.expr("unix_micros(ts) div 604800000000").alias("w"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    wo = Window.orderBy("w")
+    flagged = wk.select(
+        "w",
+        F.when(
+            F.col("cents") > F.lag("cents").over(wo), 1
+        ).otherwise(0).alias("up"),
+        F.row_number().over(wo).alias("i"),
+    )
+    isl = flagged.select(
+        "w",
+        "up",
+        (
+            F.col("i")
+            - F.sum("up").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("island"),
+    )
+    runs = (
+        isl.where(F.col("up") == 1)
+        .groupBy("island")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("w").alias("from_w"),
+            F.max("w").alias("to_w"),
+        )
+    )
+    n_weeks = wk.agg(F.count(F.lit(1)).alias("n_weeks"))
+    # struct-max picks (max len, then min from_w); runs are disjoint,
+    # so the carried to_w matches the oracle's MIN-among-max-len.
+    # agg-over-empty yields one NULL row, keeping the no-up-week case
+    # consistent with the oracle's COALESCE/NULL output.
+    pick = runs.agg(
+        F.max(
+            F.struct(
+                F.col("len"),
+                (-F.col("from_w")).alias("neg_from"),
+                F.col("to_w"),
+            )
+        ).alias("p")
+    )
+    return pick.crossJoin(F.broadcast(n_weeks)).select(
+        F.coalesce(F.col("p.len"), F.lit(0)).alias("longest_streak"),
+        (-F.col("p.neg_from")).alias("streak_from_week"),
+        F.col("p.to_w").alias("streak_to_week"),
+        "n_weeks",
+    )

@@ -3782,3 +3782,98 @@ def q_ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(count(a_vec_id) * 1000000) div count(1)"
         ).alias("recall_ppm"),
     )
+
+
+@query(
+    "ngram_containment_pairs",
+    # ASYMMETRIC near-duplication: containment(A→B) = |grams(A) ∩
+    # grams(B)| / |grams(A)| — catches quote-inclusion and
+    # excerpt-of relationships that symmetric Jaccard dilutes (a
+    # short doc fully inside a long one has low Jaccard but
+    # containment 1). Promiscuous grams (> 50 docs) drop BEFORE the
+    # pair join; pairs emit in both directions; threshold ≥ 50%.
+    oracle="""
+WITH g AS (
+    SELECT doc_id, ('0x' || substring(md5(x.g), 1, 15))::BIGINT AS gh
+    FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+            i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+        ))) AS g
+        FROM documents
+    ) x
+), sizes AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_grams FROM g GROUP BY doc_id
+), kept AS (
+    SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= 50
+), shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared
+    FROM g a
+    JOIN kept k ON k.gh = a.gh
+    JOIN g b ON b.gh = a.gh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), directed AS (
+    SELECT doc_a AS doc_id, doc_b AS container_id, shared FROM shared
+    UNION ALL
+    SELECT doc_b, doc_a, shared FROM shared
+)
+SELECT d.doc_id, d.container_id, s.n_grams, d.shared,
+       ((d.shared * 1000000) // s.n_grams)::BIGINT AS containment_ppm
+FROM directed d JOIN sizes s ON s.doc_id = d.doc_id
+WHERE s.n_grams >= 3
+  AND (d.shared * 1000000) // s.n_grams >= 500000
+""",
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — the near-dup relation
+    symmetric Jaccard systematically MISSES: a short document fully
+    quoted inside a long one has Jaccard |A|/|B| (small) but
+    containment(A→B) = 1. This is the excerpt/quotation detector a
+    dedup policy needs alongside MinHash (Broder's original pair:
+    resemblance AND containment). Scale shape mirrors the
+    cross-source matrix: per-doc DISTINCT gram hashes, promiscuous
+    grams (boilerplate, > 50 docs) dropped BEFORE the gram-keyed
+    equi-join, shared counts per pair, then one broadcast size join
+    turns counts into ordered containment ppm — never an all-pairs
+    doc join. At production scale the gram join narrows to the LSH
+    band candidates already gated."""
+    d = _docs(spark, sf_dir)
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), 5))
+        ).alias("_g"),
+    ).select("doc_id", hash64(F.col("_g")).alias("gh"))
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    kept = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= 50
+    ).select("gh")
+    a = g.select(F.col("doc_id").alias("doc_a"), "gh").join(kept, "gh")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    directed = shared.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("container_id"),
+        "shared",
+    ).unionAll(
+        shared.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("container_id"),
+            "shared",
+        )
+    )
+    scored = directed.join(F.broadcast(sizes), "doc_id").select(
+        "doc_id",
+        "container_id",
+        "n_grams",
+        "shared",
+        F.expr("(shared * 1000000) div n_grams").alias("containment_ppm"),
+    )
+    return scored.where(
+        (F.col("n_grams") >= 3) & (F.col("containment_ppm") >= 500000)
+    )
