@@ -188,6 +188,8 @@ _REGISTERED_R06 = frozenset(
         "winsorized_mean_by_type",
         "longest_growth_streak_weeks",
         "ngram_containment_pairs",
+        "fulfillment_latency_sla",
+        "post_signup_next_actions",
     }
 )
 

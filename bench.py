@@ -204,6 +204,8 @@ HEADLINE = [
     "winsorized_mean_by_type",
     "longest_growth_streak_weeks",
     "ngram_containment_pairs",
+    "fulfillment_latency_sla",
+    "post_signup_next_actions",
 ]
 
 

@@ -92,3 +92,56 @@ def test_containment_asymmetry(spark, tmp_path):
         (1, 2): (3, 3, 1_000_000),
         (2, 1): (5, 3, 600_000),
     }
+
+
+def test_fulfillment_sla_negative_and_median(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    _write(
+        spark, tmp_path, "orders",
+        [(1, 1, "O", 1.0, t0, "1-URGENT"),
+         (2, 1, "O", 1.0, t0, "1-URGENT"),
+         (3, 1, "O", 1.0, t0, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    # order 1: ships day 10 (first of 10/40); order 2: day 50 (miss);
+    # order 3: day −5 (data-quality negative). median latency = 10.
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0 + dt.timedelta(days=10)),
+        (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0 + dt.timedelta(days=40)),
+        (2, 1, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", t0 + dt.timedelta(days=50)),
+        (3, 1, 1, 4, 1.0, 1.0, 0.0, 0.0, "N", "O", t0 - dt.timedelta(days=5)),
+    ]
+    _write(spark, tmp_path, "lineitem", li, li_schema)
+    (r,) = QUERIES["fulfillment_latency_sla"](spark, str(tmp_path)).collect()
+    assert (r["n_orders"], r["n_negative"], r["n_within_30d"]) == (3, 1, 1)
+    assert r["sla_ppm"] == 333_333
+    assert r["p50_latency_days"] == 10
+
+
+def test_post_signup_none_bucket(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # signup → view 1 min later (counts as 'view')
+        (1, t, 1, "signup", 0.0, "{}"),
+        (2, t + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+        # signup then nothing for 2 h → NONE
+        (3, t, 2, "signup", 0.0, "{}"),
+        (4, t + dt.timedelta(hours=2), 2, "view", 0.0, "{}"),
+        # signup as the user's last event ever → NONE
+        (5, t, 3, "signup", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["next_type"]: (r["n"], r["share_ppm"])
+        for r in QUERIES["post_signup_next_actions"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"view": (1, 333_333), "NONE": (2, 666_666)}

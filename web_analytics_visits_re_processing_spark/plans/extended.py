@@ -3145,3 +3145,101 @@ def q_growth_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.to_w").alias("streak_to_week"),
         "n_weeks",
     )
+
+
+@query(
+    "fulfillment_latency_sla",
+    # Order-to-first-ship latency per priority: SLA attainment
+    # (0..30 days) in ppm, negative latencies surfaced as a
+    # data-quality count (ship before order — the FK-audit spirit),
+    # and the median latency via the cumulative-histogram rank rule.
+    oracle="""
+WITH per_order AS (
+    SELECT o.o_orderpriority,
+           (MIN(CAST(l.l_shipdate AS DATE))
+                - CAST(o.o_orderdate AS DATE))::BIGINT AS lat
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+), cells AS (
+    SELECT o_orderpriority, lat, COUNT(*)::BIGINT AS c
+    FROM per_order GROUP BY 1, 2
+), cum AS (
+    SELECT o_orderpriority, lat, c,
+           SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat
+                        ROWS UNBOUNDED PRECEDING) AS run,
+           SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+    FROM cells
+)
+SELECT o_orderpriority,
+       MAX(n)::BIGINT AS n_orders,
+       SUM(CASE WHEN lat < 0 THEN c ELSE 0 END)::BIGINT AS n_negative,
+       SUM(CASE WHEN lat BETWEEN 0 AND 30 THEN c ELSE 0 END)::BIGINT
+           AS n_within_30d,
+       ((SUM(CASE WHEN lat BETWEEN 0 AND 30 THEN c ELSE 0 END) * 1000000)
+            // MAX(n))::BIGINT AS sla_ppm,
+       MIN(CASE WHEN run * 2 >= n THEN lat END)::BIGINT AS p50_latency_days
+FROM cum GROUP BY o_orderpriority
+""",
+)
+def q_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA report: order-to-first-ship latency per
+    priority class — attainment of the 30-day window in ppm, the
+    median latency off the cumulative-histogram integer rank rule,
+    and ship-before-order rows surfaced as an explicit data-quality
+    count instead of silently polluting the median (the referential-
+    integrity-audit spirit applied to time). The order-grain collapse
+    (min shipdate) rides the order-keyed join exchange; latencies
+    then compress to (priority, latency-day) cells map-side, so every
+    window walks a bounded day domain, never orders."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(
+            o.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderpriority",
+                "o_orderdate",
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min(F.to_date("l_shipdate")).alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("first_ship", F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("lat"),
+        )
+    )
+    cells = per_order.groupBy("o_orderpriority", "lat").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("o_orderpriority").orderBy("lat").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    cum = cells.select(
+        "o_orderpriority",
+        "lat",
+        "c",
+        F.sum("c").over(wc).alias("run"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.sum(F.when(F.col("lat") < 0, F.col("c")).otherwise(0)).alias(
+            "n_negative"
+        ),
+        F.sum(
+            F.when(F.col("lat").between(0, 30), F.col("c")).otherwise(0)
+        ).alias("n_within_30d"),
+        F.expr(
+            "(sum(case when lat between 0 and 30 then c else 0 end)"
+            " * 1000000) div max(n)"
+        ).alias("sla_ppm"),
+        F.min(
+            F.when(F.col("run") * 2 >= F.col("n"), F.col("lat"))
+        ).alias("p50_latency_days"),
+    )

@@ -3127,3 +3127,62 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cum_cents").alias("total_cum_cents"),
         F.expr("sum(cum_cents) div count(1)").alias("mean_cum_cents"),
     )
+
+
+@query(
+    "post_signup_next_actions",
+    # Where users go right after signing up: the next same-session
+    # event's type (30-min gap rule), with session-enders bucketed as
+    # NONE — the drop-off destination table onboarding teams read.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap_us
+    FROM events
+), s AS (
+    SELECT CASE WHEN gap_us IS NULL OR gap_us > {GAP_US} THEN 'NONE'
+                ELSE nxt END AS next_type
+    FROM seq WHERE event_type = 'signup'
+)
+SELECT next_type,
+       COUNT(*)::BIGINT AS n,
+       ((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER ())::BIGINT
+           AS share_ppm
+FROM s GROUP BY next_type
+""",
+)
+def q_post_signup_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-signup next-action distribution — the onboarding funnel's
+    first fork: for every signup, what the user did NEXT in the same
+    session (30-min gap), with immediate drop-offs surfaced as an
+    explicit NONE bucket rather than silently missing (absence is the
+    most important row in this table). One lead window on the shared
+    user exchange; the signup filter prunes before the final ≤6-row
+    rollup; the share window runs over that rollup."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(wu).alias("nxt"),
+        (
+            F.lead(F.unix_micros("ts")).over(wu) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    )
+    s = seq.where(F.col("event_type") == "signup").select(
+        F.when(
+            F.col("gap_us").isNull() | (F.col("gap_us") > GAP_US), "NONE"
+        )
+        .otherwise(F.col("nxt"))
+        .alias("next_type")
+    )
+    return s.groupBy("next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "next_type",
+        "n",
+        F.expr("(n * 1000000) div sum(n) over ()").alias("share_ppm"),
+    )
