@@ -3623,9 +3623,9 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids, ranked closest-first.
     oracle="""
 WITH q AS (
-    SELECT label, u.d, FLOOR(u.e * 1000000)::BIGINT AS qv
+    SELECT label, u.d, FLOOR(u.e::DOUBLE * 1000000)::BIGINT AS qv
     FROM embeddings,
-         LATERAL (SELECT unnest(embedding) AS e,
+         LATERAL (SELECT unnest(embedding::DOUBLE[]) AS e,
                          generate_subscripts(embedding, 1) AS d) u
 ), cent AS (
     SELECT label, d, (SUM(qv) // COUNT(*))::BIGINT AS m
