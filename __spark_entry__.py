@@ -190,6 +190,8 @@ _REGISTERED_R06 = frozenset(
         "ngram_containment_pairs",
         "fulfillment_latency_sla",
         "post_signup_next_actions",
+        "ann_label_filtered_topk",
+        "rrf_multi_query_fusion",
     }
 )
 

@@ -206,6 +206,8 @@ HEADLINE = [
     "ngram_containment_pairs",
     "fulfillment_latency_sla",
     "post_signup_next_actions",
+    "ann_label_filtered_topk",
+    "rrf_multi_query_fusion",
 ]
 
 

@@ -3877,3 +3877,138 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(
         (F.col("n_grams") >= 3) & (F.col("containment_ppm") >= 500000)
     )
+
+
+@query(
+    "ann_label_filtered_topk",
+    # Filtered vector search: top-3 neighbors CONSTRAINED to the
+    # query's own label, with the filter applied BEFORE scoring
+    # (pre-filter) — the semantics every vector DB exposes as
+    # metadata filtering. Post-filtering an unconstrained top-k
+    # under-fills when the filter is selective; pre-filter + rank is
+    # the correct-by-construction form.
+    oracle="""
+SELECT query_id, vec_id, label, cos, rk FROM (
+    SELECT q.vec_id AS query_id, c.vec_id, c.label,
+           ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 4) AS cos,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                            q.embedding::DOUBLE[],
+                            c.embedding::DOUBLE[]), 4) DESC,
+                        c.vec_id) AS rk
+    FROM embeddings q JOIN embeddings c
+      ON c.label = q.label AND q.vec_id != c.vec_id
+    WHERE q.vec_id < 10
+) WHERE rk <= 3
+""",
+)
+def q_ann_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: each query vector's top-3
+    neighbors AMONG ITS OWN LABEL only — the filter every production
+    vector store bolts onto ANN (tenant, language, license). The
+    design axis this pins: PRE-filtering (constrain, then rank)
+    versus post-filtering an unconstrained top-k, which silently
+    under-fills when the filter is selective — here the label
+    predicate rides the broadcast-query join itself, so correctness
+    is by construction and the corpus still never shuffles. At scale
+    the same predicate pushes into the IVF/LSH candidate probes
+    (partition-per-label layouts make it a partition-pruned scan)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("_qvec"),
+    )
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine,
+    )
+
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("label") == F.col("q_label"))
+            & (F.col("query_id") != F.col("vec_id"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("_qvec"), F.col("embedding")), 4).alias(
+                "cos"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "label", "cos", "rk")
+    )
+
+
+@query(
+    "rrf_multi_query_fusion",
+    # Reciprocal-rank fusion of two retrieval rankings (query vectors
+    # 0 and 1) with the float 1/(60+r) replaced by the monotone
+    # integer surrogate 1e6 div (60+r), summed over lists — the
+    # hybrid-search / query-expansion fusion rule (RRF, Cormack et
+    # al. 2009), fully SQL-replayable. Candidates = each list's
+    # top-50; final top-10 by fused score.
+    oracle="""
+WITH ranked AS (
+    SELECT q.vec_id AS qid, c.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                            q.embedding::DOUBLE[],
+                            c.embedding::DOUBLE[]), 4) DESC,
+                        c.vec_id) AS rk
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id IN (0, 1)
+), top AS (
+    SELECT * FROM ranked WHERE rk <= 50
+), fused AS (
+    SELECT vec_id,
+           COUNT(*)::BIGINT AS n_lists,
+           SUM(1000000 // (60 + rk))::BIGINT AS rrf_e6
+    FROM top GROUP BY vec_id
+)
+SELECT vec_id, n_lists, rrf_e6,
+       ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, vec_id) AS fused_rank
+FROM fused
+ORDER BY fused_rank LIMIT 10
+""",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the rule behind
+    every hybrid search stack (BM25 + vectors) and multi-query
+    retrieval: each ranked list votes 1/(60+rank) for its members,
+    votes add, ties broken by id. The float vote becomes the monotone
+    integer surrogate 1e6 div (60+rank), so the fused ranking replays
+    bit-for-bit. Here the two lists are query vectors 0 and 1's
+    cosine top-50 (query-expansion fusion); swapping one list for
+    the gated BM25 ranking changes nothing structurally. Scale shape:
+    both rankings share one broadcast-query corpus scan; fusion
+    touches 2×50 rows; final top-10 via TakeOrdered."""
+    emb = _emb(spark, sf_dir)
+    top = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id").isin(0, 1)), k=50
+    )
+    fused = top.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum(F.expr("1000000 div (60 + rk)")).alias("rrf_e6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_e6").desc(), "vec_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .orderBy("fused_rank")
+        .limit(10)
+    )
