@@ -208,6 +208,8 @@ HEADLINE = [
     "post_signup_next_actions",
     "ann_label_filtered_topk",
     "rrf_multi_query_fusion",
+    "join_fanout_audit",
+    "signup_to_purchase_latency",
 ]
 
 

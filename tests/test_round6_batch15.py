@@ -145,3 +145,59 @@ def test_post_signup_none_bucket(spark, tmp_path):
         ).collect()
     }
     assert got == {"view": (1, 333_333), "NONE": (2, 666_666)}
+
+
+def test_join_fanout_hot_key(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    # customer->orders: cust 1 has 8 orders, custs 2..4 have 1 each
+    # (mean 11/4 → hot rule: c·4 > 2·11 ⇒ c > 5.5 ⇒ only cust 1).
+    orders = [(i, 1, "O", 1.0, t0, "1-URGENT") for i in range(8)]
+    orders += [(10 + j, 1 + j, "O", 1.0, t0, "1-URGENT") for j in range(1, 4)]
+    _write(
+        spark, tmp_path, "orders", orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    _write(
+        spark, tmp_path, "lineitem",
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+         (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0)],
+        li_schema,
+    )
+    got = {
+        r["edge"]: (r["n_keys"], r["n_rows"], r["max_fanout"], r["n_hot_keys"])
+        for r in QUERIES["join_fanout_audit"](spark, str(tmp_path)).collect()
+    }
+    assert got["customer->orders"] == (4, 11, 8, 1)
+    assert got["orders->lineitem"] == (1, 2, 2, 0)
+
+
+def test_signup_purchase_latency_rules(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # u1: signup, purchase 10 min later.
+        (1, t, 1, "signup", 0.0, "{}"),
+        (2, t + dt.timedelta(minutes=10), 1, "purchase", 0.0, "{}"),
+        # u2: purchase BEFORE signup only → not converted.
+        (3, t, 2, "signup", 0.0, "{}"),
+        (4, t - dt.timedelta(minutes=5), 2, "purchase", 0.0, "{}"),
+        # u3: signup, purchase 30 min later.
+        (5, t, 3, "signup", 0.0, "{}"),
+        (6, t + dt.timedelta(minutes=30), 3, "purchase", 0.0, "{}"),
+        # u4: signup only.
+        (7, t, 4, "signup", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["signup_to_purchase_latency"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_signup_users"], r["n_converted"], r["n_not_converted"]) == (
+        4, 2, 2,
+    )
+    assert (r["p50_min"], r["p90_min"]) == (10, 30)

@@ -3243,3 +3243,79 @@ def q_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("run") * 2 >= F.col("n"), F.col("lat"))
         ).alias("p50_latency_days"),
     )
+
+
+@query(
+    "join_fanout_audit",
+    # Join-amplification audit over the star schema's FK edges: per
+    # edge, match-side row counts per key → max fan-out, the
+    # amplification ratio in ppm (output rows per probe row), and
+    # keys exceeding 2x the mean — the pre-join explosion check.
+    oracle="""
+WITH co AS (
+    SELECT o_custkey AS k, COUNT(*)::BIGINT AS c FROM orders GROUP BY 1
+), ol AS (
+    SELECT l_orderkey AS k, COUNT(*)::BIGINT AS c FROM lineitem GROUP BY 1
+), pl AS (
+    SELECT l_partkey AS k, COUNT(*)::BIGINT AS c FROM lineitem GROUP BY 1
+), u AS (
+    SELECT 'customer->orders' AS edge, k, c FROM co
+    UNION ALL SELECT 'orders->lineitem', k, c FROM ol
+    UNION ALL SELECT 'part->lineitem', k, c FROM pl
+), st AS (
+    SELECT edge, c,
+           COUNT(*) OVER (PARTITION BY edge) AS nk,
+           SUM(c) OVER (PARTITION BY edge) AS sc
+    FROM u
+)
+SELECT edge,
+       MAX(nk)::BIGINT AS n_keys,
+       MAX(sc)::BIGINT AS n_rows,
+       MAX(c)::BIGINT AS max_fanout,
+       ((MAX(sc) * 1000000) // MAX(nk))::BIGINT AS mean_fanout_ppm,
+       SUM(CASE WHEN c * nk > 2 * sc THEN 1 ELSE 0 END)::BIGINT
+           AS n_hot_keys
+FROM st GROUP BY edge
+""",
+)
+def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-amplification audit — the number you check BEFORE running
+    a fact-fact join at 100 TB: for each star-schema FK edge, the
+    per-key match cardinality's max (the whale), mean (integer ppm)
+    and the count of keys fanning out past 2× the mean (the
+    cross-multiplied hot-key rule: c·n_keys > 2·Σc — no float mean
+    exists). A max_fanout in the millions on one key is the signal to
+    salt (`salted_skew_join_segments`) or pre-aggregate; this audit
+    costs three map-side-combined groupBys and a ≤3-row rollup.
+    Companion to `key_skew_profile` (which profiles shuffle keys;
+    this profiles JOIN match sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    co = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).select(F.lit("customer->orders").alias("edge"), "k", "c")
+    ol = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).select(F.lit("orders->lineitem").alias("edge"), "k", "c")
+    pl = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).select(F.lit("part->lineitem").alias("edge"), "k", "c")
+    u = co.unionAll(ol).unionAll(pl)
+    from pyspark.sql import Window
+
+    we = Window.partitionBy("edge")
+    stats = u.select(
+        "edge",
+        "c",
+        F.count(F.lit(1)).over(we).alias("nk"),
+        F.sum("c").over(we).alias("sc"),
+    )
+    return stats.groupBy("edge").agg(
+        F.max("nk").alias("n_keys"),
+        F.max("sc").alias("n_rows"),
+        F.max("c").alias("max_fanout"),
+        F.expr("(max(sc) * 1000000) div max(nk)").alias("mean_fanout_ppm"),
+        F.sum(
+            F.when(F.col("c") * F.col("nk") > 2 * F.col("sc"), 1).otherwise(0)
+        ).alias("n_hot_keys"),
+    )

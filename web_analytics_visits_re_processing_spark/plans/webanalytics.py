@@ -3186,3 +3186,103 @@ def q_post_signup_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(n * 1000000) div sum(n) over ()").alias("share_ppm"),
     )
+
+
+@query(
+    "signup_to_purchase_latency",
+    # Activation latency: per user, minutes from FIRST signup to the
+    # first purchase at-or-after it; p50/p90 via the cumulative-
+    # histogram integer rank rule over minute bins, plus the
+    # never-converted count — the activation funnel's time axis.
+    oracle="""
+WITH s AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS s_us
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+    SELECT s.user_id,
+           MIN(CASE WHEN epoch_us(e.ts) >= s.s_us
+                    THEN epoch_us(e.ts) END) AS p_us,
+           MAX(s.s_us) AS s_us
+    FROM s JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase'
+    GROUP BY s.user_id
+), lat AS (
+    SELECT (p_us - s_us) // 60000000 AS lat_min
+    FROM p WHERE p_us IS NOT NULL
+), cells AS (
+    SELECT lat_min, COUNT(*)::BIGINT AS c FROM lat GROUP BY lat_min
+), cum AS (
+    SELECT lat_min, c,
+           SUM(c) OVER (ORDER BY lat_min ROWS UNBOUNDED PRECEDING) AS run,
+           SUM(c) OVER () AS n
+    FROM cells
+)
+SELECT (SELECT COUNT(*) FROM s)::BIGINT AS n_signup_users,
+       MAX(n)::BIGINT AS n_converted,
+       ((SELECT COUNT(*) FROM s) - MAX(n))::BIGINT AS n_not_converted,
+       MIN(CASE WHEN run * 2 >= n THEN lat_min END)::BIGINT AS p50_min,
+       MIN(CASE WHEN run * 10 >= 9 * n THEN lat_min END)::BIGINT AS p90_min
+FROM cum
+""",
+)
+def q_signup_to_purchase_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activation latency — how long from a user's FIRST signup to
+    their first purchase after it, the time axis of the activation
+    funnel (p50/p90 in minutes via the cumulative-histogram integer
+    rank rule, never-converted users counted, not dropped silently).
+    Scale shape: the signup min and the conditional purchase min both
+    collapse on the user exchange; latencies then compress to minute
+    bins map-side, so the percentile windows walk the bin domain.
+    Complements `conversion_latency_histogram` (per-conversion within
+    sessions) with the per-USER lifetime view."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    p = (
+        s.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.unix_micros("ts").alias("p_raw")
+            ),
+            "user_id",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("p_raw") >= F.col("s_us"), F.col("p_raw"))
+            ).alias("p_us"),
+            F.max("s_us").alias("s_us"),
+        )
+    )
+    lat = p.where(F.col("p_us").isNotNull()).select(
+        F.expr("(p_us - s_us) div 60000000").alias("lat_min")
+    )
+    cells = lat.groupBy("lat_min").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("lat_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "lat_min",
+        F.sum("c").over(wc).alias("run"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    n_signups = s.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    return (
+        cum.crossJoin(F.broadcast(n_signups))
+        .agg(
+            F.max("n_signup_users").alias("n_signup_users"),
+            F.max("n").alias("n_converted"),
+            (F.max("n_signup_users") - F.max("n")).alias("n_not_converted"),
+            F.min(
+                F.when(F.col("run") * 2 >= F.col("n"), F.col("lat_min"))
+            ).alias("p50_min"),
+            F.min(
+                F.when(F.col("run") * 10 >= 9 * F.col("n"), F.col("lat_min"))
+            ).alias("p90_min"),
+        )
+    )
