@@ -210,6 +210,9 @@ HEADLINE = [
     "rrf_multi_query_fusion",
     "join_fanout_audit",
     "signup_to_purchase_latency",
+    "dau_mau_stickiness",
+    "event_debounce_keep_last",
+    "stratified_kfold_assignment",
 ]
 
 

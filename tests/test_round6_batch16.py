@@ -1,0 +1,74 @@
+"""Planted-case tests: stickiness arithmetic, debounce suppression
+counts, exact k-fold balance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def test_dau_mau_stickiness_window(spark, tmp_path):
+    # Users 1,2 active day 1; only user 1 active day 2 →
+    # day2: DAU 1, MAU 2, stickiness 500000.
+    d1, d2 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    rows = [
+        (1, d1, 1, "view", 0.0, "{}"),
+        (2, d1, 2, "view", 0.0, "{}"),
+        (3, d2, 1, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["day"]: (r["dau"], r["mau"], r["stickiness_ppm"])
+        for r in QUERIES["dau_mau_stickiness"](spark, str(tmp_path)).collect()
+    }
+    assert got["2024-01-01"] == (2, 2, 1_000_000)
+    assert got["2024-01-02"] == (1, 2, 500_000)
+
+
+def test_debounce_suppression(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12, 0)
+    rows = [
+        # user 1: 3 views in one minute → keep 1, suppress 2.
+        (1, t, 1, "view", 0.0, "{}"),
+        (2, t + dt.timedelta(seconds=10), 1, "view", 0.0, "{}"),
+        (3, t + dt.timedelta(seconds=50), 1, "view", 0.0, "{}"),
+        # next minute → separate bucket, nothing suppressed.
+        (4, t + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["event_debounce_keep_last"](spark, str(tmp_path)).collect()
+    assert (r["n_kept"], r["n_suppressed"], r["suppressed_ppm"]) == (
+        2, 2, 500_000,
+    )
+
+
+def test_kfold_exact_balance(spark, tmp_path):
+    # 12 vectors of label 0, 3 of label 1: per-label fold sizes must
+    # differ by at most one (12 → 3,3,2,2,2; 3 → 1,1,1,0,0).
+    rows = [(i, [float(i), 0.0], 0) for i in range(12)]
+    rows += [(100 + i, [0.0, float(i)], 1) for i in range(3)]
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = QUERIES["stratified_kfold_assignment"](
+        spark, str(tmp_path)
+    ).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], {})[r["fold"]] = r["n"]
+    assert sorted(by_label[0].values(), reverse=True) == [3, 3, 2, 2, 2]
+    assert sorted(by_label[1].values(), reverse=True) == [1, 1, 1]
+    assert sum(by_label[0].values()) == 12 and sum(by_label[1].values()) == 3

@@ -4012,3 +4012,57 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fused_rank")
         .limit(10)
     )
+
+
+@query(
+    "stratified_kfold_assignment",
+    # Deterministic stratified 5-fold CV assignment: fold =
+    # portable_hash(vec_id) mod 5 WITHIN each label stratum via the
+    # rank trick (row_number over hash order, mod 5) so folds are
+    # EXACTLY balanced per label (hash-mod alone only balances in
+    # expectation); audit = per (label, fold) counts.
+    oracle="""
+WITH ranked AS (
+    SELECT label, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                           1, 15))::BIGINT,
+                        vec_id) AS rn
+    FROM embeddings
+)
+SELECT label,
+       ((rn - 1) % 5)::BIGINT AS fold,
+       COUNT(*)::BIGINT AS n,
+       MIN(vec_id)::BIGINT AS min_vec_id
+FROM ranked GROUP BY 1, 2
+""",
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment — deterministic,
+    seedless and EXACTLY balanced: within each label stratum, rows
+    rank by their portable 60-bit hash (a reproducible shuffle) and
+    folds deal out round-robin, so every (label, fold) cell differs
+    by at most one row — the guarantee raw hash-mod assignment only
+    gives in expectation, and the one that matters when a small
+    class meets 5 folds. Re-runs reproduce identical folds on
+    identical data (the weighted-sample/PPS lesson: no RNG, exact
+    SQL replay). One label-keyed exchange; the audit rollup is
+    |labels|×5 rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wr = Window.partitionBy("label").orderBy(
+        hash64(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.groupBy(
+        "label", ((F.col("rn") - 1) % 5).cast("long").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

@@ -3286,3 +3286,100 @@ def q_signup_to_purchase_latency(
             ).alias("p90_min"),
         )
     )
+
+
+@query(
+    "dau_mau_stickiness",
+    # DAU / trailing-28-day MAU per day, stickiness in ppm — the
+    # engagement-frequency headline. Same day-grid shape as the WAU
+    # query; the raw stream is never range-joined.
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), g AS (SELECT DISTINCT d FROM ud)
+SELECT strftime(g.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT CASE WHEN u.d = g.d THEN u.user_id END)::BIGINT AS dau,
+       COUNT(DISTINCT u.user_id)::BIGINT AS mau,
+       ((COUNT(DISTINCT CASE WHEN u.d = g.d THEN u.user_id END) * 1000000)
+            // COUNT(DISTINCT u.user_id))::BIGINT AS stickiness_ppm
+FROM g JOIN ud u ON u.d <= g.d AND u.d >= g.d - 27
+GROUP BY g.d
+""",
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (integer ppm) — the engagement
+    frequency metric boards track (1e6 = every monthly user shows up
+    daily). MAU is a trailing-28-day rolling DISTINCT, the thing
+    `COUNT(DISTINCT) OVER RANGE` cannot express — so the WAU query's
+    shape applies: events collapse once to distinct (user, day), the
+    day grid broadcasts, each user-day fans to ≤28 grid days, and
+    the per-day distincts aggregate. The raw event stream is never
+    range-joined; the fan-out is 28 rows per user-day, independent
+    of event volume."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select(F.col("d").alias("g")).distinct()
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("g"))
+            & (F.col("d") >= F.date_sub(F.col("g"), 27)),
+        )
+        .groupBy("g")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("d") == F.col("g"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+        .select(
+            F.date_format("g", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("(dau * 1000000) div mau").alias("stickiness_ppm"),
+        )
+    )
+
+
+@query(
+    "event_debounce_keep_last",
+    # Debouncing: keep only the LAST event per (user, type, minute
+    # bucket) — the telemetry-thinning rule upstream collectors apply;
+    # report kept/suppressed totals per type so the data loss is
+    # explicit. Keeper = max (ts, event_id) in the bucket.
+    oracle="""
+WITH b AS (
+    SELECT event_type, user_id, epoch_us(ts) // 60000000 AS minute,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_kept,
+       SUM(n - 1)::BIGINT AS n_suppressed,
+       ((SUM(n - 1) * 1000000) // SUM(n))::BIGINT AS suppressed_ppm
+FROM b GROUP BY event_type
+""",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce audit: collapsing to the LAST event per (user, type,
+    minute) — the thinning rule ingest pipelines apply to chatty
+    clients — and the per-type suppression cost it would incur, so
+    the data-loss decision is made on numbers, not vibes. The keeper
+    choice (max (ts, event_id) per bucket) is deterministic; the
+    audit itself needs only bucket COUNTS, so it's one two-level
+    map-side-combined aggregate — the full debounced table, when
+    materialized, is the same groupBy with max_by(struct) instead of
+    count."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n") - 1).alias("n_suppressed"),
+        F.expr(
+            "(sum(n - 1) * 1000000) div sum(n)"
+        ).alias("suppressed_ppm"),
+    )
