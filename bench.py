@@ -213,6 +213,9 @@ HEADLINE = [
     "dau_mau_stickiness",
     "event_debounce_keep_last",
     "stratified_kfold_assignment",
+    "cohort_revenue_matrix",
+    "new_customer_revenue_share_monthly",
+    "seasonal_adjusted_anomalies",
 ]
 
 

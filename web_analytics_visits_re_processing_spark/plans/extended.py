@@ -3319,3 +3319,131 @@ def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c") * F.col("nk") > 2 * F.col("sc"), 1).otherwise(0)
         ).alias("n_hot_keys"),
     )
+
+
+@query(
+    "cohort_revenue_matrix",
+    # Revenue cohort analysis on ORDERS: customers grouped by
+    # first-order month, revenue tracked by months-since-first
+    # (offsets 0-5), each cell's retention vs the cohort's month-0
+    # revenue in ppm — the net-revenue-retention readout.
+    oracle="""
+WITH fo AS (
+    SELECT o_custkey,
+           MIN((EXTRACT(year FROM o_orderdate) * 12
+                + EXTRACT(month FROM o_orderdate))::BIGINT) AS m0
+    FROM orders GROUP BY o_custkey
+), cells AS (
+    SELECT fo.m0 AS cohort_month,
+           ((EXTRACT(year FROM o.o_orderdate) * 12
+             + EXTRACT(month FROM o.o_orderdate))::BIGINT - fo.m0)
+               AS offset_m,
+           SUM(FLOOR(o.o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+), base AS (
+    SELECT cohort_month, cents AS base_cents FROM cells WHERE offset_m = 0
+)
+SELECT c.cohort_month, c.offset_m, c.cents,
+       ((c.cents * 1000000) // b.base_cents)::BIGINT AS retention_ppm
+FROM cells c JOIN base b ON b.cohort_month = c.cohort_month
+WHERE c.offset_m BETWEEN 0 AND 5
+""",
+)
+def q_cohort_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort matrix (net-revenue-retention view): customers
+    cohorted by first-order month, each cohort's revenue tracked for
+    its first six months as a ppm ratio to month 0 — above 1e6 at
+    offset k means the cohort EXPANDED (the NRR > 100% story).
+    Months are y*12+m integers, no date-diff localism. The
+    first-order month collapses per customer on one exchange; cells
+    aggregate map-side; the month-0 base joins back broadcast (one
+    row per cohort). The user-level sibling is
+    `cohort_retention_weekly`; this is the finance-grade
+    revenue-weighted form."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    fo = o.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    cells = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (m - F.col("m0")).alias("offset_m"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).alias("cents"))
+    )
+    base = cells.where(F.col("offset_m") == 0).select(
+        "cohort_month", F.col("cents").alias("base_cents")
+    )
+    return (
+        cells.where(F.col("offset_m").between(0, 5))
+        .join(F.broadcast(base), "cohort_month")
+        .select(
+            "cohort_month",
+            "offset_m",
+            "cents",
+            F.expr("(cents * 1000000) div base_cents").alias(
+                "retention_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "new_customer_revenue_share_monthly",
+    # Revenue split by customer newness per order month: an order is
+    # 'new revenue' iff it lands in its customer's first-order month.
+    # Shares in ppm; the acquisition-vs-base finance split.
+    oracle="""
+WITH fo AS (
+    SELECT o_custkey,
+           MIN((EXTRACT(year FROM o_orderdate) * 12
+                + EXTRACT(month FROM o_orderdate))::BIGINT) AS m0
+    FROM orders GROUP BY o_custkey
+), tagged AS (
+    SELECT (EXTRACT(year FROM o.o_orderdate) * 12
+            + EXTRACT(month FROM o.o_orderdate))::BIGINT AS m,
+           CASE WHEN (EXTRACT(year FROM o.o_orderdate) * 12
+                      + EXTRACT(month FROM o.o_orderdate))::BIGINT = fo.m0
+                THEN 1 ELSE 0 END AS is_new,
+           FLOOR(o.o_totalprice * 100)::BIGINT AS cents
+    FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+)
+SELECT m AS month_idx,
+       SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END)::BIGINT
+           AS new_cents,
+       SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END)::BIGINT
+           AS existing_cents,
+       ((SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) * 1000000)
+            // SUM(cents))::BIGINT AS new_share_ppm
+FROM tagged GROUP BY m
+""",
+)
+def q_new_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between NEW customers (orders in their
+    customer's first-ever month) and the existing base — the
+    acquisition-dependence metric: a high new-share month looks great
+    until acquisition stalls. One per-customer first-month collapse,
+    the newness tag rides the customer join (AQE-broadcast at the
+    rollup's size), and the monthly split is one map-side-combined
+    conditional aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    fo = o.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    tagged = o.join(fo, "o_custkey").select(
+        m.alias("m"),
+        F.when(m == F.col("m0"), 1).otherwise(0).alias("is_new"),
+        F.floor(F.col("o_totalprice") * 100).alias("cents"),
+    )
+    return tagged.groupBy(F.col("m").alias("month_idx")).agg(
+        F.sum(
+            F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0)
+        ).alias("new_cents"),
+        F.sum(
+            F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0)
+        ).alias("existing_cents"),
+        F.expr(
+            "(sum(case when is_new = 1 then cents else 0 end) * 1000000)"
+            " div sum(cents)"
+        ).alias("new_share_ppm"),
+    )

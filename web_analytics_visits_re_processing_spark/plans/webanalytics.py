@@ -3383,3 +3383,68 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(n - 1) * 1000000) div sum(n)"
         ).alias("suppressed_ppm"),
     )
+
+
+@query(
+    "seasonal_adjusted_anomalies",
+    # Seasonality-aware anomaly flags: each day's revenue compared to
+    # its WEEKDAY's own mean (the dow-seasonality composition) with
+    # the 3-sigma test in cross-multiplied integers per weekday
+    # group: (n·x − S)² > 9·(n·Q − S²) — the plain 3-sigma scan
+    # flags every weekend; this one flags genuine breaks.
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           (isodow(ts) - 1)::BIGINT AS dow,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), stats AS (
+    SELECT dow, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s,
+           SUM(cents * cents)::BIGINT AS q
+    FROM daily GROUP BY dow
+)
+SELECT d.day, d.dow, d.cents,
+       CASE WHEN s.n >= 2 AND
+                 (s.n * d.cents - s.s) * (s.n * d.cents - s.s)
+                     > 9 * (s.n * s.q - s.s * s.s)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM daily d JOIN stats s ON s.dow = d.dow
+""",
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each day's purchase
+    revenue tested at 3 sigma against ITS OWN WEEKDAY's distribution
+    — the fix for the plain 3-sigma scan (`anomaly_daily_revenue`)
+    flagging every weekend as an outlier on weekly-patterned traffic.
+    Zero float math: the test is the cross-multiplied integer form
+    (n·x − S)² > 9(n·Q − S²) per weekday group. Events collapse to
+    ~30 day rows map-side; weekday stats are a 7-row broadcast.
+    Magnitude note: (n·x)² demands headroom — daily cents up to
+    ~1e9 × n≈5 stays in int64 here; at larger scale the square
+    upgrades to decimal(38,0) exactly like the Spearman ratio."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.weekday("ts").cast("long").alias("dow"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    stats = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return daily.join(F.broadcast(stats), "dow").select(
+        "day",
+        "dow",
+        "cents",
+        F.when(
+            (F.col("n") >= 2) & (dev * dev > 9 * var), 1
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
