@@ -200,6 +200,9 @@ _REGISTERED_R06 = frozenset(
         "cohort_revenue_matrix",
         "new_customer_revenue_share_monthly",
         "seasonal_adjusted_anomalies",
+        "embedding_drift_by_label",
+        "session_length_percentiles",
+        "exit_rate_by_type",
     }
 )
 

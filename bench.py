@@ -216,6 +216,9 @@ HEADLINE = [
     "cohort_revenue_matrix",
     "new_customer_revenue_share_monthly",
     "seasonal_adjusted_anomalies",
+    "embedding_drift_by_label",
+    "session_length_percentiles",
+    "exit_rate_by_type",
 ]
 
 

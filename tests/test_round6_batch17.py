@@ -87,3 +87,73 @@ def test_seasonal_anomaly_within_weekday(spark, tmp_path):
     flagged = {r["day"] for r in out if r["is_anomaly"] == 1}
     spike_day = (mon0 + dt.timedelta(weeks=5)).strftime("%Y-%m-%d")
     assert flagged == {spike_day}
+
+
+def test_embedding_drift_zero_and_shift(spark, tmp_path):
+    # Label 0: even and odd batches identical → drift 0. Label 1:
+    # batches at (1,0) vs (0,1) → drift = 2e12 micro².
+    rows = [
+        (0, [0.5, 0.5], 0), (2, [0.5, 0.5], 0),   # even batch
+        (1, [0.5, 0.5], 0), (3, [0.5, 0.5], 0),   # odd batch
+        (10, [1.0, 0.0], 1),                      # even
+        (11, [0.0, 1.0], 1),                      # odd
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r["label"]: (r["n_ref"], r["n_cand"], r["drift2_micro"])
+        for r in QUERIES["embedding_drift_by_label"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] == (2, 2, 0)
+    assert got[1] == (1, 1, 2_000_000_000_000)
+
+
+def test_session_length_percentiles(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = []
+    eid = 0
+    # 10 sessions: five 1-hit, four 2-hit, one 10-hit.
+    for u in range(5):
+        rows.append((eid, t, u, "view", 0.0, "{}")); eid += 1
+    for u in range(5, 9):
+        for j in range(2):
+            rows.append(
+                (eid, t + dt.timedelta(minutes=j), u, "view", 0.0, "{}")
+            ); eid += 1
+    for j in range(10):
+        rows.append(
+            (eid, t + dt.timedelta(minutes=j), 9, "view", 0.0, "{}")
+        ); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["session_length_percentiles"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["n_sessions"], r["n_single_hit"], r["single_hit_ppm"]) == (
+        10, 5, 500_000,
+    )
+    # cum: len1→5, len2→9, len10→10: p50=1, p90=2, p99=10.
+    assert (r["p50_len"], r["p90_len"], r["p99_len"]) == (1, 2, 10)
+
+
+def test_exit_rate_semantics(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # view → purchase (same session): view not exit, purchase exit.
+        (1, t, 1, "view", 0.0, "{}"),
+        (2, t + dt.timedelta(minutes=1), 1, "purchase", 0.0, "{}"),
+        # view then 2 h gap then view: BOTH views exit their sessions.
+        (3, t, 2, "view", 0.0, "{}"),
+        (4, t + dt.timedelta(hours=2), 2, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["event_type"]: (r["n_hits"], r["n_exits"], r["exit_rate_ppm"])
+        for r in QUERIES["exit_rate_by_type"](spark, str(tmp_path)).collect()
+    }
+    assert got["view"] == (3, 2, 666_666)
+    assert got["purchase"] == (1, 1, 1_000_000)

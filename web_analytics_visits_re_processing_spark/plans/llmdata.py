@@ -4066,3 +4066,82 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+@query(
+    "embedding_drift_by_label",
+    # Embedding-space drift monitor: corpus split into reference
+    # (even vec_id) vs candidate (odd) batches, per-label squared
+    # centroid shift in micro-units² plus each batch's size — the
+    # geometric analogue of the value-distribution drift monitor,
+    # same micro-unit/truncated-division conventions as the
+    # separability audit.
+    oracle="""
+WITH q AS (
+    SELECT label, (vec_id % 2)::BIGINT AS batch, u.d,
+           FLOOR(u.e::DOUBLE * 1000000)::BIGINT AS qv
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding::DOUBLE[]) AS e,
+                         generate_subscripts(embedding, 1) AS d) u
+), cent AS (
+    SELECT label, batch, d, (SUM(qv) // COUNT(*))::BIGINT AS m,
+           COUNT(*) AS nd
+    FROM q GROUP BY label, batch, d
+), pairs AS (
+    SELECT a.label,
+           SUM((a.m - b.m) * (a.m - b.m))::BIGINT AS drift2_micro,
+           MAX(a.nd)::BIGINT AS n_ref,
+           MAX(b.nd)::BIGINT AS n_cand
+    FROM cent a JOIN cent b
+      ON b.label = a.label AND b.d = a.d AND a.batch = 0 AND b.batch = 1
+    GROUP BY a.label
+)
+SELECT label, n_ref, n_cand, drift2_micro
+FROM pairs
+""",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the squared centroid
+    shift between a reference batch (even vec_id — yesterday's
+    snapshot) and a candidate batch (odd — today's) in integer
+    micro-units² — the geometric drift check a retrieval/embedding
+    pipeline runs before swapping in a new encoder or crawl (the
+    value-distribution drift monitor's vector-space sibling). A big
+    shift on one label localizes the regression. Same ONE
+    (label, batch, dim) exchange + tiny centroid join shape as
+    `label_centroid_distances`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode("embedding").alias("d0", "e"),
+    ).select(
+        "label",
+        "batch",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("e").cast("double") * 1000000)
+        .cast("long")
+        .alias("qv"),
+    )
+    cent = q.groupBy("label", "batch", "d").agg(
+        F.expr("sum(qv) div count(1)").alias("m"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    a = cent.where(F.col("batch") == 0).select(
+        "label", "d", F.col("m").alias("ma"), F.col("nd").alias("na")
+    )
+    b = cent.where(F.col("batch") == 1).select(
+        "label", "d", F.col("m").alias("mb"), F.col("nd").alias("nb")
+    )
+    return (
+        a.join(b, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.max("na").alias("n_ref"),
+            F.max("nb").alias("n_cand"),
+            F.sum(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+            ).alias("drift2_micro"),
+        )
+        .select("label", "n_ref", "n_cand", "drift2_micro")
+    )

@@ -3448,3 +3448,154 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+@query(
+    "session_length_percentiles",
+    # Session-length distribution: hits per session histogrammed,
+    # p50/p90/p99 via the cumulative-count integer rank rule, plus
+    # the single-hit (bounce) share — the shape behind every session
+    # sanity dashboard.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT user_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), lens AS (
+    SELECT COUNT(*)::BIGINT AS len
+    FROM sess GROUP BY user_id, session_seq
+), cells AS (
+    SELECT len, COUNT(*)::BIGINT AS c FROM lens GROUP BY len
+), cum AS (
+    SELECT len, c,
+           SUM(c) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS run,
+           SUM(c) OVER () AS n
+    FROM cells
+)
+SELECT MAX(n)::BIGINT AS n_sessions,
+       SUM(CASE WHEN len = 1 THEN c ELSE 0 END)::BIGINT AS n_single_hit,
+       ((SUM(CASE WHEN len = 1 THEN c ELSE 0 END) * 1000000)
+            // MAX(n))::BIGINT AS single_hit_ppm,
+       MIN(CASE WHEN run * 2 >= n THEN len END)::BIGINT AS p50_len,
+       MIN(CASE WHEN run * 10 >= 9 * n THEN len END)::BIGINT AS p90_len,
+       MIN(CASE WHEN run * 100 >= 99 * n THEN len END)::BIGINT AS p99_len
+FROM cum
+""",
+)
+def q_session_length_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-length distribution summary: p50/p90/p99 hits per
+    session via the cumulative-histogram integer rank rule plus the
+    single-hit share (the raw-count cousin of the weekly bounce
+    rate). p99 is the number that sizes session-state budgets —
+    and the whale-session tail `salt_sessions` guards against.
+    Sessions collapse on the user exchange; lengths compress to a
+    (len, count) histogram map-side, so the percentile windows walk
+    the length domain, never sessions."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    lens = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    cells = lens.groupBy("len").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "len",
+        "c",
+        F.sum("c").over(wc).alias("run"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").alias("n_sessions"),
+        F.sum(F.when(F.col("len") == 1, F.col("c")).otherwise(0)).alias(
+            "n_single_hit"
+        ),
+        F.expr(
+            "(sum(case when len = 1 then c else 0 end) * 1000000)"
+            " div max(n)"
+        ).alias("single_hit_ppm"),
+        F.min(
+            F.when(F.col("run") * 2 >= F.col("n"), F.col("len"))
+        ).alias("p50_len"),
+        F.min(
+            F.when(F.col("run") * 10 >= 9 * F.col("n"), F.col("len"))
+        ).alias("p90_len"),
+        F.min(
+            F.when(F.col("run") * 100 >= 99 * F.col("n"), F.col("len"))
+        ).alias("p99_len"),
+    )
+
+
+@query(
+    "exit_rate_by_type",
+    # Exit rate per event type: sessions ENDING at the type over all
+    # hits of the type, ppm — time-on-page's sibling (the exit-page
+    # rule made a first-class metric).
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                         - epoch_us(ts) IS NULL
+                  OR LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                         - epoch_us(ts) > {GAP_US}
+                THEN 1 ELSE 0 END AS is_exit
+    FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_hits,
+       SUM(is_exit)::BIGINT AS n_exits,
+       ((SUM(is_exit) * 1000000) // COUNT(*))::BIGINT AS exit_rate_ppm
+FROM seq GROUP BY event_type
+""",
+)
+def q_exit_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exit rate per event type — of all hits of a type, the share
+    that ENDED their session (next same-user event absent or past
+    the 30-min gap): the metric that separates natural endpoints
+    (purchase confirmation SHOULD exit) from leaks (an error page
+    exiting is the bug). The dwell query's session-final rule turned
+    into a first-class rate; same single lead window on the shared
+    user exchange, final rollup ≤ |types| rows."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lead(F.unix_micros("ts")).over(wu) - F.unix_micros("ts")
+    seq = ev.select(
+        "event_type",
+        F.when(gap.isNull() | (gap > GAP_US), 1).otherwise(0).alias(
+            "is_exit"
+        ),
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("is_exit").alias("n_exits"),
+        F.expr(
+            "(sum(is_exit) * 1000000) div count(1)"
+        ).alias("exit_rate_ppm"),
+    )
