@@ -2284,7 +2284,7 @@ WITH op AS (
     UNION ALL SELECT pb, pa, cxy FROM pairs
 ), scored AS (
     SELECT s.item, s.other,
-           ((s.cxy * s.cxy * 1000000) // (ia.c * ib.c))::BIGINT
+           ((s.cxy::HUGEINT * s.cxy * 1000000) // (ia.c::HUGEINT * ib.c))::BIGINT
                AS cos2_ppm
     FROM sym s
     JOIN item ia ON ia.l_partkey = s.item
@@ -2341,7 +2341,12 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "item",
             "other",
-            F.expr("(cxy * cxy * 1000000) div (ca * cb)").alias("cos2_ppm"),
+            F.expr(
+                # int128-wide: bestseller pair supports square past
+                # int64 around cxy ~ 3e6 (the Spearman probe lesson).
+                "cast((cast(cxy as decimal(38,0)) * cxy * 1000000)"
+                " div (cast(ca as decimal(38,0)) * cb) as long)"
+            ).alias("cos2_ppm"),
         )
     )
     wr = Window.partitionBy("item").orderBy(
