@@ -203,6 +203,7 @@ _REGISTERED_R06 = frozenset(
         "embedding_drift_by_label",
         "session_length_percentiles",
         "exit_rate_by_type",
+        "isolated_parts_share",
     }
 )
 

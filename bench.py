@@ -219,6 +219,7 @@ HEADLINE = [
     "embedding_drift_by_label",
     "session_length_percentiles",
     "exit_rate_by_type",
+    "isolated_parts_share",
 ]
 
 

@@ -72,3 +72,26 @@ def test_kfold_exact_balance(spark, tmp_path):
     assert sorted(by_label[0].values(), reverse=True) == [3, 3, 2, 2, 2]
     assert sorted(by_label[1].values(), reverse=True) == [1, 1, 1]
     assert sum(by_label[0].values()) == 12 and sum(by_label[1].values()) == 3
+
+
+def test_isolated_parts(spark, tmp_path):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    # parts 1-2 share 2 orders (connected); part 3 sold alone; part 4
+    # co-occurs with 1 only once (below support) → isolates {3, 4}.
+    rows, ln = [], 1
+    for o, parts in [(10, [1, 2]), (11, [1, 2]), (12, [3]), (13, [1, 4])]:
+        for p in parts:
+            rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", t))
+            ln += 1
+    _write(spark, tmp_path, "lineitem", rows, li_schema)
+    (r,) = QUERIES["isolated_parts_share"](spark, str(tmp_path)).collect()
+    assert (r["n_sold_parts"], r["n_connected"], r["n_isolated"]) == (4, 2, 2)
+    assert r["isolated_ppm"] == 500_000

@@ -3604,3 +3604,78 @@ def q_exit_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(is_exit) * 1000000) div count(1)"
         ).alias("exit_rate_ppm"),
     )
+
+
+@query(
+    "isolated_parts_share",
+    # The co-purchase graph's complement diagnostic: parts with NO
+    # support-≥2 edge (graph isolates) — the share of catalog the
+    # recommender/community pipeline simply cannot reach.
+    oracle="""
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), nodes AS (
+    SELECT DISTINCT n FROM (
+        SELECT pa AS n FROM e0 UNION ALL SELECT pb FROM e0
+    )
+), sold AS (
+    SELECT DISTINCT l_partkey FROM lineitem
+)
+SELECT (SELECT COUNT(*) FROM sold)::BIGINT AS n_sold_parts,
+       (SELECT COUNT(*) FROM nodes)::BIGINT AS n_connected,
+       ((SELECT COUNT(*) FROM sold)
+            - (SELECT COUNT(*) FROM nodes))::BIGINT AS n_isolated,
+       ((((SELECT COUNT(*) FROM sold) - (SELECT COUNT(*) FROM nodes))
+             * 1000000) // (SELECT COUNT(*) FROM sold))::BIGINT
+           AS isolated_ppm
+""",
+)
+def q_isolated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-isolate share: sold parts with NO support-≥2 co-purchase
+    edge — the catalog fraction that item-item CF, community
+    detection and k-core simply cannot reach (their cold-start
+    population, served by content-based fallbacks instead). The
+    complement number to `degree_distribution_copurchase`'s CCDF;
+    one shared bounded-basket edge build, one anti-set count, one
+    row out."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    e0 = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    nodes = (
+        e0.select(F.col("pa").alias("n"))
+        .unionAll(e0.select(F.col("pb").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_connected"))
+    )
+    sold = li.select("l_partkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_sold_parts")
+    )
+    return (
+        sold.crossJoin(F.broadcast(nodes))
+        .select(
+            "n_sold_parts",
+            "n_connected",
+            (F.col("n_sold_parts") - F.col("n_connected")).alias(
+                "n_isolated"
+            ),
+            F.expr(
+                "((n_sold_parts - n_connected) * 1000000)"
+                " div n_sold_parts"
+            ).alias("isolated_ppm"),
+        )
+    )
