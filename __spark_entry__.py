@@ -204,6 +204,7 @@ _REGISTERED_R06 = frozenset(
         "session_length_percentiles",
         "exit_rate_by_type",
         "isolated_parts_share",
+        "dow_naive_forecast_backtest",
     }
 )
 

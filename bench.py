@@ -220,6 +220,7 @@ HEADLINE = [
     "session_length_percentiles",
     "exit_rate_by_type",
     "isolated_parts_share",
+    "dow_naive_forecast_backtest",
 ]
 
 

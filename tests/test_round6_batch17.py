@@ -157,3 +157,30 @@ def test_exit_rate_semantics(spark, tmp_path):
     }
     assert got["view"] == (3, 2, 666_666)
     assert got["purchase"] == (1, 1, 1_000_000)
+
+
+def test_dow_forecast_backtest_arithmetic(spark, tmp_path):
+    # Three Mondays at 100/120 cents (train) then a holdout week with
+    # one Monday at 140: pred = (100+120)//2 = 110, err = 30. A
+    # holdout Tuesday at 80 with train Tuesdays 80/80 → err 0.
+    # MAE = (30+0)//2 = 15.
+    mon0 = dt.datetime(2024, 1, 1, 10)   # Monday
+    tue0 = dt.datetime(2024, 1, 2, 10)
+    rows = [
+        (1, mon0, 1, "purchase", 1.00, "{}"),
+        (2, mon0 + dt.timedelta(weeks=1), 1, "purchase", 1.20, "{}"),
+        (3, tue0, 1, "purchase", 0.80, "{}"),
+        (4, tue0 + dt.timedelta(weeks=1), 1, "purchase", 0.80, "{}"),
+        # holdout week (last 7 days ending at the max date):
+        (5, mon0 + dt.timedelta(weeks=2), 1, "purchase", 1.40, "{}"),
+        (6, tue0 + dt.timedelta(weeks=2), 1, "purchase", 0.80, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["dow"]: (r["actual_cents"], r["pred_cents"], r["abs_err_cents"], r["mae_cents"])
+        for r in QUERIES["dow_naive_forecast_backtest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0] == (140, 110, 30, 15)
+    assert got[1] == (80, 80, 0, 15)

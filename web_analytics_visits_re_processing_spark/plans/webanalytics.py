@@ -3679,3 +3679,76 @@ def q_isolated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("isolated_ppm"),
         )
     )
+
+
+@query(
+    "dow_naive_forecast_backtest",
+    # Forecast backtest for the seasonal-naive predictor: the last 7
+    # days are the holdout, each predicted by its WEEKDAY's mean over
+    # the training days (integer division); per-day absolute error
+    # and the holdout MAE, all in cents — the baseline every real
+    # forecasting model must beat, and the integer-exact way to gate
+    # a forecast evaluation.
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, (isodow(ts) - 1)::BIGINT AS dow,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), hz AS (
+    SELECT MAX(d) AS dmax FROM daily
+), train AS (
+    SELECT dow, (SUM(cents) // COUNT(*))::BIGINT AS pred_cents
+    FROM daily, hz WHERE d <= dmax - 7 GROUP BY dow
+), test AS (
+    SELECT d, dow, cents FROM daily, hz WHERE d > dmax - 7
+)
+SELECT strftime(t.d, '%Y-%m-%d') AS day, t.dow,
+       t.cents AS actual_cents,
+       tr.pred_cents,
+       ABS(t.cents - tr.pred_cents)::BIGINT AS abs_err_cents,
+       (SUM(ABS(t.cents - tr.pred_cents)) OVER ()
+            // COUNT(*) OVER ())::BIGINT AS mae_cents
+FROM test t JOIN train tr ON tr.dow = t.dow
+""",
+)
+def q_dow_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: hold out the final 7 days,
+    predict each by its weekday's training mean, report per-day
+    absolute error and the holdout MAE — all in integer cents, so the
+    evaluation itself hash-gates (the property a float pipeline can't
+    offer). This is THE baseline any real revenue forecast must beat
+    before it ships; a model whose backtest beats it by less than the
+    noise floor is table decoration. Events collapse to ~30 day rows
+    map-side; train means are a ≤7-row broadcast; the MAE window
+    walks 7 rows."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            F.weekday("ts").cast("long").alias("dow"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    hz = daily.agg(F.max("d").alias("dmax"))
+    dd = daily.crossJoin(F.broadcast(hz))
+    train = (
+        dd.where(F.col("d") <= F.date_sub("dmax", 7))
+        .groupBy("dow")
+        .agg(F.expr("sum(cents) div count(1)").alias("pred_cents"))
+    )
+    test = dd.where(F.col("d") > F.date_sub("dmax", 7))
+    wall = Window.partitionBy()
+    joined = test.join(F.broadcast(train), "dow").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dow",
+        F.col("cents").alias("actual_cents"),
+        "pred_cents",
+        F.abs(F.col("cents") - F.col("pred_cents")).alias("abs_err_cents"),
+    )
+    return joined.select(
+        "*",
+        F.expr(
+            "sum(abs_err_cents) over () div count(1) over ()"
+        ).alias("mae_cents"),
+    )
