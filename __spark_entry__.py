@@ -205,6 +205,7 @@ _REGISTERED_R06 = frozenset(
         "exit_rate_by_type",
         "isolated_parts_share",
         "dow_naive_forecast_backtest",
+        "audience_overlap_matrix",
     }
 )
 

@@ -221,6 +221,7 @@ HEADLINE = [
     "exit_rate_by_type",
     "isolated_parts_share",
     "dow_naive_forecast_backtest",
+    "audience_overlap_matrix",
 ]
 
 

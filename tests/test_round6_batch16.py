@@ -95,3 +95,22 @@ def test_isolated_parts(spark, tmp_path):
     (r,) = QUERIES["isolated_parts_share"](spark, str(tmp_path)).collect()
     assert (r["n_sold_parts"], r["n_connected"], r["n_isolated"]) == (4, 2, 2)
     assert r["isolated_ppm"] == 500_000
+
+
+def test_audience_overlap_subset_reads_full(spark, tmp_path):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 10)
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # viewers = {1,2,3,4}; buyers = {1,2} (a strict subset):
+    # overlap coefficient must read 1e6 even though Jaccard is 0.5.
+    rows = [(i, t, u, "view", 0.0, "{}") for i, u in enumerate([1, 2, 3, 4])]
+    rows += [(10 + i, t, u, "purchase", 0.0, "{}") for i, u in enumerate([1, 2])]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    (r,) = QUERIES["audience_overlap_matrix"](spark, str(tmp_path)).collect()
+    assert (r["type_a"], r["type_b"]) == ("purchase", "view")
+    assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 2, 4)
+    assert r["overlap_ppm"] == 1_000_000

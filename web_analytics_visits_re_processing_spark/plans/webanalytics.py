@@ -3752,3 +3752,76 @@ def q_dow_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(abs_err_cents) over () div count(1) over ()"
         ).alias("mae_cents"),
     )
+
+
+@query(
+    "audience_overlap_matrix",
+    # Audience overlap between event types: distinct users doing BOTH
+    # a and b, with the overlap coefficient |A∩B| / min(|A|,|B|) in
+    # ppm — the containment-style audience measure (Jaccard dilutes
+    # when one audience dwarfs the other, same argument as the
+    # n-gram containment pair).
+    oracle="""
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+    SELECT event_type, COUNT(*)::BIGINT AS n FROM ut GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*)::BIGINT AS n_both
+    FROM ut a JOIN ut b
+      ON b.user_id = a.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       ((p.n_both * 1000000) // LEAST(sa.n, sb.n))::BIGINT
+           AS overlap_ppm
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+""",
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the
+    distinct users doing BOTH and the overlap coefficient
+    |A∩B|/min(|A|,|B|) in ppm — the audience-planning number
+    (near-1e6 means the smaller audience is a subset: stop targeting
+    it separately). Overlap coefficient, not Jaccard, for the same
+    reason as the n-gram containment pair: a niche audience inside a
+    huge one should read as total overlap, not get diluted by the
+    union. Scale shape: events collapse ONCE to distinct
+    (user, type) rows (≤|types| per user), the self-join fans out
+    ≤|types|² per user, sizes broadcast back — the raw stream is
+    never pair-joined."""
+    ev = _events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(n_both * 1000000) div least(n_a, n_b)"
+            ).alias("overlap_ppm"),
+        )
+    )
