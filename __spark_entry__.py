@@ -206,6 +206,8 @@ _REGISTERED_R06 = frozenset(
         "isolated_parts_share",
         "dow_naive_forecast_backtest",
         "audience_overlap_matrix",
+        "return_rate_by_brand",
+        "conversion_path_length_histogram",
     }
 )
 

@@ -222,6 +222,8 @@ HEADLINE = [
     "isolated_parts_share",
     "dow_naive_forecast_backtest",
     "audience_overlap_matrix",
+    "return_rate_by_brand",
+    "conversion_path_length_histogram",
 ]
 
 

@@ -184,3 +184,52 @@ def test_dow_forecast_backtest_arithmetic(spark, tmp_path):
     }
     assert got[0] == (140, 110, 30, 15)
     assert got[1] == (80, 80, 0, 15)
+
+
+def test_return_rate_value_divergence(spark, tmp_path):
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    t = dt.datetime(2024, 1, 1)
+    # Brand X: 1 of 2 lines returned (500000 line-rate), but the
+    # returned line carries 900 of 1000 cents → value rate 900000.
+    li = [
+        (1, 1, 1, 1, 1.0, 9.00, 0.0, 0.0, "R", "O", t),
+        (2, 1, 1, 2, 1.0, 1.00, 0.0, 0.0, "N", "O", t),
+    ]
+    _write(spark, tmp_path, "lineitem", li, li_schema)
+    _write(
+        spark, tmp_path, "part",
+        [(1, "p1", "BrandX", "TYPE", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    (r,) = QUERIES["return_rate_by_brand"](spark, str(tmp_path)).collect()
+    assert (r["n_lines"], r["n_returned"]) == (2, 1)
+    assert (r["return_rate_ppm"], r["returned_value_ppm"]) == (
+        500_000, 900_000,
+    )
+
+
+def test_conversion_path_lengths(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # u1: v v purchase (2 touches), then purchase again (0 touches).
+        (1, t, 1, "view", 0.0, "{}"),
+        (2, t + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+        (3, t + dt.timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        (4, t + dt.timedelta(minutes=3), 1, "purchase", 0.0, "{}"),
+        # u2: views only → no conversion path.
+        (5, t, 2, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["n_touches"]: (r["n_conversions"], r["share_ppm"])
+        for r in QUERIES["conversion_path_length_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {2: (1, 500_000), 0: (1, 500_000)}

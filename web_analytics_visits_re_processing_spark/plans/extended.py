@@ -3447,3 +3447,53 @@ def q_new_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(cents)"
         ).alias("new_share_ppm"),
     )
+
+
+@query(
+    "return_rate_by_brand",
+    # Merchandise return analysis: share of lineitems (and of value)
+    # returned (l_returnflag = 'R') per part brand, ppm — the
+    # quality/abuse screen merchandising reads weekly.
+    oracle="""
+SELECT p.p_brand,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+           AS n_returned,
+       ((SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*))::BIGINT AS return_rate_ppm,
+       ((SUM(CASE WHEN l.l_returnflag = 'R'
+                  THEN FLOOR(l.l_extendedprice * 100)::BIGINT
+                  ELSE 0 END) * 1000000)
+            // SUM(FLOOR(l.l_extendedprice * 100)::BIGINT))::BIGINT
+           AS returned_value_ppm
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate screen per brand: line share AND value share of
+    returned items in ppm — the two diverge exactly when expensive
+    items return disproportionately, which is the fraud/quality
+    signal the single rate hides. Part dimension broadcasts; one
+    conditional map-side aggregate per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    )
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    cents = F.floor(F.col("l_extendedprice") * 100)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(ret).alias("n_returned"),
+        F.expr(
+            "(sum(case when l_returnflag = 'R' then 1 else 0 end)"
+            " * 1000000) div count(1)"
+        ).alias("return_rate_ppm"),
+        F.expr(
+            "(sum(case when l_returnflag = 'R'"
+            " then floor(l_extendedprice * 100) else 0 end) * 1000000)"
+            " div sum(floor(l_extendedprice * 100))"
+        ).alias("returned_value_ppm"),
+    )

@@ -3825,3 +3825,72 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ppm"),
         )
     )
+
+
+@query(
+    "conversion_path_length_histogram",
+    # Attribution diagnostics: how many touches precede each
+    # conversion — the path-length histogram that decides whether
+    # multi-touch models even matter (if p90 = 1, last-touch IS the
+    # answer). Paths delimited by the running purchase count, the
+    # attribution family's shared segmentation.
+    oracle="""
+WITH s AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS convs_before
+    FROM events
+), paths AS (
+    SELECT user_id, COALESCE(convs_before, 0) AS path_id,
+           SUM(1 - is_conv)::BIGINT AS n_touches,
+           MAX(is_conv) AS converted
+    FROM s GROUP BY user_id, COALESCE(convs_before, 0)
+), conv_paths AS (
+    SELECT n_touches FROM paths WHERE converted = 1
+)
+SELECT n_touches,
+       COUNT(*)::BIGINT AS n_conversions,
+       ((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER ())::BIGINT
+           AS share_ppm
+FROM conv_paths GROUP BY n_touches
+""",
+)
+def q_conversion_path_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion path-length histogram: touches preceding each
+    purchase, paths delimited by the running purchase count (the
+    same linear segmentation the U-shaped/time-decay models share —
+    no unbounded-lookback join). This is the diagnostic that decides
+    whether multi-touch attribution matters at all: if the mass sits
+    at 0-1 touches, last-touch IS the answer and the fancier models
+    are decoration. One user-keyed window pass; the histogram rollup
+    is ≤ max-path-length rows."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = ev.select(
+        "user_id",
+        is_conv.alias("is_conv"),
+        F.coalesce(
+            F.sum(is_conv).over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("path_id"),
+    )
+    paths = s.groupBy("user_id", "path_id").agg(
+        F.sum(1 - F.col("is_conv")).alias("n_touches"),
+        F.max("is_conv").alias("converted"),
+    )
+    conv = paths.where(F.col("converted") == 1)
+    return conv.groupBy("n_touches").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    ).select(
+        "n_touches",
+        "n_conversions",
+        F.expr(
+            "(n_conversions * 1000000) div sum(n_conversions) over ()"
+        ).alias("share_ppm"),
+    )
