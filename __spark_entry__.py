@@ -208,6 +208,8 @@ _REGISTERED_R06 = frozenset(
         "audience_overlap_matrix",
         "return_rate_by_brand",
         "conversion_path_length_histogram",
+        "discount_quantity_spearman",
+        "priority_anova_eta2",
     }
 )
 

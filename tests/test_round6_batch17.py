@@ -233,3 +233,60 @@ def test_conversion_path_lengths(spark, tmp_path):
         ).collect()
     }
     assert got == {2: (1, 500_000), 0: (1, 500_000)}
+
+
+LI_SCHEMA2 = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+P_SCHEMA = (
+    "p_partkey long, p_name string, p_brand string, p_type string, "
+    "p_size int, p_retailprice double"
+)
+
+
+def test_discount_quantity_spearman_extremes(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    # Brand UP: quantity rises with discount → +10000 bp.
+    # Brand DOWN: n=3 reversed → d²(single)=8, doubled ×4=32,
+    # rho = 10000 − 15000·32//24 = −10000.
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.00, 0.0, "N", "O", t),
+        (2, 1, 1, 2, 2.0, 1.0, 0.10, 0.0, "N", "O", t),
+        (3, 1, 1, 3, 3.0, 1.0, 0.20, 0.0, "N", "O", t),
+        (4, 2, 1, 4, 3.0, 1.0, 0.00, 0.0, "N", "O", t),
+        (5, 2, 1, 5, 2.0, 1.0, 0.10, 0.0, "N", "O", t),
+        (6, 2, 1, 6, 1.0, 1.0, 0.20, 0.0, "N", "O", t),
+    ]
+    _write(spark, tmp_path, "lineitem", li, LI_SCHEMA2)
+    _write(spark, tmp_path, "part",
+           [(1, "a", "UP", "T", 1, 1.0), (2, "b", "DOWN", "T", 1, 1.0)],
+           P_SCHEMA)
+    got = {
+        r["p_brand"]: (r["n"], r["d2x4_sum"], r["rho_bp"])
+        for r in QUERIES["discount_quantity_spearman"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["UP"] == (3, 0, 10_000)
+    assert got["DOWN"] == (3, 32, -10_000)
+
+
+def test_anova_variance_fully_between(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    orders = [
+        (1, 1, "O", 10.0, t, "1-URGENT"),
+        (2, 1, "O", 10.0, t, "1-URGENT"),
+        (3, 1, "O", 30.0, t, "2-HIGH"),
+        (4, 1, "O", 30.0, t, "2-HIGH"),
+    ]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    (r,) = QUERIES["priority_anova_eta2"](spark, str(tmp_path)).collect()
+    # a = 200+1800 = 2000; ssb = 2000 − 1600 = 400; ssw = 0;
+    # eta² = 400e6 // 400 = 1e6 (all variance between groups).
+    assert (r["k"], r["n"], r["ssb_d2"], r["ssw_d2"]) == (2, 4, 400, 0)
+    assert r["eta2_ppm"] == 1_000_000

@@ -3497,3 +3497,185 @@ def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(floor(l_extendedprice * 100))"
         ).alias("returned_value_ppm"),
     )
+
+
+@query(
+    "discount_quantity_spearman",
+    # Price-response proxy: Spearman rank correlation between discount
+    # and quantity per part brand (basis points) — the rank machinery
+    # of the events-side Spearman applied to pricing. Long ranks +
+    # int128 ratio per the scale-probe lesson.
+    oracle="""
+WITH ranked AS (
+    SELECT p.p_brand, l.l_discount, l.l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY p.p_brand
+                              ORDER BY l.l_discount) AS rx0,
+           ROW_NUMBER() OVER (PARTITION BY p.p_brand
+                              ORDER BY l.l_quantity) AS ry0,
+           COUNT(*) OVER (PARTITION BY p.p_brand) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), mid AS (
+    SELECT p_brand, n,
+           MIN(rx0) OVER (PARTITION BY p_brand, l_discount)
+               + MAX(rx0) OVER (PARTITION BY p_brand, l_discount) AS rx2,
+           MIN(ry0) OVER (PARTITION BY p_brand, l_quantity)
+               + MAX(ry0) OVER (PARTITION BY p_brand, l_quantity) AS ry2
+    FROM ranked
+), agg AS (
+    SELECT p_brand, MAX(n)::BIGINT AS n,
+           SUM((rx2 - ry2) * (rx2 - ry2))::BIGINT AS d2x4_sum
+    FROM mid GROUP BY p_brand
+)
+SELECT p_brand, n, d2x4_sum,
+       (10000 - (15000::HUGEINT * d2x4_sum)
+                    // (n::HUGEINT * (n::HUGEINT * n - 1)))::BIGINT
+           AS rho_bp
+FROM agg WHERE n >= 2
+""",
+)
+def q_discount_quantity_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does discounting move volume? Spearman rank correlation
+    between discount and quantity per brand (basis points) — the
+    whale-proof monotone-association test from the events tier
+    applied to pricing, where Pearson on raw cents would square past
+    int64 immediately. Positive rho = deeper discounts ship more
+    units for that brand; near zero = the discounts are decoration.
+    Rank windows share one brand-keyed exchange; the ratio runs
+    int128-wide (probe lesson)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    )
+    # The fixture has duplicate (orderkey, linenumber) rows, so no
+    # column set totally orders ties — MIDRANKS (the AUC trick: work
+    # in doubled rank units, min+max row_number per tied value) make
+    # the ranks deterministic regardless of row identity. d is a
+    # difference of doubled midranks, so the classic ratio divides by
+    # 4: rho = 1 - (6/4)·Σd²/(n(n²-1)).
+    wx = Window.partitionBy("p_brand").orderBy("l_discount")
+    wy = Window.partitionBy("p_brand").orderBy("l_quantity")
+    wn = Window.partitionBy("p_brand")
+    wtx = Window.partitionBy("p_brand", "l_discount")
+    wty = Window.partitionBy("p_brand", "l_quantity")
+    ranked = j.select(
+        "p_brand",
+        "l_discount",
+        "l_quantity",
+        F.row_number().over(wx).cast("long").alias("rx0"),
+        F.row_number().over(wy).cast("long").alias("ry0"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.select(
+        "p_brand",
+        "n",
+        (F.min("rx0").over(wtx) + F.max("rx0").over(wtx)).alias("rx2"),
+        (F.min("ry0").over(wty) + F.max("ry0").over(wty)).alias("ry2"),
+    )
+    d = (F.col("rx2") - F.col("ry2")) * (F.col("rx2") - F.col("ry2"))
+    return (
+        mid.groupBy("p_brand")
+        .agg(F.max("n").alias("n"), F.sum(d).alias("d2x4_sum"))
+        .where(F.col("n") >= 2)
+        .select(
+            "p_brand",
+            "n",
+            "d2x4_sum",
+            F.expr(
+                "cast(10000 - (cast(15000 as decimal(38,0)) * d2x4_sum)"
+                " div (cast(n as decimal(38,0)) * n * n"
+                "      - cast(n as decimal(38,0))) as long)"
+            ).alias("rho_bp"),
+        )
+    )
+
+
+@query(
+    "priority_anova_eta2",
+    # One-way ANOVA of order value (whole dollars) across priority
+    # classes, integer-exact: SSB/SSW via per-group (S_g² div n_g)
+    # truncated identically in both engines, all squares int128-wide;
+    # effect size eta² and the F statistic in ppm.
+    oracle="""
+WITH g AS (
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS ng,
+           SUM(FLOOR(o_totalprice)::BIGINT)::BIGINT AS sg,
+           SUM(FLOOR(o_totalprice)::BIGINT
+               * FLOOR(o_totalprice)::BIGINT)::BIGINT AS qg
+    FROM orders GROUP BY o_orderpriority
+), t AS (
+    SELECT COUNT(*)::BIGINT AS k,
+           SUM(ng)::BIGINT AS n,
+           SUM(sg)::HUGEINT AS s,
+           SUM(qg)::HUGEINT AS q,
+           SUM((sg::HUGEINT * sg) // ng)::HUGEINT AS a
+    FROM g
+)
+SELECT k, n,
+       (a - (s * s) // n)::BIGINT AS ssb_d2,
+       (q - a)::BIGINT AS ssw_d2,
+       (((a - (s * s) // n) * 1000000)
+            // GREATEST(q - (s * s) // n, 1))::BIGINT AS eta2_ppm,
+       (((a - (s * s) // n) * (n - k) * 1000000)
+            // GREATEST((q - a) * (k - 1), 1))::BIGINT AS f_ppm
+FROM t
+""",
+)
+def q_priority_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does order value actually differ across
+    priority classes? Between-group and within-group sums of squares
+    in whole dollars², the eta² effect size (share of variance the
+    grouping explains, ppm) and the F statistic (ppm — divide by 1e6
+    and compare to an F table) — all integer-exact: every square runs
+    int128-wide (Spark decimal(38,0) ≡ DuckDB HUGEINT, the probe
+    lesson) and the per-group S²/n terms truncate identically in
+    both engines. An eta² near zero on TPC-H-ish data is itself the
+    finding: priority does not price orders. One 5-row group rollup;
+    the final row is arithmetic on it."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.floor("o_totalprice")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(x).alias("sg"),
+        F.sum(x * x).alias("qg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.expr("(cast(sg as decimal(38,0)) * sg) div ng")
+        ).alias("a"),
+    )
+    return t.select(
+        "k",
+        "n",
+        F.expr(
+            "cast(a - (cast(s as decimal(38,0)) * s) div n as long)"
+        ).alias("ssb_d2"),
+        F.expr("cast(cast(q as decimal(38,0)) - a as long)").alias(
+            "ssw_d2"
+        ),
+        F.expr(
+            "cast((cast(a - (cast(s as decimal(38,0)) * s) div n"
+            "           as decimal(38,0)) * 1000000)"
+            " div greatest(cast(q as decimal(38,0))"
+            "              - (cast(s as decimal(38,0)) * s) div n,"
+            "              1) as long)"
+        ).alias("eta2_ppm"),
+        F.expr(
+            # div yields LONG in Spark — re-widen before the (n−k)·1e6
+            # multiply or it overflows int64 (caught at sf0.01).
+            "cast((cast(a - (cast(s as decimal(38,0)) * s) div n"
+            "           as decimal(38,0)) * (n - k) * 1000000)"
+            " div greatest((cast(q as decimal(38,0)) - a) * (k - 1), 1)"
+            " as long)"
+        ).alias("f_ppm"),
+    )
