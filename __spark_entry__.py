@@ -210,6 +210,8 @@ _REGISTERED_R06 = frozenset(
         "conversion_path_length_histogram",
         "discount_quantity_spearman",
         "priority_anova_eta2",
+        "segment_priority_chi2",
+        "benford_first_digit_audit",
     }
 )
 

@@ -226,6 +226,8 @@ HEADLINE = [
     "conversion_path_length_histogram",
     "discount_quantity_spearman",
     "priority_anova_eta2",
+    "segment_priority_chi2",
+    "benford_first_digit_audit",
 ]
 
 

@@ -290,3 +290,48 @@ def test_anova_variance_fully_between(spark, tmp_path):
     # eta² = 400e6 // 400 = 1e6 (all variance between groups).
     assert (r["k"], r["n"], r["ssb_d2"], r["ssw_d2"]) == (2, 4, 400, 0)
     assert r["eta2_ppm"] == 1_000_000
+
+
+def test_chi2_perfect_association(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    # Segment A only places URGENT orders, B only LOW: 2x2 with
+    # perfect association → chi2_scaled ≈ N (= 4, the chi² of a
+    # perfectly dependent 2×2), dof = 1.
+    orders = [
+        (1, 1, "O", 1.0, t, "1-URGENT"),
+        (2, 1, "O", 1.0, t, "1-URGENT"),
+        (3, 2, "O", 1.0, t, "5-LOW"),
+        (4, 2, "O", 1.0, t, "5-LOW"),
+    ]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    _write(spark, tmp_path, "customer",
+           [(1, "a", 0, 0.0, "SEGA"), (2, "b", 0, 0.0, "SEGB")],
+           "c_custkey long, c_name string, c_nationkey long, "
+           "c_acctbal double, c_mktsegment string")
+    (r,) = QUERIES["segment_priority_chi2"](spark, str(tmp_path)).collect()
+    assert (r["n_cells"], r["n"], r["dof"]) == (2, 4, 1)
+    # only the 2 observed cells contribute: each (2·4−2·2)²//(2·2·4)=1
+    # → scaled statistic 2 (the zero cells never enter the rollup —
+    # documented: the screen under-counts by the missing-cell terms).
+    assert r["chi2_scaled"] == 2
+
+
+def test_benford_missing_digit_emits(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    # All totals start with 1 → digit 1 at 1e6 ppm, digits 2-9 at 0
+    # with their full Benford deviation — and PRESENT in the output.
+    orders = [(i, 1, "O", 100.0 + i, t, "1-URGENT") for i in range(5)]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    got = {
+        r["digit"]: (r["n"], r["obs_ppm"], r["sq_dev"])
+        for r in QUERIES["benford_first_digit_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    assert got[1] == (5, 1_000_000, (1_000_000 - 301_030) ** 2)
+    assert got[9] == (0, 0, 45_757 ** 2)

@@ -3679,3 +3679,160 @@ def q_priority_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as long)"
         ).alias("f_ppm"),
     )
+
+
+@query(
+    "segment_priority_chi2",
+    # Chi-square independence screen for (customer segment × order
+    # priority), cross-multiplied integer form: each cell contributes
+    # (O·N − rs·cs)² div (rs·cs·N) — a constant-N rescaling of the
+    # classic (O−E)²/E that never materializes the fractional E.
+    # int128-wide squares (probe lesson).
+    oracle="""
+WITH cells AS (
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+           COUNT(*)::BIGINT AS obs
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+), m AS (
+    SELECT seg, pri, obs,
+           SUM(obs) OVER (PARTITION BY seg) AS rs,
+           SUM(obs) OVER (PARTITION BY pri) AS cs,
+           SUM(obs) OVER () AS n
+    FROM cells
+)
+SELECT COUNT(*)::BIGINT AS n_cells,
+       MAX(n)::BIGINT AS n,
+       SUM(((obs::HUGEINT * n - rs::HUGEINT * cs)
+                * (obs::HUGEINT * n - rs::HUGEINT * cs))
+               // (rs::HUGEINT * cs * n))::BIGINT AS chi2_scaled,
+       ((COUNT(DISTINCT seg) - 1)
+            * (COUNT(DISTINCT pri) - 1))::BIGINT AS dof
+FROM m
+""",
+)
+def q_segment_priority_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square independence screen: is order priority associated
+    with customer segment? The classic Σ(O−E)²/E statistic computed
+    WITHOUT ever materializing the fractional expectation — each
+    cell's term is the N-rescaled cross-multiplied form
+    (O·N − rs·cs)² / (rs·cs·N), truncating identically in both
+    engines (chi2_scaled ≈ N·χ²/N = χ² up to per-cell truncation;
+    compare to the χ²(dof) table). The categorical companion to
+    `priority_anova_eta2`; near-zero on independent TPC-H-ish
+    assignments is itself the check. One 25-cell contingency rollup;
+    margins are windows over it; squares run int128-wide. Caveat
+    (pinned by pytest): cells with ZERO observations never enter the
+    rollup, so their (rs·cs/N)-sized terms are missing — the screen
+    UNDER-states χ² when the table is sparse; dense-grid completion
+    (cross-join the margins) is the exact-χ² upgrade."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    ws = Window.partitionBy("seg")
+    wp = Window.partitionBy("pri")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "seg",
+        "pri",
+        "obs",
+        F.sum("obs").over(ws).alias("rs"),
+        F.sum("obs").over(wp).alias("cs"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr(
+                "(cast(obs as decimal(38,0)) * n - cast(rs as decimal(38,0)) * cs)"
+                " * (cast(obs as decimal(38,0)) * n - cast(rs as decimal(38,0)) * cs)"
+                " div (cast(rs as decimal(38,0)) * cs * n)"
+            )
+        ).cast("long").alias("chi2_scaled"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        ).alias("dof"),
+    )
+
+
+# Benford first-digit expectations, ppm (log10(1 + 1/d) rounded).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "benford_first_digit_audit",
+    # Benford's-law audit over order totals (whole dollars ≥ 1):
+    # observed first-digit shares vs the log10(1+1/d) expectation in
+    # ppm, with squared deviation per digit — the forensic-accounting
+    # screen for fabricated or capped amounts.
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(substring(CAST(FLOOR(o_totalprice)::BIGINT AS VARCHAR),
+                          1, 1) AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice >= 1
+), counts AS (
+    SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY digit
+), e(digit, benford_ppm) AS (
+    VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))}
+)
+SELECT e.digit, COALESCE(c.n, 0)::BIGINT AS n,
+       ((COALESCE(c.n, 0) * 1000000)
+            // (SELECT SUM(n) FROM counts))::BIGINT AS obs_ppm,
+       e.benford_ppm::BIGINT AS benford_ppm,
+       (((COALESCE(c.n, 0) * 1000000) // (SELECT SUM(n) FROM counts)
+             - e.benford_ppm)
+        * ((COALESCE(c.n, 0) * 1000000) // (SELECT SUM(n) FROM counts)
+             - e.benford_ppm))::BIGINT AS sq_dev
+FROM e LEFT JOIN counts c ON c.digit = e.digit
+""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the forensic
+    screen for fabricated, capped or threshold-gamed amounts (real
+    multiplicative processes follow log10(1+1/d); synthetic uniform
+    generators and just-under-approval-limit books don't). Observed
+    shares in integer ppm against the hardcoded Benford constants,
+    squared deviation per digit (the drift monitor's L2 convention —
+    no float logs at query time). All nine digits always emit via
+    the expectation spine, zeros included, so a MISSING digit — the
+    loudest fraud tell — can't silently vanish from the report. One
+    map-side digit count; everything else is a 9-row join."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    e = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit long, benford_ppm long"
+    )
+    j = (
+        e.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("(coalesce(n, 0) * 1000000) div t").alias("obs_ppm"),
+            "benford_ppm",
+        )
+    )
+    dev = F.col("obs_ppm") - F.col("benford_ppm")
+    return j.select("digit", "n", "obs_ppm", "benford_ppm",
+                    (dev * dev).alias("sq_dev"))
