@@ -212,6 +212,8 @@ _REGISTERED_R06 = frozenset(
         "priority_anova_eta2",
         "segment_priority_chi2",
         "benford_first_digit_audit",
+        "mann_kendall_trend",
+        "skyline_parts_price_size",
     }
 )
 

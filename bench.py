@@ -228,6 +228,8 @@ HEADLINE = [
     "priority_anova_eta2",
     "segment_priority_chi2",
     "benford_first_digit_audit",
+    "mann_kendall_trend",
+    "skyline_parts_price_size",
 ]
 
 

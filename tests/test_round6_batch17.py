@@ -335,3 +335,50 @@ def test_benford_missing_digit_emits(spark, tmp_path):
     assert set(got) == set(range(1, 10))
     assert got[1] == (5, 1_000_000, (1_000_000 - 301_030) ** 2)
     assert got[9] == (0, 0, 45_757 ** 2)
+
+
+def test_mann_kendall_monotone_and_flat(spark, tmp_path):
+    # 12 strictly rising days: S = 66 = n(n-1)/2, significant
+    # (2·66² = 8712 > 12·11·29 = 3828). Flat series: S = 0.
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 9), 1, "purchase",
+         (100 + i) / 100.0, "{}")
+        for i in range(12)
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["mann_kendall_trend"](spark, str(tmp_path)).collect()
+    assert (r["n_days"], r["s"], r["significant_3sigma"]) == (12, 66, 1)
+
+    flat = [
+        (i, dt.datetime(2024, 1, 1 + i, 9), 1, "purchase", 1.0, "{}")
+        for i in range(12)
+    ]
+    _write(spark, tmp_path, "events", flat, EV_SCHEMA)
+    (r2,) = QUERIES["mann_kendall_trend"](spark, str(tmp_path)).collect()
+    assert (r2["s"], r2["significant_3sigma"]) == (0, 0)
+
+
+def test_skyline_window_equals_definition(spark, tmp_path):
+    # Points (price, size): (100,5) and (200,9) on the frontier;
+    # (150,4) dominated by (100,5); (200,9) duplicate collapses;
+    # (250,9) dominated by (200,9); (90,1) cheapest → frontier.
+    parts = [
+        (1, "a", "B", "T", 5, 1.00),
+        (2, "b", "B", "T", 4, 1.50),
+        (3, "c", "B", "T", 9, 2.00),
+        (4, "d", "B", "T", 9, 2.00),
+        (5, "e", "B", "T", 9, 2.50),
+        (6, "f", "B", "T", 1, 0.90),
+    ]
+    _write(spark, tmp_path, "part", parts, P_SCHEMA)
+    got = {
+        (r["price_cents"], r["size"]): (r["example_partkey"], r["n_parts"])
+        for r in QUERIES["skyline_parts_price_size"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (90, 1): (6, 1),
+        (100, 5): (1, 1),
+        (200, 9): (3, 2),
+    }

@@ -3836,3 +3836,133 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("obs_ppm") - F.col("benford_ppm")
     return j.select("digit", "n", "obs_ppm", "benford_ppm",
                     (dev * dev).alias("sq_dev"))
+
+
+@query(
+    "mann_kendall_trend",
+    # Mann-Kendall nonparametric trend test on daily purchase revenue:
+    # S = Σ_{i<j} sign(x_j − x_i) over day pairs, with the 3σ
+    # significance test fully cross-multiplied — S² > 9·var ⟺
+    # 2·S² > n(n−1)(2n+5) — so no float variance or sqrt exists.
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pairs AS (
+    SELECT CASE WHEN b.cents > a.cents THEN 1
+                WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+    FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT (SELECT COUNT(*) FROM daily)::BIGINT AS n_days,
+       SUM(sgn)::BIGINT AS s,
+       CASE WHEN 2 * SUM(sgn) * SUM(sgn)
+                 > (SELECT COUNT(*) FROM daily)
+                   * ((SELECT COUNT(*) FROM daily) - 1)
+                   * (2 * (SELECT COUNT(*) FROM daily) + 5)
+            THEN 1 ELSE 0 END AS significant_3sigma
+FROM pairs
+""",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test — the nonparametric standard for 'is
+    this series trending' (environmental monitoring's workhorse):
+    S sums the signs of all day-pair differences, so one whale day
+    contributes the same ±1s as a mild one (the rank family's
+    robustness again), and the 3σ significance threshold collapses
+    to the pure integer test 2S² > n(n−1)(2n+5). The pair join runs
+    over the ~30-row DAY rollup (≤ 435 pairs) — the raw stream
+    collapses first, the classic guard against quadratic blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        pairs.agg(F.sum("sgn").alias("s"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            "s",
+            F.when(
+                2 * F.col("s") * F.col("s")
+                > F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5),
+                1,
+            )
+            .otherwise(0)
+            .alias("significant_3sigma"),
+        )
+    )
+
+
+@query(
+    "skyline_parts_price_size",
+    # 2-D skyline (Pareto frontier) of parts on (retail price low,
+    # size high). The ORACLE states the quadratic NOT-EXISTS
+    # definition; the Spark side computes it with the sort + running-
+    # max rewrite (O(n log n), one window) — hash equality PROVES the
+    # rewrite implements the definition. Points pre-aggregate to
+    # distinct (price, size) so duplicates can't self-dominate.
+    oracle="""
+WITH pts AS (
+    SELECT FLOOR(p_retailprice * 100)::BIGINT AS price_cents,
+           p_size::BIGINT AS size,
+           MIN(p_partkey)::BIGINT AS example_partkey,
+           COUNT(*)::BIGINT AS n_parts
+    FROM part GROUP BY 1, 2
+)
+SELECT price_cents, size, example_partkey, n_parts
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+      AND (q.price_cents < p.price_cents OR q.size > p.size)
+)
+""",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Börzsönyi et al. 2001):
+    parts no other part beats on BOTH price (lower better) and size
+    (higher better) — the multi-criteria shortlist every 'cheapest
+    but biggest' product query wants. The oracle states the O(n²)
+    NOT-EXISTS definition; this side computes the frontier with the
+    2-D skyline rewrite — sort by (price asc, size desc), keep a
+    point iff its size strictly exceeds the running max BEFORE it —
+    one window over the distinct-point rollup instead of a self-join,
+    and the hash gate PROVES the rewrite equals the definition. At
+    100 TB the points pre-aggregate map-side (the frontier's input is
+    the distinct-value grid, not rows), and d>2 skylines escalate to
+    grid-partitioned block-nested-loop — the 2-D window form stays
+    the pruning pass."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    ).agg(
+        F.min("p_partkey").alias("example_partkey"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    w = Window.orderBy(
+        F.col("price_cents"), F.col("size").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    flagged = pts.withColumn("prev_max_size", F.max("size").over(w))
+    return flagged.where(
+        F.col("prev_max_size").isNull()
+        | (F.col("size") > F.col("prev_max_size"))
+    ).select("price_cents", "size", "example_partkey", "n_parts")
