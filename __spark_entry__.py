@@ -214,6 +214,8 @@ _REGISTERED_R06 = frozenset(
         "benford_first_digit_audit",
         "mann_kendall_trend",
         "skyline_parts_price_size",
+        "purchase_interarrival_burstiness",
+        "streaming_benford_digits",
     }
 )
 

@@ -230,6 +230,8 @@ HEADLINE = [
     "benford_first_digit_audit",
     "mann_kendall_trend",
     "skyline_parts_price_size",
+    "purchase_interarrival_burstiness",
+    "streaming_benford_digits",
 ]
 
 

@@ -114,3 +114,54 @@ def test_audience_overlap_subset_reads_full(spark, tmp_path):
     assert (r["type_a"], r["type_b"]) == ("purchase", "view")
     assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 2, 4)
     assert r["overlap_ppm"] == 1_000_000
+
+
+def test_burstiness_extremes(spark, tmp_path):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 10)
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = []
+    # u1 metronomic: purchases every 10 min → gaps equal → CV² = 0.
+    for i in range(4):
+        rows.append((i, t + dt.timedelta(minutes=10 * i), 1, "purchase", 1.0, "{}"))
+    # u2 bursty: gaps 1,1,28 min → n=3,S=30,Q=786 →
+    # (3·786−900)·1e6//900 = 1620000.
+    for i, m in enumerate([0, 1, 2, 30]):
+        rows.append((10 + i, t + dt.timedelta(minutes=m), 2, "purchase", 1.0, "{}"))
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["user_id"]: (r["n"], r["cv2_ppm"])
+        for r in QUERIES["purchase_interarrival_burstiness"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (3, 0)
+    assert got[2] == (3, 1_620_000)
+
+
+def test_streaming_benford_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_benford_state,
+    )
+
+    streamed = streaming_benford_state(spark, sf_dir, max_files_per_trigger=2)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.where(F.floor(F.col("value") * 100) >= 1)
+        .groupBy(
+            F.substring(
+                F.floor(F.col("value") * 100).cast("string"), 1, 1
+            ).cast("long").alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {r["digit"]: r["c"] for r in streamed.collect()}
+    want = {r["digit"]: r["c"] for r in batch.collect()}
+    assert got == want and len(got) > 0

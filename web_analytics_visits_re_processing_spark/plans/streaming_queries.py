@@ -537,3 +537,33 @@ def q_streaming_activity_heatmap(
             "(c * 1000000) div sum(c) over ()"
         ).alias("share_ppm"),
     )
+
+
+@query(
+    "streaming_benford_digits",
+    # identical oracle to a batch first-digit count over value cents
+    # ≥ 1 — digit bucketing commutes with streaming aggregation; the
+    # served state is NINE rows no matter the volume.
+    oracle="""
+SELECT CAST(substring(CAST(FLOOR(value * 100)::BIGINT AS VARCHAR),
+                      1, 1) AS BIGINT) AS digit,
+       COUNT(*)::BIGINT AS n
+FROM events WHERE FLOOR(value * 100) >= 1
+GROUP BY 1
+""",
+)
+def q_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford first-digit screen maintained ON the stream (19th
+    streaming replay) — the serving pattern's limit case: state is
+    NINE rows, full stop, which makes it the cheapest possible
+    always-on fraud monitor (the batch audit `benford_first_digit_audit`
+    compares these counts to the log-law expectation). Gate: streamed
+    digit counts must equal the batch count-for-count."""
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_benford_state,
+    )
+
+    d = streaming_benford_state(spark, sf_dir)
+    return d.select("digit", F.col("c").alias("n"))

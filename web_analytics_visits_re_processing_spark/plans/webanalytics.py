@@ -3894,3 +3894,70 @@ def q_conversion_path_lengths(
             "(n_conversions * 1000000) div sum(n_conversions) over ()"
         ).alias("share_ppm"),
     )
+
+
+@query(
+    "purchase_interarrival_burstiness",
+    # Temporal-pattern feature: per user with ≥3 purchases, the
+    # squared coefficient of variation of inter-purchase gaps
+    # (minutes) in ppm — CV² ≈ 1e6 is Poisson-like, ≫1e6 bursty
+    # (machine-like batches), ≪1e6 metronomic (cron-like, also
+    # machine). int128-wide ratio.
+    oracle="""
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS t,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_t
+    FROM events WHERE event_type = 'purchase'
+), gaps AS (
+    SELECT user_id, (t - prev_t) // 60000000 AS gap_min
+    FROM p WHERE prev_t IS NOT NULL
+), st AS (
+    SELECT user_id, COUNT(*)::BIGINT AS n,
+           SUM(gap_min)::BIGINT AS s,
+           SUM(gap_min * gap_min)::BIGINT AS q
+    FROM gaps GROUP BY user_id
+)
+SELECT user_id, n, s AS total_gap_min,
+       (((n::HUGEINT * q - s::HUGEINT * s) * 1000000)
+            // GREATEST(s::HUGEINT * s, 1))::BIGINT AS cv2_ppm
+FROM st WHERE n >= 2
+""",
+)
+def q_purchase_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase burstiness per user: the squared coefficient of
+    variation of purchase gaps (CV² ppm) — the temporal fingerprint
+    that separates humans from machines BOTH ways: bursty batches
+    (CV² ≫ 1e6) smell like scripted buying, and metronomic
+    regularity (CV² ≈ 0) smells like cron, while organic behavior
+    sits Poisson-ish near 1e6. CV² = (nQ − S²)/S² is the 3σ
+    family's cross-multiplied variance trick reused as a RATIO, so
+    no float mean ever exists; the ratio runs int128-wide (probe
+    lesson). One user-keyed lag window; per-user state is three
+    sums."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(wu).alias("prev_t"),
+    )
+    gaps = p.where(F.col("prev_t").isNotNull()).select(
+        "user_id",
+        F.expr("(t - prev_t) div 60000000").alias("gap_min"),
+    )
+    st = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_min").alias("s"),
+        F.sum(F.col("gap_min") * F.col("gap_min")).alias("q"),
+    )
+    return st.where(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        F.col("s").alias("total_gap_min"),
+        F.expr(
+            "cast(((cast(n as decimal(38,0)) * q"
+            " - cast(s as decimal(38,0)) * s) * 1000000)"
+            " div greatest(cast(s as decimal(38,0)) * s, 1) as long)"
+        ).alias("cv2_ppm"),
+    )

@@ -842,6 +842,47 @@ def streaming_heatmap_state(
     return read_state(spark, state)
 
 
+def streaming_benford_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """First-digit counts of event value cents maintained
+    INCREMENTALLY — the Benford fraud screen served live, and the
+    serving pattern's smallest possible state: NINE rows, period.
+    Same update-mode agg → snapshot-upsert topology as the
+    CMS/HLL/histogram/totals/heatmap replays."""
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_benford", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger).where(
+        (F.col("event_type") != _SENTINEL_EVENT_TYPE)
+        & (F.floor(F.col("value") * 100) >= 1)
+    )
+    digits = events.groupBy(
+        F.substring(
+            F.floor(F.col("value") * 100).cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    run_upsert_stream(
+        digits,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["digit"],
+        order_cols=["c"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
+
+
 def streaming_user_totals_state(
     spark: SparkSession,
     sf_dir: str,
