@@ -216,6 +216,8 @@ _REGISTERED_R06 = frozenset(
         "skyline_parts_price_size",
         "purchase_interarrival_burstiness",
         "streaming_benford_digits",
+        "hll_rolling_mau",
+        "dup_rate_by_source",
     }
 )
 

@@ -165,3 +165,35 @@ def test_streaming_benford_equals_batch(spark, sf_dir):
     got = {r["digit"]: r["c"] for r in streamed.collect()}
     want = {r["digit"]: r["c"] for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_hll_rolling_mau_window_and_error(spark, sf_dir):
+    # Sketch vs exact on the fixture: every day's estimate must be
+    # within HLL's m=64 error envelope (~13% 1σ; allow 3σ + small-n
+    # slop) of the exact trailing-28-day MAU.
+    rows = QUERIES["hll_rolling_mau"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        est = r["hll_mau_e4"] / 10_000
+        exact = r["mau_exact"]
+        assert abs(est - exact) <= max(0.45 * exact, 3)
+
+
+def test_dup_rate_by_source(spark, tmp_path):
+    docs = [
+        (1, "same text", "en", "A", 1),
+        (2, "same text", "en", "A", 1),
+        (3, "other", "en", "A", 1),
+        (4, "same text", "en", "B", 1),   # cross-source: NOT internal
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_docs"], r["n_removable"], r["dup_rate_ppm"])
+        for r in QUERIES["dup_rate_by_source"](spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (3, 2, 1, 666_666)
+    assert got["B"] == (1, 0, 0, 0)

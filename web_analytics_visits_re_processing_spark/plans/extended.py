@@ -3966,3 +3966,121 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_max_size").isNull()
         | (F.col("size") > F.col("prev_max_size"))
     ).select("price_cents", "size", "example_partkey", "n_parts")
+
+
+# Rolling-MAU sketch: per-day HLL registers max-merged over a trailing
+# 28-day window — the sketch-powered alternative to the exact day-grid
+# rolling distinct (dau_mau_stickiness), both gated so the trade is
+# measurable. Register CTE mirrors _HLL_REGS_CTE with day keys.
+_HLL_DAY_REGS_CTE = """
+h AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(ts AS DATE) AS d,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+dayregs AS (
+    SELECT day, d, hv & 63 AS r_idx,
+           MAX(CASE WHEN (hv >> 6) = 0 THEN 55
+                    ELSE 55 - length(bin(hv >> 6)) END)::BIGINT AS r_rho
+    FROM h GROUP BY 1, 2, 3
+),
+grid AS (SELECT DISTINCT d AS g, day AS gday FROM h),
+merged AS (
+    SELECT grid.gday AS day, dr.r_idx, MAX(dr.r_rho)::BIGINT AS r_rho
+    FROM grid JOIN dayregs dr
+      ON dr.d <= grid.g AND dr.d >= grid.g - 27
+    GROUP BY grid.gday, dr.r_idx
+)
+"""
+
+
+@query(
+    "hll_rolling_mau",
+    oracle=f"""
+WITH {_HLL_DAY_REGS_CTE},
+per AS (
+    SELECT day, COUNT(*) AS n_set,
+           CAST(SUM(1::BIGINT << (55 - r_rho)) AS BIGINT) AS s_present
+    FROM merged GROUP BY 1
+),
+fin AS (
+    SELECT day, CAST(64 - n_set AS BIGINT) AS v_empty,
+           CAST(s_present + (64 - n_set) * (1::BIGINT << 55) AS BIGINT)
+               AS s_scaled
+    FROM per
+),
+est AS (
+    SELECT day, v_empty, s_scaled,
+           CAST(FLOOR(10000 * CASE
+               WHEN (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968)
+                        / s_scaled <= 160.0 AND v_empty > 0
+               THEN 64 * ln(64 / CAST(v_empty AS DOUBLE))
+               ELSE (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968)
+                        / s_scaled
+           END) AS BIGINT) AS hll_mau_e4
+    FROM fin
+),
+ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+exact AS (
+    SELECT strftime(g.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id)::BIGINT AS mau_exact
+    FROM (SELECT DISTINCT d FROM ud) g
+    JOIN ud u ON u.d <= g.d AND u.d >= g.d - 27
+    GROUP BY g.d
+)
+SELECT est.day, est.v_empty, est.s_scaled, est.hll_mau_e4, exact.mau_exact
+FROM est JOIN exact USING (day)
+""",
+)
+def q_hll_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day MAU from MERGED per-day HLL sketches — the
+    at-scale answer to rolling distinct counting, gated side by side
+    with the exact day-grid form (`dau_mau_stickiness`) so the trade
+    is measurable, not asserted: per-day register tables (≤64 rows
+    per day, built once) max-merge across each trailing window —
+    mergeability, the property the `hll_merge_groups` gate
+    machine-checks, is what makes the rolling window FREE of raw-data
+    re-scans: 28 days of history cost 28×64 register rows, not 28
+    days of events. Estimates carry the exact-integer harmonic
+    denominator and the linear-counting branch; the exact MAU rides
+    along for the error column."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    dayregs = hll_registers(ev, "user_id", ("d",))
+    grid = ev.select("d").distinct().select(F.col("d").alias("g"))
+    merged = (
+        dayregs.join(
+            F.broadcast(grid),
+            (F.col("d") <= F.col("g"))
+            & (F.col("d") >= F.date_sub(F.col("g"), 27)),
+        )
+        .groupBy(F.col("g"), F.col("r_idx"))
+        .agg(F.max("r_rho").alias("r_rho"))
+        .select(
+            F.date_format("g", "yyyy-MM-dd").alias("day"),
+            "r_idx",
+            "r_rho",
+        )
+    )
+    est = hll_estimate(merged, ("day",)).withColumnRenamed(
+        "hll_estimate_e4", "hll_mau_e4"
+    )
+    ud = ev.select("d", "user_id").distinct()
+    exact = (
+        ud.join(
+            F.broadcast(grid),
+            (F.col("d") <= F.col("g"))
+            & (F.col("d") >= F.date_sub(F.col("g"), 27)),
+        )
+        .groupBy("g")
+        .agg(F.count_distinct("user_id").alias("mau_exact"))
+        .select(F.date_format("g", "yyyy-MM-dd").alias("day"), "mau_exact")
+    )
+    return est.join(exact, "day")

@@ -4145,3 +4145,55 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "n_ref", "n_cand", "drift2_micro")
     )
+
+
+@query(
+    "dup_rate_by_source",
+    # Which crawl is dirtiest: per source, docs whose exact text
+    # fingerprint repeats WITHIN the source (internal dup rate ppm)
+    # — the triage number that orders dedup spend across vendors.
+    oracle="""
+WITH fp AS (
+    SELECT source,
+           ('0x' || substring(md5(text), 1, 15))::BIGINT AS f
+    FROM documents
+), g AS (
+    SELECT source, f, COUNT(*)::BIGINT AS c FROM fp GROUP BY 1, 2
+)
+SELECT source,
+       SUM(c)::BIGINT AS n_docs,
+       SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_docs,
+       SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT AS n_removable,
+       ((SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000)
+            // SUM(c))::BIGINT AS dup_rate_ppm
+FROM g GROUP BY source
+""",
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source internal duplication rate — the triage number that
+    orders dedup spend across vendors/crawls: docs sharing an exact
+    fingerprint within their own source (ppm), plus the removable
+    count under keep-one. Two map-side aggregates on the portable
+    fingerprint; the cross-source variant is the already-gated
+    contamination matrix, and near-dup escalation goes through the
+    LSH tier."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        hash64 as _h64,
+    )
+
+    d = _docs(spark, sf_dir)
+    g = d.select("source", _h64(F.col("text")).alias("f")).groupBy(
+        "source", "f"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") > 1, F.col("c")).otherwise(0)
+    return g.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(dup).alias("n_dup_docs"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)
+        ).alias("n_removable"),
+        F.expr(
+            "(sum(case when c > 1 then c else 0 end) * 1000000)"
+            " div sum(c)"
+        ).alias("dup_rate_ppm"),
+    )
