@@ -218,6 +218,7 @@ _REGISTERED_R06 = frozenset(
         "streaming_benford_digits",
         "hll_rolling_mau",
         "dup_rate_by_source",
+        "kmv_merge_groups",
     }
 )
 

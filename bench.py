@@ -234,6 +234,7 @@ HEADLINE = [
     "streaming_benford_digits",
     "hll_rolling_mau",
     "dup_rate_by_source",
+    "kmv_merge_groups",
 ]
 
 

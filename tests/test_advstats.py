@@ -137,3 +137,12 @@ def test_spearman_matches_scipy_free_reference(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert (r["n"], r["d2_sum"], r["rho_bp"]) == (5, 26, -3000)
+
+
+def test_kmv_merge_theorem_exact(spark, sf_dir):
+    (r,) = QUERIES["kmv_merge_groups"](spark, sf_dir).collect()
+    # k-smallest-of-union-of-per-group-k-smallest ≡ global k-smallest:
+    # the sets must agree element for element.
+    assert r["k_merged"] == r["k_direct"]
+    assert r["kth_merged"] == r["kth_direct"]
+    assert r["n_common"] == r["k_merged"]

@@ -464,3 +464,90 @@ def q_score_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "kmv_merge_groups",
+    # The KMV MERGE gate: per-event-type k-smallest-hash sets union
+    # and re-truncate to the k smallest; the oracle computes the
+    # GLOBAL k smallest directly from events. Equality is EXACT
+    # (k-smallest-of-union-of-k-smallest ≡ global k-smallest — set
+    # algebra, no estimator slop), making this a sharper merge
+    # theorem check than the HLL one.
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            AS hv
+    FROM events
+), per_type AS (
+    SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rn
+        FROM h
+    ) WHERE rn <= {_KMV_K}
+), merged AS (
+    SELECT hv FROM (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT hv FROM per_type)
+    ) WHERE rn <= {_KMV_K}
+), direct AS (
+    SELECT hv FROM (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT hv FROM h)
+    ) WHERE rn <= {_KMV_K}
+)
+SELECT (SELECT COUNT(*) FROM merged)::BIGINT AS k_merged,
+       (SELECT MAX(hv) FROM merged)::BIGINT AS kth_merged,
+       (SELECT COUNT(*) FROM direct)::BIGINT AS k_direct,
+       (SELECT MAX(hv) FROM direct)::BIGINT AS kth_direct,
+       (SELECT COUNT(*) FROM merged m JOIN direct d ON d.hv = m.hv)::BIGINT
+           AS n_common
+""",
+)
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE gate — the sharper sibling of
+    `hll_merge_groups`: per-event-type k-minimum-value sets union and
+    re-truncate, the oracle takes the global k smallest directly, and
+    the two must agree ELEMENT FOR ELEMENT (k-smallest-of-union ≡
+    global-k-smallest is exact set algebra, not an estimator
+    property — n_common = k is the machine check). This is why KMV
+    shards merge losslessly across days/executors at 100 TB: each
+    shard ships k hashes, the combiner re-sorts 5k rows. Per-type
+    top-k runs as a window over the type exchange; the merge is a
+    5k-row sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        hash64(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    wt = Window.partitionBy("event_type").orderBy("hv")
+    per_type = (
+        h.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= _KMV_K)
+        .select("hv")
+        .distinct()
+    )
+    merged = per_type.orderBy("hv").limit(_KMV_K)
+    direct = h.select("hv").distinct().orderBy("hv").limit(_KMV_K)
+    m_agg = merged.agg(
+        F.count(F.lit(1)).alias("k_merged"),
+        F.max("hv").alias("kth_merged"),
+    )
+    d_agg = direct.agg(
+        F.count(F.lit(1)).alias("k_direct"),
+        F.max("hv").alias("kth_direct"),
+    )
+    common = merged.join(direct, "hv").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        m_agg.crossJoin(F.broadcast(d_agg))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "k_merged", "kth_merged", "k_direct", "kth_direct", "n_common"
+        )
+    )
