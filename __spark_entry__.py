@@ -219,6 +219,7 @@ _REGISTERED_R06 = frozenset(
         "hll_rolling_mau",
         "dup_rate_by_source",
         "kmv_merge_groups",
+        "missing_mass_estimate",
     }
 )
 

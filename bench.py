@@ -235,6 +235,7 @@ HEADLINE = [
     "hll_rolling_mau",
     "dup_rate_by_source",
     "kmv_merge_groups",
+    "missing_mass_estimate",
 ]
 
 

@@ -60,3 +60,21 @@ def test_cross_source_shared_gram(spark, tmp_path):
     assert len(rows) == 1
     (r,) = rows
     assert (r["source_a"], r["source_b"], r["shared_grams"]) == ("A", "B", 1)
+
+
+def test_missing_mass_singleton_share(spark, tmp_path):
+    # lang en: tokens [a a b] → 3 tokens, 2 types, 1 singleton →
+    # missing mass 333333 ppm. lang de: all repeated → 0.
+    _write(spark, tmp_path, [
+        (1, "a a b", "en", "s", 1),
+        (2, "x x", "de", "s", 1),
+    ])
+    got = {
+        r["lang"]: (r["n_tokens"], r["n_types"], r["n_singletons"],
+                    r["missing_mass_ppm"])
+        for r in QUERIES["missing_mass_estimate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["en"] == (3, 2, 1, 333_333)
+    assert got["de"] == (2, 1, 0, 0)

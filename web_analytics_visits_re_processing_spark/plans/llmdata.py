@@ -4197,3 +4197,53 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(c)"
         ).alias("dup_rate_ppm"),
     )
+
+
+@query(
+    "missing_mass_estimate",
+    # Good-Turing missing mass per language: P(next token is an
+    # UNSEEN type) ≈ n₁/N (singleton share of tokens, ppm) — the
+    # principled 'how much vocabulary haven't we crawled yet' number,
+    # plus type/token counts for the Heaps-curve context.
+    oracle="""
+WITH tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+), counts AS (
+    SELECT lang, t, COUNT(*)::BIGINT AS c FROM tok GROUP BY lang, t
+)
+SELECT lang,
+       SUM(c)::BIGINT AS n_tokens,
+       COUNT(*)::BIGINT AS n_types,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+       ((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+            // SUM(c))::BIGINT AS missing_mass_ppm
+FROM counts GROUP BY lang
+""",
+)
+def q_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing-mass estimate per language: the share of
+    the NEXT token expected to be a never-seen type ≈ singleton
+    share n₁/N (Good 1953) — the principled answer to 'is this
+    corpus big enough', read before deciding whether another crawl
+    round buys vocabulary or just repeats it (high missing mass =
+    keep crawling; near zero = the language is saturated). Type
+    counts collapse map-side on the (lang, token) key; the rollup is
+    one row per language. Companion to `vocab_coverage_curve` (which
+    measures the head; this measures the unseen tail)."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias(
+            "n_singletons"
+        ),
+        F.expr(
+            "(sum(case when c = 1 then 1 else 0 end) * 1000000)"
+            " div sum(c)"
+        ).alias("missing_mass_ppm"),
+    )
