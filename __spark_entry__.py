@@ -220,6 +220,8 @@ _REGISTERED_R06 = frozenset(
         "dup_rate_by_source",
         "kmv_merge_groups",
         "missing_mass_estimate",
+        "conversion_heatmap_dow_hour",
+        "next_action_diversity",
     }
 )
 

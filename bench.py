@@ -236,6 +236,8 @@ HEADLINE = [
     "dup_rate_by_source",
     "kmv_merge_groups",
     "missing_mass_estimate",
+    "conversion_heatmap_dow_hour",
+    "next_action_diversity",
 ]
 
 

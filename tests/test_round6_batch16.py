@@ -197,3 +197,58 @@ def test_dup_rate_by_source(spark, tmp_path):
     }
     assert got["A"] == (3, 2, 1, 666_666)
     assert got["B"] == (1, 0, 0, 0)
+
+
+def test_conversion_heatmap_cells(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    mon = dt.datetime(2024, 1, 8, 12, 30)
+    rows = [
+        (1, mon, 1, "view", 0.0, "{}"),
+        (2, mon, 1, "view", 0.0, "{}"),
+        (3, mon, 2, "purchase", 0.0, "{}"),
+        (4, mon, 3, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    (r,) = QUERIES["conversion_heatmap_dow_hour"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["dow"], r["hour"], r["n_events"], r["n_purchases"]) == (
+        0, 12, 4, 1,
+    )
+    assert r["cvr_ppm"] == 250_000
+
+
+def test_next_action_diversity_extremes(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 10, 12)
+
+    def ev(eid, uid, minute, et):
+        return (eid, t + dt.timedelta(minutes=minute), uid, et, 0.0, "{}")
+
+    # 'flow' always goes to 'next' (impurity 0); 'fork' splits 50/50
+    # between 'a' and 'b' (impurity 500000).
+    rows = [
+        ev(1, 1, 0, "flow"), ev(2, 1, 1, "next"),
+        ev(3, 2, 0, "flow"), ev(4, 2, 1, "next"),
+        ev(5, 3, 0, "fork"), ev(6, 3, 1, "a"),
+        ev(7, 4, 0, "fork"), ev(8, 4, 1, "b"),
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["cur_type"]: (r["n_transitions"], r["n_next_types"], r["impurity_ppm"])
+        for r in QUERIES["next_action_diversity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["flow"] == (2, 1, 0)
+    assert got["fork"] == (2, 2, 500_000)

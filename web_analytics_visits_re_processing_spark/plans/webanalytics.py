@@ -3961,3 +3961,103 @@ def q_purchase_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(cast(s as decimal(38,0)) * s, 1) as long)"
         ).alias("cv2_ppm"),
     )
+
+
+@query(
+    "conversion_heatmap_dow_hour",
+    # When do visitors BUY, not just visit: purchase share of each
+    # (weekday, hour) cell's events, ppm — the campaign-scheduling
+    # heatmap (the activity heatmap says when traffic comes; this
+    # says when it converts — they disagree more than people expect).
+    oracle="""
+SELECT (isodow(ts) - 1)::BIGINT AS dow,
+       EXTRACT(hour FROM ts)::BIGINT AS hour,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_purchases,
+       ((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*))::BIGINT AS cvr_ppm
+FROM events GROUP BY 1, 2
+""",
+)
+def q_conversion_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-rate heatmap by weekday × hour — the scheduling
+    companion to `activity_heatmap_dow_hour`: traffic volume and
+    conversion propensity peak at DIFFERENT times more often than
+    not, and campaigns priced on volume alone buy the wrong hours.
+    One conditional map-side aggregate into ≤168 cells; composes
+    with the activity heatmap by a cell join when the volume-vs-rate
+    scatter is wanted."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.weekday("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+        F.expr(
+            "(sum(case when event_type = 'purchase' then 1 else 0 end)"
+            " * 1000000) div count(1)"
+        ).alias("cvr_ppm"),
+    )
+
+
+@query(
+    "next_action_diversity",
+    # How predictable is what follows each event type: Gini impurity
+    # of the Markov transition row (1e6 − Σ p²_ppm-style, computed on
+    # counts: 1e6 − Σc²·1e6 div (Σc)²) — 0 = fully deterministic
+    # next step, → 1e6·(1−1/k) = uniform chaos.
+    oracle=f"""
+WITH seq AS (
+    SELECT event_type AS cur_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap_us
+    FROM events
+), pairs AS (
+    SELECT cur_type, next_type, COUNT(*)::BIGINT AS c
+    FROM seq WHERE gap_us <= {GAP_US}
+    GROUP BY cur_type, next_type
+)
+SELECT cur_type,
+       SUM(c)::BIGINT AS n_transitions,
+       COUNT(*)::BIGINT AS n_next_types,
+       (1000000 - (SUM(c * c) * 1000000) // (SUM(c) * SUM(c)))::BIGINT
+           AS impurity_ppm
+FROM pairs GROUP BY cur_type
+""",
+)
+def q_next_action_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-action predictability per event type: Gini impurity of
+    each Markov row (integer ppm — the user-mix impurity's transition
+    sibling). Impurity 0 means the next step is a foregone conclusion
+    (a flow, not a choice — collapse those screens); near-uniform
+    means the UI offers no guidance. The transition pairs ride the
+    same one user exchange as `markov_next_event_probs`; the impurity
+    rollup touches ≤ |types|² rows."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(wu).alias("next_type"),
+        (
+            F.lead(F.unix_micros("ts")).over(wu) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    )
+    pairs = (
+        seq.where(F.col("gap_us") <= GAP_US)
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return pairs.groupBy("cur_type").agg(
+        F.sum("c").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.expr(
+            "1000000 - (sum(c * c) * 1000000) div (sum(c) * sum(c))"
+        ).alias("impurity_ppm"),
+    )
