@@ -222,6 +222,7 @@ _REGISTERED_R06 = frozenset(
         "missing_mass_estimate",
         "conversion_heatmap_dow_hour",
         "next_action_diversity",
+        "ks_two_sample_by_type",
     }
 )
 

@@ -238,6 +238,7 @@ HEADLINE = [
     "missing_mass_estimate",
     "conversion_heatmap_dow_hour",
     "next_action_diversity",
+    "ks_two_sample_by_type",
 ]
 
 

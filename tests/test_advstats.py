@@ -146,3 +146,28 @@ def test_kmv_merge_theorem_exact(spark, sf_dir):
     assert r["k_merged"] == r["k_direct"]
     assert r["kth_merged"] == r["kth_direct"]
     assert r["n_common"] == r["k_merged"]
+
+
+def test_ks_identical_and_shifted(spark, tmp_path):
+    # Identical halves → D = 0, not significant. Disjoint supports
+    # (all 1c in half 1, all 2c in half 2, n=20 each) → D_scaled =
+    # n1·n2 = 400 (maximal), significant at 0.05
+    # (1e6·400² = 1.6e11 > 1844164·40·400 = 2.95e10).
+    t1 = dt.datetime(2024, 1, 5, 12)
+    t2 = dt.datetime(2024, 1, 20, 12)
+    rows = []
+    for i in range(20):
+        rows.append((i, t1, 1, "same", 0.05, "{}"))
+        rows.append((100 + i, t2, 1, "same", 0.05, "{}"))
+    for i in range(20):
+        rows.append((200 + i, t1, 1, "shift", 0.01, "{}"))
+        rows.append((300 + i, t2, 1, "shift", 0.02, "{}"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["event_type"]: (r["n1"], r["n2"], r["d_scaled"], r["significant_05"])
+        for r in QUERIES["ks_two_sample_by_type"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["same"] == (20, 20, 0, 0)
+    assert got["shift"] == (20, 20, 400, 1)

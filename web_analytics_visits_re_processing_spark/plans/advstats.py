@@ -551,3 +551,98 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_merged", "kth_merged", "k_direct", "kth_direct", "n_common"
         )
     )
+
+
+@query(
+    "ks_two_sample_by_type",
+    # Two-sample Kolmogorov-Smirnov per event type, first vs second
+    # half-month, entirely in integers: D·n₁·n₂ = max |run₁·n₂ −
+    # run₂·n₁| over the merged cent support (cross-multiplied CDFs —
+    # no float distribution function ever exists), with the α=0.05
+    # significance test 1e6·D_scaled² > 1844164·(n₁+n₂)·n₁·n₂
+    # (1.358² scaled), int128-wide.
+    oracle="""
+WITH tagged AS (
+    SELECT event_type,
+           CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 2 END AS half,
+           FLOOR(value * 100)::BIGINT AS cents
+    FROM events
+), cells AS (
+    SELECT event_type, cents,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+           SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+    FROM tagged GROUP BY event_type, cents
+), cum AS (
+    SELECT event_type, cents,
+           SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS r1,
+           SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS r2,
+           SUM(c1) OVER (PARTITION BY event_type) AS n1,
+           SUM(c2) OVER (PARTITION BY event_type) AS n2
+    FROM cells
+)
+SELECT event_type,
+       MAX(n1)::BIGINT AS n1,
+       MAX(n2)::BIGINT AS n2,
+       MAX(ABS(r1 * n2 - r2 * n1))::BIGINT AS d_scaled,
+       CASE WHEN 1000000::HUGEINT
+                 * MAX(ABS(r1 * n2 - r2 * n1))
+                 * MAX(ABS(r1 * n2 - r2 * n1))
+                 > 1844164::HUGEINT * (MAX(n1) + MAX(n2)) * MAX(n1) * MAX(n2)
+            THEN 1 ELSE 0 END AS significant_05
+FROM cum GROUP BY event_type
+""",
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type — THE
+    canonical 'did the distribution change' test, here comparing the
+    first and second half of the month: D is the max gap between the
+    two empirical CDFs, computed entirely in integers by
+    cross-multiplying the cumulative counts (D·n₁·n₂ = max|r₁n₂ −
+    r₂n₁|) over the merged cent support, and the α=0.05 Smirnov
+    threshold 1.358·√((n₁+n₂)/n₁n₂) cross-multiplies into
+    1e6·D²_scaled > 1844164·(n₁+n₂)·n₁n₂ (int128-wide). Where the L2
+    drift monitor weighs ALL bins, KS finds the single worst CDF
+    gap — sensitive to location shifts the L2 statistic smears.
+    Values collapse to (type, cent) cells map-side; every window
+    walks the bin domain."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = tagged.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        F.sum("c1").over(wc).alias("r1"),
+        F.sum("c2").over(wc).alias("r2"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1"))
+        ).alias("d_scaled"),
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        "d_scaled",
+        F.expr(
+            "case when cast(1000000 as decimal(38,0)) * d_scaled * d_scaled"
+            " > cast(1844164 as decimal(38,0)) * (n1 + n2) * n1 * n2"
+            " then 1 else 0 end"
+        ).alias("significant_05"),
+    )
