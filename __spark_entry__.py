@@ -223,6 +223,7 @@ _REGISTERED_R06 = frozenset(
         "conversion_heatmap_dow_hour",
         "next_action_diversity",
         "ks_two_sample_by_type",
+        "kpi_correlation_daily",
     }
 )
 

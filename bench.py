@@ -239,6 +239,7 @@ HEADLINE = [
     "conversion_heatmap_dow_hour",
     "next_action_diversity",
     "ks_two_sample_by_type",
+    "kpi_correlation_daily",
 ]
 
 

@@ -171,3 +171,17 @@ def test_ks_identical_and_shifted(spark, tmp_path):
     }
     assert got["same"] == (20, 20, 0, 0)
     assert got["shift"] == (20, 20, 400, 1)
+
+
+def test_kpi_correlation_coupled(spark, tmp_path):
+    # 5 days where revenue and DAU rise together → rho = +10000.
+    rows = []
+    eid = 0
+    for d in range(5):
+        day = dt.datetime(2024, 1, 1 + d, 9)
+        for u in range(d + 1):           # DAU rises 1..5
+            rows.append((eid, day, u, "purchase", (d + 1) * 1.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["kpi_correlation_daily"](spark, str(tmp_path)).collect()
+    assert (r["n_days"], r["d2_sum"], r["rho_bp"]) == (5, 0, 10_000)

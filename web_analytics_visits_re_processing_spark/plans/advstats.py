@@ -646,3 +646,74 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end"
         ).alias("significant_05"),
     )
+
+
+@query(
+    "kpi_correlation_daily",
+    # Do revenue and reach move together day to day? Spearman between
+    # daily purchase revenue and daily active users over the ~30-day
+    # series (ranks over DAYS — deterministic, n is tiny, the whole
+    # computation after the rollups touches ≤31 rows).
+    oracle="""
+WITH rev AS (
+    SELECT CAST(ts AS DATE) AS d,
+           SUM(CASE WHEN event_type = 'purchase'
+                    THEN FLOOR(value * 100)::BIGINT ELSE 0 END)::BIGINT
+               AS cents
+    FROM events GROUP BY 1
+), act AS (
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(DISTINCT user_id)::BIGINT AS dau
+    FROM events GROUP BY 1
+), j AS (
+    SELECT rev.d, rev.cents, act.dau FROM rev JOIN act USING (d)
+), ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY cents, d) AS rx,
+           ROW_NUMBER() OVER (ORDER BY dau, d) AS ry,
+           COUNT(*) OVER () AS n
+    FROM j
+)
+SELECT MAX(n)::BIGINT AS n_days,
+       SUM((rx - ry) * (rx - ry))::BIGINT AS d2_sum,
+       (10000 - (60000 * SUM((rx - ry) * (rx - ry)))
+                    // (MAX(n) * (MAX(n) * MAX(n) - 1)))::BIGINT AS rho_bp
+FROM ranked
+""",
+)
+def q_kpi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-KPI coupling: Spearman between daily revenue and daily
+    active users (basis points) — near +10000 means revenue is just
+    reach (growth team owns it); a weak rho means monetization moves
+    independently of traffic (pricing/mix owns it). Both KPIs
+    collapse map-side to ~30 day rows; ranks, the d² sum and the
+    ratio all run on that tiny series (int64 is ample at n≤10⁴
+    days — two centuries of dailies)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100),
+            ).otherwise(0)
+        ).alias("cents"),
+        F.count_distinct("user_id").alias("dau"),
+    )
+    wx = Window.orderBy("cents", "d")
+    wy = Window.orderBy("dau", "d")
+    wall = Window.partitionBy()
+    ranked = daily.select(
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    d = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    return ranked.agg(
+        F.max("n").alias("n_days"),
+        F.sum(d).alias("d2_sum"),
+    ).select(
+        "n_days",
+        "d2_sum",
+        F.expr(
+            "10000 - (60000 * d2_sum) div (n_days * (n_days * n_days - 1))"
+        ).alias("rho_bp"),
+    )
