@@ -224,6 +224,7 @@ _REGISTERED_R06 = frozenset(
         "next_action_diversity",
         "ks_two_sample_by_type",
         "kpi_correlation_daily",
+        "mann_whitney_shift_by_type",
     }
 )
 

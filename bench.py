@@ -240,6 +240,7 @@ HEADLINE = [
     "next_action_diversity",
     "ks_two_sample_by_type",
     "kpi_correlation_daily",
+    "mann_whitney_shift_by_type",
 ]
 
 

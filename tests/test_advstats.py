@@ -185,3 +185,27 @@ def test_kpi_correlation_coupled(spark, tmp_path):
     _write(spark, tmp_path, "events", rows, EV_SCHEMA)
     (r,) = QUERIES["kpi_correlation_daily"](spark, str(tmp_path)).collect()
     assert (r["n_days"], r["d2_sum"], r["rho_bp"]) == (5, 0, 10_000)
+
+
+def test_mann_whitney_shift_and_null(spark, tmp_path):
+    t1 = dt.datetime(2024, 1, 5, 12)
+    t2 = dt.datetime(2024, 1, 20, 12)
+    rows = []
+    # 'shift': half1 all 1c, half2 all 2c → doubled midranks 11/31;
+    # d2 = 110 − 110 − 100 = −100; 100² = 10000 > 3·10·10·21 = 6300.
+    for i in range(10):
+        rows.append((i, t1, 1, "shift", 0.01, "{}"))
+        rows.append((100 + i, t2, 1, "shift", 0.02, "{}"))
+    # 'same': identical halves → d2 = 0, not significant.
+    for i in range(10):
+        rows.append((200 + i, t1, 1, "same", 0.05, "{}"))
+        rows.append((300 + i, t2, 1, "same", 0.05, "{}"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["event_type"]: (r["n1"], r["n2"], r["d2"], r["significant_3sigma"])
+        for r in QUERIES["mann_whitney_shift_by_type"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["shift"] == (10, 10, -100, 1)
+    assert got["same"] == (10, 10, 0, 0)

@@ -717,3 +717,100 @@ def q_kpi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "10000 - (60000 * d2_sum) div (n_days * (n_days * n_days - 1))"
         ).alias("rho_bp"),
     )
+
+
+@query(
+    "mann_whitney_shift_by_type",
+    # Two-sample Mann-Whitney location test per type (first vs second
+    # half-month), doubled-midrank units throughout: D₂ = 2U₁ − n₁n₂
+    # = Σ₁(2·midrank) − n₁(n₁+1) − n₁n₂, and 3σ significance as
+    # D₂² > 3·n₁n₂(N+1) (the z² threshold cross-multiplied; no-tie
+    # variance as the documented surrogate). int128-wide.
+    oracle="""
+WITH tagged AS (
+    SELECT event_type,
+           CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 2 END AS half,
+           FLOOR(value * 100)::BIGINT AS cents
+    FROM events
+), ranked AS (
+    SELECT event_type, half, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY cents, half, ts_rn) AS rn0
+    FROM (
+        SELECT *, ROW_NUMBER() OVER () AS ts_rn FROM tagged
+    )
+), mid AS (
+    SELECT event_type, half,
+           MIN(rn0) OVER (PARTITION BY event_type, cents)
+               + MAX(rn0) OVER (PARTITION BY event_type, cents) AS r2
+    FROM ranked
+), agg AS (
+    SELECT event_type,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+           SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+           SUM(CASE WHEN half = 1 THEN r2 ELSE 0 END)::BIGINT AS s2_1
+    FROM mid GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       (s2_1 - n1 * (n1 + 1) - n1 * n2)::BIGINT AS d2,
+       CASE WHEN (s2_1 - n1 * (n1 + 1) - n1 * n2)::HUGEINT
+                 * (s2_1 - n1 * (n1 + 1) - n1 * n2)
+                 > 3::HUGEINT * n1 * n2 * (n1 + n2 + 1)
+            THEN 1 ELSE 0 END AS significant_3sigma
+FROM agg
+""",
+)
+def q_mann_whitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney location test per event type — KS's
+    companion with the opposite specialty: KS fires on ANY CDF
+    difference, Mann-Whitney specifically on 'did the typical value
+    SHIFT', which is the question behind most pricing and latency
+    regressions. The AUC query's doubled-midrank trick keeps every
+    quantity integral under ties (D₂ = 2U₁ − n₁n₂ centered at 0),
+    and the 3σ threshold cross-multiplies to D₂² > 3n₁n₂(N+1).
+    CAVEAT: the rank tiebreak within identical (type, cents) cells
+    is arbitrary, but midranks make the STATISTIC invariant to it —
+    that's the whole point of midranks, and why this query is
+    gateable on a fixture with duplicate rows. Rank windows ride one
+    type exchange; the test arithmetic touches |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        "cents", "half", F.monotonically_increasing_id()
+    )
+    wt = Window.partitionBy("event_type", "cents")
+    ranked = tagged.withColumn(
+        "rn0", F.row_number().over(wr).cast("long")
+    )
+    mid = ranked.select(
+        "event_type",
+        "half",
+        (F.min("rn0").over(wt) + F.max("rn0").over(wt)).alias("r2"),
+    )
+    agg = mid.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("half") == 1, F.col("r2")).otherwise(0)
+        ).alias("s2_1"),
+    )
+    d2 = F.col("s2_1") - F.col("n1") * (F.col("n1") + 1) - F.col(
+        "n1"
+    ) * F.col("n2")
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        d2.alias("d2"),
+        F.expr(
+            "case when cast(s2_1 - n1 * (n1 + 1) - n1 * n2"
+            "           as decimal(38,0))"
+            "      * (s2_1 - n1 * (n1 + 1) - n1 * n2)"
+            " > cast(3 as decimal(38,0)) * n1 * n2 * (n1 + n2 + 1)"
+            " then 1 else 0 end"
+        ).alias("significant_3sigma"),
+    )
