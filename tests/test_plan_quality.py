@@ -428,3 +428,38 @@ def test_ltv_broadcasts_age_spine(spark, sf_dir):
     plan = _plan(spark, "ltv_curve_by_age", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ks_bins_before_windows(spark, sf_dir):
+    """KS collapses to (type, cent) cells in a two-level HashAggregate
+    BEFORE any window — the CDF walks the bin domain, not events."""
+    plan = _plan(spark, "ks_two_sample_by_type", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_audience_overlap_equi_join(spark, sf_dir):
+    """The pair expansion is a user-keyed equi-join of the distinct
+    (user, type) collapse — never a type×type nested loop over raw
+    events."""
+    plan = _plan(spark, "audience_overlap_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """The frontier comes from ONE window over the distinct-point
+    rollup — the quadratic NOT-EXISTS anti-join shape must not
+    appear in the physical plan."""
+    plan = _plan(spark, "skyline_parts_price_size", sf_dir)
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_markov_chain_solve_corpus_independent(spark, sf_dir):
+    """After the localCheckpoints, the final plan touches only the
+    tiny absorbed-probability tables — no event-scale scan survives
+    into the chain-solve segment."""
+    plan = _plan(spark, "markov_removal_attribution", sf_dir)
+    assert "FileScan parquet" not in plan, plan
