@@ -75,6 +75,16 @@ PROBE_QUERIES = [
     "vocab_coverage_curve",
     # …and the lineitem-backed CF serving table (disjoint shards).
     "item_cosine_similarity_top3",
+    # round-6 session-2 late additions: nonparametric statistics +
+    # growth accounting + sketch-powered rolling distinct.
+    "ks_two_sample_by_type",
+    "mann_whitney_shift_by_type",
+    "audience_overlap_matrix",
+    "dau_mau_stickiness",
+    "hll_rolling_mau",
+    "session_length_percentiles",
+    "skip_bigram_type_pairs",
+    "ngram_containment_pairs",
 ]
 
 
