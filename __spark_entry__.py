@@ -225,6 +225,7 @@ _REGISTERED_R06 = frozenset(
         "ks_two_sample_by_type",
         "kpi_correlation_daily",
         "mann_whitney_shift_by_type",
+        "session_gap_sensitivity",
     }
 )
 

@@ -241,6 +241,7 @@ HEADLINE = [
     "ks_two_sample_by_type",
     "kpi_correlation_daily",
     "mann_whitney_shift_by_type",
+    "session_gap_sensitivity",
 ]
 
 

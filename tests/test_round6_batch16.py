@@ -252,3 +252,32 @@ def test_next_action_diversity_extremes(spark, tmp_path):
     }
     assert got["flow"] == (2, 1, 0)
     assert got["fork"] == (2, 2, 500_000)
+
+
+def test_session_gap_sensitivity_thresholds(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 10, 12)
+    # One user, gaps of 20 min and 45 min:
+    # gap=15 → 3 sessions; gap=30 → 2 (20min merges); gap=60 → 1.
+    rows = [
+        (1, t, 1, "view", 0.0, "{}"),
+        (2, t + dt.timedelta(minutes=20), 1, "view", 0.0, "{}"),
+        (3, t + dt.timedelta(minutes=65), 1, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["gap_minutes"]: (r["n_sessions"], r["mean_len_ppm"])
+        for r in QUERIES["session_gap_sensitivity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        15: (3, 1_000_000),
+        30: (2, 1_500_000),
+        60: (1, 3_000_000),
+    }

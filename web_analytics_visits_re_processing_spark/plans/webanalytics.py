@@ -4061,3 +4061,98 @@ def q_next_action_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000000 - (sum(c * c) * 1000000) div (sum(c) * sum(c))"
         ).alias("impurity_ppm"),
     )
+
+
+@query(
+    "session_gap_sensitivity",
+    # The sessionization KNOB analyzed: session counts and mean
+    # length under 15/30/60-minute gaps, all three from ONE pass —
+    # per gap, new-session flags are just different thresholds on the
+    # same lag, so three running sums ride the same user exchange.
+    oracle="""
+WITH seq AS (
+    SELECT user_id,
+           epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+), flags AS (
+    SELECT user_id,
+           CASE WHEN gap_us IS NULL OR gap_us > 900000000 THEN 1
+                ELSE 0 END AS n15,
+           CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1
+                ELSE 0 END AS n30,
+           CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1
+                ELSE 0 END AS n60
+    FROM seq
+), tot AS (
+    SELECT COUNT(*)::BIGINT AS n_events,
+           SUM(n15)::BIGINT AS s15,
+           SUM(n30)::BIGINT AS s30,
+           SUM(n60)::BIGINT AS s60
+    FROM flags
+)
+SELECT gap_minutes, n_sessions,
+       ((n_events * 1000000) // n_sessions)::BIGINT AS mean_len_ppm
+FROM (
+    SELECT 15::BIGINT AS gap_minutes, s15 AS n_sessions, n_events FROM tot
+    UNION ALL SELECT 30, s30, n_events FROM tot
+    UNION ALL SELECT 60, s60, n_events FROM tot
+)
+""",
+)
+def q_session_gap_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sessionization-gap sensitivity: session counts and mean session
+    length under 15/30/60-minute inactivity thresholds, computed in
+    ONE pass — a session count is just the number of above-threshold
+    lag gaps (+1 per user), so the three candidate knobs are three
+    conditional sums over the SAME lag on the SAME user exchange,
+    not three sessionization runs. This is the analysis behind
+    choosing the 30-minute default every tool inherits — if the
+    session count barely moves between 15 and 60, the metric is
+    robust; if it doubles, 'sessions' is an artifact of the knob."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)).alias(
+            "gap_us"
+        )
+    )
+    new = lambda us: F.when(  # noqa: E731
+        F.col("gap_us").isNull() | (F.col("gap_us") > us), 1
+    ).otherwise(0)
+    tot = seq.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(new(900000000)).alias("s15"),
+        F.sum(new(1800000000)).alias("s30"),
+        F.sum(new(3600000000)).alias("s60"),
+    )
+    rows = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(15).cast("long").alias("gap_minutes"),
+                    F.col("s15").alias("n_sessions"),
+                    F.col("n_events"),
+                ),
+                F.struct(
+                    F.lit(30).cast("long").alias("gap_minutes"),
+                    F.col("s30").alias("n_sessions"),
+                    F.col("n_events"),
+                ),
+                F.struct(
+                    F.lit(60).cast("long").alias("gap_minutes"),
+                    F.col("s60").alias("n_sessions"),
+                    F.col("n_events"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.gap_minutes", "r.n_sessions", "r.n_events")
+    return rows.select(
+        "gap_minutes",
+        "n_sessions",
+        F.expr("(n_events * 1000000) div n_sessions").alias(
+            "mean_len_ppm"
+        ),
+    )
