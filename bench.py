@@ -242,6 +242,9 @@ HEADLINE = [
     "kpi_correlation_daily",
     "mann_whitney_shift_by_type",
     "session_gap_sensitivity",
+    "lorenz_curve_deciles",
+    "duplicate_order_flags",
+    "bpr_negative_samples",
 ]
 
 

@@ -382,3 +382,65 @@ def test_skyline_window_equals_definition(spark, tmp_path):
         (100, 5): (1, 1),
         (200, 9): (3, 2),
     }
+
+
+def test_lorenz_deciles(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    orders = [(i, i, "O", float(i), t, "1-URGENT") for i in range(1, 11)]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    got = {
+        r["decile"]: (r["n_customers"], r["dollars"], r["cum_share_ppm"])
+        for r in QUERIES["lorenz_curve_deciles"](spark, str(tmp_path)).collect()
+    }
+    # revenues 1..10 (total 55): decile k holds k dollars;
+    # cum share at k = k(k+1)/2 · 1e6 // 55.
+    assert got[4] == (1, 4, 10 * 1_000_000 // 55)
+    assert got[10] == (1, 10, 1_000_000)
+    assert len(got) == 10
+
+
+def test_duplicate_order_flags(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1, 9)
+    orders = [
+        (1, 7, "O", 99.99, t, "1-URGENT"),
+        (2, 7, "O", 99.99, t + dt.timedelta(hours=2), "1-URGENT"),  # same day
+        (3, 7, "O", 50.00, t, "1-URGENT"),
+    ]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    rows = QUERIES["duplicate_order_flags"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["o_custkey"], r["cents"], r["n_orders"], r["first_orderkey"]) == (
+        7, 9999, 2, 1,
+    )
+
+
+def test_bpr_negative_deterministic(spark, tmp_path):
+    import hashlib
+
+    t = dt.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "orders",
+           [(1, 5, "O", 1.0, t, "1-URGENT")],
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    _write(spark, tmp_path, "lineitem",
+           [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t)], li_schema)
+    _write(spark, tmp_path, "part",
+           [(3, "p", "B", "T", 1, 1.0)],
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    expected_neg = int(hashlib.md5(b"5#1").hexdigest()[:15], 16) % 3 + 1
+    (r,) = QUERIES["bpr_negative_samples"](spark, str(tmp_path)).collect()
+    assert r["n_pairs"] == 1
+    assert r["neg_checksum"] == expected_neg
+    assert r["n_collisions"] == (1 if expected_neg == 1 else 0)

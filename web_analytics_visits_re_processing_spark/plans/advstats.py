@@ -814,3 +814,64 @@ def q_mann_whitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end"
         ).alias("significant_3sigma"),
     )
+
+
+@query(
+    "lorenz_curve_deciles",
+    # The Lorenz curve behind the Gini number: customers in revenue
+    # deciles (ascending), each decile's cumulative share of total
+    # revenue in ppm — the '40% of customers hold 4% of revenue'
+    # table. Deterministic ntile over (dollars, custkey).
+    oracle="""
+WITH rev AS (
+    SELECT o_custkey, SUM(FLOOR(o_totalprice)::BIGINT)::BIGINT AS dollars
+    FROM orders GROUP BY o_custkey
+), dec AS (
+    SELECT dollars,
+           NTILE(10) OVER (ORDER BY dollars, o_custkey) AS decile
+    FROM rev
+), per AS (
+    SELECT decile, COUNT(*)::BIGINT AS n_customers,
+           SUM(dollars)::BIGINT AS dollars
+    FROM dec GROUP BY decile
+)
+SELECT decile, n_customers, dollars,
+       ((SUM(dollars) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             * 1000000) // SUM(dollars) OVER ())::BIGINT
+           AS cum_share_ppm
+FROM per
+""",
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve underlying `gini_revenue_by_nation`'s single
+    number: customer revenue deciles ascending with cumulative share
+    of total revenue (ppm) — the curve a reader can actually see the
+    inequality in ('the bottom four deciles hold X%'), and the
+    direct input to an '80/20' statement with real numbers. The
+    heavy rollup happens per customer before the decile window;
+    shares run over ten rows."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice")).alias("dollars")
+    )
+    wd = Window.orderBy("dollars", "o_custkey")
+    per = (
+        rev.select("dollars", F.ntile(10).over(wd).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("dollars").alias("dollars"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_customers",
+        "dollars",
+        F.expr(
+            "(sum(dollars) over (order by decile"
+            " rows between unbounded preceding and current row)"
+            " * 1000000) div sum(dollars) over ()"
+        ).alias("cum_share_ppm"),
+    )

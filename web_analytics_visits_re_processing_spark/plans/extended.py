@@ -4084,3 +4084,44 @@ def q_hll_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("g", "yyyy-MM-dd").alias("day"), "mau_exact")
     )
     return est.join(exact, "day")
+
+
+@query(
+    "duplicate_order_flags",
+    # Ops audit: potential double-charges — orders sharing (customer,
+    # day, exact cent total). Groups of ≥2 with counts and the
+    # affected value; the review queue a billing team works through.
+    oracle="""
+SELECT o_custkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+       FLOOR(o_totalprice * 100)::BIGINT AS cents,
+       COUNT(*)::BIGINT AS n_orders,
+       MIN(o_orderkey)::BIGINT AS first_orderkey
+FROM orders
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+""",
+)
+def q_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge candidates: orders sharing (customer, day, exact
+    cent amount) — the billing review queue, where a retry storm or
+    a double-submitted checkout shows up as n_orders ≥ 2 on one key.
+    One map-side groupBy with a HAVING; the exact-duplicate dedup
+    family's semantics applied to transactions instead of documents
+    (same fingerprint idea, different stakes)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )

@@ -4247,3 +4247,91 @@ def q_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(c)"
         ).alias("missing_mass_ppm"),
     )
+
+
+@query(
+    "bpr_negative_samples",
+    # Implicit-feedback training pairs (BPR-style): for every
+    # (customer, bought-part) positive, ONE deterministic hash-drawn
+    # negative candidate from the catalog, with collisions (the draw
+    # hit something the user actually bought) FLAGGED rather than
+    # silently rerolled — single-attempt sampling is what stays
+    # relational; the collision ppm tells the trainer how many pairs
+    # to drop. No RNG, idempotent re-runs, exact SQL replay.
+    oracle="""
+WITH pos AS (
+    SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), np AS (
+    SELECT MAX(p_partkey) AS maxp FROM part
+), cand AS (
+    SELECT u, p,
+           (('0x' || substring(md5(CAST(u AS VARCHAR) || '#'
+                                   || CAST(p AS VARCHAR)), 1, 15))::BIGINT
+                % (SELECT maxp FROM np)) + 1 AS neg_p
+    FROM pos
+), flagged AS (
+    SELECT c.u, c.p, c.neg_p,
+           CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END AS is_collision
+    FROM cand c LEFT JOIN pos b ON b.u = c.u AND b.p = c.neg_p
+)
+SELECT COUNT(*)::BIGINT AS n_pairs,
+       SUM(is_collision)::BIGINT AS n_collisions,
+       ((SUM(is_collision) * 1000000) // COUNT(*))::BIGINT
+           AS collision_ppm,
+       SUM(neg_p)::BIGINT AS neg_checksum
+FROM flagged
+""",
+)
+def q_bpr_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPR-style negative sampling for implicit-feedback recommender
+    training: each (user, bought-part) positive gets one
+    DETERMINISTIC hash-drawn catalog negative — no RNG, so re-runs
+    and retries produce byte-identical training data (the
+    PPS/weighted-sample lesson applied to recsys). The single-attempt
+    policy is the relational-honest one: draws that collide with a
+    true positive are FLAGGED (anti-join back on the positive set)
+    and counted in ppm, so the trainer knows exactly how many pairs
+    to drop — rejection-resampling loops don't belong in a SQL plan.
+    Scale: the positive set is the distinct basket join; the draw is
+    a projection; the collision check is a self-equi-join on
+    (user, drawn-part)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pos = (
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"), "l_orderkey")
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    maxp = p.agg(F.max("p_partkey").alias("maxp"))
+    cand = pos.crossJoin(F.broadcast(maxp)).select(
+        "u",
+        "p",
+        (
+            F.pmod(
+                hash64(
+                    F.concat_ws(
+                        "#", F.col("u").cast("string"), F.col("p").cast("string")
+                    )
+                ),
+                F.col("maxp"),
+            )
+            + 1
+        ).alias("neg_p"),
+    )
+    b = pos.select(F.col("u"), F.col("p").alias("neg_p"), F.lit(1).alias("hit"))
+    flagged = cand.join(b, ["u", "neg_p"], "left").select(
+        "neg_p", F.coalesce("hit", F.lit(0)).alias("is_collision")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_collision").alias("n_collisions"),
+        F.expr(
+            "(sum(is_collision) * 1000000) div count(1)"
+        ).alias("collision_ppm"),
+        F.sum("neg_p").alias("neg_checksum"),
+    )
