@@ -229,6 +229,9 @@ _REGISTERED_R06 = frozenset(
         "lorenz_curve_deciles",
         "duplicate_order_flags",
         "bpr_negative_samples",
+        "recommendation_catalog_coverage",
+        "bounce_rate_by_entry_type",
+        "wow_user_retention",
     }
 )
 

@@ -245,6 +245,9 @@ HEADLINE = [
     "lorenz_curve_deciles",
     "duplicate_order_flags",
     "bpr_negative_samples",
+    "recommendation_catalog_coverage",
+    "bounce_rate_by_entry_type",
+    "wow_user_retention",
 ]
 
 

@@ -281,3 +281,53 @@ def test_session_gap_sensitivity_thresholds(spark, tmp_path):
         30: (2, 1_500_000),
         60: (1, 3_000_000),
     }
+
+
+def test_bounce_by_entry(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # view-entry session that continues (no bounce)…
+        (1, t, 1, "view", 0.0, "{}"),
+        (2, t + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        # …view-entry single-hit session (bounce)…
+        (3, t, 2, "view", 0.0, "{}"),
+        # …error-entry single hit (bounce).
+        (4, t, 3, "error", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["entry_type"]: (r["n_sessions"], r["n_bounces"], r["bounce_ppm"])
+        for r in QUERIES["bounce_rate_by_entry_type"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["view"] == (2, 1, 500_000)
+    assert got["error"] == (1, 1, 1_000_000)
+
+
+def test_wow_user_retention(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    w0 = dt.datetime(2024, 1, 1, 12)
+    w1 = w0 + dt.timedelta(weeks=1)
+    rows = [
+        (1, w0, 1, "view", 0.0, "{}"),
+        (2, w0, 2, "view", 0.0, "{}"),
+        (3, w1, 1, "view", 0.0, "{}"),   # u1 retained, u2 churned
+        (4, w1, 9, "view", 0.0, "{}"),   # new user — not in denominator
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    (r,) = QUERIES["wow_user_retention"](spark, str(tmp_path)).collect()
+    assert (r["n_prev_actives"], r["n_retained"], r["retention_ppm"]) == (
+        2, 1, 500_000,
+    )

@@ -4156,3 +4156,240 @@ def q_session_gap_sensitivity(
             "mean_len_ppm"
         ),
     )
+
+
+@query(
+    "recommendation_catalog_coverage",
+    # Recsys coverage diagnostic: what share of the sold catalog ever
+    # appears in a top-3 recommendation list (the item-cosine serving
+    # table) — low coverage means the recommender shows everyone the
+    # same head items (the popularity trap), no matter how good its
+    # precision looks.
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+    SELECT l_partkey, COUNT(*)::BIGINT AS c FROM op GROUP BY 1
+), pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*)::BIGINT AS cxy
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+    SELECT pa AS item, pb AS other, cxy FROM pairs
+    UNION ALL SELECT pb, pa, cxy FROM pairs
+), scored AS (
+    SELECT s.item, s.other,
+           ((s.cxy::HUGEINT * s.cxy * 1000000)
+                // (ia.c::HUGEINT * ib.c))::BIGINT AS cos2_ppm
+    FROM sym s
+    JOIN item ia ON ia.l_partkey = s.item
+    JOIN item ib ON ib.l_partkey = s.other
+), ranked AS (
+    SELECT other,
+           ROW_NUMBER() OVER (PARTITION BY item
+                              ORDER BY cos2_ppm DESC, other) AS rnk
+    FROM scored
+), recommended AS (
+    SELECT DISTINCT other FROM ranked WHERE rnk <= 3
+)
+SELECT (SELECT COUNT(*) FROM item)::BIGINT AS n_sold_parts,
+       (SELECT COUNT(*) FROM recommended)::BIGINT AS n_recommended,
+       (((SELECT COUNT(*) FROM recommended) * 1000000)
+            // (SELECT COUNT(*) FROM item))::BIGINT AS coverage_ppm
+""",
+)
+def q_recommendation_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog coverage of the item-cosine recommender: the share of
+    sold parts that appear in ANY top-3 list — the diversity-side
+    health check that precision metrics hide (a recommender can be
+    'accurate' while showing everyone the same fifty head items,
+    starving the catalog tail of exposure). Composes the gated
+    serving-table pipeline with one distinct-and-count epilogue; at
+    scale this runs off the PERSISTED serving table, not a rebuild."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "cxy"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "cxy"
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(ia), "item")
+        .join(F.broadcast(ib), "other")
+        .select(
+            "item",
+            "other",
+            F.expr(
+                "cast((cast(cxy as decimal(38,0)) * cxy * 1000000)"
+                " div (cast(ca as decimal(38,0)) * cb) as long)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(F.col("cos2_ppm").desc(), "other")
+    recommended = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select("other")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_recommended"))
+    )
+    sold = item.agg(F.count(F.lit(1)).alias("n_sold_parts"))
+    return sold.crossJoin(F.broadcast(recommended)).select(
+        "n_sold_parts",
+        "n_recommended",
+        F.expr(
+            "(n_recommended * 1000000) div n_sold_parts"
+        ).alias("coverage_ppm"),
+    )
+
+
+@query(
+    "bounce_rate_by_entry_type",
+    # Landing-page bounce: single-hit-session share per ENTRY type,
+    # ppm — which front door loses people instantly.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), per_session AS (
+    SELECT user_id, session_seq,
+           MIN({{'ts': ts, 'eid': event_id, 'et': event_type}}).et
+               AS entry_type,
+           COUNT(*) AS len
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT entry_type,
+       COUNT(*)::BIGINT AS n_sessions,
+       SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       ((SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*))::BIGINT AS bounce_ppm
+FROM per_session GROUP BY entry_type
+""",
+)
+def q_bounce_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per landing type: the share of sessions that START
+    at a type and end one hit later — which front door loses people
+    instantly. Splits the overall weekly bounce rate
+    (`bounce_rate_weekly`) by its actionable dimension, and pairs
+    with `session_conversion_by_entry` (same per-session collapse:
+    struct-min entry + count, one user exchange)."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+        F.count(F.lit(1)).alias("len"),
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("len") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.expr(
+            "(sum(case when len = 1 then 1 else 0 end) * 1000000)"
+            " div count(1)"
+        ).alias("bounce_ppm"),
+    )
+
+
+@query(
+    "wow_user_retention",
+    # Week-over-week user retention: of last week's actives, the
+    # share active again this week, ppm — the weekly heartbeat
+    # retention line (distinct from cohort D-N retention: this is a
+    # sliding two-week overlap, not an acquisition cohort).
+    oracle="""
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 604800000000 AS w
+    FROM events
+)
+SELECT cur.w::BIGINT AS week_idx,
+       COUNT(DISTINCT prev.user_id)::BIGINT AS n_prev_actives,
+       COUNT(DISTINCT CASE WHEN cur2.user_id IS NOT NULL
+                           THEN prev.user_id END)::BIGINT AS n_retained,
+       ((COUNT(DISTINCT CASE WHEN cur2.user_id IS NOT NULL
+                             THEN prev.user_id END) * 1000000)
+            // COUNT(DISTINCT prev.user_id))::BIGINT AS retention_ppm
+FROM (SELECT DISTINCT w FROM uw) cur
+JOIN uw prev ON prev.w = cur.w - 1
+LEFT JOIN uw cur2 ON cur2.w = cur.w AND cur2.user_id = prev.user_id
+GROUP BY cur.w
+""",
+)
+def q_wow_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user retention — the heartbeat line every weekly
+    review opens with: of the users active in week w−1, the share
+    back in week w (ppm). Different animal from the Dn/cohort tier:
+    no acquisition anchoring, just a sliding two-week overlap, which
+    makes it a leading indicator (drops here show up in cohort
+    curves a month later). Distinct (user, week) collapse once, then
+    a self-join on adjacent weeks — each user-week row meets at most
+    one prior week, so the join is linear in user-weeks."""
+    ev = _events(spark, sf_dir)
+    uw = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+    ).distinct()
+    weeks = uw.select("w").distinct().select(F.col("w").alias("cw"))
+    prev = uw.select(F.col("user_id"), (F.col("w") + 1).alias("cw"))
+    cur = uw.select(
+        F.col("user_id"), F.col("w").alias("cw"), F.lit(1).alias("hit")
+    )
+    j = (
+        weeks.join(prev, "cw")
+        .join(cur, ["cw", "user_id"], "left")
+    )
+    return j.groupBy(F.col("cw").alias("week_idx")).agg(
+        F.count_distinct("user_id").alias("n_prev_actives"),
+        F.count_distinct(
+            F.when(F.col("hit").isNotNull(), F.col("user_id"))
+        ).alias("n_retained"),
+        F.expr(
+            "(count(distinct case when hit is not null then user_id end)"
+            " * 1000000) div count(distinct user_id)"
+        ).alias("retention_ppm"),
+    )
