@@ -232,6 +232,8 @@ _REGISTERED_R06 = frozenset(
         "recommendation_catalog_coverage",
         "bounce_rate_by_entry_type",
         "wow_user_retention",
+        "mutual_best_match_parts",
+        "daily_arrival_overdispersion",
     }
 )
 

@@ -248,6 +248,8 @@ HEADLINE = [
     "recommendation_catalog_coverage",
     "bounce_rate_by_entry_type",
     "wow_user_retention",
+    "mutual_best_match_parts",
+    "daily_arrival_overdispersion",
 ]
 
 

@@ -444,3 +444,47 @@ def test_bpr_negative_deterministic(spark, tmp_path):
     assert r["n_pairs"] == 1
     assert r["neg_checksum"] == expected_neg
     assert r["n_collisions"] == (1 if expected_neg == 1 else 0)
+
+
+def test_mutual_best_match(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    # parts 1-2: each other's only partner (mutual). part 3 pairs
+    # with 1 (one-directional: 1's best is 2).
+    li, ln = [], 1
+    for o, parts in [(10, [1, 2]), (11, [1, 2]), (12, [1, 2]),
+                     (13, [1, 3]), (14, [1, 3])]:
+        for p in parts:
+            li.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", t))
+            ln += 1
+    _write(spark, tmp_path, "lineitem", li, LI_SCHEMA2)
+    rows = QUERIES["mutual_best_match_parts"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    # cos²(1,2) = 9·1e6/(5·3) = 600000 both directions.
+    assert (r["part_a"], r["part_b"]) == (1, 2)
+    assert r["cos2_ab_ppm"] == r["cos2_ba_ppm"] == 600_000
+
+
+def test_daily_overdispersion_extremes(spark, tmp_path):
+    rows = []
+    eid = 0
+    # 'flat': 2/day for 4 days → var 0 → dispersion 0.
+    for d in range(4):
+        for _ in range(2):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 9), 1,
+                         "flat", 0.0, "{}")); eid += 1
+    # 'burst': days 8,0... only days WITH events appear: counts 6,2
+    # over 2 observed days: n=2,S=8,Q=40 → (80−64)·1e6//16 = 1000000.
+    for c, d in [(6, 10), (2, 11)]:
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, d, 9), 1,
+                         "burst", 0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["event_type"]: (r["n_days"], r["n_events"], r["dispersion_ppm"])
+        for r in QUERIES["daily_arrival_overdispersion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["flat"] == (4, 8, 0)
+    assert got["burst"] == (2, 8, 1_000_000)

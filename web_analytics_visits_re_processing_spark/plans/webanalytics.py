@@ -4393,3 +4393,161 @@ def q_wow_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) div count(distinct user_id)"
         ).alias("retention_ppm"),
     )
+
+
+@query(
+    "mutual_best_match_parts",
+    # Product twins: pairs where each part is the OTHER's cosine
+    # top-1 — reciprocal best matches, the high-precision subset of
+    # the serving table (bundle/variant candidates; one-directional
+    # top-1s are often just popularity pull).
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+    SELECT l_partkey, COUNT(*)::BIGINT AS c FROM op GROUP BY 1
+), pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*)::BIGINT AS cxy
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+    SELECT pa AS item, pb AS other, cxy FROM pairs
+    UNION ALL SELECT pb, pa, cxy FROM pairs
+), scored AS (
+    SELECT s.item, s.other,
+           ((s.cxy::HUGEINT * s.cxy * 1000000)
+                // (ia.c::HUGEINT * ib.c))::BIGINT AS cos2_ppm
+    FROM sym s
+    JOIN item ia ON ia.l_partkey = s.item
+    JOIN item ib ON ib.l_partkey = s.other
+), best AS (
+    SELECT item, other, cos2_ppm FROM (
+        SELECT item, other, cos2_ppm,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY cos2_ppm DESC, other) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+)
+SELECT a.item AS part_a, a.other AS part_b,
+       a.cos2_ppm AS cos2_ab_ppm, b.cos2_ppm AS cos2_ba_ppm
+FROM best a JOIN best b
+  ON b.item = a.other AND b.other = a.item AND a.item < a.other
+""",
+)
+def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best matches — pairs where each part is the OTHER's
+    cosine top-1: the high-precision core of the serving table
+    (bundle and variant candidates), because one-directional top-1s
+    are frequently popularity pull while mutual ones are genuine
+    affinity. The reciprocal join touches only the |items|-row
+    top-1 table; everything upstream is the shared gated pipeline."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "cxy"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "cxy"
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(ia), "item")
+        .join(F.broadcast(ib), "other")
+        .select(
+            "item",
+            "other",
+            F.expr(
+                "cast((cast(cxy as decimal(38,0)) * cxy * 1000000)"
+                " div (cast(ca as decimal(38,0)) * cb) as long)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(F.col("cos2_ppm").desc(), "other")
+    best = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select("item", "other", "cos2_ppm")
+    )
+    b2 = best.select(
+        F.col("item").alias("other"),
+        F.col("other").alias("item"),
+        F.col("cos2_ppm").alias("cos2_ba_ppm"),
+    )
+    return (
+        best.join(b2, ["item", "other"])
+        .where(F.col("item") < F.col("other"))
+        .select(
+            F.col("item").alias("part_a"),
+            F.col("other").alias("part_b"),
+            F.col("cos2_ppm").alias("cos2_ab_ppm"),
+            "cos2_ba_ppm",
+        )
+    )
+
+
+@query(
+    "daily_arrival_overdispersion",
+    # Are purchases Poisson-arriving day to day? Dispersion index
+    # var/mean per type, cross-multiplied: (nQ − S²) vs n·S in ppm —
+    # ≈1e6 Poisson, ≫1e6 overdispersed (bursty campaign-driven
+    # arrivals), ≪1e6 underdispersed (throttled/quota'd).
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           COUNT(*)::BIGINT AS c
+    FROM events GROUP BY 1, 2
+), st AS (
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS q
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, s AS n_events,
+       (((n::HUGEINT * q - s::HUGEINT * s) * 1000000)
+            // GREATEST(n::HUGEINT * s, 1))::BIGINT AS dispersion_ppm
+FROM st
+""",
+)
+def q_daily_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process diagnosis per event type: the dispersion index
+    var/mean of DAILY counts in ppm — Poisson arrivals sit at 1e6,
+    campaign-driven bursts push far above, and throttled/quota'd
+    traffic sits below. The per-user burstiness query fingerprints
+    individuals; this one characterizes the aggregate process, which
+    is what capacity models assume Poisson until shown otherwise.
+    Same cross-multiplied (nQ − S²)/(nS) integer form, int128-wide;
+    events collapse to ~30 day rows first."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    return st.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.expr(
+            "cast(((cast(n as decimal(38,0)) * q"
+            " - cast(s as decimal(38,0)) * s) * 1000000)"
+            " div greatest(cast(n as decimal(38,0)) * s, 1) as long)"
+        ).alias("dispersion_ppm"),
+    )
