@@ -234,6 +234,8 @@ _REGISTERED_R06 = frozenset(
         "wow_user_retention",
         "mutual_best_match_parts",
         "daily_arrival_overdispersion",
+        "max_drawdown_daily",
+        "local_extrema_days",
     }
 )
 

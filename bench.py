@@ -250,6 +250,8 @@ HEADLINE = [
     "wow_user_retention",
     "mutual_best_match_parts",
     "daily_arrival_overdispersion",
+    "max_drawdown_daily",
+    "local_extrema_days",
 ]
 
 

@@ -488,3 +488,39 @@ def test_daily_overdispersion_extremes(spark, tmp_path):
     }
     assert got["flat"] == (4, 8, 0)
     assert got["burst"] == (2, 8, 1_000_000)
+
+
+def test_max_drawdown(spark, tmp_path):
+    # Daily cents 100, 300, 150, 120, 200: peak 300 → trough 120:
+    # drawdown 180 cents = 6000 bp of the peak, on day 4.
+    cents = [100, 300, 150, 120, 200]
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 9), 1, "purchase", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["max_drawdown_daily"](spark, str(tmp_path)).collect()
+    assert (r["trough_day"], r["trough_cents"], r["peak_cents"]) == (
+        "2024-01-04", 120, 300,
+    )
+    assert (r["drawdown_cents"], r["drawdown_bp"]) == (180, 6000)
+
+
+def test_local_extrema(spark, tmp_path):
+    # 100, 300, 120, 200, 150: day2 PEAK (prom 180), day3 TROUGH
+    # (prom 80), day4 PEAK (prom 50); endpoints excluded.
+    cents = [100, 300, 120, 200, 150]
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 9), 1, "purchase", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["day"]: (r["kind"], r["prominence"])
+        for r in QUERIES["local_extrema_days"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-01-02": ("PEAK", 180),
+        "2024-01-03": ("TROUGH", 80),
+        "2024-01-04": ("PEAK", 50),
+    }

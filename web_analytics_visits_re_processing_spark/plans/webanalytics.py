@@ -4551,3 +4551,136 @@ def q_daily_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(cast(n as decimal(38,0)) * s, 1) as long)"
         ).alias("dispersion_ppm"),
     )
+
+
+@query(
+    "max_drawdown_daily",
+    # The finance classic on daily revenue: max peak-to-trough
+    # decline — drawdown_t = running_max − x_t; the answer row is the
+    # day the cumulative damage peaked, with depth in cents and bp
+    # of the peak.
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), dd AS (
+    SELECT day, cents,
+           MAX(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS peak,
+           MAX(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               - cents AS drawdown
+    FROM daily
+)
+SELECT day AS trough_day, cents AS trough_cents, peak AS peak_cents,
+       drawdown AS drawdown_cents,
+       ((drawdown * 10000) // GREATEST(peak, 1))::BIGINT AS drawdown_bp
+FROM dd
+ORDER BY drawdown DESC, day LIMIT 1
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily revenue — the worst peak-to-trough
+    decline, reported as the trough day with depth in cents and
+    basis points of the prior peak: the single number that
+    distinguishes 'volatile but fine' from 'we lost the quarter',
+    and a sequential statistic (running max) no groupBy can express.
+    Events collapse to ~30 day rows; the running-max window and the
+    top-1 pick walk that rollup; ties break to the earliest day."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    wr = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(wr).alias("peak"),
+        (F.max("cents").over(wr) - F.col("cents")).alias("drawdown"),
+    )
+    return (
+        dd.orderBy(F.col("drawdown").desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("cents").alias("trough_cents"),
+            F.col("peak").alias("peak_cents"),
+            F.col("drawdown").alias("drawdown_cents"),
+            F.expr(
+                "(drawdown * 10000) div greatest(peak, 1)"
+            ).alias("drawdown_bp"),
+        )
+    )
+
+
+@query(
+    "local_extrema_days",
+    # Peak/trough annotation of the daily series: strict local maxima
+    # and minima vs both neighbors, with prominence = the smaller
+    # neighbor gap — the days a narrative (or an alerting rule)
+    # should actually talk about.
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lagged AS (
+    SELECT day, cents,
+           LAG(cents) OVER (ORDER BY day) AS prev,
+           LEAD(cents) OVER (ORDER BY day) AS nxt
+    FROM daily
+)
+SELECT day, cents,
+       CASE WHEN cents > prev AND cents > nxt THEN 'PEAK'
+            ELSE 'TROUGH' END AS kind,
+       LEAST(ABS(cents - prev), ABS(cents - nxt))::BIGINT AS prominence
+FROM lagged
+WHERE prev IS NOT NULL AND nxt IS NOT NULL
+  AND ((cents > prev AND cents > nxt) OR (cents < prev AND cents < nxt))
+""",
+)
+def q_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peaks and troughs of daily revenue with prominence (the
+    smaller gap to a neighbor) — the annotation layer a reporting
+    narrative or alert rule consumes: 'Tuesday's spike' is a PEAK
+    row here, and prominence separates real spikes from ripples.
+    Interior days only (endpoints have one neighbor); strict
+    inequalities mean plateau days are neither. One lag/lead pass
+    over the ~30-row day rollup."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    wo = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        F.lag("cents").over(wo).alias("prev"),
+        F.lead("cents").over(wo).alias("nxt"),
+    )
+    is_peak = (F.col("cents") > F.col("prev")) & (
+        F.col("cents") > F.col("nxt")
+    )
+    is_trough = (F.col("cents") < F.col("prev")) & (
+        F.col("cents") < F.col("nxt")
+    )
+    return (
+        lagged.where(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (is_peak | is_trough)
+        )
+        .select(
+            "day",
+            "cents",
+            F.when(is_peak, "PEAK").otherwise("TROUGH").alias("kind"),
+            F.least(
+                F.abs(F.col("cents") - F.col("prev")),
+                F.abs(F.col("cents") - F.col("nxt")),
+            ).alias("prominence"),
+        )
+    )
