@@ -236,6 +236,8 @@ _REGISTERED_R06 = frozenset(
         "daily_arrival_overdispersion",
         "max_drawdown_daily",
         "local_extrema_days",
+        "abc_classification_parts",
+        "daily_vwap_shipments",
     }
 )
 

@@ -252,6 +252,8 @@ HEADLINE = [
     "daily_arrival_overdispersion",
     "max_drawdown_daily",
     "local_extrema_days",
+    "abc_classification_parts",
+    "daily_vwap_shipments",
 ]
 
 

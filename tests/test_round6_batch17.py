@@ -524,3 +524,39 @@ def test_local_extrema(spark, tmp_path):
         "2024-01-03": ("TROUGH", 80),
         "2024-01-04": ("PEAK", 50),
     }
+
+
+def test_abc_classes(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    # Revenues 80/15/3/2 cents (total 100): part1 cum 80 → A;
+    # part2 cum 95 → B; parts 3,4 → C.
+    li = [
+        (1, 1, 1, 1, 1.0, 0.80, 0.0, 0.0, "N", "O", t),
+        (2, 2, 1, 2, 1.0, 0.15, 0.0, 0.0, "N", "O", t),
+        (3, 3, 1, 3, 1.0, 0.03, 0.0, 0.0, "N", "O", t),
+        (4, 4, 1, 4, 1.0, 0.02, 0.0, 0.0, "N", "O", t),
+    ]
+    _write(spark, tmp_path, "lineitem", li, LI_SCHEMA2)
+    got = {
+        r["abc_class"]: (r["n_parts"], r["revenue_cents"], r["revenue_share_ppm"])
+        for r in QUERIES["abc_classification_parts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "A": (1, 80, 800_000),
+        "B": (1, 15, 150_000),
+        "C": (2, 5, 50_000),
+    }
+
+
+def test_daily_vwap(spark, tmp_path):
+    t = dt.datetime(2024, 1, 5)
+    # 10 units @ 100c + 30 units @ 200c → VWAP (1000+6000)//40 = 175.
+    li = [
+        (1, 1, 1, 1, 10.0, 1.00, 0.0, 0.0, "N", "O", t),
+        (2, 2, 1, 2, 30.0, 2.00, 0.0, 0.0, "N", "O", t),
+    ]
+    _write(spark, tmp_path, "lineitem", li, LI_SCHEMA2)
+    (r,) = QUERIES["daily_vwap_shipments"](spark, str(tmp_path)).collect()
+    assert (r["units"], r["value_units"], r["vwap_cents"]) == (40, 7000, 175)

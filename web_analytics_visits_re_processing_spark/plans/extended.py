@@ -4125,3 +4125,121 @@ def q_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "abc_classification_parts",
+    # Merchandising ABC: parts ranked by revenue descending, class A
+    # = items inside the first 80% of cumulative revenue, B to 95%,
+    # C the tail — thresholds tested cross-multiplied (cum·100 vs
+    # total·80/95), no float share exists.
+    oracle="""
+WITH rev AS (
+    SELECT l_partkey,
+           SUM(FLOOR(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+    FROM lineitem GROUP BY l_partkey
+), ranked AS (
+    SELECT l_partkey, cents,
+           SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cents) OVER () AS total
+    FROM rev
+), classed AS (
+    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           cents
+    FROM ranked
+)
+SELECT abc_class,
+       COUNT(*)::BIGINT AS n_parts,
+       SUM(cents)::BIGINT AS revenue_cents,
+       ((SUM(cents) * 1000000)
+            // SUM(SUM(cents)) OVER ())::BIGINT AS revenue_share_ppm
+FROM classed GROUP BY abc_class
+""",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the merchandising workhorse:
+    parts sorted by revenue, class A = the head inside 80% of
+    cumulative revenue (count-and-manage-tightly), B to 95%, C the
+    long tail (automate or drop). Class sizes vs revenue shares ARE
+    the Pareto statement with actionable names. Threshold tests
+    cross-multiply (cum·100 ≤ total·80) so no float share exists;
+    the per-part rollup collapses lineitems first and the cumulative
+    window walks parts."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("cents")
+    )
+    wr = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(wr).alias("cum"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    per = classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    return per.select(
+        "abc_class",
+        "n_parts",
+        "revenue_cents",
+        F.expr(
+            "(revenue_cents * 1000000)"
+            " div sum(revenue_cents) over ()"
+        ).alias("revenue_share_ppm"),
+    )
+
+
+@query(
+    "daily_vwap_shipments",
+    # Volume-weighted average price per ship day: Σ(price·qty)/Σqty
+    # in integer cents (prices to cents, quantities to whole units
+    # BEFORE the product, one truncated division at the end).
+    oracle="""
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+       SUM(FLOOR(l_quantity)::BIGINT)::BIGINT AS units,
+       SUM(FLOOR(l_extendedprice * 100)::BIGINT
+           * FLOOR(l_quantity)::BIGINT)::BIGINT AS value_units,
+       (SUM(FLOOR(l_extendedprice * 100)::BIGINT
+            * FLOOR(l_quantity)::BIGINT)
+            // GREATEST(SUM(FLOOR(l_quantity)::BIGINT), 1))::BIGINT
+           AS vwap_cents
+FROM lineitem GROUP BY 1
+""",
+)
+def q_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price of shipments — the VWAP
+    that separates 'we shipped more' from 'we shipped cheaper': a
+    flat simple-average price with a falling VWAP means the volume
+    migrated into cheap SKUs. Everything quantizes BEFORE the
+    product (cents × whole units, int64-safe to ~9e5 units·cents per
+    line) with one truncated division per day; a single map-side
+    groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100)
+    units = F.floor("l_quantity")
+    return li.groupBy(
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(units).alias("units"),
+        F.sum(cents * units).alias("value_units"),
+        F.expr(
+            "sum(floor(l_extendedprice * 100) * floor(l_quantity))"
+            " div greatest(sum(floor(l_quantity)), 1)"
+        ).alias("vwap_cents"),
+    )
