@@ -238,6 +238,8 @@ _REGISTERED_R06 = frozenset(
         "local_extrema_days",
         "abc_classification_parts",
         "daily_vwap_shipments",
+        "rage_click_bursts",
+        "transition_latency_medians",
     }
 )
 

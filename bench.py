@@ -254,6 +254,8 @@ HEADLINE = [
     "local_extrema_days",
     "abc_classification_parts",
     "daily_vwap_shipments",
+    "rage_click_bursts",
+    "transition_latency_medians",
 ]
 
 

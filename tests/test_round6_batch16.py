@@ -331,3 +331,53 @@ def test_wow_user_retention(spark, tmp_path):
     assert (r["n_prev_actives"], r["n_retained"], r["retention_ppm"]) == (
         2, 1, 500_000,
     )
+
+
+def test_rage_clicks(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # u1: 4 clicks 5 s apart (one burst of 4)…
+        *[(i, t + dt.timedelta(seconds=5 * i), 1, "click", 0.0, "{}")
+          for i in range(4)],
+        # …then a 2-click tight run (below 3 → no burst).
+        (10, t + dt.timedelta(minutes=10), 1, "click", 0.0, "{}"),
+        (11, t + dt.timedelta(minutes=10, seconds=5), 1, "click", 0.0, "{}"),
+        # u2: 3 clicks 30 s apart → gaps too wide, no burst.
+        *[(20 + i, t + dt.timedelta(seconds=30 * i), 2, "click", 0.0, "{}")
+          for i in range(3)],
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["user_id"]: (r["n_bursts"], r["worst_burst_len"])
+        for r in QUERIES["rage_click_bursts"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 4)}
+
+
+def test_transition_latency_median(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 10, 12)
+    # view→click gaps of 10, 20, 30 s (three users) → p50 = 20.
+    rows = []
+    for u, g in enumerate([10, 20, 30]):
+        rows.append((u * 10, t, u, "view", 0.0, "{}"))
+        rows.append((u * 10 + 1, t + dt.timedelta(seconds=g), u, "click",
+                     0.0, "{}"))
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    (r,) = QUERIES["transition_latency_medians"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["cur_type"], r["next_type"], r["n_transitions"], r["p50_gap_s"]) == (
+        "view", "click", 3, 20,
+    )

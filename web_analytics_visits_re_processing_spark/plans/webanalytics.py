@@ -4684,3 +4684,155 @@ def q_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prominence"),
         )
     )
+
+
+@query(
+    "rage_click_bursts",
+    # UX telemetry classic: runs of ≥3 clicks by one user with ≤10 s
+    # between consecutive clicks — the frustration signal. Islands
+    # keyed by click_index − running_tight_count on the click
+    # subsequence; per-user burst counts + the global rollup row is
+    # left to the consumer (rows = users with ≥1 burst).
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= 10000000
+                THEN 1 ELSE 0 END AS tight,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS i
+    FROM events WHERE event_type = 'click'
+), isl AS (
+    SELECT user_id,
+           i - SUM(tight) OVER (PARTITION BY user_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS island
+    FROM clicks
+), runs AS (
+    SELECT user_id, island, COUNT(*)::BIGINT AS len
+    FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_bursts,
+       MAX(len)::BIGINT AS worst_burst_len
+FROM runs WHERE len >= 3 GROUP BY user_id
+""",
+)
+def q_rage_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rage-click detection: per user, runs of ≥3 clicks with ≤10 s
+    between consecutive ones — the canonical frustration signal UX
+    telemetry pipelines flag (a stuck button produces exactly this
+    shape). Gaps-and-islands on the CLICK subsequence: a 'tight'
+    flag from lag, islands keyed by click-index minus the running
+    tight count, runs of length ≥3 survive. The click filter prunes
+    at the scan; the windows ride the user exchange."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            <= 10000000,
+            1,
+        )
+        .otherwise(0)
+        .alias("tight"),
+        F.row_number().over(wu).cast("long").alias("i"),
+    )
+    isl = clicks.select(
+        "user_id",
+        (
+            F.col("i")
+            - F.sum("tight").over(
+                wu.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        runs.where(F.col("len") >= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.max("len").alias("worst_burst_len"),
+        )
+    )
+
+
+@query(
+    "transition_latency_medians",
+    # Funnel timing at EDGE granularity: median seconds per
+    # (cur → next) in-session transition via the cumulative-count
+    # integer rank rule over second bins — which step is slow, not
+    # just which step leaks.
+    oracle=f"""
+WITH seq AS (
+    SELECT event_type AS cur_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+               - epoch_us(ts)) // 1000000 AS gap_s
+    FROM events
+), cells AS (
+    SELECT cur_type, next_type, gap_s, COUNT(*)::BIGINT AS c
+    FROM seq WHERE gap_s IS NOT NULL AND gap_s * 1000000 <= {GAP_US}
+    GROUP BY 1, 2, 3
+), cum AS (
+    SELECT cur_type, next_type, gap_s, c,
+           SUM(c) OVER (PARTITION BY cur_type, next_type ORDER BY gap_s
+                        ROWS UNBOUNDED PRECEDING) AS run,
+           SUM(c) OVER (PARTITION BY cur_type, next_type) AS n
+    FROM cells
+)
+SELECT cur_type, next_type,
+       MAX(n)::BIGINT AS n_transitions,
+       MIN(CASE WHEN run * 2 >= n THEN gap_s END)::BIGINT AS p50_gap_s
+FROM cum GROUP BY cur_type, next_type
+""",
+)
+def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median transition latency per (current → next) edge — the
+    timing layer on the Markov matrix: the funnel tells you which
+    step LEAKS, this tells you which step is SLOW (a high-probability
+    but slow edge is a different fix than a fast leaky one). Gaps
+    compress to (edge, second) cells map-side; the median reads off
+    the cumulative rule over the second domain — the histogram-
+    quantile design applied to edges."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(wu).alias("next_type"),
+        F.expr(
+            "(lead(unix_micros(ts)) over (partition by user_id"
+            " order by ts, event_id) - unix_micros(ts)) div 1000000"
+        ).alias("gap_s"),
+    )
+    cells = (
+        seq.where(
+            F.col("gap_s").isNotNull()
+            & (F.col("gap_s") * 1000000 <= GAP_US)
+        )
+        .groupBy("cur_type", "next_type", "gap_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("cur_type", "next_type").orderBy(
+        "gap_s"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("cur_type", "next_type")
+    cum = cells.select(
+        "cur_type",
+        "next_type",
+        "gap_s",
+        F.sum("c").over(wc).alias("run"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return cum.groupBy("cur_type", "next_type").agg(
+        F.max("n").alias("n_transitions"),
+        F.min(
+            F.when(F.col("run") * 2 >= F.col("n"), F.col("gap_s"))
+        ).alias("p50_gap_s"),
+    )
