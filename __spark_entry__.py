@@ -240,6 +240,7 @@ _REGISTERED_R06 = frozenset(
         "daily_vwap_shipments",
         "rage_click_bursts",
         "transition_latency_medians",
+        "sessions_per_user_histogram",
     }
 )
 

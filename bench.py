@@ -256,6 +256,7 @@ HEADLINE = [
     "daily_vwap_shipments",
     "rage_click_bursts",
     "transition_latency_medians",
+    "sessions_per_user_histogram",
 ]
 
 

@@ -381,3 +381,28 @@ def test_transition_latency_median(spark, tmp_path):
     assert (r["cur_type"], r["next_type"], r["n_transitions"], r["p50_gap_s"]) == (
         "view", "click", 3, 20,
     )
+
+
+def test_sessions_per_user_histogram(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        # u1: two sessions (2-hour gap); u2 and u3: one each.
+        (1, t, 1, "view", 0.0, "{}"),
+        (2, t + dt.timedelta(hours=2), 1, "view", 0.0, "{}"),
+        (3, t, 2, "view", 0.0, "{}"),
+        (4, t, 3, "view", 0.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["n_sessions"]: (r["n_users"], r["user_share_ppm"])
+        for r in QUERIES["sessions_per_user_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: (2, 666_666), 2: (1, 333_333)}

@@ -4836,3 +4836,63 @@ def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("run") * 2 >= F.col("n"), F.col("gap_s"))
         ).alias("p50_gap_s"),
     )
+
+
+@query(
+    "sessions_per_user_histogram",
+    # Engagement frequency: how many sessions each user ran this
+    # month, histogrammed — the visit-frequency distribution that
+    # separates habitual users from one-shot visitors (the
+    # session-length histogram's orthogonal axis).
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), per_user AS (
+    SELECT user_id, (SUM(is_new) + 1)::BIGINT AS n_sessions
+    FROM seq GROUP BY user_id
+)
+SELECT n_sessions,
+       COUNT(*)::BIGINT AS n_users,
+       ((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER ())::BIGINT
+           AS user_share_ppm
+FROM per_user GROUP BY n_sessions
+""",
+)
+def q_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-frequency distribution: sessions per user, histogrammed
+    with user shares — the habitual-vs-one-shot split that DAU/MAU
+    compresses into one ratio (a stickiness of 0.2 from 'everyone
+    visits weekly' and from '20% visit daily' are different
+    businesses; this table tells them apart). A user's session count
+    is 1 + their above-gap lag count, so the histogram needs one
+    user-keyed window pass and two tiny rollups."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        (F.sum("is_new") + 1).alias("n_sessions")
+    )
+    hist = per_user.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return hist.select(
+        "n_sessions",
+        "n_users",
+        F.expr(
+            "(n_users * 1000000) div sum(n_users) over ()"
+        ).alias("user_share_ppm"),
+    )
