@@ -241,6 +241,8 @@ _REGISTERED_R06 = frozenset(
         "rage_click_bursts",
         "transition_latency_medians",
         "sessions_per_user_histogram",
+        "copurchase_weighted_distances",
+        "edge_density_by_support_threshold",
     }
 )
 

@@ -257,6 +257,8 @@ HEADLINE = [
     "rage_click_bursts",
     "transition_latency_medians",
     "sessions_per_user_histogram",
+    "copurchase_weighted_distances",
+    "edge_density_by_support_threshold",
 ]
 
 

@@ -101,3 +101,62 @@ def test_degree_distribution_support_filter(spark, tmp_path):
         ).collect()
     }
     assert got == {2: (1, 1), 1: (2, 3)}
+
+
+def test_weighted_sssp_prefers_strong_ties(spark, tmp_path):
+    # Graph: 1-2 support 5 (w=200), 2-3 support 5 (w=200),
+    # 1-3 support 2 (w=500): the two-hop strong path (400) beats the
+    # direct weak edge (500) — weighted distance must be 400.
+    t = dt.datetime(2024, 1, 1)
+    li, ln = [], 1
+    orders = []
+    oid = 1
+    for _ in range(5):
+        orders.append((oid, [1, 2])); oid += 1
+        orders.append((oid, [2, 3])); oid += 1
+    for _ in range(2):
+        orders.append((oid, [1, 3])); oid += 1
+    for o, parts in orders:
+        for p in parts:
+            li.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", t))
+            ln += 1
+    _write(
+        spark, tmp_path, "lineitem", li,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in QUERIES["copurchase_weighted_distances"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: 0, 2: 200, 3: 400}
+
+
+def test_edge_density_thresholds(spark, tmp_path):
+    # supports: (1,2)=3, (1,3)=1 → thresholds 1:2 edges, 2:1, 3:1,
+    # 4: no rows (empty groups don't emit).
+    t = dt.datetime(2024, 1, 1)
+    li, ln = [], 1
+    basket_orders = [(1, [1, 2]), (2, [1, 2]), (3, [1, 2]), (4, [1, 3])]
+    for o, parts in basket_orders:
+        for p in parts:
+            li.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", t))
+            ln += 1
+    _write(
+        spark, tmp_path, "lineitem", li,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    got = {
+        r["support_threshold"]: (r["n_edges"], r["edge_share_ppm"])
+        for r in QUERIES["edge_density_by_support_threshold"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: (2, 1_000_000), 2: (1, 500_000), 3: (1, 500_000)}

@@ -4896,3 +4896,177 @@ def q_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_users * 1000000) div sum(n_users) over ()"
         ).alias("user_share_ppm"),
     )
+
+
+# Weighted shortest paths: Bellman-Ford unrolled to FIXED rounds (the
+# BFS/k-core/Markov contract — both engines run the same rounds, no
+# convergence race). Edge weight = 1000 div support: strong ties are
+# short, so "distance" reads as affinity hops.
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           COUNT(*)::BIGINT AS support
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS MATERIALIZED (
+    SELECT pa AS src, pb AS dst, 1000 // support AS w FROM e0
+    UNION ALL SELECT pb, pa, 1000 // support FROM e0
+), root AS (SELECT MIN(pa) AS r FROM e0),
+d0 AS MATERIALIZED (
+    SELECT r AS node, 0::BIGINT AS dist FROM root
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i + 1} AS MATERIALIZED (
+    SELECT node, MIN(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT s.dst AS node, d.dist + s.w AS dist
+        FROM d{i} d JOIN sym s ON s.src = d.node
+    ) GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, dist FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@query("copurchase_weighted_distances", oracle=_sssp_oracle())
+def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths over the co-purchase graph from its
+    minimum node — Bellman-Ford with edge weight 1000 div support,
+    so 'distance' reads as affinity: tightly co-bought parts are one
+    short hop, incidental pairings are long. The unweighted BFS
+    already gated tells you WHETHER parts connect; this tells you
+    how STRONGLY, which is what a substitution/bundling walk wants.
+    Fixed {rounds} relaxation rounds (the BFS/k-core/Markov
+    fixed-truncation contract — no convergence race), each round one
+    edge join + min-merge, localCheckpointed; delta-stepping is the
+    at-scale refinement with an identical fixpoint.""".format(
+        rounds=_SSSP_ROUNDS
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    e0 = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    sym = (
+        e0.select(
+            F.col("pa").alias("src"),
+            F.col("pb").alias("dst"),
+            F.expr("1000 div support").alias("w"),
+        )
+        .unionAll(
+            e0.select(
+                F.col("pb").alias("src"),
+                F.col("pa").alias("dst"),
+                F.expr("1000 div support").alias("w"),
+            )
+        )
+        .localCheckpoint()
+    )
+    root = e0.agg(F.min("pa").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    d = root
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            d.join(sym, d["node"] == sym["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        d = (
+            d.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return d
+
+
+@query(
+    "edge_density_by_support_threshold",
+    # The graph's own knob analysis (the gap-sensitivity idea for
+    # support thresholds): nodes, edges and density at support ≥
+    # 1/2/3/4 from ONE pair table — how fast the graph dissolves as
+    # the evidence bar rises decides every downstream threshold.
+    oracle="""
+WITH pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*)::BIGINT AS s
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+), thresholds AS (SELECT unnest([1, 2, 3, 4]) AS t)
+SELECT t.t::BIGINT AS support_threshold,
+       COUNT(*)::BIGINT AS n_edges,
+       ((COUNT(*) * 1000000)
+            // GREATEST((SELECT COUNT(*) FROM pairs), 1))::BIGINT
+           AS edge_share_ppm
+FROM thresholds t JOIN pairs p ON p.s >= t.t
+GROUP BY t.t
+""",
+)
+def q_edge_density_thresholds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Support-threshold sweep for the co-purchase graph — the
+    gap-sensitivity analysis applied to graphs: edge counts (and
+    their share of the unfiltered pair table) at support ≥ 1/2/3/4,
+    from ONE pair aggregation. How fast the graph dissolves as the
+    evidence bar rises is what decides the threshold every
+    downstream operator (k-core, communities, CF) inherits — if
+    ≥2→≥3 halves the edges, the graph is noise-dominated; if it
+    barely moves, the signal is robust."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).alias("total"))
+    th = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "support_threshold long"
+    )
+    j = F.broadcast(th).join(pairs, pairs["s"] >= th["support_threshold"])
+    return (
+        j.groupBy("support_threshold")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "support_threshold",
+            "n_edges",
+            F.expr(
+                "(n_edges * 1000000) div greatest(total, 1)"
+            ).alias("edge_share_ppm"),
+        )
+    )
