@@ -243,6 +243,8 @@ _REGISTERED_R06 = frozenset(
         "sessions_per_user_histogram",
         "copurchase_weighted_distances",
         "edge_density_by_support_threshold",
+        "conversion_by_tenure",
+        "order_value_reconciliation",
     }
 )
 

@@ -259,6 +259,8 @@ HEADLINE = [
     "sessions_per_user_histogram",
     "copurchase_weighted_distances",
     "edge_density_by_support_threshold",
+    "conversion_by_tenure",
+    "order_value_reconciliation",
 ]
 
 

@@ -406,3 +406,55 @@ def test_sessions_per_user_histogram(spark, tmp_path):
         ).collect()
     }
     assert got == {1: (2, 666_666), 2: (1, 333_333)}
+
+
+def test_conversion_by_tenure(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, d0, 1, "view", 0.0, "{}"),                          # day0
+        (2, d0, 1, "purchase", 0.0, "{}"),                      # day0 conv
+        (3, d0 + dt.timedelta(days=3), 1, "view", 0.0, "{}"),   # day1_7
+        (4, d0 + dt.timedelta(days=10), 1, "purchase", 0.0, "{}"),  # day8+
+    ]
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["tenure_bucket"]: (r["n_events"], r["n_purchases"], r["cvr_ppm"])
+        for r in QUERIES["conversion_by_tenure"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "day0": (2, 1, 500_000),
+        "day1_7": (1, 0, 0),
+        "day8plus": (1, 1, 1_000_000),
+    }
+
+
+def test_order_reconciliation(spark, tmp_path):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "orders",
+           [(1, 1, "O", 3.00, t, "1-URGENT"),    # matches lines (300c)
+            (2, 1, "O", 5.00, t, "1-URGENT"),    # lines only 300c → drift 200
+            (3, 1, "O", 1.00, t, "1-URGENT")],   # no lines → drift 100
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    _write(spark, tmp_path, "lineitem",
+           [(1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "N", "O", t),
+            (1, 2, 1, 2, 1.0, 2.00, 0.0, 0.0, "N", "O", t),
+            (2, 3, 1, 3, 1.0, 3.00, 0.0, 0.0, "N", "O", t)],
+           li_schema)
+    (r,) = QUERIES["order_value_reconciliation"](spark, str(tmp_path)).collect()
+    assert (r["n_orders"], r["n_matched"], r["n_mismatched"]) == (3, 1, 2)
+    assert (r["total_drift_cents"], r["worst_drift_cents"]) == (300, 200)

@@ -4243,3 +4243,74 @@ def q_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(sum(floor(l_quantity)), 1)"
         ).alias("vwap_cents"),
     )
+
+
+@query(
+    "order_value_reconciliation",
+    # The warehouse reconciliation every star schema needs: does the
+    # order header total equal the sum of its lines? Match/mismatch
+    # counts, total drift cents and the worst offender — in cents,
+    # exact, because 'approximately reconciles' is not a thing
+    # auditors accept.
+    oracle="""
+WITH lines AS (
+    SELECT l_orderkey,
+           SUM(FLOOR(l_extendedprice * 100)::BIGINT)::BIGINT AS line_cents
+    FROM lineitem GROUP BY l_orderkey
+), j AS (
+    SELECT o.o_orderkey,
+           FLOOR(o.o_totalprice * 100)::BIGINT AS header_cents,
+           COALESCE(l.line_cents, 0) AS line_cents
+    FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+)
+SELECT COUNT(*)::BIGINT AS n_orders,
+       SUM(CASE WHEN header_cents = line_cents THEN 1 ELSE 0 END)::BIGINT
+           AS n_matched,
+       SUM(CASE WHEN header_cents <> line_cents THEN 1 ELSE 0 END)::BIGINT
+           AS n_mismatched,
+       SUM(ABS(header_cents - line_cents))::BIGINT AS total_drift_cents,
+       MAX(ABS(header_cents - line_cents))::BIGINT AS worst_drift_cents
+FROM j
+""",
+)
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation: does o_totalprice equal the sum
+    of the order's line values — the fact-table consistency audit
+    every warehouse runs nightly, in exact cents because
+    'approximately reconciles' is not a category auditors accept.
+    Reports matched/mismatched counts, total absolute drift and the
+    worst offender (on this synthetic fixture the header is generated
+    independently of the lines, so the drift columns are non-zero BY
+    CONSTRUCTION — which is precisely what makes the audit's
+    arithmetic verifiable at the gate). One order-keyed rollup + a
+    LEFT join so line-less orders reconcile against zero."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy(F.col("l_orderkey")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("line_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+            "header_cents"
+        ),
+    ).join(
+        lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+        "left",
+    ).select(
+        "header_cents",
+        F.coalesce("line_cents", F.lit(0)).alias("line_cents"),
+    )
+    drift = F.abs(F.col("header_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("header_cents") == F.col("line_cents"), 1).otherwise(0)
+        ).alias("n_matched"),
+        F.sum(
+            F.when(F.col("header_cents") != F.col("line_cents"), 1).otherwise(0)
+        ).alias("n_mismatched"),
+        F.sum(drift).alias("total_drift_cents"),
+        F.max(drift).alias("worst_drift_cents"),
+    )

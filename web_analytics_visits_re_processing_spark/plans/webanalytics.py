@@ -5070,3 +5070,53 @@ def q_edge_density_thresholds(
             ).alias("edge_share_ppm"),
         )
     )
+
+
+@query(
+    "conversion_by_tenure",
+    # Does conversion improve with account age? Events bucketed by
+    # the user's tenure at event time (day 0 / days 1-7 / 8+),
+    # purchase share per bucket ppm — the activation-maturity curve.
+    oracle="""
+WITH f AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+    FROM events GROUP BY user_id
+), tagged AS (
+    SELECT CASE WHEN CAST(e.ts AS DATE) - f.d0 = 0 THEN 'day0'
+                WHEN CAST(e.ts AS DATE) - f.d0 <= 7 THEN 'day1_7'
+                ELSE 'day8plus' END AS tenure_bucket,
+           CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT tenure_bucket,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(conv)::BIGINT AS n_purchases,
+       ((SUM(conv) * 1000000) // COUNT(*))::BIGINT AS cvr_ppm
+FROM tagged GROUP BY tenure_bucket
+""",
+)
+def q_conversion_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by account tenure — the activation-maturity
+    curve: if day-0 users convert like veterans, onboarding friction
+    is low; if conversion only starts after a week, the first
+    session is browsing and the funnel should be measured that way.
+    First-seen collapses per user on the user exchange (a window min
+    would work too; the rollup join broadcasts under AQE at user
+    cardinality), the bucket CASE is a projection, one conditional
+    aggregate ends it."""
+    ev = _events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    tagged = ev.join(f, "user_id").select(
+        F.when(F.datediff(F.to_date("ts"), F.col("d0")) == 0, "day0")
+        .when(F.datediff(F.to_date("ts"), F.col("d0")) <= 7, "day1_7")
+        .otherwise("day8plus")
+        .alias("tenure_bucket"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    return tagged.groupBy("tenure_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("conv").alias("n_purchases"),
+        F.expr("(sum(conv) * 1000000) div count(1)").alias("cvr_ppm"),
+    )
