@@ -245,6 +245,7 @@ _REGISTERED_R06 = frozenset(
         "edge_density_by_support_threshold",
         "conversion_by_tenure",
         "order_value_reconciliation",
+        "error_rate_trend",
     }
 )
 

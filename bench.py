@@ -261,6 +261,7 @@ HEADLINE = [
     "edge_density_by_support_threshold",
     "conversion_by_tenure",
     "order_value_reconciliation",
+    "error_rate_trend",
 ]
 
 

@@ -458,3 +458,25 @@ def test_order_reconciliation(spark, tmp_path):
     (r,) = QUERIES["order_value_reconciliation"](spark, str(tmp_path)).collect()
     assert (r["n_orders"], r["n_matched"], r["n_mismatched"]) == (3, 1, 2)
     assert (r["total_drift_cents"], r["worst_drift_cents"]) == (300, 200)
+
+
+def test_error_rate_trend(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows, eid = [], 0
+    # 12 days, error rate strictly rising (k errors of 20 events on
+    # day k) → S = 66, significant worsening.
+    for d in range(12):
+        for i in range(20):
+            et = "error" if i < d else "view"
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 9), 1, et,
+                         0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    (r,) = QUERIES["error_rate_trend"](spark, str(tmp_path)).collect()
+    assert (r["n_days"], r["mk_s"], r["worsening_3sigma"]) == (12, 66, 1)
+    # 66 errors of 240 events → 275000 ppm.
+    assert r["overall_error_ppm"] == 275_000

@@ -5120,3 +5120,85 @@ def q_conversion_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conv").alias("n_purchases"),
         F.expr("(sum(conv) * 1000000) div count(1)").alias("cvr_ppm"),
     )
+
+
+@query(
+    "error_rate_trend",
+    # SRE-style reliability monitor: daily error share (ppm) with the
+    # Mann-Kendall trend statistic over the error-rate series and its
+    # 3σ flag — 'are errors getting worse' as one gated readout.
+    # Rates compare day-to-day cross-multiplied (e_j·n_i vs e_i·n_j),
+    # so no float rate exists even inside the trend test.
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+               AS e
+    FROM events GROUP BY 1
+), s AS (
+    SELECT SUM(CASE WHEN b.e * a.n > a.e * b.n THEN 1
+                    WHEN b.e * a.n < a.e * b.n THEN -1 ELSE 0 END)::BIGINT
+               AS mk_s,
+           (SELECT COUNT(*) FROM daily)::BIGINT AS n_days
+    FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT n_days, mk_s,
+       CASE WHEN 2 * mk_s * mk_s
+                 > n_days * (n_days - 1) * (2 * n_days + 5)
+            THEN 1 ELSE 0 END AS worsening_3sigma,
+       (SELECT ((SUM(e) * 1000000) // SUM(n)) FROM daily)::BIGINT
+           AS overall_error_ppm
+FROM s
+""",
+)
+def q_error_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability trend monitor: is the error RATE trending up?
+    Mann-Kendall over the daily error-share series with the day-pair
+    comparison done cross-multiplied (e_j·n_i vs e_i·n_j — comparing
+    rates without ever forming one), the 3σ worsening flag, and the
+    overall error ppm for context. This is the pager rule that
+    catches slow rot the spike detector misses: no single day
+    alarms, but 20 of 28 pairwise comparisons point up. Day rollup
+    first; the pair join walks ≤435 day pairs."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("e"),
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("n").alias("na"), F.col("e").alias("ea")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("n").alias("nb"), F.col("e").alias("eb")
+    )
+    s = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("eb") * F.col("na") > F.col("ea") * F.col("nb"), 1)
+                .when(F.col("eb") * F.col("na") < F.col("ea") * F.col("nb"), -1)
+                .otherwise(0)
+            ).alias("mk_s")
+        )
+    )
+    nd = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("(sum(e) * 1000000) div sum(n)").alias("overall_error_ppm"),
+    )
+    return s.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "mk_s",
+        F.when(
+            2 * F.col("mk_s") * F.col("mk_s")
+            > F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5),
+            1,
+        )
+        .otherwise(0)
+        .alias("worsening_3sigma"),
+        "overall_error_ppm",
+    )
