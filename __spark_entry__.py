@@ -246,6 +246,7 @@ _REGISTERED_R06 = frozenset(
         "conversion_by_tenure",
         "order_value_reconciliation",
         "error_rate_trend",
+        "wilson_ranked_entry_types",
     }
 )
 

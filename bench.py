@@ -262,6 +262,7 @@ HEADLINE = [
     "conversion_by_tenure",
     "order_value_reconciliation",
     "error_rate_trend",
+    "wilson_ranked_entry_types",
 ]
 
 

@@ -480,3 +480,36 @@ def test_error_rate_trend(spark, tmp_path):
     assert (r["n_days"], r["mk_s"], r["worsening_3sigma"]) == (12, 66, 1)
     # 66 errors of 240 events → 275000 ppm.
     assert r["overall_error_ppm"] == 275_000
+
+
+def test_wilson_demotes_small_samples(spark, tmp_path):
+    import datetime as dt
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t = dt.datetime(2024, 1, 10, 12)
+    rows, eid = [], 0
+    # 'fluke' entry: 2 sessions, both convert (raw rate 100%).
+    for u in (1, 2):
+        rows.append((eid, t, u, "fluke", 0.0, "{}")); eid += 1
+        rows.append((eid, t + dt.timedelta(minutes=1), u, "purchase",
+                     0.0, "{}")); eid += 1
+    # 'solid' entry: 40 sessions, 24 convert (60%).
+    for u in range(10, 50):
+        rows.append((eid, t, u, "solid", 0.0, "{}")); eid += 1
+        if u < 34:
+            rows.append((eid, t + dt.timedelta(minutes=1), u, "purchase",
+                         0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, ev_schema)
+    got = {
+        r["entry_type"]: (r["n"], r["k"], r["rnk"])
+        for r in QUERIES["wilson_ranked_entry_types"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # Raw rates: fluke 100% > solid 60% — Wilson must invert that.
+    assert got["solid"][2] < got["fluke"][2]
+    assert got["fluke"][:2] == (2, 2)
+    assert got["solid"][:2] == (40, 24)

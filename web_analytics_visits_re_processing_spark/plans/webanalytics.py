@@ -5202,3 +5202,104 @@ def q_error_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("worsening_3sigma"),
         "overall_error_ppm",
     )
+
+
+@query(
+    "wilson_ranked_entry_types",
+    # Ranking conversion rates the statistically honest way: the
+    # Wilson score LOWER bound (z=3) demotes small-sample flukes that
+    # raw-rate ranking promotes. Follows the cosine/HLL portability
+    # convention: the bound is ONE deterministic double expression,
+    # rounded to 6 dp identically in both engines (the counts
+    # feeding it are exact integers).
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), per_session AS (
+    SELECT user_id, session_seq,
+           MIN({{'ts': ts, 'eid': event_id, 'et': event_type}}).et
+               AS entry_type,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM sess GROUP BY user_id, session_seq
+), agg AS (
+    SELECT entry_type, COUNT(*)::BIGINT AS n,
+           SUM(converted)::BIGINT AS k
+    FROM per_session GROUP BY entry_type
+), scored AS (
+    SELECT entry_type, n, k,
+           ROUND((
+               (k / CAST(n AS DOUBLE) + 9.0 / (2 * n)
+                - 3.0 * sqrt((k / CAST(n AS DOUBLE))
+                             * (1 - k / CAST(n AS DOUBLE)) / n
+                             + 9.0 / (4.0 * n * n)))
+               / (1 + 9.0 / n)), 6) AS wilson_lb
+    FROM agg
+)
+SELECT entry_type, n, k, wilson_lb,
+       ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, entry_type) AS rnk
+FROM scored
+""",
+)
+def q_wilson_ranked_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry types ranked by the Wilson score LOWER bound of their
+    conversion rate (z=3) — the statistically honest leaderboard: a
+    2-for-2 fluke ranks below a solid 400-of-1000, which raw-rate
+    ranking gets exactly backwards (the classic sort-by-rating bug).
+    Counts are exact integers off the shared per-session collapse;
+    the bound itself is one deterministic double expression rounded
+    to 6 dp in both engines (the cosine/HLL portability convention —
+    a final scalar, never an aggregation order)."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    agg = per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    scored = agg.withColumn(
+        "wilson_lb",
+        F.round(
+            F.expr(
+                "(k / cast(n as double) + 9.0 / (2 * n)"
+                " - 3.0 * sqrt((k / cast(n as double))"
+                "              * (1 - k / cast(n as double)) / n"
+                "              + 9.0 / (4.0 * n * n)))"
+                " / (1 + 9.0 / n)"
+            ),
+            6,
+        ),
+    )
+    wr = Window.orderBy(F.col("wilson_lb").desc(), "entry_type")
+    return scored.withColumn("rnk", F.row_number().over(wr))
