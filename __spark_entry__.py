@@ -247,6 +247,8 @@ _REGISTERED_R06 = frozenset(
         "order_value_reconciliation",
         "error_rate_trend",
         "wilson_ranked_entry_types",
+        "loo_cvr_sensitivity",
+        "capture_recapture_users",
     }
 )
 

@@ -263,6 +263,8 @@ HEADLINE = [
     "order_value_reconciliation",
     "error_rate_trend",
     "wilson_ranked_entry_types",
+    "loo_cvr_sensitivity",
+    "capture_recapture_users",
 ]
 
 

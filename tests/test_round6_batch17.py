@@ -560,3 +560,34 @@ def test_daily_vwap(spark, tmp_path):
     _write(spark, tmp_path, "lineitem", li, LI_SCHEMA2)
     (r,) = QUERIES["daily_vwap_shipments"](spark, str(tmp_path)).collect()
     assert (r["units"], r["value_units"], r["vwap_cents"]) == (40, 7000, 175)
+
+
+def test_loo_cvr_influence(spark, tmp_path):
+    # Day1: 10 events 1 purchase; day2: 10 events 1 purchase;
+    # day3 (whale): 10 events 8 purchases. Overall 10/30 = 333333.
+    # LOO day3: 2/20 = 100000 (influence 233333 — the whale);
+    # LOO day1 or day2: 9/20 = 450000.
+    rows, eid = [], 0
+    for d, k in [(1, 1), (2, 1), (3, 8)]:
+        for i in range(10):
+            et = "purchase" if i < k else "view"
+            rows.append((eid, dt.datetime(2024, 1, d, 9), 1, et, 0.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["loo_cvr_sensitivity"](spark, str(tmp_path)).collect()
+    assert r["cvr_ppm"] == 333_333
+    assert (r["loo_min_ppm"], r["loo_max_ppm"]) == (100_000, 450_000)
+    assert r["most_influential_day"] == "2024-01-03"
+    assert r["max_influence_ppm"] == 233_333
+
+
+def test_capture_recapture(spark, tmp_path):
+    # n1=4 marked, n2=2 recaptured, overlap m=1 → N̂ = 8 > observed 5.
+    h1 = dt.datetime(2024, 1, 5, 9)
+    h2 = dt.datetime(2024, 1, 20, 9)
+    rows = [(i, h1, u, "view", 0.0, "{}") for i, u in enumerate([1, 2, 3, 4])]
+    rows += [(10, h2, 1, "view", 0.0, "{}"), (11, h2, 9, "view", 0.0, "{}")]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["capture_recapture_users"](spark, str(tmp_path)).collect()
+    assert (r["n1"], r["n2"], r["n_both"], r["n_observed"]) == (4, 2, 1, 5)
+    assert r["lincoln_petersen_estimate"] == 8

@@ -5303,3 +5303,140 @@ def q_wilson_ranked_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy(F.col("wilson_lb").desc(), "entry_type")
     return scored.withColumn("rnk", F.row_number().over(wr))
+
+
+@query(
+    "loo_cvr_sensitivity",
+    # Influence analysis without resampling: the overall conversion
+    # rate recomputed leaving each DAY out (exact integer divisions),
+    # the min/max of those, and the single most influential day —
+    # jackknife-style uncertainty with zero RNG.
+    oracle="""
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS k
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT SUM(n) AS tn, SUM(k) AS tk FROM daily
+), loo AS (
+    SELECT d.day,
+           ((t.tk - d.k) * 1000000) // (t.tn - d.n) AS cvr_wo_ppm,
+           (t.tk * 1000000) // t.tn AS cvr_ppm
+    FROM daily d CROSS JOIN tot t
+), ranked AS (
+    SELECT day, cvr_ppm, cvr_wo_ppm,
+           ABS(cvr_wo_ppm - cvr_ppm) AS influence,
+           ROW_NUMBER() OVER (ORDER BY ABS(cvr_wo_ppm - cvr_ppm) DESC,
+                              day) AS rn
+    FROM loo
+)
+SELECT MAX(cvr_ppm)::BIGINT AS cvr_ppm,
+       MIN(cvr_wo_ppm)::BIGINT AS loo_min_ppm,
+       MAX(cvr_wo_ppm)::BIGINT AS loo_max_ppm,
+       MIN(CASE WHEN rn = 1 THEN day END) AS most_influential_day,
+       MAX(CASE WHEN rn = 1 THEN influence END)::BIGINT
+           AS max_influence_ppm
+FROM ranked
+""",
+)
+def q_loo_cvr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-day-out sensitivity of the conversion rate —
+    jackknife-style robustness with ZERO randomness: recompute the
+    overall CVR excluding each day (every LOO rate is an exact
+    integer division), report the spread and the single most
+    influential day. A metric whose LOO range spans several percent
+    is one campaign-day's artifact, not a trend — the check to run
+    BEFORE shipping a 'conversion improved' narrative. Day rollup
+    first; the LOO table is ~30 rows against broadcast totals."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    tot = daily.agg(F.sum("n").alias("tn"), F.sum("k").alias("tk"))
+    loo = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.expr("((tk - k) * 1000000) div (tn - n)").alias("cvr_wo_ppm"),
+        F.expr("(tk * 1000000) div tn").alias("cvr_ppm"),
+    )
+    wr = Window.orderBy(
+        F.abs(F.col("cvr_wo_ppm") - F.col("cvr_ppm")).desc(), "day"
+    )
+    ranked = loo.select(
+        "day",
+        "cvr_ppm",
+        "cvr_wo_ppm",
+        F.abs(F.col("cvr_wo_ppm") - F.col("cvr_ppm")).alias("influence"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.agg(
+        F.max("cvr_ppm").alias("cvr_ppm"),
+        F.min("cvr_wo_ppm").alias("loo_min_ppm"),
+        F.max("cvr_wo_ppm").alias("loo_max_ppm"),
+        F.min(F.when(F.col("rn") == 1, F.col("day"))).alias(
+            "most_influential_day"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("influence"))).alias(
+            "max_influence_ppm"
+        ),
+    )
+
+
+@query(
+    "capture_recapture_users",
+    # Lincoln-Petersen capture-recapture: users 'marked' in the first
+    # half-month, 'recaptured' in the second — N̂ = n₁·n₂ div m
+    # estimates the TRUE population including never-seen users; the
+    # observed count rides along, and N̂ > observed is the point.
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           MAX(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END)
+               AS h1,
+           MAX(CASE WHEN EXTRACT(day FROM ts) > 15 THEN 1 ELSE 0 END)
+               AS h2
+    FROM events GROUP BY user_id
+)
+SELECT SUM(h1)::BIGINT AS n1,
+       SUM(h2)::BIGINT AS n2,
+       SUM(h1 * h2)::BIGINT AS n_both,
+       COUNT(*)::BIGINT AS n_observed,
+       ((SUM(h1) * SUM(h2)) // GREATEST(SUM(h1 * h2), 1))::BIGINT
+           AS lincoln_petersen_estimate
+FROM u
+""",
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture on the user population:
+    treat first-half-month actives as 'marked', second-half actives
+    as a recapture sample — N̂ = n₁·n₂/m estimates the TRUE
+    population INCLUDING users never observed in either window (the
+    ecology estimator that also powers coverage estimates for logs
+    with sampling gaps). N̂ exceeding the observed count is the
+    finding: it sizes the invisible remainder, the user-side cousin
+    of the Good-Turing missing mass. One per-user collapse, one
+    row out, integer division."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+        ).alias("h1"),
+        F.max(
+            F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)
+        ).alias("h2"),
+    )
+    return u.agg(
+        F.sum("h1").alias("n1"),
+        F.sum("h2").alias("n2"),
+        F.sum(F.col("h1") * F.col("h2")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_observed"),
+        F.expr(
+            "(sum(h1) * sum(h2)) div greatest(sum(h1 * h2), 1)"
+        ).alias("lincoln_petersen_estimate"),
+    )
