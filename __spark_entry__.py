@@ -249,6 +249,7 @@ _REGISTERED_R06 = frozenset(
         "wilson_ranked_entry_types",
         "loo_cvr_sensitivity",
         "capture_recapture_users",
+        "split_half_reliability",
     }
 )
 

@@ -265,6 +265,7 @@ HEADLINE = [
     "wilson_ranked_entry_types",
     "loo_cvr_sensitivity",
     "capture_recapture_users",
+    "split_half_reliability",
 ]
 
 

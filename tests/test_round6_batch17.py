@@ -591,3 +591,18 @@ def test_capture_recapture(spark, tmp_path):
     (r,) = QUERIES["capture_recapture_users"](spark, str(tmp_path)).collect()
     assert (r["n1"], r["n2"], r["n_both"], r["n_observed"]) == (4, 2, 1, 5)
     assert r["lincoln_petersen_estimate"] == 8
+
+
+def test_split_half_reliability(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12)
+    rows, eid = [], 0
+    # Even users: 1 purchase of 4 events (250000); odd: 2 of 4
+    # (500000) → gap 250000, relative 333333.
+    for u, k in [(2, 1), (1, 2)]:
+        for i in range(4):
+            et = "purchase" if i < k else "view"
+            rows.append((eid, t, u, et, 0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["split_half_reliability"](spark, str(tmp_path)).collect()
+    assert (r["cvr_even_ppm"], r["cvr_odd_ppm"]) == (250_000, 500_000)
+    assert (r["gap_ppm"], r["relative_gap_ppm"]) == (250_000, 333_333)

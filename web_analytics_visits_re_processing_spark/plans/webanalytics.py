@@ -5440,3 +5440,72 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(h1) * sum(h2)) div greatest(sum(h1 * h2), 1)"
         ).alias("lincoln_petersen_estimate"),
     )
+
+
+@query(
+    "split_half_reliability",
+    # Metric reliability by deterministic split-half: conversion rate
+    # on even-id vs odd-id users, and the relative gap in ppm — if
+    # two arbitrary halves of the SAME population disagree by more
+    # than the effect you're about to report, the metric is noise at
+    # this sample size.
+    oracle="""
+WITH tagged AS (
+    SELECT user_id % 2 AS half,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS k
+    FROM events GROUP BY 1
+), r AS (
+    SELECT MAX(CASE WHEN half = 0 THEN (k * 1000000) // n END)::BIGINT
+               AS cvr_even_ppm,
+           MAX(CASE WHEN half = 1 THEN (k * 1000000) // n END)::BIGINT
+               AS cvr_odd_ppm
+    FROM tagged
+)
+SELECT cvr_even_ppm, cvr_odd_ppm,
+       ABS(cvr_even_ppm - cvr_odd_ppm)::BIGINT AS gap_ppm,
+       ((ABS(cvr_even_ppm - cvr_odd_ppm) * 1000000)
+            // GREATEST(cvr_even_ppm + cvr_odd_ppm, 1))::BIGINT
+           AS relative_gap_ppm
+FROM r
+""",
+)
+def q_split_half_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-half reliability of the conversion metric: compute it on
+    two arbitrary-but-deterministic halves of the same population
+    (even vs odd user ids) and report the gap — the cheapest
+    possible noise floor, because any A/B effect SMALLER than the
+    gap between two halves of the SAME population is unreadable at
+    this sample size. The null-experiment sibling of the
+    `ab_test_readout` (which measures a real split) and the LOO
+    sensitivity (which perturbs by one day); all three triangulate
+    'can this metric support the claim'. One conditional rollup, two
+    integer divisions."""
+    ev = _events(spark, sf_dir)
+    tagged = ev.groupBy((F.col("user_id") % 2).alias("half")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    r = tagged.agg(
+        F.max(
+            F.when(F.col("half") == 0, F.expr("(k * 1000000) div n"))
+        ).alias("cvr_even_ppm"),
+        F.max(
+            F.when(F.col("half") == 1, F.expr("(k * 1000000) div n"))
+        ).alias("cvr_odd_ppm"),
+    )
+    gap = F.abs(F.col("cvr_even_ppm") - F.col("cvr_odd_ppm"))
+    return r.select(
+        "cvr_even_ppm",
+        "cvr_odd_ppm",
+        gap.alias("gap_ppm"),
+        F.expr(
+            "(abs(cvr_even_ppm - cvr_odd_ppm) * 1000000)"
+            " div greatest(cvr_even_ppm + cvr_odd_ppm, 1)"
+        ).alias("relative_gap_ppm"),
+    )
