@@ -250,6 +250,8 @@ _REGISTERED_R06 = frozenset(
         "loo_cvr_sensitivity",
         "capture_recapture_users",
         "split_half_reliability",
+        "simpsons_paradox_check",
+        "mix_vs_rate_decomposition",
     }
 )
 

@@ -266,6 +266,8 @@ HEADLINE = [
     "loo_cvr_sensitivity",
     "capture_recapture_users",
     "split_half_reliability",
+    "simpsons_paradox_check",
+    "mix_vs_rate_decomposition",
 ]
 
 

@@ -606,3 +606,47 @@ def test_split_half_reliability(spark, tmp_path):
     (r,) = QUERIES["split_half_reliability"](spark, str(tmp_path)).collect()
     assert (r["cvr_even_ppm"], r["cvr_odd_ppm"]) == (250_000, 500_000)
     assert (r["gap_ppm"], r["relative_gap_ppm"]) == (250_000, 333_333)
+
+
+def _seg_events(spark, tmp_path, spec):
+    """spec: list of (user_id, half, n_events, n_purchases)."""
+    rows, eid = [], 0
+    for u, half, n, k in spec:
+        day = 5 if half == 1 else 20
+        for i in range(n):
+            et = "purchase" if i < k else "view"
+            rows.append((eid, dt.datetime(2024, 1, day, 9), u, et, 0.0, "{}"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    _write(spark, tmp_path, "customer",
+           [(1, "a", 0, 0.0, "SEGA"), (2, "b", 0, 0.0, "SEGB")],
+           "c_custkey long, c_name string, c_nationkey long, "
+           "c_acctbal double, c_mktsegment string")
+
+
+def test_simpsons_paradox_fires(spark, tmp_path):
+    # A: 80% → 70% (down); B: 5% → 0% (down); pooled 11.8% → 63.6%
+    # (UP) because traffic migrated into the high-rate segment — the
+    # textbook paradox, and the flag must fire.
+    _seg_events(spark, tmp_path, [
+        (1, 1, 10, 8), (1, 2, 100, 70),
+        (2, 1, 100, 5), (2, 2, 10, 0),
+    ])
+    (r,) = QUERIES["simpsons_paradox_check"](spark, str(tmp_path)).collect()
+    assert (r["n_segments"], r["n_up"], r["n_down"]) == (2, 0, 2)
+    assert (r["pooled_direction"], r["paradox_flag"]) == (1, 1)
+
+
+def test_mix_vs_rate_pure_mix_shift(spark, tmp_path):
+    # Rates constant (A 50%, B 0%); mix shifts 50/50 → 75/25:
+    # delta = +125000 ppm, within = 0, mix = +125000, residual 0.
+    _seg_events(spark, tmp_path, [
+        (1, 1, 100, 50), (1, 2, 150, 75),
+        (2, 1, 100, 0), (2, 2, 50, 0),
+    ])
+    (r,) = QUERIES["mix_vs_rate_decomposition"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["delta_ppm"], r["within_ppm"], r["mix_ppm"], r["residual_ppm"]) == (
+        125_000, 0, 125_000, 0,
+    )

@@ -5509,3 +5509,256 @@ def q_split_half_reliability(
             " div greatest(cvr_even_ppm + cvr_odd_ppm, 1)"
         ).alias("relative_gap_ppm"),
     )
+
+
+# Segment enrichment for the decomposition pair below: event user ids
+# are a subset of customer keys (the streaming_static_enrich
+# precedent), so the market segment is the natural event segment.
+_SEG_HALF_CTE = """
+tagged AS (
+    SELECT c.c_mktsegment AS seg,
+           CASE WHEN EXTRACT(day FROM e.ts) <= 15 THEN 1 ELSE 2 END AS half,
+           CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+), cells AS (
+    SELECT seg, half, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS k
+    FROM tagged GROUP BY seg, half
+)
+"""
+
+
+@query(
+    "simpsons_paradox_check",
+    # The aggregation trap detector: does the POOLED conversion move
+    # between half-months in a direction NO segment moved? All
+    # directions via cross-multiplied integer comparisons
+    # (k2·n1 vs k1·n2) — no float rate exists.
+    oracle=f"""
+WITH {_SEG_HALF_CTE},
+pooled AS (
+    SELECT SUM(CASE WHEN half = 1 THEN k ELSE 0 END) AS k1,
+           SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS n1,
+           SUM(CASE WHEN half = 2 THEN k ELSE 0 END) AS k2,
+           SUM(CASE WHEN half = 2 THEN n ELSE 0 END) AS n2
+    FROM cells
+), seg AS (
+    SELECT seg,
+           SUM(CASE WHEN half = 1 THEN k ELSE 0 END) AS k1,
+           SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS n1,
+           SUM(CASE WHEN half = 2 THEN k ELSE 0 END) AS k2,
+           SUM(CASE WHEN half = 2 THEN n ELSE 0 END) AS n2
+    FROM cells GROUP BY seg
+    HAVING SUM(CASE WHEN half = 1 THEN n ELSE 0 END) > 0
+       AND SUM(CASE WHEN half = 2 THEN n ELSE 0 END) > 0
+), dirs AS (
+    SELECT COUNT(*)::BIGINT AS n_segments,
+           SUM(CASE WHEN k2 * n1 > k1 * n2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_up,
+           SUM(CASE WHEN k2 * n1 < k1 * n2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_down
+    FROM seg
+)
+SELECT d.n_segments, d.n_up, d.n_down,
+       (CASE WHEN p.k2 * p.n1 > p.k1 * p.n2 THEN 1
+             WHEN p.k2 * p.n1 < p.k1 * p.n2 THEN -1 ELSE 0 END)::BIGINT
+           AS pooled_direction,
+       (CASE WHEN p.k2 * p.n1 > p.k1 * p.n2 AND d.n_down = d.n_segments
+             THEN 1
+             WHEN p.k2 * p.n1 < p.k1 * p.n2 AND d.n_up = d.n_segments
+             THEN 1 ELSE 0 END)::BIGINT AS paradox_flag
+FROM dirs d CROSS JOIN pooled p
+""",
+)
+def q_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: did the POOLED conversion rate move
+    between half-months in a direction that EVERY segment moved
+    against? When it fires, the pooled trend is a mix-shift artifact
+    and per-segment numbers are the only honest ones — the
+    aggregation trap that has sunk real product decisions. All rate
+    comparisons cross-multiply (k₂n₁ vs k₁n₂), so no float rate
+    exists anywhere; segments need presence in both halves to vote.
+    The ≤10-row segment table does all the logic; the event scan
+    collapses once."""
+    ev = _events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    tagged = ev.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        ev["user_id"] == c["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    cells = tagged.groupBy("seg", "half").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    seg = (
+        cells.groupBy("seg")
+        .agg(
+            F.sum(F.when(F.col("half") == 1, F.col("k")).otherwise(0)).alias("k1"),
+            F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("half") == 2, F.col("k")).otherwise(0)).alias("k2"),
+            F.sum(F.when(F.col("half") == 2, F.col("n")).otherwise(0)).alias("n2"),
+        )
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    dirs = seg.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(
+            F.when(F.col("k2") * F.col("n1") > F.col("k1") * F.col("n2"), 1)
+            .otherwise(0)
+        ).alias("n_up"),
+        F.sum(
+            F.when(F.col("k2") * F.col("n1") < F.col("k1") * F.col("n2"), 1)
+            .otherwise(0)
+        ).alias("n_down"),
+    )
+    pooled = cells.agg(
+        F.sum(F.when(F.col("half") == 1, F.col("k")).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 2, F.col("k")).otherwise(0)).alias("k2"),
+        F.sum(F.when(F.col("half") == 2, F.col("n")).otherwise(0)).alias("n2"),
+    )
+    up = F.col("k2") * F.col("n1") > F.col("k1") * F.col("n2")
+    down = F.col("k2") * F.col("n1") < F.col("k1") * F.col("n2")
+    return dirs.crossJoin(F.broadcast(pooled)).select(
+        "n_segments",
+        "n_up",
+        "n_down",
+        F.when(up, 1).when(down, -1).otherwise(0).cast("long").alias(
+            "pooled_direction"
+        ),
+        F.when(up & (F.col("n_down") == F.col("n_segments")), 1)
+        .when(down & (F.col("n_up") == F.col("n_segments")), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("paradox_flag"),
+    )
+
+
+@query(
+    "mix_vs_rate_decomposition",
+    # Why did conversion move: ΔCVR = Σ w₂(r₂−r₁) [within-segment
+    # rate change] + Σ r₁(w₂−w₁) [traffic-mix shift] + residual from
+    # integer truncation (reported, not hidden). All shares and
+    # rates in ppm with identical truncation both sides.
+    oracle=f"""
+WITH {_SEG_HALF_CTE},
+tot AS (
+    SELECT half, SUM(n) AS tn, SUM(k) AS tk FROM cells GROUP BY half
+), s AS (
+    SELECT c.seg,
+           MAX(CASE WHEN c.half = 1
+                    THEN (c.n * 1000000) // t1.tn END) AS w1,
+           MAX(CASE WHEN c.half = 2
+                    THEN (c.n * 1000000) // t2.tn END) AS w2,
+           MAX(CASE WHEN c.half = 1
+                    THEN (c.k * 1000000) // c.n END) AS r1,
+           MAX(CASE WHEN c.half = 2
+                    THEN (c.k * 1000000) // c.n END) AS r2
+    FROM cells c
+    CROSS JOIN (SELECT tn FROM tot WHERE half = 1) t1
+    CROSS JOIN (SELECT tn FROM tot WHERE half = 2) t2
+    GROUP BY c.seg
+), filled AS (
+    SELECT seg, COALESCE(w1, 0) AS w1, COALESCE(w2, 0) AS w2,
+           COALESCE(r1, 0) AS r1, COALESCE(r2, 0) AS r2
+    FROM s
+), parts AS (
+    SELECT SUM(w2 * (r2 - r1)) // 1000000 AS within_ppm,
+           SUM(r1 * (w2 - w1)) // 1000000 AS mix_ppm
+    FROM filled
+), delta AS (
+    SELECT ((SELECT (tk * 1000000) // tn FROM tot WHERE half = 2)
+            - (SELECT (tk * 1000000) // tn FROM tot WHERE half = 1))
+               AS delta_ppm
+)
+SELECT d.delta_ppm::BIGINT AS delta_ppm,
+       p.within_ppm::BIGINT AS within_ppm,
+       p.mix_ppm::BIGINT AS mix_ppm,
+       (d.delta_ppm - p.within_ppm - p.mix_ppm)::BIGINT AS residual_ppm
+FROM delta d CROSS JOIN parts p
+""",
+)
+def q_mix_vs_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'did conversion drop or did traffic change' decomposition:
+    ΔCVR between half-months split into the within-segment rate
+    change (Σ w₂·Δr) and the traffic-mix shift (Σ r₁·Δw) — the
+    Oaxaca-Blinder-style accounting that turns a headline move into
+    a cause. A negative delta with near-zero 'within' is a MIX
+    problem (cheaper traffic arrived); rates didn't move and the
+    funnel team is off the hook. All shares/rates are integer ppm
+    with the truncation residual REPORTED rather than hidden —
+    honest bookkeeping beats a decomposition that pretends to add
+    up. Logic runs on the ≤10-row segment table."""
+    ev = _events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    tagged = ev.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        ev["user_id"] == c["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    cells = tagged.groupBy("seg", "half").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    tot = cells.groupBy("half").agg(
+        F.sum("n").alias("tn"), F.sum("k").alias("tk")
+    )
+    t1 = tot.where(F.col("half") == 1).select(F.col("tn").alias("tn1"))
+    t2 = tot.where(F.col("half") == 2).select(F.col("tn").alias("tn2"))
+    s = (
+        cells.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .groupBy("seg")
+        .agg(
+            F.max(
+                F.when(F.col("half") == 1, F.expr("(n * 1000000) div tn1"))
+            ).alias("w1"),
+            F.max(
+                F.when(F.col("half") == 2, F.expr("(n * 1000000) div tn2"))
+            ).alias("w2"),
+            F.max(
+                F.when(F.col("half") == 1, F.expr("(k * 1000000) div n"))
+            ).alias("r1"),
+            F.max(
+                F.when(F.col("half") == 2, F.expr("(k * 1000000) div n"))
+            ).alias("r2"),
+        )
+        .select(
+            F.coalesce("w1", F.lit(0)).alias("w1"),
+            F.coalesce("w2", F.lit(0)).alias("w2"),
+            F.coalesce("r1", F.lit(0)).alias("r1"),
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+    )
+    parts = s.agg(
+        F.expr(
+            "sum(w2 * (r2 - r1)) div 1000000"
+        ).alias("within_ppm"),
+        F.expr("sum(r1 * (w2 - w1)) div 1000000").alias("mix_ppm"),
+    )
+    delta = tot.agg(
+        (
+            F.max(
+                F.when(F.col("half") == 2, F.expr("(tk * 1000000) div tn"))
+            )
+            - F.max(
+                F.when(F.col("half") == 1, F.expr("(tk * 1000000) div tn"))
+            )
+        ).alias("delta_ppm")
+    )
+    return delta.crossJoin(F.broadcast(parts)).select(
+        "delta_ppm",
+        "within_ppm",
+        "mix_ppm",
+        (
+            F.col("delta_ppm") - F.col("within_ppm") - F.col("mix_ppm")
+        ).alias("residual_ppm"),
+    )
