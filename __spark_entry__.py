@@ -252,6 +252,7 @@ _REGISTERED_R06 = frozenset(
         "split_half_reliability",
         "simpsons_paradox_check",
         "mix_vs_rate_decomposition",
+        "session_duration_by_outcome",
     }
 )
 

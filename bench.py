@@ -268,6 +268,7 @@ HEADLINE = [
     "split_half_reliability",
     "simpsons_paradox_check",
     "mix_vs_rate_decomposition",
+    "session_duration_by_outcome",
 ]
 
 

@@ -650,3 +650,25 @@ def test_mix_vs_rate_pure_mix_shift(spark, tmp_path):
     assert (r["delta_ppm"], r["within_ppm"], r["mix_ppm"], r["residual_ppm"]) == (
         125_000, 0, 125_000, 0,
     )
+
+
+def test_session_duration_by_outcome(spark, tmp_path):
+    t = dt.datetime(2024, 1, 10, 12)
+    rows, eid = [], 0
+    # Converted sessions last 100/200/300 s (p50 200); abandoned
+    # last 10/20/30 s (p50 20) — the fast-abandon signature.
+    for u, dur, conv in [(1, 100, True), (2, 200, True), (3, 300, True),
+                         (4, 10, False), (5, 20, False), (6, 30, False)]:
+        rows.append((eid, t, u, "view", 0.0, "{}")); eid += 1
+        last = "purchase" if conv else "view"
+        rows.append((eid, t + dt.timedelta(seconds=dur), u, last,
+                     0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["converted"]: (r["n_sessions"], r["p50_dur_s"], r["p90_dur_s"])
+        for r in QUERIES["session_duration_by_outcome"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (3, 200, 300)
+    assert got[0] == (3, 20, 30)

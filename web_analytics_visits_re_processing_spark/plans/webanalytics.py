@@ -5762,3 +5762,104 @@ def q_mix_vs_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delta_ppm") - F.col("within_ppm") - F.col("mix_ppm")
         ).alias("residual_ppm"),
     )
+
+
+@query(
+    "session_duration_by_outcome",
+    # Do abandoners leave fast or browse long and fail? Median
+    # session duration (seconds) split by outcome — converted vs not
+    # — via the cumulative rank rule over (outcome, seconds) cells.
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+), per_session AS (
+    SELECT user_id, session_seq,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS dur_s,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM sess GROUP BY user_id, session_seq
+), cells AS (
+    SELECT converted, dur_s, COUNT(*)::BIGINT AS c
+    FROM per_session GROUP BY converted, dur_s
+), cum AS (
+    SELECT converted, dur_s, c,
+           SUM(c) OVER (PARTITION BY converted ORDER BY dur_s
+                        ROWS UNBOUNDED PRECEDING) AS run,
+           SUM(c) OVER (PARTITION BY converted) AS n
+    FROM cells
+)
+SELECT converted,
+       MAX(n)::BIGINT AS n_sessions,
+       MIN(CASE WHEN run * 2 >= n THEN dur_s END)::BIGINT AS p50_dur_s,
+       MIN(CASE WHEN run * 10 >= 9 * n THEN dur_s END)::BIGINT AS p90_dur_s
+FROM cum GROUP BY converted
+""",
+)
+def q_session_duration_by_outcome(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session duration split by outcome — the diagnosis behind an
+    abandonment number: abandoners who leave in seconds have a UX or
+    relevance problem; abandoners who browse as LONG as converters
+    and still fail have a pricing/trust problem. Two different
+    roadmaps, one median comparison. Durations compress to
+    (outcome, second) cells map-side; the p50/p90 read off the
+    cumulative rank rule — the histogram-quantile design keyed by
+    outcome."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000"
+        ).alias("dur_s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    cells = per_session.groupBy("converted", "dur_s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("converted").orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("converted")
+    cum = cells.select(
+        "converted",
+        "dur_s",
+        F.sum("c").over(wc).alias("run"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return cum.groupBy("converted").agg(
+        F.max("n").alias("n_sessions"),
+        F.min(
+            F.when(F.col("run") * 2 >= F.col("n"), F.col("dur_s"))
+        ).alias("p50_dur_s"),
+        F.min(
+            F.when(F.col("run") * 10 >= 9 * F.col("n"), F.col("dur_s"))
+        ).alias("p90_dur_s"),
+    )
