@@ -253,6 +253,7 @@ _REGISTERED_R06 = frozenset(
         "simpsons_paradox_check",
         "mix_vs_rate_decomposition",
         "session_duration_by_outcome",
+        "two_proportion_ztest",
     }
 )
 

@@ -269,6 +269,7 @@ HEADLINE = [
     "simpsons_paradox_check",
     "mix_vs_rate_decomposition",
     "session_duration_by_outcome",
+    "two_proportion_ztest",
 ]
 
 

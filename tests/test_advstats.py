@@ -209,3 +209,34 @@ def test_mann_whitney_shift_and_null(spark, tmp_path):
     }
     assert got["shift"] == (10, 10, -100, 1)
     assert got["same"] == (10, 10, 0, 0)
+
+
+def test_two_proportion_ztest(spark, tmp_path):
+    t1 = dt.datetime(2024, 1, 5, 12)
+    t2 = dt.datetime(2024, 1, 20, 12)
+    rows, eid = [], 0
+    # Half 1: 10/100 convert; half 2: 40/100 → z² ≈ 25.7 > 9:
+    # (k1n2−k2n1)²N = (1000−4000)²·200 = 1.8e9;
+    # 9·n1n2·K(N−K) = 9·1e4·50·150 = 6.75e8 → significant.
+    for i in range(100):
+        rows.append((eid, t1, 1, "purchase" if i < 10 else "view",
+                     0.0, "{}")); eid += 1
+    for i in range(100):
+        rows.append((eid, t2, 1, "purchase" if i < 40 else "view",
+                     0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["two_proportion_ztest"](spark, str(tmp_path)).collect()
+    assert (r["n1"], r["k1"], r["n2"], r["k2"]) == (100, 10, 100, 40)
+    assert (r["cvr1_ppm"], r["cvr2_ppm"]) == (100_000, 400_000)
+    assert r["significant_3sigma"] == 1
+
+    # Identical halves → not significant.
+    rows2 = []
+    eid = 0
+    for tt in (t1, t2):
+        for i in range(100):
+            rows2.append((eid, tt, 1, "purchase" if i < 10 else "view",
+                          0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows2, EV_SCHEMA)
+    (r2,) = QUERIES["two_proportion_ztest"](spark, str(tmp_path)).collect()
+    assert r2["significant_3sigma"] == 0
