@@ -254,6 +254,7 @@ _REGISTERED_R06 = frozenset(
         "mix_vs_rate_decomposition",
         "session_duration_by_outcome",
         "two_proportion_ztest",
+        "cuped_variance_reduction",
     }
 )
 

@@ -270,6 +270,7 @@ HEADLINE = [
     "mix_vs_rate_decomposition",
     "session_duration_by_outcome",
     "two_proportion_ztest",
+    "cuped_variance_reduction",
 ]
 
 

@@ -240,3 +240,20 @@ def test_two_proportion_ztest(spark, tmp_path):
     _write(spark, tmp_path, "events", rows2, EV_SCHEMA)
     (r2,) = QUERIES["two_proportion_ztest"](spark, str(tmp_path)).collect()
     assert r2["significant_3sigma"] == 0
+
+
+def test_cuped_perfect_and_zero_correlation(spark, tmp_path):
+    t1 = dt.datetime(2024, 1, 5, 12)
+    t2 = dt.datetime(2024, 1, 20, 12)
+    # y = 100·x exactly (perfect covariate): r² = 1e6, θ = 100e6 ppm.
+    rows, eid = [], 0
+    for u in range(1, 5):
+        for _ in range(u):                  # x = u pre-period events
+            rows.append((eid, t1, u, "view", 0.0, "{}")); eid += 1
+        rows.append((eid, t2, u, "purchase", u * 1.0, "{}")); eid += 1
+        # (purchase event itself adds nothing to x; y = 100·u cents)
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["cuped_variance_reduction"](spark, str(tmp_path)).collect()
+    assert r["n"] == 4
+    assert r["theta_ppm"] == 100_000_000
+    assert r["r2_ppm"] == 1_000_000

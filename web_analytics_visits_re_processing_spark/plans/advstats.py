@@ -954,3 +954,94 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end"
         ).alias("significant_3sigma"),
     )
+
+
+@query(
+    "cuped_variance_reduction",
+    # CUPED (Deng et al. 2013): use each user's PRE-period activity
+    # as a covariate to shrink metric variance. θ = OLS slope of the
+    # experiment-period metric on the pre-period covariate (the
+    # part-trend cross-multiplied form, ppm) and r² = the variance
+    # fraction CUPED removes — cov²·1e6/(varX·varY), int128-wide.
+    # X = first-half events per user, Y = second-half purchase cents.
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                    THEN 1 ELSE 0 END)::BIGINT AS x,
+           SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+                     AND event_type = 'purchase'
+                    THEN FLOOR(value * 100)::BIGINT ELSE 0 END)::BIGINT
+               AS y
+    FROM events GROUP BY user_id
+), st AS (
+    SELECT COUNT(*)::BIGINT AS n,
+           SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+           SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
+           SUM(x * y)::BIGINT AS sxy
+    FROM u
+)
+SELECT n,
+       ((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+            // GREATEST(n::HUGEINT * sxx - sx::HUGEINT * sx, 1))::BIGINT
+           AS theta_ppm,
+       ((n::HUGEINT * sxy - sx::HUGEINT * sy)
+        * (n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+            // GREATEST((n::HUGEINT * sxx - sx::HUGEINT * sx)
+                        * (n::HUGEINT * syy - sy::HUGEINT * sy),
+                        1))::BIGINT AS r2_ppm
+FROM st
+""",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the technique
+    every mature experimentation platform runs: each user's
+    PRE-period activity predicts their experiment-period metric, and
+    subtracting θ·(X − X̄) removes the predictable variance, so the
+    same experiment reads significant with r² less traffic. This
+    query fits θ (the cross-multiplied OLS slope, ppm) and reports
+    r² — the variance fraction CUPED would remove — both int128-wide
+    with no float moment anywhere (cov² and varX·varY are exactly
+    the Pearson-overflow case the Spearman tier documents; decimal
+    width is what makes the r² form safe). One user-level rollup,
+    one row of arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.dayofmonth("ts") > 15)
+                & (F.col("event_type") == "purchase"),
+                F.floor(F.col("value") * 100),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    st = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = (
+        "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"
+    )
+    varx = (
+        "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"
+    )
+    vary = (
+        "cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy"
+    )
+    return st.select(
+        "n",
+        F.expr(
+            f"cast(({cov}) * 1000000 div greatest({varx}, 1) as long)"
+        ).alias("theta_ppm"),
+        F.expr(
+            f"cast(({cov}) * ({cov}) * 1000000"
+            f" div greatest(({varx}) * ({vary}), 1) as long)"
+        ).alias("r2_ppm"),
+    )
