@@ -5,6 +5,14 @@
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": <sf>}
 
+The final stdout line is kept COMPACT so the driver's tail capture can
+always parse it (the r6 line carried 238 inline per-query medians and
+outgrew the capture window — ``BENCH_r06.json`` recorded
+``parsed: null``): ``queries`` holds only the top-20 slowest medians;
+the complete per-query record (median + cold for every headline entry)
+is written to ``BENCH_DETAIL.json`` beside this script and echoed
+per-line on stderr as the run progresses.
+
 Each query is FULLY MATERIALIZED with a noop-format write (median of
 ``$SPARK_GRAFT_REPS`` reps, default 3 — see the runner loop): every
 expression is executed for every row. (``count()`` alone is wrong for
@@ -316,17 +324,44 @@ def main() -> None:
         print(f"# {name}: median {timings[name]}s cold {cold[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    cold_total = round(sum(cold.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query record goes to a FILE (never the summary line —
+    # the driver tail capture truncated the r6 inline form).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_inventory_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
+                "cold_total": cold_total,
                 "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    # Compact, always-parseable final line: totals + the top-20
+    # slowest medians only (bounded ~1 KB regardless of suite size).
+    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_inventory_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": top20,
+                "n_queries": len(timings),
+                "cold_total": cold_total,
+                "reps": reps,
+                "sf": sf_val,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -202,6 +202,64 @@ def test_importance_scores_prefer_target_like_docs(spark):
     assert got[1][1] > got[2][1]
 
 
+def test_importance_scores_gram_cache_never_survives_the_call(spark):
+    """Persist-leak regression gate (r6 verdict item): after
+    ``importance_scores`` returns, NO exploded-gram partition is still
+    persisted — the gram cache is unpersisted inside the call once the
+    eagerly-checkpointed result materializes. Across repeated calls the
+    persisted-RDD census stays bounded (at most the single-slot
+    doc-level result checkpoint), instead of accumulating one gram
+    cache per invocation."""
+    from web_analytics_visits_re_processing_spark.operators import corpus
+    from web_analytics_visits_re_processing_spark.operators.corpus import (
+        importance_scores,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 5) for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    import time
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    def settled(base, limit, timeout=10.0):
+        # in-call unpersists are non-blocking; poll until the async
+        # block removals drain (or time out and report the census).
+        deadline = time.monotonic() + timeout
+        while True:
+            now = persisted_ids() - base
+            if len(now) <= limit or time.monotonic() > deadline:
+                return now
+            time.sleep(0.2)
+
+    base = persisted_ids()
+    sizes = []
+    for _ in range(3):
+        importance_scores(raw, target, n_buckets=64, ngram=2).collect()
+        sizes.append(len(settled(base, 1)))
+    # bounded: never more than the one live result checkpoint — if the
+    # gram cache leaked, each call would add one more persisted RDD.
+    assert max(sizes) <= 1, sizes
+    # and the registry holds exactly the last result, which is the
+    # small doc-level output, not the gram explode.
+    last = corpus._LAST_RESULT_CACHE.get("df")
+    assert last is not None and set(last.columns) == {
+        "doc_id",
+        "n_grams",
+        "score_e6",
+    }
+    last.unpersist(blocking=True)
+    corpus._LAST_RESULT_CACHE.clear()
+    assert settled(base, 0) == set()
+
+
 def test_line_dedup_strips_boilerplate_only(spark):
     """Planted CCNet case: a 5-token footer shared by 3 docs is
     stripped from all of them; a chunk shared by only 2 docs stays

@@ -177,8 +177,10 @@ def temperature_sample(
     )
 
 
-#: last persisted exploded-gram DataFrame (see importance_scores).
-_LAST_GRAM_CACHE: dict[str, DataFrame] = {}
+#: last eagerly-checkpointed RESULT DataFrame (see importance_scores):
+#: at most one invocation's (small, doc-level) result stays persisted;
+#: the exploded-gram cache itself never survives the call.
+_LAST_RESULT_CACHE: dict[str, DataFrame] = {}
 
 
 def importance_scores(
@@ -231,16 +233,20 @@ def importance_scores(
     # pass at sf0.1). MEMORY_AND_DISK spill-safe; at extreme scale
     # where caching the exploded grams is worse than re-hashing, pass
     # cache_grams=False and pay the second codegen pass instead.
-    # At most ONE invocation's gram cache is live: the previous call's
-    # persisted grams are released here (non-blocking), so a long-lived
-    # session never accumulates exploded-gram partitions.
+    # Cache lifecycle (cache_grams=True): the RESULT is eagerly
+    # localCheckpoint'ed at the bottom of this function — both gram
+    # passes hit the persisted grams during that one job — and the
+    # gram cache is unpersisted before returning, so NO exploded-gram
+    # partition ever survives the call. What does survive is one
+    # doc-level (id, n_grams, score) checkpoint, and the single-slot
+    # registry releases the PREVIOUS invocation's on the next call, so
+    # a long-lived session holds at most one small result block.
+    # (Consequence: a caller must not re-materialize a result obtained
+    # from an EARLIER invocation after a later one — the repo's query/
+    # bench harnesses materialize each call's result exactly once.)
     doc_b = gram_rows(docs, F.col(id_col))
     if cache_grams:
-        prev = _LAST_GRAM_CACHE.pop("df", None)
-        if prev is not None:
-            prev.unpersist(blocking=False)
         doc_b = doc_b.persist()
-        _LAST_GRAM_CACHE["df"] = doc_b
     raw_counts = doc_b.groupBy("b").agg(F.count(F.lit(1)).alias("_rc"))
     tgt_counts = gram_rows(target_docs).groupBy("b").agg(
         F.count(F.lit(1)).alias("_tc")
@@ -258,7 +264,7 @@ def importance_scores(
         )
         .select("b", F.expr("_num div _den").alias("_r"))
     )
-    return (
+    scored = (
         doc_b.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
@@ -266,6 +272,22 @@ def importance_scores(
             F.sum("_r").alias("score_e6"),
         )
     )
+    if cache_grams:
+        # Materialize NOW (one job; both gram passes share the gram
+        # cache), then drop the gram cache so it cannot outlive the
+        # call. The result is persist()+count(), NOT localCheckpoint:
+        # a checkpoint's storage lives on an internal RDD that
+        # DataFrame.unpersist cannot release, while a cache-manager
+        # entry frees cleanly when the next invocation evicts it
+        # (non-cascading, so releasing doc_b below leaves it intact).
+        scored = scored.persist()
+        scored.count()
+        doc_b.unpersist(blocking=False)
+        prev = _LAST_RESULT_CACHE.pop("df", None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        _LAST_RESULT_CACHE["df"] = scored
+    return scored
 
 
 def line_dedup_stats(

@@ -399,6 +399,7 @@ def k_core(
     nodes = sym.select("n").distinct().localCheckpoint(eager=True)
     n_nodes = nodes.count()
     deg = None
+    converged = False
     for _ in range(max_iter):
         deg = (
             sym.join(nodes, "n", "left_semi")
@@ -413,10 +414,20 @@ def k_core(
         )
         n_surv = survivors.count()
         if n_surv == n_nodes:
+            converged = True
             break
         nodes, n_nodes = survivors, n_surv
         if n_nodes == 0:
+            converged = True
             break
+    if not converged:
+        # Never return a silent non-fixpoint: a truncated peel is a
+        # plausible-looking wrong answer (and, for the gated query,
+        # a latent hash mismatch against a fixed-depth SQL unroll).
+        raise RuntimeError(
+            f"k_core did not reach fixpoint within max_iter={max_iter}"
+            f" rounds ({n_nodes} nodes still unpeeled); raise max_iter"
+        )
     return deg.where(F.col("core_degree") >= k).select(
         F.col("n").alias("node"), "core_degree"
     )

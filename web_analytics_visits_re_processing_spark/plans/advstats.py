@@ -243,7 +243,7 @@ WITH h AS (
 )
 SELECT kth.k_eff AS k,
        kth.kth_hash,
-       ({_KMV_SPACE} // (kth.kth_hash // (kth.k_eff - 1)))::BIGINT
+       ({_KMV_SPACE} // (kth.kth_hash // GREATEST(kth.k_eff - 1, 1)))::BIGINT
            AS kmv_estimate,
        (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS n_exact
 FROM kth
@@ -281,7 +281,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "kth_hash",
             F.expr(
-                f"{_KMV_SPACE}L div (kth_hash div (k - 1))"
+                f"{_KMV_SPACE}L div (kth_hash div greatest(k - 1, 1L))"
             ).alias("kmv_estimate"),
             "n_exact",
         )
@@ -373,8 +373,8 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(((cast(s2 as decimal(38,0))"
             " - cast(npos as decimal(38,0)) * (npos + 1)) * 1000000)"
-            " div cast(greatest(2 * npos * nneg, 1)"
-            "          as decimal(38,0)) as long)"
+            " div greatest(cast(2 as decimal(38,0)) * npos * nneg, 1)"
+            " as long)"
         ).alias("auc_ppm"),
     )
 

@@ -1042,9 +1042,14 @@ def q_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the unrolled depth only needs to EXCEED convergence, not match
 # it. Generated, not handwritten.
 _KCORE_K = 3
+# Oracle unroll depth == the operator max_iter passed below: if a
+# future fixture's peel depth ever exceeds it, the operator RAISES
+# (k_core asserts fixpoint) instead of silently hash-mismatching a
+# truncated oracle. sf0.01 converges in 11 rounds; 20 is headroom.
+_KCORE_ROUNDS = 20
 
 
-def _kcore_oracle(k: int, rounds: int = 20) -> str:
+def _kcore_oracle(k: int, rounds: int = _KCORE_ROUNDS) -> str:
     parts = [
         """
 WITH e0 AS MATERIALIZED (
@@ -1106,7 +1111,7 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
-    return k_core(edges, k=_KCORE_K)
+    return k_core(edges, k=_KCORE_K, max_iter=_KCORE_ROUNDS)
 
 
 @query(
@@ -5237,16 +5242,16 @@ WITH seq AS (
     FROM per_session GROUP BY entry_type
 ), scored AS (
     SELECT entry_type, n, k,
-           ROUND((
+           CAST(FLOOR((
                (k / CAST(n AS DOUBLE) + 9.0 / (2 * n)
                 - 3.0 * sqrt((k / CAST(n AS DOUBLE))
                              * (1 - k / CAST(n AS DOUBLE)) / n
                              + 9.0 / (4.0 * n * n)))
-               / (1 + 9.0 / n)), 6) AS wilson_lb
+               / (1 + 9.0 / n)) * 1000000) AS BIGINT) AS wilson_lb_ppm
     FROM agg
 )
-SELECT entry_type, n, k, wilson_lb,
-       ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, entry_type) AS rnk
+SELECT entry_type, n, k, wilson_lb_ppm,
+       ROW_NUMBER() OVER (ORDER BY wilson_lb_ppm DESC, entry_type) AS rnk
 FROM scored
 """,
 )
@@ -5256,9 +5261,11 @@ def q_wilson_ranked_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-for-2 fluke ranks below a solid 400-of-1000, which raw-rate
     ranking gets exactly backwards (the classic sort-by-rating bug).
     Counts are exact integers off the shared per-session collapse;
-    the bound itself is one deterministic double expression rounded
-    to 6 dp in both engines (the cosine/HLL portability convention —
-    a final scalar, never an aggregation order)."""
+    the bound itself is one deterministic double expression floored
+    into integer ppm in both engines (the floor convention
+    ``extended.py`` documents — Spark ROUND-on-double goes HALF_UP
+    via a decimal string while DuckDB rounds the binary value, so a
+    gated-and-RANKED scalar must never pass through round)."""
     ev = _events(spark, sf_dir)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = ev.select(
@@ -5289,19 +5296,16 @@ def q_wilson_ranked_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
     )
     scored = agg.withColumn(
-        "wilson_lb",
-        F.round(
-            F.expr(
-                "(k / cast(n as double) + 9.0 / (2 * n)"
-                " - 3.0 * sqrt((k / cast(n as double))"
-                "              * (1 - k / cast(n as double)) / n"
-                "              + 9.0 / (4.0 * n * n)))"
-                " / (1 + 9.0 / n)"
-            ),
-            6,
+        "wilson_lb_ppm",
+        F.expr(
+            "cast(floor(((k / cast(n as double) + 9.0 / (2 * n)"
+            " - 3.0 * sqrt((k / cast(n as double))"
+            "              * (1 - k / cast(n as double)) / n"
+            "              + 9.0 / (4.0 * n * n)))"
+            " / (1 + 9.0 / n)) * 1000000) as long)"
         ),
     )
-    wr = Window.orderBy(F.col("wilson_lb").desc(), "entry_type")
+    wr = Window.orderBy(F.col("wilson_lb_ppm").desc(), "entry_type")
     return scored.withColumn("rnk", F.row_number().over(wr))
 
 
