@@ -85,6 +85,14 @@ PROBE_QUERIES = [
     "session_length_percentiles",
     "skip_bigram_type_pairs",
     "ngram_containment_pairs",
+    # round-7 additions (r6 verdict item 6): the remaining heavy tier —
+    # weighted SSSP (Bellman-Ford over the disjoint-shard co-purchase
+    # graph), SemDeDup (embeddings replicate with a per-replica
+    # first-dim nudge so copies are distinct-but-near vectors), and
+    # the mutual-best-match reciprocal-top-1 join.
+    "copurchase_weighted_distances",
+    "semdedup_semantic_dups",
+    "mutual_best_match_parts",
 ]
 
 
@@ -96,9 +104,41 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
     )
 
     ensure_nanos_conf(spark)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # embeddings joined the probe in round 7: build it even when an
+    # older _READY fixture already has the other three tables. Copies
+    # get a deterministic per-replica nudge on dim 0 so they are
+    # distinct-but-near vectors (10 exact clones would quadratically
+    # inflate SemDeDup's within-cluster pair count instead of scaling
+    # the corpus — the same honesty convention as the doc-text suffix).
+    emb_out = f"{out_dir}/embeddings.parquet"
+    if not os.path.exists(emb_out):
+        emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+        n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
+        eparts = [
+            emb.select(
+                (F.col("vec_id") + i * n_vecs).alias("vec_id"),
+                F.concat(
+                    F.array(
+                        (
+                            F.element_at("embedding", 1)
+                            + F.lit(i * 1e-3)
+                        ).cast("float")
+                    ),
+                    F.slice("embedding", 2, 10_000),
+                ).alias("embedding"),
+                "label",
+            )
+            for i in range(REPLICAS)
+        ]
+        escaled = eparts[0]
+        for p in eparts[1:]:
+            escaled = escaled.unionAll(p)
+        escaled.repartition(32).write.mode("overwrite").parquet(emb_out)
+
     if os.path.exists(os.path.join(out_dir, "_READY")):
         return
-    os.makedirs(out_dir, exist_ok=True)
 
     events = spark.read.parquet(f"{BASE_SF}/events.parquet")
     n_users = events.agg(F.max("user_id")).first()[0] + 1
@@ -206,8 +246,14 @@ def skew_probe(spark) -> dict:
 
 
 def main() -> None:
+    """Optional argv: query names to probe (subset of PROBE_QUERIES);
+    ``--skip-skew`` drops the whale probe. No argv = full battery."""
     from web_analytics_visits_re_processing_spark.plans import QUERIES
     from web_analytics_visits_re_processing_spark.session import get_spark
+
+    argv = [a for a in sys.argv[1:] if a != "--skip-skew"]
+    run_skew = "--skip-skew" not in sys.argv[1:]
+    probe = argv if argv else PROBE_QUERIES
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
@@ -221,7 +267,7 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", BASE_SF), ("sf1x", scaled_dir)):
         timings = {}
-        for name in PROBE_QUERIES:
+        for name in probe:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -229,19 +275,16 @@ def main() -> None:
         out[sf_name] = timings
 
     ratios = {
-        q: round(out["sf1x"][q] / out["sf0.1"][q], 2) for q in PROBE_QUERIES
+        q: round(out["sf1x"][q] / out["sf0.1"][q], 2) for q in probe
     }
-    skew = skew_probe(spark)
-    print(
-        json.dumps(
-            {
-                "replicas": REPLICAS,
-                "timings": out,
-                "ratio_10x_data": ratios,
-                "skew_probe": skew,
-            }
-        )
-    )
+    payload = {
+        "replicas": REPLICAS,
+        "timings": out,
+        "ratio_10x_data": ratios,
+    }
+    if run_skew:
+        payload["skew_probe"] = skew_probe(spark)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -128,7 +128,15 @@ def semdedup_pairs(
 
     ``tau`` is the paper's ``1 - eps`` knob; the default 0.35 is tuned
     to the synthetic test embeddings (near-orthogonal random vectors —
-    real corpora run this at 0.95+)."""
+    real corpora run this at 0.95+).
+
+    Scale note: the N² is confined WITHIN clusters, so the knob that
+    keeps it bounded as the corpus grows is ``k`` — scale k ∝ corpus
+    size (SemDeDup's own protocol: ~N/1000 clusters) so mean cluster
+    size, and with it the per-cluster pair volume, stays constant. A
+    fixed k at 10× data means 10× clusters sizes and ~100×/k pair
+    candidates — the 10× probe (BASELINE.md) shows the onset of
+    exactly that curve."""
     assigned = kmeans_assign(
         emb,
         k=k,
