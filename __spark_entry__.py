@@ -259,6 +259,18 @@ _REGISTERED_R06 = frozenset(
 )
 
 
+# Queries first registered in round 7: same rule as the r06 batch —
+# they queue BEHIND the older never-verified backlog (which is the
+# r06 batch, the pre-r06 backlog fully drained in r06) so the
+# longest-waiting queries keep the 50-slot prefix.
+_REGISTERED_R07 = frozenset(
+    {
+        "sql_q2_min_cost_supplier",
+        "sql_q11_important_parts",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query-prefix sample:
     (1) queries genuinely failing in the LATEST driver round — a
@@ -266,7 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) queries NEVER driver-verified (never sampled, or sampled only
     before their oracle existed) — converts local-only signals into
     driver-hash rows; the long-waiting backlog outranks this round's
-    brand-new registrations;
+    brand-new registrations (tier key: registration round);
     (3) everything already verified, stalest pass first — so hard
     signals keep rotating across the whole registry. Self-maintaining:
     any future regression automatically re-enters tier 1."""
@@ -276,6 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in latest_bad:
             return (0, 0)
         if name not in last_pass:
+            if name in _REGISTERED_R07:
+                return (1, 2)
             return (1, 1 if name in _REGISTERED_R06 else 0)
         return (2, last_pass[name])
 

@@ -279,6 +279,9 @@ HEADLINE = [
     "session_duration_by_outcome",
     "two_proportion_ztest",
     "cuped_variance_reduction",
+    # round-7 additions
+    "sql_q2_min_cost_supplier",
+    "sql_q11_important_parts",
 ]
 
 

@@ -42,3 +42,32 @@ def test_q7_dual_alias_nation_join_no_cartesian(spark, sf_dir):
 def test_q10_topk_no_full_sort_materialization(spark, sf_dir):
     plan = _plan(spark, "sql_q10_returned_item_customers", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q2_correlated_min_plans_as_join_not_per_row(spark, sf_dir):
+    """The correlated scalar subquery (region-wide min cost per part)
+    must decorrelate into an aggregate + equi-join on the part key —
+    never a nested-loop / per-row subquery execution."""
+    plan = _plan(spark, "sql_q2_min_cost_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # dims broadcast
+
+
+def test_q11_global_total_is_single_row_broadcast(spark, sf_dir):
+    """Q11's HAVING-against-global-total runs the scalar subquery as a
+    one-row reuse/broadcast, not a recompute per group, and the share
+    compare stays integer (no float column in the output)."""
+    from pyspark.sql.types import LongType
+
+    df = QUERIES["sql_q11_important_parts"](spark, sf_dir)
+    plan = _plan(spark, "sql_q11_important_parts", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert all(isinstance(f.dataType, LongType) for f in df.schema.fields), df.schema
+    rows = df.collect()
+    assert len(rows) > 0
+    total = sum(r["value_cents"] for r in rows)
+    assert all(r["value_cents"] * 1000 > 0 for r in rows)
+    # descending by construction
+    vals = [r["value_cents"] for r in rows]
+    assert vals == sorted(vals, reverse=True)

@@ -297,10 +297,12 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- round-5: the rest of the classic TPC-H battery ---------------------------
-# Q2/Q11 need partsupp and Q4/Q12/Q20/Q21's commit/receipt-date or
-# shipmode columns don't exist in the cut-down fixture; those shapes
-# are adapted (noted per query) — every other query is the classic
-# form. All 12 below share ONE SQL text between the Spark run and the
+# Q2/Q11 need partsupp — since round 7 both run against a DERIVED
+# partsupp (per-(part,supplier) min observed unit price from
+# lineitem; see sql_q2/sql_q11 at the bottom of this file) — and
+# Q4/Q12/Q20/Q21's commit/receipt-date or shipmode columns don't
+# exist in the cut-down fixture; those shapes are adapted (noted per
+# query) — every other query is the classic form. All 12 below share ONE SQL text between the Spark run and the
 # DuckDB oracle (no date-string emission, so zero dialect drift);
 # money stays exact integer cents per the module convention.
 
@@ -658,4 +660,88 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
     ("customer",),
+)
+
+
+# --- round-7: Q2/Q11 over a DERIVED partsupp ----------------------------------
+# The driver fixture ships no partsupp table (TESTDATA.md), which
+# blocked the two remaining classic shapes through round 6. Both now
+# run against a derived supply relation: supplier s supplies part p
+# iff a lineitem links them, with supply cost = the MIN observed
+# floored unit price in cents (price/quantity is one IEEE division +
+# one multiply before FLOOR — bit-identical across engines). The
+# derivation is stated in the SQL text itself, so the Spark run and
+# the DuckDB oracle share one text like the rest of the battery.
+
+_dual(
+    "sql_q2_min_cost_supplier",
+    """TPC-H Q2 shape (adapted: partsupp DERIVED from lineitem as the
+    min observed unit price per (part, supplier)): for each ECONOMY
+    size-10..20 part (band not point so the smallest fixture is
+    non-degenerate), the EUROPE supplier(s) matching the region-wide
+    minimum cost — the classic correlated-scalar-subquery-with-join
+    shape Q2 uniquely exercises, with the acctbal-ranked LIMIT retained
+    (deterministic: unique s_name tiebreak). Scale: the derived ps is
+    one map-side-combined agg of lineitem; the correlated min is
+    planned as an aggregate + re-join on p_partkey (one shuffle on the
+    part key), never a per-row subquery execution; dims broadcast.""",
+    """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS ps_supplycost_cents
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+       ps.ps_supplycost_cents
+FROM part p
+JOIN ps         ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'ECONOMY'
+  AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost_cents = (
+      SELECT MIN(ps2.ps_supplycost_cents)
+      FROM ps ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""",
+    ("lineitem", "part", "supplier", "nation", "region"),
+)
+
+_dual(
+    "sql_q11_important_parts",
+    """TPC-H Q11 shape (adapted: value = ASIA-region suppliers'
+    discounted lineitem revenue per part, over the same derived supply
+    relation — region not nation so the smallest fixture still has
+    qualifying suppliers): parts whose share of the region's total
+    exceeds 1/1000, the HAVING-against-global-scalar-subquery shape.
+    The threshold compare is cross-multiplied integer
+    (value*1000 > total) — no float share ever exists. Scale: one
+    part-keyed agg; the global total is a single-row broadcast.""",
+    """
+WITH val AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS value_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey AS p_partkey, value_cents
+FROM val
+WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM val)
+ORDER BY value_cents DESC, p_partkey
+""",
+    ("lineitem", "supplier", "nation", "region"),
 )
