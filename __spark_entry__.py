@@ -267,6 +267,10 @@ _REGISTERED_R07 = frozenset(
     {
         "sql_q2_min_cost_supplier",
         "sql_q11_important_parts",
+        "shapley_attribution",
+        "srm_check",
+        "capped_session_splits",
+        "churn_hazard_curve",
     }
 )
 

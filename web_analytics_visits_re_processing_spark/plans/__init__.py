@@ -17,6 +17,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     sqlbattery,
     streaming_queries,
     webanalytics,
+    webanalytics_r7,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,471 @@
+"""Round-7 analytics depth tier.
+
+Completes suites the earlier rounds opened, in the same
+integer-exact, bounded-state house style:
+
+- **attribution**: Shapley-value credit (the game-theoretic member
+  the last-touch / position / time-decay / Markov family was
+  missing) — exact over the ≤2⁴ channel-subset lattice, n!-scaled so
+  no rational ever floats.
+- **experiment trust**: sample-ratio-mismatch (SRM), the assignment
+  sanity gate run before ANY A/B readout is believed.
+- **sessionization**: GA-style forced session splits at a duration
+  cap, as a declarative bucket (no recursion).
+- **retention**: the discrete-time churn hazard curve with honest
+  right-censoring — the survival-analysis primitive emitted as exact
+  (deaths, at-risk, hazard-ppm) rows rather than a float product.
+
+The reference (``/root/reference/main.py:22-240``) has none of this —
+its analytics surface ends at visit assembly; this module is §2.2
+gap-fill on the `events` table, sharing the 30-min-gap session
+convention with ``webanalytics.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.plans.webanalytics import GAP_US, _events
+
+# Shared DuckDB session CTE (identical to the webanalytics.py gate
+# convention: strict > on the gap, (ts, event_id) tiebreak).
+_SESS_CTE = f"""
+seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+)"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events + session_seq under the shared 30-min-gap convention."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu) > GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+# --- Shapley-value attribution -------------------------------------------------
+
+# Channel → bit. n = 4 non-purchase touch types; the subset lattice
+# has 2⁴ = 16 coalitions, so EXACT Shapley is a 16-row spine problem,
+# not an approximation problem.
+_SHAPLEY_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+# |S|!·(n−1−|S|)! for n=4: the marginal-contribution weight of adding
+# channel i to coalition S, scaled by n! = 24 so it is an INTEGER.
+_SHAPLEY_W = "CASE bit_count(smask) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+
+
+@query(
+    "shapley_attribution",
+    # Exact Shapley over the 16-coalition lattice: v(S) = converted
+    # sessions whose touch set ⊆ S; φ_i·n! = Σ_{S∌i} |S|!(n−1−|S|)!
+    # ·(v(S∪i)−v(S)) stays integral end to end (n! = 24), and the
+    # monotone v makes every marginal ≥ 0. Efficiency (Σφ = v(full))
+    # is pinned by pytest.
+    oracle=f"""
+WITH {_SESS_CTE}, per_session AS (
+    SELECT user_id, session_seq,
+           MAX(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) * 1
+         + MAX(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) * 2
+         + MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+         + MAX(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) * 8
+               AS mask,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM sess GROUP BY user_id, session_seq
+), cbm AS (
+    SELECT mask, COUNT(*)::BIGINT AS cnt
+    FROM per_session WHERE conv = 1 AND mask > 0 GROUP BY mask
+), spine AS (SELECT range::INT AS smask FROM range(0, 16)),
+v AS (
+    SELECT s.smask, COALESCE(SUM(c.cnt), 0)::BIGINT AS v
+    FROM spine s LEFT JOIN cbm c ON (c.mask & s.smask) = c.mask
+    GROUP BY s.smask
+), ch(channel, bit) AS (
+    VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)
+), contrib AS (
+    SELECT ch.channel,
+           ({_SHAPLEY_W.replace("bit_count(smask)", "bit_count(s.smask)")})
+               * (vi.v - vs.v) AS w
+    FROM ch
+    JOIN spine s ON (s.smask & ch.bit) = 0
+    JOIN v vs ON vs.smask = s.smask
+    JOIN v vi ON vi.smask = s.smask + ch.bit
+)
+SELECT channel,
+       CAST(SUM(w) AS BIGINT) AS phi_x24,
+       CAST(SUM(w) * 1000 // 24 AS BIGINT) AS phi_milli
+FROM contrib GROUP BY channel ORDER BY channel
+""",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution (Shapley 1953; Zhao et al. 2018
+    for the marketing formulation): each touch channel's credit for
+    conversions is its average marginal contribution over all
+    orderings — the axiomatic answer to 'which model is fair' that
+    last-touch / position / time-decay each approximate. Tractable
+    here without sampling because the coalition lattice is tiny:
+    v(S) = converted sessions whose distinct-touch set ⊆ S collapses
+    events to ≤16 (mask, count) rows, and φ·n! is pure integer
+    arithmetic over a 16-row spine (n! = 24 absorbs the factorial
+    weights, so no rational ever floats; v is monotone so every
+    marginal is ≥ 0). Scale shape: ONE session rollup (the same
+    exchange every webanalytics gate rides), then map-side collapse
+    to ≤16 rows; the lattice joins are broadcast spine×spine. At
+    100 TB nothing after the rollup sees data-proportional rows. At
+    larger channel counts the lattice doubles per channel — the
+    documented escalation is permutation-sampled Shapley over the
+    same mask rollup, same downstream shape."""
+    sess = _sessionized(spark, sf_dir)
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)) * 1
+            + F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 2
+            + F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)) * 4
+            + F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)) * 8
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cbm = (
+        per_session.where((F.col("conv") == 1) & (F.col("mask") > 0))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(16).select(F.col("id").cast("int").alias("smask"))
+    v = (
+        spine.join(
+            F.broadcast(cbm),
+            F.expr("(mask & smask) = mask"),
+            "left",
+        )
+        .groupBy("smask")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        list(_SHAPLEY_CHANNELS), "channel string, bit int"
+    )
+    vs = v.select(F.col("smask").alias("s_s"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("smask").alias("s_i"), F.col("v").alias("v_i"))
+    contrib = (
+        ch.join(F.broadcast(spine), F.expr("(smask & bit) = 0"))
+        .join(F.broadcast(vs), F.col("s_s") == F.col("smask"))
+        .join(F.broadcast(vi), F.col("s_i") == F.col("smask") + F.col("bit"))
+        .select(
+            "channel",
+            (F.expr(_SHAPLEY_W) * (F.col("v_i") - F.col("v_s"))).alias("w"),
+        )
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(
+            F.sum("w").cast("long").alias("phi_x24"),
+            F.expr("sum(w) * 1000 div 24").cast("long").alias("phi_milli"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --- sample-ratio mismatch ------------------------------------------------------
+
+
+@query(
+    "srm_check",
+    # SRM: χ² on assignment counts vs the designed 50/50, the gate an
+    # experimentation platform runs BEFORE believing any readout. Two
+    # scenarios in one output — the honest user-level hash split
+    # (must NOT flag) and a planted event-level telemetry-loss bug
+    # (half of arm-B events dropped; must flag at every SF) — so the
+    # gate pins both directions. χ² = (nA−nB)²/N cross-multiplied
+    # against the industry p<0.001 threshold (10.83): integers only.
+    oracle="""
+WITH u AS (
+    SELECT 'hash_split' AS scenario,
+           SUM(CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                          || '|srm'), 1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           SUM(CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                          || '|srm'), 1, 15))::BIGINT % 2 = 1
+                    THEN 1 ELSE 0 END)::BIGINT AS n_b
+    FROM (SELECT DISTINCT user_id FROM events)
+), e AS (
+    SELECT 'planted_loss' AS scenario,
+           SUM(CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                          || '|srm'), 1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           SUM(CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                          || '|srm'), 1, 15))::BIGINT % 2 = 1
+                     AND ('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                          || '|drop'), 1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_b
+    FROM events
+), a AS (SELECT * FROM u UNION ALL SELECT * FROM e)
+SELECT scenario, n_a, n_b,
+       ((n_a - n_b) * (n_a - n_b) * 100 // (n_a + n_b))::BIGINT
+           AS chi2_centi,
+       CASE WHEN (n_a - n_b) * (n_a - n_b) * 100 > 1083 * (n_a + n_b)
+            THEN 1 ELSE 0 END AS srm_flag
+FROM a ORDER BY scenario
+""",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al. 2019): before any
+    A/B metric is read, test whether the OBSERVED arm sizes are
+    consistent with the DESIGNED 50/50 — assignment bugs (lossy
+    logging, bot filters firing per-arm, redirect drops) silently
+    invalidate every downstream readout, and SRM is the alarm that
+    catches them. One-df χ² for two equal-expected cells reduces to
+    (n_a−n_b)²/N; the p<0.001 decision (χ² > 10.83, the industry SRM
+    threshold) cross-multiplies into pure integers. Two scenarios
+    gate both directions: the user-level md5-hash split (healthy by
+    construction — must not flag) and a planted event-level
+    telemetry-loss bug (half of arm-B events deterministically
+    dropped — the lossy-logging failure SRM exists to catch, and it
+    must flag at every fixture size). Scale: one distinct-user
+    collapse plus one event scan, each ending in a one-row
+    conditional sum."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    ev = _events(spark, sf_dir)
+    u = ev.select("user_id").distinct()
+    arm_hash = hash64(
+        F.concat(F.col("user_id").cast("string"), F.lit("|srm"))
+    ) % 2
+    healthy = u.agg(
+        F.lit("hash_split").alias("scenario"),
+        F.sum(F.when(arm_hash == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(arm_hash == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    earm = hash64(
+        F.concat(F.col("event_id").cast("string"), F.lit("|srm"))
+    ) % 2
+    ekeep = hash64(
+        F.concat(F.col("event_id").cast("string"), F.lit("|drop"))
+    ) % 2
+    planted = ev.agg(
+        F.lit("planted_loss").alias("scenario"),
+        F.sum(F.when(earm == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when((earm == 1) & (ekeep == 0), 1).otherwise(0)).alias("n_b"),
+    )
+    return (
+        healthy.unionByName(planted)
+        .select(
+            "scenario",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(n_a - n_b) * (n_a - n_b) * 100 div (n_a + n_b)"
+            ).alias("chi2_centi"),
+            F.when(
+                (F.col("n_a") - F.col("n_b"))
+                * (F.col("n_a") - F.col("n_b"))
+                * 100
+                > 1083 * (F.col("n_a") + F.col("n_b")),
+                1,
+            )
+            .otherwise(0)
+            .alias("srm_flag"),
+        )
+        .orderBy("scenario")
+    )
+
+
+# --- capped session splits ------------------------------------------------------
+
+_CAP_US = 15 * 60 * 1_000_000  # 15-min forced-split cap
+
+
+@query(
+    "capped_session_splits",
+    # GA-style duration cap as a DECLARATIVE bucket: sub-session =
+    # (ts − session_start) div cap. Histogram of sessions by their
+    # distinct-bucket count, plus the before/after session totals —
+    # the readout that tells you how much a cap policy inflates
+    # session counts.
+    oracle=f"""
+WITH {_SESS_CTE}, marked AS (
+    SELECT user_id, session_seq,
+           (epoch_us(ts) - MIN(epoch_us(ts))
+                OVER (PARTITION BY user_id, session_seq))
+               // {_CAP_US} AS sub
+    FROM sess
+), per_session AS (
+    SELECT user_id, session_seq,
+           COUNT(DISTINCT sub)::BIGINT AS n_subsessions
+    FROM marked GROUP BY user_id, session_seq
+)
+SELECT n_subsessions,
+       COUNT(*)::BIGINT AS n_sessions,
+       CAST(SUM(n_subsessions) AS BIGINT) AS n_capped_sessions
+FROM per_session GROUP BY n_subsessions ORDER BY n_subsessions
+""",
+)
+def q_capped_session_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced session splits at a 15-minute duration cap, GA-style
+    (analytics products cap sessions so one camped-on-a-tab user
+    cannot hold a session open all day), expressed DECLARATIVELY:
+    sub-session = (ts − session_start) div cap — fixed buckets from
+    the gap-session start, the same bucketed-approximation convention
+    as ``salt_sessions``' day split (a recursive elapsed-from-
+    sub-session-start rule would need iteration; the bucket form is
+    one window + one projection and differs only for pathological
+    cadences). Output: sessions histogrammed by how many pieces the
+    cap cuts them into, with the capped-session total riding along —
+    the 'how much does this policy inflate session counts' readout.
+    Scale: rides the standard user-key session exchange; the
+    histogram is a ≤5-row rollup."""
+    sess = _sessionized(spark, sf_dir)
+    ws = Window.partitionBy("user_id", "session_seq")
+    marked = sess.select(
+        "user_id",
+        "session_seq",
+        (
+            (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(ws))
+            / F.lit(_CAP_US)
+        )
+        .cast("long")
+        .alias("sub"),
+    )
+    per_session = marked.groupBy("user_id", "session_seq").agg(
+        F.count_distinct("sub").alias("n_subsessions")
+    )
+    return (
+        per_session.groupBy("n_subsessions")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_subsessions").cast("long").alias("n_capped_sessions"),
+        )
+        .orderBy("n_subsessions")
+    )
+
+
+# --- discrete-time churn hazard -------------------------------------------------
+
+_HAZARD_HORIZON = 21  # emit t = 0..20 days
+_CHURN_QUIET_DAYS = 7  # no event in the trailing week ⇒ unobservable
+
+
+@query(
+    "churn_hazard_curve",
+    # Discrete-time survival with honest right-censoring: users whose
+    # last event precedes (max_date − 7) churned at tenure t =
+    # last − first day; later users are CENSORED at c = (max_date −
+    # 7) − first day (their fate is unknowable yet). hazard(t) =
+    # churns at t / users still at risk at t — exact integers, no
+    # float survival product (the KM curve is the consumer's running
+    # product of (1 − hazard); the hazard table is the replayable
+    # primitive).
+    oracle=f"""
+WITH bounds AS (
+    SELECT (MAX(CAST(ts AS DATE)) - INTERVAL 7 DAY)::DATE AS cutoff
+    FROM events
+), u AS (
+    SELECT e.user_id,
+           MIN(CAST(e.ts AS DATE)) AS d0,
+           MAX(CAST(e.ts AS DATE)) AS dl,
+           MAX(b.cutoff) AS cutoff
+    FROM events e CROSS JOIN bounds b
+    GROUP BY e.user_id
+), obs AS (
+    SELECT CASE WHEN dl <= cutoff
+                THEN DATE_DIFF('day', d0, dl)
+                ELSE DATE_DIFF('day', d0, cutoff) END AS t,
+           CASE WHEN dl <= cutoff THEN 1 ELSE 0 END AS churned
+    FROM u WHERE d0 <= cutoff
+), rollup AS (
+    SELECT t, SUM(churned)::BIGINT AS n_churn, COUNT(*)::BIGINT AS n_total
+    FROM obs GROUP BY t
+), spine AS (SELECT range::BIGINT AS t FROM range(0, {_HAZARD_HORIZON}))
+SELECT s.t,
+       CAST(SUM(r.n_total) AS BIGINT) AS n_at_risk,
+       CAST(SUM(CASE WHEN r.t = s.t THEN r.n_churn ELSE 0 END) AS BIGINT)
+           AS n_churned,
+       CAST(SUM(CASE WHEN r.t = s.t THEN r.n_churn ELSE 0 END) * 1000000
+            // SUM(r.n_total) AS BIGINT) AS hazard_ppm
+FROM spine s JOIN rollup r ON r.t >= s.t
+GROUP BY s.t ORDER BY s.t
+""",
+)
+def q_churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard — the survival-analysis primitive
+    (Kaplan & Meier 1958's input table) with honest RIGHT-CENSORING:
+    a user quiet for the trailing week is counted as churned at
+    tenure (last − first) day; a user still active recently is
+    censored at the last tenure we could have confirmed churn for —
+    pretending recent users survived (or dropping them) is the
+    classic churn-curve bias this table avoids — hazard(t) =
+    churns(t) / at-risk(t), exact integer ppm; the KM survival curve
+    is the consumer's running product of (1 − hazard) and is NOT
+    gated (a float product has no cross-engine-exact form — the
+    hazard table is the replayable primitive, the same reasoning as
+    the HLL register gate). Scale: one user rollup (one exchange),
+    collapse to ≤|distinct tenure| ≈ 30 rows, then a 21-row spine
+    join — at-risk counts come from the tenure rollup, never a
+    second pass over users."""
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(
+        F.date_sub(F.max(F.to_date("ts")), _CHURN_QUIET_DAYS).alias("cutoff")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("dl"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+    )
+    obs = u.where(F.col("d0") <= F.col("cutoff")).select(
+        F.when(
+            F.col("dl") <= F.col("cutoff"), F.datediff("dl", "d0")
+        )
+        .otherwise(F.datediff("cutoff", "d0"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("dl") <= F.col("cutoff"), 1).otherwise(0).alias("churned"),
+    )
+    rollup = obs.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("n_churn"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    spine = spark.range(_HAZARD_HORIZON).select(F.col("id").alias("st"))
+    return (
+        spine.join(F.broadcast(rollup), F.col("t") >= F.col("st"))
+        .groupBy("st")
+        .agg(
+            F.sum("n_total").cast("long").alias("n_at_risk"),
+            F.sum(F.when(F.col("t") == F.col("st"), F.col("n_churn")).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+            F.expr(
+                "sum(case when t = st then n_churn else 0 end) * 1000000"
+                " div sum(n_total)"
+            )
+            .cast("long")
+            .alias("hazard_ppm"),
+        )
+        .select(F.col("st").alias("t"), "n_at_risk", "n_churned", "hazard_ppm")
+        .orderBy("t")
+    )
