@@ -271,6 +271,10 @@ _REGISTERED_R07 = frozenset(
         "srm_check",
         "capped_session_splits",
         "churn_hazard_curve",
+        "hits_copurchase_authorities",
+        "ewma_daily_revenue",
+        "acf_daily_revenue",
+        "audio_rms_windows",
     }
 )
 

@@ -286,6 +286,10 @@ HEADLINE = [
     "srm_check",
     "capped_session_splits",
     "churn_hazard_curve",
+    "hits_copurchase_authorities",
+    "ewma_daily_revenue",
+    "acf_daily_revenue",
+    "audio_rms_windows",
 ]
 
 

@@ -108,3 +108,90 @@ def test_churn_hazard_censoring_accounting(spark, tmp_path):
         4: (1, 0, 0),
         5: (1, 0, 0),
     }
+
+
+def test_hits_mutual_reinforcement_beats_degree(spark, tmp_path):
+    """Part A has the HIGHEST degree (3 one-off buyers) but parts
+    B/C/D are bought by the two strong hubs — HITS ranks them above
+    A. Exact integer scores hand-computed through both rounds."""
+    orders = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3), (40, 4), (50, 5)],
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, p) for p in (2, 3, 4)]
+        + [(20, p) for p in (2, 3, 4)]
+        + [(30, 1), (40, 1), (50, 1)],
+        "l_orderkey long, l_partkey long",
+    )
+    orders.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    lineitem.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = [
+        (r["part"], r["authority_e6"], r["rnk"])
+        for r in QUERIES["hits_copurchase_authorities"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [
+        (2, 1_000_000, 1),
+        (3, 1_000_000, 2),
+        (4, 1_000_000, 3),
+        (1, 750_000, 4),
+    ]
+
+
+def test_ewma_integer_recursion(spark, tmp_path):
+    """Three purchase days, α=0.2 in integer tenths:
+    1000 → (2·2000+8·1000)//10 = 1200 → (2·500+8·1200)//10 = 1060."""
+    day = 1440
+    rows = [
+        (1, 0, 1, "purchase", 10.0),
+        (2, day, 1, "purchase", 20.0),
+        (3, 2 * day, 1, "purchase", 5.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = [
+        (r["day_n"], r["revenue_cents"], r["ewma_cents"])
+        for r in QUERIES["ewma_daily_revenue"](spark, sf).collect()
+    ]
+    assert got == [(1, 1000, 1000), (2, 2000, 1200), (3, 500, 1060)]
+
+
+def test_acf_alternating_series(spark, tmp_path):
+    """Alternating 100/0-cent days: lag-1 autocorrelation is exactly
+    −1 (acf2 −1 000 000 ppm), lag-2 exactly +1."""
+    day = 1440
+    rows = [
+        (i + 1, i * day, 1, "purchase", 1.0 if i % 2 == 0 else 0.001)
+        for i in range(8)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf2_signed_ppm"])
+        for r in QUERIES["acf_daily_revenue"](spark, sf).collect()
+    }
+    assert got[1] == (7, -1_000_000)
+    assert got[2] == (6, 1_000_000)
+
+
+def test_audio_rms_known_samples(spark, tmp_path):
+    """'ABCD' → two LE int16 samples (16961, 17475), one 64-sample
+    window; 'ABC' drops the trailing odd byte → one sample."""
+    docs = spark.createDataFrame(
+        [(1, "ABCD", "en", "s", 4), (2, "ABC", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_samples"],
+            r["n_windows"],
+            r["peak_energy"],
+            r["peak_window"],
+            r["mean_energy"],
+        )
+        for r in QUERIES["audio_rms_windows"](spark, str(tmp_path)).collect()
+    }
+    e1 = 16961 * 16961 + 17475 * 17475
+    e2 = 16961 * 16961
+    assert got == {1: (2, 1, e1, 0, e1), 2: (1, 1, e2, 0, e2)}

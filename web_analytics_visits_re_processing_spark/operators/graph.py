@@ -495,3 +495,56 @@ def bfs_hops(
         dist = dist.unionAll(discovered).localCheckpoint(eager=True)
         frontier = discovered
     return dist.select(F.col("n").alias("node"), "dist")
+
+
+def hits_bipartite_scaled(
+    edges: DataFrame,
+    n_rounds: int = 2,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+) -> DataFrame:
+    """HITS (Kleinberg 1999) on a bipartite hub→authority edge list
+    with INTEGER-EXACT arithmetic → ``(node, authority_e6)`` for the
+    authority side after ``n_rounds`` full (authority, hub) updates.
+
+    Float HITS normalizes by an L2 norm every round — shuffle-order
+    float sums plus a sqrt, neither cross-engine replayable. This
+    variant follows the ``pagerank_scaled`` convention: scores live
+    in int64 millionths, every hub starts at 10^6, and each update is
+    SUM over the edge list followed by MAX-normalization
+    ``s · 10^6 div max(s)`` (max-norm instead of L2: one integer
+    division, same fixpoint direction, exact in any engine).
+    Truncating division drops sub-millionth mass deterministically.
+
+    Scale shape per half-round: scores equi-join the edge list on one
+    side (AQE broadcasts the score table when tiny), one map-side-
+    combinable SUM groupBy the other side, and the max is a one-row
+    broadcast — never a driver collect. Lineage is localCheckpoint-
+    truncated per round like the PageRank/CC loops.
+
+    Overflow bound: score ≤ 10^6, so a sum needs max-degree < 10^12.
+    """
+    e = edges.select(F.col(hub_col).alias("h_n"), F.col(auth_col).alias("a_n"))
+    hubs = e.select(F.col("h_n").alias("node")).distinct()
+    h = hubs.withColumn("s", F.lit(1_000_000).cast("long"))
+
+    def _norm(scores: DataFrame) -> DataFrame:
+        mx = scores.agg(F.max("s").alias("mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "node", F.expr("s * 1000000 div mx").alias("s")
+        )
+
+    a = None
+    for i in range(n_rounds):
+        a = _norm(
+            e.join(h, e.h_n == h.node)
+            .groupBy(F.col("a_n").alias("node"))
+            .agg(F.sum("s").alias("s"))
+        ).localCheckpoint(eager=True)
+        if i < n_rounds - 1:  # the final hub update feeds nothing
+            h = _norm(
+                e.join(a, e.a_n == a.node)
+                .groupBy(F.col("h_n").alias("node"))
+                .agg(F.sum("s").alias("s"))
+            ).localCheckpoint(eager=True)
+    return a.select("node", F.col("s").alias("authority_e6"))

@@ -4335,3 +4335,71 @@ def q_bpr_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("collision_ppm"),
         F.sum("neg_p").alias("neg_checksum"),
     )
+
+
+@query(
+    "audio_rms_windows",
+    # Byte-exact replay of the PCM energy profile: the WAV payload is
+    # the utf-8 text (ASCII by fixture construction, so byte k =
+    # ord(char k)); samples are little-endian int16 pairs, windows 64
+    # samples wide, energy = Σv² per window — all integers, so DuckDB
+    # reproduces the numpy pipeline exactly (trailing odd byte
+    # dropped; the partial last window needs no padding term because
+    # padded zeros add nothing to a sum of squares).
+    oracle="""
+WITH d AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) // 2 AS ns
+    FROM documents
+), ix AS (
+    SELECT doc_id, ns, text, unnest(range(ns)) AS i FROM d
+), s AS (
+    SELECT doc_id, ns, (i // 64) AS w,
+           ord(substring(text, CAST(2 * i + 1 AS INT), 1))
+           + 256 * ord(substring(text, CAST(2 * i + 2 AS INT), 1))
+               AS raw
+    FROM ix
+), v AS (
+    SELECT doc_id, ns, w,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM s
+), wins AS (
+    SELECT doc_id, ns, w, SUM(v * v)::BIGINT AS energy
+    FROM v GROUP BY doc_id, ns, w
+), agg AS (
+    SELECT doc_id, MAX(ns)::BIGINT AS n_samples,
+           COUNT(*)::BIGINT AS n_windows,
+           SUM(energy)::BIGINT AS total_energy,
+           MAX(energy)::BIGINT AS peak_energy
+    FROM wins GROUP BY doc_id
+), pw AS (
+    SELECT wins.doc_id, MIN(wins.w)::BIGINT AS peak_window
+    FROM wins JOIN agg ON agg.doc_id = wins.doc_id
+                      AND wins.energy = agg.peak_energy
+    GROUP BY wins.doc_id
+)
+SELECT agg.doc_id, n_samples, n_windows, peak_energy,
+       pw.peak_window,
+       (total_energy // n_windows)::BIGINT AS mean_energy
+FROM agg JOIN pw ON pw.doc_id = agg.doc_id
+""",
+)
+def q_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio loudness profiling over the multimodal WAV column: parse
+    the 16-bit PCM stream, window it 64 samples wide, emit per-doc
+    sample/window counts, the PEAK window energy and index (the
+    voice-activity / clipping probe a speech-data curation pipeline
+    filters on), and the floored mean window energy — the first
+    multimodal query that processes SAMPLES, not container headers.
+    Arrow-batched mapInPandas (``operators.multimodal.
+    decode_audio_energy``); integer Σv² throughout, so the whole
+    pipeline — byte slicing included — replays exactly in SQL. Scale:
+    blobs stay in executor batches; the output is one bounded row per
+    doc; metadata-only consumers never touch the binary column."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_audio_energy,
+        with_wav_blob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_audio_energy(with_wav_blob(docs))

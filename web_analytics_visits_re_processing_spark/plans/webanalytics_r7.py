@@ -469,3 +469,239 @@ def q_churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("st").alias("t"), "n_at_risk", "n_churned", "hazard_ppm")
         .orderBy("t")
     )
+
+
+# --- HITS hubs/authorities ------------------------------------------------------
+
+
+@query(
+    "hits_copurchase_authorities",
+    # Integer HITS (max-norm, 2 rounds) on the bipartite customer→part
+    # purchase graph; the oracle unrolls both rounds. Round 1's
+    # authority pass starts from constant hubs, so a1 = degree·1e6 —
+    # stated directly in SQL.
+    oracle="""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), a1 AS MATERIALIZED (
+    SELECT p, COUNT(*)::BIGINT * 1000000 AS s FROM e GROUP BY p
+), a1n AS MATERIALIZED (
+    SELECT p, s * 1000000 // (SELECT MAX(s) FROM a1) AS s FROM a1
+), h1 AS MATERIALIZED (
+    SELECT e.u, SUM(a1n.s)::BIGINT AS s
+    FROM e JOIN a1n ON a1n.p = e.p GROUP BY e.u
+), h1n AS MATERIALIZED (
+    SELECT u, s * 1000000 // (SELECT MAX(s) FROM h1) AS s FROM h1
+), a2 AS MATERIALIZED (
+    SELECT e.p, SUM(h1n.s)::BIGINT AS s
+    FROM e JOIN h1n ON h1n.u = e.u GROUP BY e.p
+), a2n AS (
+    SELECT p, s * 1000000 // (SELECT MAX(s) FROM a2) AS s FROM a2
+)
+SELECT p AS part, s::BIGINT AS authority_e6,
+       ROW_NUMBER() OVER (ORDER BY s DESC, p) AS rnk
+FROM a2n ORDER BY s DESC, p LIMIT 20
+""",
+)
+def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    customer→part purchase graph: authoritative parts are those
+    bought by strong hub customers, hub customers are those who buy
+    authoritative parts — the mutual-reinforcement centrality that
+    raw degree misses (a part bought 50 times by one-off customers
+    ranks below one bought 30 times by broad, active customers).
+    Integer-exact via ``operators.graph.hits_bipartite_scaled``:
+    scores in int64 millionths, MAX-normalization (one integer
+    division — no L2 norm, no float sum) per half-round, 2 full
+    rounds, top-20 authorities gated with ranks. Scale shape per
+    half-round: one equi-join of the score table against the edge
+    list + one map-side-combinable SUM; the norm is a one-row
+    broadcast; lineage localCheckpoint-truncated like PageRank/CC."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        hits_bipartite_scaled,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
+        .distinct()
+    )
+    a = hits_bipartite_scaled(edges, n_rounds=2)
+    w = Window.orderBy(F.col("authority_e6").desc(), "node")
+    return (
+        a.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("node").alias("part"),
+            "authority_e6",
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+# --- EWMA via recursive CTE -----------------------------------------------------
+
+
+@query(
+    "ewma_daily_revenue",
+    # EWMA is inherently RECURSIVE (each value depends on the previous
+    # smoothed value), so it runs as a recursive CTE — in integer
+    # tenths (α = 0.2 exactly: ewma = (2·x + 8·prev) div 10), making
+    # the whole recursion engine-exact with zero float state.
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS n FROM (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(FLOOR(value * 100)::BIGINT) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE))
+), ew AS (
+    SELECT n, d, x, x AS ewma FROM seq WHERE n = 1
+    UNION ALL
+    SELECT s.n, s.d, s.x, (2 * s.x + 8 * e.ewma) // 10
+    FROM ew e JOIN seq s ON s.n = e.n + 1
+)
+SELECT n AS day_n, strftime(d, '%Y-%m-%d') AS day,
+       x AS revenue_cents, ewma::BIGINT AS ewma_cents
+FROM ew ORDER BY day_n
+""",
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily purchase
+    revenue, α = 0.2 — the smoother behind every ops dashboard's
+    trend line. EWMA is the canonical NON-associative aggregate (each
+    day's value depends on the previous smoothed value), so it cannot
+    be a window sum — it runs as a RECURSIVE CTE (Spark 4 recursive
+    CTE support, same shape as the month-spine battery), one
+    recursion step per day over the ~30-row daily rollup. Integer
+    tenths keep it engine-exact: ewma = (2·x + 8·prev) div 10 —
+    truncating division each step, no float state anywhere, so the
+    full recursion replays verbatim in SQL. Scale: the recursion
+    depth is DAYS (bounded, tiny), never events; the event-scale work
+    is one map-side-combined daily rollup. At 100 TB the same shape
+    holds — recursive length is calendar length."""
+    _events(spark, sf_dir).createOrReplaceTempView("ev_r7")
+    return spark.sql(
+        """
+WITH RECURSIVE seq AS (
+    SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS n FROM (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM ev_r7 WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE))
+), ew AS (
+    SELECT n, d, x, x AS ewma FROM seq WHERE n = 1
+    UNION ALL
+    SELECT s.n, s.d, s.x, (2 * s.x + 8 * e.ewma) div 10
+    FROM ew e JOIN seq s ON s.n = e.n + 1
+)
+SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day,
+       x AS revenue_cents, CAST(ewma AS BIGINT) AS ewma_cents
+FROM ew ORDER BY day_n
+"""
+    )
+
+
+# --- autocorrelation function ---------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "acf_daily_revenue",
+    # Lag-k Pearson of the daily revenue series, k = 1..7, in the
+    # CUPED convention: no float moment anywhere — the signed SQUARED
+    # correlation sign(cov)·cov²·1e6 div (varX·varY) is exact in
+    # decimal(38,0)/HUGEINT (cov² and varX·varY are exactly the
+    # Pearson-overflow case the Spearman tier documents; the squared
+    # form is what decimal width makes safe).
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(FLOOR(value * 100)::BIGINT) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+), seq AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS n FROM daily
+), pairs AS (
+    SELECT k.range::BIGINT AS lag, a.x AS x, b.x AS y
+    FROM range(1, {_ACF_MAX_LAG + 1}) k
+    JOIN seq a ON TRUE
+    JOIN seq b ON b.n = a.n + k.range
+), st AS (
+    SELECT lag, COUNT(*)::BIGINT AS n_pairs,
+           SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+           SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
+           SUM(x * y)::BIGINT AS sxy
+    FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs,
+       CAST(CASE WHEN n_pairs::HUGEINT * sxy - sx::HUGEINT * sy < 0
+                 THEN -1 ELSE 1 END
+            * ((n_pairs::HUGEINT * sxy - sx::HUGEINT * sy)
+               * (n_pairs::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000)
+            // GREATEST((n_pairs::HUGEINT * sxx - sx::HUGEINT * sx)
+                * (n_pairs::HUGEINT * syy - sy::HUGEINT * sy), 1)
+            AS BIGINT) AS acf2_signed_ppm
+FROM st ORDER BY lag
+""",
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily purchase revenue at lags 1..7 — the
+    'does this series remember itself' readout that separates weekly
+    seasonality (a lag-7 spike) from noise BEFORE anyone fits a
+    forecast. Per-lag Pearson over (x_t, x_{{t+k}}) pairs in the CUPED
+    integer convention: all five moments are int64 sums off the
+    ~30-row daily rollup, and the gated scalar is the SIGNED SQUARED
+    correlation sign(cov)·cov²·1e6 div (varX·varY) — cov² and the
+    variance product are the documented Pearson-overflow pair that
+    decimal(38,0)/HUGEINT width makes exact, and no sqrt or float
+    division ever exists. A degenerate lag (≤1 pair, or a constant
+    window) has zero variance AND zero covariance, so the
+    greatest(·,1) divisor guard degrades it to exactly 0 instead of
+    raising under ANSI mode — the KMV lesson applied preemptively. Scale: one event-scale daily rollup; the
+    lag spine join is 7×days rows."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("x"))
+    )
+    seq = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).alias("n")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    b = seq.select(F.col("x").alias("y"), F.col("n").alias("n2"))
+    pairs = (
+        seq.crossJoin(F.broadcast(lags))
+        .join(b, F.col("n2") == F.col("n") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    st = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = (
+        "(cast(n_pairs as decimal(38,0)) * sxy"
+        " - cast(sx as decimal(38,0)) * sy)"
+    )
+    return st.select(
+        "lag",
+        "n_pairs",
+        F.expr(
+            f"cast((case when {cov} < 0 then -1 else 1 end)"
+            f" * ({cov} * {cov} * 1000000)"
+            " div greatest((cast(n_pairs as decimal(38,0)) * sxx"
+            "       - cast(sx as decimal(38,0)) * sx)"
+            "      * (cast(n_pairs as decimal(38,0)) * syy"
+            "         - cast(sy as decimal(38,0)) * sy), 1) as long)"
+        ).alias("acf2_signed_ppm"),
+    ).orderBy("lag")
