@@ -290,6 +290,9 @@ HEADLINE = [
     "ewma_daily_revenue",
     "acf_daily_revenue",
     "audio_rms_windows",
+    "lsh_recall_vs_truth",
+    "xml_parse_roundtrip",
+    "theil_sen_daily_trend",
 ]
 
 

@@ -195,3 +195,47 @@ def test_audio_rms_known_samples(spark, tmp_path):
     e1 = 16961 * 16961 + 17475 * 17475
     e2 = 16961 * 16961
     assert got == {1: (2, 1, e1, 0, e1), 2: (1, 1, e2, 0, e2)}
+
+
+def test_lsh_recall_high_at_matched_threshold(spark, sf_dir):
+    """16 bands × 4 rows puts the S-curve midpoint at ≈ 0.5 — recall
+    against the J ≥ 0.5 ground truth must be high (≥ 90%) and truth
+    must be non-empty (the fixture plants near-dups)."""
+    row = QUERIES["lsh_recall_vs_truth"](spark, sf_dir).collect()[0]
+    assert row["n_truth"] > 0
+    assert row["n_hits"] <= min(row["n_truth"], row["n_candidates"])
+    assert row["recall_ppm"] >= 900_000, row
+
+
+def test_xml_roundtrip_lossless(spark, tmp_path):
+    """to_xml → from_xml preserves key, priority and price exactly:
+    the parsed-side aggregate equals the direct one, zero parse
+    failures."""
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", 123.45), (2, "1-URGENT", 0.07), (3, "5-LOW", 99.99)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    orders.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["o_orderpriority"]: (
+            r["n_orders"],
+            r["total_cents"],
+            r["n_parse_failures"],
+        )
+        for r in QUERIES["xml_parse_roundtrip"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"1-URGENT": (2, 12352, 0), "5-LOW": (1, 9999, 0)}
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    """Four days on a clean 1000-cents/day trend plus one 400 000-cent
+    blowout: 6 of 10 pairwise slopes are exactly 1e6 milli-cents/day,
+    so the median is untouched by the outlier (OLS would not be)."""
+    day = 1440
+    vals = [0.001, 10.0, 20.0, 30.0, 4000.0]
+    rows = [
+        (i + 1, i * day, 1, "purchase", v) for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = QUERIES["theil_sen_daily_trend"](spark, sf).collect()[0]
+    assert (row["n_pairs"], row["slope_milli_p50"]) == (10, 1_000_000)

@@ -4314,3 +4314,59 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(drift).alias("total_drift_cents"),
         F.max(drift).alias("worst_drift_cents"),
     )
+
+
+@query(
+    "xml_parse_roundtrip",
+    # XML is parse-side only here: Spark serializes each order through
+    # to_xml and parses it back with from_xml (Spark 4 native XML),
+    # then aggregates the PARSED fields — a lossy parser would break
+    # the hash against this oracle, which computes the same aggregate
+    # straight off the table. n_parse_failures pins that from_xml
+    # produced a non-null struct for every row.
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+       0::BIGINT AS n_parse_failures
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest path (Spark 4 built-in XML support): every order is
+    serialized to an XML document string (``to_xml``) and parsed back
+    (``from_xml``) — the round trip proves the parser preserves
+    values exactly, because the gate aggregates the PARSED columns
+    against an oracle computed straight off the table. This is the
+    XML counterpart of the CSV/JSON/ORC reader round-trips in the
+    file-format suite; money goes through the floor-cents convention
+    AFTER parsing so the XML carries the raw doubles. Scale: both
+    directions are per-row projections (no shuffle added); the
+    aggregate is one map-side-combined rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderpriority", "o_totalprice")
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x",
+            "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE",
+        ).alias("s")
+    )
+    return (
+        parsed.groupBy(F.col("s.o_orderpriority").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("s.o_totalprice") * 100))
+            .cast("long")
+            .alias("total_cents"),
+            F.sum(F.when(F.col("s").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_parse_failures"),
+        )
+        .orderBy("o_orderpriority")
+    )

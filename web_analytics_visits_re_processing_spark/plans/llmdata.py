@@ -4403,3 +4403,120 @@ def q_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return decode_audio_energy(with_wav_blob(docs))
+
+
+@query(
+    "lsh_recall_vs_truth",
+    # Quality eval OF the dedup tier itself: ground truth = all pairs
+    # with hashed-3-gram Jaccard ≥ 0.5 (enumerable via the gram join —
+    # any pair with J > 0 shares a gram, so no all-pairs scan exists);
+    # found = the 64-perm/16-band LSH candidates. The J ≥ 0.5 test is
+    # cross-multiplied (2i ≥ na+nb−i): no float Jaccard in the gate.
+    oracle=f"""
+WITH sh AS ({_MINHASH_SHINGLES_SQL}),
+hm AS ({_MINHASH_BASE_SQL}),
+sig AS (
+    SELECT doc_id,
+{_MH64_SIG_COLS_SQL}
+    FROM hm
+),
+banded AS (
+{_MH64_BANDED_SQL}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+),
+hsx AS (
+    SELECT DISTINCT doc_id, unnest(hs) AS h FROM hm
+),
+nd AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM hsx GROUP BY doc_id),
+ip AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS i
+    FROM hsx a JOIN hsx b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+    SELECT ip.id_a, ip.id_b
+    FROM ip JOIN nd na ON na.doc_id = ip.id_a
+            JOIN nd nb ON nb.doc_id = ip.id_b
+    WHERE 2 * ip.i >= na.n + nb.n - ip.i
+),
+hits AS (SELECT t.id_a FROM truth t JOIN cand c
+         ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+       ((SELECT COUNT(*) FROM hits) * 1000000
+        // GREATEST((SELECT COUNT(*) FROM truth), 1))::BIGINT AS recall_ppm,
+       ((SELECT COUNT(*) FROM hits) * 1000000
+        // GREATEST((SELECT COUNT(*) FROM cand), 1))::BIGINT
+           AS precision_ppm
+""",
+)
+def q_lsh_recall_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the production-parameter LSH pass against
+    GROUND TRUTH — the eval a dedup pipeline owner actually runs
+    before trusting banding parameters, here exact and hash-gated:
+    truth is every pair with hashed-3-gram Jaccard ≥ 0.5, enumerated
+    via the gram-keyed equi-join (a pair with J > 0 must share a
+    gram, so truth enumeration is bounded by shared-gram pairs — the
+    same no-all-pairs argument as ``ngram_containment_pairs``, never
+    docs²); found is the 64-perm/16-band candidate set. The J ≥ 0.5
+    decision cross-multiplies (2·|∩| ≥ |A|+|B|−|∩|) so no float
+    Jaccard exists anywhere in the gate; recall/precision are integer
+    ppm with the degenerate-zero guard. The S-curve midpoint of 16
+    bands × 4 rows is (1/16)^(1/4) ≈ 0.5 — recall at the matched
+    threshold should be high and is pinned ≥ 90% by pytest."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        hash64,
+        word_ngrams,
+    )
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        MINHASH_M,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(docs, num_hashes=64, bands=16, ngram=3)
+    hsx = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("_s"),
+    ).select("doc_id", (hash64(F.col("_s")) % MINHASH_M).alias("h")).distinct()
+    nd = hsx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hsx.select(F.col("doc_id").alias("id_a"), "h")
+    b = hsx.select(F.col("doc_id").alias("id_b"), "h")
+    ip = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        ip.join(nd.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(nd.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
+        .select("id_a", "id_b")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr("n_hits * 1000000 div greatest(n_truth, 1)").alias(
+                "recall_ppm"
+            ),
+            F.expr("n_hits * 1000000 div greatest(n_candidates, 1)").alias(
+                "precision_ppm"
+            ),
+        )
+    )

@@ -705,3 +705,72 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "         - cast(sy as decimal(38,0)) * sy), 1) as long)"
         ).alias("acf2_signed_ppm"),
     ).orderBy("lag")
+
+
+# --- Theil–Sen robust trend -----------------------------------------------------
+
+
+@query(
+    "theil_sen_daily_trend",
+    # Median-of-pairwise-slopes trend of daily revenue: slopes are
+    # floored integer milli-cents/day ((xj−xi)·1000 div (j−i), j>i so
+    # the divisor is positive), the median is the cumulative-rank
+    # lower median over the ~days²/2 slope set — days are bounded, so
+    # the pair set is too (never events²).
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(FLOOR(value * 100)::BIGINT) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+), seq AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS n FROM daily
+), slopes AS (
+    SELECT ((b.x - a.x) * 1000) // (b.n - a.n) AS s
+    FROM seq a JOIN seq b ON b.n > a.n
+), ranked AS (
+    SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r,
+           COUNT(*) OVER () AS np
+    FROM slopes
+)
+SELECT MAX(np)::BIGINT AS n_pairs,
+       MIN(CASE WHEN 2 * r >= np + 1 THEN s END)::BIGINT
+           AS slope_milli_p50
+FROM ranked
+""",
+)
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily purchase revenue — the median
+    of all pairwise day-to-day slopes, the trend estimator a single
+    campaign-day outlier CANNOT drag (29% breakdown point vs OLS's
+    zero; Sen 1968). Integer-exact: each slope is floored
+    milli-cents/day with a positive divisor by construction, and the
+    median is the repo's cumulative-rank lower-median rule over the
+    slope multiset. Scale: the pair set is days², and days are
+    CALENDAR-bounded — ~465 slope rows for a month, independent of
+    event volume; the only event-scale work is the daily rollup."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("x"))
+    )
+    seq = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).alias("n")
+    )
+    a = seq.select(F.col("x").alias("xa"), F.col("n").alias("na"))
+    b = seq.select(F.col("x").alias("xb"), F.col("n").alias("nb"))
+    slopes = (
+        a.join(b, F.col("nb") > F.col("na"))
+        .select(F.expr("((xb - xa) * 1000) div (nb - na)").alias("s"))
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(Window.orderBy("s")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    return ranked.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.min(F.when(2 * F.col("r") >= F.col("np") + 1, F.col("s")))
+        .cast("long")
+        .alias("slope_milli_p50"),
+    )
