@@ -278,6 +278,7 @@ _REGISTERED_R07 = frozenset(
         "lsh_recall_vs_truth",
         "xml_parse_roundtrip",
         "theil_sen_daily_trend",
+        "holt_linear_backtest",
     }
 )
 

@@ -293,6 +293,7 @@ HEADLINE = [
     "lsh_recall_vs_truth",
     "xml_parse_roundtrip",
     "theil_sen_daily_trend",
+    "holt_linear_backtest",
 ]
 
 

@@ -239,3 +239,33 @@ def test_theil_sen_ignores_outlier_day(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     row = QUERIES["theil_sen_daily_trend"](spark, sf).collect()[0]
     assert (row["n_pairs"], row["slope_milli_p50"]) == (10, 1_000_000)
+
+
+def test_holt_negative_trend_truncation(spark, tmp_path):
+    """Decreasing series drives the trend NEGATIVE: day-3 trend is
+    (-1644) div 10 = -164 under truncate-toward-zero — floor-division
+    semantics would give -165, so this pins the exact integer-division
+    contract the oracle relies on, plus the carried one-step
+    forecasts."""
+    day = 1440
+    rows = [
+        (1, 0, 1, "purchase", 30.0),
+        (2, day, 1, "purchase", 20.0),
+        (3, 2 * day, 1, "purchase", 10.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = [
+        (
+            r["day_n"],
+            r["level_cents"],
+            r["trend_cents"],
+            r["forecast_cents"],
+            r["abs_err_cents"],
+        )
+        for r in QUERIES["holt_linear_backtest"](spark, sf).collect()
+    ]
+    assert got == [
+        (1, 3000, 0, None, None),
+        (2, 2800, -60, 3000, 1000),
+        (3, 2392, -164, 2740, 1740),
+    ]

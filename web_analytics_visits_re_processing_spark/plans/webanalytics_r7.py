@@ -774,3 +774,80 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_milli_p50"),
     )
+
+
+# --- Holt linear trend + one-step backtest ---------------------------------------
+
+
+@query(
+    "holt_linear_backtest",
+    # Holt's double-exponential smoothing (level + trend), α=0.2 /
+    # β=0.3 in integer tenths, as a recursive CTE carrying TWO state
+    # columns — with the one-step-ahead forecast (made at t−1) and its
+    # absolute error riding along, so the output IS the backtest.
+    # Negative trends are safe: both engines' integer division
+    # truncates toward zero (verified -7//10 = 0 = -7 div 10).
+    oracle="""
+WITH RECURSIVE seq AS (
+    SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS n FROM (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(FLOOR(value * 100)::BIGINT) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE))
+), h AS (
+    SELECT n, d, x, x AS l, CAST(0 AS BIGINT) AS b,
+           CAST(NULL AS BIGINT) AS f
+    FROM seq WHERE n = 1
+    UNION ALL
+    SELECT s.n, s.d, s.x,
+           (2 * s.x + 8 * (h.l + h.b)) // 10,
+           (3 * ((2 * s.x + 8 * (h.l + h.b)) // 10 - h.l) + 7 * h.b) // 10,
+           h.l + h.b
+    FROM h JOIN seq s ON s.n = h.n + 1
+)
+SELECT n AS day_n, strftime(d, '%Y-%m-%d') AS day, x AS revenue_cents,
+       l::BIGINT AS level_cents, b::BIGINT AS trend_cents,
+       f::BIGINT AS forecast_cents,
+       ABS(x - f)::BIGINT AS abs_err_cents
+FROM h ORDER BY day_n
+""",
+)
+def q_holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method (double exponential smoothing: level +
+    trend) over daily purchase revenue, WITH its own one-step-ahead
+    backtest — every row carries the forecast that was made for it
+    yesterday and the absolute error, which is how a forecasting
+    choice should be judged (EWMA catches the level, Holt also tracks
+    drift). Two recursive state columns in integer tenths (α=0.2,
+    β=0.3 exact); trend can go NEGATIVE, which is safe because both
+    engines' integer division truncates toward zero (probed, not
+    assumed: -7//10 = 0 in DuckDB = -7 div 10 in Spark — floor-division
+    semantics would have silently diverged here). Recursion depth =
+    calendar days; the event-scale work is one daily rollup."""
+    _events(spark, sf_dir).createOrReplaceTempView("ev_r7h")
+    return spark.sql(
+        """
+WITH RECURSIVE seq AS (
+    SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS n FROM (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM ev_r7h WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE))
+), h AS (
+    SELECT n, d, x, x AS l, CAST(0 AS BIGINT) AS b,
+           CAST(NULL AS BIGINT) AS f
+    FROM seq WHERE n = 1
+    UNION ALL
+    SELECT s.n, s.d, s.x,
+           (2 * s.x + 8 * (h.l + h.b)) div 10,
+           (3 * ((2 * s.x + 8 * (h.l + h.b)) div 10 - h.l) + 7 * h.b) div 10,
+           h.l + h.b
+    FROM h JOIN seq s ON s.n = h.n + 1
+)
+SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day, x AS revenue_cents,
+       CAST(l AS BIGINT) AS level_cents, CAST(b AS BIGINT) AS trend_cents,
+       CAST(f AS BIGINT) AS forecast_cents,
+       CAST(ABS(x - f) AS BIGINT) AS abs_err_cents
+FROM h ORDER BY day_n
+"""
+    )
