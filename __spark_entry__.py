@@ -279,6 +279,7 @@ _REGISTERED_R07 = frozenset(
         "xml_parse_roundtrip",
         "theil_sen_daily_trend",
         "holt_linear_backtest",
+        "bpe_merge_rounds",
     }
 )
 

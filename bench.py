@@ -294,6 +294,7 @@ HEADLINE = [
     "xml_parse_roundtrip",
     "theil_sen_daily_trend",
     "holt_linear_backtest",
+    "bpe_merge_rounds",
 ]
 
 

@@ -269,3 +269,24 @@ def test_holt_negative_trend_truncation(spark, tmp_path):
         (2, 2800, -60, 3000, 1000),
         (3, 2392, -164, 2740, 1740),
     ]
+
+
+def test_bpe_merge_rounds_learns_expected_merges(spark, tmp_path):
+    """Corpus 'aaab aaab ab': round 1 learns (a,a)→aa (4 pairs —
+    overlaps count, leftmost-non-overlap merge turns 'aaab' into
+    [aa,a,b] not [a,aa,b]); round 2 (a,b)→ab (3); round 3 the full
+    word (aa,ab)→aaab (2)."""
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r["merge_rank"], r["pair_a"], r["pair_b"], r["token"], r["pair_count"])
+        for r in QUERIES["bpe_merge_rounds"](spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]

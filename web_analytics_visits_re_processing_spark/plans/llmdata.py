@@ -4520,3 +4520,154 @@ def q_lsh_recall_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# BPE merge learning: symbols are framed as chr(31)+sym+chr(31) and a
+# word is the concatenation of its framed symbols. Merging pair (a,b)
+# is then ONE string replace of frame(a)+frame(b) with frame(ab):
+# replace() scans left-to-right non-overlapping, which IS the BPE
+# merge rule ('aaaa' -> 'aa aa', never 'a aa a'), and the frames make
+# false matches impossible (a symbol ENDING in 'a' cannot fake the
+# pattern — the char before the 'a' is not the frame byte). chr(31)
+# is safe: the corpus charset is ASCII 32..121 (probed).
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    parts = ["""
+WITH words AS (
+    SELECT w, COUNT(*)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> '' GROUP BY w
+), ws0 AS (
+    SELECT chr(31) || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substring(w, CAST(i AS INT), 1)),
+               chr(31) || chr(31)) || chr(31) AS s,
+           cnt
+    FROM words
+)"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+pc{r} AS (
+    SELECT p[1] AS pa, p[2] AS pb, SUM(cnt)::BIGINT AS n FROM (
+        SELECT list_transform(range(1, len(syms)),
+                              i -> [syms[CAST(i AS INT)],
+                                    syms[CAST(i + 1 AS INT)]]) AS ps,
+               cnt
+        FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+                  AS syms, cnt
+              FROM ws{r - 1})
+    ), unnest(ps) AS u(p)
+    GROUP BY p[1], p[2]
+), top{r} AS (
+    SELECT pa, pb, n FROM pc{r} ORDER BY n DESC, pa, pb LIMIT 1
+), ws{r} AS (
+    SELECT replace(s,
+                   chr(31) || t.pa || chr(31) || chr(31) || t.pb || chr(31),
+                   chr(31) || t.pa || t.pb || chr(31)) AS s,
+           cnt
+    FROM ws{r - 1}, top{r} t
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, pa AS pair_a, pb AS pair_b,"
+        f" pa || pb AS token, n AS pair_count FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY merge_rank")
+    return "".join(parts)
+
+
+@query("bpe_merge_rounds", oracle=_bpe_oracle())
+def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (Sennrich et al. 2016), 3 rounds — the
+    tokenizer-TRAINING primitive (bpe_token_stats applies a
+    tokenizer; this learns one): per round, count every adjacent
+    symbol pair across the weighted word vocabulary, take the global
+    argmax (count desc, then lexicographic — fully deterministic),
+    and merge it everywhere. The merge itself is one string replace
+    over frame-delimited symbols (see module comment: left-to-right
+    non-overlapping replace IS the BPE rule, and chr(31) frames make
+    false matches impossible), so every round — pair counts, argmax,
+    merge — replays verbatim in SQL. Scale: rounds operate on the
+    DISTINCT-word vocabulary with multiplicities (the classic BPE
+    formulation), so per-round cost is vocab-sized, not corpus-sized;
+    the corpus is touched once to build the weighted vocab. Each
+    round's argmax is a 1-row broadcast; real tokenizers run ~30k
+    rounds of exactly this loop with heap-maintained pair counts —
+    the unrolled 3 here pin the semantics."""
+    docs = _docs(spark, sf_dir)
+    d = F.lit(chr(31))
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ws = words.select(
+        F.concat(
+            d,
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ),
+                chr(31) + chr(31),
+            ),
+            d,
+        ).alias("s"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pc = (
+            ws.select(
+                F.filter(
+                    F.split("s", chr(31)), lambda x: x != F.lit("")
+                ).alias("syms"),
+                "cnt",
+            )
+            .select(
+                F.explode(
+                    # sequence(1, 0) is DESCENDING in Spark (the
+                    # dedup.py slice lesson) — single-symbol words
+                    # must short-circuit to an empty pair array.
+                    F.expr(
+                        "case when size(syms) < 2 then"
+                        " array()"
+                        " else transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) as pa,"
+                        "             element_at(syms, i + 1) as pb))"
+                        " end"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = (
+            pc.orderBy(F.col("n").desc(), "pa", "pb")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("pa").alias("pair_a"),
+                F.col("pb").alias("pair_b"),
+                F.concat("pa", "pb").alias("token"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        ws = ws.crossJoin(F.broadcast(top)).select(
+            F.expr(
+                f"replace(s, char(31) || pa || char(31) || char(31)"
+                f" || pb || char(31),"
+                f" char(31) || pa || pb || char(31))"
+            ).alias("s"),
+            "cnt",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
