@@ -5213,10 +5213,11 @@ def q_error_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wilson_ranked_entry_types",
     # Ranking conversion rates the statistically honest way: the
     # Wilson score LOWER bound (z=3) demotes small-sample flukes that
-    # raw-rate ranking promotes. Follows the cosine/HLL portability
-    # convention: the bound is ONE deterministic double expression,
-    # rounded to 6 dp identically in both engines (the counts
-    # feeding it are exact integers).
+    # raw-rate ranking promotes. The bound is ONE deterministic double
+    # expression FLOORED into integer ppm (the extended.py floor
+    # convention — Spark ROUND-on-double is HALF_UP via decimal
+    # string, DuckDB rounds binary: a gated-and-ranked scalar must
+    # never pass through round; the counts feeding it are exact).
     oracle=f"""
 WITH seq AS (
     SELECT user_id, ts, event_id, event_type,
