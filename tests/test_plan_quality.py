@@ -463,3 +463,37 @@ def test_markov_chain_solve_corpus_independent(spark, sf_dir):
     into the chain-solve segment."""
     plan = _plan(spark, "markov_removal_attribution", sf_dir)
     assert "FileScan parquet" not in plan, plan
+
+
+def test_shapley_lattice_is_broadcast_no_cartesian(spark, sf_dir):
+    """After the session rollup, every Shapley join is over the ≤16-row
+    coalition lattice — broadcast nested-loop / hash, never a
+    CartesianProduct, and no Python node anywhere."""
+    plan = _plan(spark, "shapley_attribution", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hits_norm_is_broadcast_scalar(spark, sf_dir):
+    """Each HITS half-round's max-normalization joins a ONE-ROW
+    aggregate via broadcast — no shuffle exchange may be introduced by
+    the norm itself (the final plan reads the checkpointed round
+    output, so the visible plan is the top-20 ranking: 0 or 1 shuffle,
+    no cartesian)."""
+    plan = _plan(spark, "hits_copurchase_authorities", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert _exchanges(plan) <= 1, plan
+
+
+def test_lsh_recall_truth_join_is_gram_keyed(spark, sf_dir):
+    """The ground-truth side must enumerate pairs via the gram-keyed
+    equi-join (SortMerge/ShuffledHash on the hash column), never an
+    all-pairs nested loop over docs."""
+    plan = _plan(spark, "lsh_recall_vs_truth", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop joins allowed are the bounded one-row
+    # aggregate combinations at the very top
+    import re as _re
+
+    bnl = len(_re.findall(r"BroadcastNestedLoopJoin", plan))
+    assert bnl <= 2, plan
