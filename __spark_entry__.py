@@ -280,6 +280,9 @@ _REGISTERED_R07 = frozenset(
         "theil_sen_daily_trend",
         "holt_linear_backtest",
         "bpe_merge_rounds",
+        "did_conversion_lift",
+        "mde_detectable_lifts",
+        "ccf_lead_lag_daily",
     }
 )
 

@@ -295,6 +295,9 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "holt_linear_backtest",
     "bpe_merge_rounds",
+    "did_conversion_lift",
+    "mde_detectable_lifts",
+    "ccf_lead_lag_daily",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Planted-case tests for the round-7 continuation tier: causal
+inference (DiD), experiment power (MDE gate) and the lead-lag CCF —
+each case hand-computed so the assertion pins the exact integer the
+formula must produce."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+CUST_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey long, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def test_did_isolates_treatment_from_shared_trend(spark, tmp_path):
+    """Control (even ids) flat 10%→10%; treated (odd ids) 10%→20% —
+    DiD = (200000−100000) − 0 = exactly +100000 ppm. Then a placebo
+    where BOTH arms jump 10%→30%: the naive post-pre delta reads
+    +200000 in each arm but DiD reads exactly 0 — the estimator's
+    defining cancellation."""
+    pre = dt.datetime(2024, 1, 5, 12)
+    post = dt.datetime(2024, 1, 20, 12)
+    rows, eid = [], 0
+    for t, treat_k in ((pre, 10), (post, 20)):
+        for i in range(100):  # control: even user 2; always 10/100
+            rows.append((eid, t, 2, "purchase" if i < 10 else "view",
+                         0.0, "{}")); eid += 1
+        k = 10 if t is pre else treat_k
+        for i in range(100):  # treated: odd user 3
+            rows.append((eid, t, 3, "purchase" if i < k else "view",
+                         0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["did_conversion_lift"](spark, str(tmp_path)).collect()
+    assert (r["cvr_ctrl_pre_ppm"], r["cvr_ctrl_post_ppm"]) == (
+        100_000, 100_000)
+    assert (r["cvr_treat_pre_ppm"], r["cvr_treat_post_ppm"]) == (
+        100_000, 200_000)
+    assert (r["delta_treat_ppm"], r["delta_ctrl_ppm"], r["did_ppm"]) == (
+        100_000, 0, 100_000)
+
+    rows2, eid = [], 0  # placebo: both arms 10% pre → 30% post
+    for t, k in ((pre, 10), (post, 30)):
+        for uid in (2, 3):
+            for i in range(100):
+                rows2.append((eid, t, uid,
+                              "purchase" if i < k else "view",
+                              0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows2, EV_SCHEMA)
+    (r2,) = QUERIES["did_conversion_lift"](spark, str(tmp_path)).collect()
+    assert r2["delta_treat_ppm"] == 200_000
+    assert r2["delta_ctrl_ppm"] == 200_000
+    assert r2["did_ppm"] == 0
+
+
+def test_mde_gate_thresholds_hand_checked(spark, tmp_path):
+    """Segment 'BIG': 1000 users, 500 convert (p=0.5). Required per-arm
+    n for a 20% lift (δ=0.1) is 2·7.849·0.25/0.01 ≈ 392 ≤ 500 →
+    detectable; for 10% (δ=0.05) it's ≈1570 > 500 → not. Integer
+    gate: n·k·L² = 1000·500·4e10 = 2e16 ≥ 31396e9·500 ≈ 1.57e16 ✓
+    and 5e15 < 1.57e16 ✗. Segment 'TINY': 10 users, 5 convert —
+    nothing detectable."""
+    t = dt.datetime(2024, 1, 10, 12)
+    rows, custs, eid = [], [], 0
+    for u in range(1, 1001):
+        custs.append((u, f"c{u}", 0, 0.0, "BIG"))
+        rows.append((eid, t, u,
+                     "purchase" if u <= 500 else "view", 0.0, "{}"))
+        eid += 1
+    for u in range(2001, 2011):
+        custs.append((u, f"c{u}", 0, 0.0, "TINY"))
+        rows.append((eid, t, u,
+                     "purchase" if u <= 2005 else "view", 0.0, "{}"))
+        eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    _write(spark, tmp_path, "customer", custs, CUST_SCHEMA)
+    got = {
+        r["seg"]: (r["n_users"], r["k_conv"], r["cvr_ppm"],
+                   r["det_lift_5pct"], r["det_lift_10pct"],
+                   r["det_lift_20pct"])
+        for r in QUERIES["mde_detectable_lifts"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got["BIG"] == (1000, 500, 500_000, 0, 0, 1)
+    assert got["TINY"] == (10, 5, 500_000, 0, 0, 0)
+
+
+def test_ccf_peaks_at_the_planted_lag(spark, tmp_path):
+    """dau over days 0..5 is the non-monotone [1,3,2,5,4,6]; revenue
+    on day d (d≥1) is 10·dau(d−1) cents, booked by a user already
+    counted in that day's dau — a perfect one-day lead. Lag 1 aligns
+    the series exactly (5 pairs, rho = +10000). Lag 0 has 6 pairs
+    with cents [0,10,30,20,50,40]: rx [1,3,2,5,4,6] vs ry
+    [1,2,4,3,6,5] → d² = 14, rho = 10000 − 60000·14 div (6·35)
+    = 6000. Lag 5 leaves a single pair → rho is NULL (a 1-pair
+    correlation is not a number); lags 6-7 have no pairs and emit no
+    row."""
+    d0 = dt.datetime(2024, 1, 1, 12)
+    dau_series = [1, 3, 2, 5, 4, 6]
+    rows, eid = [], 0
+    for day, dau in enumerate(dau_series):
+        t = d0 + dt.timedelta(days=day)
+        for u in range(dau):  # distinct users = dau, all views
+            rows.append((eid, t, 1000 + u, "view", 0.0, "{}")); eid += 1
+        if day >= 1:  # purchase by user 1000 (already in dau today)
+            rows.append((eid, t, 1000, "purchase",
+                         dau_series[day - 1] * 0.10, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["lag"]: (r["n_pairs"], r["d2_sum"], r["rho_bp"])
+        for r in QUERIES["ccf_lead_lag_daily"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (5, 0, 10_000)     # perfect at the planted lag
+    assert got[0] == (6, 14, 6_000)     # hand-computed with day-0 zero
+    assert got[5][0] == 1 and got[5][2] is None   # 1 pair → no rho
+    assert 6 not in got and 7 not in got          # no pairs → no row

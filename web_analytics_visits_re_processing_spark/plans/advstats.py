@@ -1045,3 +1045,289 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div greatest(({varx}) * ({vary}), 1) as long)"
         ).alias("r2_ppm"),
     )
+
+
+@query(
+    "did_conversion_lift",
+    # Difference-in-differences: the causal-inference primitive for
+    # "the feature shipped to half the users mid-month — did it
+    # work?". Arms split even/odd user_id (the split_half convention),
+    # periods split at day 15 (the ztest convention); the treated
+    # arm's pre→post conversion change minus the control arm's change
+    # cancels the secular trend both arms share. Every cell rate is an
+    # exact ppm integer division; the deltas subtract already-
+    # truncated ppms so no further rounding exists, and `div`
+    # truncation-toward-zero is identical in both engines for the
+    # possibly-negative deltas (the Holt lesson).
+    oracle="""
+WITH cells AS (
+    SELECT user_id % 2 AS arm,
+           CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END AS post,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS k
+    FROM events GROUP BY 1, 2
+), w AS (
+    SELECT
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN (k * 1000000) // n END)::BIGINT
+            AS cvr_ctrl_pre_ppm,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN (k * 1000000) // n END)::BIGINT
+            AS cvr_ctrl_post_ppm,
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN (k * 1000000) // n END)::BIGINT
+            AS cvr_treat_pre_ppm,
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN (k * 1000000) // n END)::BIGINT
+            AS cvr_treat_post_ppm
+    FROM cells
+)
+SELECT cvr_ctrl_pre_ppm, cvr_ctrl_post_ppm,
+       cvr_treat_pre_ppm, cvr_treat_post_ppm,
+       (cvr_treat_post_ppm - cvr_treat_pre_ppm)::BIGINT AS delta_treat_ppm,
+       (cvr_ctrl_post_ppm - cvr_ctrl_pre_ppm)::BIGINT AS delta_ctrl_ppm,
+       ((cvr_treat_post_ppm - cvr_treat_pre_ppm)
+        - (cvr_ctrl_post_ppm - cvr_ctrl_pre_ppm))::BIGINT AS did_ppm
+FROM w
+""",
+)
+def q_did_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on conversion: treated (odd user_id)
+    vs control (even) arms, pre vs post the mid-month cut. The
+    2×2 cell rates subtract twice — the treated arm's change minus
+    the control arm's change — so any trend BOTH arms ride (traffic
+    seasonality, a site-wide incident) cancels, which is exactly what
+    the naive pre/post comparison cannot do; on an honest even/odd
+    split the expected DiD is ~0, making this simultaneously the
+    estimator and its own placebo test (Card & Krueger 1994 form).
+    One conditional rollup to 4 cells; everything after is one row of
+    integer arithmetic. Completes the experimentation suite's causal
+    corner: ztest/SRM/CUPED assume randomized exposure, DiD is the
+    observational fallback when only a before/after ship exists."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+
+    def cell(arm: int, post: int) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("post") == post),
+                F.expr("(k * 1000000) div n"),
+            )
+        )
+
+    w = cells.agg(
+        cell(0, 0).alias("cvr_ctrl_pre_ppm"),
+        cell(0, 1).alias("cvr_ctrl_post_ppm"),
+        cell(1, 0).alias("cvr_treat_pre_ppm"),
+        cell(1, 1).alias("cvr_treat_post_ppm"),
+    )
+    return w.select(
+        "cvr_ctrl_pre_ppm",
+        "cvr_ctrl_post_ppm",
+        "cvr_treat_pre_ppm",
+        "cvr_treat_post_ppm",
+        (F.col("cvr_treat_post_ppm") - F.col("cvr_treat_pre_ppm")).alias(
+            "delta_treat_ppm"
+        ),
+        (F.col("cvr_ctrl_post_ppm") - F.col("cvr_ctrl_pre_ppm")).alias(
+            "delta_ctrl_ppm"
+        ),
+        (
+            (F.col("cvr_treat_post_ppm") - F.col("cvr_treat_pre_ppm"))
+            - (F.col("cvr_ctrl_post_ppm") - F.col("cvr_ctrl_pre_ppm"))
+        ).alias("did_ppm"),
+    )
+
+
+@query(
+    "mde_detectable_lifts",
+    # Pre-experiment power gate: which market segments carry enough
+    # traffic to READ a 5/10/20% relative conversion lift at
+    # alpha=0.05 two-sided / 80% power? Required per-arm size
+    # n_a >= 2*(z_a+z_b)^2*p(1-p)/delta^2 with (1.96+0.8416)^2
+    # pinned at 7849/1000 and n_a = n/2 (today's segment traffic,
+    # split 50/50). With p = k/n and delta = p*L/1e6 the whole gate
+    # cross-multiplies to  n*k*L^2 >= 31396e9*(n-k)  — no float
+    # rate, variance or square root ever exists (int128-wide; exact
+    # for n up to ~1e13 users).
+    oracle="""
+WITH u AS (
+    SELECT c.c_mktsegment AS seg, e.user_id,
+           MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+), s AS (
+    SELECT seg, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS k
+    FROM u GROUP BY seg
+)
+SELECT seg, n AS n_users, k AS k_conv,
+       ((k * 1000000) // n)::BIGINT AS cvr_ppm,
+       CASE WHEN n::HUGEINT * k * 50000 * 50000
+                 >= 31396000000000::HUGEINT * (n - k)
+            THEN 1 ELSE 0 END AS det_lift_5pct,
+       CASE WHEN n::HUGEINT * k * 100000 * 100000
+                 >= 31396000000000::HUGEINT * (n - k)
+            THEN 1 ELSE 0 END AS det_lift_10pct,
+       CASE WHEN n::HUGEINT * k * 200000 * 200000
+                 >= 31396000000000::HUGEINT * (n - k)
+            THEN 1 ELSE 0 END AS det_lift_20pct
+FROM s
+""",
+)
+def q_mde_detectable_lifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect gate per market segment: BEFORE an
+    A/B test is run on a segment, can its current traffic even see a
+    5/10/20% relative conversion lift? The required-sample-size
+    formula (two-proportion, alpha=0.05 two-sided, 80% power — the
+    (1.96+0.8416)² constant pinned as the rational 7849/1000) is
+    cross-multiplied into one integer comparison per candidate lift,
+    so the go/no-go VERDICT hash-gates with no float rate, variance
+    or sqrt anywhere. The forward-looking member of the metric-trust
+    suite: split_half measures the noise floor a metric HAS, this
+    computes the effect size a segment COULD confirm — running an
+    experiment that fails this gate produces an unreadable result no
+    matter how the feature performs. Unit is the USER (conversion =
+    any purchase), segment via the events⋈customer enrichment
+    precedent; one join + two rollups, then a row of int128
+    arithmetic per segment."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    u = (
+        ev.join(F.broadcast(c), "user_id")
+        .groupBy("seg", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    s = u.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+
+    def det(lift_ppm: int) -> F.Column:
+        return F.expr(
+            f"case when cast(n as decimal(38,0)) * k"
+            f" * {lift_ppm} * {lift_ppm}"
+            f" >= cast(31396000000000 as decimal(38,0)) * (n - k)"
+            f" then 1 else 0 end"
+        )
+
+    return s.select(
+        "seg",
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_conv"),
+        F.expr("(k * 1000000) div n").alias("cvr_ppm"),
+        det(50000).alias("det_lift_5pct"),
+        det(100000).alias("det_lift_10pct"),
+        det(200000).alias("det_lift_20pct"),
+    )
+
+
+@query(
+    "ccf_lead_lag_daily",
+    # Lagged cross-correlation between daily reach and daily revenue:
+    # Spearman(dau at day d, revenue at day d+lag) for lag 0..7 —
+    # does traffic LEAD revenue, and by how many days? The lagged
+    # sibling of kpi_correlation_daily (lag 0 reproduces it up to the
+    # pair-set restriction) and the cross-series member of the ACF
+    # family. Ranks are row_numbers under deterministic total orders
+    # per lag; everything after the daily rollup touches <= 8*31
+    # rows. The n<=1 degenerate lag (fixture spans fewer days than
+    # the lag) guards the n(n^2-1) denominator with GREATEST(..,1)
+    # and reports rho_bp = 10000-0 only when d2=0 on n=1 — excluded
+    # by emitting NULL for n < 2 instead (a 1-pair correlation is
+    # not a number).
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           SUM(CASE WHEN event_type = 'purchase'
+                    THEN FLOOR(value * 100)::BIGINT ELSE 0 END)::BIGINT
+               AS cents,
+           COUNT(DISTINCT user_id)::BIGINT AS dau
+    FROM events GROUP BY 1
+), lags AS (
+    SELECT unnest(range(0, 8))::INT AS lag
+), pairs AS (
+    SELECT l.lag, a.d AS dl, a.dau, b.cents
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.d = a.d + l.lag
+), ranked AS (
+    SELECT lag,
+           ROW_NUMBER() OVER (PARTITION BY lag ORDER BY dau, dl) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY lag ORDER BY cents, dl) AS ry,
+           COUNT(*) OVER (PARTITION BY lag) AS n
+    FROM pairs
+)
+SELECT lag,
+       MAX(n)::BIGINT AS n_pairs,
+       SUM((rx - ry) * (rx - ry))::BIGINT AS d2_sum,
+       CASE WHEN MAX(n) >= 2
+            THEN (10000 - (60000 * SUM((rx - ry) * (rx - ry)))
+                      // GREATEST(MAX(n) * (MAX(n) * MAX(n) - 1), 1))::BIGINT
+            ELSE NULL END AS rho_bp
+FROM ranked GROUP BY lag
+""",
+)
+def q_ccf_lead_lag_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation function: Spearman rho (basis
+    points) between daily active users and daily purchase revenue
+    LAGGED 0..7 days forward — the readout that distinguishes
+    'revenue is today's traffic' (peak at lag 0: monetization is
+    immediate) from 'traffic converts days later' (peak at lag k:
+    acquisition cohorts mature, so this week's spend is next week's
+    revenue, and forecast/budget models must shift accordingly). The
+    cross-series member of the autocorrelation family
+    (acf_daily_revenue is the self-lag case; kpi_correlation_daily
+    is lag 0). Scale shape: one daily rollup shuffle, then an 8-row
+    broadcast lag spine against the ~30-row daily table — the
+    bounded-spine pattern; ranks partition by lag, so no global
+    window exists."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100),
+            ).otherwise(0)
+        ).alias("cents"),
+        F.count_distinct("user_id").alias("dau"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("d").alias("dl"), "dau")
+    b = daily.select(F.col("d").alias("dt"), "cents")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(dl, lag) = dt"))
+        .select("lag", "dl", "dau", "cents")
+    )
+    wx = Window.partitionBy("lag").orderBy("dau", "dl")
+    wy = Window.partitionBy("lag").orderBy("cents", "dl")
+    wn = Window.partitionBy("lag")
+    ranked = pairs.select(
+        "lag",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("lag").agg(
+        F.max("n").alias("n_pairs"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        ).alias("d2_sum"),
+        F.expr(
+            "case when max(n) >= 2 then"
+            " 10000 - (60000 * sum((rx - ry) * (rx - ry)))"
+            " div greatest(max(n) * (max(n) * max(n) - 1), 1)"
+            " else null end"
+        ).alias("rho_bp"),
+    )
