@@ -283,6 +283,9 @@ _REGISTERED_R07 = frozenset(
         "did_conversion_lift",
         "mde_detectable_lifts",
         "ccf_lead_lag_daily",
+        "link_prediction_common_neighbors",
+        "heaps_vocab_growth",
+        "l_diversity_audit",
     }
 )
 

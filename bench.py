@@ -298,6 +298,9 @@ HEADLINE = [
     "did_conversion_lift",
     "mde_detectable_lifts",
     "ccf_lead_lag_daily",
+    "link_prediction_common_neighbors",
+    "heaps_vocab_growth",
+    "l_diversity_audit",
 ]
 
 

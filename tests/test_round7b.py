@@ -127,3 +127,97 @@ def test_ccf_peaks_at_the_planted_lag(spark, tmp_path):
     assert got[0] == (6, 14, 6_000)     # hand-computed with day-0 zero
     assert got[5][0] == 1 and got[5][2] is None   # 1 pair → no rho
     assert 6 not in got and 7 not in got          # no pairs → no row
+
+
+LI_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, "
+    "l_linenumber int, l_quantity double, l_extendedprice double, "
+    "l_discount double, l_tax double, l_returnflag string, "
+    "l_linestatus string, l_shipdate timestamp"
+)
+
+
+def _li_rows(baskets):
+    t = dt.datetime(2024, 1, 10)
+    rows, ln = [], 0
+    for o, parts in baskets:
+        for p in parts:
+            rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", t))
+            ln += 1
+    return rows
+
+
+def test_link_prediction_wedges_and_hub_guard(spark, tmp_path):
+    """Edges (1-2),(1-3),(2-4),(3-4): the two open wedge pairs (1,4)
+    and (2,3) each have TWO common neighbors and Jaccard exactly 1e6
+    (cn=2, union=2+2−2=2). A planted 51-partner hub is excluded, so
+    its spokes predict nothing through it."""
+    baskets = [(1, [1, 2]), (2, [1, 3]), (3, [2, 4]), (4, [3, 4])]
+    # hub 100 co-bought with 51 distinct parts → deg 51 > 50 → pruned
+    baskets += [(10_000 + i, [100, 200 + i]) for i in range(51)]
+    _write(spark, tmp_path, "lineitem", _li_rows(baskets), LI_SCHEMA)
+    rows = QUERIES["link_prediction_common_neighbors"](
+        spark, str(tmp_path)).collect()
+    got = [(r["pa"], r["pb"], r["common_neighbors"], r["jaccard_ppm"])
+           for r in rows]
+    assert got == [(1, 4, 2, 1_000_000), (2, 3, 2, 1_000_000)]
+
+
+def test_heaps_levels_are_nested_and_exact(spark, tmp_path):
+    """Expected counts computed with the same md5-bucket rule the
+    engines share; the last level must see the whole corpus and
+    every level must be a superset of the previous one."""
+    import hashlib
+
+    def bucket(doc_id):
+        return int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
+        ) % 100
+
+    docs = [(i, f"tok{i} common", "en", "s", 10) for i in range(1, 21)]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    levels = [1, 2, 5, 10, 20, 50, 100]
+    exp = {}
+    for p in levels:
+        ids = [i for i in range(1, 21) if bucket(i) < p]
+        vocab = set()
+        for i in ids:
+            vocab |= {f"tok{i}", "common"}
+        exp[p] = (len(ids), 2 * len(ids), len(vocab))
+    got = {
+        r["p"]: (r["n_docs"], r["n_token_instances"], r["vocab_size"])
+        for r in QUERIES["heaps_vocab_growth"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got == exp
+    assert got[100] == (20, 40, 21)
+    for lo, hi in zip(levels, levels[1:]):
+        assert got[lo][0] <= got[hi][0] and got[lo][2] <= got[hi][2]
+
+
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """Class A (3 members, all 'mid') → l=1, both flags; class B
+    (debt+mid) → l=2, low-diversity only; class C pins the exact
+    band boundaries (−5→debt, 0→mid, 5000→high) → l=3, clean."""
+    custs = [
+        (1, "a", 0, 100.0, "A"), (2, "b", 0, 200.0, "A"),
+        (3, "c", 0, 4999.0, "A"),
+        (4, "d", 0, -50.0, "B"), (5, "e", 0, 100.0, "B"),
+        (6, "f", 0, -5.0, "C"), (7, "g", 0, 0.0, "C"),
+        (8, "h", 0, 5000.0, "C"),
+    ]
+    _write(spark, tmp_path, "customer", custs, CUST_SCHEMA)
+    got = {
+        r["c_mktsegment"]: (r["n"], r["l_distinct"],
+                            r["at_risk_homogeneous"],
+                            r["at_risk_low_diversity"])
+        for r in QUERIES["l_diversity_audit"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (3, 1, 1, 1)
+    assert got["B"] == (2, 2, 0, 1)
+    assert got["C"] == (3, 3, 0, 0)

@@ -4370,3 +4370,65 @@ def q_xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "l_diversity_audit",
+    # l-diversity (Machanavajjhala et al. 2007): the attack
+    # k-anonymity misses — a class can hold 50 people and still leak
+    # if they all share the sensitive value. Same (nation, segment)
+    # quasi-identifier as k_anonymity_audit; sensitive attribute is
+    # the account-balance band (pure comparisons on the stored
+    # double, no float arithmetic — portable).
+    oracle="""
+WITH t AS (
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS band
+    FROM customer
+)
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*)::BIGINT AS n,
+       COUNT(DISTINCT band)::BIGINT AS l_distinct,
+       CASE WHEN COUNT(DISTINCT band) < 2 THEN 1 ELSE 0 END
+           AS at_risk_homogeneous,
+       CASE WHEN COUNT(DISTINCT band) < 3 THEN 1 ELSE 0 END
+           AS at_risk_low_diversity
+FROM t GROUP BY 1, 2
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute sequel to
+    k_anonymity_audit: per (nation, market-segment) equivalence
+    class, how many DISTINCT sensitive values (account-balance band
+    debt/mid/high) does it contain? A class of any size with l = 1
+    discloses every member's band to anyone who knows the
+    quasi-identifier (the homogeneity attack k-anonymity cannot
+    see — its k<5 flag and this l<2 flag are independent failure
+    modes, which is why release gates run both); l = 2 still yields
+    a 50% inference, hence the secondary l<3 flag. Banding uses
+    comparisons only on the stored double — no float arithmetic, so
+    the gate is exact. One map-side-combined groupBy; remediation
+    (suppress or generalize flagged classes) consumes this output
+    exactly as for the k-audit."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("band").alias("l_distinct"),
+            F.when(F.count_distinct("band") < 2, 1)
+            .otherwise(0)
+            .alias("at_risk_homogeneous"),
+            F.when(F.count_distinct("band") < 3, 1)
+            .otherwise(0)
+            .alias("at_risk_low_diversity"),
+        )
+    )

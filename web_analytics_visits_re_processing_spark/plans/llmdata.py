@@ -4671,3 +4671,107 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_rank")
+
+
+@query(
+    "heaps_vocab_growth",
+    # Heaps'-law vocabulary growth measured on NESTED deterministic
+    # subsamples: prefix level p keeps docs with hash(doc_id)%100 < p
+    # (p ∈ 1,2,5,10,20,50,100 — each level a superset of the last,
+    # like a corpus growing in place), and a token's first-appearance
+    # level is simply its MIN bucket over containing docs — so the
+    # whole curve costs one vocab-keyed aggregation, no global
+    # ordering or per-prefix rescan anywhere.
+    oracle="""
+WITH d AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b,
+           string_split(text, ' ') AS toks
+    FROM documents
+), lv AS (
+    SELECT unnest([1, 2, 5, 10, 20, 50, 100])::INT AS p
+), fb AS (
+    SELECT tok, MIN(b)::BIGINT AS first_b
+    FROM (SELECT unnest(toks) AS tok, b FROM d) GROUP BY tok
+), dc AS (
+    SELECT lv.p,
+           COUNT(*) FILTER (WHERE d.b < lv.p)::BIGINT AS n_docs,
+           COALESCE(SUM(len(d.toks)) FILTER (WHERE d.b < lv.p),
+                    0)::BIGINT AS n_token_instances
+    FROM lv CROSS JOIN d GROUP BY lv.p
+), vc AS (
+    SELECT lv.p,
+           COUNT(*) FILTER (WHERE fb.first_b < lv.p)::BIGINT AS vocab_size
+    FROM lv CROSS JOIN fb GROUP BY lv.p
+)
+SELECT dc.p, dc.n_docs, dc.n_token_instances, vc.vocab_size
+FROM dc JOIN vc ON vc.p = dc.p
+""",
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve for the corpus: distinct-vocabulary size at 7
+    nested sample levels (1%..100% of docs by deterministic hash
+    bucket) against corpus size in token instances — the scaling-law
+    diagnostic run before committing to a tokenizer or dedup budget,
+    because a vocabulary still growing steeply at 100% means unseen
+    long-tail tokens dominate the next 10× of data (Heaps 1978;
+    the corpus-side complement of vocab_coverage_curve, which fixes
+    the vocabulary and varies coverage). Nested-by-construction
+    levels (bucket < p) make the curve monotone and each level a
+    true subsample of the next — the hash-mod convention of
+    stratified_sample_deterministic, so the whole family shares one
+    replayable sampling rule. Scale shape: ONE explode + vocab-keyed
+    min-bucket aggregation, then 7 conditional sums folded in a
+    single reduce to one row and unpivoted via stack — per-level
+    counts never rescan the corpus, and no global window exists."""
+    d = _docs(spark, sf_dir).select(
+        F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(100)).alias(
+            "b"
+        ),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    levels = [1, 2, 5, 10, 20, 50, 100]
+    dc = d.agg(
+        *[
+            F.sum(F.when(F.col("b") < p, 1).otherwise(0)).alias(f"nd_{p}")
+            for p in levels
+        ],
+        *[
+            F.sum(
+                F.when(F.col("b") < p, F.size("toks")).otherwise(0)
+            ).alias(f"ni_{p}")
+            for p in levels
+        ],
+    )
+    fb = (
+        d.select(F.explode("toks").alias("tok"), "b")
+        .groupBy("tok")
+        .agg(F.min("b").alias("first_b"))
+    )
+    vc = fb.agg(
+        *[
+            F.sum(F.when(F.col("first_b") < p, 1).otherwise(0)).alias(
+                f"v_{p}"
+            )
+            for p in levels
+        ]
+    )
+    stack_args = ", ".join(
+        f"{p}, nd_{p}, ni_{p}, v_{p}" for p in levels
+    )
+    return (
+        dc.crossJoin(vc)  # two ONE-ROW aggregates
+        .selectExpr(
+            f"stack({len(levels)}, {stack_args})"
+            " as (p, n_docs, n_token_instances, vocab_size)"
+        )
+        .select(
+            F.col("p").cast("int").alias("p"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_token_instances").cast("long").alias(
+                "n_token_instances"
+            ),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+    )

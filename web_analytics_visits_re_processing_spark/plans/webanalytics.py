@@ -5868,3 +5868,131 @@ def q_session_duration_by_outcome(
             F.when(F.col("run") * 10 >= 9 * F.col("n"), F.col("dur_s"))
         ).alias("p90_dur_s"),
     )
+
+
+# Hub guard for the link-prediction wedge enumeration below: a part
+# co-purchased with more than this many distinct partners contributes
+# deg² candidate pairs through itself (a bestseller connects
+# everything to everything) — the same promiscuity failure the
+# identity stitcher prunes. The cap is part of the gated semantics
+# (the oracle applies it identically), not a silent truncation.
+_LP_MAX_DEG = 50
+
+
+@query(
+    "link_prediction_common_neighbors",
+    # Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    # over the co-purchase graph: for part pairs NOT yet co-bought,
+    # how many shared co-purchase partners connect them? Candidates
+    # enumerate as wedges a–z–b (never all pairs), hubs above
+    # _LP_MAX_DEG are excluded by both engines, the Jaccard tiebreak
+    # cross-multiplies into ppm over |Γa ∪ Γb|, and the top-20 order
+    # is fully deterministic (cn DESC, jac DESC, pa, pb).
+    oracle=f"""
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+), sym AS (
+    SELECT pa AS node, pb AS nbr FROM e
+    UNION ALL SELECT pb, pa FROM e
+), deg AS (
+    SELECT node, COUNT(*)::BIGINT AS d FROM sym GROUP BY node
+), keep AS (
+    SELECT s.node, s.nbr FROM sym s
+    JOIN deg dn ON dn.node = s.node
+    JOIN deg db ON db.node = s.nbr
+    WHERE dn.d <= {_LP_MAX_DEG} AND db.d <= {_LP_MAX_DEG}
+), kdeg AS (
+    SELECT node, COUNT(*)::BIGINT AS d FROM keep GROUP BY node
+), wedge AS (
+    SELECT s1.nbr AS pa, s2.nbr AS pb, COUNT(*)::BIGINT AS cn
+    FROM keep s1 JOIN keep s2 ON s1.node = s2.node
+                             AND s1.nbr < s2.nbr
+    GROUP BY 1, 2
+), cand AS (
+    SELECT w.pa, w.pb, w.cn
+    FROM wedge w ANTI JOIN e ON e.pa = w.pa AND e.pb = w.pb
+)
+SELECT c.pa, c.pb, c.cn AS common_neighbors,
+       ((c.cn * 1000000) // (da.d + db.d - c.cn))::BIGINT AS jaccard_ppm
+FROM cand c
+JOIN kdeg da ON da.node = c.pa
+JOIN kdeg db ON db.node = c.pb
+ORDER BY common_neighbors DESC, jaccard_ppm DESC, pa, pb
+LIMIT 20
+""",
+)
+def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common neighbors: the part pairs MOST likely
+    to be co-bought next are the non-adjacent pairs sharing the most
+    co-purchase partners (Liben-Nowell & Kleinberg 2003) — the
+    forward-looking member of the graph tier (triangles count closed
+    wedges, this ranks the OPEN ones about to close) and the
+    candidate generator a 'frequently bought together' widget mines.
+    Scale shape: candidates come from the wedge join on the shared
+    neighbor — Σ deg² rows, the triangle-counting cost class, never
+    parts² — with promiscuous hubs (deg > 50) excluded up front by
+    BOTH engines because a bestseller's wedges connect everything to
+    everything while predicting nothing (the identity-stitch
+    promiscuity rule applied to graphs). Jaccard tiebreak is an
+    exact ppm over |Γa ∪ Γb| of the hub-filtered graph; top-20 via
+    TakeOrdered, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    sym = e.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    small = deg.where(F.col("d") <= _LP_MAX_DEG).select("node")
+    keep = (
+        sym.join(small, "node", "left_semi")
+        .join(
+            small.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+        )
+    )
+    kdeg = keep.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    s1 = keep.select("node", F.col("nbr").alias("pa"))
+    s2 = keep.select("node", F.col("nbr").alias("pb"))
+    wedge = (
+        s1.join(s2, "node")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(e, ["pa", "pb"], "left_anti")
+    out = (
+        cand.join(
+            kdeg.select(F.col("node").alias("pa"), F.col("d").alias("da")),
+            "pa",
+        )
+        .join(
+            kdeg.select(F.col("node").alias("pb"), F.col("d").alias("db")),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.col("cn").alias("common_neighbors"),
+            F.expr("(cn * 1000000) div (da + db - cn)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.col("common_neighbors").desc(),
+        F.col("jaccard_ppm").desc(),
+        "pa",
+        "pb",
+    ).limit(20)
