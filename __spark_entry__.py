@@ -286,6 +286,7 @@ _REGISTERED_R07 = frozenset(
         "link_prediction_common_neighbors",
         "heaps_vocab_growth",
         "l_diversity_audit",
+        "poisson_bootstrap_ci",
     }
 )
 

@@ -301,6 +301,7 @@ HEADLINE = [
     "link_prediction_common_neighbors",
     "heaps_vocab_growth",
     "l_diversity_audit",
+    "poisson_bootstrap_ci",
 ]
 
 

@@ -221,3 +221,42 @@ def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
     assert got["A"] == (3, 1, 1, 1)
     assert got["B"] == (2, 2, 0, 1)
     assert got["C"] == (3, 3, 0, 0)
+
+
+def test_poisson_bootstrap_ci_replicates_exactly(spark, tmp_path):
+    """Degenerate corners pin for free (all convert → the band
+    collapses to [1e6, 1e6]); the mixed 4-of-10 case is replayed
+    with a Python replica of the pinned hash→Poisson-weight rule, so
+    lo/hi are asserted as exact integers, not ranges."""
+    import hashlib
+
+    T = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+
+    def weight(uid, rep):
+        u = int(
+            hashlib.md5(f"{uid}:{rep}".encode()).hexdigest()[:15], 16
+        ) % 1_000_000
+        return sum(1 for t in T if u >= t)
+
+    t0 = dt.datetime(2024, 1, 10, 12)
+    rows = [(i, t0, i, "purchase", 1.0, "{}") for i in range(10)]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    (r,) = QUERIES["poisson_bootstrap_ci"](spark, str(tmp_path)).collect()
+    assert (r["n_users"], r["point_ppm"]) == (10, 1_000_000)
+    assert (r["boot_lo_ppm"], r["boot_hi_ppm"]) == (1_000_000, 1_000_000)
+
+    rows2 = [(i, t0, i, "purchase" if i < 4 else "view", 0.0, "{}")
+             for i in range(10)]
+    _write(spark, tmp_path, "events", rows2, EV_SCHEMA)
+    ests = []
+    for rep in range(100):
+        num = sum(weight(u, rep) for u in range(4)) * 1_000_000
+        den = max(sum(weight(u, rep) for u in range(10)), 1)
+        ests.append(num // den)
+    ests.sort()
+    exp_lo, exp_hi = ests[2], ests[97]      # 3rd / 98th order stat
+    (r2,) = QUERIES["poisson_bootstrap_ci"](
+        spark, str(tmp_path)).collect()
+    assert r2["point_ppm"] == 400_000
+    assert (r2["boot_lo_ppm"], r2["boot_hi_ppm"]) == (exp_lo, exp_hi)
+    assert r2["boot_lo_ppm"] < 400_000 < r2["boot_hi_ppm"]

@@ -1331,3 +1331,126 @@ def q_ccf_lead_lag_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else null end"
         ).alias("rho_bp"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds in ppm (floor(cdf·1e6), k=0..7):
+# a uniform u ∈ [0,1e6) maps to weight w = #{t : u >= t} ∈ 0..8.
+# Truncating the tail at 8 loses P(X>8) ≈ 1e-5 of mass — the
+# standard bounded-weight Poisson-bootstrap approximation, identical
+# in both engines because the thresholds are pinned literals.
+_POIS_T = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+
+
+@query(
+    "poisson_bootstrap_ci",
+    # Bootstrap CI for the user-level conversion rate WITHOUT any
+    # RNG: each (user, replicate) draws a Poisson(1) resample weight
+    # from the md5 hash of "user_id:rep" via pinned inverse-CDF
+    # thresholds (Chamandy et al. 2012 — the resampling scheme that
+    # works on streams because no replicate ever needs to know n).
+    # 100 replicate estimates in exact ppm; the 2.5%/97.5% band via
+    # the cumulative-rank rule over the 100-row replicate table.
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), reps AS (
+    SELECT unnest(range(100))::BIGINT AS rep
+), w AS (
+    SELECT r.rep, u.conv,
+           len(list_filter({_POIS_T},
+               t -> ('0x' || substring(md5(CAST(u.user_id AS VARCHAR)
+                     || ':' || CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 >= t))::BIGINT AS wt
+    FROM u CROSS JOIN reps r
+), est AS (
+    SELECT rep,
+           ((SUM(wt * conv) * 1000000)
+                // GREATEST(SUM(wt), 1))::BIGINT AS est_ppm
+    FROM w GROUP BY rep
+), ranked AS (
+    SELECT est_ppm, ROW_NUMBER() OVER (ORDER BY est_ppm, rep) AS rn
+    FROM est
+), pt AS (
+    SELECT COUNT(*)::BIGINT AS n_users,
+           ((SUM(conv) * 1000000) // COUNT(*))::BIGINT AS point_ppm
+    FROM u
+)
+SELECT pt.n_users,
+       100::BIGINT AS n_replicates,
+       pt.point_ppm,
+       (SELECT MIN(est_ppm) FROM ranked WHERE rn >= 3)::BIGINT
+           AS boot_lo_ppm,
+       (SELECT MIN(est_ppm) FROM ranked WHERE rn >= 98)::BIGINT
+           AS boot_hi_ppm
+FROM pt
+""",
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for user-level
+    conversion — uncertainty WITHOUT a normality assumption and
+    WITHOUT RNG: replicate r gives each user a Poisson(1) resample
+    weight read off the md5 hash of "user:r" through pinned
+    inverse-CDF thresholds (Chamandy et al. 2012, the bootstrap
+    that distributes because a replicate never needs to know n —
+    weights are independent per row), so all 100 replicates are
+    deterministic, engine-portable, and computed in ONE pass. The
+    empirical member of the inference suite: the z-test assumes the
+    CLT has kicked in, this band is honest at any n and for any
+    plug-in statistic. Scale shape: the ×100 replicate explode is
+    narrow (no shuffle — weights derive from the row itself);
+    the groupBy collapses map-side to 100 partial rows; ranking
+    happens on the 100-row replicate table (bounded by construction,
+    the Markov-grid precedent). CI bounds use the cumulative-rank
+    rule (3rd / 98th order statistic), never a float percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    wdf = u.select(
+        "conv",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("rep"),
+        F.col("user_id"),
+    ).select(
+        "rep",
+        "conv",
+        F.expr(
+            f"size(filter(array({', '.join(map(str, _POIS_T))}),"
+            f" t -> pmod(cast(conv(substring(md5(concat("
+            f"cast(user_id as string), ':', cast(rep as string)"
+            f")), 1, 15), 16, 10) as long), 1000000) >= t))"
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+    est = wdf.groupBy("rep").agg(
+        F.expr(
+            "(sum(wt * conv) * 1000000) div greatest(sum(wt), 1)"
+        ).alias("est_ppm")
+    )
+    rw = Window.orderBy("est_ppm", "rep")
+    ranked = est.select(
+        "est_ppm", F.row_number().over(rw).alias("rn")
+    )
+    band = ranked.agg(
+        F.min(F.when(F.col("rn") >= 3, F.col("est_ppm"))).alias(
+            "boot_lo_ppm"
+        ),
+        F.min(F.when(F.col("rn") >= 98, F.col("est_ppm"))).alias(
+            "boot_hi_ppm"
+        ),
+    )
+    pt = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("(sum(conv) * 1000000) div count(*)").alias("point_ppm"),
+    )
+    return pt.crossJoin(band).select(  # two ONE-ROW aggregates
+        "n_users",
+        F.lit(100).cast("long").alias("n_replicates"),
+        "point_ppm",
+        "boot_lo_ppm",
+        "boot_hi_ppm",
+    )
