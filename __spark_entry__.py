@@ -287,6 +287,7 @@ _REGISTERED_R07 = frozenset(
         "heaps_vocab_growth",
         "l_diversity_audit",
         "poisson_bootstrap_ci",
+        "frequent_event_sequences",
     }
 )
 

@@ -302,6 +302,7 @@ HEADLINE = [
     "heaps_vocab_growth",
     "l_diversity_audit",
     "poisson_bootstrap_ci",
+    "frequent_event_sequences",
 ]
 
 

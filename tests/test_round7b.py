@@ -260,3 +260,33 @@ def test_poisson_bootstrap_ci_replicates_exactly(spark, tmp_path):
     assert r2["point_ppm"] == 400_000
     assert (r2["boot_lo_ppm"], r2["boot_hi_ppm"]) == (exp_lo, exp_hi)
     assert r2["boot_lo_ppm"] < 400_000 < r2["boot_hi_ppm"]
+
+
+def test_frequent_sequences_greedy_and_gapped(spark, tmp_path):
+    """Three single-session users: [v,c,p], [c,v,c,p] (the greedy
+    trap — a click BEFORE the first view must not block the
+    view→click→purchase match), [v,v,p] (repeated-symbol pattern).
+    Exactly five patterns have support; (v,c,p) is supported by both
+    the clean and the noisy session."""
+    t0 = dt.datetime(2024, 1, 10, 12)
+    seqs = {1: ["view", "click", "purchase"],
+            2: ["click", "view", "click", "purchase"],
+            3: ["view", "view", "purchase"]}
+    rows, eid = [], 0
+    for uid, types in seqs.items():
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), uid, ty,
+                         0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        (r["a"], r["b"], r["c"]): (r["support"], r["support_ppm"])
+        for r in QUERIES["frequent_event_sequences"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "click", "purchase"): (2, 666_666),
+        ("click", "view", "click"): (1, 333_333),
+        ("click", "view", "purchase"): (1, 333_333),
+        ("click", "click", "purchase"): (1, 333_333),
+        ("view", "view", "purchase"): (1, 333_333),
+    }

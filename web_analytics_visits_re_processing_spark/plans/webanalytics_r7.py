@@ -862,3 +862,154 @@ SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day, x AS revenue_cents,
 FROM h ORDER BY day_n
 """
     )
+
+
+@query(
+    "frequent_event_sequences",
+    # Sequential-pattern mining (GSP/PrefixSpan family, Srikant &
+    # Agrawal 1996): support of every ordered event-type
+    # 3-SUBSEQUENCE across sessions — order preserved, gaps allowed,
+    # which is exactly what the contiguous path-3gram query cannot
+    # see (view→…→click→…→purchase counts however much noise sits
+    # between). Containment tests use the greedy first-occurrence
+    # rule (first a, first b after it, first c after that), which is
+    # exact for subsequence existence; the pattern grid is the
+    # alphabet cubed (≤5³ rows, a bounded spine), and positions are
+    # 1-based in both engines (Spark array_position / DuckDB
+    # list_position, absent → 0).
+    oracle=f"""
+WITH RECURSIVE {_SESS_CTE}, s2 AS (
+    SELECT user_id, session_seq,
+           list(event_type ORDER BY ts, event_id) AS types
+    FROM sess GROUP BY user_id, session_seq
+), al AS (
+    SELECT DISTINCT event_type AS t FROM events
+), grid AS (
+    SELECT a.t AS a, b.t AS b, c.t AS c
+    FROM al a CROSS JOIN al b CROSS JOIN al c
+), m AS (
+    SELECT g.a, g.b, g.c,
+           (SELECT COUNT(*) FROM s2
+            WHERE COALESCE(list_position(s2.types, g.a), 0) > 0
+              AND COALESCE(list_position(list_slice(s2.types,
+                    COALESCE(list_position(s2.types, g.a), 0) + 1,
+                    len(s2.types)), g.b), 0) > 0
+              AND COALESCE(list_position(list_slice(s2.types,
+                    COALESCE(list_position(s2.types, g.a), 0)
+                    + COALESCE(list_position(list_slice(s2.types,
+                        COALESCE(list_position(s2.types, g.a), 0) + 1,
+                        len(s2.types)), g.b), 0) + 1,
+                    len(s2.types)), g.c), 0) > 0
+           )::BIGINT AS support
+    FROM grid g
+), tot AS (SELECT COUNT(*)::BIGINT AS n_sessions FROM s2)
+SELECT m.a, m.b, m.c, m.support,
+       ((m.support * 1000000) // tot.n_sessions)::BIGINT AS support_ppm
+FROM m, tot
+WHERE m.support > 0
+""",
+)
+def q_frequent_event_sequences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent ordered 3-subsequences of event types across sessions
+    — sequential-pattern mining (Srikant & Agrawal 1996's GSP
+    semantics): a session supports (a,b,c) iff it contains them IN
+    ORDER with anything in between, the behavioral signature family
+    that contiguous n-grams miss (most real funnels are interleaved
+    with noise events). Containment is the greedy first-occurrence
+    scan — provably exact for subsequence existence — expressed as
+    three array_position/slice steps on the session's type sequence,
+    all JVM-side. Scale shape: one session collapse (the shared
+    30-min convention), then a ≤|alphabet|³-row broadcast grid
+    replicated against session sequences — compute-bound map-side
+    fan-out with NO shuffle growth (the count collapses to ≤125
+    partial rows per partition); at 100 TB the fan-out prunes by the
+    Apriori rule (count pairs first, expand only frequent prefixes)
+    — documented, not needed at a 5-type alphabet. Output is every
+    pattern with support > 0 (≤125 rows, bounded). The 125× match
+    work runs over DISTINCT type sequences weighted by multiplicity
+    (the BPE distinct-vocab trick — sessions repeat the same handful
+    of shapes, so the grid replication touches the shape table, not
+    the session table; ~2 s warm at sf0.1)."""
+    sess = _sessionized(spark, sf_dir)
+    s2 = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.expr("transform(evs, x -> x.event_type)").alias("types")
+        )
+        .groupBy("types")
+        .agg(F.count(F.lit(1)).alias("nsess"))
+    )
+    al = (
+        _events(spark, sf_dir).select(
+            F.col("event_type").alias("t")
+        ).distinct()
+    )
+    grid = (
+        al.select(F.col("t").alias("a"))
+        .crossJoin(al.select(F.col("t").alias("b")))
+        .crossJoin(al.select(F.col("t").alias("c")))
+    )
+    rep = s2.crossJoin(F.broadcast(grid))
+    matched = rep.select(
+        "a",
+        "b",
+        "c",
+        "nsess",
+        F.expr(
+            "case when array_position(types, a) > 0 then"
+            " cast(array_position(types, a) as int) else 0 end"
+        ).alias("pa"),
+        "types",
+    ).select(
+        "a",
+        "b",
+        "c",
+        "nsess",
+        "pa",
+        F.expr(
+            "case when pa > 0 then cast(array_position("
+            "slice(types, pa + 1, size(types)), b) as int) else 0 end"
+        ).alias("pbr"),
+        "types",
+    ).select(
+        "a",
+        "b",
+        "c",
+        "nsess",
+        "pa",
+        "pbr",
+        F.expr(
+            "case when pa > 0 and pbr > 0 then cast(array_position("
+            "slice(types, pa + pbr + 1, size(types)), c) as int)"
+            " else 0 end"
+        ).alias("pcr"),
+    )
+    counts = matched.groupBy("a", "b", "c").agg(
+        F.sum(
+            F.when(
+                (F.col("pa") > 0) & (F.col("pbr") > 0) & (F.col("pcr") > 0),
+                F.col("nsess"),
+            ).otherwise(0)
+        ).alias("support")
+    )
+    tot = s2.agg(F.sum("nsess").alias("n_sessions"))
+    return (
+        counts.where(F.col("support") > 0)
+        .crossJoin(F.broadcast(tot))  # one-row total
+        .select(
+            "a",
+            "b",
+            "c",
+            "support",
+            F.expr("(support * 1000000) div n_sessions").alias(
+                "support_ppm"
+            ),
+        )
+    )
