@@ -288,6 +288,7 @@ _REGISTERED_R07 = frozenset(
         "l_diversity_audit",
         "poisson_bootstrap_ci",
         "frequent_event_sequences",
+        "uplift_by_engagement_stratum",
     }
 )
 

@@ -303,6 +303,7 @@ HEADLINE = [
     "l_diversity_audit",
     "poisson_bootstrap_ci",
     "frequent_event_sequences",
+    "uplift_by_engagement_stratum",
 ]
 
 

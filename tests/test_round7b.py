@@ -290,3 +290,38 @@ def test_frequent_sequences_greedy_and_gapped(spark, tmp_path):
         ("click", "click", "purchase"): (1, 333_333),
         ("view", "view", "purchase"): (1, 333_333),
     }
+
+
+def test_uplift_stratum_separation(spark, tmp_path):
+    """Dormant stratum ('0' pre-events): treated converts 30/100 vs
+    control 10/100 → uplift exactly +200000 ppm. Engaged stratum
+    ('1-2'): both arms 20/100 → uplift exactly 0. The average would
+    blur the two; the strata must not."""
+    pre = dt.datetime(2024, 1, 5, 12)
+    post = dt.datetime(2024, 1, 20, 12)
+    rows, eid = [], 0
+    # dormant: users 1000..1199 have NO pre events; odd = treated
+    for u in range(1000, 1200):
+        treated = u % 2 == 1
+        conv_rank = (u - 1000) // 2          # 0..99 per arm
+        k = 30 if treated else 10
+        rows.append((eid, post, u,
+                     "purchase" if conv_rank < k else "view",
+                     0.0, "{}")); eid += 1
+    # engaged: users 2000..2199 have 1 pre event; both arms 20/100
+    for u in range(2000, 2200):
+        conv_rank = (u - 2000) // 2
+        rows.append((eid, pre, u, "view", 0.0, "{}")); eid += 1
+        rows.append((eid, post, u,
+                     "purchase" if conv_rank < 20 else "view",
+                     0.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["stratum"]: (r["n_treat"], r["k_treat"], r["n_ctrl"],
+                       r["k_ctrl"], r["uplift_ppm"])
+        for r in QUERIES["uplift_by_engagement_stratum"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got["0"] == (100, 30, 100, 10, 200_000)
+    assert got["1-2"] == (100, 20, 100, 20, 0)
+    assert set(got) == {"0", "1-2"}

@@ -1454,3 +1454,127 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_lo_ppm",
         "boot_hi_ppm",
     )
+
+
+@query(
+    "uplift_by_engagement_stratum",
+    # Heterogeneous treatment effect: uplift (treated − control
+    # conversion, ppm) per PRE-period engagement stratum — the
+    # uplift-modeling readout (Radcliffe 2007) behind "who does the
+    # feature actually move": an average lift concentrated in dormant
+    # users and one concentrated in power users are opposite
+    # launches. Strata are exact pre-event-count bands (no global
+    # ntile — value bands distribute, score deciles don't), arms the
+    # even/odd split, conversion measured in the post period only.
+    oracle="""
+WITH u AS (
+    SELECT user_id, user_id % 2 AS arm,
+           SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END)
+               AS pre_cnt,
+           MAX(CASE WHEN EXTRACT(day FROM ts) > 15
+                     AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), s AS (
+    SELECT CASE WHEN pre_cnt = 0 THEN '0'
+                WHEN pre_cnt <= 2 THEN '1-2'
+                WHEN pre_cnt <= 5 THEN '3-5'
+                ELSE '6+' END AS stratum,
+           CASE WHEN pre_cnt = 0 THEN 0
+                WHEN pre_cnt <= 2 THEN 1
+                WHEN pre_cnt <= 5 THEN 2
+                ELSE 3 END AS stratum_ord,
+           arm, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS k
+    FROM u GROUP BY 1, 2, 3
+), w AS (
+    SELECT stratum, stratum_ord,
+           COALESCE(MAX(CASE WHEN arm = 1 THEN n END), 0)::BIGINT AS n_treat,
+           COALESCE(MAX(CASE WHEN arm = 1 THEN k END), 0)::BIGINT AS k_treat,
+           COALESCE(MAX(CASE WHEN arm = 0 THEN n END), 0)::BIGINT AS n_ctrl,
+           COALESCE(MAX(CASE WHEN arm = 0 THEN k END), 0)::BIGINT AS k_ctrl
+    FROM s GROUP BY 1, 2
+)
+SELECT stratum, stratum_ord, n_treat, k_treat, n_ctrl, k_ctrl,
+       ((k_treat * 1000000) // GREATEST(n_treat, 1))::BIGINT
+           AS cvr_treat_ppm,
+       ((k_ctrl * 1000000) // GREATEST(n_ctrl, 1))::BIGINT
+           AS cvr_ctrl_ppm,
+       ((k_treat * 1000000) // GREATEST(n_treat, 1)
+        - (k_ctrl * 1000000) // GREATEST(n_ctrl, 1))::BIGINT AS uplift_ppm
+FROM w
+""",
+)
+def q_uplift_by_engagement_stratum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Uplift per pre-period engagement stratum — WHERE the treatment
+    effect lives, not just its average (Radcliffe 2007's uplift
+    decomposition): treated-minus-control conversion in exact ppm for
+    each pre-event-count band (0 / 1-2 / 3-5 / 6+), because a lift
+    concentrated in dormant users (the feature ACTIVATES) and one in
+    power users (the feature DEEPENS) ship to different roadmaps and
+    average to the same number. Completes the experimentation suite's
+    heterogeneity corner: DiD cancels shared trends, CUPED shrinks
+    variance, this splits the effect. Strata are VALUE bands on the
+    pre-count — exact, portable, and distributable where a score
+    ntile would need a global sort; empty cells coalesce to 0 with
+    GREATEST(n,1) guarding the division. One user rollup, one
+    stratum rollup, a 4-row readout."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+        ).alias("pre_cnt"),
+        F.max(
+            F.when(
+                (F.dayofmonth("ts") > 15)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    s = u.groupBy(
+        F.when(F.col("pre_cnt") == 0, "0")
+        .when(F.col("pre_cnt") <= 2, "1-2")
+        .when(F.col("pre_cnt") <= 5, "3-5")
+        .otherwise("6+")
+        .alias("stratum"),
+        F.when(F.col("pre_cnt") == 0, 0)
+        .when(F.col("pre_cnt") <= 2, 1)
+        .when(F.col("pre_cnt") <= 5, 2)
+        .otherwise(3)
+        .alias("stratum_ord"),
+        (F.col("user_id") % 2).alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    w = s.groupBy("stratum", "stratum_ord").agg(
+        F.coalesce(
+            F.max(F.when(F.col("arm") == 1, F.col("n"))), F.lit(0)
+        ).alias("n_treat"),
+        F.coalesce(
+            F.max(F.when(F.col("arm") == 1, F.col("k"))), F.lit(0)
+        ).alias("k_treat"),
+        F.coalesce(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))), F.lit(0)
+        ).alias("n_ctrl"),
+        F.coalesce(
+            F.max(F.when(F.col("arm") == 0, F.col("k"))), F.lit(0)
+        ).alias("k_ctrl"),
+    )
+    return w.select(
+        "stratum",
+        "stratum_ord",
+        "n_treat",
+        "k_treat",
+        "n_ctrl",
+        "k_ctrl",
+        F.expr("(k_treat * 1000000) div greatest(n_treat, 1)").alias(
+            "cvr_treat_ppm"
+        ),
+        F.expr("(k_ctrl * 1000000) div greatest(n_ctrl, 1)").alias(
+            "cvr_ctrl_ppm"
+        ),
+        F.expr(
+            "(k_treat * 1000000) div greatest(n_treat, 1)"
+            " - (k_ctrl * 1000000) div greatest(n_ctrl, 1)"
+        ).alias("uplift_ppm"),
+    )
