@@ -197,6 +197,24 @@ def test_audio_rms_known_samples(spark, tmp_path):
     assert got == {1: (2, 1, e1, 0, e1), 2: (1, 1, e2, 0, e2)}
 
 
+def test_audio_rms_sampleless_docs_excluded(spark, tmp_path):
+    """Degenerate-payload contract: an empty-text and a 1-byte-text
+    doc both have ns = 0 (no complete int16 sample) — the oracle's
+    unnest(range(0)) drops them, and the Spark side must drop them
+    too, not emit a (0, 0, 0, -1, 0) row."""
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "A", "en", "s", 1),
+         (3, "AB", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_samples"], r["n_windows"])
+        for r in QUERIES["audio_rms_windows"](spark, str(tmp_path)).collect()
+    }
+    assert got == {3: (1, 1)}, got
+
+
 def test_lsh_recall_high_at_matched_threshold(spark, sf_dir):
     """16 bands × 4 rows puts the S-curve midpoint at ≈ 0.5 — recall
     against the J ≥ 0.5 ground truth must be high (≥ 90%) and truth

@@ -66,8 +66,12 @@ def test_q11_global_total_is_single_row_broadcast(spark, sf_dir):
     assert all(isinstance(f.dataType, LongType) for f in df.schema.fields), df.schema
     rows = df.collect()
     assert len(rows) > 0
+    # The HAVING is value·1000 > global_total; the global total is ≥
+    # the sum over the RETURNED rows, so every returned row must clear
+    # the returned-row total too — a necessary integer-exact bound
+    # that actually exercises the cross-multiplied threshold.
     total = sum(r["value_cents"] for r in rows)
-    assert all(r["value_cents"] * 1000 > 0 for r in rows)
+    assert all(r["value_cents"] * 1000 > total for r in rows), (total, rows[:3])
     # descending by construction
     vals = [r["value_cents"] for r in rows]
     assert vals == sorted(vals, reverse=True)

@@ -4402,7 +4402,15 @@ def q_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    return decode_audio_energy(with_wav_blob(docs))
+    # Degenerate-payload contract: a doc whose PCM payload is < 2
+    # bytes has ns = 0 — the oracle's unnest(range(0)) yields no rows
+    # for it, so the doc never reaches the SQL output, while the
+    # decoder emits a (0, 0, 0, -1, 0) summary row. Both engines share
+    # one rule: sample-less docs are OUT of the energy profile (there
+    # is no window to profile), so the Spark side filters them too.
+    return decode_audio_energy(with_wav_blob(docs)).where(
+        F.col("n_samples") >= 1
+    )
 
 
 @query(

@@ -67,20 +67,43 @@ def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Single-slot cache for the daily spine, keyed by sf_dir: EWMA and
+# Holt at the same sf SHARE one persisted ~30-row table (a repeat call
+# returns the live cache instead of allocating another block), and a
+# new sf evicts the previous entry. persist()+count(), NOT
+# localCheckpoint: a checkpoint's storage lives on an internal RDD
+# that DataFrame.unpersist cannot release, so repeated bench reps in a
+# long-lived session would accumulate blocks (the importance_scores
+# lesson); a cache-manager entry frees cleanly on eviction. Caveat
+# (same contract as corpus.importance_scores): a result DataFrame
+# obtained at one sf must be materialized before querying another sf —
+# the repo's query/bench harnesses materialize each call exactly once.
+_DAILY_SEQ_CACHE: dict = {}
+
+
 def _daily_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(d, x, n): daily purchase revenue cents with a 1-based day
-    index, EAGERLY checkpointed — the recursive-CTE queries (EWMA,
-    Holt) recurse over this ~30-row table; without materialization
-    the recursion re-evaluates the event-scale rollup every step."""
+    index, eagerly PERSISTED — the recursive-CTE queries (EWMA, Holt)
+    recurse over this ~30-row table; without materialization the
+    recursion re-evaluates the event-scale rollup every step."""
+    key = (id(spark), sf_dir)
+    hit = _DAILY_SEQ_CACHE.get(key)
+    if hit is not None:
+        return hit
     ev = _events(spark, sf_dir)
     daily = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("x"))
     )
-    return daily.select(
+    seq = daily.select(
         "d", "x", F.row_number().over(Window.orderBy("d")).alias("n")
-    ).localCheckpoint(eager=True)
+    ).persist()
+    seq.count()
+    for k in list(_DAILY_SEQ_CACHE):
+        _DAILY_SEQ_CACHE.pop(k).unpersist(blocking=False)
+    _DAILY_SEQ_CACHE[key] = seq
+    return seq
 
 
 # --- Shapley-value attribution -------------------------------------------------
@@ -599,7 +622,7 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating division each step, no float state anywhere, so the
     full recursion replays verbatim in SQL. Scale: the recursion
     depth is DAYS (bounded, tiny), never events; the event-scale work
-    is one map-side-combined daily rollup, eagerly checkpointed so
+    is one map-side-combined daily rollup, eagerly persisted so
     the recursion never re-evaluates it (pre-fix it re-scanned events
     per step — 10 s at sf0.1, ~4 s after). The residual cost is
     Spark's per-step plan iteration (~0.1 s/day, FIXED — identical at
@@ -652,8 +675,9 @@ WITH daily AS (
 ), st AS (
     SELECT lag, COUNT(*)::BIGINT AS n_pairs,
            SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
-           SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
-           SUM(x * y)::BIGINT AS sxy
+           SUM(x::HUGEINT * x)::HUGEINT AS sxx,
+           SUM(y::HUGEINT * y)::HUGEINT AS syy,
+           SUM(x::HUGEINT * y)::HUGEINT AS sxy
     FROM pairs GROUP BY lag
 )
 SELECT lag, n_pairs,
@@ -672,8 +696,12 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     'does this series remember itself' readout that separates weekly
     seasonality (a lag-7 spike) from noise BEFORE anyone fits a
     forecast. Per-lag Pearson over (x_t, x_{{t+k}}) pairs in the CUPED
-    integer convention: all five moments are int64 sums off the
-    ~30-row daily rollup, and the gated scalar is the SIGNED SQUARED
+    integer convention: the linear moments (sx, sy) are int64 sums off
+    the ~30-row daily rollup and the quadratic moments (sxx, syy, sxy)
+    widen each x to decimal(38,0)/HUGEINT BEFORE the multiply — sum(x²)
+    in int64 overflows once daily revenue tops ~5·10⁸ cents, so the
+    widening covers the raw moments, not just the downstream products.
+    The gated scalar is the SIGNED SQUARED
     correlation sign(cov)·cov²·1e6 div (varX·varY) — cov² and the
     variance product are the documented Pearson-overflow pair that
     decimal(38,0)/HUGEINT width makes exact, and no sqrt or float
@@ -698,13 +726,19 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, F.col("n2") == F.col("n") + F.col("lag"))
         .select("lag", "x", "y")
     )
+    # The raw moments widen BEFORE the multiply: sum(x*x) in int64
+    # overflows once daily revenue tops ~5e8 cents (x² ≈ 2.5e17 × 30
+    # days > 2⁶³), so x casts to decimal(38,0) first — the same
+    # widening the covariance/variance products already carry.
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     st = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
     )
     cov = (
         "(cast(n_pairs as decimal(38,0)) * sxy"
