@@ -308,3 +308,28 @@ def test_bpe_merge_rounds_learns_expected_merges(spark, tmp_path):
         (2, "a", "b", "ab", 3),
         (3, "aa", "ab", "aaab", 2),
     ]
+
+
+def test_lsh_recall_truth_df_cap_excludes_hot_gram(spark, tmp_path):
+    """Plant one trigram shared by 66 docs (df = 66 > 64): the truth
+    side must drop it from the gram universe (n_hot_grams = 1), so
+    the only truth pair is the identical-doc pair that shares COLD
+    grams — a stopword-like gram alone must never manufacture truth
+    pairs (nor explode the enumeration join at scale)."""
+    rows = [
+        (i, f"hot gram shared u{i} f{i} x{i}", "en", "s", 30)
+        for i in range(1, 67)
+    ] + [
+        (100, "alpha beta gamma delta", "en", "s", 22),
+        (101, "alpha beta gamma delta", "en", "s", 22),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    r = QUERIES["lsh_recall_vs_truth"](spark, str(tmp_path)).collect()[0]
+    assert r["n_hot_grams"] == 1, r
+    assert r["n_truth"] == 1, r
+    assert r["n_hits"] == 1, r
+    assert r["recall_ppm"] == 1_000_000, r
