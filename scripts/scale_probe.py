@@ -93,6 +93,21 @@ PROBE_QUERIES = [
     "copurchase_weighted_distances",
     "semdedup_semantic_dups",
     "mutual_best_match_parts",
+    # round-8 additions (r7 verdict item 4): the newest un-probed
+    # shapes — the Shapley 16-coalition lattice, HITS power rounds
+    # (orders ⋈ lineitem, disjoint shards), the recursive-CTE pair
+    # (calendar-bounded recursion over a persisted daily spine), the
+    # GSP ≤125-pattern broadcast grid, the Poisson-bootstrap ×100
+    # explode, the link-prediction wedge join, and the df-capped
+    # LSH-recall truth join.
+    "shapley_attribution",
+    "hits_copurchase_authorities",
+    "ewma_daily_revenue",
+    "holt_linear_backtest",
+    "frequent_event_sequences",
+    "poisson_bootstrap_ci",
+    "link_prediction_common_neighbors",
+    "lsh_recall_vs_truth",
 ]
 
 
@@ -136,6 +151,34 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
         for p in eparts[1:]:
             escaled = escaled.unionAll(p)
         escaled.repartition(32).write.mode("overwrite").parquet(emb_out)
+
+    # orders joined the probe in round 8 (HITS reads orders ⋈
+    # lineitem): scale it even when an older _READY fixture already
+    # has the other tables. The orderkey offset MUST match the one
+    # lineitem scaling used (max l_orderkey + 1) or the join keys
+    # tear apart across replicas — the fixtures ship with
+    # max(o_orderkey) == max(l_orderkey), asserted here.
+    ord_out = f"{out_dir}/orders.parquet"
+    if not os.path.exists(ord_out):
+        o = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+        li0 = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+        n_ok = o.agg(F.max("o_orderkey")).first()[0] + 1
+        n_ok_li = li0.agg(F.max("l_orderkey")).first()[0] + 1
+        assert n_ok == n_ok_li, (n_ok, n_ok_li)
+        n_ck = o.agg(F.max("o_custkey")).first()[0] + 1
+        ocols = [c for c in o.columns if c not in ("o_orderkey", "o_custkey")]
+        oparts = [
+            o.select(
+                (F.col("o_orderkey") + i * n_ok).alias("o_orderkey"),
+                (F.col("o_custkey") + i * n_ck).alias("o_custkey"),
+                *ocols,
+            )
+            for i in range(REPLICAS)
+        ]
+        oscaled = oparts[0]
+        for p in oparts[1:]:
+            oscaled = oscaled.unionAll(p)
+        oscaled.repartition(32).write.mode("overwrite").parquet(ord_out)
 
     if os.path.exists(os.path.join(out_dir, "_READY")):
         return
