@@ -312,6 +312,30 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def summary_line(timings: dict, cold_total: float, reps: int, sf_val) -> str:
+    """The driver-facing FINAL stdout line: compact, always-parseable
+    JSON — totals + the top-20 slowest medians only, bounded ~1 KB
+    regardless of suite size (the r6 lesson: the driver tail-captures
+    stdout, and an inline full per-query record got truncated into
+    unparseable JSON; the full record lives in BENCH_DETAIL.json).
+    Pure function so tests pin the contract without running Spark."""
+    total = round(sum(timings.values()), 3)
+    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    return json.dumps(
+        {
+            "metric": "headline_inventory_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": top20,
+            "n_queries": len(timings),
+            "cold_total": cold_total,
+            "reps": reps,
+            "sf": sf_val,
+            "detail_file": "BENCH_DETAIL.json",
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -372,24 +396,7 @@ def main() -> None:
             sort_keys=True,
         )
 
-    # Compact, always-parseable final line: totals + the top-20
-    # slowest medians only (bounded ~1 KB regardless of suite size).
-    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_inventory_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": top20,
-                "n_queries": len(timings),
-                "cold_total": cold_total,
-                "reps": reps,
-                "sf": sf_val,
-                "detail_file": "BENCH_DETAIL.json",
-            }
-        )
-    )
+    print(summary_line(timings, cold_total, reps, sf_val))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,50 @@
+"""The driver's bench gate tail-captures stdout and parses the FINAL
+line as JSON — BENCH_r06 went blind because an inline full per-query
+record blew past the tail capture and truncated mid-object. These
+tests pin the artifact contract (final line parses, stays bounded, a
+suite 3× today's size still fits) and the HEADLINE ⊆ registry
+invariant, all without starting Spark."""
+
+from __future__ import annotations
+
+import json
+
+from bench import HEADLINE, summary_line
+
+
+def test_summary_line_parses_and_stays_bounded():
+    """A 1000-query suite (3× today's) must still emit one parseable
+    line under ~1.5 KB: the top-20 truncation, not suite size, bounds
+    the payload."""
+    timings = {f"query_name_number_{i:04d}": i * 0.123 for i in range(1000)}
+    line = summary_line(timings, cold_total=4321.5, reps=3, sf_val=0.1)
+    assert "\n" not in line
+    assert len(line.encode()) < 1536, len(line.encode())
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_inventory_total_runtime"
+    assert obj["unit"] == "sec"
+    assert obj["n_queries"] == 1000
+    assert len(obj["queries"]) == 20
+    assert obj["detail_file"] == "BENCH_DETAIL.json"
+    # top-20 really are the slowest
+    assert min(obj["queries"].values()) >= sorted(
+        timings.values(), reverse=True
+    )[19]
+
+
+def test_summary_line_total_is_full_suite_not_top20():
+    timings = {"a": 1.0, "b": 2.0, "c": 3.0}
+    obj = json.loads(summary_line(timings, 7.0, 1, 0.01))
+    assert obj["value"] == 6.0
+    assert obj["cold_total"] == 7.0
+
+
+def test_headline_names_are_registry_names():
+    """Every bench headline must be a registered query — a renamed or
+    removed query otherwise fails at bench time (after ~4 min of
+    runs), not test time."""
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(HEADLINE)) == len(HEADLINE)  # no duplicate entries

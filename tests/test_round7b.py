@@ -295,10 +295,11 @@ def test_frequent_sequences_greedy_and_gapped(spark, tmp_path):
 def test_uplift_stratum_separation(spark, tmp_path):
     """Dormant stratum ('0' pre-events): treated converts 30/100 vs
     control 10/100 → uplift exactly +200000 ppm. Engaged stratum
-    ('1-2'): both arms 20/100 → uplift exactly 0. The average would
-    blur the two; the strata must not."""
+    ('1-30'): both arms 20/100 → uplift exactly 0. The average would
+    blur the two; the strata must not. Conversions land INSIDE the
+    day-16..18 activation window (the r8 sharpening)."""
     pre = dt.datetime(2024, 1, 5, 12)
-    post = dt.datetime(2024, 1, 20, 12)
+    post = dt.datetime(2024, 1, 17, 12)
     rows, eid = [], 0
     # dormant: users 1000..1199 have NO pre events; odd = treated
     for u in range(1000, 1200):
@@ -323,5 +324,54 @@ def test_uplift_stratum_separation(spark, tmp_path):
             spark, str(tmp_path)).collect()
     }
     assert got["0"] == (100, 30, 100, 10, 200_000)
-    assert got["1-2"] == (100, 20, 100, 20, 0)
-    assert set(got) == {"0", "1-2"}
+    assert got["1-30"] == (100, 20, 100, 20, 0)
+    assert set(got) == {"0", "1-30"}
+
+
+def test_uplift_conversion_window_excludes_late_purchase(spark, tmp_path):
+    """The activation window is days 16-18: a purchase on day 17
+    converts, an identical purchase on day 20 must NOT — the
+    unwindowed form saturates on fixtures where everyone eventually
+    buys and reads uplift ≡ 0 everywhere."""
+    rows = [
+        (0, dt.datetime(2024, 1, 17, 9), 1, "purchase", 5.0, "{}"),
+        (1, dt.datetime(2024, 1, 20, 9), 2, "purchase", 5.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["stratum"]: (r["n_treat"], r["k_treat"], r["n_ctrl"], r["k_ctrl"])
+        for r in QUERIES["uplift_by_engagement_stratum"](
+            spark, str(tmp_path)).collect()
+    }
+    # user 1 (odd → treated) converted; user 2 (even → control) did not
+    assert got == {"0": (1, 1, 1, 0)}
+
+
+def test_uplift_fixture_nondegenerate(spark, sf_dir):
+    """The r7 verdict's fixture-degeneracy concern, pinned: at the
+    smallest fixture the strata must not collapse to one band, and
+    conversion must not saturate in every populated cell (both were
+    true of the pre-r8 form: one '6+' stratum, cvr 100% both arms,
+    uplift ≡ 0 — a trivially-green gate)."""
+    rows = QUERIES["uplift_by_engagement_stratum"](spark, sf_dir).collect()
+    populated = [r for r in rows if r["n_treat"] + r["n_ctrl"] > 0]
+    assert len(populated) >= 2, rows
+    # at least one cell with a real (non-0%, non-100%) conversion rate
+    assert any(
+        0 < r["k_treat"] < r["n_treat"] or 0 < r["k_ctrl"] < r["n_ctrl"]
+        for r in populated
+    ), rows
+
+
+def test_l_diversity_fixture_nondegenerate(spark, sf_dir):
+    """At the smallest fixture the QI classes must exercise BOTH
+    flags in BOTH directions: some class with l = 1 (homogeneous —
+    the disclosure k-anonymity misses), some with l = 2 (low
+    diversity only), and some with l = 3 (clean) — otherwise the
+    driver gate is trivially green on a constant flag column."""
+    rows = QUERIES["l_diversity_audit"](spark, sf_dir).collect()
+    ls = {r["l_distinct"] for r in rows}
+    assert {1, 2, 3} <= ls, sorted(ls)
+    assert any(r["at_risk_homogeneous"] == 1 for r in rows)
+    assert any(r["at_risk_homogeneous"] == 0 for r in rows)
+    assert any(r["at_risk_low_diversity"] == 0 for r in rows)

