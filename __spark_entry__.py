@@ -293,6 +293,17 @@ _REGISTERED_R07 = frozenset(
 )
 
 
+# Queries first registered in round 8: same rule — queue BEHIND the
+# r06 and r07 never-verified backlogs so the longest-waiting queries
+# keep the 50-slot prefix.
+_REGISTERED_R08 = frozenset(
+    {
+        "km_survival_curve",
+        "gsp_apriori_sequences",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query-prefix sample:
     (1) queries genuinely failing in the LATEST driver round — a
@@ -310,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in latest_bad:
             return (0, 0)
         if name not in last_pass:
+            if name in _REGISTERED_R08:
+                return (1, 3)
             if name in _REGISTERED_R07:
                 return (1, 2)
             return (1, 1 if name in _REGISTERED_R06 else 0)

@@ -304,6 +304,9 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     "frequent_event_sequences",
     "uplift_by_engagement_stratum",
+    # round-8 additions
+    "km_survival_curve",
+    "gsp_apriori_sequences",
 ]
 
 

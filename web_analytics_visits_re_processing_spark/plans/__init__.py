@@ -18,6 +18,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     streaming_queries,
     webanalytics,
     webanalytics_r7,
+    webanalytics_r8,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -457,10 +457,12 @@ def q_churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretending recent users survived (or dropping them) is the
     classic churn-curve bias this table avoids — hazard(t) =
     churns(t) / at-risk(t), exact integer ppm; the KM survival curve
-    is the consumer's running product of (1 − hazard) and is NOT
-    gated (a float product has no cross-engine-exact form — the
-    hazard table is the replayable primitive, the same reasoning as
-    the HLL register gate). Scale: one user rollup (one exchange),
+    consumer IS gated too since round 8 (``km_survival_curve``,
+    plans/webanalytics_r8.py: the running product in integer ppm with
+    truncating division is deterministic and recursive, so it replays
+    as a recursive CTE — retiring this docstring's earlier claim that
+    a float product had no cross-engine-exact form). Scale: one user
+    rollup (one exchange),
     collapse to ≤|distinct tenure| ≈ 30 rows, then a 21-row spine
     join — at-risk counts come from the tenure rollup, never a
     second pass over users."""
