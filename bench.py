@@ -307,6 +307,7 @@ HEADLINE = [
     # round-8 additions
     "km_survival_curve",
     "gsp_apriori_sequences",
+    "ndcg_at_10_ann",
 ]
 
 

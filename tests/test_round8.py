@@ -129,3 +129,67 @@ def test_gsp_fixture_pruning_is_selective(spark, sf_dir):
     assert 0 < n_f2 < n_f1 * n_f1, (n_f1, n_f2)
     assert 0 < n_c3 < n_f1 ** 3, (n_f1, n_c3)
     assert len(rows) <= n_c3
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label string"
+
+
+def test_ndcg_perfect_when_retrieval_is_exact(spark, tmp_path):
+    """30 near-identical vectors (first-dim nudges, all in one LSH
+    bucket): all pairwise cosines round to the same 4-dp value, both
+    rankings fall back to the shared vec_id tiebreak, the LSH list
+    equals the exact list — nDCG must be EXACTLY 1e6 for all 10
+    queries and dcg_e6 must equal the IDCG constant."""
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _NDCG_IDCG,
+    )
+
+    base = [1.0] * 64
+    rows = [
+        (i, [base[0] + i * 0.0001] + base[1:], "x") for i in range(30)
+    ]
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["ndcg_at_10_ann"](spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r["ndcg_ppm"] == 1_000_000 for r in out), out
+    assert all(r["dcg_e6"] == _NDCG_IDCG for r in out), out
+
+
+def test_ndcg_matches_python_replay(spark, sf_dir):
+    """Independent replay of the gate aggregation: recompute nDCG in
+    Python from the two operator outputs (exact ranks + LSH
+    positions) with the pinned weight literals — every per-query
+    value must match the registered query exactly, including any
+    query scored 0 via the exact-side spine."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _NDCG_IDCG,
+        _NDCG_W,
+        _emb,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 10)
+    erk = {
+        (r["query_id"], r["vec_id"]): r["rk"]
+        for r in cosine_topk_bruteforce(emb, qs, k=10).collect()
+    }
+    dcg = {q: 0 for q, _ in erk}
+    for r in cosine_topk_lsh(emb, qs, k=10, dim=64).collect():
+        q = r["query_id"]
+        gain = 11 - erk.get((q, r["vec_id"]), 11)
+        dcg[q] = dcg.get(q, 0) + gain * _NDCG_W[r["rk"] - 1]
+    expected = {
+        q: (d, d * 1_000_000 // _NDCG_IDCG) for q, d in dcg.items()
+    }
+    got = {
+        r["query_id"]: (r["dcg_e6"], r["ndcg_ppm"])
+        for r in QUERIES["ndcg_at_10_ann"](spark, sf_dir).collect()
+    }
+    assert got == expected

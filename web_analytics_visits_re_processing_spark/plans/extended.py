@@ -937,11 +937,16 @@ def q_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_value_percentiles")  # rows-only: sketch output is
-# implementation-specific (Greenwald-Khanna); the error bound is
-# pinned by test_approx_percentiles_within_bound instead.
+@query("approx_value_percentiles")
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (``percentile_approx``, GK sketch) per
+    """NO ORACLE (by design — the driver's ``no_oracle`` rows-only
+    record IS this query's expected green state): the GK sketch's
+    output is implementation-specific, so no cross-engine hash can
+    exist; correctness is pinned by the error-bound pytest
+    (``test_approx_percentiles_within_bound``) instead. One of
+    exactly two such queries (see ``approx_count_distinct_users``).
+
+    Approximate quantiles (``percentile_approx``, GK sketch) per
     event type — the mergeable-sketch path for quantiles over data too
     big to sort. Accuracy 10000 ⇒ rank error ≤ n/10000 per group;
     asserted against the exact interpolated percentile in pytest."""

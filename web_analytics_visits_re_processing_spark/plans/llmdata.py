@@ -3784,6 +3784,136 @@ def q_ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nDCG@10 position weights: floor(1e6 / log2(pos+1)) for pos = 1..10,
+# pinned as LITERALS in both engines (the Poisson-CDF-threshold
+# convention — a float log never executes inside the gate). The ideal
+# DCG for a full graded list (gains 10..1) is Σ(11−i)·w_i.
+_NDCG_W = (
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+)
+_NDCG_IDCG = sum((11 - i) * w for i, w in enumerate(_NDCG_W, start=1))
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+_NDCG_W_SPARK = "array(" + ", ".join(str(w) for w in _NDCG_W) + ")"
+
+
+@query(
+    "ndcg_at_10_ann",
+    # Ranking quality of the LSH ANN path: recall@5 asks "did the
+    # true neighbors come back at all"; nDCG@10 asks "in the right
+    # ORDER, near the top" — gain of a retrieved doc = 11 − its exact
+    # rank (0 if outside the exact top-10), discounted by the pinned
+    # position weights, normalized by the graded-ideal IDCG. All
+    # integer; the oracle recomputes BOTH retrieval paths end to end.
+    oracle=f"""
+WITH cb AS (
+    SELECT vec_id, embedding, {{bucket_sql}} AS b
+    FROM embeddings
+),
+qb AS (SELECT * FROM cb WHERE vec_id < 10),
+approx AS (
+    SELECT query_id, vec_id, rk AS pos FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rk
+        FROM qb q JOIN cb c ON q.b = c.b AND q.vec_id != c.vec_id
+    ) WHERE rk <= 10
+),
+exact10 AS (
+    SELECT query_id, vec_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rk <= 10
+),
+g AS (
+    SELECT a.query_id,
+           SUM(COALESCE(11 - e.rk, 0)
+               * ({_NDCG_W_SQL})[a.pos])::BIGINT AS dcg_e6
+    FROM approx a LEFT JOIN exact10 e
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY a.query_id
+),
+spine AS (SELECT DISTINCT query_id FROM exact10)
+SELECT s.query_id,
+       COALESCE(g.dcg_e6, 0)::BIGINT AS dcg_e6,
+       (COALESCE(g.dcg_e6, 0) * 1000000 // {_NDCG_IDCG})::BIGINT
+           AS ndcg_ppm
+FROM spine s LEFT JOIN g ON g.query_id = s.query_id
+""".replace("{bucket_sql}", _lsh_bucket_sql("embedding")),
+)
+def q_ndcg_at_10_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the single-probe LSH ANN path against the exact
+    brute-force ranking — the GRADED-relevance member of the
+    retrieval-eval family (recall@5 scores the id SET; nDCG scores
+    the ORDER: a system that returns all true neighbors reversed is
+    perfect by recall and visibly degraded here). Gain of a retrieved
+    doc = 11 − its exact rank (0 outside the exact top-10); the
+    position discount uses floor(1e6/log2(pos+1)) weights pinned as
+    literals in both engines — the Poisson-bootstrap CDF-threshold
+    convention, so no float log exists inside the gate — and IDCG is
+    the graded-ideal constant Σ(11−i)·wᵢ = {_NDCG_IDCG}. A query
+    whose LSH bucket returns nothing scores exactly 0 via the exact-
+    side spine (it must not vanish from the eval). Scale shape:
+    identical to ann_recall_at_5 — the exact arm is affordable
+    because eval query sets are small by design; the comparison join
+    is |queries|·k rows. Citation: Järvelin & Kekäläinen 2002
+    (TOIS), the standard cumulated-gain formulation."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, qs, k=10).select(
+        "query_id", F.col("vec_id").alias("e_vec_id"), F.col("rk").alias("erk")
+    )
+    approx = cosine_topk_lsh(emb, qs, k=10, dim=64).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("vec_id").alias("a_vec_id"),
+        F.col("rk").alias("pos"),
+    )
+    g = (
+        approx.join(
+            exact,
+            (F.col("a_query_id") == F.col("query_id"))
+            & (F.col("a_vec_id") == F.col("e_vec_id")),
+            "left",
+        )
+        .select(
+            "a_query_id",
+            (
+                F.coalesce(F.lit(11) - F.col("erk"), F.lit(0)).cast("long")
+                * F.expr(f"element_at({_NDCG_W_SPARK}, pos)").cast("long")
+            ).alias("wgain"),
+        )
+        .groupBy("a_query_id")
+        .agg(F.sum("wgain").alias("dcg_e6"))
+    )
+    spine = exact.select("query_id").distinct()
+    return (
+        spine.join(g, F.col("query_id") == F.col("a_query_id"), "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg_e6"), F.lit(0)).cast("long").alias("dcg_e6"),
+            F.expr(
+                f"coalesce(dcg_e6, 0) * 1000000 div {_NDCG_IDCG}"
+            ).cast("long").alias("ndcg_ppm"),
+        )
+    )
+
+
 @query(
     "ngram_containment_pairs",
     # ASYMMETRIC near-duplication: containment(A→B) = |grams(A) ∩

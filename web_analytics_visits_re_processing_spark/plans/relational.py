@@ -140,12 +140,17 @@ def count_distinct_segment(spark, sf_dir):
     )
 
 
-@query("approx_count_distinct_users")  # no oracle: HLL sketches differ by impl
+@query("approx_count_distinct_users")
 def approx_users(spark, sf_dir):
-    """HLL distinct-user estimate — the 100 TB substitute for exact
-    COUNT(DISTINCT) (single pass, fixed memory). DuckDB's HLL gives a
-    different estimate, so the driver does a rows-only check; the unit
-    test asserts <5% relative error against the exact count."""
+    """NO ORACLE (by design — the driver's ``no_oracle`` rows-only
+    record IS this query's expected green state): HLL sketches differ
+    by implementation, so no cross-engine hash can exist; correctness
+    is pinned by the error-bound pytest (<5% relative error vs the
+    exact count) instead. One of exactly two such queries (see
+    ``approx_value_percentiles``).
+
+    HLL distinct-user estimate — the 100 TB substitute for exact
+    COUNT(DISTINCT) (single pass, fixed memory)."""
     e = _t(spark, sf_dir, "events")
     return e.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
