@@ -301,6 +301,7 @@ _REGISTERED_R08 = frozenset(
         "km_survival_curve",
         "gsp_apriori_sequences",
         "ndcg_at_10_ann",
+        "t_closeness_audit",
     }
 )
 

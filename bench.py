@@ -308,6 +308,7 @@ HEADLINE = [
     "km_survival_curve",
     "gsp_apriori_sequences",
     "ndcg_at_10_ann",
+    "t_closeness_audit",
 ]
 
 

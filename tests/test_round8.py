@@ -193,3 +193,48 @@ def test_ndcg_matches_python_replay(spark, sf_dir):
         for r in QUERIES["ndcg_at_10_ann"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+CUST_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey long, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def test_t_closeness_hand_computed(spark, tmp_path):
+    """Global mix: 7 debt + 7 high (N=14). Class A (nation 1) is ALL
+    debt — l-diversity would see l=1, but even were bands mixed the
+    EMD pins the skew: t = (|5·14−7·5| + |5·14−7·5|)·1e6 //
+    (2·5·14) = 500000 → flagged. Class C (nation 3) mirrors the
+    global mix exactly (2 debt + 2 high) → t = 0 → clean."""
+    rows = []
+    for i in range(5):   # class A: all debt
+        rows.append((i, f"c{i}", 1, -10.0, "SEG"))
+    for i in range(5, 10):  # class B: all high
+        rows.append((i, f"c{i}", 2, 9000.0, "SEG"))
+    for i in range(10, 12):  # class C: 2 debt
+        rows.append((i, f"c{i}", 3, -10.0, "SEG"))
+    for i in range(12, 14):  # class C: 2 high
+        rows.append((i, f"c{i}", 3, 9000.0, "SEG"))
+    spark.createDataFrame(rows, CUST_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r["c_nationkey"]: (r["n"], r["t_ppm"], r["at_risk_skewed"])
+        for r in QUERIES["t_closeness_audit"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (5, 500_000, 1),
+        2: (5, 500_000, 1),
+        3: (4, 0, 0),
+    }
+
+
+def test_t_closeness_fixture_nondegenerate(spark, sf_dir):
+    """Both flag directions at the smallest fixture, and t bounded in
+    [0, 1e6] everywhere."""
+    rows = QUERIES["t_closeness_audit"](spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["t_ppm"] <= 1_000_000 for r in rows)
+    assert any(r["at_risk_skewed"] == 1 for r in rows), "no skewed class"
+    assert any(r["at_risk_skewed"] == 0 for r in rows), "no clean class"

@@ -410,3 +410,104 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_c3",
         )
     )
+
+
+# --- t-closeness: the third privacy audit ---------------------------------------
+
+
+@query(
+    "t_closeness_audit",
+    # t-closeness (Li, Li & Venkatasubramanian, ICDE 2007): the
+    # attack l-diversity misses — a class can hold all three bands
+    # (l = 3) and still leak if its MIX differs sharply from the
+    # table's (a 90%-debt class discloses "probably in debt" to
+    # anyone knowing the QI). Distance is the ordered-category EMD:
+    # mean |cumulative-share gap| over the m−1 = 2 cut points,
+    # cross-multiplied to integers (|cum_c·N − cum_g·n| — no float
+    # shares), widened to decimal/HUGEINT BEFORE the multiply (the
+    # ACF raw-moment lesson: n·N·1e6 at table scale exceeds int64).
+    oracle="""
+WITH t AS (
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 0
+                WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS band
+    FROM customer
+), cls AS (
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*)::HUGEINT AS n,
+           SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END)::HUGEINT AS b0,
+           SUM(CASE WHEN band <= 1 THEN 1 ELSE 0 END)::HUGEINT AS b01
+    FROM t GROUP BY 1, 2
+), g AS (
+    SELECT COUNT(*)::HUGEINT AS gn,
+           SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END)::HUGEINT AS g0,
+           SUM(CASE WHEN band <= 1 THEN 1 ELSE 0 END)::HUGEINT AS g01
+    FROM t
+)
+SELECT c.c_nationkey, c.c_mktsegment,
+       c.n::BIGINT AS n,
+       ((ABS(c.b0 * g.gn - g.g0 * c.n)
+         + ABS(c.b01 * g.gn - g.g01 * c.n)) * 1000000
+        // (2 * c.n * g.gn))::BIGINT AS t_ppm,
+       (CASE WHEN (ABS(c.b0 * g.gn - g.g0 * c.n)
+                   + ABS(c.b01 * g.gn - g.g01 * c.n)) * 1000000
+                  // (2 * c.n * g.gn) > 200000
+             THEN 1 ELSE 0 END)::BIGINT AS at_risk_skewed
+FROM cls c CROSS JOIN g
+""",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third member of the privacy-release
+    trilogy (k_anonymity_audit counts class SIZE, l_diversity_audit
+    counts DISTINCT sensitive values, this measures the sensitive
+    DISTRIBUTION): per (nation, market-segment) class, the Earth
+    Mover's Distance between the class's account-balance-band mix and
+    the whole table's (Li, Li & Venkatasubramanian 2007 — a class
+    with all three bands present still discloses "probably in debt"
+    if its mix is 90% debt, the skew attack l-diversity cannot see).
+    For m ordered equal-spaced categories EMD = mean absolute
+    cumulative-share gap over the m−1 cut points; both shares
+    cross-multiply into integers (|cum_class·N − cum_global·n|) so no
+    float division exists, and every product widens to
+    decimal(38,0)/HUGEINT BEFORE multiplying — n·N·1e6 overflows
+    int64 once the table passes ~3M rows (the ACF raw-moment lesson
+    applied preemptively). Flag threshold t > 0.2 (200000 ppm), the
+    paper's canonical example setting. Scale: one map-side-combined
+    class rollup + a broadcast one-row global — the same two-pass
+    shape as the k- and l-audits; the three audits share one QI so a
+    release gate runs them as one scan family."""
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+    )
+    t = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    dec = "decimal(38,0)"
+    cls = t.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when(F.col("band") == 0, 1).otherwise(0)).cast(dec).alias("b0"),
+        F.sum(F.when(F.col("band") <= 1, 1).otherwise(0)).cast(dec).alias("b01"),
+    )
+    g = t.agg(
+        F.count(F.lit(1)).cast(dec).alias("gn"),
+        F.sum(F.when(F.col("band") == 0, 1).otherwise(0)).cast(dec).alias("g0"),
+        F.sum(F.when(F.col("band") <= 1, 1).otherwise(0)).cast(dec).alias("g01"),
+    )
+    emd = (
+        "(abs(b0 * gn - g0 * n) + abs(b01 * gn - g01 * n)) * 1000000"
+        " div (2 * n * gn)"
+    )
+    return cls.crossJoin(F.broadcast(g)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.expr(emd).cast("long").alias("t_ppm"),
+        F.expr(f"case when {emd} > 200000 then 1 else 0 end")
+        .cast("long")
+        .alias("at_risk_skewed"),
+    )
