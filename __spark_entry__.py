@@ -302,6 +302,7 @@ _REGISTERED_R08 = frozenset(
         "gsp_apriori_sequences",
         "ndcg_at_10_ann",
         "t_closeness_audit",
+        "score_calibration_by_band",
     }
 )
 

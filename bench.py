@@ -309,6 +309,7 @@ HEADLINE = [
     "gsp_apriori_sequences",
     "ndcg_at_10_ann",
     "t_closeness_audit",
+    "score_calibration_by_band",
 ]
 
 

@@ -238,3 +238,49 @@ def test_t_closeness_fixture_nondegenerate(spark, sf_dir):
     assert all(0 <= r["t_ppm"] <= 1_000_000 for r in rows)
     assert any(r["at_risk_skewed"] == 1 for r in rows), "no skewed class"
     assert any(r["at_risk_skewed"] == 0 for r in rows), "no clean class"
+
+
+def test_calibration_hand_computed_holdout(spark, tmp_path):
+    """Low band: train (even users) converts 4/10 → pred 400000; test
+    (odd users) converts 6/10 → obs 600000, gap 200000. High band:
+    8/10 both splits → gap 0. ECE = (10·200000 + 10·0) div 20 =
+    100000. A day-20 purchase must NOT count as conversion."""
+    rows, eid = [], 0
+    # low band: score 5 (5 clicks, days 1-5); high band: score 20
+    for u in range(100, 120):      # low: even 100..118 train, odd test
+        nclick, conv_day = 5, 17
+        is_train = u % 2 == 0
+        rank = (u - 100) // 2
+        converts = (rank < 4) if is_train else (rank < 6)
+        for d in range(1, nclick + 1):
+            rows.append((eid, d * 1440, u, "click", 0.0, "{}")); eid += 1
+        rows.append((eid, (conv_day if converts else 20) * 1440, u,
+                     "purchase", 1.0, "{}")); eid += 1
+    for u in range(200, 220):      # high band
+        is_train = u % 2 == 0
+        rank = (u - 200) // 2
+        converts = rank < 8
+        for d in range(1, 21):
+            rows.append((eid, d * 1440 + u, u, "click", 0.0, "{}")); eid += 1
+        rows.append((eid, (17 if converts else 20) * 1440, u,
+                     "purchase", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["band"]: (r["n_train"], r["k_train"], r["n_test"], r["k_test"],
+                    r["pred_ppm"], r["obs_ppm"], r["gap_ppm"], r["ece_ppm"])
+        for r in QUERIES["score_calibration_by_band"](spark, sf).collect()
+    }
+    assert got == {
+        "0-11": (10, 4, 10, 6, 400_000, 600_000, 200_000, 100_000),
+        "16+": (10, 8, 10, 8, 800_000, 800_000, 0, 100_000),
+    }
+
+
+def test_calibration_fixture_nondegenerate(spark, sf_dir):
+    """At the smallest fixture: ≥2 bands populated on BOTH splits and
+    at least one band with a non-saturated test rate."""
+    rows = QUERIES["score_calibration_by_band"](spark, sf_dir).collect()
+    both = [r for r in rows if r["n_train"] > 0 and r["n_test"] > 0]
+    assert len(both) >= 2, rows
+    assert any(0 < r["k_test"] < r["n_test"] or 0 < r["k_train"] < r["n_train"]
+               for r in both), rows

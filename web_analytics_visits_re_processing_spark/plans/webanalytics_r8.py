@@ -511,3 +511,168 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("at_risk_skewed"),
     )
+
+
+# --- score calibration: the third leg of the model-eval family ------------------
+
+
+@query(
+    "score_calibration_by_band",
+    # Calibration audit (reliability table + ECE): AUC scores the
+    # RANKING, the gains table scores TARGETING, this scores the
+    # PROBABILITIES — a model can ace both others and still be
+    # systematically over-confident (Guo et al. 2017's gap). The
+    # "model" is the repo's deterministic score convention (click
+    # count), fit on the even-user half and audited on the odd-user
+    # half; conversion is the day-16..18 activation window (the
+    # uplift lesson: ever-purchased saturates at 100% on this
+    # fixture and reads calibrated everywhere).
+    oracle="""
+WITH u AS (
+    SELECT user_id, user_id % 2 AS test_arm,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS score,
+           MAX(CASE WHEN EXTRACT(day FROM ts) BETWEEN 16 AND 18
+                     AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), b AS (
+    SELECT CASE WHEN score <= 11 THEN '0-11'
+                WHEN score <= 13 THEN '12-13'
+                WHEN score <= 15 THEN '14-15'
+                ELSE '16+' END AS band,
+           CASE WHEN score <= 11 THEN 0
+                WHEN score <= 13 THEN 1
+                WHEN score <= 15 THEN 2
+                ELSE 3 END AS band_ord,
+           test_arm, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS k
+    FROM u GROUP BY 1, 2, 3
+), w AS (
+    SELECT band, band_ord,
+           COALESCE(MAX(CASE WHEN test_arm = 0 THEN n END), 0)::BIGINT
+               AS n_train,
+           COALESCE(MAX(CASE WHEN test_arm = 0 THEN k END), 0)::BIGINT
+               AS k_train,
+           COALESCE(MAX(CASE WHEN test_arm = 1 THEN n END), 0)::BIGINT
+               AS n_test,
+           COALESCE(MAX(CASE WHEN test_arm = 1 THEN k END), 0)::BIGINT
+               AS k_test
+    FROM b GROUP BY 1, 2
+), gaps AS (
+    SELECT band, band_ord, n_train, k_train, n_test, k_test,
+           (k_train * 1000000) // GREATEST(n_train, 1) AS pred_ppm,
+           (k_test * 1000000) // GREATEST(n_test, 1) AS obs_ppm
+    FROM w
+)
+SELECT band, band_ord, n_train, k_train, n_test, k_test,
+       pred_ppm::BIGINT AS pred_ppm, obs_ppm::BIGINT AS obs_ppm,
+       ABS(pred_ppm - obs_ppm)::BIGINT AS gap_ppm,
+       (SUM(n_test * ABS(pred_ppm - obs_ppm)) OVER ()
+        // GREATEST(SUM(n_test) OVER (), 1))::BIGINT AS ece_ppm
+FROM gaps
+""",
+)
+def q_score_calibration_by_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration (reliability) table + Expected Calibration Error
+    for the click-count→activation score — the third leg of the
+    model-eval family: ``auc_mann_whitney`` grades the RANKING,
+    ``score_decile_gains`` grades TARGETING, this grades the
+    PROBABILITIES (a model can ace both and still be systematically
+    over-confident — the miscalibration gap of Guo et al. 2017).
+    Honest protocol: the per-band conversion rate is FIT on the
+    even-user half (pred_ppm) and AUDITED on the held-out odd-user
+    half (obs_ppm) — reading both from one split would be calibrated
+    by construction; the user-parity split is the repo's standard
+    deterministic arm rule. Bands sit at the fixture score quartiles
+    (≤11 / 12-13 / 14-15 / 16+); conversion is the day-16..18
+    activation window (the uplift_by_engagement_stratum lesson —
+    ever-purchased saturates on a fixture where everyone eventually
+    buys). ECE = Σ n_test·|pred−obs| div N_test rides the band rows
+    as a constant column, all integer ppm with GREATEST(n,1) guards.
+    Scale: one user rollup + one ≤4-row band rollup — the uplift
+    query's exact shape."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(
+                F.dayofmonth("ts").between(16, 18)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    b = u.groupBy(
+        F.when(F.col("score") <= 11, "0-11")
+        .when(F.col("score") <= 13, "12-13")
+        .when(F.col("score") <= 15, "14-15")
+        .otherwise("16+")
+        .alias("band"),
+        F.when(F.col("score") <= 11, 0)
+        .when(F.col("score") <= 13, 1)
+        .when(F.col("score") <= 15, 2)
+        .otherwise(3)
+        .alias("band_ord"),
+        (F.col("user_id") % 2).alias("test_arm"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    w = b.groupBy("band", "band_ord").agg(
+        F.coalesce(
+            F.max(F.when(F.col("test_arm") == 0, F.col("n"))), F.lit(0)
+        ).alias("n_train"),
+        F.coalesce(
+            F.max(F.when(F.col("test_arm") == 0, F.col("k"))), F.lit(0)
+        ).alias("k_train"),
+        F.coalesce(
+            F.max(F.when(F.col("test_arm") == 1, F.col("n"))), F.lit(0)
+        ).alias("n_test"),
+        F.coalesce(
+            F.max(F.when(F.col("test_arm") == 1, F.col("k"))), F.lit(0)
+        ).alias("k_test"),
+    )
+    gaps = w.select(
+        "band",
+        "band_ord",
+        "n_train",
+        "k_train",
+        "n_test",
+        "k_test",
+        F.expr("(k_train * 1000000) div greatest(n_train, 1)").alias(
+            "pred_ppm"
+        ),
+        F.expr("(k_test * 1000000) div greatest(n_test, 1)").alias(
+            "obs_ppm"
+        ),
+    )
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    return gaps.select(
+        "band",
+        "band_ord",
+        "n_train",
+        "k_train",
+        "n_test",
+        "k_test",
+        F.col("pred_ppm").cast("long").alias("pred_ppm"),
+        F.col("obs_ppm").cast("long").alias("obs_ppm"),
+        F.expr("abs(pred_ppm - obs_ppm)").cast("long").alias("gap_ppm"),
+        F.sum(
+            F.col("n_test") * F.expr("abs(pred_ppm - obs_ppm)")
+        ).over(whole).cast("long").alias("_num"),
+        F.sum("n_test").over(whole).alias("_den"),
+    ).select(
+        "band",
+        "band_ord",
+        "n_train",
+        "k_train",
+        "n_test",
+        "k_test",
+        "pred_ppm",
+        "obs_ppm",
+        "gap_ppm",
+        F.expr("_num div greatest(_den, 1)").cast("long").alias("ece_ppm"),
+    )
