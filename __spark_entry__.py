@@ -303,6 +303,7 @@ _REGISTERED_R08 = frozenset(
         "ndcg_at_10_ann",
         "t_closeness_audit",
         "score_calibration_by_band",
+        "holt_winters_dow_backtest",
     }
 )
 

@@ -310,6 +310,7 @@ HEADLINE = [
     "ndcg_at_10_ann",
     "t_closeness_audit",
     "score_calibration_by_band",
+    "holt_winters_dow_backtest",
 ]
 
 

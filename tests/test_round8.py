@@ -284,3 +284,69 @@ def test_calibration_fixture_nondegenerate(spark, sf_dir):
     assert len(both) >= 2, rows
     assert any(0 < r["k_test"] < r["n_test"] or 0 < r["k_train"] < r["n_train"]
                for r in both), rows
+
+
+def test_holt_winters_perfect_periodicity_zero_error(spark, tmp_path):
+    """A series that repeats week 1 exactly (zero trend) is a fixed
+    point of the additive HW recursion when the week-1 sum divides by
+    7: level stays at the mean, trend at 0, each seasonal deviation
+    reproduces itself exactly through the ×10 div 10 update — so
+    every one-step-ahead forecast from day 8 is EXACT."""
+    week = [700, 1400, 2100, 2800, 3500, 4200, 6300]  # mean 3000 cents
+    rows = [
+        (d, d * 1440, 1, "purchase", week[d % 7] / 100.0, "{}")
+        for d in range(21)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = QUERIES["holt_winters_dow_backtest"](spark, sf).collect()
+    assert len(got) == 14
+    assert all(r["abs_err_cents"] == 0 for r in got), got
+    assert all(r["level_cents"] == 3000 for r in got)
+    assert all(r["trend_cents"] == 0 for r in got)
+
+
+def test_holt_winters_matches_python_replay(spark, sf_dir):
+    """Truncation-aware Python replay of the full recursion from the
+    fixture's daily revenue — every emitted (forecast, level, trend,
+    error) must match exactly (div truncates toward zero in BOTH
+    engines; Python // floors, so the replay uses explicit
+    truncating division)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _events,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    daily = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    m = tdiv(sum(xs[:7]), 7)
+    l, b, seas = m, 0, [x - m for x in xs[:7]]
+    expected = []
+    for n in range(8, len(xs) + 1):
+        x = xs[n - 1]
+        f = l + b + seas[0]
+        l2 = tdiv(2 * (x - seas[0]) + 8 * (l + b), 10)
+        b2 = tdiv(3 * (l2 - l) + 7 * b, 10)
+        s2 = tdiv(2 * (x - l2) + 8 * seas[0], 10)
+        seas = seas[1:] + [s2]
+        l, b = l2, b2
+        expected.append((n, x, f, abs(x - f), l, b))
+    got = [
+        (r["day_n"], r["revenue_cents"], r["forecast_cents"],
+         r["abs_err_cents"], r["level_cents"], r["trend_cents"])
+        for r in QUERIES["holt_winters_dow_backtest"](
+            spark, sf_dir).collect()
+    ]
+    assert got == expected

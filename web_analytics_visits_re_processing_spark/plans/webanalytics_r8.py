@@ -676,3 +676,125 @@ def q_score_calibration_by_band(
         "gap_ppm",
         F.expr("_num div greatest(_den, 1)").cast("long").alias("ece_ppm"),
     )
+
+
+# --- Holt–Winters: seasonal state as a ring-buffer ARRAY in the recursion -------
+
+
+@query(
+    "holt_winters_dow_backtest",
+    # Additive Holt–Winters (α=0.2, β=0.3, γ=0.2 in integer tenths)
+    # with a 7-slot day-of-week seasonal RING carried through the
+    # recursion as an array column — the fourth recursive-CTE shape,
+    # and the first whose state is a vector: seas[1] is always the
+    # value of tenure (t−7), and each step rotates the ring
+    # (seas[2:7] ++ [s_t]). Warm-up: level = integer mean of week 1,
+    # trend = 0, seasonals = week-1 deviations; one-step-ahead
+    # forecasts (and errors) emit from day 8 on.
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(FLOOR(value * 100)::BIGINT) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+), seq AS (
+    SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS n FROM daily
+), w1 AS (SELECT n, x FROM seq WHERE n <= 7),
+m AS (SELECT (SUM(x) // 7)::BIGINT AS l FROM w1),
+anchor AS (
+    SELECT CAST(7 AS BIGINT) AS n, m.l, CAST(0 AS BIGINT) AS b,
+           (SELECT list(x - m.l ORDER BY n) FROM w1) AS seas,
+           CAST(NULL AS DATE) AS d, CAST(NULL AS BIGINT) AS x,
+           CAST(NULL AS BIGINT) AS f
+    FROM m
+), hw AS (
+    SELECT n, l, b, seas, d, x, f FROM anchor
+    UNION ALL
+    SELECT s.n,
+           (2 * (s.x - h.seas[1]) + 8 * (h.l + h.b)) // 10,
+           (3 * (((2 * (s.x - h.seas[1]) + 8 * (h.l + h.b)) // 10) - h.l)
+            + 7 * h.b) // 10,
+           h.seas[2:7]
+               || [(2 * (s.x - ((2 * (s.x - h.seas[1])
+                                 + 8 * (h.l + h.b)) // 10))
+                    + 8 * h.seas[1]) // 10],
+           s.d, s.x,
+           h.l + h.b + h.seas[1]
+    FROM hw h JOIN seq s ON s.n = h.n + 1
+)
+SELECT n AS day_n, strftime(d, '%Y-%m-%d') AS day, x AS revenue_cents,
+       f::BIGINT AS forecast_cents, ABS(x - f)::BIGINT AS abs_err_cents,
+       l::BIGINT AS level_cents, b::BIGINT AS trend_cents
+FROM hw WHERE n >= 8 ORDER BY day_n
+""",
+)
+def q_holt_winters_dow_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt–Winters additive backtest with day-of-week seasonality —
+    the top rung of the forecasting ladder (naive → EWMA → Holt →
+    Holt–Winters): level, trend AND a 7-slot seasonal component,
+    α=0.2 / β=0.3 / γ=0.2 in integer tenths so the whole recursion is
+    engine-exact. The novel shape: the seasonal state is a RING
+    BUFFER carried through the recursive CTE as an ARRAY column —
+    seas[1] is by construction the seasonal of tenure (t−7), each
+    step emits the one-step-ahead forecast l + b + seas[1], updates
+    l/b/s with the standard additive equations (truncating div each,
+    so no window form exists), and rotates the ring (seas[2:7] ++
+    [s_t]). Warm-up is the standard first-week init (level = integer
+    mean, trend 0, seasonals = deviations); forecasts emit from day
+    8. Seasonal index is position mod 7 in the OBSERVED daily
+    sequence — exact on this fixture (all 30 days have purchases at
+    every SF); a production gap-day series runs gap_fill_hourly_
+    counts' spine first. Scale: identical to EWMA/Holt — recursion
+    depth is calendar days; the event-scale rollup is the persisted
+    ~30-row daily spine (shared cache with EWMA/Holt via _daily_seq);
+    the per-step state is 10 integers. Citation: Winters 1960;
+    Hyndman & Athanasopoulos (fpp3) §8.3 additive form."""
+    from web_analytics_visits_re_processing_spark.plans.webanalytics_r7 import (
+        _daily_seq,
+    )
+
+    seq = _daily_seq(spark, sf_dir)
+    seq.createOrReplaceTempView("hw_seq_r8")
+    w1 = seq.where(F.col("n") <= 7)
+    anchor = w1.agg(
+        F.sum("x").alias("sx"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(n, x))), p -> p.x)"
+        ).alias("xs"),
+    ).select(
+        F.lit(7).cast("long").alias("n"),
+        F.expr("sx div 7").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.expr("transform(xs, v -> v - (sx div 7))").alias("seas"),
+        F.lit(None).cast("date").alias("d"),
+        F.lit(None).cast("long").alias("x"),
+        F.lit(None).cast("long").alias("f"),
+    )
+    anchor.createOrReplaceTempView("hw_anchor_r8")
+    return spark.sql(
+        """
+WITH RECURSIVE hw AS (
+    SELECT n, l, b, seas, d, x, f FROM hw_anchor_r8
+    UNION ALL
+    SELECT s.n,
+           (2 * (s.x - element_at(h.seas, 1)) + 8 * (h.l + h.b)) div 10,
+           (3 * (((2 * (s.x - element_at(h.seas, 1))
+                   + 8 * (h.l + h.b)) div 10) - h.l)
+            + 7 * h.b) div 10,
+           concat(slice(h.seas, 2, 6),
+                  array((2 * (s.x - ((2 * (s.x - element_at(h.seas, 1))
+                                      + 8 * (h.l + h.b)) div 10))
+                         + 8 * element_at(h.seas, 1)) div 10)),
+           s.d, s.x,
+           h.l + h.b + element_at(h.seas, 1)
+    FROM hw h JOIN hw_seq_r8 s ON s.n = h.n + 1
+)
+SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day,
+       x AS revenue_cents,
+       CAST(f AS BIGINT) AS forecast_cents,
+       CAST(ABS(x - f) AS BIGINT) AS abs_err_cents,
+       CAST(l AS BIGINT) AS level_cents, CAST(b AS BIGINT) AS trend_cents
+FROM hw WHERE n >= 8 ORDER BY day_n
+"""
+    )
