@@ -304,6 +304,7 @@ _REGISTERED_R08 = frozenset(
         "t_closeness_audit",
         "score_calibration_by_band",
         "holt_winters_dow_backtest",
+        "time_windowed_sequence_support",
     }
 )
 

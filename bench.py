@@ -311,6 +311,7 @@ HEADLINE = [
     "t_closeness_audit",
     "score_calibration_by_band",
     "holt_winters_dow_backtest",
+    "time_windowed_sequence_support",
 ]
 
 

@@ -350,3 +350,49 @@ def test_holt_winters_matches_python_replay(spark, sf_dir):
             spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_time_windowed_greedy_trap_and_window_edges(spark, tmp_path):
+    """The exactness case: u1 has view@0h, click@2h, click@23h,
+    purchase@30h — greedy-through-first-click fails (30−2 = 28h > 24)
+    but the SECOND click works (23 ≤ 24, 30−23 = 7 ≤ 24), so the
+    existential scan MUST count u1. u2's chain has a 25 h first gap —
+    supported unconstrained, NOT within the window. u3 has view and
+    click at the same instant — never a sequence (strict time
+    order)."""
+    rows = [
+        (0, 0, 1, "view", 0.0, "{}"),
+        (1, 2 * 60, 1, "click", 0.0, "{}"),
+        (2, 23 * 60, 1, "click", 0.0, "{}"),
+        (3, 30 * 60, 1, "purchase", 0.0, "{}"),
+        (4, 0, 2, "view", 0.0, "{}"),
+        (5, 25 * 60, 2, "click", 0.0, "{}"),
+        (6, 26 * 60, 2, "purchase", 0.0, "{}"),
+        (7, 0, 3, "view", 0.0, "{}"),
+        (8, 0, 3, "click", 0.0, "{}"),
+        (9, 60, 3, "purchase", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r["a"], r["b"], r["c"]): (r["support"], r["support_gap"],
+                                   r["gap_retention_ppm"])
+        for r in QUERIES["time_windowed_sequence_support"](
+            spark, sf).collect()
+    }
+    # u1 and u2 support it unconstrained; ONLY u1 within the window
+    # (u3's simultaneous view/click never forms the prefix)
+    assert got[("view", "click", "purchase")] == (2, 1, 500_000)
+    # u3: click→(nothing strictly later but purchase)→... the pair
+    # (click, purchase) prefix works for u1 (2h→30h? 28h>24 via first,
+    # 23h→30h ✓) — spot-check one more triple for window math
+    assert got[("click", "click", "purchase")] == (1, 1, 1_000_000)
+
+
+def test_time_windowed_fixture_nondegenerate(spark, sf_dir):
+    """At sf0.001 the 24 h window must BITE (some pattern loses
+    support) without zeroing everything."""
+    rows = QUERIES["time_windowed_sequence_support"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["support_gap"] <= r["support"] for r in rows)
+    assert any(r["support_gap"] < r["support"] for r in rows), "window never binds"
+    assert any(r["support_gap"] > 0 for r in rows), "window zeroes everything"

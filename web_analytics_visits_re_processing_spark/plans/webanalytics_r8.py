@@ -798,3 +798,189 @@ SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day,
 FROM hw WHERE n >= 8 ORDER BY day_n
 """
     )
+
+
+# --- time-windowed sequential patterns (the max-gap half of GSP) ----------------
+
+_MAXGAP_US = 24 * 3600 * 1_000_000  # 24 h between consecutive steps
+
+
+@query(
+    "time_windowed_sequence_support",
+    # Srikant & Agrawal 1996 §2's max-gap constraint: a session/user
+    # supports (a,b,c) within gap G only if occurrences exist with
+    # BOTH consecutive time gaps ≤ G. The greedy first-occurrence
+    # scan (exact for unconstrained subsequences) is PROVABLY WRONG
+    # here — the earliest b after a can have no c in its window while
+    # a later b does — so containment is the full existential scan
+    # over per-symbol time lists, made linear-ish by the
+    # good-b precomputation (b-occurrences with a c in window), cost
+    # |occ_b|·|occ_c| + |occ_a|·|occ_goodb| per sequence, never L³.
+    oracle=f"""
+WITH s2 AS (
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS syms,
+           list(epoch_us(ts) ORDER BY ts, event_id) AS tss
+    FROM events GROUP BY user_id
+), al AS (SELECT DISTINCT event_type AS t FROM events),
+grid AS (SELECT a.t AS a, b.t AS b, c.t AS c FROM al a, al b, al c),
+m AS (
+    SELECT g.a, g.b, g.c,
+           SUM(CASE WHEN len(list_filter(
+                 list_transform(list_filter(range(1, len(s2.syms)+1),
+                                            i -> s2.syms[i] = g.a),
+                                i -> s2.tss[i]),
+                 t -> len(list_filter(
+                        list_filter(
+                          list_transform(
+                            list_filter(range(1, len(s2.syms)+1),
+                                        j -> s2.syms[j] = g.b),
+                            j -> s2.tss[j]),
+                          u -> len(list_filter(
+                                 list_transform(
+                                   list_filter(range(1, len(s2.syms)+1),
+                                               k -> s2.syms[k] = g.c),
+                                   k -> s2.tss[k]),
+                                 v -> v > u AND v - u <= {_MAXGAP_US}))
+                               > 0),
+                        u -> u > t AND u - t <= {_MAXGAP_US})) > 0)) > 0
+               THEN 1 ELSE 0 END)::BIGINT AS support_gap,
+           SUM(CASE WHEN len(list_filter(
+                 list_transform(list_filter(range(1, len(s2.syms)+1),
+                                            i -> s2.syms[i] = g.a),
+                                i -> s2.tss[i]),
+                 t -> len(list_filter(
+                        list_filter(
+                          list_transform(
+                            list_filter(range(1, len(s2.syms)+1),
+                                        j -> s2.syms[j] = g.b),
+                            j -> s2.tss[j]),
+                          u -> len(list_filter(
+                                 list_transform(
+                                   list_filter(range(1, len(s2.syms)+1),
+                                               k -> s2.syms[k] = g.c),
+                                   k -> s2.tss[k]),
+                                 v -> v > u)) > 0),
+                        u -> u > t)) > 0)) > 0
+               THEN 1 ELSE 0 END)::BIGINT AS support
+    FROM grid g CROSS JOIN s2
+    GROUP BY 1, 2, 3
+)
+SELECT a, b, c, support, support_gap,
+       (support_gap * 1000000 // GREATEST(support, 1))::BIGINT
+           AS gap_retention_ppm
+FROM m WHERE support > 0
+""",
+)
+def q_time_windowed_sequence_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-windowed sequential patterns — the MAX-GAP half of
+    Srikant & Agrawal 1996 that frequent_event_sequences (gaps
+    unbounded) and gsp_apriori_sequences (pruned counting) don't
+    cover: a user supports (a,b,c) within G = 24 h only if
+    occurrences exist with both consecutive gaps ≤ G, separating
+    time-local behavioral signatures ('viewed, clicked, bought in one
+    day') from slow coincidences a month apart. The exactness point
+    this query exists to make: under a gap constraint the greedy
+    first-occurrence scan is WRONG — the earliest b after a may have
+    no c in its window while a later b does (the planted pytest pins
+    exactly that trap) — so containment is the existential scan over
+    per-symbol time lists with STRICT time order (an event is never
+    'after' a simultaneous one; the same-timestamp pytest pins that
+    edge). Cost is tamed by the good-b precomputation (filter b's
+    occurrence times to those with a c in window, then ask any a has
+    a good-b in window): |occ_b|·|occ_c| + |occ_a|·|good_b| per
+    sequence — never L³ — and Spark's exists() HOF short-circuits.
+    The unconstrained column uses the SAME strict-time existential
+    (G = ∞) so the gap_retention_ppm ratio compares like with like.
+    Scale: the ≤125-row type grid broadcasts against user sequences —
+    the frequent_event_sequences fan-out shape; at 100 TB the grid
+    prunes by Apriori on the gap-constrained supports exactly as
+    gsp_apriori_sequences demonstrates."""
+    ev = _events(spark, sf_dir)
+    # Per-user symbol → sorted-times MAP built ONCE (two aggs), so the
+    # 125-pattern fan-out pays only the two nested exists() per row —
+    # deriving the occurrence arrays inside the lambdas instead makes
+    # Catalyst re-evaluate the zip+filter per outer element (measured
+    # >400 s at sf0.1; this form is ~2 s).
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sort_array(
+            F.collect_list(F.unix_micros("ts"))
+        ).alias("times")
+    )
+    s2 = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "times"))
+        ).alias("occ")
+    ).select("occ")
+    al = ev.select(F.col("event_type").alias("t")).distinct()
+    grid_bc = al.select(F.col("t").alias("b")).crossJoin(
+        al.select(F.col("t").alias("c"))
+    )
+    G = _MAXGAP_US
+    # Two-stage fan-out: the good-b arrays depend only on the (b, c)
+    # PAIR, so they compute on the ×|alphabet|² stage and the final
+    # ×|alphabet|³ stage pays only one exists() per row — 125× work
+    # where the naive one-stage form paid it 5× over.
+    bc = (
+        s2.crossJoin(F.broadcast(grid_bc))
+        .select(
+            "occ",
+            "b",
+            "c",
+            F.expr("coalesce(element_at(occ, b), array())").alias("tbb"),
+            F.expr("coalesce(element_at(occ, c), array())").alias("tcc"),
+        )
+        .select(
+            "occ",
+            "b",
+            "c",
+            F.expr(
+                f"filter(tbb, u -> exists(tcc, v -> v > u and"
+                f" v - u <= {G}))"
+            ).alias("goodb_gap"),
+            F.expr(
+                "filter(tbb, u -> exists(tcc, v -> v > u))"
+            ).alias("goodb_all"),
+        )
+    )
+    m = (
+        bc.crossJoin(F.broadcast(al.select(F.col("t").alias("a"))))
+        .select(
+            "a",
+            "b",
+            "c",
+            F.expr("coalesce(element_at(occ, a), array())").alias("taa"),
+            "goodb_gap",
+            "goodb_all",
+        )
+        .select(
+            "a",
+            "b",
+            "c",
+            F.expr(
+                f"case when exists(taa, t -> exists(goodb_gap,"
+                f" u -> u > t and u - t <= {G})) then 1 else 0 end"
+            ).alias("hg"),
+            F.expr(
+                "case when exists(taa, t -> exists(goodb_all,"
+                " u -> u > t)) then 1 else 0 end"
+            ).alias("ha"),
+        )
+        .groupBy("a", "b", "c")
+        .agg(
+            F.sum("ha").cast("long").alias("support"),
+            F.sum("hg").cast("long").alias("support_gap"),
+        )
+    )
+    return m.where(F.col("support") > 0).select(
+        "a",
+        "b",
+        "c",
+        "support",
+        "support_gap",
+        F.expr(
+            "support_gap * 1000000 div greatest(support, 1)"
+        ).alias("gap_retention_ppm"),
+    )
