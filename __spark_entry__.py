@@ -305,6 +305,7 @@ _REGISTERED_R08 = frozenset(
         "score_calibration_by_band",
         "holt_winters_dow_backtest",
         "time_windowed_sequence_support",
+        "count_min_heavy_hitters",
     }
 )
 

@@ -312,6 +312,7 @@ HEADLINE = [
     "score_calibration_by_band",
     "holt_winters_dow_backtest",
     "time_windowed_sequence_support",
+    "count_min_heavy_hitters",
 ]
 
 

@@ -396,3 +396,69 @@ def test_time_windowed_fixture_nondegenerate(spark, sf_dir):
     assert all(r["support_gap"] <= r["support"] for r in rows)
     assert any(r["support_gap"] < r["support"] for r in rows), "window never binds"
     assert any(r["support_gap"] > 0 for r in rows), "window zeroes everything"
+
+
+def test_count_min_overestimates_never_under(spark, sf_dir):
+    """The CM guarantee: min-over-rows estimate ≥ true count, always;
+    top-20 ranked by true count with deterministic tiebreak."""
+    rows = QUERIES["count_min_heavy_hitters"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["cm_estimate"] >= r["true_count"] for r in rows), rows
+    assert all(r["overestimate_ppm"] >= 0 for r in rows)
+    by_rk = sorted(rows, key=lambda r: r["rk"])
+    counts = [r["true_count"] for r in by_rk]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_count_min_exact_when_no_collisions(spark, tmp_path):
+    """3 users among 256 buckets × 4 rows: a collision in ALL four
+    rows is (3/256)⁴-improbable and deterministically absent for
+    these ids — estimates equal true counts exactly, overestimate 0."""
+    rows = []
+    eid = 0
+    for u, n in ((1, 5), (2, 3), (3, 7)):
+        for i in range(n):
+            rows.append((eid, i, u, "view", 0.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["true_count"], r["cm_estimate"],
+                       r["overestimate_ppm"])
+        for r in QUERIES["count_min_heavy_hitters"](spark, sf).collect()
+    }
+    assert got == {1: (5, 5, 0), 2: (3, 3, 0), 3: (7, 7, 0)}
+
+
+def test_count_min_collision_inflates_one_sided(spark, tmp_path):
+    """Python replay of the md5 rule: rebuild all 4×256 counters for
+    the fixture's users and verify the query's estimate equals the
+    replayed min-over-rows for every reported user — the full sketch
+    pipeline, not just the inequality."""
+    import hashlib
+
+    def h(r, u):
+        return int(
+            hashlib.md5(f"{r}:{u}".encode()).hexdigest()[:15], 16
+        ) % 256
+
+    counts = {u: (u % 7) + 1 for u in range(100, 160)}
+    rows, eid = [], 0
+    for u, n in counts.items():
+        for i in range(n):
+            rows.append((eid, i, u, "click", 0.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    cells = {}
+    for u, n in counts.items():
+        for r in range(4):
+            key = (r, h(r, u))
+            cells[key] = cells.get(key, 0) + n
+    expected_est = {
+        u: min(cells[(r, h(r, u))] for r in range(4)) for u in counts
+    }
+    got = {
+        r["user_id"]: (r["true_count"], r["cm_estimate"])
+        for r in QUERIES["count_min_heavy_hitters"](spark, sf).collect()
+    }
+    assert len(got) == 20
+    for u, (tc, est) in got.items():
+        assert tc == counts[u]
+        assert est == expected_est[u], (u, est, expected_est[u])

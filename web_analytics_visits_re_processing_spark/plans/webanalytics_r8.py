@@ -984,3 +984,123 @@ def q_time_windowed_sequence_support(
             "support_gap * 1000000 div greatest(support, 1)"
         ).alias("gap_retention_ppm"),
     )
+
+
+# --- Count-Min sketch: the sketch family's fully-gateable member -----------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+
+
+@query(
+    "count_min_heavy_hitters",
+    # Count-Min sketch (Cormode & Muthukrishnan 2005): D=4 rows ×
+    # W=256 counters, hash_i(u) = md5(i‖':'‖u) through the repo's
+    # 60-bit rule, estimate = MIN over rows of the hit counter.
+    # Unlike HLL/GK (rows-only by design), CM is DETERMINISTIC given
+    # its hash functions, so the WHOLE sketch pipeline hash-gates:
+    # the oracle rebuilds all 1024 counters and re-queries them. The
+    # one-sided error (est ≥ true, excess ≤ εN w.h.p.) is pinned by
+    # pytest and visible in the overestimate column.
+    oracle=f"""
+WITH u AS (
+    SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id
+), rows_ AS (SELECT range::BIGINT AS r FROM range(0, {_CM_DEPTH})),
+cells AS (
+    SELECT r.r,
+           ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+                || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_CM_WIDTH} AS bucket,
+           SUM(u.cnt)::BIGINT AS counter
+    FROM u CROSS JOIN rows_ r
+    GROUP BY 1, 2
+), top AS (
+    SELECT user_id, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+    FROM u
+), est AS (
+    SELECT t.user_id, t.cnt, t.rk,
+           MIN(c.counter)::BIGINT AS cm_estimate
+    FROM top t
+    JOIN rows_ r ON TRUE
+    JOIN cells c
+      ON c.r = r.r
+     AND c.bucket = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+            || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % {_CM_WIDTH}
+    WHERE t.rk <= 20
+    GROUP BY 1, 2, 3
+)
+SELECT user_id, cnt AS true_count, cm_estimate, rk,
+       ((cm_estimate - cnt) * 1000000 // cnt)::BIGINT AS overestimate_ppm
+FROM est
+""",
+)
+def q_count_min_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min sketch heavy-hitter readout (Cormode &
+    Muthukrishnan 2005) — the sketch family's FULLY-GATED member:
+    HLL and GK quantiles are rows-only by design (implementation-
+    specific internals), but CM is deterministic given its hash
+    functions, so with the repo's portable md5 rule
+    (hash_i(u) = md5(i‖':'‖u) 60-bit, mod W) the entire pipeline —
+    build all D×W = {_CM_DEPTH}×{_CM_WIDTH} counters, query the
+    top-20 true heavy hitters back through the sketch — replays
+    byte-exact in SQL. Reported per hitter: true event count, the
+    sketch's MIN-over-rows estimate, and the one-sided error
+    (est ≥ true ALWAYS — the CM guarantee the pytest pins; expected
+    excess ≤ e·N/W per row). This is the 100 TB heavy-hitter shape:
+    the sketch is W·D integers mergeable across partitions
+    (map-side combine does exactly that here), queries are O(D)
+    lookups against a broadcastable 1 KB table — where exact top-k
+    needs a full key rollup. Scale: one user rollup, a ×{_CM_DEPTH}
+    narrow fan-out collapsing to {_CM_DEPTH}×{_CM_WIDTH} cells, a
+    TakeOrdered top-20, and a broadcast join of the cell table."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    rows_ = spark.range(_CM_DEPTH).select(F.col("id").alias("r"))
+    cell_hash = (
+        hash64(
+            F.concat_ws(
+                ":", F.col("r").cast("string"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % _CM_WIDTH
+    )
+    cells = (
+        u.crossJoin(F.broadcast(rows_))
+        .select("r", cell_hash.alias("bucket"), "cnt")
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("counter"))
+    )
+    from pyspark.sql import Window
+
+    top = (
+        u.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "user_id")
+            ),
+        )
+        .where(F.col("rk") <= 20)
+    )
+    probe = top.crossJoin(F.broadcast(rows_)).select(
+        "user_id", "cnt", "rk", "r", cell_hash.alias("bucket")
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "cnt", "rk")
+        .agg(F.min("counter").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("cnt").alias("true_count"),
+        "cm_estimate",
+        "rk",
+        F.expr(
+            "(cm_estimate - cnt) * 1000000 div cnt"
+        ).alias("overestimate_ppm"),
+    )
