@@ -108,6 +108,18 @@ PROBE_QUERIES = [
     "poisson_bootstrap_ci",
     "link_prediction_common_neighbors",
     "lsh_recall_vs_truth",
+    # round-8 additions probed the round they landed (not deferred to
+    # a verdict ask): the KM recursion, the Apriori GSP chain, the
+    # exact max-gap scan, the CM sketch build, Holt–Winters, the
+    # calibration/uplift band rollups, and nDCG's double retrieval.
+    "km_survival_curve",
+    "gsp_apriori_sequences",
+    "time_windowed_sequence_support",
+    "count_min_heavy_hitters",
+    "holt_winters_dow_backtest",
+    "score_calibration_by_band",
+    "t_closeness_audit",
+    "ndcg_at_10_ann",
 ]
 
 
@@ -179,6 +191,27 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
         for p in oparts[1:]:
             oscaled = oscaled.unionAll(p)
         oscaled.repartition(32).write.mode("overwrite").parquet(ord_out)
+
+    # customer joined the probe in round 8 (t_closeness_audit):
+    # c_custkey shifts per replica; the QI columns (nationkey,
+    # segment) are kept verbatim so equivalence classes GROW with the
+    # data — the honest audit case (class n and table N both 10× ⇒
+    # identical t, 10× the rows to prove it on).
+    cust_out = f"{out_dir}/customer.parquet"
+    if not os.path.exists(cust_out):
+        cst = spark.read.parquet(f"{BASE_SF}/customer.parquet")
+        n_cst = cst.agg(F.max("c_custkey")).first()[0] + 1
+        ccols = [c for c in cst.columns if c != "c_custkey"]
+        cparts = [
+            cst.select(
+                (F.col("c_custkey") + i * n_cst).alias("c_custkey"), *ccols
+            )
+            for i in range(REPLICAS)
+        ]
+        cscaled = cparts[0]
+        for p in cparts[1:]:
+            cscaled = cscaled.unionAll(p)
+        cscaled.repartition(32).write.mode("overwrite").parquet(cust_out)
 
     if os.path.exists(os.path.join(out_dir, "_READY")):
         return
