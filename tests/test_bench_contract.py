@@ -48,3 +48,45 @@ def test_headline_names_are_registry_names():
     missing = [n for n in HEADLINE if n not in QUERIES]
     assert not missing, missing
     assert len(set(HEADLINE)) == len(HEADLINE)  # no duplicate entries
+
+
+def test_every_never_sampled_query_has_a_rotation_tier():
+    """The driver-verification rotation orders the never-sampled
+    backlog by REGISTRATION ROUND via hand-maintained _REGISTERED_R0x
+    sets — a new query missing from its round's set silently jumps
+    the oldest backlog (the ordering the r7 verdict ordered preserved).
+    This pins: every registry query either has a driver record in
+    some CORRECTNESS artifact or belongs to exactly one tier set."""
+    import glob
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as e
+
+    sampled = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        rows = payload.get("queries", payload)
+        if isinstance(rows, dict):
+            sampled.update(rows)
+    tiers = [e._REGISTERED_R06, e._REGISTERED_R07, e._REGISTERED_R08]
+    tiered = set().union(*tiers)
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    orphans = [
+        n for n in QUERIES if n not in sampled and n not in tiered
+    ]
+    assert not orphans, (
+        f"queries with no driver record and no _REGISTERED_R0x tier "
+        f"(they would jump the rotation backlog): {orphans}"
+    )
+    # and no query sits in two tiers
+    assert not (tiers[0] & tiers[1]) and not (tiers[1] & tiers[2]) \
+        and not (tiers[0] & tiers[2])
