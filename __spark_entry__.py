@@ -306,6 +306,7 @@ _REGISTERED_R08 = frozenset(
         "holt_winters_dow_backtest",
         "time_windowed_sequence_support",
         "count_min_heavy_hitters",
+        "streaming_count_min_sketch",
     }
 )
 

@@ -313,6 +313,7 @@ HEADLINE = [
     "holt_winters_dow_backtest",
     "time_windowed_sequence_support",
     "count_min_heavy_hitters",
+    "streaming_count_min_sketch",
 ]
 
 

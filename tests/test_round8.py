@@ -462,3 +462,22 @@ def test_count_min_collision_inflates_one_sided(spark, tmp_path):
     for u, (tc, est) in got.items():
         assert tc == counts[u]
         assert est == expected_est[u], (u, est, expected_est[u])
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, sf_dir):
+    """Mergeability, end to end: the incrementally-streamed sketch
+    must produce the IDENTICAL readout to the one-shot batch build —
+    same top-20, same estimates, same overestimates."""
+    batch = {
+        r["user_id"]: (r["true_count"], r["cm_estimate"], r["rk"],
+                       r["overestimate_ppm"])
+        for r in QUERIES["count_min_heavy_hitters"](spark, sf_dir).collect()
+    }
+    streamed = {
+        r["user_id"]: (r["true_count"], r["cm_estimate"], r["rk"],
+                       r["overestimate_ppm"])
+        for r in QUERIES["streaming_count_min_sketch"](
+            spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0

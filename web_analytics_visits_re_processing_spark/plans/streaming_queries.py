@@ -567,3 +567,108 @@ def q_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = streaming_benford_state(spark, sf_dir)
     return d.select("digit", F.col("c").alias("n"))
+
+
+@query(
+    "streaming_count_min_sketch",
+    # Identical oracle to count_min_heavy_hitters: CM counters merge
+    # associatively across micro-batches (the sketch's defining
+    # property, Cormode & Muthukrishnan 2005 §4), so the INCREMENTAL
+    # sketch must equal the batch sketch cell-for-cell — the gate
+    # probes the streamed cells with the batch top-20 and every
+    # estimate must hash-match the one-shot build.
+    oracle="""
+WITH u AS (
+    SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id
+), rows_ AS (SELECT range::BIGINT AS r FROM range(0, 4)),
+cells AS (
+    SELECT r.r,
+           ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+                || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket,
+           SUM(u.cnt)::BIGINT AS counter
+    FROM u CROSS JOIN rows_ r
+    GROUP BY 1, 2
+), top AS (
+    SELECT user_id, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+    FROM u
+), est AS (
+    SELECT t.user_id, t.cnt, t.rk,
+           MIN(c.counter)::BIGINT AS cm_estimate
+    FROM top t
+    JOIN rows_ r ON TRUE
+    JOIN cells c
+      ON c.r = r.r
+     AND c.bucket = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+            || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % 256
+    WHERE t.rk <= 20
+    GROUP BY 1, 2, 3
+)
+SELECT user_id, cnt AS true_count, cm_estimate, rk,
+       ((cm_estimate - cnt) * 1000000 // cnt)::BIGINT AS overestimate_ppm
+FROM est
+""",
+)
+def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained ON the stream (20th streaming
+    replay) — the mergeability thesis made operational: per-batch
+    partial counters add associatively, so the incrementally-built
+    sketch must equal ``count_min_heavy_hitters``' one-shot build
+    CELL-FOR-CELL, and this gate proves it by probing the SERVED
+    streamed cells with the batch top-20 heavy hitters and hashing
+    the identical readout. State inside the stream is 4×256 counters
+    — constant in traffic volume (the heatmap argument, one further:
+    the sketch answers frequency queries about an UNBOUNDED key set
+    from bounded state). Serving read and ranking stay batch-side,
+    as with the top-k leaderboard."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _events,
+    )
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_count_min_state,
+    )
+
+    cells = streaming_count_min_state(spark, sf_dir)
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = u.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "user_id")),
+    ).where(F.col("rk") <= 20)
+    rows_ = spark.range(4).select(F.col("id").alias("r"))
+    probe = top.crossJoin(F.broadcast(rows_)).select(
+        "user_id",
+        "cnt",
+        "rk",
+        "r",
+        (
+            hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("r").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 256
+        ).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "cnt", "rk")
+        .agg(F.min("counter").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("cnt").alias("true_count"),
+        "cm_estimate",
+        "rk",
+        F.expr("(cm_estimate - cnt) * 1000000 div cnt").alias(
+            "overestimate_ppm"
+        ),
+    )

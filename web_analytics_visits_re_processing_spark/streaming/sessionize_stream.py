@@ -923,3 +923,70 @@ def streaming_user_totals_state(
         output_mode="update",
     )
     return read_state(spark, state)
+
+
+def streaming_count_min_state(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Count-Min sketch maintained INCREMENTALLY on the event stream:
+    each event fans out to ``depth`` (row, md5-bucket) cells
+    (stateless projection), an update-mode count agg accumulates the
+    counters, and the snapshot-upsert sink serves them (counters only
+    grow, so latest-per-key ordered by the counter itself is the
+    correct merge — the same serving rule as totals/HLL/histogram).
+    This is the CM MERGEABILITY property made operational: per-batch
+    partial counters add associatively, so the streamed sketch equals
+    the batch sketch cell-for-cell, which is exactly what the gate
+    pins. State is depth×width rows — CONSTANT in traffic volume, the
+    bounded-state argument in its purest form."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_cms", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger).where(
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
+    )
+    cells = (
+        events.select(
+            F.col("user_id"),
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in range(depth)])
+            ).alias("r"),
+        )
+        .select(
+            "r",
+            (
+                hash64(
+                    F.concat_ws(
+                        ":",
+                        F.col("r").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+    run_upsert_stream(
+        cells,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["r", "bucket"],
+        order_cols=["counter"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
