@@ -307,6 +307,8 @@ _REGISTERED_R08 = frozenset(
         "time_windowed_sequence_support",
         "count_min_heavy_hitters",
         "streaming_count_min_sketch",
+        "zipf_doubling_profile",
+        "median_ci_by_type",
     }
 )
 

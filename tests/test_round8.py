@@ -481,3 +481,57 @@ def test_streaming_count_min_equals_batch_sketch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_zipf_doubling_hand_computed(spark, tmp_path):
+    """Vocabulary with exact frequencies 64,32,16,8 for w1..w4 (plus
+    singletons to fill ranks): decay at rank 1 = 32·1e6//64 = 500000,
+    rank 2 = 8·1e6//16 = 500000 — a perfect s=1 Zipf reads a flat
+    500000 profile; rank 4 pairs rank 8's singleton (ppm from exact
+    counts). Ranks past the vocabulary emit no row."""
+    words = (["w1"] * 64 + ["w2"] * 32 + ["w3"] * 16 + ["w4"] * 8
+             + [f"s{i}" for i in range(8)])
+    docs = [(1, " ".join(words), "en", "s", 10)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["rank"]: (r["freq_at_rank"], r["freq_at_2x"], r["decay_ppm"])
+        for r in QUERIES["zipf_doubling_profile"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (64, 32, 500_000)
+    assert got[2] == (32, 8, 250_000)
+    assert got[4] == (8, 1, 125_000)
+    # vocab = 12 tokens → rank 8 needs rank 16: absent
+    assert set(got) == {1, 2, 4}
+
+
+def test_median_ci_hand_computed(spark, tmp_path):
+    """9 values 100..900: median rank (9+1)//2 = 5 → 500; ⌊√9⌋ = 3 →
+    CI ranks 2 and 8 → [200, 800]. A 2-value type clamps to its
+    extremes."""
+    rows = [(i, i, 1, "view", (i + 1) * 1.0, "{}") for i in range(9)]
+    rows += [(100, 0, 2, "purchase", 5.0, "{}"),
+             (101, 1, 2, "purchase", 9.0, "{}")]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: (r["n"], r["median_cents"], r["ci_lo_cents"],
+                          r["ci_hi_cents"], r["half_width_ranks"])
+        for r in QUERIES["median_ci_by_type"](spark, sf).collect()
+    }
+    assert got["view"] == (9, 500, 200, 800, 3)
+    # n=2: r_med = 1 → 500; √2 → 1: lo rank 1 → clamp ≥1, hi rank 2
+    assert got["purchase"] == (2, 500, 500, 900, 1)
+
+
+def test_median_ci_brackets_and_orders(spark, sf_dir):
+    """Fixture sanity: lo ≤ median ≤ hi per type, and the CI is a
+    genuine interval (lo < hi whenever n > 4)."""
+    rows = QUERIES["median_ci_by_type"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"], r
+        if r["n"] > 4:
+            assert r["ci_lo_cents"] < r["ci_hi_cents"], r

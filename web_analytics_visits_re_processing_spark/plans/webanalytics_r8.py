@@ -1104,3 +1104,200 @@ def q_count_min_heavy_hitters(
             "(cm_estimate - cnt) * 1000000 div cnt"
         ).alias("overestimate_ppm"),
     )
+
+
+# --- Zipf doubling profile: the corpus-law pair's second member ------------------
+
+
+@query(
+    "zipf_doubling_profile",
+    # Rank-frequency decay at pinned DOUBLING ranks (1,2,4,…,512):
+    # under Zipf with exponent s, freq(2r)/freq(r) ≈ 2^−s for every
+    # r, so the profile is flat — and it needs NO logarithm: each row
+    # is two exact counts and one integer ppm ratio, where a fitted
+    # slope would drag float log-log regression into the gate.
+    oracle="""
+WITH tf AS (
+    SELECT tok, COUNT(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE tok <> '' GROUP BY tok
+), ranked AS (
+    SELECT freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+    FROM tf
+), spine AS (
+    SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512])::BIGINT AS r
+)
+SELECT s.r AS rank, a.freq AS freq_at_rank, b.freq AS freq_at_2x,
+       (b.freq * 1000000 // a.freq)::BIGINT AS decay_ppm
+FROM spine s
+JOIN ranked a ON a.rnk = s.r
+JOIN ranked b ON b.rnk = 2 * s.r
+""",
+)
+def q_zipf_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency decay profile — the corpus-law companion
+    to heaps_vocab_growth (Heaps measures vocabulary GROWTH, Zipf
+    measures frequency DECAY; the two exponents are theoretically
+    linked, Baeza-Yates & Navarro 2000): token frequency at pinned
+    doubling ranks 1,2,4,…,512 with the ratio freq(2r)/freq(r) in
+    exact ppm. Under Zipf's law the ratio is ≈2^−s at EVERY rank, so
+    a flat profile certifies power-law behavior and its level reads
+    the exponent — with NO logarithm anywhere (a fitted log-log slope
+    would put float regression inside the gate; the doubling ratio is
+    two exact counts and one integer division). The readout is what a
+    tokenizer-budget decision consumes: how fast does the long tail
+    fall — deviation at low ranks = stopword head, at high ranks =
+    vocabulary exhaustion (a rank with no 2r-th token emits no row,
+    honest truncation). Scale: one token rollup (map-side combined)
+    and a top-1024-by-frequency ranking — rank needs only the head,
+    never a full global sort of the vocabulary; the spine join is 10
+    broadcast rows."""
+    from pyspark.sql import Window
+
+    from web_analytics_visits_re_processing_spark.plans.llmdata import _docs
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "tok"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 1024)
+    spine = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,), (32,), (64,), (128,), (256,), (512,)],
+        "r long",
+    )
+    a = ranked.select(F.col("rnk").alias("r"), F.col("freq").alias("freq_at_rank"))
+    b = ranked.select(
+        (F.col("rnk")).alias("r2"), F.col("freq").alias("freq_at_2x")
+    )
+    return (
+        F.broadcast(spine)
+        .join(a, "r")
+        .join(b, F.col("r2") == 2 * F.col("r"))
+        .select(
+            F.col("r").alias("rank"),
+            "freq_at_rank",
+            "freq_at_2x",
+            F.expr(
+                "freq_at_2x * 1000000 div freq_at_rank"
+            ).alias("decay_ppm"),
+        )
+    )
+
+
+# --- distribution-free median CI via order statistics ----------------------------
+
+
+@query(
+    "median_ci_by_type",
+    # The binomial order-statistic confidence interval for the median
+    # (Conover 1999 §3.2): ranks (n+1)/2 ∓ √n bracket the true median
+    # with ≥95% coverage for any continuous distribution — no
+    # normality, no bootstrap, no float beyond FLOOR(SQRT(n)) (exact
+    # for these n: IEEE sqrt is correctly rounded). The value-side
+    # companion to poisson_bootstrap_ci (rates) — medians on skewed
+    # revenue need uncertainty too, and the mean±z CI is the wrong
+    # tool there.
+    oracle="""
+WITH vals AS (
+    SELECT event_type, event_id,
+           FLOOR(value * 100)::BIGINT AS v
+    FROM events
+), ranked AS (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY v, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM vals
+), targets AS (
+    SELECT event_type, v, rn, n,
+           (n + 1) // 2 AS r_med,
+           GREATEST((n + 1) // 2
+                    - CAST(FLOOR(SQRT(n)) AS BIGINT), 1) AS r_lo,
+           LEAST((n + 1) // 2
+                 + CAST(FLOOR(SQRT(n)) AS BIGINT), n) AS r_hi
+    FROM ranked
+)
+SELECT event_type, MAX(n)::BIGINT AS n,
+       MAX(CASE WHEN rn = r_med THEN v END)::BIGINT AS median_cents,
+       MAX(CASE WHEN rn = r_lo THEN v END)::BIGINT AS ci_lo_cents,
+       MAX(CASE WHEN rn = r_hi THEN v END)::BIGINT AS ci_hi_cents,
+       MAX(CAST(FLOOR(SQRT(n)) AS BIGINT))::BIGINT AS half_width_ranks
+FROM targets
+GROUP BY event_type
+""",
+)
+def q_median_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median event value per type WITH a distribution-free ~95%
+    confidence interval — the order-statistic CI (Conover 1999
+    §3.2): the values at ranks (n+1)/2 ∓ ⌊√n⌋ bracket the true
+    median with ≥95% coverage for ANY continuous distribution (the
+    binomial argument: the count of observations below the median is
+    Binomial(n, ½), whose 95% band is ≈ n/2 ± 0.98√n). This is the
+    uncertainty member of the percentile family — a point median on
+    skewed revenue without a CI invites overreading, and the mean±z
+    interval is the wrong tool for skew — and the VALUE-side
+    companion to poisson_bootstrap_ci's rate CI: no normality
+    assumption, no resampling, no RNG. Integer-exact: values are
+    floored cents, ranks are the repo's cumulative-rank convention
+    (row_number with the event_id tiebreak — ties in value still
+    yield the correct k-th order statistic), and ⌊√n⌋ is exact
+    because IEEE double sqrt is correctly rounded at these
+    magnitudes. Scale: one type-keyed rank window (the per-group
+    sort a percentile needs anyway) + one conditional-max rollup —
+    no second pass, no sort of anything but the group."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    vals = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(wt.orderBy("v", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    targets = ranked.select(
+        "event_type",
+        "v",
+        "rn",
+        "n",
+        F.expr("(n + 1) div 2").alias("r_med"),
+        F.expr(
+            "greatest((n + 1) div 2 - cast(floor(sqrt(n)) as bigint), 1)"
+        ).alias("r_lo"),
+        F.expr(
+            "least((n + 1) div 2 + cast(floor(sqrt(n)) as bigint), n)"
+        ).alias("r_hi"),
+    )
+    return targets.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("r_med"), F.col("v")))
+        .cast("long")
+        .alias("median_cents"),
+        F.max(F.when(F.col("rn") == F.col("r_lo"), F.col("v")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == F.col("r_hi"), F.col("v")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+        F.max(F.expr("cast(floor(sqrt(n)) as bigint)"))
+        .cast("long")
+        .alias("half_width_ranks"),
+    )
