@@ -120,6 +120,9 @@ PROBE_QUERIES = [
     "score_calibration_by_band",
     "t_closeness_audit",
     "ndcg_at_10_ann",
+    "streaming_count_min_sketch",
+    "zipf_doubling_profile",
+    "median_ci_by_type",
 ]
 
 
