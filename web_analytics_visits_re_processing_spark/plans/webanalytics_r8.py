@@ -1212,7 +1212,7 @@ def q_zipf_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH vals AS (
     SELECT event_type, event_id,
            FLOOR(value * 100)::BIGINT AS v
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ), ranked AS (
     SELECT event_type, v,
            ROW_NUMBER() OVER (PARTITION BY event_type
@@ -1259,7 +1259,11 @@ def q_median_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
-    vals = ev.select(
+    # NULL values are excluded EXPLICITLY: Spark windows order NULLS
+    # FIRST ascending, DuckDB NULLS LAST — a null value would silently
+    # shift every rank differently in the two engines (no nulls in the
+    # fixtures today; the guard keeps the gate honest if that changes).
+    vals = ev.where(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("v"),
