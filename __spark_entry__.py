@@ -309,6 +309,7 @@ _REGISTERED_R08 = frozenset(
         "streaming_count_min_sketch",
         "zipf_doubling_profile",
         "median_ci_by_type",
+        "mmr_diversified_top3",
     }
 )
 

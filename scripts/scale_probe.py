@@ -123,6 +123,7 @@ PROBE_QUERIES = [
     "streaming_count_min_sketch",
     "zipf_doubling_profile",
     "median_ci_by_type",
+    "mmr_diversified_top3",
 ]
 
 

@@ -535,3 +535,50 @@ def test_median_ci_brackets_and_orders(spark, sf_dir):
         assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"], r
         if r["n"] > 4:
             assert r["ci_lo_cents"] < r["ci_hi_cents"], r
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """Query q = e_x; A and B are IDENTICAL vectors at +30° (rel
+    0.866, sim(A,B) = 1), C at −30° (rel 0.866, sim(A,C) = 0.5). All
+    three tie on relevance (s1 = A by id tiebreak), but MMR's step 2
+    must pick C over the redundant B: score(C) = 7·8660 − 3·5000 =
+    45620 > score(B) = 7·8660 − 3·10000 = 30620. Pure relevance
+    ranking would have returned A, B, C."""
+    import math
+
+    pad = [0.0] * 61
+    q = [1.0, 0.0, 0.0] + pad
+    ab = [math.cos(math.pi / 6), 0.5, 0.0] + pad
+    c = [math.cos(math.pi / 6), -0.5, 0.0] + pad
+    rows = [(0, q, "q"), (10, ab, "x"), (11, ab, "x"), (12, c, "x")]
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["step"]: (r["vec_id"], r["rel4"], r["mmr_score_e5"])
+        for r in QUERIES["mmr_diversified_top3"](
+            spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (10, 8660, 60620),
+        2: (12, 8660, 45620),
+        3: (11, 8660, 30620),
+    }
+
+
+def test_mmr_fixture_shape(spark, sf_dir):
+    """Driver fixture: 10 queries × 3 steps, no repeated selection
+    within a query, scores non-increasing across steps (greedy with a
+    growing penalty can only fall)."""
+    rows = QUERIES["mmr_diversified_top3"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 10
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["step"])
+        assert [r["step"] for r in rs] == [1, 2, 3]
+        ids = [r["vec_id"] for r in rs]
+        assert len(set(ids)) == 3
+        scores = [r["mmr_score_e5"] for r in rs]
+        assert scores[0] >= scores[1] >= scores[2], (q, scores)

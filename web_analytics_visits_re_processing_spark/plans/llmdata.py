@@ -4944,3 +4944,213 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab_size").cast("long").alias("vocab_size"),
         )
     )
+
+
+@query(
+    "mmr_diversified_top3",
+    # Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    # re-ranking of the exact top-10 pool, score(d) = λ·rel(d) −
+    # (1−λ)·max_{s∈selected} sim(d,s) with λ = 0.7. Three unrolled
+    # selection steps (the HITS unroll convention); all scores in
+    # exact integer e5 units (7·rel4 − 3·sim4 over 4-dp-rounded
+    # cosines ×10⁴), vec_id tiebreaks, so the greedy argmax chain is
+    # deterministic and the oracle replays every step.
+    oracle="""
+WITH cand AS (
+    SELECT query_id, vec_id, rel4, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               CAST(ROUND(ROUND(list_cosine_similarity(
+                    q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4)
+                    * 10000) AS BIGINT) AS rel4,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rk <= 10
+),
+vecs AS (
+    SELECT c.query_id, c.vec_id, e.embedding
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+),
+pairs AS (
+    SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+           CAST(ROUND(ROUND(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                * 10000) AS BIGINT) AS sim4
+    FROM vecs a JOIN vecs b
+      ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+),
+s1 AS (
+    SELECT query_id, vec_id, rel4, 7 * rel4 AS score
+    FROM cand WHERE rk = 1
+),
+r2 AS (
+    SELECT c.query_id, c.vec_id, c.rel4,
+           7 * c.rel4 - 3 * p.sim4 AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY 7 * c.rel4 - 3 * p.sim4 DESC, c.vec_id) AS rr
+    FROM cand c
+    JOIN s1 ON s1.query_id = c.query_id AND c.vec_id != s1.vec_id
+    JOIN pairs p ON p.query_id = c.query_id AND p.da = c.vec_id
+               AND p.db = s1.vec_id
+),
+s2 AS (SELECT query_id, vec_id, rel4, score FROM r2 WHERE rr = 1),
+r3 AS (
+    SELECT c.query_id, c.vec_id, c.rel4,
+           7 * c.rel4 - 3 * GREATEST(p1.sim4, p2.sim4) AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+               ORDER BY 7 * c.rel4 - 3 * GREATEST(p1.sim4, p2.sim4)
+                        DESC, c.vec_id) AS rr
+    FROM cand c
+    JOIN s1 ON s1.query_id = c.query_id
+    JOIN s2 ON s2.query_id = c.query_id
+    JOIN pairs p1 ON p1.query_id = c.query_id AND p1.da = c.vec_id
+                AND p1.db = s1.vec_id
+    JOIN pairs p2 ON p2.query_id = c.query_id AND p2.da = c.vec_id
+                AND p2.db = s2.vec_id
+    WHERE c.vec_id != s1.vec_id AND c.vec_id != s2.vec_id
+),
+s3 AS (SELECT query_id, vec_id, rel4, score FROM r3 WHERE rr = 1)
+SELECT query_id, CAST(1 AS BIGINT) AS step, vec_id, rel4,
+       score::BIGINT AS mmr_score_e5 FROM s1
+UNION ALL SELECT query_id, 2, vec_id, rel4, score FROM s2
+UNION ALL SELECT query_id, 3, vec_id, rel4, score FROM s3
+""",
+)
+def q_mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-3 (Carbonell & Goldstein 1998) — the
+    DIVERSIFICATION member of the retrieval post-processing family
+    (RRF fuses, JL reranks, metadata filters; MMR keeps the result
+    list from being three copies of the same near-duplicate, the
+    failure mode a RAG context window actually suffers): greedy
+    selection from the exact top-10 pool, score(d) = λ·rel(d) −
+    (1−λ)·max over selected of sim(d, s), λ = 0.7, three steps
+    unrolled (the HITS convention — greedy chains are sequential by
+    nature, and a 3-step unroll keeps every argmax a window rank
+    instead of a driver loop). Exact integers: cosines use the repo's
+    4-dp-round convention, scaled ×10⁴ to ints, so scores are
+    7·rel4 − 3·sim4 in e5 units with vec_id tiebreaks — the greedy
+    chain is fully deterministic and the oracle replays all three
+    selections. Scale shape: the pool is |queries|×10 rows, pairwise
+    penalties |queries|×90 — everything downstream of the one
+    brute-force scoring pass is bounded by the eval set, the
+    ann_recall_at_5 argument."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine,
+        cosine_topk_bruteforce,
+    )
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 10)
+    cand = cosine_topk_bruteforce(emb, qs, k=10).select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cos") * 10000).cast("long").alias("rel4"),
+        "rk",
+    )
+    vecs = cand.select("query_id", "vec_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = vecs.select(
+        "query_id", F.col("vec_id").alias("da"),
+        F.col("embedding").alias("_ea"),
+    )
+    b = vecs.select(
+        "query_id", F.col("vec_id").alias("db"),
+        F.col("embedding").alias("_eb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("da") != F.col("db"))
+        .select(
+            "query_id",
+            "da",
+            "db",
+            F.round(
+                F.round(cosine(F.col("_ea"), F.col("_eb")), 4) * 10000
+            ).cast("long").alias("sim4"),
+        )
+    )
+    s1 = cand.where(F.col("rk") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("s1_id"),
+        F.col("rel4").alias("s1_rel4"),
+        (7 * F.col("rel4")).alias("s1_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    r2 = (
+        cand.join(s1, "query_id")
+        .where(F.col("vec_id") != F.col("s1_id"))
+        .join(
+            pairs.select(
+                "query_id", F.col("da").alias("vec_id"),
+                F.col("db").alias("s1_id"), F.col("sim4").alias("p1"),
+            ),
+            ["query_id", "vec_id", "s1_id"],
+        )
+        .select(
+            "query_id", "vec_id", "rel4", "s1_id",
+            (7 * F.col("rel4") - 3 * F.col("p1")).alias("score"),
+        )
+        .withColumn("rr", F.row_number().over(w))
+    )
+    s2 = r2.where(F.col("rr") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("s2_id"),
+        F.col("rel4").alias("s2_rel4"),
+        F.col("score").alias("s2_score"),
+    )
+    r3 = (
+        cand.join(s1, "query_id")
+        .join(s2, "query_id")
+        .where(
+            (F.col("vec_id") != F.col("s1_id"))
+            & (F.col("vec_id") != F.col("s2_id"))
+        )
+        .join(
+            pairs.select(
+                "query_id", F.col("da").alias("vec_id"),
+                F.col("db").alias("s1_id"), F.col("sim4").alias("p1"),
+            ),
+            ["query_id", "vec_id", "s1_id"],
+        )
+        .join(
+            pairs.select(
+                "query_id", F.col("da").alias("vec_id"),
+                F.col("db").alias("s2_id"), F.col("sim4").alias("p2"),
+            ),
+            ["query_id", "vec_id", "s2_id"],
+        )
+        .select(
+            "query_id", "vec_id", "rel4",
+            (
+                7 * F.col("rel4")
+                - 3 * F.greatest(F.col("p1"), F.col("p2"))
+            ).alias("score"),
+        )
+        .withColumn("rr", F.row_number().over(w))
+    )
+    s3 = r3.where(F.col("rr") == 1)
+    out1 = s1.select(
+        "query_id", F.lit(1).cast("long").alias("step"),
+        F.col("s1_id").alias("vec_id"), F.col("s1_rel4").alias("rel4"),
+        F.col("s1_score").cast("long").alias("mmr_score_e5"),
+    )
+    out2 = s2.select(
+        "query_id", F.lit(2).cast("long").alias("step"),
+        F.col("s2_id").alias("vec_id"), F.col("s2_rel4").alias("rel4"),
+        F.col("s2_score").cast("long").alias("mmr_score_e5"),
+    )
+    out3 = s3.select(
+        "query_id", F.lit(3).cast("long").alias("step"),
+        "vec_id", "rel4",
+        F.col("score").cast("long").alias("mmr_score_e5"),
+    )
+    return out1.unionByName(out2).unionByName(out3)
