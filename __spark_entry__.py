@@ -310,6 +310,9 @@ _REGISTERED_R08 = frozenset(
         "zipf_doubling_profile",
         "median_ci_by_type",
         "mmr_diversified_top3",
+        "cmh_stratified_lift",
+        "bh_fdr_segment_ztests",
+        "hodges_lehmann_shift",
     }
 )
 

@@ -1,0 +1,304 @@
+"""Planted-case tests for the stratified-inference close-out tier:
+CMH (the estimator Simpson's paradox demands), BH-FDR over the
+per-segment z-test family, and the Hodges–Lehmann shift estimator.
+Each test drives the REGISTERED query callable — the same code path
+the driver gates — against a hand-built fixture whose expected output
+is either pinned by hand or replayed with the identical integer
+arithmetic in plain Python."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_fixture(spark, tmp_path, events, customers):
+    """events: (event_id, day_of_month, user_id, event_type, value);
+    customers: (c_custkey, c_mktsegment)."""
+    spark.createDataFrame(
+        [
+            (eid, T0 + dt.timedelta(days=d - 1), uid, et, val, "{}")
+            for (eid, d, uid, et, val) in events
+        ],
+        EV_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    spark.createDataFrame(
+        customers, "c_custkey long, c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    return str(tmp_path)
+
+
+def _cell_events(start_id, day, uid, n, k):
+    """n events for uid on `day`, the first k of them purchases."""
+    return [
+        (
+            start_id + i,
+            day,
+            uid,
+            "purchase" if i < k else "view",
+            0.0,
+        )
+        for i in range(n)
+    ]
+
+
+# --- CMH -------------------------------------------------------------------
+
+
+def _cmh_replay(strata):
+    """Replay the query's integer arithmetic: strata is a list of
+    (n1, k1, n0, k0)."""
+    s = v = on = od = 0
+    for n1, k1, n0, k0 in strata:
+        t, m1 = n1 + n0, k1 + k0
+        m0 = t - m1
+        s += (k1 * t - n1 * m1) * 1_000_000 // t if (
+            k1 * t - n1 * m1
+        ) >= 0 else -((n1 * m1 - k1 * t) * 1_000_000 // t)
+        v += n1 * n0 * m1 * m0 * 1_000_000 // (t * t * (t - 1))
+        on += k1 * (n0 - k0) * 1_000_000 // t
+        od += k0 * (n1 - k1) * 1_000_000 // t
+    return {
+        "n_strata": len(strata),
+        "s_e6": s,
+        "v_e6": v,
+        "or_mh_ppm": on * 1_000_000 // max(od, 1),
+        "significant_chi2": 1 if s * s * 10_000 > 38_415 * 1_000_000 * v
+        else 0,
+    }
+
+
+def test_cmh_resolves_planted_simpson_reversal(spark, tmp_path):
+    """The textbook trap: treated (odd users) lead by +10pp INSIDE
+    both segments, but treated traffic concentrates in the low-rate
+    segment, so the POOLED comparison reads treated 26.4% vs control
+    73.6% — backwards. CMH strata cancel the mix: s_e6 must come out
+    POSITIVE (treated ahead), and the MH common odds ratio must sit
+    at the shared per-stratum OR of 2.25 (hand arithmetic: d_e6 =
+    909090 per stratum, Σ = 1818180; OR = 3272726e6 div 1454544 =
+    2250001 ppm — the ±1 is the e6 truncation, identical in both
+    engines)."""
+    ev = []
+    ev += _cell_events(1000, 3, 10, 10, 1)  # SEGA arm0: n=10, k=1
+    ev += _cell_events(2000, 3, 11, 100, 20)  # SEGA arm1: n=100, k=20
+    ev += _cell_events(3000, 4, 20, 100, 80)  # SEGB arm0: n=100, k=80
+    ev += _cell_events(4000, 4, 21, 10, 9)  # SEGB arm1: n=10, k=9
+    sf = _write_fixture(
+        spark,
+        tmp_path,
+        ev,
+        [(10, "SEGA"), (11, "SEGA"), (20, "SEGB"), (21, "SEGB")],
+    )
+    [r] = QUERIES["cmh_stratified_lift"](spark, sf).collect()
+    # pooled comparison favors CONTROL (81/110 vs 29/110) — the trap
+    assert 29 * 110 < 81 * 110
+    expect = _cmh_replay([(100, 20, 10, 1), (10, 9, 100, 80)])
+    assert r.asDict() == expect
+    assert r["s_e6"] == 1_818_180 and r["s_e6"] > 0
+    assert r["or_mh_ppm"] == 2_250_001
+    assert r["significant_chi2"] == 0  # χ² ≈ 1.17 at these sizes
+
+
+def test_cmh_flags_strong_common_effect(spark, tmp_path):
+    """Both strata 9/10 treated vs 1/10 control: χ² ≈ 24 ≫ 3.84 — the
+    verdict fires; per-stratum OR = 81 exactly, and the e6-truncated
+    MH combination reads 81e6 ppm."""
+    ev = []
+    ev += _cell_events(1000, 3, 10, 10, 1)
+    ev += _cell_events(2000, 3, 11, 10, 9)
+    ev += _cell_events(3000, 4, 20, 10, 1)
+    ev += _cell_events(4000, 4, 21, 10, 9)
+    sf = _write_fixture(
+        spark,
+        tmp_path,
+        ev,
+        [(10, "SEGA"), (11, "SEGA"), (20, "SEGB"), (21, "SEGB")],
+    )
+    [r] = QUERIES["cmh_stratified_lift"](spark, sf).collect()
+    expect = _cmh_replay([(10, 9, 10, 1), (10, 9, 10, 1)])
+    assert r.asDict() == expect
+    assert r["significant_chi2"] == 1
+    assert r["or_mh_ppm"] == 81_000_000
+
+
+def test_cmh_fixture_nondegenerate(spark, sf_dir):
+    """The shipped fixtures must exercise the stratification: ≥ 2
+    strata survive the both-arms-present filter and the variance sum
+    is positive (a v_e6 = 0 fixture would make the χ² verdict
+    vacuous)."""
+    [r] = QUERIES["cmh_stratified_lift"](spark, sf_dir).collect()
+    assert r["n_strata"] >= 2
+    assert r["v_e6"] > 0
+
+
+# --- BH-FDR ----------------------------------------------------------------
+
+
+def test_bh_kills_marginal_segment_but_keeps_strong(spark, tmp_path):
+    """Five segments, 100 events per arm each. SEGA has a 30%-vs-10%
+    effect (z² = 12.5 exactly → z2_e4 = 125000): passes its rank-1
+    critical 6.6349. SEGB is marginal — 22%-vs-10% gives z² = 5.357
+    (z2_e4 = floor(2.88e12 / 5.376e7) = 53571): naive-significant
+    (> 3.8415) but BELOW its rank-2 BH critical 5.4119, and no lower
+    rank passes, so step-up stops at rank 1: BH keeps SEGA and kills
+    SEGB — the exact correction story. SEGC/D/E are null (k1 = k0 →
+    z² = 0), ranked 3..5 by the name tiebreak."""
+    ev = []
+    ev += _cell_events(1000, 3, 30, 100, 10)  # SEGA arm0
+    ev += _cell_events(2000, 3, 31, 100, 30)  # SEGA arm1
+    ev += _cell_events(3000, 4, 40, 100, 10)  # SEGB arm0
+    ev += _cell_events(4000, 4, 41, 100, 22)  # SEGB arm1
+    ev += _cell_events(5000, 5, 50, 100, 10)  # SEGC both null
+    ev += _cell_events(6000, 5, 51, 100, 10)
+    ev += _cell_events(7000, 6, 60, 100, 20)  # SEGD both null
+    ev += _cell_events(8000, 6, 61, 100, 20)
+    ev += _cell_events(9000, 7, 70, 100, 5)  # SEGE both null
+    ev += _cell_events(10000, 7, 71, 100, 5)
+    custs = [
+        (30, "SEGA"), (31, "SEGA"), (40, "SEGB"), (41, "SEGB"),
+        (50, "SEGC"), (51, "SEGC"), (60, "SEGD"), (61, "SEGD"),
+        (70, "SEGE"), (71, "SEGE"),
+    ]
+    sf = _write_fixture(spark, tmp_path, ev, custs)
+    rows = {
+        r["seg"]: r
+        for r in QUERIES["bh_fdr_segment_ztests"](spark, sf).collect()
+    }
+    assert len(rows) == 5
+    a, b = rows["SEGA"], rows["SEGB"]
+    assert (a["z2_e4"], a["rank_z"], a["bh_crit_e4"]) == (125_000, 1, 66_349)
+    assert (a["significant_naive"], a["significant_bh"]) == (1, 1)
+    assert (b["z2_e4"], b["rank_z"], b["bh_crit_e4"]) == (53_571, 2, 54_119)
+    assert (b["significant_naive"], b["significant_bh"]) == (1, 0)
+    for seg in ("SEGC", "SEGD", "SEGE"):
+        r = rows[seg]
+        assert r["z2_e4"] == 0
+        assert (r["significant_naive"], r["significant_bh"]) == (0, 0)
+    # null ranks follow the deterministic name tiebreak
+    assert [rows[s]["rank_z"] for s in ("SEGC", "SEGD", "SEGE")] == [3, 4, 5]
+
+
+def test_bh_step_up_rescues_above_a_passing_rank(spark, tmp_path):
+    """The step-up property itself: a rank-1 stat BELOW its own
+    critical is still rejected when rank 2 passes. With m = 2 the
+    criticals are 50239 / 38415. SEGA: 20%-vs-9% → z2_e4 =
+    2e6·11²/(29·171) = 48800 < 50239 — fails its OWN rank-1 line;
+    SEGB: 19%-vs-9% → z2_e4 = 2e6·10²/(28·172) = 41528 ≥ 38415 —
+    passes rank 2, so max_pass = 2 and BOTH are BH-significant — the
+    behavior a naive per-rank AND would get wrong."""
+    ev = []
+    ev += _cell_events(1000, 3, 30, 100, 9)  # SEGA arm0
+    ev += _cell_events(2000, 3, 31, 100, 20)  # SEGA arm1
+    ev += _cell_events(3000, 4, 40, 100, 9)  # SEGB arm0
+    ev += _cell_events(4000, 4, 41, 100, 19)  # SEGB arm1
+    custs = [(30, "SEGA"), (31, "SEGA"), (40, "SEGB"), (41, "SEGB")]
+    sf = _write_fixture(spark, tmp_path, ev, custs)
+    rows = {
+        r["seg"]: r
+        for r in QUERIES["bh_fdr_segment_ztests"](spark, sf).collect()
+    }
+    assert len(rows) == 2
+    a, b = rows["SEGA"], rows["SEGB"]
+    assert (a["z2_e4"], a["rank_z"], a["bh_crit_e4"]) == (48_800, 1, 50_239)
+    assert (b["z2_e4"], b["rank_z"], b["bh_crit_e4"]) == (41_528, 2, 38_415)
+    # A alone would NOT clear its own line — only the step-up keeps it
+    assert a["z2_e4"] < a["bh_crit_e4"]
+    assert (a["significant_bh"], b["significant_bh"]) == (1, 1)
+
+
+def test_bh_fixture_nondegenerate(spark, sf_dir):
+    """Shipped fixtures: all ranks distinct 1..m, criticals follow the
+    pinned m-row monotonically, and the rank order agrees with z²
+    (descending with name tiebreak)."""
+    rows = sorted(
+        QUERIES["bh_fdr_segment_ztests"](spark, sf_dir).collect(),
+        key=lambda r: r["rank_z"],
+    )
+    m = len(rows)
+    assert m >= 2
+    assert [r["rank_z"] for r in rows] == list(range(1, m + 1))
+    crits = [r["bh_crit_e4"] for r in rows]
+    assert crits == sorted(crits, reverse=True)
+    assert crits[-1] == 38_415
+    z = [r["z2_e4"] for r in rows]
+    assert z == sorted(z, reverse=True)
+
+
+# --- Hodges–Lehmann --------------------------------------------------------
+
+
+def test_hodges_lehmann_hand_computed(spark, tmp_path):
+    """First-half daily revenues {100, 200, 300} cents, second-half
+    {250, 400}: the 6 pairwise differences sort to
+    (−50, 50, 100, 150, 200, 300); the lower median (first rank with
+    2r ≥ 7 → r = 4) is 150, and 5 of 6 pairs are positive →
+    833333 ppm. A non-purchase event with a huge value on day 1 must
+    not contribute."""
+    ev = [
+        (1, 1, 1, "purchase", 1.00),
+        (2, 2, 1, "purchase", 2.00),
+        (3, 3, 1, "purchase", 3.00),
+        (4, 16, 2, "purchase", 2.50),
+        (5, 17, 2, "purchase", 4.00),
+        (6, 1, 1, "view", 99.0),  # must be filtered out
+    ]
+    sf = _write_fixture(spark, tmp_path, ev, [(1, "SEGA"), (2, "SEGA")])
+    [r] = QUERIES["hodges_lehmann_shift"](spark, sf).collect()
+    assert r.asDict() == {
+        "n_first": 3,
+        "n_second": 2,
+        "n_pairs": 6,
+        "hl_shift_cents": 150,
+        "frac_positive_ppm": 833_333,
+    }
+
+
+def test_hodges_lehmann_outlier_stays_rank_bounded(spark, tmp_path):
+    """Mean-vs-median contrast: first-half daily revenues {100, 200},
+    second-half {250, 251, 252, 253} → 8 diffs sorted
+    (50, 51, 52, 53, 150, 151, 152, 153), lower median r = 5 → 150.
+    A day-1 campaign blowout (100 → 999,900 cents) sends its 4 pairs
+    to ≈ −999,650 and drags the MEAN difference negative by half a
+    million cents — but the HL median just steps DOWN the clean order
+    statistics to 50 (the outlier day's pair count, 4 rank steps; the
+    estimate never leaves the clean diff set)."""
+    base = [
+        (1, 1, 1, "purchase", 1.00),
+        (2, 2, 1, "purchase", 2.00),
+        (3, 16, 2, "purchase", 2.50),
+        (4, 17, 2, "purchase", 2.51),
+        (5, 18, 2, "purchase", 2.52),
+        (6, 19, 2, "purchase", 2.53),
+    ]
+    sf = _write_fixture(spark, tmp_path, base, [(1, "SEGA"), (2, "SEGA")])
+    [clean] = QUERIES["hodges_lehmann_shift"](spark, sf).collect()
+    assert clean["hl_shift_cents"] == 150
+    outlier = base + [(7, 1, 1, "purchase", 9_998.00)]
+    sf2 = _write_fixture(
+        spark, tmp_path / "o", outlier, [(1, "SEGA"), (2, "SEGA")]
+    )
+    [out] = QUERIES["hodges_lehmann_shift"](spark, sf2).collect()
+    assert out["hl_shift_cents"] == 50
+    assert out["n_pairs"] == 8
+    assert out["frac_positive_ppm"] == 500_000
+
+
+def test_hodges_lehmann_fixture_nondegenerate(spark, sf_dir):
+    """Shipped fixtures must exercise both halves: pairs = n1·n2 and
+    the positive-fraction denominator is the pair count."""
+    [r] = QUERIES["hodges_lehmann_shift"](spark, sf_dir).collect()
+    assert r["n_first"] >= 2 and r["n_second"] >= 2
+    assert r["n_pairs"] == r["n_first"] * r["n_second"]
+    assert 0 <= r["frac_positive_ppm"] <= 1_000_000

@@ -13,7 +13,7 @@ belong to the gap-category §2.2 depth the survey mandates."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_analytics_visits_re_processing_spark.plans.registry import query
@@ -1304,4 +1304,436 @@ def q_median_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.expr("cast(floor(sqrt(n)) as bigint)"))
         .cast("long")
         .alias("half_width_ranks"),
+    )
+
+
+# --- Stratified inference close-out: CMH, BH-FDR, Hodges–Lehmann ----------
+#
+# simpsons_paradox_check DETECTS the aggregation trap;
+# cmh_stratified_lift is the estimator that trap demands (the
+# stratified common effect). two_proportion_ztest verdicts ONE
+# comparison; bh_fdr_segment_ztests corrects the per-segment family
+# of them. mann_whitney_shift_by_type is a TEST of a location shift;
+# hodges_lehmann_shift is its dual ESTIMATOR. Reference parity: the
+# reference pipeline (/root/reference/main.py:22-240) has no
+# inference tier; these extend SURVEY §2.2 web-analytics depth.
+
+_CMH_CELLS_CTE = """
+tagged AS (
+    SELECT c.c_mktsegment AS seg,
+           e.user_id % 2 AS arm,
+           CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+), cells AS (
+    SELECT seg, arm, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS k
+    FROM tagged GROUP BY seg, arm
+), strata AS (
+    SELECT seg,
+           MAX(CASE WHEN arm = 1 THEN n END)::HUGEINT AS n1,
+           MAX(CASE WHEN arm = 1 THEN k END)::HUGEINT AS k1,
+           MAX(CASE WHEN arm = 0 THEN n END)::HUGEINT AS n0,
+           MAX(CASE WHEN arm = 0 THEN k END)::HUGEINT AS k0
+    FROM cells GROUP BY seg
+    HAVING MAX(CASE WHEN arm = 1 THEN n END) > 0
+       AND MAX(CASE WHEN arm = 0 THEN n END) > 0
+)
+"""
+
+
+@query(
+    "cmh_stratified_lift",
+    # Cochran–Mantel–Haenszel across market-segment strata for the
+    # even/odd-arm split: d_e6 = (k1·T − n1·m1)·1e6 div T per stratum
+    # (possibly negative — div truncates toward zero identically in
+    # both engines, the Holt lesson), v_e6 = n1·n0·m1·m0·1e6 div
+    # (T²·(T−1)), and the χ²>3.8415 verdict cross-multiplies:
+    # S²·10⁴ > 38415·10⁶·V. The MH common odds ratio is the ratio of
+    # the two Σ(·/T) sums, ppm. All products HUGEINT/decimal(38,0).
+    oracle=f"""
+WITH {_CMH_CELLS_CTE},
+terms AS (
+    SELECT seg, n1, k1, n0, k0,
+           n1 + n0 AS t, k1 + k0 AS m1, n1 + n0 - k1 - k0 AS m0
+    FROM strata
+), scaled AS (
+    SELECT ((k1 * t - n1 * m1) * 1000000) // t AS d_e6,
+           (n1 * n0 * m1 * m0 * 1000000) // (t * t * (t - 1)) AS v_e6,
+           (k1 * (n0 - k0) * 1000000) // t AS ornum_e6,
+           (k0 * (n1 - k1) * 1000000) // t AS orden_e6
+    FROM terms WHERE t > 1
+), agg AS (
+    SELECT COUNT(*)::BIGINT AS n_strata,
+           SUM(d_e6) AS s_e6, SUM(v_e6) AS v_e6,
+           SUM(ornum_e6) AS ornum_e6, SUM(orden_e6) AS orden_e6
+    FROM scaled
+)
+SELECT n_strata, s_e6::BIGINT AS s_e6, v_e6::BIGINT AS v_e6,
+       (ornum_e6 * 1000000 // GREATEST(orden_e6, 1))::BIGINT
+           AS or_mh_ppm,
+       (CASE WHEN s_e6 * s_e6 * 10000 > 38415::HUGEINT * 1000000 * v_e6
+             THEN 1 ELSE 0 END)::BIGINT AS significant_chi2
+FROM agg
+""",
+)
+def q_cmh_stratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified treatment-effect readout —
+    the estimator Simpson's paradox DEMANDS: when
+    simpsons_paradox_check fires, the pooled 2×2 is a mix-shift
+    artifact and the honest common effect is the CMH combination of
+    the per-segment 2×2 tables (each stratum compares the even/odd
+    arms WITHIN one market segment, so segment-mix differences
+    between arms cancel by construction). Integer-exact end to end:
+    the per-stratum deviation (k₁ − E[k₁]) and hypergeometric
+    variance are e6-scaled integer divisions (truncation toward zero,
+    identical cross-engine), the χ² > 3.8415 significance verdict
+    cross-multiplies so no float statistic or sqrt ever exists, and
+    the Mantel–Haenszel common odds ratio is a ppm ratio of two
+    e6-scaled sums. Scale: one broadcast-joined event rollup to
+    ≤(segments×2) cells; all inference runs on the ≤5-row stratum
+    table. The e6 truncation per stratum bounds the statistic's error
+    at ~1e-6 per stratum — decision-irrelevant away from the exact
+    threshold and bit-identical in both engines either way."""
+    ev = _events(spark, sf_dir)
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    tagged = ev.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        ev["user_id"] == c["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    cells = tagged.groupBy("seg", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    strata = (
+        cells.groupBy("seg")
+        .agg(
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        )
+        .where(F.col("n1").isNotNull() & F.col("n0").isNotNull())
+        .where((F.col("n1") > 0) & (F.col("n0") > 0))
+    )
+    terms = strata.select(
+        F.expr("cast(n1 as decimal(38,0))").alias("n1"),
+        F.expr("cast(k1 as decimal(38,0))").alias("k1"),
+        F.expr("cast(n0 as decimal(38,0))").alias("n0"),
+        F.expr("cast(k0 as decimal(38,0))").alias("k0"),
+        F.expr("cast(n1 + n0 as decimal(38,0))").alias("t"),
+        F.expr("cast(k1 + k0 as decimal(38,0))").alias("m1"),
+        F.expr("cast(n1 + n0 - k1 - k0 as decimal(38,0))").alias("m0"),
+    ).where(F.col("t") > 1)
+    scaled = terms.select(
+        F.expr("((k1 * t - n1 * m1) * 1000000) div t").alias("d_e6"),
+        F.expr(
+            "(n1 * n0 * m1 * m0 * 1000000) div (t * t * (t - 1))"
+        ).alias("v_e6"),
+        F.expr("(k1 * (n0 - k0) * 1000000) div t").alias("ornum_e6"),
+        F.expr("(k0 * (n1 - k1) * 1000000) div t").alias("orden_e6"),
+    )
+    agg = scaled.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("d_e6").alias("s_raw"),
+        F.sum("v_e6").alias("v_raw"),
+        F.sum("ornum_e6").alias("on_raw"),
+        F.sum("orden_e6").alias("od_raw"),
+    )
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("s_raw").cast("long").alias("s_e6"),
+        F.col("v_raw").cast("long").alias("v_e6"),
+        F.expr(
+            "cast(cast(on_raw as decimal(38,0)) * 1000000"
+            " div greatest(cast(od_raw as decimal(38,0)), 1) as long)"
+        ).alias("or_mh_ppm"),
+        F.expr(
+            "cast(case when cast(s_raw as decimal(38,0)) * s_raw * 10000"
+            " > cast(38415 as decimal(38,0)) * 1000000 * v_raw"
+            " then 1 else 0 end as long)"
+        ).alias("significant_chi2"),
+    )
+
+
+# chi2inv(1 − 0.05·i/m, df=1) × 1e4 for every (m, i), m ≤ 5 — the
+# BH step-up critical values, pinned as literals (computed offline by
+# bisection on erf; m=5 row is the classic 6.6349/5.4119/4.7093/
+# 4.2179/3.8415 table). m is the COUNT of testable segments, so the
+# lookup must carry every m the 5-segment domain can produce — a
+# single pinned m would silently mis-correct on a fixture missing a
+# segment. Identical CASE text runs in both engines.
+_BH_CRIT_CASE = """
+case
+ when m = 1 and rank_z = 1 then 38415
+ when m = 2 and rank_z = 1 then 50239
+ when m = 2 and rank_z = 2 then 38415
+ when m = 3 and rank_z = 1 then 57311
+ when m = 3 and rank_z = 2 then 45286
+ when m = 3 and rank_z = 3 then 38415
+ when m = 4 and rank_z = 1 then 62385
+ when m = 4 and rank_z = 2 then 50239
+ when m = 4 and rank_z = 3 then 43276
+ when m = 4 and rank_z = 4 then 38415
+ when m = 5 and rank_z = 1 then 66349
+ when m = 5 and rank_z = 2 then 54119
+ when m = 5 and rank_z = 3 then 47093
+ when m = 5 and rank_z = 4 then 42179
+ when m = 5 and rank_z = 5 then 38415
+end
+"""
+
+
+@query(
+    "bh_fdr_segment_ztests",
+    # Per-segment two-proportion z² (even/odd arms, the ztest
+    # cross-multiplied form) truncated to an e4 integer statistic,
+    # then Benjamini–Hochberg step-up at FDR 0.05: rank by z² desc
+    # (= p asc), compare to the pinned chi2inv(1−0.05·i/m) literal,
+    # reject every rank ≤ the LARGEST passing rank. Rank ties break
+    # by segment name so the order is total in both engines.
+    oracle=f"""
+WITH {_CMH_CELLS_CTE},
+zsq AS (
+    -- z² products on the strata CTE's HUGEINT columns
+    -- ((k₁n₀−k₀n₁)²·N·10⁴ overflows int64 already at sf0.1);
+    -- narrowing to BIGINT happens in the next CTE so no SELECT
+    -- alias ever shadows the wide column it reads
+    SELECT seg, n1, k1, n0, k0,
+           (CASE WHEN n1 * n0 * (k1 + k0)
+                      * (n1 + n0 - k1 - k0) = 0 THEN 0
+                 ELSE ((k1 * n0 - k0 * n1) * (k1 * n0 - k0 * n1)
+                       * (n1 + n0) * 10000)
+                      // (n1 * n0 * (k1 + k0)
+                          * (n1 + n0 - k1 - k0)) END) AS z2_raw
+    FROM strata
+), stat AS (
+    SELECT seg, n1::BIGINT AS n1, k1::BIGINT AS k1,
+           n0::BIGINT AS n0, k0::BIGINT AS k0,
+           z2_raw::BIGINT AS z2_e4
+    FROM zsq
+), ranked AS (
+    SELECT seg, n1, k1, n0, k0, z2_e4,
+           ROW_NUMBER() OVER (ORDER BY z2_e4 DESC, seg) AS rank_z,
+           COUNT(*) OVER () AS m
+    FROM stat
+), crit AS (
+    SELECT *, ({_BH_CRIT_CASE}) AS bh_crit_e4 FROM ranked
+), cutoff AS (
+    SELECT *, MAX(CASE WHEN z2_e4 >= bh_crit_e4 THEN rank_z
+                       ELSE 0 END) OVER () AS max_pass
+    FROM crit
+)
+SELECT seg, n1, k1, n0, k0, z2_e4, rank_z::BIGINT AS rank_z,
+       bh_crit_e4::BIGINT AS bh_crit_e4,
+       (CASE WHEN z2_e4 >= 38415 THEN 1 ELSE 0 END)::BIGINT
+           AS significant_naive,
+       (CASE WHEN rank_z <= max_pass THEN 1 ELSE 0 END)::BIGINT
+           AS significant_bh
+FROM cutoff ORDER BY rank_z
+""",
+)
+def q_bh_fdr_segment_ztests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over the per-segment family
+    of A/B z-tests — the multiple-comparisons member the inference
+    suite was missing: a platform that reads 5 segment lifts at
+    α=0.05 each sees a false positive every fourth experiment, and BH
+    (1995) is the industry-standard step-up that caps the FALSE
+    DISCOVERY RATE instead. Integer-exact: each segment's pooled-SE
+    z² cross-multiplies into an e4-truncated statistic (no float
+    rate/SE/sqrt; zero-variance strata pinned to 0), p-ordering is
+    z²-descending with a segment-name tiebreak, and the per-rank
+    critical values chi2inv(1−0.05·i/m) are pinned literals for every
+    m the 5-segment domain can produce (offline erf bisection; the
+    m=5 row is the classic 6.6349…3.8415 table). The step-up rule —
+    reject all ranks ≤ the largest passing rank — is one window max.
+    Scale: inference runs on the ≤5-row segment table; the only
+    event-scale work is one broadcast-joined rollup. The z² products
+    reach (k₁n₀−k₀n₁)²·N — decimal(38) width, the documented Pearson
+    class; beyond ~1e9 events per cell pre-scale counts before the
+    square."""
+    ev = _events(spark, sf_dir)
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    tagged = ev.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        ev["user_id"] == c["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    cells = tagged.groupBy("seg", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    strata = (
+        cells.groupBy("seg")
+        .agg(
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        )
+        .where(F.col("n1").isNotNull() & F.col("n0").isNotNull())
+        .where((F.col("n1") > 0) & (F.col("n0") > 0))
+    )
+    stat = strata.select(
+        "seg",
+        "n1",
+        "k1",
+        "n0",
+        "k0",
+        F.expr(
+            "cast(case when cast(n1 as decimal(38,0)) * n0 * (k1 + k0)"
+            "          * (n1 + n0 - k1 - k0) = 0 then 0"
+            " else (cast(k1 as decimal(38,0)) * n0"
+            "       - cast(k0 as decimal(38,0)) * n1)"
+            "      * (cast(k1 as decimal(38,0)) * n0"
+            "         - cast(k0 as decimal(38,0)) * n1)"
+            "      * (n1 + n0) * 10000"
+            "      div (cast(n1 as decimal(38,0)) * n0 * (k1 + k0)"
+            "           * (n1 + n0 - k1 - k0)) end as long)"
+        ).alias("z2_e4"),
+    )
+    w_all = Window.partitionBy()
+    ranked = stat.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("z2_e4").desc(), "seg"))
+        .alias("rank_z"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    crit = ranked.withColumn("bh_crit_e4", F.expr(_BH_CRIT_CASE))
+    cutoff = crit.withColumn(
+        "max_pass",
+        F.max(
+            F.when(F.col("z2_e4") >= F.col("bh_crit_e4"), F.col("rank_z"))
+            .otherwise(0)
+        ).over(w_all),
+    )
+    return cutoff.select(
+        "seg",
+        "n1",
+        "k1",
+        "n0",
+        "k0",
+        "z2_e4",
+        F.col("rank_z").cast("long").alias("rank_z"),
+        F.col("bh_crit_e4").cast("long").alias("bh_crit_e4"),
+        F.when(F.col("z2_e4") >= 38415, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant_naive"),
+        F.when(F.col("rank_z") <= F.col("max_pass"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant_bh"),
+    ).orderBy("rank_z")
+
+
+@query(
+    "hodges_lehmann_shift",
+    # HL estimator of the daily-revenue shift, second half-month vs
+    # first: the lower median (cumulative-rank rule, the Theil–Sen
+    # convention) of ALL pairwise differences x_j − y_i between
+    # second-half and first-half daily revenues. Pairs are days² —
+    # CALENDAR-bounded (≤ ~240 for a month) at any event volume.
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           EXTRACT(day FROM ts) AS dom,
+           CAST(SUM(FLOOR(value * 100)::BIGINT) AS BIGINT) AS x
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY CAST(ts AS DATE), EXTRACT(day FROM ts)
+), g1 AS (SELECT x FROM daily WHERE dom <= 15),
+g2 AS (SELECT x FROM daily WHERE dom > 15),
+diffs AS (
+    SELECT (b.x - a.x)::BIGINT AS dv FROM g1 a CROSS JOIN g2 b
+), ranked AS (
+    SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS r,
+           COUNT(*) OVER () AS np
+    FROM diffs
+)
+SELECT (SELECT COUNT(*) FROM g1)::BIGINT AS n_first,
+       (SELECT COUNT(*) FROM g2)::BIGINT AS n_second,
+       MAX(np)::BIGINT AS n_pairs,
+       MIN(CASE WHEN 2 * r >= np + 1 THEN dv END)::BIGINT
+           AS hl_shift_cents,
+       ((SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) * 1000000)
+            // MAX(np))::BIGINT AS frac_positive_ppm
+FROM ranked
+""",
+)
+def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann estimator of the daily-revenue shift between
+    the month's two halves — the ESTIMATOR dual of the Mann–Whitney
+    test the suite already gates: where mann_whitney_shift_by_type
+    answers "did the distribution move?", HL answers "by how much" as
+    the median of all pairwise differences x_j − y_i, inheriting the
+    same rank-level robustness: a campaign-day blowout moves the
+    median by at most that day's PAIR COUNT in rank steps (~15 of
+    ~240 for a month) — never linearly in the outlier's magnitude the
+    way the mean difference does. Integer-exact: daily revenues are
+    floored cents, the median is the repo's cumulative-rank
+    lower-median rule over the difference multiset, and the
+    accompanying P(x > y) fraction — the probability-of-superiority
+    effect size — is one ppm division. Scale: the pair set is
+    first-half-days × second-half-days, CALENDAR-bounded (~240 rows
+    for a month) regardless of event volume; the only event-scale
+    work is the daily rollup."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            F.dayofmonth("ts").alias("dom"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("x"))
+    )
+    g1 = daily.where(F.col("dom") <= 15).select(F.col("x").alias("xa"))
+    g2 = daily.where(F.col("dom") > 15).select(F.col("x").alias("xb"))
+    # broadcast makes the pair enumeration a BroadcastNestedLoopJoin
+    # over the ≤31-row calendar tables, never a CartesianProduct node
+    diffs = g1.crossJoin(F.broadcast(g2)).select(
+        (F.col("xb") - F.col("xa")).cast("long").alias("dv")
+    )
+    ranked = diffs.select(
+        "dv",
+        F.row_number().over(Window.orderBy("dv")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    # group sizes ride along from one daily-table aggregate (no
+    # driver-side count actions), broadcast against the 1-row result
+    sizes = daily.agg(
+        F.sum(F.when(F.col("dom") <= 15, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(F.col("dom") > 15, 1).otherwise(0))
+        .cast("long")
+        .alias("n_second"),
+    )
+    return ranked.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.min(F.when(2 * F.col("r") >= F.col("np") + 1, F.col("dv")))
+        .cast("long")
+        .alias("hl_shift_cents"),
+        F.expr(
+            "cast((sum(case when dv > 0 then 1 else 0 end) * 1000000)"
+            " div max(np) as long)"
+        ).alias("frac_positive_ppm"),
+    ).crossJoin(F.broadcast(sizes)).select(
+        "n_first", "n_second", "n_pairs", "hl_shift_cents",
+        "frac_positive_ppm",
     )
