@@ -313,6 +313,8 @@ _REGISTERED_R08 = frozenset(
         "cmh_stratified_lift",
         "bh_fdr_segment_ztests",
         "hodges_lehmann_shift",
+        "obf_sequential_looks",
+        "kmv_intersection_estimate",
     }
 )
 

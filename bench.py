@@ -320,6 +320,8 @@ HEADLINE = [
     "cmh_stratified_lift",
     "bh_fdr_segment_ztests",
     "hodges_lehmann_shift",
+    "obf_sequential_looks",
+    "kmv_intersection_estimate",
 ]
 
 

@@ -124,6 +124,11 @@ PROBE_QUERIES = [
     "zipf_doubling_profile",
     "median_ci_by_type",
     "mmr_diversified_top3",
+    "cmh_stratified_lift",
+    "bh_fdr_segment_ztests",
+    "hodges_lehmann_shift",
+    "obf_sequential_looks",
+    "kmv_intersection_estimate",
 ]
 
 

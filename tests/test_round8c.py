@@ -302,3 +302,147 @@ def test_hodges_lehmann_fixture_nondegenerate(spark, sf_dir):
     assert r["n_first"] >= 2 and r["n_second"] >= 2
     assert r["n_pairs"] == r["n_first"] * r["n_second"]
     assert 0 <= r["frac_positive_ppm"] <= 1_000_000
+
+
+# --- OBF group-sequential --------------------------------------------------
+
+OBF_BOUNDS = [208_118, 104_070, 69_379, 52_029, 41_616]
+
+
+def _z2_e4(n1, k1, n0, k0):
+    den = n1 * n0 * (k1 + k0) * (n1 + n0 - k1 - k0)
+    if den == 0:
+        return 0
+    d = k1 * n0 - k0 * n1
+    return d * d * (n1 + n0) * 10_000 // den
+
+
+def test_obf_crosses_at_the_look_the_effect_emerges(spark, tmp_path):
+    """Control converts 10% in every period; treated converts 10% in
+    periods 1–2 and 60% from period 3 on. Looks 1–2 read z² = 0;
+    look 3's cumulative 80/300-vs-30/300 gives z2_e4 = 278293 ≥ its
+    OBF critical 69379 — first_cross_look = 3, and the early looks'
+    much taller boundaries (20.8/10.4 in χ² units) are exactly why
+    looks 1–2 could never have fired on noise."""
+    ev = []
+    eid = 0
+    for p, day in enumerate([3, 9, 15, 21, 27], start=1):
+        k_treat = 10 if p <= 2 else 60
+        ev += _cell_events(eid, day, 10, 100, 10)
+        eid += 100
+        ev += _cell_events(eid, day, 11, 100, k_treat)
+        eid += 100
+    sf = _write_fixture(spark, tmp_path, ev, [(10, "SEGA"), (11, "SEGA")])
+    rows = sorted(
+        QUERIES["obf_sequential_looks"](spark, sf).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r["obf_bound_e4"] for r in rows] == OBF_BOUNDS
+    assert [r["crossed"] for r in rows] == [0, 0, 1, 1, 1]
+    assert all(r["first_cross_look"] == 3 for r in rows)
+    # cumulative cells and statistic replay exactly
+    for r in rows:
+        assert r["z2_e4"] == _z2_e4(r["n1"], r["k1"], r["n0"], r["k0"])
+    assert rows[2]["z2_e4"] == 278_293
+    assert (rows[2]["n1"], rows[2]["k1"]) == (300, 80)
+
+
+def test_obf_null_experiment_never_crosses(spark, tmp_path):
+    """Identical 10% arms at every period: every look reads z² = 0
+    and first_cross_look = 0 — the experiment runs to completion."""
+    ev = []
+    eid = 0
+    for day in [3, 9, 15, 21, 27]:
+        ev += _cell_events(eid, day, 10, 100, 10)
+        eid += 100
+        ev += _cell_events(eid, day, 11, 100, 10)
+        eid += 100
+    sf = _write_fixture(spark, tmp_path, ev, [(10, "SEGA"), (11, "SEGA")])
+    rows = QUERIES["obf_sequential_looks"](spark, sf).collect()
+    assert len(rows) == 5
+    assert all(r["z2_e4"] == 0 and r["crossed"] == 0 for r in rows)
+    assert all(r["first_cross_look"] == 0 for r in rows)
+
+
+def test_obf_fixture_nondegenerate(spark, sf_dir):
+    """Shipped fixtures: all five looks materialize, cumulative cells
+    are monotone in the look index, and the final look sees the whole
+    month (n grows strictly across looks)."""
+    rows = sorted(
+        QUERIES["obf_sequential_looks"](spark, sf_dir).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r["look"] for r in rows] == [1, 2, 3, 4, 5]
+    ns = [r["n1"] + r["n0"] for r in rows]
+    assert ns == sorted(ns) and ns[0] > 0 and ns[-1] > ns[0]
+    assert [r["obf_bound_e4"] for r in rows] == OBF_BOUNDS
+
+
+# --- KMV theta intersection ------------------------------------------------
+
+
+def _h60(uid):
+    import hashlib
+
+    return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_intersection_small_sets_replay_exactly(spark, tmp_path):
+    """Clickers {1..10}, purchasers {6..15}: both audiences fit the
+    k = 256 sketch whole, so θ = min of the two max-hashes and the
+    sub-θ sketch intersection is exactly the true intersection's
+    hashes below θ. Every output integer replays from the md5 rule in
+    plain Python."""
+    ev = []
+    for i, u in enumerate(range(1, 11)):
+        ev.append((i, 2, u, "click", 0.0))
+    for i, u in enumerate(range(6, 16)):
+        ev.append((100 + i, 3, u, "purchase", 0.0))
+    sf = _write_fixture(spark, tmp_path, ev, [(1, "SEGA")])
+    [r] = QUERIES["kmv_intersection_estimate"](spark, sf).collect()
+    ha = sorted(_h60(u) for u in range(1, 11))
+    hb = sorted(_h60(u) for u in range(6, 16))
+    th = min(ha[-1], hb[-1])
+    inter = [h for h in set(ha) & set(hb) if h < th]
+    union = [h for h in set(ha) | set(hb) if h < th]
+    assert r["theta"] == th
+    assert r["n_inter"] == len(inter)
+    assert r["n_union"] == len(union)
+    assert r["est_intersection"] == len(inter) * (1 << 60) // th
+    assert r["jaccard_est_ppm"] == len(inter) * 1_000_000 // max(
+        len(union), 1
+    )
+    assert r["n_exact_inter"] == 5
+
+
+def test_kmv_intersection_disjoint_audiences_read_zero(spark, tmp_path):
+    """Disjoint audiences must estimate 0 — no hash can sit in both
+    sketches, whatever θ is."""
+    ev = []
+    for i, u in enumerate(range(1, 11)):
+        ev.append((i, 2, u, "click", 0.0))
+    for i, u in enumerate(range(100, 110)):
+        ev.append((100 + i, 3, u, "purchase", 0.0))
+    sf = _write_fixture(spark, tmp_path, ev, [(1, "SEGA")])
+    [r] = QUERIES["kmv_intersection_estimate"](spark, sf).collect()
+    assert r["n_inter"] == 0
+    assert r["est_intersection"] == 0
+    assert r["n_exact_inter"] == 0
+
+
+def test_kmv_intersection_fixture_estimates_near_truth(spark, sf_dir):
+    """At gate scale every audience fits the k = 256 sketch, so the
+    only estimator slop is the space/θ extrapolation: the estimate
+    must land within a factor of 2 of the exact overlap (it is ~6%
+    accurate in expectation; factor 2 keeps the gate robust to an
+    unlucky θ on tiny fixtures) and the sample counts must be
+    consistent."""
+    [r] = QUERIES["kmv_intersection_estimate"](spark, sf_dir).collect()
+    assert r["n_exact_inter"] > 0
+    assert r["n_inter"] >= 1
+    assert r["n_union"] >= r["n_inter"]
+    assert (
+        r["n_exact_inter"] // 2
+        <= r["est_intersection"]
+        <= r["n_exact_inter"] * 2
+    )

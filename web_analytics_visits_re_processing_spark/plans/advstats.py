@@ -1587,3 +1587,132 @@ def q_uplift_by_engagement_stratum(
             " - (k_ctrl * 1000000) div greatest(n_ctrl, 1)"
         ).alias("uplift_ppm"),
     )
+
+
+@query(
+    "kmv_intersection_estimate",
+    # Theta-sketch set INTERSECTION (the KMV family's missing
+    # algebra): sketch the click-user and purchase-user audiences
+    # independently (k smallest 60-bit hashes each), θ = the SMALLER
+    # of the two kth values; every hash < θ present in BOTH sketches
+    # is a member of A∩B sampled at exact rate θ/space, so
+    # est = |W|·space div θ. Exact overlap rides along for the gate.
+    oracle=f"""
+WITH a AS (
+    SELECT DISTINCT
+        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            AS hv
+    FROM events WHERE event_type = 'click'
+), b AS (
+    SELECT DISTINCT
+        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            AS hv
+    FROM events WHERE event_type = 'purchase'
+), ska AS (
+    SELECT hv FROM a ORDER BY hv LIMIT {_KMV_K}
+), skb AS (
+    SELECT hv FROM b ORDER BY hv LIMIT {_KMV_K}
+), theta AS (
+    SELECT LEAST((SELECT MAX(hv) FROM ska),
+                 (SELECT MAX(hv) FROM skb)) AS th
+), w AS (
+    SELECT COUNT(*)::BIGINT AS n_inter
+    FROM ska JOIN skb USING (hv) CROSS JOIN theta
+    WHERE ska.hv < theta.th
+), uu AS (
+    SELECT COUNT(DISTINCT hv)::BIGINT AS n_union
+    FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) u
+    CROSS JOIN theta WHERE u.hv < theta.th
+), exact AS (
+    SELECT COUNT(*)::BIGINT AS n_exact_inter
+    FROM (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase') x
+)
+SELECT w.n_inter, uu.n_union, theta.th AS theta,
+       (w.n_inter::HUGEINT * {_KMV_SPACE}
+            // GREATEST(theta.th, 1))::BIGINT AS est_intersection,
+       ((w.n_inter * 1000000) // GREATEST(uu.n_union, 1))::BIGINT
+           AS jaccard_est_ppm,
+       exact.n_exact_inter
+FROM w CROSS JOIN uu CROSS JOIN theta CROSS JOIN exact
+""",
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience-overlap estimate (Dasgupta et al. 2016's
+    framework over the Bar-Yossef KMV sketch) — the set ALGEBRA the
+    sketch tier was missing: kmv_distinct_users counts one set and
+    kmv_merge_groups unions shards, but the question platforms
+    actually ask is 'how many clickers also purchase?' on audiences
+    too large to intersect exactly. Each audience keeps its k
+    smallest distinct hashes (a TakeOrdered — k rows, never the user
+    set); θ = the smaller kth value, below which BOTH sketches
+    retain every member hash, so the sub-θ sketch intersection is an
+    exact-rate θ/space sample of A∩B and est = |W|·space div θ —
+    pure integer division, hash-gateable like the rest of the KMV
+    tier. The sub-θ Jaccard estimate rides along in ppm, and the
+    EXACT intersection too (feasible at gate scale), so the gate
+    pins sketch AND truth. Merge state is ≤ 2k rows; at 100 TB the
+    per-audience sketches build shard-local and merge associatively
+    exactly as kmv_merge_groups pins."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def sketch(et: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == et)
+            .select(hash64(F.col("user_id").cast("string")).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+        )
+    ska, skb = sketch("click"), sketch("purchase")
+    theta = (
+        ska.agg(F.max("hv").alias("tha"))
+        .crossJoin(skb.agg(F.max("hv").alias("thb")))
+        .select(F.least("tha", "thb").alias("th"))
+    )
+    w = (
+        ska.join(skb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    uu = (
+        ska.unionAll(skb)
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("th"))
+        .agg(F.count_distinct("hv").cast("long").alias("n_union"))
+    )
+    exact = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.where(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_inter"))
+    )
+    return (
+        w.crossJoin(F.broadcast(uu))
+        .crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_inter",
+            "n_union",
+            F.col("th").alias("theta"),
+            F.expr(
+                f"cast(cast(n_inter as decimal(38,0)) * {_KMV_SPACE}"
+                " div greatest(th, 1) as long)"
+            ).alias("est_intersection"),
+            F.expr(
+                "(n_inter * 1000000) div greatest(n_union, 1)"
+            ).alias("jaccard_est_ppm"),
+            "n_exact_inter",
+        )
+    )

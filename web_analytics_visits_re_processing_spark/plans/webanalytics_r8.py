@@ -1737,3 +1737,162 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_first", "n_second", "n_pairs", "hl_shift_cents",
         "frac_positive_ppm",
     )
+
+
+# O'Brien–Fleming group-sequential boundaries for K = 5 looks,
+# two-sided α = 0.05 — the published table's z values (4.562, 3.226,
+# 2.634, 2.281, 2.040; O'Brien & Fleming 1979, reproduced in Pocock
+# 1982) squared and floored to e4. Pinned literals, identical CASE
+# text in both engines. The day cuts put look k at day 6k with the
+# final look covering the whole month.
+_OBF_BOUND_CASE = """
+case look when 1 then 208118 when 2 then 104070 when 3 then 69379
+          when 4 then 52029 when 5 then 41616 end
+"""
+
+_OBF_CUTS = "case when d <= 6 then 1 when d <= 12 then 2 when d <= 18 then 3 when d <= 24 then 4 else 5 end"
+
+
+@query(
+    "obf_sequential_looks",
+    # Group-sequential peeking with O'Brien–Fleming boundaries: five
+    # interim looks at the even/odd-arm conversion z², each cumulative
+    # z2_e4 compared to its pinned OBF critical — early looks demand
+    # z ≈ 4.6, the final look keeps ≈ the nominal 1.96. Cumulative
+    # cells via a periodized rollup + window sums (the event table
+    # collapses ONCE, to ≤10 period×arm cells).
+    oracle=f"""
+WITH periods AS (
+    SELECT {_OBF_CUTS.replace("d <=", "EXTRACT(day FROM ts) <=")} AS p,
+           user_id % 2 AS arm,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS k
+    FROM events GROUP BY 1, 2
+), looks AS (SELECT range::BIGINT AS look FROM range(1, 6)),
+cum AS (
+    SELECT l.look,
+           SUM(CASE WHEN p.arm = 1 THEN p.n ELSE 0 END)::HUGEINT AS n1,
+           SUM(CASE WHEN p.arm = 1 THEN p.k ELSE 0 END)::HUGEINT AS k1,
+           SUM(CASE WHEN p.arm = 0 THEN p.n ELSE 0 END)::HUGEINT AS n0,
+           SUM(CASE WHEN p.arm = 0 THEN p.k ELSE 0 END)::HUGEINT AS k0
+    FROM looks l JOIN periods p ON p.p <= l.look
+    GROUP BY l.look
+), zsq AS (
+    -- z² products on cum's HUGEINT columns; BIGINT narrowing happens
+    -- in the next CTE so no SELECT alias shadows a wide column
+    SELECT look, n1, k1, n0, k0,
+           (CASE WHEN n1 * n0 * (k1 + k0)
+                      * (n1 + n0 - k1 - k0) = 0 THEN 0
+                 ELSE ((k1 * n0 - k0 * n1) * (k1 * n0 - k0 * n1)
+                       * (n1 + n0) * 10000)
+                      // (n1 * n0 * (k1 + k0)
+                          * (n1 + n0 - k1 - k0)) END) AS z2_raw
+    FROM cum
+), stat AS (
+    SELECT look, n1::BIGINT AS n1, k1::BIGINT AS k1,
+           n0::BIGINT AS n0, k0::BIGINT AS k0, z2_raw::BIGINT AS z2_e4
+    FROM zsq
+), bounded AS (
+    SELECT *, ({_OBF_BOUND_CASE}) AS obf_bound_e4 FROM stat
+), crossed AS (
+    SELECT *,
+           (CASE WHEN z2_e4 >= obf_bound_e4 THEN 1 ELSE 0 END) AS crossed,
+           COALESCE(MIN(CASE WHEN z2_e4 >= obf_bound_e4 THEN look END)
+                        OVER (), 0) AS first_cross_look
+    FROM bounded
+)
+SELECT look, n1, k1, n0, k0, z2_e4,
+       obf_bound_e4::BIGINT AS obf_bound_e4,
+       crossed::BIGINT AS crossed,
+       first_cross_look::BIGINT AS first_cross_look
+FROM crossed ORDER BY look
+""",
+)
+def q_obf_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien–Fleming
+    boundaries — the peeking correction ACROSS TIME that completes
+    this round's multiplicity trilogy (CMH corrects across strata,
+    BH across segments): a platform that reads the z-test daily and
+    stops at the first z² > 3.84 inflates its false-positive rate
+    several-fold; OBF spends almost no α early (look-1 critical
+    z ≈ 4.56) and keeps the final look near the nominal 1.96, so the
+    overall size stays 0.05. Five looks at days 6/12/18/24/month-end
+    over the even/odd-arm conversion z² (the e4-truncated
+    cross-multiplied form — no float SE or sqrt), boundaries pinned
+    from the published K=5 table (O'Brien & Fleming 1979) squared to
+    e4 literals. Each row is one look: cumulative cells, statistic,
+    critical, crossed flag, and the shared first_cross_look verdict
+    (0 = ran to completion). Scale: the event table collapses ONCE to
+    ≤10 period×arm cells; the look×period fan-out and window run on
+    that constant-size table. z² products are decimal(38) — the
+    documented Pearson width class."""
+    ev = _events(spark, sf_dir)
+    periods = ev.groupBy(
+        F.expr(
+            _OBF_CUTS.replace("d <=", "dayofmonth(ts) <=")
+        ).alias("p"),
+        (F.col("user_id") % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    looks = spark.range(1, 6).select(F.col("id").alias("look"))
+    cum = (
+        F.broadcast(looks)
+        .join(periods, periods["p"] <= F.col("look"))
+        .groupBy("look")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("k")).otherwise(0)).alias("k1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("k")).otherwise(0)).alias("k0"),
+        )
+    )
+    stat = cum.select(
+        "look",
+        "n1",
+        "k1",
+        "n0",
+        "k0",
+        F.expr(
+            "cast(case when cast(n1 as decimal(38,0)) * n0 * (k1 + k0)"
+            "          * (n1 + n0 - k1 - k0) = 0 then 0"
+            " else (cast(k1 as decimal(38,0)) * n0"
+            "       - cast(k0 as decimal(38,0)) * n1)"
+            "      * (cast(k1 as decimal(38,0)) * n0"
+            "         - cast(k0 as decimal(38,0)) * n1)"
+            "      * (n1 + n0) * 10000"
+            "      div (cast(n1 as decimal(38,0)) * n0 * (k1 + k0)"
+            "           * (n1 + n0 - k1 - k0)) end as long)"
+        ).alias("z2_e4"),
+    )
+    bounded = stat.withColumn("obf_bound_e4", F.expr(_OBF_BOUND_CASE))
+    w_all = Window.partitionBy()
+    crossed = bounded.select(
+        "*",
+        F.when(F.col("z2_e4") >= F.col("obf_bound_e4"), 1)
+        .otherwise(0)
+        .alias("crossed"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("z2_e4") >= F.col("obf_bound_e4"), F.col("look")
+                )
+            ).over(w_all),
+            F.lit(0),
+        ).alias("first_cross_look"),
+    )
+    return crossed.select(
+        F.col("look").cast("long").alias("look"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("k1").cast("long").alias("k1"),
+        F.col("n0").cast("long").alias("n0"),
+        F.col("k0").cast("long").alias("k0"),
+        "z2_e4",
+        F.col("obf_bound_e4").cast("long").alias("obf_bound_e4"),
+        F.col("crossed").cast("long").alias("crossed"),
+        F.col("first_cross_look").cast("long").alias("first_cross_look"),
+    ).orderBy("look")
