@@ -2053,13 +2053,16 @@ def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted from the chain (its edges redirect to NULL, probabilities
     deliberately NOT renormalized — the standard removal-effect
     convention). Absorption probabilities come from 20 fixed rounds
-    of integer-ppm value iteration p(i) = Σ_j T[i→j]·p(j) div 1e6
-    over the (scenario × state) grid — all 5 removal scenarios
-    iterate TOGETHER as one ~48-row table, localCheckpointed per
-    round (the CC/Lloyd lineage lesson). Scale shape: the only
-    event-scale work is journey extraction + transition counting on
-    the ONE user-keyed exchange; the chain solve touches a
-    |channels|²-sized table regardless of corpus size."""
+    of integer-ppm value iteration p(i) = Σ_j T[i→j]·p(j) div 1e6.
+    Scale shape: the only event-scale work is journey extraction +
+    transition counting on the ONE user-keyed exchange; the chain
+    itself is MODEL STATE bounded by the event-type alphabet
+    ((|channels|+3)² ≤ ~100 transition rows by contract), so the
+    value iteration runs driver-side in exact integer arithmetic —
+    the k-means-centroid/PQ-codebook convention — instead of 20
+    Spark jobs whose per-round plan/checkpoint overhead (~0.4 s each,
+    measured) dwarfs the μs of arithmetic at ANY data scale and
+    would serialize 20 cluster barriers on a real deployment."""
     ev = _events(spark, sf_dir)
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -2122,83 +2125,57 @@ def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_ppm"
         ),
     )
-    channels = (
-        trunc.select("state").where(F.col("state") != "CONV").distinct()
+    # Bounded-model-state collect (the k-means/PQ contract): the
+    # transition table is at most (|event-type alphabet|+3)² rows —
+    # ~100 — regardless of corpus size; only it crosses to the
+    # driver, never anything event-scale.
+    edges = [
+        (r["src"], r["dst"], r["p_ppm"]) for r in t_full.collect()
+    ]
+    channels = sorted(
+        {s for s, _, _ in edges} | {d for _, d, _ in edges}
     )
-    scenarios = channels.select(F.col("state").alias("scenario")).unionAll(
-        spark.createDataFrame([("FULL",)], "scenario string")
-    )
-    states = (
-        channels.unionAll(
-            spark.createDataFrame(
-                [("START",), ("CONV",), ("NULL",)], "state string"
-            )
+    # START is a state but never a removal scenario (it only ever
+    # appears as a source; the old distributed form derived channels
+    # from journey states, which exclude it)
+    channels = [c for c in channels if c not in ("START", "CONV", "NULL")]
+    scenarios = [c for c in channels] + ["FULL"]
+    states = channels + ["START", "CONV", "NULL"]
+    out_rows = []
+    p_by_scen: dict[str, dict[str, int]] = {}
+    for scen in scenarios:
+        t = [
+            (s, d, w)
+            for (s, d, w) in edges
+            if scen == "FULL" or (s != scen and d != scen)
+        ]
+        p = {st: 1_000_000 if st == "CONV" else 0 for st in states}
+        for _ in range(_MARKOV_ROUNDS):
+            nxt = {}
+            for st in states:
+                if st == "CONV":
+                    nxt[st] = 1_000_000
+                elif st == "NULL":
+                    nxt[st] = 0
+                else:
+                    nxt[st] = (
+                        sum(w * p[d] for (s, d, w) in t if s == st and d in p)
+                        // 1_000_000
+                    )
+            p = nxt
+        p_by_scen[scen] = p
+    p_full = p_by_scen["FULL"].get("START", 0)
+    for scen in scenarios:
+        pc = p_by_scen[scen].get("START", 0)
+        eff = (
+            0
+            if scen == "FULL"
+            else 1_000_000 - (pc * 1_000_000) // max(p_full, 1)
         )
-        .distinct()
-    )
-    t_scen = (
-        scenarios.crossJoin(t_full)
-        .where(
-            (F.col("scenario") == "FULL")
-            | (
-                (F.col("src") != F.col("scenario"))
-                & (F.col("dst") != F.col("scenario"))
-            )
-        )
-        .localCheckpoint()
-    )
-    grid = scenarios.crossJoin(states).localCheckpoint()
-    p = grid.select(
-        "scenario",
-        "state",
-        F.when(F.col("state") == "CONV", F.lit(1000000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("p_ppm"),
-    )
-    for _ in range(_MARKOV_ROUNDS):
-        agg = (
-            t_scen.alias("t")
-            .join(
-                p.alias("p"),
-                (F.col("t.scenario") == F.col("p.scenario"))
-                & (F.col("t.dst") == F.col("p.state")),
-            )
-            .groupBy(
-                F.col("t.scenario").alias("scenario"),
-                F.col("t.src").alias("state"),
-            )
-            .agg(F.expr("sum(t.p_ppm * p.p_ppm) div 1000000").alias("v"))
-        )
-        p = (
-            grid.join(agg, ["scenario", "state"], "left")
-            .select(
-                "scenario",
-                "state",
-                F.when(F.col("state") == "CONV", F.lit(1000000))
-                .when(F.col("state") == "NULL", F.lit(0))
-                .otherwise(F.coalesce(F.col("v"), F.lit(0)))
-                .cast("long")
-                .alias("p_ppm"),
-            )
-            .localCheckpoint()
-        )
-    start = p.where(F.col("state") == "START").select(
-        "scenario", F.col("p_ppm").alias("p_conv_ppm")
-    )
-    full = start.where(F.col("scenario") == "FULL").select(
-        F.col("p_conv_ppm").alias("p_full")
-    )
-    return start.crossJoin(F.broadcast(full)).select(
-        "scenario",
-        "p_conv_ppm",
-        F.when(F.col("scenario") == "FULL", F.lit(0))
-        .otherwise(
-            F.lit(1000000)
-            - F.expr("(p_conv_ppm * 1000000) div greatest(p_full, 1)")
-        )
-        .cast("long")
-        .alias("removal_effect_ppm"),
+        out_rows.append((scen, pc, eff))
+    return spark.createDataFrame(
+        out_rows,
+        "scenario string, p_conv_ppm long, removal_effect_ppm long",
     )
 
 
