@@ -315,6 +315,7 @@ _REGISTERED_R08 = frozenset(
         "hodges_lehmann_shift",
         "obf_sequential_looks",
         "kmv_intersection_estimate",
+        "streaming_obf_monitor",
     }
 )
 

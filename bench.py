@@ -322,6 +322,7 @@ HEADLINE = [
     "hodges_lehmann_shift",
     "obf_sequential_looks",
     "kmv_intersection_estimate",
+    "streaming_obf_monitor",
 ]
 
 

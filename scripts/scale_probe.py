@@ -129,6 +129,7 @@ PROBE_QUERIES = [
     "hodges_lehmann_shift",
     "obf_sequential_looks",
     "kmv_intersection_estimate",
+    "streaming_obf_monitor",
 ]
 
 

@@ -446,3 +446,22 @@ def test_kmv_intersection_fixture_estimates_near_truth(spark, sf_dir):
         <= r["est_intersection"]
         <= r["n_exact_inter"] * 2
     )
+
+
+# --- streaming OBF monitor -------------------------------------------------
+
+
+def test_streaming_obf_equals_batch(spark, sf_dir):
+    """Period bucketing commutes with streaming aggregation, so the
+    monitor built from the SERVED streamed cells must equal the batch
+    look table row-for-row — boundaries, statistics, crossings,
+    verdict."""
+    batch = sorted(
+        QUERIES["obf_sequential_looks"](spark, sf_dir).collect(),
+        key=lambda r: r["look"],
+    )
+    streamed = sorted(
+        QUERIES["streaming_obf_monitor"](spark, sf_dir).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r.asDict() for r in streamed] == [r.asDict() for r in batch]

@@ -672,3 +672,50 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate_ppm"
         ),
     )
+
+
+def _obf_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.webanalytics_r8 import (
+        OBF_ORACLE_SQL,
+    )
+
+    return OBF_ORACLE_SQL
+
+
+@query(
+    "streaming_obf_monitor",
+    # Identical oracle to obf_sequential_looks: period cutting
+    # commutes with streaming aggregation, so the monitor built from
+    # the SERVED streamed cells must produce the exact same look
+    # table — the gate hashes the full five-look readout.
+    oracle=_obf_oracle(),
+)
+def q_streaming_obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitoring ON the stream (21st
+    streaming replay) — what an experimentation platform's live
+    peeking guard actually runs: the ≤10 (look-period × arm)
+    trial/conversion cells accumulate incrementally through the
+    update-mode agg → snapshot-upsert topology (counts are monotone,
+    so latest-per-key by n is the correct snapshot merge), and the
+    OBF look table — cumulative z², pinned O'Brien–Fleming e4
+    criticals, first_cross_look — is computed from the SERVED cells
+    by the same shared pipeline as the batch gate. Because period
+    bucketing commutes with streaming aggregation, the streamed
+    readout must equal ``obf_sequential_looks`` row-for-row, which is
+    exactly what the shared oracle pins. State is constant in traffic
+    volume; the inference is a ≤10-row computation at serve time."""
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.plans.webanalytics_r8 import (
+        obf_looks_from_periods,
+    )
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_obf_cells_state,
+    )
+
+    cells = streaming_obf_cells_state(spark, sf_dir)
+    periods = cells.select(
+        "p", "arm", F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+    )
+    return obf_looks_from_periods(spark, periods)

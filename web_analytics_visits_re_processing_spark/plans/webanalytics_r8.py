@@ -1753,15 +1753,12 @@ case look when 1 then 208118 when 2 then 104070 when 3 then 69379
 _OBF_CUTS = "case when d <= 6 then 1 when d <= 12 then 2 when d <= 18 then 3 when d <= 24 then 4 else 5 end"
 
 
-@query(
-    "obf_sequential_looks",
-    # Group-sequential peeking with O'Brien–Fleming boundaries: five
-    # interim looks at the even/odd-arm conversion z², each cumulative
-    # z2_e4 compared to its pinned OBF critical — early looks demand
-    # z ≈ 4.6, the final look keeps ≈ the nominal 1.96. Cumulative
-    # cells via a periodized rollup + window sums (the event table
-    # collapses ONCE, to ≤10 period×arm cells).
-    oracle=f"""
+# Shared by the batch gate and the streaming monitor gate (the
+# stream's cells must equal the batch rollup, so the SAME oracle pins
+# both): five interim looks at the even/odd-arm conversion z², each
+# cumulative z2_e4 compared to its pinned OBF critical — early looks
+# demand z ≈ 4.6, the final look keeps ≈ the nominal 1.96.
+OBF_ORACLE_SQL = f"""
 WITH periods AS (
     SELECT {_OBF_CUTS.replace("d <=", "EXTRACT(day FROM ts) <=")} AS p,
            user_id % 2 AS arm,
@@ -1807,8 +1804,10 @@ SELECT look, n1, k1, n0, k0, z2_e4,
        crossed::BIGINT AS crossed,
        first_cross_look::BIGINT AS first_cross_look
 FROM crossed ORDER BY look
-""",
-)
+"""
+
+
+@query("obf_sequential_looks", oracle=OBF_ORACLE_SQL)
 def q_obf_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-sequential A/B monitoring with O'Brien–Fleming
     boundaries — the peeking correction ACROSS TIME that completes
@@ -1839,6 +1838,17 @@ def q_obf_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("k"),
     )
+    return obf_looks_from_periods(spark, periods)
+
+
+def obf_looks_from_periods(
+    spark: SparkSession, periods: DataFrame
+) -> DataFrame:
+    """The look×boundary pipeline shared by the batch query and the
+    streaming monitor (which feeds SERVED period×arm cells instead of
+    a fresh event rollup): cumulative cells per look, e4 z², pinned
+    OBF criticals, crossed flags and the first_cross_look window —
+    all on the ≤10-cell input."""
     looks = spark.range(1, 6).select(F.col("id").alias("look"))
     cum = (
         F.broadcast(looks)

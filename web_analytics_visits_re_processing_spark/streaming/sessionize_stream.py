@@ -990,3 +990,57 @@ def streaming_count_min_state(
         output_mode="update",
     )
     return read_state(spark, state)
+
+
+def streaming_obf_cells_state(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Group-sequential experiment cells maintained INCREMENTALLY:
+    per (look-period, arm) trial/conversion counts from the event
+    stream — the state an experimentation platform's live monitor
+    actually holds. ≤ 10 rows CONSTANT in traffic volume (5 day-cut
+    periods × 2 arms); counts only grow, so latest-per-key ordered by
+    the monotone n is the correct snapshot merge — the same
+    update-mode agg → snapshot-upsert topology as the
+    CMS/HLL/heatmap/Benford replays. Period cutting commutes with
+    streaming aggregation, so the served cells equal the batch
+    rollup at every point in time."""
+    from web_analytics_visits_re_processing_spark.streaming.upsert_sink import (
+        read_state,
+        run_upsert_stream,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT, "stream_obf", os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    state = os.path.join(workdir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    events = _read_replay_stream(spark, input_dir, max_files_per_trigger).where(
+        F.col("event_type") != _SENTINEL_EVENT_TYPE
+    )
+    cells = events.groupBy(
+        F.expr(
+            "case when dayofmonth(ts) <= 6 then 1"
+            " when dayofmonth(ts) <= 12 then 2"
+            " when dayofmonth(ts) <= 18 then 3"
+            " when dayofmonth(ts) <= 24 then 4 else 5 end"
+        ).cast("long").alias("p"),
+        (F.col("user_id") % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    run_upsert_stream(
+        cells,
+        state,
+        os.path.join(workdir, "ckpt"),
+        key_cols=["p", "arm"],
+        order_cols=["n"],
+        output_mode="update",
+    )
+    return read_state(spark, state)
