@@ -316,6 +316,7 @@ _REGISTERED_R08 = frozenset(
         "obf_sequential_looks",
         "kmv_intersection_estimate",
         "streaming_obf_monitor",
+        "rec_hitrate_temporal_holdout",
     }
 )
 

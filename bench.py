@@ -323,6 +323,7 @@ HEADLINE = [
     "obf_sequential_looks",
     "kmv_intersection_estimate",
     "streaming_obf_monitor",
+    "rec_hitrate_temporal_holdout",
 ]
 
 

@@ -130,6 +130,7 @@ PROBE_QUERIES = [
     "obf_sequential_looks",
     "kmv_intersection_estimate",
     "streaming_obf_monitor",
+    "rec_hitrate_temporal_holdout",
 ]
 
 

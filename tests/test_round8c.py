@@ -465,3 +465,97 @@ def test_streaming_obf_equals_batch(spark, sf_dir):
         key=lambda r: r["look"],
     )
     assert [r.asDict() for r in streamed] == [r.asDict() for r in batch]
+
+
+# --- temporal-holdout recommender eval -------------------------------------
+
+
+def _write_rec_fixture(spark, tmp_path, lineitems, orders):
+    """lineitems: (l_orderkey, l_partkey); orders:
+    (o_orderkey, o_custkey, iso_date)."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        lineitems, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    spark.createDataFrame(
+        [
+            (o, c, dt.datetime.fromisoformat(d))
+            for (o, c, d) in orders
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_rec_hitrate_hand_computed_split(spark, tmp_path):
+    """Train (pre-1998-04): orders {p1,p2}, {p1,p2}, {p1,p3} → the
+    only support-≥2 rule is p1↔p2. Customer X bought p1 pre and p2
+    post: carousel(p1) = {p2} → HIT. Customer Y bought p3 pre and p2
+    post: the (p1,p3) pair has support 1, so Y's carousel is EMPTY —
+    a miss that must stay in the denominator. hitrate = 500000 ppm;
+    precision = 1/1 = 1e6 (Y contributes 0 recs)."""
+    li = [
+        (1, 1), (1, 2),   # train basket A {p1,p2}
+        (2, 1), (2, 2),   # train basket B {p1,p2}
+        (3, 1), (3, 3),   # train basket C {p1,p3}
+        (4, 1),           # X pre: {p1}
+        (5, 3),           # Y pre: {p3}
+        (6, 2),           # X post: {p2}
+        (7, 2),           # Y post: {p2}
+    ]
+    orders = [
+        (1, 90, "1996-01-01"), (2, 91, "1996-02-01"),
+        (3, 92, "1996-03-01"),
+        (4, 10, "1997-01-01"), (5, 20, "1997-02-01"),
+        (6, 10, "1999-01-01"), (7, 20, "1999-02-01"),
+    ]
+    sf = _write_rec_fixture(spark, tmp_path, li, orders)
+    [r] = QUERIES["rec_hitrate_temporal_holdout"](spark, sf).collect()
+    assert r.asDict() == {
+        "n_eval_customers": 2,
+        "n_hit_customers": 1,
+        "hitrate_ppm": 500_000,
+        "n_recs_total": 1,
+        "n_rec_hits_total": 1,
+        "precision_ppm": 1_000_000,
+    }
+
+
+def test_rec_hitrate_no_future_leakage(spark, tmp_path):
+    """The rule that would produce a hit exists ONLY in the post
+    period: a random split would learn it, the temporal split must
+    not — hit-rate reads 0 even though the post baskets repeat the
+    (p1,p2) pair twice."""
+    li = [
+        (1, 1),            # pre: X bought p1 alone
+        (2, 1), (2, 2),    # post basket {p1,p2}
+        (3, 1), (3, 2),    # post basket {p1,p2}
+        (4, 2),            # X post: {p2}
+    ]
+    orders = [
+        (1, 10, "1996-01-01"),
+        (2, 90, "1999-01-01"), (3, 91, "1999-02-01"),
+        (4, 10, "1999-03-01"),
+    ]
+    sf = _write_rec_fixture(spark, tmp_path, li, orders)
+    [r] = QUERIES["rec_hitrate_temporal_holdout"](spark, sf).collect()
+    assert r["n_eval_customers"] == 1
+    assert r["n_hit_customers"] == 0
+    assert r["n_recs_total"] == 0
+    assert r["hitrate_ppm"] == 0
+
+
+def test_rec_hitrate_fixture_nondegenerate(spark, sf_dir):
+    """Shipped fixtures must exercise the protocol: customers on both
+    sides of the cutoff exist and the rule table produces at least
+    one recommendation."""
+    [r] = QUERIES["rec_hitrate_temporal_holdout"](spark, sf_dir).collect()
+    assert r["n_eval_customers"] > 0
+    assert r["n_recs_total"] > 0
+    assert 0 <= r["hitrate_ppm"] <= 1_000_000
+    assert 0 <= r["precision_ppm"] <= 1_000_000

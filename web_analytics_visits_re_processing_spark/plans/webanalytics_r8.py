@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from web_analytics_visits_re_processing_spark.plans.registry import query
 from web_analytics_visits_re_processing_spark.plans.webanalytics import _events
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
 from web_analytics_visits_re_processing_spark.plans.webanalytics_r7 import (
     _CHURN_QUIET_DAYS,
     _HAZARD_HORIZON,
@@ -1906,3 +1907,188 @@ def obf_looks_from_periods(
         F.col("crossed").cast("long").alias("crossed"),
         F.col("first_cross_look").cast("long").alias("first_cross_look"),
     ).orderBy("look")
+
+
+@query(
+    "rec_hitrate_temporal_holdout",
+    # Temporal-split recommender evaluation: build the also-bought
+    # top-3 rules ONLY from pre-cutoff orders (support ≥ 2, the
+    # carousel's rule), then for every customer active on BOTH sides
+    # of the cutoff ask whether the union of their query-part
+    # carousels contains ANY part they actually bought afterwards.
+    # hit-rate and micro-precision in exact ppm.
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
+           o2.o_custkey AS c,
+           (CASE WHEN CAST(o2.o_orderdate AS DATE) < DATE '1998-04-01'
+                 THEN 0 ELSE 1 END) AS post
+    FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+), pair AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS s_ab
+    FROM (SELECT DISTINCT o, p FROM op WHERE post = 0) a
+    JOIN (SELECT DISTINCT o, p FROM op WHERE post = 0) b
+      ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+), rules AS (
+    SELECT part, also_bought FROM (
+        SELECT part, also_bought,
+               ROW_NUMBER() OVER (PARTITION BY part
+                                  ORDER BY s_ab DESC, also_bought) AS rk
+        FROM (SELECT pa AS part, pb AS also_bought, s_ab FROM pair
+              UNION ALL
+              SELECT pb, pa, s_ab FROM pair))
+    WHERE rk <= 3
+), pre AS (
+    SELECT DISTINCT c, p FROM op WHERE post = 0
+), post AS (
+    SELECT DISTINCT c, p FROM op WHERE post = 1
+), eval_c AS (
+    SELECT c FROM (SELECT DISTINCT c FROM pre)
+    INTERSECT SELECT c FROM (SELECT DISTINCT c FROM post)
+), recs AS (
+    SELECT DISTINCT pre.c, r.also_bought AS p
+    FROM pre JOIN eval_c e ON e.c = pre.c
+    JOIN rules r ON r.part = pre.p
+), per_c AS (
+    SELECT e.c,
+           COALESCE(n.n_recs, 0) AS n_recs,
+           COALESCE(h.n_hits, 0) AS n_hits
+    FROM eval_c e
+    LEFT JOIN (SELECT c, COUNT(*)::BIGINT AS n_recs
+               FROM recs GROUP BY c) n ON n.c = e.c
+    LEFT JOIN (SELECT recs.c, COUNT(*)::BIGINT AS n_hits
+               FROM recs JOIN post
+                 ON post.c = recs.c AND post.p = recs.p
+               GROUP BY recs.c) h ON h.c = e.c
+)
+SELECT COUNT(*)::BIGINT AS n_eval_customers,
+       SUM(CASE WHEN n_hits >= 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_hit_customers,
+       ((SUM(CASE WHEN n_hits >= 1 THEN 1 ELSE 0 END) * 1000000)
+            // GREATEST(COUNT(*), 1))::BIGINT AS hitrate_ppm,
+       SUM(n_recs)::BIGINT AS n_recs_total,
+       SUM(n_hits)::BIGINT AS n_rec_hits_total,
+       ((SUM(n_hits) * 1000000)
+            // GREATEST(SUM(n_recs), 1))::BIGINT AS precision_ppm
+FROM per_c
+""",
+)
+def q_rec_hitrate_temporal_holdout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recommender evaluation under a TEMPORAL holdout — the
+    model-eval family (AUC / gains / calibration / nDCG) extended to
+    the recommendation queries: the also-bought top-3 rules train
+    ONLY on pre-1998-04 orders, and every customer active on both
+    sides of the cutoff is scored on whether the union of their
+    query-part carousels contains any part they ACTUALLY bought
+    afterwards (hit-rate@carousel) plus the micro-averaged precision
+    of the recommended set. The temporal split is the honest
+    protocol — a random split leaks future co-purchases into the
+    rules, inflating hit-rate exactly like the leakage
+    `leakage_safe_split` guards against in embedding space.
+    Customers whose query parts produced NO rules stay in the
+    denominator (an empty carousel is a miss, not an exclusion).
+    Scale: the pair table is the bounded-basket shape shared with
+    also_bought/association_rules; rec expansion is pre-parts × ≤3
+    via two equi-joins; every join is key-equi, nothing quadratic.
+    All rates exact ppm."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+            F.col("o_custkey").alias("c"),
+            F.when(
+                F.to_date("o_orderdate") < F.lit("1998-04-01").cast("date"),
+                0,
+            )
+            .otherwise(1)
+            .alias("post"),
+        )
+        .distinct()
+    )
+    pre_op = op.where(F.col("post") == 0).select("o", "p").distinct()
+    a = pre_op.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
+    b = pre_op.select(F.col("o").alias("ob"), F.col("p").alias("pb"))
+    pair = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 2)
+    )
+    rules = (
+        pair.select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("also_bought"),
+            "s_ab",
+        )
+        .unionAll(
+            pair.select(
+                F.col("pb").alias("part"),
+                F.col("pa").alias("also_bought"),
+                "s_ab",
+            )
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("part").orderBy(
+                    F.col("s_ab").desc(), "also_bought"
+                )
+            ),
+        )
+        .where(F.col("rk") <= 3)
+        .select("part", "also_bought")
+    )
+    pre = op.where(F.col("post") == 0).select("c", "p").distinct()
+    post = op.where(F.col("post") == 1).select("c", "p").distinct()
+    eval_c = (
+        pre.select("c")
+        .distinct()
+        .join(post.select("c").distinct(), "c", "left_semi")
+    )
+    recs = (
+        pre.join(eval_c, "c", "left_semi")
+        .join(rules, pre["p"] == rules["part"])
+        .select("c", F.col("also_bought").alias("p"))
+        .distinct()
+    )
+    n_recs = recs.groupBy("c").agg(F.count(F.lit(1)).alias("n_recs"))
+    n_hits = (
+        recs.join(post, ["c", "p"])
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_c = (
+        eval_c.join(n_recs, "c", "left")
+        .join(n_hits, "c", "left")
+        .select(
+            "c",
+            F.coalesce(F.col("n_recs"), F.lit(0)).alias("n_recs"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_customers"),
+        F.sum(F.when(F.col("n_hits") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit_customers"),
+        F.expr(
+            "cast((sum(case when n_hits >= 1 then 1 else 0 end) * 1000000)"
+            " div greatest(count(1), 1) as long)"
+        ).alias("hitrate_ppm"),
+        F.sum("n_recs").cast("long").alias("n_recs_total"),
+        F.sum("n_hits").cast("long").alias("n_rec_hits_total"),
+        F.expr(
+            "cast((sum(n_hits) * 1000000)"
+            " div greatest(sum(n_recs), 1) as long)"
+        ).alias("precision_ppm"),
+    )
