@@ -317,6 +317,8 @@ _REGISTERED_R08 = frozenset(
         "kmv_intersection_estimate",
         "streaming_obf_monitor",
         "rec_hitrate_temporal_holdout",
+        "community_modularity",
+        "nav_conditional_entropy",
     }
 )
 

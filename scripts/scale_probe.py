@@ -131,6 +131,8 @@ PROBE_QUERIES = [
     "kmv_intersection_estimate",
     "streaming_obf_monitor",
     "rec_hitrate_temporal_holdout",
+    "community_modularity",
+    "nav_conditional_entropy",
 ]
 
 

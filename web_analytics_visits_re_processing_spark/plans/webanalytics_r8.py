@@ -2092,3 +2092,265 @@ def q_rec_hitrate_temporal_holdout(
             " div greatest(sum(n_recs), 1) as long)"
         ).alias("precision_ppm"),
     )
+
+
+@query(
+    "community_modularity",
+    # Newman–Girvan modularity of the product_communities partition,
+    # integer-exact: every edge of a CC partition is intra-community,
+    # so Q = Σ_c (4·m·e_c − d_c²) / (4m²) — cross-multiplied to ppm
+    # with no float share. Same edge rule (support ≥ 3, lift > 1)
+    # and min-label closure as the gated communities query.
+    oracle="""
+WITH RECURSIVE op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+    SELECT COUNT(DISTINCT o)::BIGINT AS n_orders FROM op
+), item AS (
+    SELECT p, COUNT(*)::BIGINT AS s FROM op GROUP BY p
+), pair AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS s_ab
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+), edges AS (
+    SELECT pa, pb FROM pair
+    JOIN item ia ON ia.p = pair.pa
+    JOIN item ib ON ib.p = pair.pb, n
+    WHERE (s_ab * n.n_orders * 1000000) // (ia.s * ib.s) > 1000000
+), nodes AS (
+    SELECT pa AS node FROM edges UNION SELECT pb FROM edges
+), sym AS (
+    SELECT pa AS node, pb AS nbr FROM edges
+    UNION ALL SELECT pb, pa FROM edges
+), reach AS (
+    SELECT node, node AS label FROM nodes
+    UNION
+    SELECT s.nbr, r.label
+    FROM reach r JOIN sym s ON s.node = r.node
+    WHERE r.label < s.nbr
+), comp AS (
+    SELECT node AS part, MIN(label)::BIGINT AS community
+    FROM reach GROUP BY node
+), m AS (SELECT COUNT(*)::HUGEINT AS m_edges FROM edges),
+deg AS (
+    SELECT node, COUNT(*)::BIGINT AS d FROM sym GROUP BY node
+), cstat AS (
+    SELECT c.community,
+           COUNT(*)::BIGINT AS n_nodes,
+           SUM(deg.d)::HUGEINT AS d_sum
+    FROM comp c JOIN deg ON deg.node = c.part
+    GROUP BY c.community
+), cedge AS (
+    SELECT ca.community, COUNT(*)::HUGEINT AS e_in
+    FROM edges e
+    JOIN comp ca ON ca.part = e.pa
+    GROUP BY ca.community
+), rows_ AS (
+    SELECT cs.community, cs.n_nodes,
+           COALESCE(ce.e_in, 0)::BIGINT AS e_in,
+           cs.d_sum::BIGINT AS d_sum,
+           ((4::HUGEINT * m.m_edges * COALESCE(ce.e_in, 0)
+             - cs.d_sum * cs.d_sum) * 1000000
+                // (4::HUGEINT * m.m_edges * m.m_edges))::BIGINT
+               AS q_contrib_ppm
+    FROM cstat cs LEFT JOIN cedge ce ON ce.community = cs.community
+    CROSS JOIN m
+)
+SELECT community, n_nodes, e_in, d_sum, q_contrib_ppm,
+       SUM(q_contrib_ppm) OVER ()::BIGINT AS modularity_ppm
+FROM rows_
+""",
+)
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman–Girvan modularity of the discovered product communities
+    — the QUALITY GATE for the graph-clustering family, the same role
+    lsh_recall_vs_truth plays for dedup and recall@5 for ANN: a
+    partition is only worth shipping if its modularity beats the
+    random-graph expectation, and this query scores the exact
+    partition product_communities emits (same support-≥3/lift>1 edge
+    rule, same min-label closure) so the two gates can never drift.
+    Because a connected-components partition keeps every edge
+    intra-community, Q reduces to Σ_c (4·m·e_c − d_c²)/(4m²) —
+    cross-multiplied into exact ppm per community (the contribution
+    column shows WHICH community carries the structure; its window
+    sum is the headline Q). The readout is honest in both directions:
+    on the sf0.001 fixture the lift graph collapses to ONE giant
+    component and Q reads exactly 0 — the score refusing to call an
+    unpartitioned graph clustered is precisely the signal a
+    merchandiser needs before trusting the taxonomy. Scale:
+    everything past the shared
+    bounded-basket pair table runs on community-count-sized rollups;
+    the lift guard keeps the graph sparse exactly as the communities
+    query documents."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = op.select("o").distinct().count()
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 3)
+    )
+    edges = (
+        pair.join(
+            F.broadcast(
+                item.select(F.col("p").alias("pa"), F.col("s").alias("sa"))
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                item.select(F.col("p").alias("pb"), F.col("s").alias("sb"))
+            ),
+            "pb",
+        )
+        .where(
+            F.expr(f"(s_ab * {n_orders}L * 1000000) div (sa * sb)")
+            > 1_000_000
+        )
+        .select("pa", "pb")
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("node"))
+        .union(edges.select("pb"))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, edges, node_col="node", src_col="pa", dst_col="pb"
+    ).select(F.col("node").alias("part"), F.col("component").alias("community"))
+    sym = edges.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(edges.select(F.col("pb"), F.col("pa")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    cstat = (
+        comp.join(deg, comp["part"] == deg["node"])
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("d_sum"),
+        )
+    )
+    cedge = (
+        edges.join(comp, edges["pa"] == comp["part"])
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    m_edges = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    rows = (
+        cstat.join(cedge, "community", "left")
+        .crossJoin(F.broadcast(m_edges))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            F.col("d_sum").cast("long").alias("d_sum"),
+            F.expr(
+                "cast((cast(4 as decimal(38,0)) * m_edges"
+                " * coalesce(e_in, 0)"
+                " - cast(d_sum as decimal(38,0)) * d_sum) * 1000000"
+                " div (cast(4 as decimal(38,0)) * m_edges * m_edges)"
+                " as long)"
+            ).alias("q_contrib_ppm"),
+        )
+    )
+    return rows.select(
+        "*",
+        F.sum("q_contrib_ppm")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("modularity_ppm"),
+    )
+
+
+@query(
+    "nav_conditional_entropy",
+    # H(next | cur) per source state over the SAME within-session
+    # transition pairs as the Markov matrix: H_cur = ln(n) − Σ c·ln c
+    # / n (the token_entropy algebraic form, shared verbatim so the
+    # float work is op-identical), ROUND 6; the traffic-weighted
+    # total rides along as a constant column.
+    oracle="""
+WITH seq AS (
+    SELECT event_type AS cur_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap_us
+    FROM events
+), pairs AS (
+    SELECT cur_type, next_type, COUNT(*)::BIGINT AS n
+    FROM seq WHERE gap_us <= 1800000000
+    GROUP BY cur_type, next_type
+), cur AS (
+    SELECT cur_type, SUM(n)::BIGINT AS n_out,
+           COUNT(*)::BIGINT AS n_next_types,
+           SUM(n * ln(n)) AS s_c
+    FROM pairs GROUP BY cur_type
+), tot AS (
+    SELECT SUM(n_out)::BIGINT AS n_tot,
+           SUM(n_out * ln(n_out) - s_c) AS h_num
+    FROM cur
+)
+SELECT c.cur_type, c.n_out, c.n_next_types,
+       ROUND(ln(c.n_out) - c.s_c / c.n_out, 6) AS entropy_nats,
+       ROUND(t.h_num / t.n_tot, 6) AS h_cond_total_nats
+FROM cur c CROSS JOIN tot t
+""",
+)
+def q_nav_conditional_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional next-event entropy H(next | cur) — HOW PREDICTABLE
+    navigation is from each state, the information-theoretic readout
+    of the same transition pairs markov_next_event_probs tabulates: a
+    state with H ≈ 0 funnels users deterministically (its carousel /
+    CTA is working), a state near ln(alphabet) is a crossroads, and
+    the traffic-weighted total is the chain's one-number
+    predictability. Uses the token_entropy algebraic form verbatim
+    (H = ln n − Σ c·ln c / n, ROUND 6) so the float work is
+    op-identical in both engines; n·ln n − s_c makes the weighted
+    total a plain sum over the ≤alphabet² pair table. Scale: one
+    user-keyed window pass (shared with the Markov family) collapsing
+    to ≤25 pair rows; everything after is constant-size."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(wu).alias("next_type"),
+        (
+            F.lead(F.unix_micros("ts")).over(wu) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    )
+    pairs = (
+        seq.where(F.col("gap_us") <= 1_800_000_000)
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = pairs.groupBy("cur_type").agg(
+        F.sum("n").alias("n_out"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.sum(F.expr("n * ln(n)")).alias("s_c"),
+    )
+    tot = cur.agg(
+        F.sum("n_out").alias("n_tot"),
+        F.sum(F.expr("n_out * ln(n_out) - s_c")).alias("h_num"),
+    )
+    return cur.crossJoin(F.broadcast(tot)).select(
+        "cur_type",
+        F.col("n_out").cast("long").alias("n_out"),
+        F.col("n_next_types").cast("long").alias("n_next_types"),
+        F.expr("round(ln(n_out) - s_c / n_out, 6)").alias("entropy_nats"),
+        F.expr("round(h_num / n_tot, 6)").alias("h_cond_total_nats"),
+    )
