@@ -319,6 +319,7 @@ _REGISTERED_R08 = frozenset(
         "rec_hitrate_temporal_holdout",
         "community_modularity",
         "nav_conditional_entropy",
+        "logrank_conversion_by_arm",
     }
 )
 

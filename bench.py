@@ -326,6 +326,7 @@ HEADLINE = [
     "rec_hitrate_temporal_holdout",
     "community_modularity",
     "nav_conditional_entropy",
+    "logrank_conversion_by_arm",
 ]
 
 

@@ -133,6 +133,7 @@ PROBE_QUERIES = [
     "rec_hitrate_temporal_holdout",
     "community_modularity",
     "nav_conditional_entropy",
+    "logrank_conversion_by_arm",
 ]
 
 

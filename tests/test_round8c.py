@@ -689,3 +689,81 @@ def test_nav_entropy_fixture_bounds(spark, sf_dir):
     lo = min(r["entropy_nats"] for r in rows)
     hi = max(r["entropy_nats"] for r in rows)
     assert lo - 1e-9 <= rows[0]["h_cond_total_nats"] <= hi + 1e-9
+
+
+# --- log-rank test ---------------------------------------------------------
+
+
+def _write_typed_events(spark, tmp_path, rows):
+    """rows: (event_id, day_of_month, user_id, event_type)."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            (eid, T0 + dt.timedelta(days=d - 1), uid, et, 0.0, "{}")
+            for (eid, d, uid, et) in rows
+        ],
+        EV_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_logrank_hand_computed_risk_sets(spark, tmp_path):
+    """u1 (arm1) converts t=0; u3 (arm1) and u2 (arm0) convert t=2;
+    u4 (arm0) never purchases and stays active to day 30 → CENSORED
+    at t=29 — it must still sit in every risk set, which is the whole
+    point of log-rank over a converted-fraction z-test. Event times
+    {0, 2}: t=0 → (n1,n0,d1,d0) = (2,2,1,0), oe_e6 = 500000, v_e6 =
+    250000; t=2 → (1,2,1,1), oe_e6 = 333333, v_e6 = 222222.
+    S = 833333, V = 472222, χ² ≈ 1.47 → not significant."""
+    rows = [
+        (1, 1, 1, "view"), (2, 1, 1, "purchase"),
+        (3, 1, 2, "view"), (4, 3, 2, "purchase"),
+        (5, 1, 3, "view"), (6, 3, 3, "purchase"),
+        (7, 1, 4, "view"), (8, 30, 4, "view"),
+    ]
+    sf = _write_typed_events(spark, tmp_path, rows)
+    [r] = QUERIES["logrank_conversion_by_arm"](spark, sf).collect()
+    assert r.asDict() == {
+        "n_event_times": 2,
+        "o1": 2,
+        "o0": 1,
+        "s_e6": 833_333,
+        "v_e6": 472_222,
+        "significant_logrank": 0,
+    }
+
+
+def test_logrank_flags_planted_conversion_gap(spark, tmp_path):
+    """Ten odd users convert at t=0 while ten even users never
+    purchase (censored at the data end): S = 5e6, V = 1315789,
+    χ² ≈ 19 — the verdict fires, and o0 = 0 shows not one control
+    conversion was observed."""
+    rows = []
+    eid = 0
+    for u in range(1, 21, 2):
+        rows.append((eid, 1, u, "purchase"))
+        eid += 1
+    for u in range(2, 22, 2):
+        rows += [(eid, 1, u, "view"), (eid + 1, 30, u, "view")]
+        eid += 2
+    sf = _write_typed_events(spark, tmp_path, rows)
+    [r] = QUERIES["logrank_conversion_by_arm"](spark, sf).collect()
+    assert (r["o1"], r["o0"]) == (10, 0)
+    assert r["s_e6"] == 5_000_000
+    assert r["v_e6"] == 1_315_789
+    assert r["significant_logrank"] == 1
+
+
+def test_logrank_fixture_nondegenerate(spark, sf_dir):
+    """Shipped fixtures: several conversion times materialize, both
+    arms observe conversions, and the variance is positive (a v = 0
+    fixture would make the verdict vacuous) — the reason this gate
+    tests time-to-conversion rather than churn, which the fixtures
+    never exhibit."""
+    [r] = QUERIES["logrank_conversion_by_arm"](spark, sf_dir).collect()
+    assert r["n_event_times"] >= 2
+    assert r["o1"] > 0 and r["o0"] > 0
+    assert r["v_e6"] > 0

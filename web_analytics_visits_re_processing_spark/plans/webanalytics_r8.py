@@ -2354,3 +2354,188 @@ def q_nav_conditional_entropy(
         F.expr("round(ln(n_out) - s_c / n_out, 6)").alias("entropy_nats"),
         F.expr("round(h_num / n_tot, 6)").alias("h_cond_total_nats"),
     )
+
+
+@query(
+    "logrank_conversion_by_arm",
+    # Log-rank test between the arms' time-to-first-purchase curves:
+    # at each conversion time the (d1·T − d·n1) deviation and
+    # hypergeometric variance accumulate e6-scaled — log-rank IS the
+    # CMH arithmetic with one stratum per event time — and the
+    # χ² > 3.8415 verdict cross-multiplies. Users who never purchase
+    # are CENSORED at (data end − first event), not dropped.
+    oracle="""
+WITH bounds AS (
+    SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events
+), u AS (
+    SELECT e.user_id, e.user_id % 2 AS arm,
+           MIN(CAST(e.ts AS DATE)) AS d0,
+           MIN(CASE WHEN e.event_type = 'purchase'
+                    THEN CAST(e.ts AS DATE) END) AS dp,
+           MAX(b.dmax) AS dmax
+    FROM events e CROSS JOIN bounds b
+    GROUP BY e.user_id, e.user_id % 2
+), obs AS (
+    SELECT arm,
+           CASE WHEN dp IS NOT NULL THEN DATE_DIFF('day', d0, dp)
+                ELSE DATE_DIFF('day', d0, dmax) END AS t,
+           CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS converted
+    FROM u
+), rollup AS (
+    SELECT arm, t, SUM(converted)::BIGINT AS n_conv,
+           COUNT(*)::BIGINT AS n_total
+    FROM obs GROUP BY arm, t
+), etimes AS (
+    SELECT t FROM rollup GROUP BY t HAVING SUM(n_conv) >= 1
+), risk AS (
+    SELECT e.t AS st,
+           SUM(CASE WHEN r.arm = 1 THEN r.n_total ELSE 0 END)::HUGEINT
+               AS n1,
+           SUM(CASE WHEN r.arm = 0 THEN r.n_total ELSE 0 END)::HUGEINT
+               AS n0,
+           SUM(CASE WHEN r.arm = 1 AND r.t = e.t
+                    THEN r.n_conv ELSE 0 END)::HUGEINT AS d1,
+           SUM(CASE WHEN r.arm = 0 AND r.t = e.t
+                    THEN r.n_conv ELSE 0 END)::HUGEINT AS d0
+    FROM etimes e JOIN rollup r ON r.t >= e.t
+    GROUP BY e.t
+), terms AS (
+    SELECT st, d1, d0,
+           ((d1 * (n1 + n0) - (d1 + d0) * n1) * 1000000)
+               // (n1 + n0) AS oe_e6,
+           (((d1 + d0) * n1 * n0 * (n1 + n0 - d1 - d0)) * 1000000)
+               // ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1)) AS v_e6
+    FROM risk WHERE n1 + n0 > 1
+), agg AS (
+    SELECT COUNT(*)::BIGINT AS n_event_times,
+           COALESCE(SUM(d1), 0)::BIGINT AS o1,
+           COALESCE(SUM(d0), 0)::BIGINT AS o0,
+           COALESCE(SUM(oe_e6), 0) AS s_e6,
+           COALESCE(SUM(v_e6), 0) AS v_e6
+    FROM terms
+)
+SELECT n_event_times, o1, o0,
+       s_e6::BIGINT AS s_e6, v_e6::BIGINT AS v_e6,
+       (CASE WHEN s_e6 * s_e6 * 10000 > 38415::HUGEINT * 1000000 * v_e6
+             THEN 1 ELSE 0 END)::BIGINT AS significant_logrank
+FROM agg
+""",
+)
+def q_logrank_conversion_by_arm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank test between the even/odd arms' time-to-first-purchase
+    curves — the survival family's INFERENCE member, completing curve
+    (km_survival_curve) + primitive (churn_hazard_curve) + test: 'does
+    the treated arm convert FASTER?' answered against censoring,
+    which a naive converted-fraction z-test gets wrong (it either
+    drops never-converters or pretends the clock stopped for them) —
+    users who never purchase are censored at (data end − first
+    event), still sitting in every risk set they survived through.
+    Time-to-conversion is the death event here rather than churn
+    because the shipped fixtures' users all stay active into the
+    final week (churn_hazard_curve honestly reports zero observed
+    churns at gate scale, so a churn log-rank would hash a vacuous
+    constant; conversions give the gate real event times at every
+    SF). Mechanically log-rank IS Cochran–Mantel–Haenszel with one
+    stratum per event time — the risk-set 2×2's deviation d₁ − E[d₁]
+    and hypergeometric variance accumulate in the same e6-scaled
+    integer divisions as cmh_stratified_lift, and the χ² > 3.8415
+    verdict cross-multiplies identically (widths: decimal(38)/
+    HUGEINT, the documented CMH class). Scale: one user rollup (one
+    exchange) collapses to ≤2·|distinct day-tenure| rows; risk sets
+    come from that rollup against the calendar-bounded event-time
+    spine, never a second user pass."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    u = (
+        ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.to_date("ts")
+                )
+            ).alias("dp"),
+        )
+        .crossJoin(F.broadcast(bounds))
+    )
+    obs = u.select(
+        "arm",
+        F.when(F.col("dp").isNotNull(), F.datediff("dp", "d0"))
+        .otherwise(F.datediff("dmax", "d0"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    rollup = obs.groupBy("arm", "t").agg(
+        F.sum("converted").cast("long").alias("n_conv"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    etimes = (
+        rollup.groupBy("t")
+        .agg(F.sum("n_conv").alias("dtot"))
+        .where(F.col("dtot") >= 1)
+        .select(F.col("t").alias("st"))
+    )
+    risk = (
+        F.broadcast(etimes)
+        .join(rollup, F.col("t") >= F.col("st"))
+        .groupBy("st")
+        .agg(
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("n_total")).otherwise(0)
+            ).alias("n1"),
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("n_total")).otherwise(0)
+            ).alias("n0"),
+            F.sum(
+                F.when(
+                    (F.col("arm") == 1) & (F.col("t") == F.col("st")),
+                    F.col("n_conv"),
+                ).otherwise(0)
+            ).alias("d1"),
+            F.sum(
+                F.when(
+                    (F.col("arm") == 0) & (F.col("t") == F.col("st")),
+                    F.col("n_conv"),
+                ).otherwise(0)
+            ).alias("d0"),
+        )
+    )
+    terms = risk.where(F.col("n1") + F.col("n0") > 1).select(
+        "st",
+        "d1",
+        "d0",
+        F.expr(
+            "((cast(d1 as decimal(38,0)) * (n1 + n0)"
+            " - (cast(d1 as decimal(38,0)) + d0) * n1) * 1000000)"
+            " div (cast(n1 as decimal(38,0)) + n0)"
+        ).alias("oe_e6"),
+        F.expr(
+            "(((cast(d1 as decimal(38,0)) + d0) * n1 * n0"
+            "  * (cast(n1 as decimal(38,0)) + n0 - d1 - d0)) * 1000000)"
+            " div ((cast(n1 as decimal(38,0)) + n0)"
+            "      * (cast(n1 as decimal(38,0)) + n0)"
+            "      * (cast(n1 as decimal(38,0)) + n0 - 1))"
+        ).alias("v_e6"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(F.sum("d0"), F.lit(0)).cast("long").alias("o0"),
+        F.coalesce(F.sum("oe_e6"), F.lit(0)).alias("s_raw"),
+        F.coalesce(F.sum("v_e6"), F.lit(0)).alias("v_raw"),
+    )
+    return agg.select(
+        "n_event_times",
+        "o1",
+        "o0",
+        F.col("s_raw").cast("long").alias("s_e6"),
+        F.col("v_raw").cast("long").alias("v_e6"),
+        F.expr(
+            "cast(case when cast(s_raw as decimal(38,0)) * s_raw * 10000"
+            " > cast(38415 as decimal(38,0)) * 1000000 * v_raw"
+            " then 1 else 0 end as long)"
+        ).alias("significant_logrank"),
+    )
