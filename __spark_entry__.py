@@ -320,6 +320,7 @@ _REGISTERED_R08 = frozenset(
         "community_modularity",
         "nav_conditional_entropy",
         "logrank_conversion_by_arm",
+        "dedup_threshold_sensitivity",
     }
 )
 

@@ -327,6 +327,7 @@ HEADLINE = [
     "community_modularity",
     "nav_conditional_entropy",
     "logrank_conversion_by_arm",
+    "dedup_threshold_sensitivity",
 ]
 
 

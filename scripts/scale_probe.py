@@ -134,6 +134,7 @@ PROBE_QUERIES = [
     "community_modularity",
     "nav_conditional_entropy",
     "logrank_conversion_by_arm",
+    "dedup_threshold_sensitivity",
 ]
 
 

@@ -767,3 +767,50 @@ def test_logrank_fixture_nondegenerate(spark, sf_dir):
     assert r["n_event_times"] >= 2
     assert r["o1"] > 0 and r["o0"] > 0
     assert r["v_e6"] > 0
+
+
+# --- dedup threshold sensitivity -------------------------------------------
+
+
+def test_threshold_sweep_hand_planted_jaccards(spark, tmp_path):
+    """Three docs built so the pairwise Jaccards straddle the sweep:
+    the 13-word base has 11 distinct 3-grams; appending 6 words gives
+    the variant 17, all 11 shared → J(A,B) = 11/17 ≈ 0.647, which
+    passes 60 (11·160 = 1760 ≥ 60·28 = 1680) but fails 70
+    (1870 < 1960). A and C are identical (J = 1 — counted at every
+    threshold), B–C mirrors A–B. Expected counts: 3/3/1/1/1 and
+    retention 1e6/1e6/333333/333333/333333."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    variant = base + " x1 x2 x3 x4 x5 x6"
+    rows = [(1, base), (2, variant), (3, base)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = sorted(
+        QUERIES["dedup_threshold_sensitivity"](
+            spark, str(tmp_path)
+        ).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert [(r["threshold_pct"], r["n_pairs"]) for r in out] == [
+        (50, 3), (60, 3), (70, 1), (80, 1), (90, 1),
+    ]
+    assert [r["retention_vs_50_ppm"] for r in out] == [
+        1_000_000, 1_000_000, 333_333, 333_333, 333_333,
+    ]
+
+
+def test_threshold_sweep_fixture_monotone(spark, sf_dir):
+    """Shipped fixtures: the pair count is non-increasing in the
+    threshold, the base is positive (the fixtures plant near-dups),
+    and retention is exact ppm of the base."""
+    out = sorted(
+        QUERIES["dedup_threshold_sensitivity"](spark, sf_dir).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    counts = [r["n_pairs"] for r in out]
+    assert counts[0] > 0
+    assert counts == sorted(counts, reverse=True)
+    base = counts[0]
+    for r in out:
+        assert r["retention_vs_50_ppm"] == r["n_pairs"] * 1_000_000 // base

@@ -5154,3 +5154,137 @@ def q_mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("long").alias("mmr_score_e5"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    # Parameter-selection readout for the dedup tier: exact near-dup
+    # PAIR COUNTS at Jaccard thresholds 50..90% from ONE df-capped
+    # gram join — J ≥ p/100 cross-multiplies to i·(100+p) ≥ p·(na+nb),
+    # so the whole sweep is five conditional sums over the same ip
+    # table, no float Jaccard and no re-enumeration per threshold.
+    oracle=f"""
+WITH sh AS ({_MINHASH_SHINGLES_SQL}),
+hm AS ({_MINHASH_BASE_SQL}),
+hsx0 AS (
+    SELECT DISTINCT doc_id, unnest(hs) AS h FROM hm
+),
+hdf AS (SELECT h, COUNT(*)::BIGINT AS df FROM hsx0 GROUP BY h),
+hsx AS (
+    SELECT x.doc_id, x.h FROM hsx0 x JOIN hdf ON hdf.h = x.h
+    WHERE hdf.df <= 64
+),
+nd AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM hsx GROUP BY doc_id),
+ip AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS i
+    FROM hsx a JOIN hsx b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+    SELECT ip.i, na.n AS na, nb.n AS nb
+    FROM ip JOIN nd na ON na.doc_id = ip.id_a
+            JOIN nd nb ON nb.doc_id = ip.id_b
+),
+counts AS (
+    SELECT
+        SUM(CASE WHEN i * 150 >= 50 * (na + nb) THEN 1 ELSE 0 END)::BIGINT
+            AS c50,
+        SUM(CASE WHEN i * 160 >= 60 * (na + nb) THEN 1 ELSE 0 END)::BIGINT
+            AS c60,
+        SUM(CASE WHEN i * 170 >= 70 * (na + nb) THEN 1 ELSE 0 END)::BIGINT
+            AS c70,
+        SUM(CASE WHEN i * 180 >= 80 * (na + nb) THEN 1 ELSE 0 END)::BIGINT
+            AS c80,
+        SUM(CASE WHEN i * 190 >= 90 * (na + nb) THEN 1 ELSE 0 END)::BIGINT
+            AS c90
+    FROM jp
+)
+SELECT t.threshold_pct, t.n_pairs,
+       (t.n_pairs * 1000000 // GREATEST(c.c50, 1))::BIGINT
+           AS retention_vs_50_ppm
+FROM counts c, LATERAL (
+    VALUES (CAST(50 AS BIGINT), c.c50), (60, c.c60), (70, c.c70),
+           (80, c.c80), (90, c.c90)
+) AS t(threshold_pct, n_pairs)
+ORDER BY t.threshold_pct
+""",
+)
+def q_dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep for the dedup tier — the
+    parameter-selection readout an operator reads BEFORE choosing
+    banding: how many near-dup pairs exist at J ≥ 0.5 / 0.6 / 0.7 /
+    0.8 / 0.9, and how fast the pair set decays as the bar rises (a
+    cliff between 0.5 and 0.7 means the corpus duplicates are fuzzy
+    — template variation — while a flat curve into 0.9 means literal
+    copies; the two call for different LSH parameters, which is what
+    lsh_recall_vs_truth then validates at the chosen point). One
+    df-capped gram join (the lsh_recall cost bound: Σ min(df,64)² —
+    linear in corpus, never docs²) enumerates the pair table ONCE;
+    each threshold is a cross-multiplied conditional sum
+    (i·(100+p) ≥ p·(na+nb) — no float Jaccard exists), so the sweep
+    costs one aggregation regardless of how many thresholds it
+    reads. Retention shares are exact ppm vs the J ≥ 0.5 base."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        hash64,
+        word_ngrams,
+    )
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        MINHASH_M,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hsx0 = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 3))
+            ).alias("_s"),
+        )
+        .select("doc_id", (hash64(F.col("_s")) % MINHASH_M).alias("h"))
+        .distinct()
+    )
+    hdf = hsx0.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    hsx = hsx0.join(hdf.where(F.col("df") <= 64).select("h"), "h")
+    nd = hsx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hsx.select(F.col("doc_id").alias("id_a"), "h")
+    b = hsx.select(F.col("doc_id").alias("id_b"), "h")
+    ip = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jp = ip.join(
+        nd.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+        "id_a",
+    ).join(
+        nd.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+        "id_b",
+    )
+    counts = jp.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("i") * (100 + p) >= p * (F.col("na") + F.col("nb")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c{p}")
+            for p in (50, 60, 70, 80, 90)
+        ]
+    )
+    stacked = counts.selectExpr(
+        "stack(5, 50L, c50, 60L, c60, 70L, c70, 80L, c80, 90L, c90)"
+        " as (threshold_pct, n_pairs)",
+        "c50",
+    )
+    return stacked.select(
+        "threshold_pct",
+        "n_pairs",
+        F.expr(
+            "n_pairs * 1000000 div greatest(c50, 1)"
+        ).alias("retention_vs_50_ppm"),
+    ).orderBy("threshold_pct")
