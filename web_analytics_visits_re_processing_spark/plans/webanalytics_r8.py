@@ -1717,11 +1717,18 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # group sizes ride along from one daily-table aggregate (no
     # driver-side count actions), broadcast against the 1-row result
+    # coalesce: on a fixture with NO purchase days Spark's sum-over-
+    # empty is NULL while the oracle's scalar COUNT(*) is 0 — one
+    # contract for the degenerate case (the audio_rms lesson)
     sizes = daily.agg(
-        F.sum(F.when(F.col("dom") <= 15, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("dom") <= 15, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_first"),
-        F.sum(F.when(F.col("dom") > 15, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("dom") > 15, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_second"),
     )
