@@ -321,6 +321,7 @@ _REGISTERED_R08 = frozenset(
         "nav_conditional_entropy",
         "logrank_conversion_by_arm",
         "dedup_threshold_sensitivity",
+        "isotonic_calibration_pava",
     }
 )
 

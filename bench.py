@@ -328,6 +328,7 @@ HEADLINE = [
     "nav_conditional_entropy",
     "logrank_conversion_by_arm",
     "dedup_threshold_sensitivity",
+    "isotonic_calibration_pava",
 ]
 
 

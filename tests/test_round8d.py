@@ -1,0 +1,116 @@
+"""Planted-case tests for the round-8 close-out tier: the isotonic
+(PAVA) calibration fit, the local clustering coefficient, the
+second-order Markov memory gain and the functional-dependency audit.
+Each test drives the REGISTERED query callable — the same code path
+the driver gates — against a hand-built fixture whose expected output
+is pinned by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, minutes_after_t0, user_id, event_type, value,
+    props)"""
+    spark.createDataFrame(
+        [
+            (eid, T0 + dt.timedelta(minutes=m), uid, et, val, props)
+            for (eid, m, uid, et, val, props) in rows
+        ],
+        EV_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_lineitem(spark, tmp_path, lineitems):
+    spark.createDataFrame(
+        lineitems, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    return str(tmp_path)
+
+
+# --- isotonic calibration (PAVA via the minimax identity) ------------------
+
+
+def _band_users(rows, eid, base, nclick, k_train, k_test):
+    """20 users (evens train, odds test) with `nclick` clicks each;
+    the first k of each parity's rank order convert (day-17 purchase,
+    non-converters purchase day 20 — outside the activation window)."""
+    for u in range(base, base + 20):
+        rank = (u - base) // 2
+        converts = rank < (k_train if u % 2 == 0 else k_test)
+        for d in range(1, nclick + 1):
+            rows.append((eid, d * 1440 + (u % 60), u, "click", 0.0, "{}"))
+            eid += 1
+        rows.append(
+            (eid, (16 if converts else 19) * 1440, u, "purchase", 1.0, "{}")
+        )
+        eid += 1
+    return eid
+
+
+def test_isotonic_pools_the_planted_violator(spark, tmp_path):
+    """Train rates [200000, 400000, 300000, 500000] violate
+    monotonicity at bands 1→2; PAVA pools them to (4+3)/20 = 350000.
+    Hand minimax check (i=1): max(min(300000, 300000, 350000),
+    min(400000, 350000, 400000)) = 350000. Held-out obs
+    [300000, 300000, 400000, 600000] → ece_raw = 4·10·100000/40 =
+    100000, ece_iso = (100000+50000+50000+100000)·10/40 = 75000 —
+    the isotonic map measurably beats the raw map on the holdout."""
+    rows, eid = [], 0
+    eid = _band_users(rows, eid, 100, 5, 2, 3)    # band 0-11
+    eid = _band_users(rows, eid, 200, 12, 4, 3)   # band 12-13
+    eid = _band_users(rows, eid, 300, 14, 3, 4)   # band 14-15
+    eid = _band_users(rows, eid, 400, 20, 5, 6)   # band 16+
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["band_ord"]: (
+            r["band"], r["n_train"], r["k_train"], r["raw_ppm"],
+            r["iso_ppm"], r["n_test"], r["k_test"], r["obs_ppm"],
+            r["ece_raw_ppm"], r["ece_iso_ppm"],
+        )
+        for r in QUERIES["isotonic_calibration_pava"](spark, sf).collect()
+    }
+    assert got == {
+        0: ("0-11", 10, 2, 200_000, 200_000, 10, 3, 300_000,
+            100_000, 75_000),
+        1: ("12-13", 10, 4, 400_000, 350_000, 10, 3, 300_000,
+            100_000, 75_000),
+        2: ("14-15", 10, 3, 300_000, 350_000, 10, 4, 400_000,
+            100_000, 75_000),
+        3: ("16+", 10, 5, 500_000, 500_000, 10, 6, 600_000,
+            100_000, 75_000),
+    }
+
+
+def test_isotonic_fixture_monotone_and_bounded(spark, sf_dir):
+    """Shipped fixtures: the fit is monotone non-decreasing in
+    band_ord (structural, any data), stays inside [min raw, max raw]
+    over populated bands, and >=2 bands are populated on both
+    splits."""
+    rows = sorted(
+        QUERIES["isotonic_calibration_pava"](spark, sf_dir).collect(),
+        key=lambda r: r["band_ord"],
+    )
+    assert len(rows) == 4
+    iso = [r["iso_ppm"] for r in rows]
+    assert iso == sorted(iso), iso
+    pop = [r for r in rows if r["n_train"] > 0]
+    lo = min(r["raw_ppm"] for r in pop)
+    hi = max(r["raw_ppm"] for r in pop)
+    assert all(lo <= r["iso_ppm"] <= hi for r in pop), rows
+    assert sum(1 for r in rows if r["n_train"] > 0 and r["n_test"] > 0) >= 2

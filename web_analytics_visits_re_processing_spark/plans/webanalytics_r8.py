@@ -2546,3 +2546,212 @@ def q_logrank_conversion_by_arm(
             " then 1 else 0 end as long)"
         ).alias("significant_logrank"),
     )
+
+
+@query(
+    "isotonic_calibration_pava",
+    # Isotonic (PAVA) calibration map fit on the train half via the
+    # minimax identity iso(i) = max_{s<=i} min_{t>=i} rate(s..t),
+    # evaluated at ppm resolution over the <=4-row band table (floor
+    # division is monotone, so the minimax order is preserved up to
+    # ppm ties and both engines replay the identical integers); the
+    # held-out ECE under the raw map and the isotonic map ride along.
+    oracle="""
+WITH u AS (
+    SELECT user_id, user_id % 2 AS test_arm,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS score,
+           MAX(CASE WHEN EXTRACT(day FROM ts) BETWEEN 16 AND 18
+                     AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+), b AS (
+    SELECT CASE WHEN score <= 11 THEN 0
+                WHEN score <= 13 THEN 1
+                WHEN score <= 15 THEN 2
+                ELSE 3 END AS band_ord,
+           test_arm, COUNT(*)::BIGINT AS n, SUM(conv)::BIGINT AS k
+    FROM u GROUP BY 1, 2
+), spine AS (SELECT range::BIGINT AS i FROM range(0, 4)),
+bb AS (
+    SELECT s.i,
+           COALESCE(MAX(CASE WHEN b.test_arm = 0 THEN b.n END), 0)
+               ::BIGINT AS n_train,
+           COALESCE(MAX(CASE WHEN b.test_arm = 0 THEN b.k END), 0)
+               ::BIGINT AS k_train,
+           COALESCE(MAX(CASE WHEN b.test_arm = 1 THEN b.n END), 0)
+               ::BIGINT AS n_test,
+           COALESCE(MAX(CASE WHEN b.test_arm = 1 THEN b.k END), 0)
+               ::BIGINT AS k_test
+    FROM spine s LEFT JOIN b ON b.band_ord = s.i
+    GROUP BY s.i
+), seg AS (
+    SELECT s.i AS ls, t.i AS rt,
+           SUM(m.n_train)::BIGINT AS nn, SUM(m.k_train)::BIGINT AS kk
+    FROM spine s JOIN spine t ON t.i >= s.i
+    JOIN bb m ON m.i BETWEEN s.i AND t.i
+    GROUP BY s.i, t.i
+), segp AS (
+    SELECT ls, rt, (kk * 1000000) // GREATEST(nn, 1) AS ppm FROM seg
+), mins AS (
+    SELECT sp.i, g.ls, MIN(g.ppm) AS mn
+    FROM spine sp JOIN segp g ON g.ls <= sp.i AND g.rt >= sp.i
+    GROUP BY sp.i, g.ls
+), iso AS (
+    SELECT i, MAX(mn)::BIGINT AS iso_ppm FROM mins GROUP BY i
+), rows_ AS (
+    SELECT CASE WHEN bb.i = 0 THEN '0-11' WHEN bb.i = 1 THEN '12-13'
+                WHEN bb.i = 2 THEN '14-15' ELSE '16+' END AS band,
+           bb.i AS band_ord, bb.n_train, bb.k_train,
+           (bb.k_train * 1000000) // GREATEST(bb.n_train, 1) AS raw_ppm,
+           iso.iso_ppm, bb.n_test, bb.k_test,
+           (bb.k_test * 1000000) // GREATEST(bb.n_test, 1) AS obs_ppm
+    FROM bb JOIN iso ON iso.i = bb.i
+)
+SELECT band, band_ord, n_train, k_train, raw_ppm::BIGINT AS raw_ppm,
+       iso_ppm, n_test, k_test, obs_ppm::BIGINT AS obs_ppm,
+       (SUM(n_test * ABS(raw_ppm - obs_ppm)) OVER ()
+        // GREATEST(SUM(n_test) OVER (), 1))::BIGINT AS ece_raw_ppm,
+       (SUM(n_test * ABS(iso_ppm - obs_ppm)) OVER ()
+        // GREATEST(SUM(n_test) OVER (), 1))::BIGINT AS ece_iso_ppm
+FROM rows_
+""",
+)
+def q_isotonic_calibration_pava(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic calibration map (pool-adjacent-violators) fit on the
+    train half of the click-count→activation score, audited on the
+    held-out half — the FIT step the calibration family was missing:
+    ``score_calibration_by_band`` measures HOW miscalibrated the raw
+    score is; this produces the monotone correction a platform would
+    actually apply (Zadrozny & Elkan 2002) and proves on held-out
+    data whether it helps (ece_iso_ppm vs ece_raw_ppm). PAVA is
+    computed through the minimax identity iso(i) = max_{s<=i}
+    min_{t>=i} rate(s..t) — with <=4 bands that is a bounded
+    (s,i,t) lattice, so the whole fit is a constant-size cross join,
+    no iteration; rates compare at ppm resolution (floor division is
+    monotone, so the minimax order is exact up to ppm ties, and both
+    engines replay identical integers). Monotonicity of the output is
+    structural: growing-s max over shrinking-t min is non-decreasing
+    in i regardless of the data. Shares the user rollup, band rule,
+    day-16..18 activation window and even/odd split with
+    ``score_calibration_by_band`` verbatim so the two gates cannot
+    drift. Scale: one user rollup + one <=8-row band rollup; the
+    minimax lattice is constant-size."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(
+                F.dayofmonth("ts").between(16, 18)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    ).withColumn("test_arm", F.col("user_id") % 2)
+    b = u.groupBy(
+        F.when(F.col("score") <= 11, 0)
+        .when(F.col("score") <= 13, 1)
+        .when(F.col("score") <= 15, 2)
+        .otherwise(3)
+        .alias("band_ord"),
+        "test_arm",
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    spine = spark.range(0, 4).select(F.col("id").alias("i"))
+    bb = (
+        spine.join(F.broadcast(b), b.band_ord == F.col("i"), "left")
+        .groupBy("i")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("test_arm") == 0, F.col("n"))), F.lit(0)
+            ).alias("n_train"),
+            F.coalesce(
+                F.max(F.when(F.col("test_arm") == 0, F.col("k"))), F.lit(0)
+            ).alias("k_train"),
+            F.coalesce(
+                F.max(F.when(F.col("test_arm") == 1, F.col("n"))), F.lit(0)
+            ).alias("n_test"),
+            F.coalesce(
+                F.max(F.when(F.col("test_arm") == 1, F.col("k"))), F.lit(0)
+            ).alias("k_test"),
+        )
+    )
+    s = spine.select(F.col("i").alias("ls"))
+    t = spine.select(F.col("i").alias("rt"))
+    seg = (
+        s.join(F.broadcast(t), F.col("rt") >= F.col("ls"))
+        .join(
+            F.broadcast(bb.select("i", "n_train", "k_train")),
+            F.col("i").between(F.col("ls"), F.col("rt")),
+        )
+        .groupBy("ls", "rt")
+        .agg(F.sum("n_train").alias("nn"), F.sum("k_train").alias("kk"))
+        .select(
+            "ls",
+            "rt",
+            F.expr("(kk * 1000000) div greatest(nn, 1)").alias("ppm"),
+        )
+    )
+    mins = (
+        spine.join(
+            F.broadcast(seg),
+            (F.col("ls") <= F.col("i")) & (F.col("rt") >= F.col("i")),
+        )
+        .groupBy("i", "ls")
+        .agg(F.min("ppm").alias("mn"))
+    )
+    iso = mins.groupBy("i").agg(F.max("mn").cast("long").alias("iso_ppm"))
+    rows_ = bb.join(F.broadcast(iso), "i").select(
+        F.expr(
+            "case when i = 0 then '0-11' when i = 1 then '12-13'"
+            " when i = 2 then '14-15' else '16+' end"
+        ).alias("band"),
+        F.col("i").alias("band_ord"),
+        "n_train",
+        "k_train",
+        F.expr("(k_train * 1000000) div greatest(n_train, 1)").alias(
+            "raw_ppm"
+        ),
+        "iso_ppm",
+        "n_test",
+        "k_test",
+        F.expr("(k_test * 1000000) div greatest(n_test, 1)").alias(
+            "obs_ppm"
+        ),
+    )
+    whole = Window.partitionBy()
+    return rows_.select(
+        "band",
+        "band_ord",
+        "n_train",
+        "k_train",
+        F.col("raw_ppm").cast("long").alias("raw_ppm"),
+        "iso_ppm",
+        "n_test",
+        "k_test",
+        F.col("obs_ppm").cast("long").alias("obs_ppm"),
+        (
+            F.sum(F.col("n_test") * F.expr("abs(raw_ppm - obs_ppm)"))
+            .over(whole)
+        ).alias("_nr"),
+        (
+            F.sum(F.col("n_test") * F.expr("abs(iso_ppm - obs_ppm)"))
+            .over(whole)
+        ).alias("_ni"),
+        F.sum("n_test").over(whole).alias("_dn"),
+    ).select(
+        "band",
+        "band_ord",
+        "n_train",
+        "k_train",
+        "raw_ppm",
+        "iso_ppm",
+        "n_test",
+        "k_test",
+        "obs_ppm",
+        F.expr("_nr div greatest(_dn, 1)").cast("long").alias("ece_raw_ppm"),
+        F.expr("_ni div greatest(_dn, 1)").cast("long").alias("ece_iso_ppm"),
+    )
