@@ -322,6 +322,7 @@ _REGISTERED_R08 = frozenset(
         "logrank_conversion_by_arm",
         "dedup_threshold_sensitivity",
         "isotonic_calibration_pava",
+        "clustering_coefficient_parts",
     }
 )
 

@@ -329,6 +329,7 @@ HEADLINE = [
     "logrank_conversion_by_arm",
     "dedup_threshold_sensitivity",
     "isotonic_calibration_pava",
+    "clustering_coefficient_parts",
 ]
 
 

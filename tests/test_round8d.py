@@ -114,3 +114,43 @@ def test_isotonic_fixture_monotone_and_bounded(spark, sf_dir):
     hi = max(r["raw_ppm"] for r in pop)
     assert all(lo <= r["iso_ppm"] <= hi for r in pop), rows
     assert sum(1 for r in rows if r["n_train"] > 0 and r["n_test"] > 0) >= 2
+
+
+# --- local clustering coefficient ------------------------------------------
+
+
+def test_clustering_coefficient_clique_and_bridge(spark, tmp_path):
+    """One 4-clique order {1,2,3,4} plus a path 5–6–7 (orders {5,6}
+    and {6,7}): clique nodes read cc = 1000000 exactly (deg 3, tri 3),
+    the bridge node 6 reads cc = 0 (deg 2, open wedge), deg-1 leaves
+    5 and 7 are excluded, and transitivity = 2·12·1e6 // 26 =
+    923076 on every row."""
+    li = [(1, 1), (1, 2), (1, 3), (1, 4), (2, 5), (2, 6), (3, 6), (3, 7)]
+    sf = _write_lineitem(spark, tmp_path, li)
+    got = {
+        r["l_partkey"]: (
+            r["degree"], r["n_triangles"], r["cc_ppm"],
+            r["transitivity_ppm"],
+        )
+        for r in QUERIES["clustering_coefficient_parts"](spark, sf).collect()
+    }
+    assert got == {
+        1: (3, 3, 1_000_000, 923_076),
+        2: (3, 3, 1_000_000, 923_076),
+        3: (3, 3, 1_000_000, 923_076),
+        4: (3, 3, 1_000_000, 923_076),
+        6: (2, 0, 0, 923_076),
+    }
+
+
+def test_clustering_coefficient_fixture_invariants(spark, sf_dir):
+    """Shipped fixtures: every cc in [0, 1e6]; Σ per-node triangle
+    participation divides by 3 (each 3-clique is counted at exactly
+    its 3 corners); transitivity within [0, 1e6] and shared by every
+    row."""
+    rows = QUERIES["clustering_coefficient_parts"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert all(0 <= r["cc_ppm"] <= 1_000_000 for r in rows)
+    assert sum(r["n_triangles"] for r in rows) % 3 == 0
+    ts = {r["transitivity_ppm"] for r in rows}
+    assert len(ts) == 1 and 0 <= ts.pop() <= 1_000_000

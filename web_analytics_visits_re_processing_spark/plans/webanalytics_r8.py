@@ -2755,3 +2755,120 @@ def q_isotonic_calibration_pava(
         F.expr("_nr div greatest(_dn, 1)").cast("long").alias("ece_raw_ppm"),
         F.expr("_ni div greatest(_dn, 1)").cast("long").alias("ece_iso_ppm"),
     )
+
+
+@query(
+    "clustering_coefficient_parts",
+    # Local clustering coefficient cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1))
+    # in ppm over the SAME distinct co-purchase edge set as
+    # triangle_count_copurchase (id-ordered 3-clique enumeration in
+    # the oracle, degree-ordered Suri–Vassilvitskii in Spark — the
+    # orientation cannot change the triangle SET); global
+    # transitivity 3T/wedges rides along as a constant column.
+    oracle="""
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+), deg AS (
+    SELECT node, COUNT(*)::BIGINT AS degree
+    FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+    GROUP BY node
+), tri AS (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM e e1
+    JOIN e e2 ON e2.pa = e1.pb
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), tn AS (
+    SELECT node, COUNT(*)::BIGINT AS n_tri
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+), nodes AS (
+    SELECT d.node, d.degree,
+           COALESCE(tn.n_tri, 0)::BIGINT AS n_triangles
+    FROM deg d LEFT JOIN tn ON tn.node = d.node
+    WHERE d.degree >= 2
+), tot AS (
+    SELECT COALESCE(SUM(n_triangles), 0)::BIGINT AS s_tri,
+           COALESCE(SUM(degree * (degree - 1)), 0)::BIGINT AS s_wedge2
+    FROM nodes
+)
+SELECT n.node AS l_partkey, n.degree, n.n_triangles,
+       ((2 * n.n_triangles * 1000000)
+        // (n.degree * (n.degree - 1)))::BIGINT AS cc_ppm,
+       ((t.s_tri * 2000000)
+        // GREATEST(t.s_wedge2, 1))::BIGINT AS transitivity_ppm
+FROM nodes n CROSS JOIN tot t
+""",
+)
+def q_clustering_coefficient_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per part over the co-purchase
+    graph — the graph family's COHESION readout at node granularity:
+    cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) says how clique-like each
+    part's neighborhood is (cc≈1: its co-purchased parts are also
+    bought together — a true bundle; cc≈0: the part is a hub
+    bridging otherwise-unrelated baskets), and the global
+    transitivity 3T/wedges = Σtri/Σ C(deg,2) is the one-number
+    version, riding along as a constant column (exact ppm —
+    deg·(deg−1) is even so no half-wedge rounding). Triangles come
+    from the degree-ordered Suri–Vassilvitskii operator shared with
+    ``triangle_count_copurchase`` (O(√m) per-reducer state under any
+    skew) over the identical distinct co-purchase edge set, so the
+    two gates cannot drift; degrees are one symmetrized groupBy.
+    Nodes with deg < 2 close no wedges (cc undefined) and are
+    excluded on both engines. Scale: the triangle shape is the
+    bounded-basket edge build + oriented intersection; everything
+    downstream is node-grained."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(edges)
+    nodes = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+    tot = nodes.agg(
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("s_tri"),
+        F.coalesce(
+            F.sum(F.expr("degree * (degree - 1)")), F.lit(0)
+        ).alias("s_wedge2"),
+    )
+    return nodes.crossJoin(F.broadcast(tot)).select(
+        F.col("node").alias("l_partkey"),
+        "degree",
+        "n_triangles",
+        F.expr(
+            "(2 * n_triangles * 1000000) div (degree * (degree - 1))"
+        ).cast("long").alias("cc_ppm"),
+        F.expr("(s_tri * 2000000) div greatest(s_wedge2, 1)")
+        .cast("long")
+        .alias("transitivity_ppm"),
+    )
