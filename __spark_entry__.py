@@ -323,6 +323,7 @@ _REGISTERED_R08 = frozenset(
         "dedup_threshold_sensitivity",
         "isotonic_calibration_pava",
         "clustering_coefficient_parts",
+        "markov_order2_gain",
     }
 )
 

@@ -330,6 +330,7 @@ HEADLINE = [
     "dedup_threshold_sensitivity",
     "isotonic_calibration_pava",
     "clustering_coefficient_parts",
+    "markov_order2_gain",
 ]
 
 

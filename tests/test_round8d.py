@@ -154,3 +154,44 @@ def test_clustering_coefficient_fixture_invariants(spark, sf_dir):
     assert sum(r["n_triangles"] for r in rows) % 3 == 0
     ts = {r["transitivity_ppm"] for r in rows}
     assert len(ts) == 1 and 0 <= ts.pop() <= 1_000_000
+
+
+# --- order-2 Markov memory gain --------------------------------------------
+
+
+def test_order2_gain_hand_computed_alternation(spark, tmp_path):
+    """One user path x a y a x a y a x (1-minute gaps): from cur=a
+    the order-1 model sees next split 2/2 between x and y
+    (H1 = ln 2), but prev fully disambiguates — after x→a comes y,
+    after y→a comes x (H2 = 0), so gain(a) = ln 2 = 0.693147. cur=y
+    and cur=x are deterministic at both orders (gain 0). Total gain
+    = 4·ln2/7 = 0.396084 over the 7 triples."""
+    path = ["x", "a", "y", "a", "x", "a", "y", "a", "x"]
+    rows = [
+        (i, i, 1, et, 0.0, "{}") for i, et in enumerate(path)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["cur_type"]: (
+            r["n_ctx"], r["n_prev_ctx"], r["h1_nats"], r["h2_nats"],
+            r["gain_nats"], r["total_gain_nats"],
+        )
+        for r in QUERIES["markov_order2_gain"](spark, sf).collect()
+    }
+    assert got == {
+        "a": (4, 2, 0.693147, 0.0, 0.693147, 0.396084),
+        "y": (2, 1, 0.0, 0.0, 0.0, 0.396084),
+        "x": (1, 1, 0.0, 0.0, 0.0, 0.396084),
+    }
+
+
+def test_order2_gain_fixture_nonneg(spark, sf_dir):
+    """Shipped fixtures: gain >= 0 on every row (structural — both
+    entropies share one triple table), h2 <= h1, and at least one
+    state observes >= 2 distinct prev contexts."""
+    rows = QUERIES["markov_order2_gain"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["gain_nats"] >= 0.0, r
+        assert r["h2_nats"] <= r["h1_nats"] + 1e-6, r
+    assert any(r["n_prev_ctx"] >= 2 for r in rows)

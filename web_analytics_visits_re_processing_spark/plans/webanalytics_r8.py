@@ -2872,3 +2872,136 @@ def q_clustering_coefficient_parts(
         .cast("long")
         .alias("transitivity_ppm"),
     )
+
+
+@query(
+    "markov_order2_gain",
+    # Memory gain of the order-2 navigation model: H(next|cur) minus
+    # H(next|prev,cur), BOTH measured on the same within-session
+    # triple table (both gaps <= 30 min) so the gain is structurally
+    # >= 0 — conditioning on prev inside each cur slice can only
+    # reduce entropy. The token_entropy algebraic form throughout
+    # (sums of n·ln n over identical integers) keeps the float work
+    # op-identical across engines; + 0.0 normalizes a −0.0 round.
+    oracle="""
+WITH seq AS (
+    SELECT event_type AS cur_type,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_in_us,
+           LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_out_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t3 AS (
+    SELECT prev_type, cur_type, next_type, COUNT(*)::BIGINT AS c
+    FROM seq
+    WHERE gap_in_us <= 1800000000 AND gap_out_us <= 1800000000
+    GROUP BY 1, 2, 3
+), ctx2 AS (
+    SELECT prev_type, cur_type, SUM(c)::BIGINT AS n2,
+           SUM(c * ln(c)) AS s_c
+    FROM t3 GROUP BY 1, 2
+), p12 AS (
+    SELECT cur_type, next_type, SUM(c)::BIGINT AS m
+    FROM t3 GROUP BY 1, 2
+), cur1 AS (
+    SELECT cur_type, SUM(m)::BIGINT AS n_ctx, SUM(m * ln(m)) AS s1
+    FROM p12 GROUP BY 1
+), cur2 AS (
+    SELECT cur_type, COUNT(*)::BIGINT AS n_prev_ctx,
+           SUM(n2 * ln(n2)) AS s2, SUM(s_c) AS sc
+    FROM ctx2 GROUP BY 1
+), cur AS (
+    SELECT c1.cur_type, c1.n_ctx, c2.n_prev_ctx,
+           (c1.n_ctx * ln(c1.n_ctx) - c1.s1) AS h1_num,
+           (c2.s2 - c2.sc) AS h2_num
+    FROM cur1 c1 JOIN cur2 c2 ON c2.cur_type = c1.cur_type
+), tot AS (
+    SELECT SUM(n_ctx)::BIGINT AS n_tot,
+           SUM(h1_num) AS th1, SUM(h2_num) AS th2
+    FROM cur
+)
+SELECT c.cur_type, c.n_ctx, c.n_prev_ctx,
+       ROUND(c.h1_num / c.n_ctx, 6) + 0.0 AS h1_nats,
+       ROUND(c.h2_num / c.n_ctx, 6) + 0.0 AS h2_nats,
+       ROUND((c.h1_num - c.h2_num) / c.n_ctx, 6) + 0.0 AS gain_nats,
+       ROUND((t.th1 - t.th2) / t.n_tot, 6) + 0.0 AS total_gain_nats
+FROM cur c CROSS JOIN tot t
+""",
+)
+def q_markov_order2_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory gain of the order-2 navigation model — DOES KNOWING TWO
+    steps beat one: H(next|cur) − H(next|prev,cur) per current state,
+    the readout that says whether ``markov_next_event_probs`` (an
+    order-1 chain) is even the right model class. A state with gain
+    ≈ 0 is genuinely Markovian (yesterday's page adds nothing); a
+    large gain means navigation has memory and an order-1 simulator /
+    attribution chain underfits it. Honesty guard: BOTH entropies are
+    measured on the SAME triple table (prev→cur and cur→next gaps
+    both <= 30 min) — computing H1 on the pair table and H2 on the
+    triple table would compare different populations and could read
+    negative; on the shared table conditioning can only reduce
+    entropy, so gain >= 0 is structural. All float work is the
+    token_entropy algebraic form (Σ n·ln n over identical integers,
+    ROUND 6, ``+ 0.0`` normalizing a −0.0 round) so both engines
+    compute bit-identical doubles. Scale: one user-keyed window pass
+    (the Markov family's shared exchange) collapsing to
+    <= alphabet³ triple rows; everything after is constant-size."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lag("event_type").over(wu).alias("prev_type"),
+        F.lead("event_type").over(wu).alias("next_type"),
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+        ).alias("gap_in_us"),
+        (
+            F.lead(F.unix_micros("ts")).over(wu) - F.unix_micros("ts")
+        ).alias("gap_out_us"),
+    )
+    t3 = (
+        seq.where(
+            (F.col("gap_in_us") <= 1_800_000_000)
+            & (F.col("gap_out_us") <= 1_800_000_000)
+        )
+        .groupBy("prev_type", "cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx2 = t3.groupBy("prev_type", "cur_type").agg(
+        F.sum("c").alias("n2"), F.sum(F.expr("c * ln(c)")).alias("s_c")
+    )
+    p12 = t3.groupBy("cur_type", "next_type").agg(F.sum("c").alias("m"))
+    cur1 = p12.groupBy("cur_type").agg(
+        F.sum("m").alias("n_ctx"), F.sum(F.expr("m * ln(m)")).alias("s1")
+    )
+    cur2 = ctx2.groupBy("cur_type").agg(
+        F.count(F.lit(1)).alias("n_prev_ctx"),
+        F.sum(F.expr("n2 * ln(n2)")).alias("s2"),
+        F.sum("s_c").alias("sc"),
+    )
+    cur = cur1.join(cur2, "cur_type").select(
+        "cur_type",
+        "n_ctx",
+        "n_prev_ctx",
+        F.expr("n_ctx * ln(n_ctx) - s1").alias("h1_num"),
+        F.expr("s2 - sc").alias("h2_num"),
+    )
+    tot = cur.agg(
+        F.sum("n_ctx").alias("n_tot"),
+        F.sum("h1_num").alias("th1"),
+        F.sum("h2_num").alias("th2"),
+    )
+    return cur.crossJoin(F.broadcast(tot)).select(
+        "cur_type",
+        F.col("n_ctx").cast("long").alias("n_ctx"),
+        F.col("n_prev_ctx").cast("long").alias("n_prev_ctx"),
+        F.expr("round(h1_num / n_ctx, 6) + 0.0d").alias("h1_nats"),
+        F.expr("round(h2_num / n_ctx, 6) + 0.0d").alias("h2_nats"),
+        F.expr("round((h1_num - h2_num) / n_ctx, 6) + 0.0d").alias(
+            "gain_nats"
+        ),
+        F.expr("round((th1 - th2) / n_tot, 6) + 0.0d").alias(
+            "total_gain_nats"
+        ),
+    )
