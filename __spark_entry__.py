@@ -324,6 +324,7 @@ _REGISTERED_R08 = frozenset(
         "isotonic_calibration_pava",
         "clustering_coefficient_parts",
         "markov_order2_gain",
+        "functional_dependency_audit",
     }
 )
 

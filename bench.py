@@ -331,6 +331,7 @@ HEADLINE = [
     "isotonic_calibration_pava",
     "clustering_coefficient_parts",
     "markov_order2_gain",
+    "functional_dependency_audit",
 ]
 
 

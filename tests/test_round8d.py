@@ -195,3 +195,69 @@ def test_order2_gain_fixture_nonneg(spark, sf_dir):
         assert r["gain_nats"] >= 0.0, r
         assert r["h2_nats"] <= r["h1_nats"] + 1e-6, r
     assert any(r["n_prev_ctx"] >= 2 for r in rows)
+
+
+# --- functional-dependency audit -------------------------------------------
+
+
+def test_fd_audit_hand_computed_verdicts(spark, tmp_path):
+    """Hand-built 3-table fixture: both key FDs hold exactly (g3 0);
+    o_custkey→o_orderpriority breaks at cust 10 (2 priorities over 2
+    orders → g3 = (3−2)/3 = 333333); l_partkey→l_suppkey breaks at
+    part 5 (supps {100,100,200} → keep the majority 2 of 3 rows, g3 =
+    (4−3)/4 = 250000); user_id→event_type breaks at user 1 (click×2 +
+    view → g3 = 250000)."""
+    spark.createDataFrame(
+        [(1, 10, "HIGH"), (2, 10, "LOW"), (3, 11, "HIGH")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 5, 100), (1, 5, 100), (2, 5, 200), (2, 6, 300)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, 0, 1, "click", 0.0, "{}"),
+            (2, 1, 1, "click", 0.0, "{}"),
+            (3, 2, 1, "view", 0.0, "{}"),
+            (4, 3, 2, "purchase", 0.0, "{}"),
+        ],
+    )
+    got = {
+        r["fd"]: (r["n_rows"], r["n_lhs"], r["n_viol_keys"], r["g3_ppm"],
+                  r["holds"])
+        for r in QUERIES["functional_dependency_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "orders: o_orderkey->o_custkey": (3, 3, 0, 0, 1),
+        "orders: o_custkey->o_orderpriority": (3, 2, 1, 333_333, 0),
+        "lineitem: l_partkey->l_suppkey": (4, 2, 1, 250_000, 0),
+        "events: event_id->event_type": (4, 4, 0, 0, 1),
+        "events: user_id->event_type": (4, 2, 1, 250_000, 0),
+    }
+
+
+def test_fd_audit_fixture_key_fds_hold(spark, sf_dir):
+    """Shipped fixtures: the two key→attribute FDs hold exactly
+    (these are structural in the generator), the three expected
+    violations fire, and g3 is always in [0, 1e6) and 0 iff holds."""
+    rows = QUERIES["functional_dependency_audit"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    by = {r["fd"]: r for r in rows}
+    assert by["orders: o_orderkey->o_custkey"]["holds"] == 1
+    assert by["events: event_id->event_type"]["holds"] == 1
+    for fd in ("orders: o_custkey->o_orderpriority",
+               "lineitem: l_partkey->l_suppkey",
+               "events: user_id->event_type"):
+        assert by[fd]["holds"] == 0, by[fd]
+    for r in rows:
+        assert 0 <= r["g3_ppm"] < 1_000_000
+        assert (r["g3_ppm"] == 0) == (r["holds"] == 1)

@@ -3005,3 +3005,102 @@ def q_markov_order2_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_gain_nats"
         ),
     )
+
+
+# Declared FD candidates: (label, table, lhs column, rhs column).
+# Two true dependencies (key → attribute) and three expected
+# violations, so the audit exercises both verdicts on every fixture.
+_FD_CANDIDATES = (
+    ("orders: o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders: o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem: l_partkey->l_suppkey", "lineitem", "l_partkey",
+     "l_suppkey"),
+    ("events: event_id->event_type", "events", "event_id", "event_type"),
+    ("events: user_id->event_type", "events", "user_id", "event_type"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{label}' AS fd, SUM(cnt)::BIGINT AS n_rows,
+       COUNT(*)::BIGINT AS n_lhs,
+       SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_viol_keys,
+       ((SUM(cnt) - SUM(mx)) * 1000000 // GREATEST(SUM(cnt), 1))
+           ::BIGINT AS g3_ppm,
+       (CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+             THEN 1 ELSE 0 END)::BIGINT AS holds
+FROM (
+    SELECT {lhs}, COUNT(*)::BIGINT AS n_rhs,
+           SUM(c)::BIGINT AS cnt, MAX(c)::BIGINT AS mx
+    FROM (SELECT {lhs}, {rhs}, COUNT(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2)
+    GROUP BY {lhs}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "functional_dependency_audit",
+    # Exact FD verdict + the classic g3 error (minimum fraction of
+    # rows to delete for the FD to hold, Kivinen–Mannila) for each
+    # declared candidate — identical two-level rollup on both
+    # engines; n_rhs>1 keys are the violating LHS values.
+    oracle=_fd_oracle(),
+)
+def q_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit over declared candidate pairs —
+    the profiling readout a pipeline runs before trusting a column as
+    a join key or a dimension attribute: does LHS → RHS actually hold
+    in the data, and if not, HOW badly. Two metrics per candidate:
+    the exact verdict (n_viol_keys = LHS values observing >1 distinct
+    RHS; holds = none do) and the g3 error of Kivinen–Mannila (1995)
+    — the minimum fraction of rows that must be deleted for the FD to
+    hold, (N − Σ_lhs max-RHS-group)/N in exact ppm — which separates
+    a near-FD broken by a few dirty rows (g3 ≈ 0) from a genuinely
+    non-functional pair. The candidate list plants both verdicts:
+    key→attribute pairs that must hold (o_orderkey→o_custkey,
+    event_id→event_type) and expected violations (a part has several
+    suppliers; a user emits several event types). Scale: each
+    candidate is one two-level map-side-combined rollup
+    (lhs,rhs)→lhs; no joins, no windows; the union is
+    candidate-count-bounded."""
+    outs = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        pairs = t.groupBy(F.col(lhs), F.col(rhs)).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        per_lhs = pairs.groupBy(F.col(lhs)).agg(
+            F.count(F.lit(1)).alias("n_rhs"),
+            F.sum("c").alias("cnt"),
+            F.max("c").alias("mx"),
+        )
+        outs.append(
+            per_lhs.agg(
+                F.lit(label).alias("fd"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_viol_keys"),
+                F.expr(
+                    "(sum(cnt) - sum(mx)) * 1000000"
+                    " div greatest(sum(cnt), 1)"
+                )
+                .cast("long")
+                .alias("g3_ppm"),
+                F.expr(
+                    "cast(case when sum(case when n_rhs > 1 then 1"
+                    " else 0 end) = 0 then 1 else 0 end as long)"
+                ).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
