@@ -325,6 +325,7 @@ _REGISTERED_R08 = frozenset(
         "clustering_coefficient_parts",
         "markov_order2_gain",
         "functional_dependency_audit",
+        "adamic_adar_link_prediction",
     }
 )
 

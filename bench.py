@@ -332,6 +332,7 @@ HEADLINE = [
     "clustering_coefficient_parts",
     "markov_order2_gain",
     "functional_dependency_audit",
+    "adamic_adar_link_prediction",
 ]
 
 

@@ -135,6 +135,15 @@ PROBE_QUERIES = [
     "nav_conditional_entropy",
     "logrank_conversion_by_arm",
     "dedup_threshold_sensitivity",
+    # round-8 close-out additions: the constant-lattice PAVA fit, the
+    # triangle-sharing clustering coefficient, the order-2 entropy
+    # window pass, and the FD audit's five two-level rollups.
+    "isotonic_calibration_pava",
+    "clustering_coefficient_parts",
+    "markov_order2_gain",
+    "functional_dependency_audit",
+    "adamic_adar_link_prediction",
+    "link_prediction_common_neighbors",
 ]
 
 

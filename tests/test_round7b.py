@@ -151,9 +151,12 @@ def test_link_prediction_wedges_and_hub_guard(spark, tmp_path):
     """Edges (1-2),(1-3),(2-4),(3-4): the two open wedge pairs (1,4)
     and (2,3) each have TWO common neighbors and Jaccard exactly 1e6
     (cn=2, union=2+2−2=2). A planted 51-partner hub is excluded, so
-    its spokes predict nothing through it."""
+    its spokes predict nothing through it. (Round 8 made the hub rule
+    scale-relative — deg > 2×median; here the spoke-dominated median
+    is 1, cutoff 2, so the deg-51 hub is pruned exactly as the old
+    absolute deg>50 rule did and every pinned value is unchanged.)"""
     baskets = [(1, [1, 2]), (2, [1, 3]), (3, [2, 4]), (4, [3, 4])]
-    # hub 100 co-bought with 51 distinct parts → deg 51 > 50 → pruned
+    # hub 100 co-bought with 51 distinct parts → deg 51 > 2·median → pruned
     baskets += [(10_000 + i, [100, 200 + i]) for i in range(51)]
     _write(spark, tmp_path, "lineitem", _li_rows(baskets), LI_SCHEMA)
     rows = QUERIES["link_prediction_common_neighbors"](

@@ -261,3 +261,72 @@ def test_fd_audit_fixture_key_fds_hold(spark, sf_dir):
     for r in rows:
         assert 0 <= r["g3_ppm"] < 1_000_000
         assert (r["g3_ppm"] == 0) == (r["holds"] == 1)
+
+
+# --- Adamic–Adar link prediction -------------------------------------------
+
+
+def test_adamic_adar_reverses_raw_neighbor_count(spark, tmp_path):
+    """The classic AA story: pair (1,2) shares ONE selective neighbor
+    (part 100, kept-degree 2 → weight round(1e6/ln2) = 1442695); pair
+    (3,4) shares TWO promiscuous neighbors (parts 200/300, kept-
+    degree 6 each → 2·558111 = 1116222). Common-neighbors ranks (3,4)
+    first; Adamic–Adar correctly puts (1,2) on top. Scaffolding: ten
+    disjoint 4-cliques raise the median degree to 3 (hub cut at
+    2·3 = 6 keeps the deg-6 centers) while contributing no candidate
+    pairs (all clique pairs are adjacent); the 200–300 order makes
+    those two adjacent so their shared-leaf wedges anti-join out; and
+    part 400's 15 spokes make it a genuine hub (15 > 6) whose spokes
+    must predict nothing through it."""
+    li, o = [], 0
+    for p in (1, 2):
+        o += 1; li += [(o, 100), (o, p)]
+    for p in (3, 4, 5, 6, 7):
+        o += 1; li += [(o, 200), (o, p)]
+    for p in (3, 4, 8, 9, 10):
+        o += 1; li += [(o, 300), (o, p)]
+    o += 1; li += [(o, 200), (o, 300)]
+    for c in range(10):                      # ten disjoint 4-cliques
+        o += 1
+        li += [(o, 1000 + 4 * c + j) for j in range(4)]
+    for j in range(15):                      # genuine hub, deg 15 > 6
+        o += 1; li += [(o, 400), (o, 500 + j)]
+    sf = _write_lineitem(spark, tmp_path, li)
+    rows = QUERIES["adamic_adar_link_prediction"](spark, sf).collect()
+    top = rows[0]
+    assert (top["pa"], top["pb"]) == (1, 2)
+    assert (top["common_neighbors"], top["aa_e6"]) == (1, 1_442_695)
+    r34 = next(r for r in rows
+               if (r["pa"], r["pb"]) == (3, 4))
+    assert (r34["common_neighbors"], r34["aa_e6"]) == (2, 1_116_222)
+    assert max(r["common_neighbors"] for r in rows) == 2  # CN favors (3,4)
+    assert not any(r["pa"] >= 400 or r["pb"] >= 400 for r in rows)
+
+
+def test_adamic_adar_fixture_ranking_invariants(spark):
+    """At sf0.01 (the driver-gate scale): NON-EMPTY (the round-8
+    point of the scale-relative hub rule — the old absolute cap gated
+    empty output here), <=20 rows, aa_e6 non-increasing, every score
+    positive and bounded by cn·round(1e6/ln 2) (the max per-neighbor
+    weight)."""
+    rows = QUERIES["adamic_adar_link_prediction"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert 1 <= len(rows) <= 20
+    scores = [r["aa_e6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 < r["aa_e6"] <= r["common_neighbors"] * 1_442_695, r
+
+
+def test_link_prediction_cn_fixture_nonempty(spark):
+    """The common-neighbors gate must also be non-vacuous at the
+    driver scale under the shared rule — before round 8 it hash-gated
+    on EMPTY output at every SF."""
+    rows = QUERIES["link_prediction_common_neighbors"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert 1 <= len(rows) <= 20
+    for r in rows:
+        assert r["common_neighbors"] >= 1
+        assert 0 < r["jaccard_ppm"] <= 1_000_000

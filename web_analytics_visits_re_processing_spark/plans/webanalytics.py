@@ -5848,12 +5848,122 @@ def q_session_duration_by_outcome(
 
 
 # Hub guard for the link-prediction wedge enumeration below: a part
-# co-purchased with more than this many distinct partners contributes
-# deg² candidate pairs through itself (a bestseller connects
-# everything to everything) — the same promiscuity failure the
-# identity stitcher prunes. The cap is part of the gated semantics
-# (the oracle applies it identically), not a silent truncation.
-_LP_MAX_DEG = 50
+# co-purchased with more than 2× the MEDIAN distinct-partner count
+# contributes deg² candidate pairs through itself while predicting
+# nothing (a bestseller connects everything to everything) — the
+# identity-stitch promiscuity rule made scale-relative. The original
+# absolute cap (deg <= 50) was tuned to a sparse graph that no
+# shipped fixture has: the co-purchase graph is quasi-regular with
+# median degree ~90–120 at every SF, so the absolute rule kept ~1
+# node and the gate was hash-green on EMPTY output (found in round
+# 8's non-degeneracy audit). The median is the exact rank-based
+# value at ascending position ceil(n/2) — both engines replay the
+# identical integer rule. Cost bound: after the hub cut, each node's
+# adjacency is capped to its _LP_FANOUT_CAP smallest-id neighbors,
+# kept only when BOTH directions survive (symmetric, so cn <=
+# min(da, db) and the Jaccard denominator stays positive) — the
+# df-cap house pattern (lsh_recall / threshold-sweep): wedge cost is
+# Σ min(deg, 48)² however dense the graph, and the cap is part of
+# the gated semantics on both engines, not a silent truncation.
+_LP_FANOUT_CAP = 48
+
+_LP_KEEP_SQL = f"""sym AS (
+    SELECT pa AS node, pb AS nbr FROM e
+    UNION ALL SELECT pb, pa FROM e
+), deg AS (
+    SELECT node, COUNT(*)::BIGINT AS d FROM sym GROUP BY node
+), dr AS (
+    SELECT node, d, ROW_NUMBER() OVER (ORDER BY d, node) AS rn,
+           COUNT(*) OVER () AS n
+    FROM deg
+), med AS (
+    SELECT d AS d50 FROM dr WHERE rn = (n + 1) // 2
+), kn AS (
+    SELECT dr.node FROM dr CROSS JOIN med WHERE dr.d <= 2 * med.d50
+), adj AS (
+    SELECT s.node, s.nbr,
+           ROW_NUMBER() OVER (PARTITION BY s.node ORDER BY s.nbr)
+               AS rk
+    FROM sym s
+    JOIN kn ON kn.node = s.node
+    JOIN kn kb ON kb.node = s.nbr
+), cdeg AS (
+    SELECT node, COUNT(*)::BIGINT AS d FROM adj GROUP BY node
+), keep AS (
+    SELECT a1.node, a1.nbr
+    FROM adj a1
+    JOIN adj a2 ON a2.node = a1.nbr AND a2.nbr = a1.node
+    WHERE a1.rk <= {_LP_FANOUT_CAP} AND a2.rk <= {_LP_FANOUT_CAP}
+), kdeg AS (
+    SELECT node, COUNT(*)::BIGINT AS d FROM keep GROUP BY node
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase part pairs (pa < pb) — the link-prediction
+    family's shared edge build."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("pa"))
+    b = op.select("o", F.col("p").alias("pb"))
+    return (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+def _lp_kept_adjacency(e: DataFrame):
+    """Hub-filtered, symmetrically fan-out-capped adjacency — the
+    Spark mirror of ``_LP_KEEP_SQL`` (see the rule rationale there).
+    Returns ``(keep, kdeg, cdeg)``: capped symmetric adjacency rows
+    (node, nbr), capped degrees, and pre-cap kept degrees (the hub-
+    filtered degree Adamic–Adar weights read — the fan-out cap must
+    not make a promiscuous center look selective)."""
+    sym = e.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    wr = Window.orderBy("d", "node")
+    wall = Window.partitionBy()
+    dr = deg.select(
+        "node",
+        "d",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med = dr.where(F.expr("rn = (n + 1) div 2")).select(
+        F.col("d").alias("d50")
+    )
+    kn = (
+        dr.crossJoin(F.broadcast(med))
+        .where(F.expr("d <= 2 * d50"))
+        .select("node")
+    )
+    wadj = Window.partitionBy("node").orderBy("nbr")
+    adj = (
+        sym.join(kn, "node", "left_semi")
+        .join(kn.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+        .select("node", "nbr", F.row_number().over(wadj).alias("rk"))
+    )
+    cdeg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a2 = adj.select(
+        F.col("nbr").alias("node"), F.col("node").alias("nbr"),
+        F.col("rk").alias("rk2"),
+    )
+    keep = (
+        adj.join(a2, ["node", "nbr"])
+        .where(
+            (F.col("rk") <= _LP_FANOUT_CAP)
+            & (F.col("rk2") <= _LP_FANOUT_CAP)
+        )
+        .select("node", "nbr")
+    )
+    kdeg = keep.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return keep, kdeg, cdeg
 
 
 @query(
@@ -5862,28 +5972,18 @@ _LP_MAX_DEG = 50
     # over the co-purchase graph: for part pairs NOT yet co-bought,
     # how many shared co-purchase partners connect them? Candidates
     # enumerate as wedges a–z–b (never all pairs), hubs above
-    # _LP_MAX_DEG are excluded by both engines, the Jaccard tiebreak
-    # cross-multiplies into ppm over |Γa ∪ Γb|, and the top-20 order
-    # is fully deterministic (cn DESC, jac DESC, pa, pb).
+    # 2×median degree are excluded by both engines, the adjacency is
+    # symmetrically fan-out-capped at 48 (cost bound, shared gated
+    # semantics), the Jaccard tiebreak cross-multiplies into ppm over
+    # |Γa ∪ Γb| of the capped graph, and the top-20 order is fully
+    # deterministic (cn DESC, jac DESC, pa, pb).
     oracle=f"""
 WITH e AS (
     SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
     FROM lineitem a
     JOIN lineitem b ON a.l_orderkey = b.l_orderkey
                    AND a.l_partkey < b.l_partkey
-), sym AS (
-    SELECT pa AS node, pb AS nbr FROM e
-    UNION ALL SELECT pb, pa FROM e
-), deg AS (
-    SELECT node, COUNT(*)::BIGINT AS d FROM sym GROUP BY node
-), keep AS (
-    SELECT s.node, s.nbr FROM sym s
-    JOIN deg dn ON dn.node = s.node
-    JOIN deg db ON db.node = s.nbr
-    WHERE dn.d <= {_LP_MAX_DEG} AND db.d <= {_LP_MAX_DEG}
-), kdeg AS (
-    SELECT node, COUNT(*)::BIGINT AS d FROM keep GROUP BY node
-), wedge AS (
+), {_LP_KEEP_SQL}, wedge AS (
     SELECT s1.nbr AS pa, s2.nbr AS pb, COUNT(*)::BIGINT AS cn
     FROM keep s1 JOIN keep s2 ON s1.node = s2.node
                              AND s1.nbr < s2.nbr
@@ -5909,37 +6009,17 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges, this ranks the OPEN ones about to close) and the
     candidate generator a 'frequently bought together' widget mines.
     Scale shape: candidates come from the wedge join on the shared
-    neighbor — Σ deg² rows, the triangle-counting cost class, never
-    parts² — with promiscuous hubs (deg > 50) excluded up front by
-    BOTH engines because a bestseller's wedges connect everything to
-    everything while predicting nothing (the identity-stitch
-    promiscuity rule applied to graphs). Jaccard tiebreak is an
-    exact ppm over |Γa ∪ Γb| of the hub-filtered graph; top-20 via
+    neighbor — bounded at Σ min(deg, 48)² rows by the symmetric
+    fan-out cap, the triangle-counting cost class, never parts² —
+    with promiscuous hubs (deg > 2×median, the scale-relative form of
+    the identity-stitch promiscuity rule: the old absolute deg <= 50
+    kept ~1 node of every quasi-regular fixture graph and gated empty
+    output) excluded up front by BOTH engines. Jaccard tiebreak is an
+    exact ppm over |Γa ∪ Γb| of the capped graph (symmetric cap ⇒
+    cn <= min(da, db), denominator always positive); top-20 via
     TakeOrdered, no global sort."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select("o", F.col("p").alias("pb"))
-    e = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
-    sym = e.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
-        e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
-    )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    small = deg.where(F.col("d") <= _LP_MAX_DEG).select("node")
-    keep = (
-        sym.join(small, "node", "left_semi")
-        .join(
-            small.select(F.col("node").alias("nbr")), "nbr", "left_semi"
-        )
-    )
-    kdeg = keep.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    e = _copurchase_edges(spark, sf_dir)
+    keep, kdeg, _cdeg = _lp_kept_adjacency(e)
     s1 = keep.select("node", F.col("nbr").alias("pa"))
     s2 = keep.select("node", F.col("nbr").alias("pb"))
     wedge = (

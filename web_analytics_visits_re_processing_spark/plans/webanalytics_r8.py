@@ -3104,3 +3104,98 @@ def q_functional_dependency_audit(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+    _LP_KEEP_SQL,
+)
+
+
+@query(
+    "adamic_adar_link_prediction",
+    # Adamic–Adar over the SAME hub-filtered, symmetrically fan-out-
+    # capped wedge table as link_prediction_common_neighbors (rule
+    # rationale at webanalytics._LP_FANOUT_CAP): the shared neighbor
+    # z IS the wedge center, so the score accumulates AT the wedge
+    # join; each z contributes round(1e6/ln(cdeg_z)) with cdeg its
+    # PRE-cap kept degree (the fan-out cap must not make a
+    # promiscuous center look selective), one float div+round per
+    # integer degree — no accumulated float sums cross the hash.
+    oracle=f"""
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+), {_LP_KEEP_SQL}, wedge AS (
+    SELECT s1.nbr AS pa, s2.nbr AS pb, COUNT(*)::BIGINT AS cn,
+           SUM(CAST(ROUND(1000000.0 / LN(cd.d), 0) AS BIGINT))
+               ::BIGINT AS aa_e6
+    FROM keep s1
+    JOIN keep s2 ON s1.node = s2.node AND s1.nbr < s2.nbr
+    JOIN cdeg cd ON cd.node = s1.node
+    GROUP BY 1, 2
+)
+SELECT w.pa, w.pb, w.cn AS common_neighbors, w.aa_e6
+FROM wedge w ANTI JOIN e ON e.pa = w.pa AND e.pb = w.pb
+ORDER BY aa_e6 DESC, common_neighbors DESC, pa, pb
+LIMIT 20
+""",
+)
+def q_adamic_adar_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic–Adar link prediction — the degree-weighted upgrade of
+    ``link_prediction_common_neighbors``: a shared neighbor that
+    co-occurs with only 3 parts is strong evidence the pair belongs
+    together, one that co-occurs with 100 is weak, so each common
+    neighbor z contributes 1/ln(deg z) instead of 1 (Adamic & Adar
+    2003; the best simple predictor in Liben-Nowell & Kleinberg's
+    benchmark). Shares the scale-relative hub rule (deg > 2×median
+    excluded) and the symmetric 48-neighbor fan-out cap with the
+    common-neighbors gate — both engines replay the identical
+    integer rule, see ``webanalytics._LP_FANOUT_CAP`` for why the
+    old absolute cap gated empty output. The weight reads z's
+    PRE-cap kept degree (cdeg): capping z's enumerated fan-out must
+    not make a promiscuous center look selective. Exactness: the
+    score is an integer sum of round(1e6/ln(d)) terms — one float
+    division + round per integer degree (never an accumulated float
+    sum whose addition order could differ across engines); wedge
+    centers have cdeg >= 2 so ln > 0 always. Ranking aa_e6 DESC with
+    the cn/pa/pb tiebreak is fully deterministic. Scale: wedge join
+    bounded at Σ min(deg, 48)² — the triangle cost class, never
+    parts²; the exact-median hub rule sorts the |V|-row degree table
+    once (at extreme scale swap in an approx-percentile cutoff);
+    top-20 via TakeOrdered."""
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _copurchase_edges,
+        _lp_kept_adjacency,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    keep, _kdeg, cdeg = _lp_kept_adjacency(e)
+    s1 = keep.select("node", F.col("nbr").alias("pa"))
+    s2 = keep.select("node", F.col("nbr").alias("pb"))
+    wedge = (
+        s1.join(s2, "node")
+        .where(F.col("pa") < F.col("pb"))
+        .join(cdeg, "node")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(
+                F.expr(
+                    "cast(round(1000000.0 / ln(d), 0) as bigint)"
+                )
+            ).cast("long").alias("aa_e6"),
+        )
+    )
+    cand = wedge.join(e, ["pa", "pb"], "left_anti")
+    return (
+        cand.select(
+            "pa", "pb", F.col("cn").alias("common_neighbors"), "aa_e6"
+        )
+        .orderBy(F.col("aa_e6").desc(), F.col("common_neighbors").desc(),
+                 "pa", "pb")
+        .limit(20)
+    )
