@@ -110,11 +110,13 @@ def test_gsp_apriori_prunes_and_counts_exactly(spark, tmp_path):
         for r in rows
     }
     b, c, a = "view:0", "click:1", "purchase:2"
+    lv = "(levels)"
     assert got == {
         (b, a, b): (4, 1_000_000),
         (b, c, a): (4, 1_000_000),
         (b, c, b): (4, 1_000_000),
         (c, a, b): (4, 1_000_000),
+        (lv, lv, lv): (0, 0),   # the always-on audit row
     }
 
 
@@ -122,13 +124,19 @@ def test_gsp_fixture_pruning_is_selective(spark, sf_dir):
     """Non-degeneracy at the smallest fixture: F2 must be a STRICT
     subset of F1×F1 (the 85% threshold actually cuts) and C3 a strict
     subset of F1³ — an all-or-none threshold would make the Apriori
-    machinery decorative."""
+    machinery decorative. The '(levels)' audit row must always be
+    present (at sf0.01/sf0.1 F3 is legitimately empty and the audit
+    row is what keeps the gate non-vacuous); at sf0.001 the mined
+    triples emit alongside it."""
     rows = QUERIES["gsp_apriori_sequences"](spark, sf_dir).collect()
-    assert rows, "no frequent 3-sequences at sf0.001"
+    audit = [r for r in rows if r["a"] == "(levels)"]
+    mined = [r for r in rows if r["a"] != "(levels)"]
+    assert len(audit) == 1
+    assert mined, "no frequent 3-sequences at sf0.001"
     n_f1, n_f2, n_c3 = rows[0]["n_f1"], rows[0]["n_f2"], rows[0]["n_c3"]
     assert 0 < n_f2 < n_f1 * n_f1, (n_f1, n_f2)
     assert 0 < n_c3 < n_f1 ** 3, (n_f1, n_c3)
-    assert len(rows) <= n_c3
+    assert len(mined) <= n_c3
 
 
 EMB_SCHEMA = "vec_id long, embedding array<float>, label string"

@@ -5899,71 +5899,112 @@ _LP_KEEP_SQL = f"""sym AS (
 )"""
 
 
+# Single-slot persisted cache for the link-prediction family's shared
+# intermediates (the webanalytics_r8._SLOT contract: persist(), not
+# localCheckpoint(), one entry per name keyed by (session, sf) — the
+# next sf evicts the previous entry and its blocks free cleanly). The
+# edge set and the capped adjacency each feed BOTH gated queries
+# (common-neighbors and Adamic–Adar) inside one bench / driver run.
+_LP_CACHE: dict = {}
+
+
+def _lp_cached(name: str, spark: SparkSession, key: str, build) -> DataFrame:
+    k = (name, id(spark), key)
+    hit = _LP_CACHE.get(k)
+    if hit is not None:
+        return hit
+    df = build().persist()
+    df.count()
+    for other in [o for o in _LP_CACHE if o[0] == name and o != k]:
+        _LP_CACHE.pop(other).unpersist(blocking=False)
+    _LP_CACHE[k] = df
+    return df
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct co-purchase part pairs (pa < pb) — the link-prediction
-    family's shared edge build."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select("o", F.col("p").alias("pb"))
-    return (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    family's shared edge build (persisted: it feeds the wedge
+    enumeration AND the already-adjacent anti join in two queries)."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        a = op.select("o", F.col("p").alias("pa"))
+        b = op.select("o", F.col("p").alias("pb"))
+        return (
+            a.join(b, "o")
+            .where(F.col("pa") < F.col("pb"))
+            .select("pa", "pb")
+            .distinct()
+        )
+
+    return _lp_cached("lp_edges", spark, sf_dir, build)
 
 
-def _lp_kept_adjacency(e: DataFrame):
+def _lp_kept_adjacency(spark: SparkSession, sf_dir: str, e: DataFrame):
     """Hub-filtered, symmetrically fan-out-capped adjacency — the
     Spark mirror of ``_LP_KEEP_SQL`` (see the rule rationale there).
     Returns ``(keep, kdeg, cdeg)``: capped symmetric adjacency rows
-    (node, nbr), capped degrees, and pre-cap kept degrees (the hub-
-    filtered degree Adamic–Adar weights read — the fan-out cap must
-    not make a promiscuous center look selective)."""
-    sym = e.select(
-        F.col("pa").alias("node"), F.col("pb").alias("nbr")
-    ).unionAll(e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    wr = Window.orderBy("d", "node")
-    wall = Window.partitionBy()
-    dr = deg.select(
-        "node",
-        "d",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
-    med = dr.where(F.expr("rn = (n + 1) div 2")).select(
-        F.col("d").alias("d50")
-    )
-    kn = (
-        dr.crossJoin(F.broadcast(med))
-        .where(F.expr("d <= 2 * d50"))
-        .select("node")
-    )
-    wadj = Window.partitionBy("node").orderBy("nbr")
-    adj = (
-        sym.join(kn, "node", "left_semi")
-        .join(kn.select(F.col("node").alias("nbr")), "nbr", "left_semi")
-        .select("node", "nbr", F.row_number().over(wadj).alias("rk"))
-    )
-    cdeg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    a2 = adj.select(
-        F.col("nbr").alias("node"), F.col("node").alias("nbr"),
-        F.col("rk").alias("rk2"),
-    )
-    keep = (
-        adj.join(a2, ["node", "nbr"])
-        .where(
-            (F.col("rk") <= _LP_FANOUT_CAP)
-            & (F.col("rk2") <= _LP_FANOUT_CAP)
+    (node, nbr, persisted — both link-prediction queries wedge-join
+    it), capped degrees, and pre-cap kept degrees (the hub-filtered
+    degree Adamic–Adar weights read — the fan-out cap must not make a
+    promiscuous center look selective; carried as columns of the
+    cached table so the derivations stay one groupBy away)."""
+
+    def build() -> DataFrame:
+        sym = e.select(
+            F.col("pa").alias("node"), F.col("pb").alias("nbr")
+        ).unionAll(
+            e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
         )
-        .select("node", "nbr")
-    )
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        wr = Window.orderBy("d", "node")
+        wall = Window.partitionBy()
+        dr = deg.select(
+            "node",
+            "d",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        med = dr.where(F.expr("rn = (n + 1) div 2")).select(
+            F.col("d").alias("d50")
+        )
+        kn = (
+            dr.crossJoin(F.broadcast(med))
+            .where(F.expr("d <= 2 * d50"))
+            .select("node")
+        )
+        wadj = Window.partitionBy("node").orderBy("nbr")
+        wcd = Window.partitionBy("node")
+        adj = (
+            sym.join(kn, "node", "left_semi")
+            .join(kn.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .select(
+                "node",
+                "nbr",
+                F.row_number().over(wadj).alias("rk"),
+                F.count(F.lit(1)).over(wcd).alias("cd"),
+            )
+        )
+        a2 = adj.select(
+            F.col("nbr").alias("node"), F.col("node").alias("nbr"),
+            F.col("rk").alias("rk2"),
+        )
+        return (
+            adj.join(a2, ["node", "nbr"])
+            .where(
+                (F.col("rk") <= _LP_FANOUT_CAP)
+                & (F.col("rk2") <= _LP_FANOUT_CAP)
+            )
+            .select("node", "nbr", "cd")
+        )
+
+    keep = _lp_cached("lp_keep", spark, sf_dir, build)
     kdeg = keep.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    return keep, kdeg, cdeg
+    cdeg = keep.groupBy("node").agg(F.max("cd").alias("d"))
+    return keep.select("node", "nbr"), kdeg, cdeg
 
 
 @query(
@@ -6019,7 +6060,7 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn <= min(da, db), denominator always positive); top-20 via
     TakeOrdered, no global sort."""
     e = _copurchase_edges(spark, sf_dir)
-    keep, kdeg, _cdeg = _lp_kept_adjacency(e)
+    keep, kdeg, _cdeg = _lp_kept_adjacency(spark, sf_dir, e)
     s1 = keep.select("node", F.col("nbr").alias("pa"))
     s2 = keep.select("node", F.col("nbr").alias("pb"))
     wedge = (

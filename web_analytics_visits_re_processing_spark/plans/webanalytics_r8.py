@@ -238,6 +238,10 @@ SELECT s.a, s.b, s.c, s.support,
        aud.n_f1, aud.n_f2, aud.n_c3
 FROM sup3 s CROSS JOIN aud
 WHERE s.support * 100 >= (SELECT n FROM nu) * {_GSP_MINSUP_PCT}
+UNION ALL
+SELECT '(levels)', '(levels)', '(levels)', 0::BIGINT, 0::BIGINT,
+       aud.n_f1, aud.n_f2, aud.n_c3
+FROM aud
 """,
 )
 def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,7 +398,7 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(f2.agg(F.count(F.lit(1)).alias("n_f2"))))
         .crossJoin(F.broadcast(c3.agg(F.count(F.lit(1)).alias("n_c3"))))
     )
-    return (
+    mined = (
         scan3.groupBy("a", "b", "c")
         .agg(F.sum("hit").alias("support"))
         .crossJoin(F.broadcast(nu))
@@ -411,6 +415,25 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_c3",
         )
     )
+    # The '(levels)' audit row ALWAYS emits, even when F3 is empty —
+    # without it an empty F3 blanks the n_f1/n_f2/n_c3 columns too and
+    # the gate compares empty-to-empty (found in round 8's
+    # non-degeneracy audit: the fixture has frequent triples at the
+    # 85% bar only at sf0.001 — at sf0.01/sf0.1 the same patterns sit
+    # at ~84.7% of the finer-grained population, F3 is legitimately
+    # empty, and the gate was hashing nothing). The level sizes are
+    # real mined signal at every SF.
+    audit_row = aud.select(
+        F.lit("(levels)").alias("a"),
+        F.lit("(levels)").alias("b"),
+        F.lit("(levels)").alias("c"),
+        F.lit(0).cast("long").alias("support"),
+        F.lit(0).cast("long").alias("support_ppm"),
+        "n_f1",
+        "n_f2",
+        "n_c3",
+    )
+    return mined.unionAll(audit_row)
 
 
 # --- t-closeness: the third privacy audit ---------------------------------------
@@ -3173,7 +3196,7 @@ def q_adamic_adar_link_prediction(
     )
 
     e = _copurchase_edges(spark, sf_dir)
-    keep, _kdeg, cdeg = _lp_kept_adjacency(e)
+    keep, _kdeg, cdeg = _lp_kept_adjacency(spark, sf_dir, e)
     s1 = keep.select("node", F.col("nbr").alias("pa"))
     s2 = keep.select("node", F.col("nbr").alias("pb"))
     wedge = (
