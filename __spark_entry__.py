@@ -326,6 +326,7 @@ _REGISTERED_R08 = frozenset(
         "markov_order2_gain",
         "functional_dependency_audit",
         "adamic_adar_link_prediction",
+        "silhouette_by_label",
     }
 )
 

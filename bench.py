@@ -333,6 +333,7 @@ HEADLINE = [
     "markov_order2_gain",
     "functional_dependency_audit",
     "adamic_adar_link_prediction",
+    "silhouette_by_label",
 ]
 
 

@@ -144,6 +144,7 @@ PROBE_QUERIES = [
     "functional_dependency_audit",
     "adamic_adar_link_prediction",
     "link_prediction_common_neighbors",
+    "silhouette_by_label",
 ]
 
 

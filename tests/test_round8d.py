@@ -330,3 +330,64 @@ def test_link_prediction_cn_fixture_nonempty(spark):
     for r in rows:
         assert r["common_neighbors"] >= 1
         assert 0 < r["jaccard_ppm"] <= 1_000_000
+
+
+# --- simplified silhouette -------------------------------------------------
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """rows: (vec_id, [dim0, dim1], label) — padded to 64 float dims
+    with zeros; values must be float32-exact (powers of two)."""
+    spark.createDataFrame(
+        [(v, [float(a), float(b)] + [0.0] * 62, lab)
+         for (v, a, b, lab) in rows],
+        "vec_id long, embedding array<float>, label string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_silhouette_pins_the_misplaced_point(spark, tmp_path):
+    """A = {(0,0), (0,0), (0.5,0)}, B = {(0.5,0), (0.5,0)} — the third
+    A point sits EXACTLY on B's centroid. Micro-units: A centroid
+    (166666, 0) by truncated division, B (500000, 0). Hand-replayed
+    integers: clean A points s = (250000000000 − 27777555556)·1e6
+    div 250000000000 = 888889; the misplaced point reads the floor
+    −1000000 exactly (b2 = 0 → s = −a2·1e6 div a2); B points read
+    +1000000 exactly (a2 = 0). Label rollups: A mean 777778 div 3 =
+    259259, well 666666; B mean 1000000; overall 2777778 div 5 =
+    555555."""
+    sf = _write_embeddings(
+        spark, tmp_path,
+        [(1, 0.0, 0.0, "A"), (2, 0.0, 0.0, "A"), (3, 0.5, 0.0, "A"),
+         (4, 0.5, 0.0, "B"), (5, 0.5, 0.0, "B")],
+    )
+    got = {
+        r["label"]: (r["n_points"], r["mean_sil_ppm"], r["well_ppm"],
+                     r["overall_sil_ppm"])
+        for r in QUERIES["silhouette_by_label"](spark, sf).collect()
+    }
+    assert got == {
+        "A": (3, 259_259, 666_666, 555_555),
+        "B": (2, 1_000_000, 1_000_000, 555_555),
+    }
+
+
+def test_silhouette_fixture_bounds_and_total(spark, sf_dir):
+    """Shipped fixtures: 10 labels covering all 500 vectors, every
+    statistic inside its ppm bounds, and the constant overall column
+    consistent with the per-label means (within the div-truncation
+    slack of one rollup level)."""
+    rows = QUERIES["silhouette_by_label"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r["n_points"] for r in rows) == 500
+    for r in rows:
+        assert -1_000_000 <= r["mean_sil_ppm"] <= 1_000_000
+        assert 0 <= r["well_ppm"] <= 1_000_000
+    ov = {r["overall_sil_ppm"] for r in rows}
+    assert len(ov) == 1
+    ov = ov.pop()
+    lo = min(r["mean_sil_ppm"] for r in rows)
+    hi = max(r["mean_sil_ppm"] for r in rows)
+    assert lo - 1 <= ov <= hi + 1, (lo, ov, hi)

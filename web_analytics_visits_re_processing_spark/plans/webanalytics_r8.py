@@ -3222,3 +3222,139 @@ def q_adamic_adar_link_prediction(
                  "pa", "pb")
         .limit(20)
     )
+
+
+@query(
+    "silhouette_by_label",
+    # Simplified (centroid-based) silhouette per label over the
+    # squared-L2 micro-unit geometry the k-means / centroid family
+    # shares: a2 = d²(point, own centroid), b2 = min over other
+    # labels; s = (b2 − a2)·1e6 div max(a2, b2, 1). O(n·k), never
+    # O(n²) — the at-scale silhouette form (Hruschka et al. 2004).
+    oracle="""
+WITH q AS (
+    SELECT vec_id, label, u.d,
+           FLOOR(u.e::DOUBLE * 1000000)::BIGINT AS qv
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding::DOUBLE[]) AS e,
+                         generate_subscripts(embedding, 1) AS d) u
+), cent AS (
+    SELECT label, d, (SUM(qv) // COUNT(*))::BIGINT AS m
+    FROM q GROUP BY label, d
+), d2 AS (
+    SELECT q.vec_id, q.label, c.label AS cand,
+           SUM((q.qv - c.m) * (q.qv - c.m))::BIGINT AS dist2
+    FROM q JOIN cent c ON c.d = q.d
+    GROUP BY 1, 2, 3
+), ab AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN cand = label THEN dist2 END) AS a2,
+           MIN(CASE WHEN cand <> label THEN dist2 END) AS b2
+    FROM d2 GROUP BY 1, 2
+), s AS (
+    SELECT label,
+           ((b2 - a2) * 1000000
+            // GREATEST(a2, b2, 1)) AS s_ppm,
+           CASE WHEN b2 > a2 THEN 1 ELSE 0 END AS ok
+    FROM ab
+), lab AS (
+    SELECT label, COUNT(*)::BIGINT AS n_points,
+           (SUM(s_ppm) // COUNT(*))::BIGINT AS mean_sil_ppm,
+           (SUM(ok) * 1000000 // COUNT(*))::BIGINT AS well_ppm,
+           SUM(s_ppm)::BIGINT AS sum_s, SUM(ok)::BIGINT AS n_ok
+    FROM s GROUP BY label
+), tot AS (
+    SELECT (SUM(sum_s) // SUM(n_points))::BIGINT AS overall_sil_ppm
+    FROM lab
+)
+SELECT l.label, l.n_points, l.mean_sil_ppm, l.well_ppm,
+       t.overall_sil_ppm
+FROM lab l CROSS JOIN tot t
+""",
+)
+def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label — the QUALITY gate the
+    clustering/centroid family was missing (the role
+    community_modularity plays for graph communities, recall@5 for
+    ANN, lsh_recall for dedup): does each label actually occupy its
+    own region of embedding space? Per point, a2 = squared L2 to the
+    OWN label centroid and b2 = min squared L2 to any OTHER label's
+    centroid; s = (b2 − a2)/max(a2, b2) ∈ [−1, 1] in exact ppm —
+    positive means the point sits closer to home than to any rival
+    (the squared-distance variant: no sqrt, so the arithmetic stays
+    integer end-to-end in the k-means micro-unit convention —
+    floor(x·1e6) components, truncated-division centroids — and the
+    sign/ordering story of Rousseeuw's silhouette is preserved).
+    This is the SIMPLIFIED silhouette (Hruschka et al. 2004):
+    distances go to the k centroids, not all n points — O(n·k),
+    the only form that survives 100 TB, where full silhouette's
+    O(n²) pairwise pass does not. well_ppm (share of points with
+    b2 > a2) and the corpus-wide mean ride along. Scale: one
+    (label,dim) exchange builds the ≤|labels|·dim centroid table
+    (broadcast back), one linear pass scores every point against k
+    centroids; no point-point pairs anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("d0", "e"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("e").cast("double") * 1000000)
+        .cast("long")
+        .alias("qv"),
+    )
+    cent = q.groupBy("label", "d").agg(
+        F.expr("sum(qv) div count(1)").alias("m")
+    )
+    d2 = (
+        q.join(
+            F.broadcast(cent.select(F.col("label").alias("cand"), "d", "m")),
+            "d",
+        )
+        .groupBy("vec_id", "label", "cand")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("m")) * (F.col("qv") - F.col("m"))
+            ).alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("cand") == F.col("label"), F.col("dist2"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("cand") != F.col("label"), F.col("dist2"))
+        ).alias("b2"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "(b2 - a2) * 1000000 div greatest(a2, b2, 1)"
+        ).alias("s_ppm"),
+        F.when(F.col("b2") > F.col("a2"), 1).otherwise(0).alias("ok"),
+    )
+    lab = s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr("sum(s_ppm) div count(1)").cast("long").alias(
+            "mean_sil_ppm"
+        ),
+        F.expr("sum(ok) * 1000000 div count(1)").cast("long").alias(
+            "well_ppm"
+        ),
+        F.sum("s_ppm").alias("sum_s"),
+    )
+    tot = lab.agg(
+        F.expr("sum(sum_s) div sum(n_points)").cast("long").alias(
+            "overall_sil_ppm"
+        )
+    )
+    return lab.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n_points").cast("long").alias("n_points"),
+        "mean_sil_ppm",
+        "well_ppm",
+        "overall_sil_ppm",
+    )
