@@ -327,6 +327,7 @@ _REGISTERED_R08 = frozenset(
         "functional_dependency_audit",
         "adamic_adar_link_prediction",
         "silhouette_by_label",
+        "sorted_neighborhood_dup_pairs",
     }
 )
 

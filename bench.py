@@ -334,6 +334,7 @@ HEADLINE = [
     "functional_dependency_audit",
     "adamic_adar_link_prediction",
     "silhouette_by_label",
+    "sorted_neighborhood_dup_pairs",
 ]
 
 

@@ -145,6 +145,7 @@ PROBE_QUERIES = [
     "adamic_adar_link_prediction",
     "link_prediction_common_neighbors",
     "silhouette_by_label",
+    "sorted_neighborhood_dup_pairs",
 ]
 
 

@@ -391,3 +391,60 @@ def test_silhouette_fixture_bounds_and_total(spark, sf_dir):
     lo = min(r["mean_sil_ppm"] for r in rows)
     hi = max(r["mean_sil_ppm"] for r in rows)
     assert lo - 1 <= ov <= hi + 1, (lo, ov, hi)
+
+
+# --- sorted-neighborhood dedup ---------------------------------------------
+
+
+def _write_documents(spark, tmp_path, docs):
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for (i, t) in docs],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_snm_catches_suffix_edit_and_misses_prefix_edit(spark, tmp_path):
+    """The structural SNM story, both directions. CATCH: docs 1/2
+    differ only in the LAST word — identical 16-char prefix key, so
+    they sort adjacent and verify at 3-gram Jaccard 5/7 = 0.7143.
+    MISS: docs 3/7 differ only in the FIRST word (same 0.7143
+    Jaccard!) but the edit is IN the prefix key, three spacer docs
+    sort between them, and the w=3 window never pairs them — the
+    blocking blind spot LSH banding does not have. Window budget:
+    7 ranked docs × next-3 = 15 candidate pairs exactly."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "kappa lambda mu nu xi omicron pi rho"),
+        (4, "mmm qqq www eee rrr"),
+        (5, "nnn ttt yyy uuu iii"),
+        (6, "ooo ppp aaa sss ddd"),
+        (7, "zzz lambda mu nu xi omicron pi rho"),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    rows = QUERIES["sorted_neighborhood_dup_pairs"](spark, sf).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"], r["n_window_pairs"])
+            for r in rows] == [(1, 2, 0.7143, 15)]
+
+
+def test_snm_fixture_nonempty_and_budget(spark):
+    """At sf0.01 (the driver-gate scale): the corpus's template
+    duplication puts near-dups behind shared prefixes, so SNM finds
+    real pairs; the candidate budget is exactly the linear 3n − 6
+    window pairs (n ranked docs, tail clipped)."""
+    import duckdb
+
+    rows = QUERIES["sorted_neighborhood_dup_pairs"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) >= 1
+    n_docs = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchone()[0]
+    budget = {r["n_window_pairs"] for r in rows}
+    assert budget == {3 * n_docs - 6}
+    assert all(r["jaccard"] >= 0.2 and r["id_a"] < r["id_b"] for r in rows)
