@@ -328,6 +328,7 @@ _REGISTERED_R08 = frozenset(
         "adamic_adar_link_prediction",
         "silhouette_by_label",
         "sorted_neighborhood_dup_pairs",
+        "psm_matched_lift",
     }
 )
 

@@ -335,6 +335,7 @@ HEADLINE = [
     "adamic_adar_link_prediction",
     "silhouette_by_label",
     "sorted_neighborhood_dup_pairs",
+    "psm_matched_lift",
 ]
 
 

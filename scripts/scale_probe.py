@@ -146,6 +146,7 @@ PROBE_QUERIES = [
     "link_prediction_common_neighbors",
     "silhouette_by_label",
     "sorted_neighborhood_dup_pairs",
+    "psm_matched_lift",
 ]
 
 

@@ -448,3 +448,73 @@ def test_snm_fixture_nonempty_and_budget(spark):
     budget = {r["n_window_pairs"] for r in rows}
     assert budget == {3 * n_docs - 6}
     assert all(r["jaccard"] >= 0.2 and r["id_a"] < r["id_b"] for r in rows)
+
+
+# --- matched-pairs treatment lift -------------------------------------------
+
+
+def test_psm_hand_computed_att(spark, tmp_path):
+    """Controls (even ids): two at activity level x=2 (one converts →
+    level rate 500000), two at x=10 (none). Treated (odd): one at
+    x=2 (converts, exact match), one at x=3 (nearest level is 2 —
+    distance 1 vs 7 — matched rate 500000), one at x=10 (converts,
+    exact, matched rate 0). ATT = (2·1e6 − 1000000) div 3 = 333333
+    while the naive lift reads 666666 − 250000 = 416666 — matching
+    strips the engagement confound; exact_match_ppm = 2·1e6 div 3 =
+    666666."""
+    rows, eid = [], 0
+
+    def user(uid, x, converts):
+        nonlocal eid
+        for d in range(1, x + 1):
+            rows.append((eid, d * 1440, uid, "view", 0.0, "{}")); eid += 1
+        rows.append((eid, (16 if converts else 19) * 1440, uid,
+                     "purchase", 1.0, "{}")); eid += 1
+
+    user(100, 2, True); user(102, 2, False)        # controls x=2
+    user(104, 10, False); user(106, 10, False)     # controls x=10
+    user(101, 2, True); user(103, 3, False); user(105, 10, True)
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["psm_matched_lift"](spark, sf).collect()
+    assert (r["n_treated"], r["n_control"]) == (3, 4)
+    assert (r["naive_treated_ppm"], r["naive_control_ppm"],
+            r["naive_lift_ppm"]) == (666_666, 250_000, 416_666)
+    assert r["att_ppm"] == 333_333
+    assert r["exact_match_ppm"] == 666_666
+
+
+def test_psm_equidistant_tie_breaks_to_smaller_level(spark, tmp_path):
+    """One treated user at x=6 between control levels 2 (rate 1e6)
+    and 10 (rate 0), both at distance 4: the (|Δx|, x_c) rule matches
+    DOWN to level 2, so a non-converting treated user reads
+    ATT = (0 − 1000000) div 1 = −1000000 exactly."""
+    rows, eid = [], 0
+
+    def user(uid, x, converts):
+        nonlocal eid
+        for d in range(1, x + 1):
+            rows.append((eid, d * 1440, uid, "view", 0.0, "{}")); eid += 1
+        rows.append((eid, (16 if converts else 19) * 1440, uid,
+                     "purchase", 1.0, "{}")); eid += 1
+
+    user(100, 2, True)      # control level 2, rate 1e6
+    user(102, 10, False)    # control level 10, rate 0
+    user(101, 6, False)     # treated, equidistant
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["psm_matched_lift"](spark, sf).collect()
+    assert r["att_ppm"] == -1_000_000
+    assert r["exact_match_ppm"] == 0
+
+
+def test_psm_fixture_nondegenerate(spark, sf_dir):
+    """Shipped fixtures: both arms populated, every ppm in bounds,
+    and the match quality readout is a real fraction (even the
+    15-user sf0.001 grain yields some distance-zero matches — 3/7
+    when this was pinned)."""
+    [r] = QUERIES["psm_matched_lift"](spark, sf_dir).collect()
+    assert r["n_treated"] > 0 and r["n_control"] > 0
+    for c in ("naive_treated_ppm", "naive_control_ppm",
+              "exact_match_ppm"):
+        assert 0 <= r[c] <= 1_000_000, r
+    assert -1_000_000 <= r["att_ppm"] <= 1_000_000
+    assert r["exact_match_ppm"] > 0, r

@@ -3358,3 +3358,154 @@ def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "well_ppm",
         "overall_sil_ppm",
     )
+
+
+@query(
+    "psm_matched_lift",
+    # Nearest-neighbor matching on the pre-period activity level
+    # (matching with replacement at the LEVEL grain): each treated
+    # level matches the control level minimizing (|Δx|, x_c) — the
+    # deterministic tie rule — and reads that level's exact
+    # conversion rational k·1e6 div n; ATT averages over treated
+    # users. The level cross join is activity-bounded (x capped at
+    # 1000), never user-pairs.
+    oracle="""
+WITH u AS (
+    SELECT user_id, user_id % 2 AS arm,
+           LEAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                          THEN 1 ELSE 0 END), 1000) AS x,
+           MAX(CASE WHEN EXTRACT(day FROM ts) BETWEEN 16 AND 18
+                     AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+), cl AS (
+    SELECT x AS xc, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS k
+    FROM u WHERE arm = 0 GROUP BY x
+), tl AS (
+    SELECT x AS xt, COUNT(*)::BIGINT AS nt, SUM(y)::BIGINT AS yt
+    FROM u WHERE arm = 1 GROUP BY x
+), m AS (
+    SELECT xt, nt, yt, xc, n, k,
+           ROW_NUMBER() OVER (PARTITION BY xt
+                              ORDER BY ABS(xt - xc), xc) AS rk
+    FROM tl CROSS JOIN cl
+), best AS (
+    SELECT xt, nt, yt, xc, (k * 1000000) // n AS m_ppm,
+           CASE WHEN xt = xc THEN 1 ELSE 0 END AS exact
+    FROM m WHERE rk = 1
+), agg AS (
+    SELECT SUM(nt)::BIGINT AS n_treated,
+           SUM(yt)::BIGINT AS y_treated,
+           SUM(nt * m_ppm)::BIGINT AS m_sum,
+           SUM(nt * exact)::BIGINT AS n_exact
+    FROM best
+), ctot AS (
+    SELECT COALESCE(SUM(n), 0)::BIGINT AS n_control,
+           COALESCE(SUM(k), 0)::BIGINT AS k_control
+    FROM cl
+)
+SELECT a.n_treated, c.n_control,
+       (a.y_treated * 1000000 // GREATEST(a.n_treated, 1))::BIGINT
+           AS naive_treated_ppm,
+       (c.k_control * 1000000 // GREATEST(c.n_control, 1))::BIGINT
+           AS naive_control_ppm,
+       ((a.y_treated * 1000000 // GREATEST(a.n_treated, 1))
+        - (c.k_control * 1000000 // GREATEST(c.n_control, 1)))::BIGINT
+           AS naive_lift_ppm,
+       ((a.y_treated * 1000000 - a.m_sum)
+        // GREATEST(a.n_treated, 1))::BIGINT AS att_ppm,
+       (a.n_exact * 1000000 // GREATEST(a.n_treated, 1))::BIGINT
+           AS exact_match_ppm
+FROM agg a CROSS JOIN ctot c
+""",
+)
+def q_psm_matched_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-pairs treatment lift (nearest-neighbor matching with
+    replacement, Rubin 1973 / the PSM workhorse) — the causal family's
+    MATCHING estimator beside DiD (parallel trends), CUPED (variance
+    reduction), CMH (stratification) and the uplift strata: when
+    treated users are more active pre-period than controls, the naive
+    lift confounds treatment with engagement; matching each treated
+    user to the control population at the NEAREST pre-period activity
+    level (days 1–15 event count) and reading that level's exact
+    conversion rate isolates the difference at comparable engagement.
+    ATT = mean(y_treated) − mean(matched control rate), exact ppm;
+    naive_lift rides along so the confounding correction is visible
+    in one row, and exact_match_ppm reports how often the match was
+    at distance zero (matching quality). Deterministic matching rule:
+    minimize (|Δx|, x_c) — equidistant levels break to the SMALLER
+    control level; matching is at the LEVEL grain (the matched
+    outcome is the control level's k·1e6 div n rational), so no
+    user-level tie-breaking exists at all. Outcome is the day-16..18
+    activation window shared with calibration/uplift (the
+    ever-purchased saturation lesson). Scale: one user rollup; both
+    level tables are activity-bounded (x capped at 1000), so the
+    match join is a ≤1001×1001 broadcast cross join of MODEL STATE —
+    never user-pairs."""
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "least(sum(case when extract(day from ts) <= 15"
+            " then 1 else 0 end), 1000)"
+        ).alias("x"),
+        F.max(
+            F.when(
+                F.dayofmonth("ts").between(16, 18)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    cl = (
+        u.where(F.col("arm") == 0)
+        .groupBy(F.col("x").alias("xc"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("k"))
+    )
+    tl = (
+        u.where(F.col("arm") == 1)
+        .groupBy(F.col("x").alias("xt"))
+        .agg(F.count(F.lit(1)).alias("nt"), F.sum("y").alias("yt"))
+    )
+    wm = Window.partitionBy("xt").orderBy(F.expr("abs(xt - xc)"), "xc")
+    best = (
+        tl.crossJoin(F.broadcast(cl))
+        .withColumn("rk", F.row_number().over(wm))
+        .where(F.col("rk") == 1)
+        .select(
+            "xt",
+            "nt",
+            "yt",
+            F.expr("(k * 1000000) div n").alias("m_ppm"),
+            F.expr("case when xt = xc then 1 else 0 end").alias("exact"),
+        )
+    )
+    agg = best.agg(
+        F.sum("nt").alias("n_treated"),
+        F.sum("yt").alias("y_treated"),
+        F.sum(F.col("nt") * F.col("m_ppm")).alias("m_sum"),
+        F.sum(F.col("nt") * F.col("exact")).alias("n_exact"),
+    )
+    ctot = cl.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_control"),
+        F.coalesce(F.sum("k"), F.lit(0)).alias("k_control"),
+    )
+    return agg.crossJoin(F.broadcast(ctot)).select(
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.col("n_control").cast("long").alias("n_control"),
+        F.expr(
+            "y_treated * 1000000 div greatest(n_treated, 1)"
+        ).cast("long").alias("naive_treated_ppm"),
+        F.expr(
+            "k_control * 1000000 div greatest(n_control, 1)"
+        ).cast("long").alias("naive_control_ppm"),
+        F.expr(
+            "(y_treated * 1000000 div greatest(n_treated, 1))"
+            " - (k_control * 1000000 div greatest(n_control, 1))"
+        ).cast("long").alias("naive_lift_ppm"),
+        F.expr(
+            "(y_treated * 1000000 - m_sum) div greatest(n_treated, 1)"
+        ).cast("long").alias("att_ppm"),
+        F.expr(
+            "n_exact * 1000000 div greatest(n_treated, 1)"
+        ).cast("long").alias("exact_match_ppm"),
+    )
