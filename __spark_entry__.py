@@ -329,6 +329,7 @@ _REGISTERED_R08 = frozenset(
         "silhouette_by_label",
         "sorted_neighborhood_dup_pairs",
         "psm_matched_lift",
+        "log_odds_distinctive_terms",
     }
 )
 

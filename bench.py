@@ -336,6 +336,7 @@ HEADLINE = [
     "silhouette_by_label",
     "sorted_neighborhood_dup_pairs",
     "psm_matched_lift",
+    "log_odds_distinctive_terms",
 ]
 
 

@@ -147,6 +147,7 @@ PROBE_QUERIES = [
     "silhouette_by_label",
     "sorted_neighborhood_dup_pairs",
     "psm_matched_lift",
+    "log_odds_distinctive_terms",
 ]
 
 

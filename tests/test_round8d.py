@@ -518,3 +518,68 @@ def test_psm_fixture_nondegenerate(spark, sf_dir):
         assert 0 <= r[c] <= 1_000_000, r
     assert -1_000_000 <= r["att_ppm"] <= 1_000_000
     assert r["exact_match_ppm"] > 0, r
+
+
+# --- "fightin' words" distinctive terms --------------------------------------
+
+
+def test_log_odds_replays_the_formula_exactly(spark, tmp_path):
+    """Two 8-token sources: 'a' = apple×6 banana×2, 'b' = banana×6
+    cherry×2. Only apple (in a) and banana (in b) clear the y >= 5
+    floor. Expected z_e4 replayed with the IDENTICAL add-one
+    log-odds expression in plain Python (V = 3, n_s = 8, N = 16) —
+    the engines and the replay evaluate one scalar IEEE expression
+    tree over the same integers, so the e4 floors must agree
+    exactly."""
+    import math
+
+    docs = [
+        (1, " ".join(["apple"] * 6 + ["banana"] * 2)),
+        (2, " ".join(["banana"] * 6 + ["cherry"] * 2)),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src_a" if i == 1 else "src_b", len(t))
+         for (i, t) in docs],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def z_e4(y, y_tot, n_s, n_tot=16, v=3):
+        y_rest = y_tot - y
+        delta = (
+            math.log((y + 1.0) / (n_s + v - y - 1.0))
+            - math.log((y_rest + 1.0) / (n_tot - n_s + v - y_rest - 1.0))
+        )
+        z = delta / math.sqrt(1.0 / (y + 1.0) + 1.0 / (y_rest + 1.0))
+        return math.floor(z * 10000)
+
+    rows = QUERIES["log_odds_distinctive_terms"](
+        spark, str(tmp_path)
+    ).collect()
+    got = {(r["source"], r["term"]): (r["y"], r["y_rest"], r["z_e4"],
+                                      r["rnk"]) for r in rows}
+    assert got == {
+        ("src_a", "apple"): (6, 0, z_e4(6, 6, 8), 1),
+        ("src_b", "banana"): (6, 2, z_e4(6, 8, 8), 1),
+    }
+    assert got[("src_a", "apple")][2] > got[("src_b", "banana")][2] > 0
+
+
+def test_log_odds_fixture_top10_and_signs(spark, sf_dir):
+    """Shipped fixtures: <=10 rows per source, ranks contiguous from
+    1, z non-increasing within each source, and every surfaced term
+    is genuinely over-represented (z > 0 — the top-10 of a real
+    corpus never dips into under-representation)."""
+    rows = QUERIES["log_odds_distinctive_terms"](spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        zs = [r["z_e4"] for r in rs]
+        assert zs == sorted(zs, reverse=True)
+        assert all(z > 0 for z in zs), (src, zs)

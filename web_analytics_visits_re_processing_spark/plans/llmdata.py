@@ -5391,3 +5391,124 @@ def q_sorted_neighborhood_dup_pairs(
     return jaccard_verify(pairs, d, threshold=0.2).crossJoin(
         F.broadcast(np_)
     )
+
+
+@query(
+    "log_odds_distinctive_terms",
+    # Monroe–Colaresi–Quinn 2008 "fightin' words": per-source
+    # distinctive vocabulary via add-one-smoothed log-odds-ratio
+    # z-scores against the rest of the corpus. The whole z is ONE
+    # per-row scalar expression tree over four integers (y, y_rest,
+    # n_s, n_rest, plus corpus V) — no float accumulation anywhere,
+    # so both engines compute bit-identical doubles; the gated key is
+    # floor(z·1e4) (the bh_fdr e4 precedent), ranking (z_e4 DESC,
+    # term) fully deterministic. y >= 5 stability floor on both
+    # engines.
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term
+    FROM documents
+), st AS (
+    SELECT source, term, COUNT(*)::BIGINT AS y
+    FROM tok GROUP BY source, term
+), tt AS (
+    SELECT term, SUM(y)::BIGINT AS y_tot FROM st GROUP BY term
+), ns AS (
+    SELECT source, SUM(y)::BIGINT AS n_s FROM st GROUP BY source
+), tot AS (
+    SELECT SUM(y)::BIGINT AS n_tot,
+           COUNT(DISTINCT term)::BIGINT AS v
+    FROM st
+), z AS (
+    SELECT st.source, st.term, st.y,
+           (tt.y_tot - st.y)::BIGINT AS y_rest,
+           FLOOR((
+               (LN((st.y + 1.0)
+                   / (ns.n_s + tot.v - st.y - 1.0))
+                - LN((tt.y_tot - st.y + 1.0)
+                     / (tot.n_tot - ns.n_s + tot.v
+                        - (tt.y_tot - st.y) - 1.0)))
+               / SQRT(1.0 / (st.y + 1.0)
+                      + 1.0 / (tt.y_tot - st.y + 1.0))
+           ) * 10000)::BIGINT AS z_e4
+    FROM st
+    JOIN tt ON tt.term = st.term
+    JOIN ns ON ns.source = st.source
+    CROSS JOIN tot
+    WHERE st.y >= 5
+), ranked AS (
+    SELECT source, term, y, y_rest, z_e4,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY z_e4 DESC, term) AS rnk
+    FROM z
+)
+SELECT source, term, y, y_rest, z_e4, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= 10
+""",
+)
+def q_log_odds_distinctive_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinctive vocabulary per source — "fightin' words" (Monroe,
+    Colaresi & Quinn 2008): for each source, the terms most
+    OVER-represented vs the rest of the corpus by the add-one-
+    smoothed log-odds-ratio z-score — the method that fixes what raw
+    tf-idf and frequency ratios get wrong about burstiness at both
+    tails (rare terms get huge ratios, common terms get none; the
+    variance term 1/(y+1) + 1/(y_rest+1) shrinks both honestly).
+    The corpus-curation use: source fingerprinting — boilerplate,
+    templates and topical skew surface as high-z terms, feeding the
+    mixture/dup-rate audits. Exactness: z is one per-row scalar
+    expression over four integer counts (y, y_rest, n_s, n_rest) and
+    V — there is NO float accumulation, so both engines evaluate the
+    identical IEEE expression tree; the gate hashes floor(z·1e4)
+    (the bh_fdr e4-integer precedent — a 1-ulp libm divergence flips
+    the e4 floor with ~1e-12 probability) and ranking (z_e4 DESC,
+    term) is fully deterministic. y >= 5 stability floor and top-10
+    per source on both engines. Scale: two token rollups (the tf-idf
+    exchanges) + a per-term and per-source rollup; the z expression
+    is map-side; never a pair join."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("y"))
+    tt = st.groupBy("term").agg(F.sum("y").alias("y_tot"))
+    ns = st.groupBy("source").agg(F.sum("y").alias("n_s"))
+    tot = st.agg(
+        F.sum("y").alias("n_tot"),
+        F.countDistinct("term").alias("v"),
+    )
+    z = (
+        st.where(F.col("y") >= 5)
+        .join(tt, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            "y",
+            (F.col("y_tot") - F.col("y")).alias("y_rest"),
+            F.expr(
+                "cast(floor(("
+                " (ln((y + 1.0) / (n_s + v - y - 1.0))"
+                "  - ln((y_tot - y + 1.0)"
+                "       / (n_tot - n_s + v - (y_tot - y) - 1.0)))"
+                " / sqrt(1.0 / (y + 1.0) + 1.0 / (y_tot - y + 1.0))"
+                ") * 10000) as bigint)"
+            ).alias("z_e4"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("source").orderBy(
+        F.col("z_e4").desc(), "term"
+    )
+    return (
+        z.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "source", "term", "y", "y_rest", "z_e4",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
