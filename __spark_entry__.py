@@ -330,6 +330,7 @@ _REGISTERED_R08 = frozenset(
         "sorted_neighborhood_dup_pairs",
         "psm_matched_lift",
         "log_odds_distinctive_terms",
+        "demand_diversity_parts",
     }
 )
 

@@ -337,6 +337,7 @@ HEADLINE = [
     "sorted_neighborhood_dup_pairs",
     "psm_matched_lift",
     "log_odds_distinctive_terms",
+    "demand_diversity_parts",
 ]
 
 

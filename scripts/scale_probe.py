@@ -148,6 +148,7 @@ PROBE_QUERIES = [
     "sorted_neighborhood_dup_pairs",
     "psm_matched_lift",
     "log_odds_distinctive_terms",
+    "demand_diversity_parts",
 ]
 
 

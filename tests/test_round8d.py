@@ -583,3 +583,38 @@ def test_log_odds_fixture_top10_and_signs(spark, sf_dir):
         zs = [r["z_e4"] for r in rs]
         assert zs == sorted(zs, reverse=True)
         assert all(z > 0 for z in zs), (src, zs)
+
+
+# --- demand diversity (effective catalog size) -------------------------------
+
+
+def test_demand_diversity_replays_entropy_and_topshare(spark, tmp_path):
+    """Four parts with line counts [5, 3, 1, 1]: H and exp(H)
+    replayed with the identical algebraic form in Python; top 1% of
+    4 parts = ceil(4/100) = 1 part, the count-5 bestseller → share
+    exactly 500000 ppm."""
+    import math
+
+    li = ([(i, 1) for i in range(5)] + [(10 + i, 2) for i in range(3)]
+          + [(20, 3), (21, 4)])
+    sf = _write_lineitem(spark, tmp_path, li)
+    [r] = QUERIES["demand_diversity_parts"](spark, sf).collect()
+    s_c = 5 * math.log(5) + 3 * math.log(3)
+    h = round(math.log(10) - s_c / 10, 6)
+    assert (r["n_parts"], r["n_lines"]) == (4, 10)
+    assert r["entropy_nats"] == h
+    assert r["effective_parts"] == round(
+        math.exp(math.log(10) - s_c / 10), 2
+    )
+    assert (r["top1pct_parts"], r["top1pct_share_ppm"]) == (1, 500_000)
+
+
+def test_demand_diversity_fixture_bounds(spark, sf_dir):
+    """Shipped fixtures: effective size in (1, n_parts]; the top-1%
+    share is at least the uniform share k/n (concentration can only
+    raise it) and at most 1e6."""
+    [r] = QUERIES["demand_diversity_parts"](spark, sf_dir).collect()
+    assert 1.0 < r["effective_parts"] <= r["n_parts"]
+    uniform_ppm = r["top1pct_parts"] * 1_000_000 // r["n_parts"]
+    assert uniform_ppm <= r["top1pct_share_ppm"] <= 1_000_000
+    assert 0.0 < r["entropy_nats"]

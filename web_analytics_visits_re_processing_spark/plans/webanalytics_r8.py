@@ -3509,3 +3509,90 @@ def q_psm_matched_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact * 1000000 div greatest(n_treated, 1)"
         ).cast("long").alias("exact_match_ppm"),
     )
+
+
+@query(
+    "demand_diversity_parts",
+    # Effective catalog size: exp(H) of the demand distribution over
+    # parts (perplexity of demand) — token_entropy's algebraic form
+    # (ln N − Σ c·ln c / N) over lineitem line counts, plus the
+    # top-1%-of-parts demand share via an exact rank rule
+    # (count DESC, partkey ASC; k = ceil(n_parts/100)).
+    oracle="""
+WITH pc AS (
+    SELECT l_partkey, COUNT(*)::BIGINT AS c
+    FROM lineitem GROUP BY l_partkey
+), agg AS (
+    SELECT COUNT(*)::BIGINT AS n_parts, SUM(c)::BIGINT AS n_lines,
+           SUM(c * ln(c)) AS s_c
+    FROM pc
+), ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, l_partkey) AS rk
+    FROM pc
+), topk AS (
+    SELECT COALESCE(SUM(r.c), 0)::BIGINT AS top_lines,
+           MAX(a.k)::BIGINT AS k
+    FROM (SELECT ((n_parts + 99) // 100)::BIGINT AS k FROM agg) a
+    LEFT JOIN ranked r ON r.rk <= a.k
+)
+SELECT a.n_parts, a.n_lines,
+       ROUND(ln(a.n_lines) - a.s_c / a.n_lines, 6) AS entropy_nats,
+       ROUND(EXP(ln(a.n_lines) - a.s_c / a.n_lines), 2)
+           AS effective_parts,
+       t.k AS top1pct_parts,
+       (t.top_lines * 1000000 // a.n_lines)::BIGINT
+           AS top1pct_share_ppm
+FROM agg a CROSS JOIN topk t
+""",
+)
+def q_demand_diversity_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Demand diversity over the catalog — effective catalog size
+    exp(H) (the perplexity of the demand distribution over parts) and
+    the top-1%-of-parts demand share: the assortment readout that
+    says whether revenue really uses the catalog or the business is
+    a bestseller shop wearing a long tail (the parts-side dual of
+    ``power_users_pareto``; recommender evaluations call exp(H)
+    "effective assortment" — a catalog of 20k parts with effective
+    size 300 personalizes very differently from one at 15k). Float
+    work is the token_entropy algebraic form verbatim (ln N − Σ c·ln
+    c / N over identical integers, ROUND 6) with one final exp on the
+    aggregate scalar (ROUND 2); the concentration side is all
+    integer: top k = ceil(n_parts/100) parts by the deterministic
+    (count DESC, partkey ASC) rank, share in exact ppm. Scale: one
+    part-keyed rollup (map-side combined) + one rank over the
+    part-count table (part-grained, not line-grained); single-row
+    output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    agg = pc.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("c").alias("n_lines"),
+        F.sum(F.expr("c * ln(c)")).alias("s_c"),
+    )
+    wr = Window.orderBy(F.col("c").desc(), "l_partkey")
+    ranked = pc.select("c", F.row_number().over(wr).alias("rk"))
+    k = agg.select(F.expr("(n_parts + 99) div 100").alias("k"))
+    topk = (
+        k.join(F.broadcast(ranked), F.col("rk") <= F.col("k"), "left")
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("top_lines"),
+            F.max("k").alias("k"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(topk)).select(
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.expr("round(ln(n_lines) - s_c / n_lines, 6)").alias(
+            "entropy_nats"
+        ),
+        F.expr("round(exp(ln(n_lines) - s_c / n_lines), 2)").alias(
+            "effective_parts"
+        ),
+        F.col("k").cast("long").alias("top1pct_parts"),
+        F.expr("top_lines * 1000000 div n_lines")
+        .cast("long")
+        .alias("top1pct_share_ppm"),
+    )
