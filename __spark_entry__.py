@@ -331,6 +331,7 @@ _REGISTERED_R08 = frozenset(
         "psm_matched_lift",
         "log_odds_distinctive_terms",
         "demand_diversity_parts",
+        "rocchio_prf_expansion",
     }
 )
 

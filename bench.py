@@ -338,6 +338,7 @@ HEADLINE = [
     "psm_matched_lift",
     "log_odds_distinctive_terms",
     "demand_diversity_parts",
+    "rocchio_prf_expansion",
 ]
 
 

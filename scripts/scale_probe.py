@@ -149,6 +149,7 @@ PROBE_QUERIES = [
     "psm_matched_lift",
     "log_odds_distinctive_terms",
     "demand_diversity_parts",
+    "rocchio_prf_expansion",
 ]
 
 

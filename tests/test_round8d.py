@@ -618,3 +618,51 @@ def test_demand_diversity_fixture_bounds(spark, sf_dir):
     uniform_ppm = r["top1pct_parts"] * 1_000_000 // r["n_parts"]
     assert uniform_ppm <= r["top1pct_share_ppm"] <= 1_000_000
     assert 0.0 < r["entropy_nats"]
+
+
+# --- Rocchio pseudo-relevance feedback ---------------------------------------
+
+
+def test_prf_expansion_retrieves_doc_with_no_query_terms(spark, tmp_path):
+    """The PRF recall story, pinned end to end. Docs 1–3 are the only
+    query-term matches, so they ARE the pseudo-relevant set; their
+    non-query terms score feedback: tf_rel 8 × idf 1e6 = 8e6 over
+    zebra: 1 × 5e6 = 5e6, so the expansion is exactly (feedback,
+    zebra). Doc 4 shares NO original query term yet re-ranks into the
+    results through 'feedback' — the recall move that motivates PRF —
+    while the four junk docs stay out. BM25's length normalization
+    ranks the shorter doc 2 above the longer doc 1 (correct k1/b
+    behavior); the expansion-only doc 4 must rank below every
+    query-term match under the 2:1 weights."""
+    docs = [
+        (1, "dup merge window feedback feedback feedback feedback"),
+        (2, "dup merge feedback feedback zebra"),
+        (3, "window feedback feedback"),
+        (4, "feedback feedback feedback banana"),
+        (5, "cat dog mouse"), (6, "fish bird owl"),
+        (7, "sun moon star"), (8, "rock paper scissors"),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    rows = QUERIES["rocchio_prf_expansion"](spark, sf).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4}
+    assert all((r["exp_term_1"], r["exp_term_2"]) == ("feedback", "zebra")
+               for r in rows)
+    assert rows[-1]["doc_id"] == 4  # expansion-only: in, but last
+    d4 = rows[-1]
+    assert d4["n_matched_terms"] == 1  # retrieved via expansion alone
+
+
+def test_prf_fixture_consistency(spark, sf_dir):
+    """Shipped fixtures: <=10 rows, deterministic non-increasing
+    scores, the two expansion columns constant and disjoint from the
+    original query, and every row matches >=1 of the 5 weighted
+    terms."""
+    rows = QUERIES["rocchio_prf_expansion"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    scores = [r["score_scaled"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    e1 = {r["exp_term_1"] for r in rows}
+    e2 = {r["exp_term_2"] for r in rows}
+    assert len(e1) == 1 and len(e2) == 1
+    assert not ({e1.pop(), e2.pop()} & {"dup", "merge", "window"})
+    assert all(1 <= r["n_matched_terms"] <= 5 for r in rows)

@@ -5512,3 +5512,189 @@ def q_log_odds_distinctive_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@query(
+    "rocchio_prf_expansion",
+    # Pseudo-relevance feedback (Rocchio 1971): BM25 top-3 docs for
+    # the fixed query are ASSUMED relevant, the 2 highest
+    # Σtf·idf_ppm non-query terms in them expand the query, and the
+    # corpus re-ranks under weights 2:1 (α:β = 1:0.5 scaled) — the
+    # retrieval family's EXPANSION stage after scoring (BM25),
+    # fusion (RRF) and diversification (MMR). Same integer BM25
+    # term-score and linear-ppm idf surrogate as bm25_doc_ranking,
+    # verbatim, so the stages cannot drift; expansion terms ride as
+    # constant columns so the gate pins the selection itself.
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), g AS (
+    SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS a FROM dl
+), tf0 AS (
+    SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tok
+    WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                   '{_BM25_TERMS[2]}')
+    GROUP BY term, doc_id
+), df0 AS (
+    SELECT term, COUNT(*)::BIGINT AS df FROM tf0 GROUP BY term
+), s0 AS (
+    SELECT tf0.doc_id,
+           SUM(((2 * (g.n - df0.df) + 1) * 1000000 // (2 * df0.df + 1))
+               * (44 * tf0.tf * g.a)
+               // (20 * tf0.tf * g.a + 6 * g.a + 18 * dl.dl * g.n))
+               ::BIGINT AS score
+    FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id), g
+    GROUP BY tf0.doc_id
+), rel AS (
+    SELECT doc_id FROM s0 ORDER BY score DESC, doc_id LIMIT 3
+), cand AS (
+    SELECT t.term, SUM(1)::BIGINT AS tf_rel
+    FROM tok t JOIN rel ON rel.doc_id = t.doc_id
+    WHERE t.term NOT IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                         '{_BM25_TERMS[2]}')
+    GROUP BY t.term
+), cdf AS (
+    SELECT c.term, c.tf_rel, COUNT(DISTINCT t.doc_id)::BIGINT AS df
+    FROM cand c JOIN tok t ON t.term = c.term
+    GROUP BY c.term, c.tf_rel
+), exp_ AS (
+    SELECT term,
+           tf_rel * ((2 * ((SELECT n FROM g) - df) + 1) * 1000000
+                     // (2 * df + 1)) AS escore
+    FROM cdf
+    ORDER BY escore DESC, term LIMIT 2
+), qterms AS (
+    SELECT '{_BM25_TERMS[0]}' AS term, 2 AS w
+    UNION ALL SELECT '{_BM25_TERMS[1]}', 2
+    UNION ALL SELECT '{_BM25_TERMS[2]}', 2
+    UNION ALL SELECT term, 1 FROM exp_
+), tf1 AS (
+    SELECT q.term, q.w, t.doc_id, COUNT(*)::BIGINT AS tf
+    FROM tok t JOIN qterms q ON q.term = t.term
+    GROUP BY q.term, q.w, t.doc_id
+), df1 AS (
+    SELECT term, COUNT(*)::BIGINT AS df FROM tf1 GROUP BY term
+), enames AS (
+    SELECT MIN(term) AS exp_term_1, MAX(term) AS exp_term_2 FROM exp_
+)
+SELECT tf1.doc_id,
+       SUM(tf1.w
+           * (((2 * (g.n - df1.df) + 1) * 1000000 // (2 * df1.df + 1))
+              * (44 * tf1.tf * g.a)
+              // (20 * tf1.tf * g.a + 6 * g.a + 18 * dl.dl * g.n)))
+           ::BIGINT AS score_scaled,
+       COUNT(*)::BIGINT AS n_matched_terms,
+       MAX(en.exp_term_1) AS exp_term_1,
+       MAX(en.exp_term_2) AS exp_term_2
+FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id), g, enames en
+GROUP BY tf1.doc_id
+ORDER BY score_scaled DESC, doc_id LIMIT 10
+""",
+)
+def q_rocchio_prf_expansion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (1971) — the retrieval
+    family's EXPANSION stage, completing scoring (``bm25_doc_
+    ranking``), fusion (``rrf_multi_query_fusion``) and
+    diversification (``mmr_diversified_top3``): the fixed query's
+    BM25 top-3 docs are ASSUMED relevant, the two highest
+    Σtf·idf non-query terms in them join the query, and the corpus
+    re-ranks under integer weights 2:1 (α:β = 1:0.5 scaled ×2) —
+    the recall move that surfaces relevant docs sharing NO original
+    query term, which is exactly what the planted pytest pins. The
+    BM25 term score and linear-ppm idf surrogate are the
+    ``bm25_doc_ranking`` integer forms verbatim (k1=6/5, b=3/4 as
+    one integer fraction), expansion selection is (Σtf·idf_ppm DESC,
+    term) — fully deterministic — and the chosen terms ride every
+    output row as constant columns so the gate pins the selection,
+    not just the final ranking. Scale: the corpus token explode is
+    shared across stages (at 100 TB both tf probes hit the persisted
+    inverted index); the pseudo-relevant set is 3 docs, candidate
+    terms are bounded by 3 doc lengths, and both score passes are
+    query-term-filtered hash aggs with broadcast df/g tables;
+    top-k via TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("a"))
+    score_expr = (
+        "((2 * (n - df) + 1) * 1000000 div (2 * df + 1))"
+        " * (44 * tf * a)"
+        " div (20 * tf * a + 6 * a + 18 * dl * n)"
+    )
+    tf0 = (
+        tok.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df0 = tf0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s0 = (
+        tf0.join(F.broadcast(df0), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", F.expr(score_expr).alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.sum("ts").alias("score"))
+    )
+    rel = s0.orderBy(F.col("score").desc(), "doc_id").limit(3)
+    cand = (
+        tok.join(F.broadcast(rel.select("doc_id")), "doc_id", "left_semi")
+        .where(~F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf_rel"))
+    )
+    cdf = (
+        tok.join(F.broadcast(cand), "term")
+        .groupBy("term", "tf_rel")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    exp_ = (
+        cdf.crossJoin(F.broadcast(g))
+        .select(
+            "term",
+            F.expr(
+                "tf_rel * ((2 * (n - df) + 1) * 1000000"
+                " div (2 * df + 1))"
+            ).alias("escore"),
+        )
+        .orderBy(F.col("escore").desc(), "term")
+        .limit(2)
+    )
+    qterms = (
+        spark.createDataFrame(
+            [(t, 2) for t in _BM25_TERMS], "term string, w long"
+        )
+        .unionAll(exp_.select("term", F.lit(1).cast("long").alias("w")))
+    )
+    enames = exp_.agg(
+        F.min("term").alias("exp_term_1"), F.max("term").alias("exp_term_2")
+    )
+    tf1 = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("term", "w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df1 = tf1.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf1.join(F.broadcast(df1), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", (F.col("w") * F.expr(score_expr)).alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ts").alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .crossJoin(F.broadcast(enames))
+        .select(
+            "doc_id", "score_scaled", "n_matched_terms",
+            "exp_term_1", "exp_term_2",
+        )
+        .orderBy(F.col("score_scaled").desc(), "doc_id")
+        .limit(10)
+    )
