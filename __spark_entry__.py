@@ -332,6 +332,7 @@ _REGISTERED_R08 = frozenset(
         "log_odds_distinctive_terms",
         "demand_diversity_parts",
         "rocchio_prf_expansion",
+        "segment_priority_association",
     }
 )
 

@@ -339,6 +339,7 @@ HEADLINE = [
     "log_odds_distinctive_terms",
     "demand_diversity_parts",
     "rocchio_prf_expansion",
+    "segment_priority_association",
 ]
 
 

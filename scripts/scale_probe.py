@@ -150,6 +150,7 @@ PROBE_QUERIES = [
     "log_odds_distinctive_terms",
     "demand_diversity_parts",
     "rocchio_prf_expansion",
+    "segment_priority_association",
 ]
 
 

@@ -666,3 +666,78 @@ def test_prf_fixture_consistency(spark, sf_dir):
     assert len(e1) == 1 and len(e2) == 1
     assert not ({e1.pop(), e2.pop()} & {"dup", "merge", "window"})
     assert all(1 <= r["n_matched_terms"] <= 5 for r in rows)
+
+
+# --- G-test / MI / Cramér's V association trio -------------------------------
+
+
+def _write_orders_customers(spark, tmp_path, orders, custs):
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        custs, "c_custkey long, c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_association_perfect_dependence_reads_v_one(spark, tmp_path):
+    """A 2×2 table where segment fully determines priority (10/0,
+    0/10): χ²_scaled = N = 20 exactly (the cross-multiplied form of
+    the textbook χ² = N for perfect 2×2 dependence), Cramér's V =
+    floor(sqrt(20/20)·1e6) = 1000000, and MI replays as ln 2 — one
+    bit of shared information, the maximum a 2-level split can
+    carry. G/MI are replayed with the identical Σ O·ln form in
+    Python."""
+    import math
+
+    custs = [(1, "A"), (2, "A"), (3, "B"), (4, "B")]
+    orders = (
+        [(i, 1 + (i % 2), "HIGH") for i in range(0, 10)]
+        + [(i, 3 + (i % 2), "LOW") for i in range(10, 20)]
+    )
+    sf = _write_orders_customers(spark, tmp_path, orders, custs)
+    [r] = QUERIES["segment_priority_association"](spark, sf).collect()
+    assert (r["n_cells"], r["n"], r["r"], r["c"]) == (4, 20, 2, 2)
+    g_half = sum(
+        o * (math.log(o) + math.log(20) - math.log(10) - math.log(10))
+        for o in (10, 10)
+    )
+    assert r["g_stat"] == round(2 * g_half, 6)
+    assert r["mi_nats"] == round(g_half / 20, 6)
+    assert r["mi_nats"] == round(math.log(2), 6)
+    assert r["chi2_scaled"] == 20
+    assert r["cramers_v_e6"] == 1_000_000
+
+
+def test_association_independence_reads_zero(spark, tmp_path):
+    """A perfectly independent 2×2 (every cell 5): every O·N = rs·cs,
+    so G, MI, χ² and V are all EXACTLY zero — the trio agrees with
+    the chi2 screen on the null."""
+    custs = [(1, "A"), (3, "B")]
+    orders = ([(i, 1, "HIGH") for i in range(5)]
+              + [(i, 1, "LOW") for i in range(5, 10)]
+              + [(i, 3, "HIGH") for i in range(10, 15)]
+              + [(i, 3, "LOW") for i in range(15, 20)])
+    sf = _write_orders_customers(spark, tmp_path, orders, custs)
+    [r] = QUERIES["segment_priority_association"](spark, sf).collect()
+    assert (r["g_stat"], r["mi_nats"]) == (0.0, 0.0)
+    assert (r["chi2_scaled"], r["cramers_v_e6"]) == (0, 0)
+
+
+def test_association_fixture_bounds(spark, sf_dir):
+    """Shipped fixtures: MI >= 0, V in [0, 1e6], G ~ χ² (the two
+    statistics agree to first order on smooth tables — within a
+    factor of 2 either way on any real contingency), and the
+    near-independent TPC-H-ish assignment keeps V small (< 0.2)."""
+    [r] = QUERIES["segment_priority_association"](spark, sf_dir).collect()
+    assert r["mi_nats"] >= 0.0
+    assert 0 <= r["cramers_v_e6"] <= 1_000_000
+    if r["chi2_scaled"] > 0:
+        assert r["g_stat"] <= 2 * r["chi2_scaled"] + 1
+        assert r["g_stat"] >= r["chi2_scaled"] / 2 - 1
+    assert r["cramers_v_e6"] < 200_000

@@ -3596,3 +3596,148 @@ def q_demand_diversity_parts(
         .cast("long")
         .alias("top1pct_share_ppm"),
     )
+
+
+@query(
+    "segment_priority_association",
+    # The information-theoretic association trio over the SAME
+    # (segment × priority) contingency table segment_priority_chi2
+    # screens: G-statistic 2·Σ O·ln(O·N/(rs·cs)) (the likelihood-
+    # ratio twin of χ², additive under partitioning), mutual
+    # information MI = G/2N in nats, and Cramér's V =
+    # sqrt(χ²/(N·min(r−1,c−1))) as the [0,1] effect size χ² itself
+    # lacks. Entropy-form float ops (Σ O·ln O over identical
+    # integers, ROUND 6); V's one sqrt on the aggregate scalar
+    # floors to e6.
+    oracle="""
+WITH cells AS (
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+           COUNT(*)::BIGINT AS obs
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+), grid AS (
+    SELECT s.seg, p.pri, COALESCE(c.obs, 0)::BIGINT AS obs
+    FROM (SELECT DISTINCT seg FROM cells) s
+    CROSS JOIN (SELECT DISTINCT pri FROM cells) p
+    LEFT JOIN cells c ON c.seg = s.seg AND c.pri = p.pri
+), m AS (
+    SELECT seg, pri, obs,
+           SUM(obs) OVER (PARTITION BY seg) AS rs,
+           SUM(obs) OVER (PARTITION BY pri) AS cs,
+           SUM(obs) OVER () AS n
+    FROM grid
+), agg AS (
+    SELECT COUNT(*)::BIGINT AS n_cells, MAX(n)::BIGINT AS n,
+           COUNT(DISTINCT seg)::BIGINT AS r,
+           COUNT(DISTINCT pri)::BIGINT AS c,
+           SUM(CASE WHEN obs > 0
+                    THEN obs * (ln(obs) + ln(n) - ln(rs) - ln(cs))
+                    ELSE 0 END) AS g_half,
+           SUM(((obs::HUGEIGHT_X * n - rs::HUGEIGHT_X * cs)
+                * (obs::HUGEIGHT_X * n - rs::HUGEIGHT_X * cs))
+               // (rs::HUGEIGHT_X * cs * n))::BIGINT AS chi2_scaled
+    FROM m
+)
+SELECT n_cells, n, r, c,
+       ROUND(2 * g_half, 6) AS g_stat,
+       ROUND(g_half / n, 6) AS mi_nats,
+       chi2_scaled,
+       FLOOR(SQRT(chi2_scaled
+                  / (n * LEAST(r - 1, c - 1) * 1.0)) * 1000000)
+           ::BIGINT AS cramers_v_e6
+FROM agg
+""".replace("HUGEIGHT_X", "HUGEINT"),
+)
+def q_segment_priority_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association STRENGTH between customer segment and order
+    priority — the readout ``segment_priority_chi2`` deliberately
+    stops short of: χ² says whether independence is rejectable, but
+    grows with N, so it cannot say HOW associated two columns are.
+    Three standard companions over the identical contingency table:
+    the G-statistic (likelihood-ratio χ², 2·Σ O·ln(O·N/(rs·cs)) —
+    the additive-under-partitioning form log-linear models use),
+    mutual information MI = G/2N in nats (the information shared
+    between the columns — comparable with the repo's entropy
+    family), and Cramér's V = sqrt(χ²/(N·min(r−1,c−1))) (the [0,1]
+    effect size, N-free). Float surfaces follow house precedent:
+    G/MI are the token_entropy Σ O·ln form over identical integers
+    (ROUND 6); χ² is the chi2 query's cross-multiplied integer
+    VERBATIM; V applies one sqrt to that integer aggregate and
+    floors to e6 (the bh_fdr e4 class). Zero cells are SYNTHESIZED
+    via the full r×c grid on both engines: a groupBy contingency
+    never materializes them, which silently undercounts χ² on sparse
+    tables (a planted perfect-dependence 2×2 read HALF its textbook
+    χ² = N before the grid landed — the first planted-pytest run
+    caught it); in G a zero cell contributes 0 exactly as the O·ln O
+    limit prescribes. Scale: one 25-cell contingency rollup off the
+    orders⋈customer broadcast join; everything after is
+    constant-size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    grid = (
+        cells.select("seg").distinct()
+        .crossJoin(cells.select("pri").distinct())
+        .join(cells, ["seg", "pri"], "left")
+        .select(
+            "seg", "pri", F.coalesce(F.col("obs"), F.lit(0)).alias("obs")
+        )
+    )
+    ws = Window.partitionBy("seg")
+    wp = Window.partitionBy("pri")
+    wall = Window.partitionBy()
+    m = grid.select(
+        "seg",
+        "pri",
+        "obs",
+        F.sum("obs").over(ws).alias("rs"),
+        F.sum("obs").over(wp).alias("cs"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    agg = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n"),
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("pri").cast("long").alias("c"),
+        F.sum(
+            F.expr(
+                "case when obs > 0 then"
+                " obs * (ln(obs) + ln(n) - ln(rs) - ln(cs))"
+                " else 0 end"
+            )
+        ).alias("g_half"),
+        F.sum(
+            F.expr(
+                "((cast(obs as decimal(38,0)) * n"
+                "  - cast(rs as decimal(38,0)) * cs)"
+                " * (cast(obs as decimal(38,0)) * n"
+                "    - cast(rs as decimal(38,0)) * cs))"
+                " div (cast(rs as decimal(38,0)) * cs * n)"
+            )
+        ).cast("long").alias("chi2_scaled"),
+    )
+    return agg.select(
+        "n_cells",
+        "n",
+        "r",
+        "c",
+        F.expr("round(2 * g_half, 6)").alias("g_stat"),
+        F.expr("round(g_half / n, 6)").alias("mi_nats"),
+        "chi2_scaled",
+        F.expr(
+            "cast(floor(sqrt(chi2_scaled"
+            " / (n * least(r - 1, c - 1) * 1.0d)) * 1000000) as bigint)"
+        ).alias("cramers_v_e6"),
+    )
