@@ -333,6 +333,7 @@ _REGISTERED_R08 = frozenset(
         "demand_diversity_parts",
         "rocchio_prf_expansion",
         "segment_priority_association",
+        "audio_zcr_profile",
     }
 )
 

@@ -340,6 +340,7 @@ HEADLINE = [
     "demand_diversity_parts",
     "rocchio_prf_expansion",
     "segment_priority_association",
+    "audio_zcr_profile",
 ]
 
 

@@ -151,6 +151,7 @@ PROBE_QUERIES = [
     "demand_diversity_parts",
     "rocchio_prf_expansion",
     "segment_priority_association",
+    "audio_zcr_profile",
 ]
 
 

@@ -741,3 +741,43 @@ def test_association_fixture_bounds(spark, sf_dir):
         assert r["g_stat"] <= 2 * r["chi2_scaled"] + 1
         assert r["g_stat"] >= r["chi2_scaled"] / 2 - 1
     assert r["cramers_v_e6"] < 200_000
+
+
+# --- audio zero-crossing profile ---------------------------------------------
+
+
+def test_audio_zcr_known_samples(spark, tmp_path):
+    """'ABéAB' → UTF-8 bytes 41 42 C3 A9 41 42 → samples (+16961,
+    −22077, +16961): 2 sign flips over 2 transitions → zcr exactly
+    1000000, peak |−22077| = 22077. 'ABCD' → (+16961, +17475): no
+    flip, zcr 0. A 1-byte doc has ns = 0 and is excluded (the
+    audio_rms degenerate contract)."""
+    docs = spark.createDataFrame(
+        [(1, "ABéAB", "en", "s", 5), (2, "ABCD", "en", "s", 4),
+         (3, "A", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_samples"], r["n_sign_flips"], r["zcr_ppm"],
+                      r["peak_abs"], r["silence_ppm"])
+        for r in QUERIES["audio_zcr_profile"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, 2, 1_000_000, 22_077, 0),
+        2: (2, 0, 0, 17_475, 0),
+    }
+
+
+def test_audio_zcr_fixture_bounds(spark, sf_dir):
+    """Shipped fixtures: every rate in [0, 1e6]; ASCII-only corpus
+    text makes every sample's high byte < 0x80, so flips = 0 and the
+    peak stays within the positive int16 range — the structural
+    consequence the gate relies on."""
+    rows = QUERIES["audio_zcr_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["zcr_ppm"] <= 1_000_000
+        assert 0 <= r["silence_ppm"] <= 1_000_000
+        assert 0 <= r["peak_abs"] <= 32_767
+        assert r["n_samples"] >= 1

@@ -520,3 +520,64 @@ def decode_audio_energy(
     return docs_with_blob.select("doc_id", blob_col).mapInPandas(
         decode, AUDIO_ENERGY_SCHEMA
     )
+
+
+AUDIO_ZCR_SCHEMA = (
+    "doc_id long, n_samples long, n_sign_flips long, zcr_ppm long, "
+    "peak_abs long, silence_ppm long"
+)
+
+
+def decode_audio_zcr(
+    docs_with_blob: DataFrame,
+    blob_col: str = "audio",
+    header_bytes: int = 44,
+) -> DataFrame:
+    """PCM zero-crossing profile — the voiced/unvoiced + noise
+    discriminator beside ``decode_audio_energy``'s loudness probe:
+    per doc, the count of SIGN changes between consecutive 16-bit
+    samples (a crossing iff exactly one of the pair is negative —
+    zeros count as non-negative, a deterministic convention both
+    engines replay), the rate per transition in exact ppm, the peak
+    absolute sample (clipping check) and the exact-zero sample share
+    (digital-silence probe). Integer end to end; same Arrow-batched
+    mapInPandas shape as the other decoders — blobs never leave the
+    executors."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "n_sign_flips": [],
+                "zcr_ppm": [],
+                "peak_abs": [],
+                "silence_ppm": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                payload = bytes(blob)[header_bytes:] if blob else b""
+                ns = len(payload) // 2
+                arr = np.frombuffer(
+                    payload[: ns * 2], dtype="<i2"
+                ).astype(np.int64)
+                if ns:
+                    flips = int(
+                        np.count_nonzero((arr[:-1] < 0) != (arr[1:] < 0))
+                    )
+                    peak_abs = int(np.abs(arr).max())
+                    zeros = int(np.count_nonzero(arr == 0))
+                    zcr = flips * 1_000_000 // max(ns - 1, 1)
+                    silence = zeros * 1_000_000 // ns
+                else:
+                    flips, peak_abs, zcr, silence = 0, 0, 0, 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(ns)
+                out["n_sign_flips"].append(flips)
+                out["zcr_ppm"].append(zcr)
+                out["peak_abs"].append(peak_abs)
+                out["silence_ppm"].append(silence)
+            yield pd.DataFrame(out)
+
+    return docs_with_blob.select("doc_id", blob_col).mapInPandas(
+        decode, AUDIO_ZCR_SCHEMA
+    )

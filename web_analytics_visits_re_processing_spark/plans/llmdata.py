@@ -5698,3 +5698,77 @@ def q_rocchio_prf_expansion(
         .orderBy(F.col("score_scaled").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "audio_zcr_profile",
+    # Zero-crossing profile of the 16-bit PCM stream: sign flips
+    # between consecutive samples via one per-doc lag pass (a
+    # crossing iff exactly one of the pair is negative — zeros count
+    # non-negative, the decoder's convention verbatim), rate per
+    # transition in exact ppm, peak |sample| and exact-zero share.
+    # Same byte-slicing replay as audio_rms_windows, same ns >= 1
+    # degenerate contract.
+    oracle="""
+WITH d AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) // 2 AS ns
+    FROM documents
+), ix AS (
+    SELECT doc_id, ns, text, unnest(range(ns)) AS i FROM d
+), s AS (
+    SELECT doc_id, ns, i,
+           ord(substring(text, CAST(2 * i + 1 AS INT), 1))
+           + 256 * ord(substring(text, CAST(2 * i + 2 AS INT), 1))
+               AS raw
+    FROM ix
+), v AS (
+    SELECT doc_id, ns, i,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM s
+), fl AS (
+    SELECT doc_id, ns, i, v,
+           LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+    FROM v
+)
+SELECT doc_id, MAX(ns)::BIGINT AS n_samples,
+       SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                THEN 1 ELSE 0 END)::BIGINT AS n_sign_flips,
+       (SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                 THEN 1 ELSE 0 END) * 1000000
+        // GREATEST(MAX(ns) - 1, 1))::BIGINT AS zcr_ppm,
+       MAX(ABS(v))::BIGINT AS peak_abs,
+       (SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) * 1000000
+        // MAX(ns))::BIGINT AS silence_ppm
+FROM fl GROUP BY doc_id
+""",
+)
+def q_audio_zcr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio zero-crossing-rate profile over the multimodal WAV
+    column — the second SAMPLE-level audio feature beside
+    ``audio_rms_windows``' loudness windows, and the classic cheap
+    discriminator a speech-curation pipeline pairs with it: voiced
+    speech crosses zero slowly (low ZCR), fricatives and noise cross
+    fast (high ZCR), and DC-stuck or digitally-silent captures show
+    ZCR ≈ 0 with high silence share. Per doc: the count of SIGN
+    changes between consecutive 16-bit samples (crossing iff exactly
+    one of the pair is negative; zeros count non-negative — a
+    deterministic convention the Arrow decoder and the SQL lag pass
+    share verbatim), the rate per transition in exact ppm, the peak
+    absolute sample (clipping check) and the exact-zero sample share
+    (digital-silence probe). Arrow-batched mapInPandas
+    (``operators.multimodal.decode_audio_zcr``); integer end to end,
+    byte slicing included, so the whole pipeline replays exactly in
+    SQL; docs with ns = 0 are excluded on both engines (the
+    audio_rms degenerate-payload contract). Scale: blobs stay in
+    executor batches, one bounded row per doc; the oracle's lag pass
+    is per-doc-keyed, never cross-doc."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_audio_zcr,
+        with_wav_blob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_audio_zcr(with_wav_blob(docs)).where(
+        F.col("n_samples") >= 1
+    )
