@@ -334,6 +334,7 @@ _REGISTERED_R08 = frozenset(
         "rocchio_prf_expansion",
         "segment_priority_association",
         "audio_zcr_profile",
+        "moment_stats_by_type",
     }
 )
 

@@ -341,6 +341,7 @@ HEADLINE = [
     "rocchio_prf_expansion",
     "segment_priority_association",
     "audio_zcr_profile",
+    "moment_stats_by_type",
 ]
 
 

@@ -152,6 +152,7 @@ PROBE_QUERIES = [
     "rocchio_prf_expansion",
     "segment_priority_association",
     "audio_zcr_profile",
+    "moment_stats_by_type",
 ]
 
 

@@ -781,3 +781,44 @@ def test_audio_zcr_fixture_bounds(spark, sf_dir):
         assert 0 <= r["silence_ppm"] <= 1_000_000
         assert 0 <= r["peak_abs"] <= 32_767
         assert r["n_samples"] >= 1
+
+
+# --- skewness / kurtosis moment profiling ------------------------------------
+
+
+def test_moments_textbook_values(spark, tmp_path):
+    """Hand-derivable shapes. Type 'sym' = cents [1,2,3]: perfectly
+    symmetric → g1 = 0 exactly; 3-point uniform → g2 = −1.5 exactly
+    (M2 = 6, M3 = 0, M4 = 54: 54/36 − 3). Type 'asym' = cents
+    [0,0,3]: M2 = 18, M3 = 54, M4 = 486 → g1 = 54/18^1.5 = 0.707107,
+    g2 = 486/324 − 3 = −1.5. Type 'flat' = constant cents → M2 = 0 →
+    both NULL."""
+    rows = [
+        (0, 0, 1, "sym", 0.01, "{}"), (1, 1, 1, "sym", 0.02, "{}"),
+        (2, 2, 1, "sym", 0.03, "{}"),
+        (3, 3, 2, "asym", 0.0, "{}"), (4, 4, 2, "asym", 0.0, "{}"),
+        (5, 5, 2, "asym", 0.03, "{}"),
+        (6, 6, 3, "flat", 0.05, "{}"), (7, 7, 3, "flat", 0.05, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: (r["n"], r["sum_cents"], r["var_floor_cents2"],
+                          r["skew_g1"], r["kurt_excess"])
+        for r in QUERIES["moment_stats_by_type"](spark, sf).collect()
+    }
+    assert got["sym"] == (3, 6, 0, 0.0, -1.5)
+    assert got["asym"] == (3, 3, 2, 0.707107, -1.5)
+    assert got["flat"] == (2, 10, 0, None, None)
+
+
+def test_moments_fixture_bounds(spark, sf_dir):
+    """Shipped fixtures: kurtosis respects the universal lower bound
+    g2 >= g1² − 2 (Pearson's inequality) on every type with
+    variance, and a nonnegative-valued column can't be extremely
+    left-skewed (g1 > -10 sanity)."""
+    rows = QUERIES["moment_stats_by_type"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["skew_g1"] is not None:
+            assert r["kurt_excess"] >= r["skew_g1"] ** 2 - 2 - 1e-4, r
+            assert r["skew_g1"] > -10, r

@@ -3741,3 +3741,112 @@ def q_segment_priority_association(
             " / (n * least(r - 1, c - 1) * 1.0d)) * 1000000) as bigint)"
         ).alias("cramers_v_e6"),
     )
+
+
+@query(
+    "moment_stats_by_type",
+    # Shape statistics per event type: skewness g1 = m3/m2^1.5 and
+    # excess kurtosis g2 = m4/m2² − 3 from ONE pass of integer-cent
+    # power sums S1..S4 (decimal(38,0)/HUGEINT — exact, order-free),
+    # combined through the dimensionless identities M3/M2^1.5 and
+    # M4/M2² where M2 = n·S2−S1², M3 = n²·S3−3n·S1·S2+2·S1³,
+    # M4 = n³·S4−4n²·S1·S3+6n·S1²·S2−3·S1⁴ (the n-powers cancel);
+    # the two final ratios are single float trees on identical
+    # integers (ROUND 6). M2 = 0 (constant series) → NULL on both.
+    oracle="""
+WITH c AS (
+    SELECT event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+    FROM events
+), s AS (
+    SELECT event_type, COUNT(*)::HUGEINT AS n,
+           SUM(v)::HUGEINT AS s1,
+           SUM(v::HUGEINT * v)::HUGEINT AS s2,
+           SUM(v::HUGEINT * v * v)::HUGEINT AS s3,
+           SUM(v::HUGEINT * v * v * v)::HUGEINT AS s4
+    FROM c GROUP BY event_type
+), m AS (
+    SELECT event_type, n, s1,
+           n * s2 - s1 * s1 AS m2,
+           n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+           n * n * n * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2
+               - 3 * s1 * s1 * s1 * s1 AS m4
+    FROM s
+)
+SELECT event_type, n::BIGINT AS n, s1::BIGINT AS sum_cents,
+       (m2 // (n * n))::BIGINT AS var_floor_cents2,
+       CASE WHEN m2 > 0 THEN
+           ROUND(m3::DOUBLE
+                 / (m2::DOUBLE * SQRT(m2::DOUBLE)), 6)
+       END AS skew_g1,
+       CASE WHEN m2 > 0 THEN
+           ROUND(m4::DOUBLE / (m2::DOUBLE * m2::DOUBLE) - 3, 6)
+       END AS kurt_excess
+FROM m
+""",
+)
+def q_moment_stats_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution SHAPE per event type — skewness and excess
+    kurtosis, the two moments the repo's location/scale profiling
+    (means, medians, MAD, winsorized/trimmed, percentile bands)
+    stops short of: a drift monitor that only watches mean/variance
+    misses a fattening tail (kurtosis up) or an emerging one-sided
+    promotion effect (skew up) until they move the mean. One
+    map-side pass accumulates integer-cent power sums S1..S4
+    exactly (decimal(38,0)/HUGEINT — no float accumulation-order
+    surface); the classic raw-to-central combination collapses to
+    DIMENSIONLESS integer ratios because the n-powers cancel:
+    g1 = M3/M2^1.5 and g2+3 = M4/M2² with M2 = n·S2−S1² etc. —
+    verified by hand on [1,2,3] (g1 = 0, g2 = −1.5, the uniform-3
+    textbook values). Only the two final scalar divisions touch
+    doubles (one expression tree on identical integers, ROUND 6 —
+    the sqrt/ln house precedent); a constant series (M2 = 0) reads
+    NULL on both engines. Scale: one hash agg, no windows, no
+    joins; S4 of cents needs decimal width (1e5⁴ = 1e20 > int64 —
+    the probe-class lesson applied at design time)."""
+    ev = _events(spark, sf_dir)
+    c = ev.select(
+        "event_type",
+        F.expr("cast(round(value * 100, 0) as decimal(38,0))").alias("v"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v * v")).alias("s2"),
+        F.sum(F.expr("v * v * v")).alias("s3"),
+        F.sum(F.expr("v * v * v * v")).alias("s4"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        "s1",
+        F.expr("n * s2 - s1 * s1").alias("m2"),
+        F.expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1").alias(
+            "m3"
+        ),
+        F.expr(
+            "n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"
+        ).alias("m4"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("s1").cast("long").alias("sum_cents"),
+        F.expr("m2 div (n * n)").cast("long").alias("var_floor_cents2"),
+        F.expr(
+            "case when m2 > 0 then"
+            " round(cast(m3 as double)"
+            "       / (cast(m2 as double) * sqrt(cast(m2 as double))), 6)"
+            " end"
+        ).alias("skew_g1"),
+        F.expr(
+            "case when m2 > 0 then"
+            " round(cast(m4 as double)"
+            "       / (cast(m2 as double) * cast(m2 as double)) - 3, 6)"
+            " end"
+        ).alias("kurt_excess"),
+    )
