@@ -500,6 +500,45 @@ def test_lsh_recall_truth_join_is_gram_keyed(spark, sf_dir):
     assert bnl <= 3, plan
 
 
+def test_segment_grid_broadcast_not_cartesian(spark, sf_dir):
+    """r8 verdict item: the seg×pri expected-count grid was the
+    registry's ONE CartesianProduct (both distinct() sides are
+    post-aggregate, so Catalyst can't prove either small). The house
+    fix — F.broadcast on the ≤5-row pri side — must plan as a
+    BroadcastNestedLoopJoin, restoring the 0-cartesian invariant."""
+    plan = _plan(spark, "segment_priority_association", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_registry_wide_zero_cartesian_products():
+    """The close-out claim "0 cartesian products" is machine-checked:
+    PLANS.md's audit column (regenerated at HEAD — name-coverage is
+    pinned by test_plans_md_covers_exact_registry below) must say
+    "no" for EVERY registry query, whitelist nothing. A crossJoin
+    whose small side isn't provably small must carry an explicit
+    F.broadcast hint so it plans as BroadcastNestedLoopJoin."""
+    import os
+
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    with open(plans_path, encoding="utf-8") as fh:
+        text = fh.read()
+    rows = re.findall(
+        r"^\| `([^`]+)` \| \d+ \| \d+ \| \d+ \| (yes|no) \|",
+        text,
+        flags=re.MULTILINE,
+    )
+    assert rows, "PLANS.md summary table not found/parse failure"
+    offenders = sorted(name for name, cart in rows if cart == "yes")
+    assert not offenders, (
+        f"CartesianProduct in plans of: {offenders} — wrap the small "
+        "crossJoin side in F.broadcast(...)"
+    )
+
+
 def test_plans_md_covers_exact_registry():
     """PLANS.md went stale by 2 queries in r6 and 9 in r7 — the audit
     regeneration was a checklist step a human could skip. This pins

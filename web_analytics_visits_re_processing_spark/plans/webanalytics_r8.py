@@ -3689,7 +3689,7 @@ def q_segment_priority_association(
     )
     grid = (
         cells.select("seg").distinct()
-        .crossJoin(cells.select("pri").distinct())
+        .crossJoin(F.broadcast(cells.select("pri").distinct()))
         .join(cells, ["seg", "pri"], "left")
         .select(
             "seg", "pri", F.coalesce(F.col("obs"), F.lit(0)).alias("obs")
