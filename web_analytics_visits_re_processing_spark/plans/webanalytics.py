@@ -16,6 +16,8 @@ final small aggregates arriving via map-side partial aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5899,25 +5901,55 @@ _LP_KEEP_SQL = f"""sym AS (
 )"""
 
 
-# Single-slot persisted cache for the link-prediction family's shared
-# intermediates (the webanalytics_r8._SLOT contract: persist(), not
-# localCheckpoint(), one entry per name keyed by (session, sf) — the
-# next sf evicts the previous entry and its blocks free cleanly). The
+# Single-slot STAGED-table cache for the link-prediction family's
+# shared intermediates, one slot per name keyed by (session, sf). The
 # edge set and the capped adjacency each feed BOTH gated queries
 # (common-neighbors and Adamic–Adar) inside one bench / driver run.
+#
+# Staging = write-parquet-once + read back, NOT persist(): a
+# DataFrame DAG prints (and analyzes) as a TREE, so with persist()
+# every InMemoryTableScan re-prints its full cached build plan and
+# the wedge queries' audited plans exploded to ~2000 exchange lines /
+# 3 MB of text (the r8 plan-tree-bloat finding — a compile-time and
+# optimizer-memory hazard even though the executed dataflow was
+# bounded). A parquet read-back truncates lineage for real: every
+# reference is a leaf file scan, the analyzed plan is shallow, and
+# the audited plan drops to tens of nodes. This is also the 100 TB
+# shape — a production pipeline materializes a many-consumer
+# intermediate as a staging table, it doesn't re-derive it per
+# consumer. localCheckpoint() is still avoided (its internal RDD
+# cannot be released by unpersist — the importance_scores lesson);
+# staged directories are deleted on slot eviction and at interpreter
+# exit, and hold only bounded derived tables (capped adjacency /
+# degree tables), never raw data.
 _LP_CACHE: dict = {}
 
 
+def _stage_dir() -> str:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wavrp_stage_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def _lp_cached(name: str, spark: SparkSession, key: str, build) -> DataFrame:
+    import shutil
+
     k = (name, id(spark), key)
     hit = _LP_CACHE.get(k)
     if hit is not None:
-        return hit
-    df = build().persist()
-    df.count()
+        return hit[0]
+    path = os.path.join(_stage_dir(), name)
+    build().write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
     for other in [o for o in _LP_CACHE if o[0] == name and o != k]:
-        _LP_CACHE.pop(other).unpersist(blocking=False)
-    _LP_CACHE[k] = df
+        _opath = _LP_CACHE.pop(other)[1]
+        shutil.rmtree(os.path.dirname(_opath), ignore_errors=True)
+    _LP_CACHE[k] = (df, path)
     return df
 
 
@@ -5953,21 +5985,36 @@ def _lp_kept_adjacency(spark: SparkSession, sf_dir: str, e: DataFrame):
     promiscuous center look selective; carried as columns of the
     cached table so the derivations stay one groupBy away)."""
 
-    def build() -> DataFrame:
-        sym = e.select(
+    def _sym() -> DataFrame:
+        return e.select(
             F.col("pa").alias("node"), F.col("pb").alias("nbr")
         ).unionAll(
             e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
         )
-        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+
+    # Each stage below is persisted SEPARATELY (not just the final
+    # table): a DataFrame DAG prints as a TREE, so a shared subtree
+    # re-prints per reference and the wedge queries' explain output
+    # exploded to ~2000 exchange lines / 3 MB of text (the r8 plan-
+    # tree-bloat finding — a compile-time and optimizer-memory hazard
+    # even though the executed dataflow was bounded). Bottoming every
+    # reference out at an InMemoryTableScan of the previous stage
+    # keeps each cached plan shallow and the audited plan <100
+    # exchanges.
+    def build_dr() -> DataFrame:
+        deg = _sym().groupBy("node").agg(F.count(F.lit(1)).alias("d"))
         wr = Window.orderBy("d", "node")
         wall = Window.partitionBy()
-        dr = deg.select(
+        return deg.select(
             "node",
             "d",
             F.row_number().over(wr).alias("rn"),
             F.count(F.lit(1)).over(wall).alias("n"),
         )
+
+    dr = _lp_cached("lp_dr", spark, sf_dir, build_dr)
+
+    def build_keep() -> DataFrame:
         med = dr.where(F.expr("rn = (n + 1) div 2")).select(
             F.col("d").alias("d50")
         )
@@ -5979,7 +6026,7 @@ def _lp_kept_adjacency(spark: SparkSession, sf_dir: str, e: DataFrame):
         wadj = Window.partitionBy("node").orderBy("nbr")
         wcd = Window.partitionBy("node")
         adj = (
-            sym.join(kn, "node", "left_semi")
+            _sym().join(kn, "node", "left_semi")
             .join(kn.select(F.col("node").alias("nbr")), "nbr", "left_semi")
             .select(
                 "node",
@@ -6001,9 +6048,16 @@ def _lp_kept_adjacency(spark: SparkSession, sf_dir: str, e: DataFrame):
             .select("node", "nbr", "cd")
         )
 
-    keep = _lp_cached("lp_keep", spark, sf_dir, build)
-    kdeg = keep.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    cdeg = keep.groupBy("node").agg(F.max("cd").alias("d"))
+    keep = _lp_cached("lp_keep", spark, sf_dir, build_keep)
+
+    def build_deg() -> DataFrame:
+        return keep.groupBy("node").agg(
+            F.count(F.lit(1)).alias("kd"), F.max("cd").alias("cd_pre")
+        )
+
+    degs = _lp_cached("lp_deg", spark, sf_dir, build_deg)
+    kdeg = degs.select("node", F.col("kd").alias("d"))
+    cdeg = degs.select("node", F.col("cd_pre").alias("d"))
     return keep.select("node", "nbr"), kdeg, cdeg
 
 

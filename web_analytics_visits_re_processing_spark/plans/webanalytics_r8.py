@@ -25,30 +25,22 @@ from web_analytics_visits_re_processing_spark.plans.webanalytics_r7 import (
     q_churn_hazard_curve,
 )
 
-# Single-slot persisted-table cache, one slot PER NAME keyed by
+# Single-slot materialized-table cache, one slot PER NAME keyed by
 # (session, sf_dir): a recursive CTE re-evaluates its referenced
 # relations every step, so the ~20-row table it recurses over must be
-# materialized first (the EWMA lesson, commit e18b56b). persist(),
-# not localCheckpoint() — a checkpoint's internal RDD cannot be
-# released by DataFrame.unpersist, so repeated bench reps would
-# accumulate blocks; a cache entry frees cleanly when the next
-# (session, sf) evicts it. Same caller contract as _daily_seq /
-# corpus.importance_scores: materialize a result before querying a
-# different sf.
-_SLOT: dict = {}
-
-
+# materialized first (the EWMA lesson, commit e18b56b). Delegates to
+# webanalytics._lp_cached, which STAGES the table to a temp parquet
+# and reads it back instead of persist(): lineage truncates for real,
+# so every downstream reference (including the GSP level tables'
+# 3-way self-join legs) is a leaf file scan and the audited plan tree
+# stays shallow — the r8 plan-bloat fix; see the _LP_CACHE comment
+# for the full rationale (and why localCheckpoint stays banned).
 def _persisted(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    key = (name, id(spark), sf_dir)
-    hit = _SLOT.get(key)
-    if hit is not None:
-        return hit
-    df = build().persist()
-    df.count()
-    for k in [k for k in _SLOT if k[0] == name and k != key]:
-        _SLOT.pop(k).unpersist(blocking=False)
-    _SLOT[key] = df
-    return df
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
+
+    return _lp_cached(name, spark, sf_dir, build)
 
 
 # The hazard sub-pipeline shared with churn_hazard_curve's oracle
