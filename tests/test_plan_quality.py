@@ -500,6 +500,25 @@ def test_lsh_recall_truth_join_is_gram_keyed(spark, sf_dir):
     assert bnl <= 3, plan
 
 
+def test_wedge_family_plan_trees_stay_shallow(spark, sf_dir):
+    """r8 verdict item: the wedge-enumeration gates' audited plans
+    exploded to 1991/1495/420 exchange lines (persist() prints the
+    cached build tree once PER InMemoryTableScan, and the shared
+    link-prediction/GSP intermediates were referenced many times).
+    The staged-parquet cache truncates lineage for real — every
+    reference is a leaf file scan — so the printed (= analyzed) tree
+    must stay small. Bound is the verdict's <100 with a 10x safety
+    margin on text size."""
+    for name in (
+        "link_prediction_common_neighbors",
+        "adamic_adar_link_prediction",
+        "gsp_apriori_sequences",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert _exchanges(plan) < 100, (name, _exchanges(plan))
+        assert len(plan) < 300_000, (name, len(plan))
+
+
 def test_segment_grid_broadcast_not_cartesian(spark, sf_dir):
     """r8 verdict item: the seg×pri expected-count grid was the
     registry's ONE CartesianProduct (both distinct() sides are
