@@ -354,11 +354,74 @@ def skew_probe(spark) -> dict:
     return out
 
 
+def recursion_depth_probe(spark) -> dict:
+    """Depth-scaling probe for the recursive-CTE family (EWMA, Holt,
+    KM, Holt–Winters): the 10× data probe scales ROWS, but recursion
+    depth is CALENDAR DAYS — a different axis. This times the KM
+    product shape (join per step over a materialized spine, the house
+    staging pattern) at depths 30/120/480 and reports per-step cost:
+    linear total ⇔ flat per-step. r9 measurement (local[32], warm):
+    ~216/164/155 ms per step — per-step cost is the scheduler/plan-
+    iteration floor of one tiny join job, CONSTANT in depth, so total
+    wall is O(depth). A year-deep recursion is ~55 s of pure stepping
+    regardless of data size; acceptable because depth is calendar-
+    bounded and independent of the 100 TB axis."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    base = tempfile.mkdtemp(prefix="depth_probe_")
+    out: dict[str, dict[str, float]] = {}
+    for n in (30, 120, 480):
+        p = os.path.join(base, f"hz{n}")
+        spark.range(n).select(
+            F.col("id").alias("t"),
+            ((F.col("id") * 37) % 1000).alias("hazard_ppm"),
+        ).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).createOrReplaceTempView("hz_probe")
+        sql = """
+WITH RECURSIVE km AS (
+    SELECT t, hazard_ppm, (1000000 - hazard_ppm) AS survival_ppm
+    FROM hz_probe WHERE t = 0
+    UNION ALL
+    SELECT h.t, h.hazard_ppm,
+           (k.survival_ppm * (1000000 - h.hazard_ppm)) div 1000000
+    FROM km k JOIN hz_probe h ON h.t = k.t + 1
+)
+SELECT COUNT(*) c, MIN(survival_ppm) s FROM km
+"""
+        res = {}
+        for label in ("cold", "warm"):
+            t0 = time.perf_counter()
+            assert spark.sql(sql).collect()[0][0] == n
+            dt = time.perf_counter() - t0
+            res[label] = round(dt, 2)
+            res[f"{label}_per_step_ms"] = round(1000 * dt / n, 1)
+        out[str(n)] = res
+        print(f"# depth {n}: {res}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     """Optional argv: query names to probe (subset of PROBE_QUERIES);
-    ``--skip-skew`` drops the whale probe. No argv = full battery."""
+    ``--skip-skew`` drops the whale probe; ``--depth-only`` runs just
+    the recursion-depth probe. No argv = full battery."""
     from web_analytics_visits_re_processing_spark.plans import QUERIES
     from web_analytics_visits_re_processing_spark.session import get_spark
+
+    if "--depth-only" in sys.argv[1:]:
+        from web_analytics_visits_re_processing_spark.session import get_spark
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark = get_spark(
+            app_name="depth-probe", master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 32),
+        )
+        print(json.dumps(
+            {"recursion_depth_probe": recursion_depth_probe(spark)}
+        ))
+        return
 
     argv = [a for a in sys.argv[1:] if a != "--skip-skew"]
     run_skew = "--skip-skew" not in sys.argv[1:]

@@ -5355,9 +5355,18 @@ def q_sorted_neighborhood_dup_pairs(
     the sweeper. The rank-offset pairing is an EXPLODE + equi-join
     (each doc emits ranks rk+1..rk+3), never a range join; the
     n_window_pairs audit column makes the candidate budget visible in
-    the gate. Scale: one range-partitioned global sort (the SNM
-    signature cost, ~n log n) + 3n verify pairs, each bounded by doc
-    length; no hashing, no banding, no pair table beyond 3n."""
+    the gate. Scale: the global rank is the SNM signature cost and it
+    is computed DISTRIBUTED, never as a single-partition window (the
+    r9 fix — ``Window.orderBy`` with no partition moves the whole
+    corpus to one task): range-partition on the prefix key (this IS
+    the verdict's prefix-bucket pre-partition — each bucket holds a
+    contiguous key range), rank locally per partition, then add
+    broadcast per-partition cumulative offsets (the ≤n_partitions-row
+    offset table is the only single-partition window). Ranks are
+    invariant to partition boundaries because (k, doc_id) is a total
+    order, so AQE coalescing cannot change the output. Then 3n verify
+    pairs, each bounded by doc length; no hashing, no banding, no
+    pair table beyond 3n."""
     d = _docs(spark, sf_dir)
     keyed = d.select(
         "doc_id",
@@ -5368,9 +5377,33 @@ def q_sorted_neighborhood_dup_pairs(
     )
     from pyspark.sql import Window
 
-    ranked = keyed.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("k", "doc_id")).alias("rk"),
+    local = (
+        keyed.repartitionByRange(32, "k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lrk",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("k", "doc_id")
+            ),
+        )
+    )
+    pid_offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    ranked = local.join(F.broadcast(pid_offsets), "pid").select(
+        "doc_id", (F.col("lrk") + F.col("off")).alias("rk")
     )
     offs = spark.range(1, 4).select(F.col("id").alias("j"))
     probes = ranked.crossJoin(F.broadcast(offs)).select(
