@@ -338,6 +338,14 @@ _REGISTERED_R08 = frozenset(
     }
 )
 
+# Round-9 registrations sort AFTER the r08 backlog in tier 2 (the
+# long-waiting never-sampled queries outrank brand-new ones).
+_REGISTERED_R09 = frozenset(
+    {
+        "audio_stereo_channel_profile",
+    }
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query-prefix sample:
@@ -356,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in latest_bad:
             return (0, 0)
         if name not in last_pass:
+            if name in _REGISTERED_R09:
+                return (1, 4)
             if name in _REGISTERED_R08:
                 return (1, 3)
             if name in _REGISTERED_R07:

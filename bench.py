@@ -342,6 +342,8 @@ HEADLINE = [
     "segment_priority_association",
     "audio_zcr_profile",
     "moment_stats_by_type",
+    # round-9 addition
+    "audio_stereo_channel_profile",
 ]
 
 

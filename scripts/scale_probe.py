@@ -153,6 +153,8 @@ PROBE_QUERIES = [
     "segment_priority_association",
     "audio_zcr_profile",
     "moment_stats_by_type",
+    # round-9 addition: the header-driven stereo demux.
+    "audio_stereo_channel_profile",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Planted-case tests for the round-9 additions. Each test drives the
+REGISTERED query callable — the same code path the driver gates —
+against a hand-built fixture whose expected output is pinned by hand,
+plus direct decoder tests for behavior the fixture generation rule
+can never exercise."""
+
+from __future__ import annotations
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+# --- stereo channel profile (header-honoring demux) --------------------------
+
+
+def test_audio_stereo_known_samples(spark, tmp_path):
+    """Hand-decoded docs through the full with_wav_blob → demux path.
+    'ABCD' (4 bytes → channels 1): mono samples 'AB' = 0x4241 =
+    +16961 and 'CD' = 0x4443 = +17475 → dual-mono, nf = 2, dc = 34436
+    both sides, eq_ppm = 1e6. 'ABCDE' (5 bytes → channels 2): one
+    (L, R) frame = (16961, 17475), dangling 'E' dropped at the FRAME
+    boundary, eq = 0. 'ABABX' (5 bytes → stereo): L = R = 16961 →
+    the fake-stereo detector reads eq_ppm = 1e6 on a genuinely
+    2-channel doc. 'ABC' (3 bytes → stereo): ns = 1 sample but ZERO
+    full 4-byte frames → excluded (sample-level truncation alone
+    would wrongly keep it); 'A' likewise."""
+    docs = spark.createDataFrame(
+        [(1, "ABCD", "en", "s", 4), (2, "ABCDE", "en", "s", 5),
+         (3, "ABABX", "en", "s", 5), (4, "ABC", "en", "s", 3),
+         (5, "A", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["channels"], r["n_frames"], r["dc_l"], r["dc_r"],
+                      r["peak_l"], r["peak_r"], r["eq_frames"], r["eq_ppm"])
+        for r in QUERIES["audio_stereo_channel_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        1: (1, 2, 34_436, 34_436, 17_475, 17_475, 2, 1_000_000),
+        2: (2, 1, 16_961, 17_475, 16_961, 17_475, 0, 0),
+        3: (2, 1, 16_961, 16_961, 16_961, 16_961, 1, 1_000_000),
+    }
+
+
+def test_audio_stereo_reads_header_not_length_rule(spark):
+    """The decoder must read the fmt-chunk channel FIELD, not replay
+    the generation rule — pinned with a header/length combination
+    with_wav_blob never writes: a STEREO header over an even-length
+    payload with negative samples. Payload 01 00 FF FF = samples
+    (+1, −1): stereo header → one frame L=+1, R=−1 (dc_r negative,
+    eq 0); mono header over the same bytes → dual-mono (+1, −1),
+    eq_ppm 1e6. Same payload, different header, different answer —
+    the field drives the demux."""
+    import struct
+
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_audio_stereo,
+    )
+
+    def wav(channels: int, payload: bytes) -> bytes:
+        n = len(payload)
+        return (
+            b"RIFF" + struct.pack("<I", n + 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                    8000, 8000 * channels * 2,
+                                    channels * 2, 16)
+            + b"data" + struct.pack("<I", n) + payload
+        )
+
+    payload = b"\x01\x00\xff\xff"
+    docs = spark.createDataFrame(
+        [(1, wav(2, payload)), (2, wav(1, payload))],
+        "doc_id long, audio binary",
+    )
+    got = {
+        r["doc_id"]: (r["channels"], r["n_frames"], r["dc_l"], r["dc_r"],
+                      r["peak_l"], r["peak_r"], r["eq_frames"], r["eq_ppm"])
+        for r in decode_audio_stereo(docs).collect()
+    }
+    assert got == {
+        1: (2, 1, 1, -1, 1, 1, 0, 0),
+        2: (1, 2, 0, 0, 1, 1, 2, 1_000_000),
+    }
+
+
+def test_audio_stereo_fixture_invariants(spark, sf_dir):
+    """Shipped fixtures: both channel classes occur; every mono doc
+    is exact dual-mono (dc_l = dc_r, peak_l = peak_r, eq_ppm = 1e6);
+    ASCII corpus keeps every peak in the positive int16 range; ppm
+    shares bounded."""
+    rows = QUERIES["audio_stereo_channel_profile"](spark, sf_dir).collect()
+    assert rows
+    seen = {r["channels"] for r in rows}
+    assert seen == {1, 2}
+    for r in rows:
+        assert r["n_frames"] >= 1
+        assert 0 <= r["eq_ppm"] <= 1_000_000
+        assert 0 <= r["peak_l"] <= 32_767 and 0 <= r["peak_r"] <= 32_767
+        if r["channels"] == 1:
+            assert r["dc_l"] == r["dc_r"]
+            assert r["peak_l"] == r["peak_r"]
+            assert r["eq_ppm"] == 1_000_000

@@ -581,3 +581,101 @@ def decode_audio_zcr(
     return docs_with_blob.select("doc_id", blob_col).mapInPandas(
         decode, AUDIO_ZCR_SCHEMA
     )
+
+
+AUDIO_STEREO_SCHEMA = (
+    "doc_id long, channels int, n_frames long, dc_l long, dc_r long, "
+    "peak_l long, peak_r long, eq_frames long, eq_ppm long"
+)
+
+
+def decode_audio_stereo(
+    docs_with_blob: DataFrame,
+    blob_col: str = "audio",
+    header_bytes: int = 44,
+) -> DataFrame:
+    """Per-CHANNEL PCM profile — the first decoder in the audio family
+    that HONORS the container's channel-count field instead of
+    treating the payload as a flat mono stream (a new decode shape:
+    header-driven stride demultiplex, the layout step every real
+    multi-channel audio reader performs before any DSP). Parses
+    channels from the WAV fmt chunk (LE16 at byte 22 — the field
+    ``with_wav_blob`` wrote), then de-interleaves: stereo frames are
+    (L, R) int16 pairs at stride 2, a trailing partial FRAME is
+    dropped (sample-level truncation alone is not enough once frames
+    span 4 bytes); mono plays back as dual-mono (R ≡ L), the standard
+    upmix convention, so every doc emits one row and the fake-stereo
+    detector below reads 10⁶ for mono by construction. Per doc:
+    per-channel DC offset (Σ samples — a nonzero DC means a biased
+    capture chain), per-channel peak |sample| (asymmetric clipping
+    check), and the L=R frame count with its exact-ppm share — the
+    dual-mono / fake-stereo detector a speech-curation pipeline uses
+    to avoid paying stereo storage for mono content. Integer end to
+    end (int64 sums of int16); same Arrow-batched mapInPandas shape
+    as the sibling decoders — blobs never leave executor batches,
+    one bounded row per doc. Reference scope note: the reference
+    pipeline (main.py:22-240) has no binary columns at all; this is
+    north-star extension surface."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "channels": [],
+                "n_frames": [],
+                "dc_l": [],
+                "dc_r": [],
+                "peak_l": [],
+                "peak_r": [],
+                "eq_frames": [],
+                "eq_ppm": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob) if blob else b""
+                ch = (
+                    int.from_bytes(b[22:24], "little")
+                    if len(b) >= 24
+                    else -1
+                )
+                payload = b[header_bytes:]
+                ns = len(payload) // 2
+                arr = np.frombuffer(
+                    payload[: ns * 2], dtype="<i2"
+                ).astype(np.int64)
+                if ch == 2:
+                    nf = ns // 2
+                    left = arr[0 : 2 * nf : 2]
+                    right = arr[1 : 2 * nf : 2]
+                elif ch == 1:
+                    nf = ns
+                    left = arr
+                    right = arr
+                else:
+                    nf = 0
+                    left = right = arr[:0]
+                if nf:
+                    eq = int(np.count_nonzero(left == right))
+                    row = (
+                        int(left.sum()),
+                        int(right.sum()),
+                        int(np.abs(left).max()),
+                        int(np.abs(right).max()),
+                        eq,
+                        eq * 1_000_000 // nf,
+                    )
+                else:
+                    row = (0, 0, 0, 0, 0, 0)
+                out["doc_id"].append(doc_id)
+                out["channels"].append(ch)
+                out["n_frames"].append(nf)
+                out["dc_l"].append(row[0])
+                out["dc_r"].append(row[1])
+                out["peak_l"].append(row[2])
+                out["peak_r"].append(row[3])
+                out["eq_frames"].append(row[4])
+                out["eq_ppm"].append(row[5])
+            yield pd.DataFrame(out)
+
+    return docs_with_blob.select("doc_id", blob_col).mapInPandas(
+        decode, AUDIO_STEREO_SCHEMA
+    )

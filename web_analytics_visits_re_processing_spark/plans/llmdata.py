@@ -5805,3 +5805,101 @@ def q_audio_zcr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_zcr(with_wav_blob(docs)).where(
         F.col("n_samples") >= 1
     )
+
+
+@query(
+    "audio_stereo_channel_profile",
+    # Header-honoring channel demux — the THIRD sample-level audio
+    # decode shape (energy windows read flat samples, ZCR reads
+    # transitions; this one reads the fmt-chunk channel FIELD and
+    # de-interleaves stride-2 frames). The oracle replays the demux
+    # from the generation rule with_wav_blob wrote into the header
+    # (channels = payload_bytes % 2 + 1), because the header bytes
+    # themselves came from that rule; the Spark decoder reads the
+    # header field — same value, container-first. Mono = dual-mono
+    # (R ≡ L), so eq_ppm = 1e6 for every mono doc by construction
+    # and the L=R share is the fake-stereo detector. Trailing
+    # partial FRAME dropped (4-byte frames: ns // 2).
+    oracle="""
+WITH d AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) % 2 + 1 AS ch,
+           octet_length(encode(text)) // 2 AS ns
+    FROM documents
+), fr AS (
+    SELECT doc_id, ch,
+           CASE WHEN ch = 1 THEN ns ELSE ns // 2 END AS nf, text
+    FROM d
+), ix AS (
+    SELECT doc_id, ch, nf, text, unnest(range(nf)) AS i FROM fr
+), sm AS (
+    SELECT doc_id, ch, nf, i,
+           ord(substring(text, CAST(
+               (CASE WHEN ch = 1 THEN 2 * i ELSE 4 * i END) + 1
+               AS INT), 1))
+           + 256 * ord(substring(text, CAST(
+               (CASE WHEN ch = 1 THEN 2 * i ELSE 4 * i END) + 2
+               AS INT), 1)) AS rawl,
+           ord(substring(text, CAST(
+               (CASE WHEN ch = 1 THEN 2 * i ELSE 4 * i + 2 END) + 1
+               AS INT), 1))
+           + 256 * ord(substring(text, CAST(
+               (CASE WHEN ch = 1 THEN 2 * i ELSE 4 * i + 2 END) + 2
+               AS INT), 1)) AS rawr
+    FROM ix
+), v AS (
+    SELECT doc_id, ch, nf,
+           CASE WHEN rawl >= 32768 THEN rawl - 65536 ELSE rawl END AS l,
+           CASE WHEN rawr >= 32768 THEN rawr - 65536 ELSE rawr END AS r
+    FROM sm
+)
+SELECT doc_id, MAX(ch)::INT AS channels, MAX(nf)::BIGINT AS n_frames,
+       SUM(l)::BIGINT AS dc_l, SUM(r)::BIGINT AS dc_r,
+       MAX(ABS(l))::BIGINT AS peak_l, MAX(ABS(r))::BIGINT AS peak_r,
+       SUM(CASE WHEN l = r THEN 1 ELSE 0 END)::BIGINT AS eq_frames,
+       (SUM(CASE WHEN l = r THEN 1 ELSE 0 END) * 1000000
+        // MAX(nf))::BIGINT AS eq_ppm
+FROM v GROUP BY doc_id
+""",
+)
+def q_audio_stereo_channel_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-channel stereo profile over the multimodal WAV column —
+    the third SAMPLE-level audio decode shape, and the first that
+    HONORS the container's channel-count field instead of assuming a
+    flat mono stream: the decoder parses channels from the fmt chunk
+    (LE16 at byte 22) and de-interleaves stride-2 (L, R) frames,
+    the layout step every real multi-channel reader performs before
+    any DSP (``operators.multimodal.decode_audio_stereo``). Readout
+    per doc: per-channel DC offset (Σ samples — nonzero means a
+    biased capture chain), per-channel peak |sample| (asymmetric
+    clipping), and the L = R frame share in exact ppm — the
+    DUAL-MONO / FAKE-STEREO detector a speech-curation pipeline runs
+    to avoid paying stereo storage for mono content. Mono docs play
+    back as dual-mono (R ≡ L, the standard upmix convention), so
+    they emit eq_ppm = 10⁶ by construction and every doc gates one
+    row. Exactness: integer end to end (int64 sums of int16; ppm by
+    truncating div); the oracle replays the byte demux from the
+    ASCII text payload with the same trailing-partial-FRAME drop
+    (ns // 2 — sample-level truncation alone is wrong once frames
+    span 4 bytes). The oracle derives channels from the generation
+    rule the header was WRITTEN from (payload_bytes % 2 + 1) while
+    the decoder reads the header field itself — same value by
+    construction of ``with_wav_blob``, and the planted pytest pins
+    the decoder against hand-built headers including one the rule
+    never generates (stereo header on even-length payload). Docs
+    with zero frames are excluded on both engines (the audio_rms
+    degenerate-payload contract). Scale: blobs stay in executor
+    Arrow batches, one bounded row per doc, no shuffle at all before
+    the per-doc rollup; the oracle's frame pass is per-doc-keyed,
+    never cross-doc."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_audio_stereo,
+        with_wav_blob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_audio_stereo(with_wav_blob(docs)).where(
+        F.col("n_frames") >= 1
+    )
