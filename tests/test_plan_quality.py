@@ -519,6 +519,39 @@ def test_wedge_family_plan_trees_stay_shallow(spark, sf_dir):
         assert len(plan) < 300_000, (name, len(plan))
 
 
+def test_data_scale_ranks_are_distributed(spark, sf_dir):
+    """r9 single-partition-window retirement: global ranks over
+    user-/customer-/vocab-/node-grain frames (they grow with the
+    data) must ride the two-pass range-partitioned rank
+    (operators.ranks), visible as a rangepartitioning exchange in
+    the plan — never an unpartitioned rank window that moves the
+    whole frame to one task."""
+    for name in (
+        "vocab_coverage_curve",
+        "auc_mann_whitney",
+        "score_decile_gains",
+        "power_users_pareto",
+        "lorenz_curve_deciles",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "rangepartitioning" in plan, name
+
+
+def test_topk_ranks_use_take_ordered(spark, sf_dir):
+    """r9: rank-then-filter top-k over a data-scale frame rewrites to
+    TakeOrdered-then-rank — the limit runs as distributed
+    per-partition heaps and the only rank window left is over the
+    bounded k-row result."""
+    for name in (
+        "zipf_doubling_profile",
+        "count_min_heavy_hitters",
+        "streaming_topk_user_leaderboard",
+        "streaming_count_min_sketch",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
+
+
 def test_segment_grid_broadcast_not_cartesian(spark, sf_dir):
     """r8 verdict item: the seg×pri expected-count grid was the
     registry's ONE CartesianProduct (both distinct() sides are

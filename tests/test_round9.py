@@ -101,3 +101,70 @@ def test_audio_stereo_fixture_invariants(spark, sf_dir):
             assert r["dc_l"] == r["dc_r"]
             assert r["peak_l"] == r["peak_r"]
             assert r["eq_ppm"] == 1_000_000
+
+
+# --- distributed global ranks -------------------------------------------------
+
+
+def test_global_row_number_matches_window(spark):
+    """The two-pass rank must equal the single-partition window rank
+    on a total order — checked on a shuffled frame with duplicate
+    order values (tiebreak column makes the order total) across
+    partition-count regimes bracketing the data (more partitions than
+    rows, and 1 partition)."""
+    from pyspark.sql import Window
+
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_row_number,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(137).select(
+        (F.col("id") % 13).alias("v"), F.col("id").alias("tb")
+    )
+    expect = {
+        (r["v"], r["tb"]): r["rn"]
+        for r in df.select(
+            "v", "tb",
+            F.row_number().over(Window.orderBy("v", "tb")).alias("rn"),
+        ).collect()
+    }
+    for nparts in (1, 7, 200):
+        got = {
+            (r["v"], r["tb"]): r["rn"]
+            for r in global_row_number(
+                df, ["v", "tb"], num_partitions=nparts
+            ).collect()
+        }
+        assert got == expect, nparts
+
+
+def test_global_ntile_matches_spark_ntile(spark):
+    """The derived bucket formula must equal F.ntile(n) exactly,
+    INCLUDING the branches round-number fixtures never exercise:
+    N % n != 0 (unequal buckets) and N < n (one row per bucket,
+    q = 0 guard). Also descending order."""
+    from pyspark.sql import Window
+
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_ntile,
+    )
+    from pyspark.sql import functions as F
+
+    for n_rows, n_buckets in ((7, 10), (23, 10), (150, 10), (40, 7)):
+        df = spark.range(n_rows).select(
+            (F.col("id") * 37 % 97).alias("v"), F.col("id").alias("tb")
+        )
+        order = [F.col("v").desc(), F.col("tb")]
+        expect = {
+            (r["v"], r["tb"]): r["nt"]
+            for r in df.select(
+                "v", "tb",
+                F.ntile(n_buckets).over(Window.orderBy(*order)).alias("nt"),
+            ).collect()
+        }
+        got = {
+            (r["v"], r["tb"]): r["ntile"]
+            for r in global_ntile(df, order, n_buckets).collect()
+        }
+        assert got == expect, (n_rows, n_buckets)

@@ -1,0 +1,103 @@
+"""Distributed global ranking — the scalable replacement for the
+``Window.orderBy(...)`` (no partition) pattern, which moves the ENTIRE
+input to one task (Spark's own WindowExec warning). Fine for a 30-row
+daily spine; a 100 TB failure mode the moment the ranked frame is
+user-, customer-, node- or vocabulary-grain, because those grow with
+the data no matter how many executors exist.
+
+The classic two-pass construction instead (same trick RDD
+zipWithIndex uses, expressed in DataFrame ops so Catalyst/AQE stay in
+charge): range-partition on the order key, rank LOCALLY per
+partition, then add broadcast per-partition cumulative offsets — the
+only single-partition work left is a window over the
+≤ num_partitions-row offset table. Results are invariant to partition
+boundaries (including AQE coalescing, which merges only CONTIGUOUS
+range partitions) provided the order is TOTAL — callers must include
+a tiebreak column, exactly as they must for the single-partition
+window to be deterministic in the first place.
+
+First applied to sorted_neighborhood_dup_pairs (r9); this module
+generalizes it for the other data-scale global ranks (AUC ranks,
+revenue deciles, Zipf/vocabulary ranks, degree medians).
+
+Reference scope note: the reference pipeline (main.py:22-240) has no
+ranking at all; this is scale infrastructure for the extension
+surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "rn",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Add a 1-based global row number over a TOTAL order without a
+    single-partition window. ``order_cols`` is a list of column names
+    or Column sort expressions (``F.col("c").desc()`` works — the
+    same expressions feed repartitionByRange and the local window, so
+    the two sorts can never disagree)."""
+    local = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_grk_pid", F.spark_partition_id())
+        .withColumn(
+            "_grk_lrn",
+            F.row_number().over(
+                Window.partitionBy("_grk_pid").orderBy(*order_cols)
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("_grk_pid")
+        .agg(F.count(F.lit(1)).alias("_grk_c"))
+        .select(
+            "_grk_pid",
+            F.coalesce(
+                F.sum("_grk_c").over(
+                    Window.orderBy("_grk_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_grk_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_grk_pid")
+        .withColumn(out_col, F.col("_grk_lrn") + F.col("_grk_off"))
+        .drop("_grk_pid", "_grk_lrn", "_grk_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols,
+    n: int,
+    out_col: str = "ntile",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed ``ntile(n)`` over a TOTAL order: with N rows,
+    q = N div n and r = N mod n, the first r buckets hold q+1 rows
+    and the rest hold q — the SQL-standard definition Spark's NTile
+    implements, rebuilt from the distributed row number plus the
+    1-row broadcast count (pinned against F.ntile itself by pytest,
+    including the N < n and N % n != 0 branches the round-number
+    fixtures never exercise)."""
+    ranked = global_row_number(df, order_cols, "_grk_rn", num_partitions)
+    total = ranked.agg(F.count(F.lit(1)).alias("_grk_n"))
+    bucket = F.expr(
+        f"CASE WHEN _grk_rn <= (_grk_n % {n}) * (_grk_n div {n} + 1)"
+        f" THEN (_grk_rn - 1) div (_grk_n div {n} + 1) + 1"
+        f" ELSE (_grk_n % {n})"
+        f"  + (_grk_rn - (_grk_n % {n}) * (_grk_n div {n} + 1) - 1)"
+        f"    div greatest(_grk_n div {n}, 1) + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_grk_rn", "_grk_n")
+    )

@@ -335,10 +335,11 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     working in DOUBLED rank units (2·midrank = min+max row_number of
     the tie group — no .5 ever exists), so the result is exact
     integer ppm. Scale shape: the per-user collapse rides one user
-    exchange; the rank windows run over USERS; at 100 TB the global
-    rank swaps to the histogram-CDF form (bin scores, cumulative
-    counts give tie-group min/max ranks directly) with the same
-    downstream arithmetic."""
+    exchange; the global row_number over USERS is DISTRIBUTED
+    (operators.ranks two-pass rank, r9 — users grow with the data,
+    so the old single-partition rank window was this query's 100 TB
+    bottleneck); the tie-group min/max window hash-partitions by
+    score, never a global sort."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(
@@ -348,12 +349,13 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("label"),
     )
-    wr = Window.orderBy("score", "user_id")
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_row_number,
+    )
+
     wt = Window.partitionBy("score")
-    mid = u.select(
-        "score",
-        "label",
-        F.row_number().over(wr).alias("rn"),
+    mid = global_row_number(u, ["score", "user_id"], "rn").select(
+        "score", "label", "rn"
     ).select(
         "label",
         (F.min("rn").over(wt) + F.max("rn").over(wt)).alias("r2"),
@@ -432,9 +434,18 @@ def q_score_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("label"),
     )
-    wd = Window.orderBy(F.col("score").desc(), "user_id")
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_ntile,
+    )
+
+    # Distributed ntile (operators.ranks, r9): deciles over ALL users
+    # previously rode a single-partition rank window — users grow
+    # with the data.
     per = (
-        u.select("label", F.ntile(10).over(wd).alias("decile"))
+        global_ntile(
+            u, [F.col("score").desc(), "user_id"], 10, "decile"
+        )
+        .select("label", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -854,9 +865,15 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor("o_totalprice")).alias("dollars")
     )
-    wd = Window.orderBy("dollars", "o_custkey")
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_ntile,
+    )
+
+    # Distributed ntile (operators.ranks, r9): customer-grain deciles
+    # previously rode a single-partition rank window.
     per = (
-        rev.select("dollars", F.ntile(10).over(wd).alias("decile"))
+        global_ntile(rev, ["dollars", "o_custkey"], 10, "decile")
+        .select("dollars", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -3463,26 +3463,28 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of all corpus tokens covered by the N most frequent types
     (1e6 − coverage = the OOV rate that becomes <unk> at training
     time). The explode collapses to per-type counts map-side; the
-    rank window runs over the TYPE table (vocabulary-sized, not
+    rank runs over the TYPE table (vocabulary-sized, not
     corpus-sized — the same events-vs-rollup discipline as every
-    window in this repo), and the curve evaluation is a 3×|vocab|
-    conditional aggregate. At 100 TB the type table still fits the
-    single window partition for any real vocabulary (≤ millions);
-    beyond that the count-histogram boundary trick applies."""
-    from pyspark.sql import Window
-
+    window in this repo) and is DISTRIBUTED (operators.ranks
+    two-pass rank, r9 — a vocabulary grows with the corpus, so the
+    old single-partition window was the one rank in the query that
+    would not survive 100 TB), and the curve evaluation is a
+    3×|vocab| conditional aggregate."""
     d = _docs(spark, sf_dir)
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wr = Window.orderBy(F.col("c").desc(), "tok")
-    wall = Window.partitionBy()
-    ranked = counts.select(
-        "c",
-        F.row_number().over(wr).alias("rn"),
-        F.sum("c").over(wall).alias("total"),
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    tot = counts.agg(F.sum("c").alias("total"))
+    ranked = (
+        global_row_number(counts, [F.col("c").desc(), "tok"], "rn")
+        .crossJoin(F.broadcast(tot))
+        .select("c", "rn", "total")
     )
     sizes = spark.createDataFrame(
         [(5,), (10,), (20,)], "vocab_size long"

@@ -482,10 +482,14 @@ def q_streaming_topk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = streaming_user_totals_state(spark, sf_dir)
+    # TakeOrdered top-10 first, then rank the bounded result — r9
+    # single-partition-window retirement (the state table is
+    # user-grain and grows with the data).
     w = Window.orderBy(F.col("total_cents").desc(), F.col("user_id"))
     return (
-        t.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+        t.orderBy(F.col("total_cents").desc(), F.col("user_id"))
+        .limit(10)
+        .withColumn("rk", F.row_number().over(w))
         .select("user_id", "total_cents", "n_events", "rk")
     )
 
@@ -637,10 +641,19 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _events(spark, sf_dir).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    top = u.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "user_id")),
-    ).where(F.col("rk") <= 20)
+    # TakeOrdered top-20 first, then rank the bounded result — r9
+    # single-partition-window retirement (mirrors the batch
+    # count_min_heavy_hitters fix).
+    top = (
+        u.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "user_id")
+            ),
+        )
+    )
     rows_ = spark.range(4).select(F.col("id").alias("r"))
     probe = top.crossJoin(F.broadcast(rows_)).select(
         "user_id",

@@ -1731,8 +1731,16 @@ def q_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
-    dec = rev.withColumn("decile", F.ntile(10).over(w))
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_ntile,
+    )
+
+    # Distributed ntile (operators.ranks, r9): the spend deciles run
+    # over ALL purchasing users — the old single-partition rank
+    # window was the one data-scale sort in the query.
+    dec = global_ntile(
+        rev, [F.col("cents").desc(), F.col("user_id")], 10, "decile"
+    )
     tot = rev.agg(F.sum("cents").alias("total"))
     return (
         dec.crossJoin(F.broadcast(tot))
@@ -6002,14 +6010,20 @@ def _lp_kept_adjacency(spark: SparkSession, sf_dir: str, e: DataFrame):
     # keeps each cached plan shallow and the audited plan <100
     # exchanges.
     def build_dr() -> DataFrame:
+        # Distributed rank (operators.ranks, r9): the exact-median
+        # hub rule ranks the |V|-row degree table — node-grain grows
+        # with the data, so this retires the docstring's "swap to
+        # approx-percentile at extreme scale" caveat.
+        from web_analytics_visits_re_processing_spark.operators.ranks import (
+            global_row_number,
+        )
+
         deg = _sym().groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-        wr = Window.orderBy("d", "node")
-        wall = Window.partitionBy()
-        return deg.select(
-            "node",
-            "d",
-            F.row_number().over(wr).alias("rn"),
-            F.count(F.lit(1)).over(wall).alias("n"),
+        nn = deg.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            global_row_number(deg, ["d", "node"], "rn")
+            .crossJoin(F.broadcast(nn))
+            .select("node", "d", "rn", "n")
         )
 
     dr = _lp_cached("lp_dr", spark, sf_dir, build_dr)

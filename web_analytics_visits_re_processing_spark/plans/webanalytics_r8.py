@@ -1094,14 +1094,19 @@ def q_count_min_heavy_hitters(
     )
     from pyspark.sql import Window
 
+    # TakeOrdered top-20 first (distributed per-partition heaps),
+    # then rank the bounded 20-row result — r9 single-partition-
+    # window retirement (the old plan ranked ALL users on one task
+    # to keep 20).
     top = (
-        u.withColumn(
+        u.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(20)
+        .withColumn(
             "rk",
             F.row_number().over(
                 Window.orderBy(F.col("cnt").desc(), "user_id")
             ),
         )
-        .where(F.col("rk") <= 20)
     )
     probe = top.crossJoin(F.broadcast(rows_)).select(
         "user_id", "cnt", "rk", "r", cell_hash.alias("bucket")
@@ -1182,12 +1187,21 @@ def q_zipf_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = tf.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.col("freq").desc(), "tok"))
-        .alias("rnk"),
-    ).where(F.col("rnk") <= 1024)
+    # Top-1024 FIRST via TakeOrdered (distributed, per-partition
+    # heaps), THEN the rank window over the bounded 1024-row result —
+    # the r9 single-partition-window retirement: the old plan ranked
+    # the ENTIRE vocabulary on one task just to discard all but 1024
+    # rows, and a vocabulary grows with the corpus.
+    ranked = (
+        tf.orderBy(F.col("freq").desc(), "tok")
+        .limit(1024)
+        .select(
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "tok"))
+            .alias("rnk"),
+        )
+    )
     spine = spark.createDataFrame(
         [(1,), (2,), (4,), (8,), (16,), (32,), (64,), (128,), (256,), (512,)],
         "r long",
