@@ -343,6 +343,7 @@ _REGISTERED_R08 = frozenset(
 _REGISTERED_R09 = frozenset(
     {
         "audio_stereo_channel_profile",
+        "jpeg_dimension_parse",
     }
 )
 

@@ -342,8 +342,9 @@ HEADLINE = [
     "segment_priority_association",
     "audio_zcr_profile",
     "moment_stats_by_type",
-    # round-9 addition
+    # round-9 additions
     "audio_stereo_channel_profile",
+    "jpeg_dimension_parse",
 ]
 
 

@@ -153,8 +153,10 @@ PROBE_QUERIES = [
     "segment_priority_association",
     "audio_zcr_profile",
     "moment_stats_by_type",
-    # round-9 addition: the header-driven stereo demux.
+    # round-9 additions: the header-driven stereo demux and the
+    # variable-length JPEG marker walk.
     "audio_stereo_channel_profile",
+    "jpeg_dimension_parse",
 ]
 
 

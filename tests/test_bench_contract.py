@@ -76,7 +76,10 @@ def test_every_never_sampled_query_has_a_rotation_tier():
         rows = payload.get("queries", payload)
         if isinstance(rows, dict):
             sampled.update(rows)
-    tiers = [e._REGISTERED_R06, e._REGISTERED_R07, e._REGISTERED_R08]
+    tiers = [
+        e._REGISTERED_R06, e._REGISTERED_R07, e._REGISTERED_R08,
+        e._REGISTERED_R09,
+    ]
     tiered = set().union(*tiers)
     from web_analytics_visits_re_processing_spark.plans import QUERIES
 
@@ -88,5 +91,7 @@ def test_every_never_sampled_query_has_a_rotation_tier():
         f"(they would jump the rotation backlog): {orphans}"
     )
     # and no query sits in two tiers
-    assert not (tiers[0] & tiers[1]) and not (tiers[1] & tiers[2]) \
-        and not (tiers[0] & tiers[2])
+    import itertools
+
+    for a, b in itertools.combinations(tiers, 2):
+        assert not (a & b)

@@ -168,3 +168,84 @@ def test_global_ntile_matches_spark_ntile(spark):
             for r in global_ntile(df, order, n_buckets).collect()
         }
         assert got == expect, (n_rows, n_buckets)
+
+
+# --- JPEG marker walk ---------------------------------------------------------
+
+
+def test_jpeg_walk_hand_computed(spark, tmp_path):
+    """Through the full generator → walk path. 'AB' (n=2): k = 2 COM
+    segments of m = 3 bytes → sof_offset = 20 + 2·7 = 34, 3 segments
+    hopped, h = 2%480+8 = 10, w = 2%640+8 = 10. 'ABCDE' (n=5):
+    k = 2, m = 1 → offset 20 + 2·5 = 30, h = 13, w = 13. 'ABC'
+    (n=3): k = 0 → SOF directly after APP0 at offset 20, 1 segment
+    hopped, h = w = 11."""
+    docs = spark.createDataFrame(
+        [(1, "AB", "en", "s", 2), (2, "ABCDE", "en", "s", 5),
+         (3, "ABC", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sof_offset"],
+                      r["n_segments_before_sof"], r["format"])
+        for r in QUERIES["jpeg_dimension_parse"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        1: (10, 10, 34, 3, "baseline"),
+        2: (13, 13, 30, 3, "baseline"),
+        3: (11, 11, 20, 1, "baseline"),
+    }
+
+
+def test_jpeg_walk_cases_the_generator_never_writes(spark):
+    """Direct decoder cases outside the generation rule: progressive
+    SOF2 (format flag), missing SOI (unknown, -1s), SOS reached
+    before any SOF (corrupt — dimensions unavailable without the
+    frame header), and a blob that dies mid-walk (non-FF where a
+    marker must start)."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_jpeg_dimensions,
+    )
+
+    progressive = (
+        b"\xff\xd8"
+        + b"\xff\xc2\x00\x0b\x08\x00\x20\x00\x40\x01\x01\x11\x00"
+    )
+    no_soi = b"\x00\x01\x02\x03"
+    sos_first = b"\xff\xd8" + b"\xff\xda\x00\x04\x01\x00" + b"payload"
+    broken = b"\xff\xd8" + b"\x00\xc0\x00\x0b"
+    docs = spark.createDataFrame(
+        [(1, progressive), (2, no_soi), (3, sos_first), (4, broken)],
+        "doc_id long, jpeg binary",
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sof_offset"],
+                      r["n_segments_before_sof"], r["format"])
+        for r in decode_jpeg_dimensions(docs).collect()
+    }
+    assert got == {
+        1: (64, 32, 2, 0, "progressive"),
+        2: (-1, -1, -1, -1, "unknown"),
+        3: (-1, -1, -1, -1, "corrupt"),
+        4: (-1, -1, -1, -1, "corrupt"),
+    }
+
+
+def test_jpeg_fixture_structural_invariants(spark, sf_dir):
+    """Shipped fixtures: every doc parses baseline with the offset
+    arithmetic 20 + k·(m+4) consistent with the hop count (k = hops
+    − 1), and dimensions inside the generator's ranges."""
+    rows = QUERIES["jpeg_dimension_parse"](spark, sf_dir).collect()
+    assert rows
+    assert {r["format"] for r in rows} == {"baseline"}
+    assert {r["n_segments_before_sof"] for r in rows} <= {1, 2, 3}
+    for r in rows:
+        assert 8 <= r["width"] <= 647 and 8 <= r["height"] <= 487
+        k = r["n_segments_before_sof"] - 1
+        if k == 0:
+            assert r["sof_offset"] == 20
+        else:
+            assert 20 + k * 5 <= r["sof_offset"] <= 20 + k * 9

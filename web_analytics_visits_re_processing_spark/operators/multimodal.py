@@ -679,3 +679,121 @@ def decode_audio_stereo(
     return docs_with_blob.select("doc_id", blob_col).mapInPandas(
         decode, AUDIO_STEREO_SCHEMA
     )
+
+
+# --- JPEG (JFIF — variable-length marker-segment walk) -----------------------
+
+JPEG_DIMS_SCHEMA = (
+    "doc_id long, width int, height int, sof_offset int, "
+    "n_segments_before_sof int, format string"
+)
+
+
+def with_jpeg_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a REAL-structure baseline JFIF/JPEG per document, built
+    from native expressions: SOI, a spec-complete 18-byte APP0/JFIF
+    segment, a VARIABLE number of COM padding segments (k = n % 3
+    comments of m = n % 5 + 1 bytes each — so the SOF offset differs
+    per doc and a fixed-offset read cannot fake the parse), the SOF0
+    frame header carrying height = n % 480 + 8 and width =
+    n % 640 + 8 (big-endian, precision 8, one component), then SOS +
+    the utf-8 payload as entropy-coded data + EOI. Everything a
+    dimension probe must walk is real; only the entropy data is
+    fake (opaque payload — the stub-the-codec, real-plumbing
+    contract of this module)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    n = F.octet_length(payload)
+    h = (n % 480 + 8).cast("int")
+    w = (n % 640 + 8).cast("int")
+    k = (n % 3).cast("int")
+    m = (n % 5 + 1).cast("int")
+    app0 = F.concat(
+        F.lit(b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"),
+        F.lit(b"\x00\x01\x00\x01\x00\x00"),
+    )
+    com = F.concat(
+        F.lit(b"\xff\xfe"),
+        _int_to_be2(m + 2),
+        F.encode(F.repeat(F.lit("x"), m), "utf-8"),
+    )
+    coms = (
+        F.when(k == 0, F.lit(b""))
+        .when(k == 1, com)
+        .otherwise(F.concat(com, com))
+    )
+    sof0 = F.concat(
+        F.lit(b"\xff\xc0\x00\x0b\x08"),
+        _int_to_be2(h),
+        _int_to_be2(w),
+        F.lit(b"\x01\x01\x11\x00"),
+    )
+    sos = F.lit(b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")
+    return docs.withColumn(
+        "jpeg",
+        F.concat(
+            F.lit(b"\xff\xd8"), app0, coms, sof0, sos, payload,
+            F.lit(b"\xff\xd9"),
+        ),
+    )
+
+
+def decode_jpeg_dimensions(
+    docs_with_blob: DataFrame, blob_col: str = "jpeg"
+) -> DataFrame:
+    """JPEG dimension probe — the fourth decode shape in this module
+    and the first VARIABLE-LENGTH container walk (PNG/WAV metadata
+    are fixed-offset reads; PCM is a stride demux): after SOI, hop
+    marker segments by their embedded big-endian lengths until the
+    frame header (SOF0 baseline / SOF2 progressive), then read
+    precision, height, width — exactly how every real header prober
+    (PIL, exiftool, ffprobe) finds JPEG dimensions without decoding
+    a single MCU. Emits the SOF byte offset and the number of
+    segments walked so the gate verifies the WALK, not just the
+    endpoint (the offset varies per doc via the generator's padding
+    segments). Convention: missing SOI → format 'unknown'; SOS/EOI
+    or a non-FF byte before any SOF → 'corrupt'; both read -1
+    dimensions. Arrow-batched mapInPandas; the per-doc loop is over
+    MARKERS (a handful), never bytes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "sof_offset": [], "n_segments_before_sof": [],
+                "format": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob) if blob else b""
+                w = h = off = -1
+                nseg = 0
+                fmt = "unknown"
+                if b[:2] == b"\xff\xd8":
+                    fmt = "corrupt"
+                    i = 2
+                    while i + 4 <= len(b) and b[i] == 0xFF:
+                        marker = b[i + 1]
+                        if marker in (0xD9, 0xDA):
+                            break
+                        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+                        if marker in (0xC0, 0xC2) and i + 9 <= len(b):
+                            h = int.from_bytes(b[i + 5 : i + 7], "big")
+                            w = int.from_bytes(b[i + 7 : i + 9], "big")
+                            off = i
+                            fmt = (
+                                "baseline" if marker == 0xC0
+                                else "progressive"
+                            )
+                            break
+                        nseg += 1
+                        i += 2 + seglen
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sof_offset"].append(off)
+                out["n_segments_before_sof"].append(nseg if off >= 0 else -1)
+                out["format"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return docs_with_blob.select("doc_id", blob_col).mapInPandas(
+        decode, JPEG_DIMS_SCHEMA
+    )

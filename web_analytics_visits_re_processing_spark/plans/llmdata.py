@@ -5905,3 +5905,56 @@ def q_audio_stereo_channel_profile(
     return decode_audio_stereo(with_wav_blob(docs)).where(
         F.col("n_frames") >= 1
     )
+
+
+@query(
+    "jpeg_dimension_parse",
+    # Variable-length marker walk, replayed from the generation rule:
+    # the JFIF built by with_jpeg_blob is SOI(2) + APP0(18) + k COM
+    # segments of 4+m bytes (k = n%3, m = n%5+1) + SOF0, so the walk
+    # must land at sof_offset = 20 + k*(m+4) with 1+k segments
+    # hopped, and read height/width = n%480+8 / n%640+8 from the
+    # frame header. Hashing the OFFSET pins the walk itself, not
+    # just the endpoint.
+    oracle="""
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       (n % 640 + 8)::INT AS width,
+       (n % 480 + 8)::INT AS height,
+       (20 + (n % 3) * ((n % 5 + 1) + 4))::INT AS sof_offset,
+       (1 + n % 3)::INT AS n_segments_before_sof,
+       'baseline' AS format
+FROM d
+""",
+)
+def q_jpeg_dimension_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG dimensions via the marker-segment walk — the fourth
+    multimodal decode shape and the first VARIABLE-LENGTH container
+    walk (PNG IHDR and WAV fmt are fixed-offset reads; PCM is a
+    stride demux): hop JFIF marker segments by their embedded
+    big-endian lengths until the SOF0 frame header, then read
+    precision/height/width — how every real header prober (PIL,
+    exiftool, ffprobe) finds dimensions without decoding an MCU
+    (``operators.multimodal.decode_jpeg_dimensions``). The fixture
+    JPEG (``with_jpeg_blob``, native expressions) is structurally
+    real — SOI, spec-complete APP0/JFIF, k = n%3 COM padding
+    segments of m = n%5+1 comment bytes, SOF0, SOS, payload, EOI —
+    so the SOF offset VARIES per doc and a fixed-offset read cannot
+    fake the parse; the gate hashes the offset and the hop count,
+    pinning the walk itself. The oracle replays the generation rule
+    arithmetic (offset = 20 + k·(m+4)); the decoder walks actual
+    bytes — same values iff the walk is correct, and the planted
+    pytest additionally pins hand-built JPEGs the rule never
+    generates (progressive SOF2, missing SOI, truncated-before-SOF
+    corruption). Scale: Arrow-batched mapInPandas, the per-doc loop
+    is over MARKERS (≤4 here), one bounded row per doc, blobs never
+    leave executor batches."""
+    from web_analytics_visits_re_processing_spark.operators.multimodal import (
+        decode_jpeg_dimensions,
+        with_jpeg_blob,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return decode_jpeg_dimensions(with_jpeg_blob(docs))
