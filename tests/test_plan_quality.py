@@ -519,6 +519,26 @@ def test_wedge_family_plan_trees_stay_shallow(spark, sf_dir):
         assert len(plan) < 300_000, (name, len(plan))
 
 
+def test_basket_family_reads_staged_pairs(spark, sf_dir):
+    """r9: the market-basket/graph family (10 queries) reads the ONE
+    staged basket-pair table instead of each re-running the
+    distinct-(order,part) self-join from raw lineitem. Pinned two
+    ways: the plan bottoms out at the staged parquet leaf (the
+    wavrp_stage temp dir shows up as the FileScan location), and the
+    raw fact table does NOT appear in the consumer plan (no lineitem
+    scan — the pair build is paid once per session+sf by whichever
+    family member runs first)."""
+    for name in (
+        "triangle_count_copurchase",
+        "degree_distribution_copurchase",
+        "community_modularity",
+        "association_rules_pairs",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "wavrp_stage_" in plan, name
+        assert "lineitem" not in plan, name
+
+
 def test_data_scale_ranks_are_distributed(spark, sf_dir):
     """r9 single-partition-window retirement: global ranks over
     user-/customer-/vocab-/node-grain frames (they grow with the

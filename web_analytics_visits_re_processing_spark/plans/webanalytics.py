@@ -563,21 +563,15 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The degree orientation bounds wedge enumeration at O(m^{3/2})
     under any skew — a hub part never owns its own wedges — while the
     oracle enumerates the same 3-clique set id-ordered; both unpivot
-    to identical per-node counts. Edge build is one orderkey-keyed
-    self-join (order sizes are bounded, so candidate pairs per order
-    are too)."""
+    to identical per-node counts. Edge build reads the staged
+    ``_basket_pairs`` table (one basket self-join shared by the whole
+    graph family, materialized once per session+sf)."""
     from web_analytics_visits_re_processing_spark.operators.graph import (
         triangle_counts,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    edges = _basket_pairs(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     return triangle_counts(edges).select(
         F.col("node").alias("l_partkey"), "n_triangles"
@@ -1092,25 +1086,14 @@ def q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     each survivor's in-core degree. The cohesion filter you run
     before community detection or graph-embedding training at
     100 TB. Peeling loop + scale notes in
-    ``operators/graph.py::k_core``; the edge build is the triangle
-    query's per-order pair join (order sizes are bounded, so the
-    self-join fan-out is linear in lineitems) plus the support
-    HAVING."""
+    ``operators/graph.py::k_core``; the edge build is the staged
+    ``_basket_pairs`` table (shared across the graph family) with the
+    support HAVING as a pushed-down filter on the staged file."""
     from web_analytics_visits_re_processing_spark.operators.graph import k_core
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     edges = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
+        _basket_pairs(spark, sf_dir)
+        .where(F.col("s_ab") >= 2)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return k_core(edges, k=_KCORE_K, max_iter=_KCORE_ROUNDS)
@@ -1270,29 +1253,17 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over co-purchased parts:
     a→b with integer-ppm confidence (s_ab/s_a) and ×10⁶ lift
     (s_ab·N/(s_a·s_b)), support ≥ 3 orders, top-50 by lift — the
-    Apriori level-2 pass. Scale shape: baskets collapse to distinct
-    (order, part) FIRST; the pair join fans out per order (basket
-    sizes are bounded, so linear in lineitems); the item-support
-    table is small and broadcast onto the rule set; TakeOrdered for
-    the top-50. Level-k itemsets at 100 TB iterate the same
-    candidate-join + HAVING pruning (Apriori's monotonicity), never
-    materializing unsupported candidates."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    n_orders = op.select("o").distinct().count()
-    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select("o", F.col("p").alias("pb"))
-    pair = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s_ab"))
-        .where(F.col("s_ab") >= 3)
-    )
+    Apriori level-2 pass. Scale shape: the pair counts come from the
+    staged ``_basket_pairs`` table (materialized once per session+sf,
+    shared by the whole market-basket/graph family) with the support
+    floor pushed down onto the staged file; the item-support table
+    (``_basket_items``, which also carries n_orders as a column — no
+    eager driver-side count job) is small and broadcast onto the rule
+    set; TakeOrdered for the top-50. Level-k itemsets at 100 TB
+    iterate the same candidate-join + HAVING pruning (Apriori's
+    monotonicity), never materializing unsupported candidates."""
+    pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
+    item = _basket_items(spark, sf_dir)
     rules = pair.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "s_ab"
     ).unionAll(
@@ -1300,7 +1271,9 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "s_ab"
         )
     )
-    ia = item.select(F.col("p").alias("antecedent"), F.col("s").alias("s_a"))
+    ia = item.select(
+        F.col("p").alias("antecedent"), F.col("s").alias("s_a"), "n_orders"
+    )
     ic = item.select(F.col("p").alias("consequent"), F.col("s").alias("s_c"))
     return (
         rules.join(F.broadcast(ia), "antecedent")
@@ -1310,7 +1283,7 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "consequent",
             F.col("s_ab").alias("support"),
             F.expr("(s_ab * 1000000) div s_a").alias("confidence_ppm"),
-            F.expr(f"(s_ab * {n_orders}L * 1000000) div (s_a * s_c)").alias(
+            F.expr("(s_ab * n_orders * 1000000) div (s_a * s_c)").alias(
                 "lift_x1e6"
             ),
         )
@@ -1428,22 +1401,13 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees-of-separation query. Fixed-round frontier relaxation in
     both engines (truncation is part of the contract, so there is no
     convergence race to gate). Shape + scale notes in
-    ``operators/graph.py::bfs_hops``."""
+    ``operators/graph.py::bfs_hops``; edges read the staged
+    ``_basket_pairs`` table with the support floor pushed down."""
     from web_analytics_visits_re_processing_spark.operators.graph import bfs_hops
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     edges = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
+        _basket_pairs(spark, sf_dir)
+        .where(F.col("s_ab") >= 2)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return bfs_hops(edges, source=None, max_hops=6)
@@ -1474,26 +1438,13 @@ def q_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Customers who bought X also bought…' — the per-item top-3
     serving table, the output shape recommendation carousels read.
     Same bounded-basket pair aggregation as the association rules
-    (distinct (order, part) first, per-order fan-out linear in
-    lineitems, support ≥ 2), then a part-keyed top-3 window — per-key
+    (support ≥ 2), then a part-keyed top-3 window — per-key
     state is 3 rows, and the window's exchange doubles as the
     serving table's natural bucketing (probe by part at serve time).
     The global-top-50-by-lift view and this per-item view share the
-    pair table at scale — materialize it once."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select("o", F.col("p").alias("pb"))
-    pair = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s_ab"))
-        .where(F.col("s_ab") >= 2)
-    )
+    pair table at scale — and now literally do: both read the staged
+    ``_basket_pairs`` table, materialized once per session+sf."""
+    pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 2)
     rules = pair.select(
         F.col("pa").alias("part"), F.col("pb").alias("also_bought"), "s_ab"
     ).unionAll(
@@ -1609,38 +1560,30 @@ def q_product_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     set) are exactly what component-level gates miss. Lift filtering
     keeps the graph sparse where raw co-occurrence would connect
     everything through bestsellers — the same reason the identity
-    stitcher drops promiscuous identifiers."""
+    stitcher drops promiscuous identifiers. Pair counts and item
+    supports read the staged ``_basket_pairs`` / ``_basket_items``
+    tables (materialized once per session+sf, shared family-wide)."""
     from web_analytics_visits_re_processing_spark.operators.graph import (
         connected_components,
     )
 
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    n_orders = op.select("o").distinct().count()
-    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select("o", F.col("p").alias("pb"))
-    pair = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s_ab"))
-        .where(F.col("s_ab") >= 3)
-    )
+    pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
+    item = _basket_items(spark, sf_dir)
     edges = (
         pair.join(
             F.broadcast(item.select(F.col("p").alias("pa"), F.col("s").alias("sa"))),
             "pa",
         )
         .join(
-            F.broadcast(item.select(F.col("p").alias("pb"), F.col("s").alias("sb"))),
+            F.broadcast(
+                item.select(
+                    F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
+                )
+            ),
             "pb",
         )
         .where(
-            F.expr(f"(s_ab * {n_orders}L * 1000000) div (sa * sb)") > 1_000_000
+            F.expr("(s_ab * n_orders * 1000000) div (sa * sb)") > 1_000_000
         )
         .select("pa", "pb")
     )
@@ -2221,23 +2164,11 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law diagnostic run before any graph algorithm at 100 TB:
     it sizes the hubs that decide salting strategy, triangle
     orientation, and whether a promiscuity guard is needed. Edge
-    build is the shared bounded-basket pair join; degrees are one
+    build reads the staged ``_basket_pairs`` table (shared across the
+    graph family) with the support floor pushed down; degrees are one
     map-side-combined groupBy; the histogram + CCDF window run over
     ≤ max-degree rows."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    e0 = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-    )
+    e0 = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 2)
     sym = e0.select(F.col("pa").alias("n")).unionAll(
         e0.select(F.col("pb").alias("n"))
     )
@@ -2298,26 +2229,18 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     merely-frequent pairing with a bestseller (the promiscuous-hub
     failure raw counts have, pinned by pytest). The float cosine is
     replaced by cos² in integer ppm — monotone, so the ranking is
-    identical and SQL-replayable. Scale shape: bounded-basket pair
-    join + support pruning (the shared association-rules path), item
-    supports joined back under AQE's broadcast decision, per-item
-    top-3 window on the pair table's own item-keyed exchange — the
-    serving table's natural bucketing."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    identical and SQL-replayable. Scale shape: pair counts and item
+    supports read the staged ``_basket_pairs`` / ``_basket_items``
+    tables (support pruning pushed down onto the staged file), item
+    supports broadcast back, per-item top-3 window on the pair
+    table's own item-keyed exchange — the serving table's natural
+    bucketing."""
     pairs = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cxy"))
-        .where(F.col("cxy") >= 2)
+        _basket_pairs(spark, sf_dir)
+        .where(F.col("s_ab") >= 2)
+        .select("pa", "pb", F.col("s_ab").alias("cxy"))
     )
+    item = _basket_items(spark, sf_dir)
     sym = pairs.select(
         F.col("pa").alias("item"), F.col("pb").alias("other"), "cxy"
     ).unionAll(
@@ -2325,8 +2248,8 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pb").alias("item"), F.col("pa").alias("other"), "cxy"
         )
     )
-    ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
-    ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
+    ia = item.select(F.col("p").alias("item"), F.col("s").alias("ca"))
+    ib = item.select(F.col("p").alias("other"), F.col("s").alias("cb"))
     scored = (
         sym.join(F.broadcast(ia), "item")
         .join(F.broadcast(ib), "other")
@@ -4948,19 +4871,10 @@ def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-scale refinement with an identical fixpoint.""".format(
         rounds=_SSSP_ROUNDS
     )
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     e0 = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
+        _basket_pairs(spark, sf_dir)
+        .where(F.col("s_ab") >= 2)
+        .select("pa", "pb", F.col("s_ab").alias("support"))
     )
     sym = (
         e0.select(
@@ -5961,10 +5875,24 @@ def _lp_cached(name: str, spark: SparkSession, key: str, build) -> DataFrame:
     return df
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct co-purchase part pairs (pa < pb) — the link-prediction
-    family's shared edge build (persisted: it feeds the wedge
-    enumeration AND the already-adjacent anti join in two queries)."""
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged co-purchase pair-support table ``(pa < pb, s_ab)`` with
+    NO support threshold — the ONE many-consumer intermediate of the
+    entire market-basket/graph family. Ten registry queries consume
+    it (association rules ≥3, also-bought ≥2, product communities and
+    modularity ≥3+lift, k-core ≥2, BFS ≥2, weighted SSSP ≥2, degree
+    distribution ≥2, triangles and clustering coefficient on the
+    distinct edge set, plus the link-prediction edge build); before
+    this table each of them re-ran the distinct ``(order, part)``
+    self-join from raw lineitem — ten fact-table scans and ten basket
+    fan-out shuffles for byte-identical intermediates. Materialized
+    once per (session, sf) as a parquet staging table via
+    ``_lp_cached``: lineage truncates for real, every consumer plan
+    bottoms out at a leaf file scan (with size stats, so small
+    derived sides broadcast downstream), and each consumer's support
+    threshold is a pushed-down filter on the staged file. This is the
+    100 TB shape — the basket-pair table is THE canonical staging
+    table of a retail warehouse, not a per-query rebuild."""
 
     def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
@@ -5976,11 +5904,39 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             a.join(b, "o")
             .where(F.col("pa") < F.col("pb"))
-            .select("pa", "pb")
-            .distinct()
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("s_ab"))
         )
 
-    return _lp_cached("lp_edges", spark, sf_dir, build)
+    return _lp_cached("basket_pairs", spark, sf_dir, build)
+
+
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged item-support sidecar ``(p, s, n_orders)`` — per-part
+    order counts with the distinct-order total carried as a constant
+    column, so the lift consumers (association rules, product
+    communities, modularity) read numerator AND denominator from one
+    broadcastable part-grain table instead of re-scanning lineitem
+    and running an eager ``count()`` job on the driver."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        item = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+        n = op.agg(F.countDistinct("o").alias("n_orders"))
+        return item.crossJoin(F.broadcast(n))
+
+    return _lp_cached("basket_items", spark, sf_dir, build)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase part pairs (pa < pb) — the link-prediction
+    family's shared edge build: a pure projection of the staged
+    ``_basket_pairs`` table (no second staging slot — the projection
+    off a parquet leaf is already a shallow plan)."""
+    return _basket_pairs(spark, sf_dir).select("pa", "pb")
 
 
 def _lp_kept_adjacency(spark: SparkSession, sf_dir: str, e: DataFrame):

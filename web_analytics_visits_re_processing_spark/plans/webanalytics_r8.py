@@ -2214,30 +2214,22 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     component and Q reads exactly 0 — the score refusing to call an
     unpartitioned graph clustered is precisely the signal a
     merchandiser needs before trusting the taxonomy. Scale:
-    everything past the shared
-    bounded-basket pair table runs on community-count-sized rollups;
-    the lift guard keeps the graph sparse exactly as the communities
-    query documents."""
+    pair counts and item supports read the staged ``_basket_pairs`` /
+    ``_basket_items`` tables (materialized once per session+sf,
+    shared family-wide — the same rule arithmetic as
+    product_communities by construction); everything past them runs
+    on community-count-sized rollups; the lift guard keeps the graph
+    sparse exactly as the communities query documents."""
     from web_analytics_visits_re_processing_spark.operators.graph import (
         connected_components,
     )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _basket_items,
+        _basket_pairs,
+    )
 
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    n_orders = op.select("o").distinct().count()
-    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    a = op.select("o", F.col("p").alias("pa"))
-    b = op.select("o", F.col("p").alias("pb"))
-    pair = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s_ab"))
-        .where(F.col("s_ab") >= 3)
-    )
+    pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
+    item = _basket_items(spark, sf_dir)
     edges = (
         pair.join(
             F.broadcast(
@@ -2247,12 +2239,14 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(
             F.broadcast(
-                item.select(F.col("p").alias("pb"), F.col("s").alias("sb"))
+                item.select(
+                    F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
+                )
             ),
             "pb",
         )
         .where(
-            F.expr(f"(s_ab * {n_orders}L * 1000000) div (sa * sb)")
+            F.expr("(s_ab * n_orders * 1000000) div (sa * sb)")
             > 1_000_000
         )
         .select("pa", "pb")
@@ -2847,29 +2841,22 @@ def q_clustering_coefficient_parts(
     deg·(deg−1) is even so no half-wedge rounding). Triangles come
     from the degree-ordered Suri–Vassilvitskii operator shared with
     ``triangle_count_copurchase`` (O(√m) per-reducer state under any
-    skew) over the identical distinct co-purchase edge set, so the
-    two gates cannot drift; degrees are one symmetrized groupBy.
-    Nodes with deg < 2 close no wedges (cc undefined) and are
-    excluded on both engines. Scale: the triangle shape is the
-    bounded-basket edge build + oriented intersection; everything
+    skew) over the identical distinct co-purchase edge set — now
+    literally identical: both read the staged ``_basket_pairs``
+    table — so the two gates cannot drift; degrees are one
+    symmetrized groupBy. Nodes with deg < 2 close no wedges (cc
+    undefined) and are excluded on both engines. Scale: the triangle
+    shape is one staged-leaf scan + oriented intersection; everything
     downstream is node-grained."""
     from web_analytics_visits_re_processing_spark.operators.graph import (
         triangle_counts,
     )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _basket_pairs,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+    edges = _basket_pairs(spark, sf_dir).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
     )
     deg = (
         edges.select(F.col("src").alias("node"))
