@@ -539,6 +539,23 @@ def test_basket_family_reads_staged_pairs(spark, sf_dir):
         assert "lineitem" not in plan, name
 
 
+def test_dedup_family_reads_staged_pairs(spark, sf_dir):
+    """r9: the default-parameter LSH dedup family (pair gate, CC
+    closure, leakage-safe split, cluster-size histogram) reads the
+    staged lsh_pairs_05 / dedup_comp_05 tables instead of each
+    re-running shingle → signature → band → Jaccard-verify from the
+    raw documents: staged leaf present, raw corpus absent."""
+    for name in (
+        "minhash_lsh_near_dup_pairs",
+        "dedup_connected_components",
+        "leakage_safe_split",
+        "dedup_cluster_size_histogram",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "wavrp_stage_" in plan, name
+        assert "documents" not in plan, name
+
+
 def test_data_scale_ranks_are_distributed(spark, sf_dir):
     """r9 single-partition-window retirement: global ranks over
     user-/customer-/vocab-/node-grain frames (they grow with the

@@ -336,6 +336,47 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures_df(_docs(spark, sf_dir), num_hashes=8, ngram=3)
 
 
+def _lsh_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged default-parameter near-dup pair table — the dedup
+    family's many-consumer intermediate (the basket_pairs pattern):
+    FOUR queries chain the identical 8-perm/4-band LSH candidate →
+    exact-Jaccard-≥0.5 pipeline over the same corpus (the pair gate
+    itself, the CC closure, the leakage-safe split and the
+    cluster-size histogram); before this table each re-ran
+    shingling, signature aggregation, banding and verify from the
+    raw documents. Materialized once per (session, sf) via
+    ``_lp_cached`` — a parquet leaf downstream, and the double
+    ``jaccard`` column round-trips bit-exactly."""
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
+
+    def build() -> DataFrame:
+        return minhash_lsh_near_dups(_docs(spark, sf_dir), threshold=0.5)
+
+    return _lp_cached("lsh_pairs_05", spark, sf_dir, build)
+
+
+def _dedup_components_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged transitive dedup clusters over ``_lsh_pairs_05`` —
+    ``(doc_id, component, is_canonical)``; the CC closure is itself
+    shared by three of the four pair-table consumers, so it stages
+    one level up from the pairs."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        dedup_components,
+    )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
+
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        pairs = _lsh_pairs_05(spark, sf_dir).select("id_a", "id_b")
+        return dedup_components(docs, pairs)
+
+    return _lp_cached("dedup_comp_05", spark, sf_dir, build)
+
+
 # LSH banding in SQL (mirror of operators.dedup.minhash_bands with
 # num_hashes=8, bands=4 → band b = md5(mh_{2b} || '|' || mh_{2b+1})):
 # the portable md5-based signature makes the WHOLE LSH pipeline
@@ -385,8 +426,10 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH-band→candidate→exact-Jaccard near-dup pairs. The
     oracle replays the IDENTICAL banding in SQL (portable hash), so
     this is a full hash-match on the whole LSH pipeline — candidate
-    generation included — not just the signature building block."""
-    return minhash_lsh_near_dups(_docs(spark, sf_dir), threshold=0.5)
+    generation included — not just the signature building block.
+    Reads the staged ``_lsh_pairs_05`` table (shared with the CC
+    closure / split / histogram consumers)."""
+    return _lsh_pairs_05(spark, sf_dir)
 
 
 # Realistic-parameter MinHash-LSH: 64 permutations / 16 bands of r=4
@@ -1139,14 +1182,10 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one decision a pair list alone can't make. The oracle chains
     the full LSH pair pipeline into a recursive-CTE reachability
     closure, so candidate generation, Jaccard verify AND clustering
-    are hash-gated end to end."""
-    from web_analytics_visits_re_processing_spark.operators.graph import (
-        dedup_components,
-    )
-
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_near_dups(docs, threshold=0.5).select("id_a", "id_b")
-    return dedup_components(docs, pairs)
+    are hash-gated end to end. Reads the staged
+    ``_dedup_components_05`` table (shared with the split and
+    histogram consumers)."""
+    return _dedup_components_05(spark, sf_dir)
 
 
 # --- deterministic sampling + chunking ---------------------------------------
@@ -2624,16 +2663,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination failure). Side = portable hash of the component
     label mod 10 (< 8 → train), so every member of a component lands
     together by construction. Chains the full LSH pair pipeline +
-    min-label clustering; the oracle replays all of it plus the split
+    min-label clustering (via the staged ``_dedup_components_05``
+    table); the oracle replays all of it plus the split
     arithmetic."""
     from web_analytics_visits_re_processing_spark.functions.text import hash64
-    from web_analytics_visits_re_processing_spark.operators.graph import (
-        dedup_components,
-    )
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_near_dups(docs, threshold=0.5).select("id_a", "id_b")
-    comp = dedup_components(docs, pairs).select("doc_id", "component")
+    comp = _dedup_components_05(spark, sf_dir).select("doc_id", "component")
     side = hash64(F.col("component").cast("string")) % 10
     return comp.select(
         "doc_id",
@@ -3409,16 +3444,11 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads before committing a dedup run: the distribution of near-dup
     cluster sizes, with per-size doc counts and the removable-doc
     total (size − 1 per cluster, keep-one policy). Composes the LSH
-    pair pipeline + CC closure (both already gated) with a two-level
+    pair pipeline + CC closure (both already gated, both read from
+    the staged ``_dedup_components_05`` table) with a two-level
     rollup; at 100 TB this is the report that decides whether dedup
     is worth a full-corpus rewrite (Σ removable vs corpus size)."""
-    from web_analytics_visits_re_processing_spark.operators.graph import (
-        dedup_components,
-    )
-
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_near_dups(docs, threshold=0.5).select("id_a", "id_b")
-    comp = dedup_components(docs, pairs)
+    comp = _dedup_components_05(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
