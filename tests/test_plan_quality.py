@@ -554,6 +554,13 @@ def test_dedup_family_reads_staged_pairs(spark, sf_dir):
         plan = _plan(spark, name, sf_dir)
         assert "wavrp_stage_" in plan, name
         assert "documents" not in plan, name
+    # the 64/16 candidate table is shared by the realistic gate and
+    # the recall eval; both legitimately ALSO scan documents (the
+    # Jaccard verify / the exact-truth side), so only the staged
+    # leaf is pinned here.
+    for name in ("minhash_realistic_near_dup_pairs", "lsh_recall_vs_truth"):
+        plan = _plan(spark, name, sf_dir)
+        assert "wavrp_stage_" in plan, name
 
 
 def test_data_scale_ranks_are_distributed(spark, sf_dir):

@@ -357,6 +357,28 @@ def _lsh_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lp_cached("lsh_pairs_05", spark, sf_dir, build)
 
 
+def _lsh_cand_64_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged production-parameter (64-perm / 16×4-band) LSH
+    CANDIDATE pair set ``(id_a, id_b)`` — shared by the realistic
+    near-dup gate (which Jaccard-verifies it) and the recall/precision
+    eval (which scores it against exact truth); before this table
+    both re-ran shingle → 64-hash signature → 16-band melt →
+    band self-join from the raw corpus."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
+
+    def build() -> DataFrame:
+        return minhash_lsh_candidates(
+            _docs(spark, sf_dir), num_hashes=64, bands=16, ngram=3
+        )
+
+    return _lp_cached("lsh_cand_64_16", spark, sf_dir, build)
+
+
 def _dedup_components_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged transitive dedup clusters over ``_lsh_pairs_05`` —
     ``(doc_id, component, is_canonical)``; the CC closure is itself
@@ -496,9 +518,15 @@ def q_minhash_realistic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame
     all ride the ONE shingle-hash shuffle's map-side combine, and the
     band melt emits 16 small rows per doc — so the scale contract
     (shuffle ∝ docs×bands, never docs²) is unchanged; only the
-    constants grow."""
-    return minhash_lsh_near_dups(
-        _docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.5
+    constants grow. The candidate set reads the staged
+    ``_lsh_cand_64_16`` table (shared with the recall eval); the
+    Jaccard verify runs on top."""
+    from web_analytics_visits_re_processing_spark.operators.dedup import (
+        jaccard_verify,
+    )
+
+    return jaccard_verify(
+        _lsh_cand_64_16(spark, sf_dir), _docs(spark, sf_dir), threshold=0.5
     )
 
 
@@ -4667,11 +4695,10 @@ def q_lsh_recall_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from web_analytics_visits_re_processing_spark.operators.dedup import (
         MINHASH_M,
-        minhash_lsh_candidates,
     )
 
     docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_candidates(docs, num_hashes=64, bands=16, ngram=3)
+    cand = _lsh_cand_64_16(spark, sf_dir)
     hsx0 = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("_s"),
