@@ -563,17 +563,11 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The degree orientation bounds wedge enumeration at O(m^{3/2})
     under any skew — a hub part never owns its own wedges — while the
     oracle enumerates the same 3-clique set id-ordered; both unpivot
-    to identical per-node counts. Edge build reads the staged
-    ``_basket_pairs`` table (one basket self-join shared by the whole
-    graph family, materialized once per session+sf)."""
-    from web_analytics_visits_re_processing_spark.operators.graph import (
-        triangle_counts,
-    )
-
-    edges = _basket_pairs(spark, sf_dir).select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    )
-    return triangle_counts(edges).select(
+    to identical per-node counts. Reads the staged
+    ``_basket_triangles`` table (edge build AND the triangle pipeline
+    itself are shared with the clustering-coefficient gate,
+    materialized once per session+sf)."""
+    return _basket_triangles(spark, sf_dir).select(
         F.col("node").alias("l_partkey"), "n_triangles"
     )
 
@@ -5937,6 +5931,29 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_basket_pairs`` table (no second staging slot — the projection
     off a parquet leaf is already a shallow plan)."""
     return _basket_pairs(spark, sf_dir).select("pa", "pb")
+
+
+def _basket_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged per-node triangle counts over the co-purchase edge set
+    — ``(node, n_triangles)`` from the degree-ordered Suri–
+    Vassilvitskii operator. The triangle pipeline (orientation join,
+    adjacency groupBy, two edge⋈adjacency joins) is the single most
+    expensive shape in the graph family and BOTH the triangle gate
+    and the clustering-coefficient gate ran it in full over the
+    identical staged edge set; staged one level up, each gate is a
+    leaf scan + its own projection/rollup."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    def build() -> DataFrame:
+        return triangle_counts(
+            _basket_pairs(spark, sf_dir).select(
+                F.col("pa").alias("src"), F.col("pb").alias("dst")
+            )
+        )
+
+    return _lp_cached("basket_triangles", spark, sf_dir, build)
 
 
 def _lp_kept_adjacency(spark: SparkSession, sf_dir: str, e: DataFrame):

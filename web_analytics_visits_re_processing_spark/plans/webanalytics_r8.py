@@ -2846,13 +2846,12 @@ def q_clustering_coefficient_parts(
     table — so the two gates cannot drift; degrees are one
     symmetrized groupBy. Nodes with deg < 2 close no wedges (cc
     undefined) and are excluded on both engines. Scale: the triangle
-    shape is one staged-leaf scan + oriented intersection; everything
-    downstream is node-grained."""
-    from web_analytics_visits_re_processing_spark.operators.graph import (
-        triangle_counts,
-    )
+    counts read the staged ``_basket_triangles`` table (the oriented
+    intersection is paid once, shared with the triangle gate);
+    everything downstream is node-grained."""
     from web_analytics_visits_re_processing_spark.plans.webanalytics import (
         _basket_pairs,
+        _basket_triangles,
     )
 
     edges = _basket_pairs(spark, sf_dir).select(
@@ -2865,7 +2864,7 @@ def q_clustering_coefficient_parts(
         .agg(F.count(F.lit(1)).alias("degree"))
         .where(F.col("degree") >= 2)
     )
-    tri = triangle_counts(edges)
+    tri = _basket_triangles(spark, sf_dir)
     nodes = deg.join(tri, "node", "left").select(
         "node",
         "degree",
