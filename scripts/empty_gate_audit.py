@@ -117,10 +117,16 @@ THIN_TRIAGED = {
 def main() -> int:
     """Exit nonzero only for untriaged zero-row or single-row gates
     at the DRIVER scale (sf0.01) — that is where a blind gate hashes
-    nothing (or almost nothing). Smallest-fixture sparsity empties
-    (e.g. embedding_near_dup_pairs and sql_q7_nation_trade_volume at
-    sf0.001, both non-empty at sf0.01) are data properties and report
-    informationally."""
+    nothing (or almost nothing). Off-gate-scale empties are data
+    properties and report informationally: embedding_near_dup_pairs
+    and sql_q7_nation_trade_volume are empty at sf0.001 only
+    (fixture sparsity); kcore_copurchase_parts and
+    sql_q11_important_parts are empty at sf0.1 only (support
+    DILUTION — 10× parts make repeat co-purchase pairs rarer, so the
+    support-≥2 graph has no 3-core; Q11's value threshold scales
+    with the total, pruning all parts). Both verified engine-
+    consistent at sf0.1 (Spark and DuckDB each return 0 rows,
+    r9)."""
     sfs = sys.argv[1:] or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
