@@ -576,6 +576,12 @@ def test_data_scale_ranks_are_distributed(spark, sf_dir):
         "score_decile_gains",
         "power_users_pareto",
         "lorenz_curve_deciles",
+        # second audit pass: user-grain RFM quintiles, the part-grain
+        # ABC cumulative-revenue walk, and the price×size-grid
+        # skyline running max
+        "rfm_segments",
+        "abc_classification_parts",
+        "skyline_parts_price_size",
     ):
         plan = _plan(spark, name, sf_dir)
         assert "rangepartitioning" in plan, name
@@ -591,6 +597,8 @@ def test_topk_ranks_use_take_ordered(spark, sf_dir):
         "count_min_heavy_hitters",
         "streaming_topk_user_leaderboard",
         "streaming_count_min_sketch",
+        # second audit pass: node-grain HITS authority top-20
+        "hits_copurchase_authorities",
     ):
         plan = _plan(spark, name, sf_dir)
         assert "TakeOrderedAndProject" in plan, name

@@ -170,6 +170,87 @@ def test_global_ntile_matches_spark_ntile(spark):
         assert got == expect, (n_rows, n_buckets)
 
 
+def test_global_running_sum_matches_window(spark):
+    """The two-pass cumulative sum must equal the single-partition
+    ROWS UNBOUNDED PRECEDING window on a total order — shuffled
+    frame, duplicate order values with a tiebreak, negative values
+    (so a wrong prefix CAN'T hide behind monotonicity), partition
+    counts bracketing the data (1, 7, and more partitions than
+    rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_running_sum,
+    )
+
+    df = spark.range(137).select(
+        (F.col("id") % 13).alias("v"),
+        F.col("id").alias("tb"),
+        (F.col("id") * 7 % 29 - 14).alias("x"),
+    )
+    expect = {
+        (r["v"], r["tb"]): r["cum"]
+        for r in df.select(
+            "v", "tb",
+            F.sum("x").over(
+                Window.orderBy("v", "tb").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).alias("cum"),
+        ).collect()
+    }
+    for nparts in (1, 7, 200):
+        got = {
+            (r["v"], r["tb"]): r["cum"]
+            for r in global_running_sum(
+                df, ["v", "tb"], "x", "cum", num_partitions=nparts
+            ).collect()
+        }
+        assert got == expect, nparts
+
+
+def test_global_running_max_matches_window(spark):
+    """The two-pass strictly-preceding running max must equal the
+    single-partition ROWS ... AND 1 PRECEDING window max, INCLUDING
+    the NULL on the global first row and the partition-boundary
+    first rows (where the answer comes ONLY from the broadcast
+    prefix-partition max — the branch a single-partition run never
+    exercises)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_running_max,
+    )
+
+    # non-monotone value sequence so the running max plateaus and
+    # drops below current values in places
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("v"),
+        F.col("id").alias("tb"),
+        (F.col("id") * 13 % 41).alias("x"),
+    )
+    rows = df.select(
+        "v", "tb",
+        F.max("x").over(
+            Window.orderBy("v", "tb").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ).alias("pm"),
+    ).collect()
+    expect = {(r["v"], r["tb"]): r["pm"] for r in rows}
+    assert None in expect.values()  # the global first row
+    for nparts in (1, 7, 200):
+        got = {
+            (r["v"], r["tb"]): r["pm"]
+            for r in global_running_max(
+                df, ["v", "tb"], "x", "pm", num_partitions=nparts
+            ).collect()
+        }
+        assert got == expect, nparts
+
+
 # --- JPEG marker walk ---------------------------------------------------------
 
 

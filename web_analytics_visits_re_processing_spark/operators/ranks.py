@@ -73,6 +73,100 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols,
+    val_col: str,
+    out_col: str = "run_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Cumulative sum of ``val_col`` over a TOTAL order, current row
+    included (``ROWS UNBOUNDED PRECEDING``) — the Pareto/ABC walk —
+    without a single-partition window: range-partition on the order
+    key, running-sum LOCALLY, then add the broadcast prefix totals of
+    the earlier partitions. The only single-partition window left is
+    over the ≤ num_partitions-row per-partition-total table."""
+    local = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_grk_pid", F.spark_partition_id())
+        .withColumn(
+            "_grk_ls",
+            F.sum(val_col).over(
+                Window.partitionBy("_grk_pid")
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("_grk_pid")
+        .agg(F.sum(val_col).alias("_grk_t"))
+        .select(
+            "_grk_pid",
+            F.coalesce(
+                F.sum("_grk_t").over(
+                    Window.orderBy("_grk_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_grk_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_grk_pid")
+        .withColumn(out_col, F.col("_grk_ls") + F.col("_grk_off"))
+        .drop("_grk_pid", "_grk_ls", "_grk_off")
+    )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols,
+    val_col: str,
+    out_col: str = "run_max",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Running max of ``val_col`` over the STRICTLY PRECEDING rows of
+    a TOTAL order (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING``) — the 2-D skyline sweep convention, where the first
+    row reads NULL because nothing precedes it. Distributed the same
+    two-pass way: local strictly-preceding running max per range
+    partition, combined via ``greatest`` (null-skipping) with the
+    broadcast prefix max of the earlier partitions."""
+    local = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_grk_pid", F.spark_partition_id())
+        .withColumn(
+            "_grk_lm",
+            F.max(val_col).over(
+                Window.partitionBy("_grk_pid")
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("_grk_pid")
+        .agg(F.max(val_col).alias("_grk_m"))
+        .select(
+            "_grk_pid",
+            F.max("_grk_m")
+            .over(
+                Window.orderBy("_grk_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("_grk_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_grk_pid")
+        .withColumn(out_col, F.greatest("_grk_lm", "_grk_off"))
+        .drop("_grk_pid", "_grk_lm", "_grk_off")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols,

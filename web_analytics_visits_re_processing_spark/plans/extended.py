@@ -2250,11 +2250,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency and monetary cents, each quintile-scored by
     deterministic ntile (5 = best; user_id tiebreaks), concatenated
     into the 'R5F4M3' segment code a campaign tool consumes. The
-    unpartitioned ntile windows rank USERS (cardinality thousands,
-    not events) — the same deliberate single-partition trade as the
-    weekly-KPI lag; at true scale swap in the histogram-quantile
-    boundaries broadcast as a lookup."""
-    from pyspark.sql import Window
+    quintiles rank USERS — a frame that grows with the data — so all
+    three ride the distributed two-pass ntile (operators.ranks,
+    pinned against F.ntile by pytest); no unpartitioned window
+    remains (r9 single-partition-window retirement)."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_ntile,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
@@ -2274,13 +2276,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
-    f_w = Window.orderBy("frequency", "user_id")
-    m_w = Window.orderBy("monetary_cents", "user_id")
-    scored = (
-        rfm.withColumn("r_score", F.ntile(5).over(r_w))
-        .withColumn("f_score", F.ntile(5).over(f_w))
-        .withColumn("m_score", F.ntile(5).over(m_w))
+    scored = global_ntile(
+        rfm, [F.col("recency_days").desc(), F.col("user_id")], 5, "r_score"
+    )
+    scored = global_ntile(scored, ["frequency", "user_id"], 5, "f_score")
+    scored = global_ntile(
+        scored, ["monetary_cents", "user_id"], 5, "m_score"
     )
     return scored.select(
         "user_id",
@@ -3945,13 +3946,17 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS definition; this side computes the frontier with the
     2-D skyline rewrite — sort by (price asc, size desc), keep a
     point iff its size strictly exceeds the running max BEFORE it —
-    one window over the distinct-point rollup instead of a self-join,
-    and the hash gate PROVES the rewrite equals the definition. At
-    100 TB the points pre-aggregate map-side (the frontier's input is
-    the distinct-value grid, not rows), and d>2 skylines escalate to
-    grid-partitioned block-nested-loop — the 2-D window form stays
-    the pruning pass."""
-    from pyspark.sql import Window
+    over the distinct-point rollup instead of a self-join, and the
+    hash gate PROVES the rewrite equals the definition. The
+    distinct-value grid still grows with the data (price is
+    data-valued), so the strictly-preceding running max rides the
+    distributed two-pass form (operators.ranks.global_running_max,
+    r9 single-partition-window retirement); d>2 skylines escalate to
+    grid-partitioned block-nested-loop — the 2-D sweep stays the
+    pruning pass."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_running_max,
+    )
 
     p = load_table(spark, sf_dir, "part")
     pts = p.groupBy(
@@ -3963,10 +3968,12 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_partkey").alias("example_partkey"),
         F.count(F.lit(1)).alias("n_parts"),
     )
-    w = Window.orderBy(
-        F.col("price_cents"), F.col("size").desc()
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    flagged = pts.withColumn("prev_max_size", F.max("size").over(w))
+    flagged = global_running_max(
+        pts,
+        [F.col("price_cents"), F.col("size").desc()],
+        "size",
+        "prev_max_size",
+    )
     return flagged.where(
         F.col("prev_max_size").isNull()
         | (F.col("size") > F.col("prev_max_size"))
@@ -4172,22 +4179,22 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Pareto statement with actionable names. Threshold tests
     cross-multiply (cum·100 ≤ total·80) so no float share exists;
     the per-part rollup collapses lineitems first and the cumulative
-    window walks parts."""
-    from pyspark.sql import Window
+    walk over parts — a frame that GROWS with the data — rides the
+    distributed two-pass running sum (operators.ranks, r9
+    single-partition-window retirement); the grand total is a 1-row
+    broadcast, never an all-rows window."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_running_sum,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("cents")
     )
-    wr = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "cents",
-        F.sum("cents").over(wr).alias("cum"),
-        F.sum("cents").over(wall).alias("total"),
-    )
+    total = rev.agg(F.sum("cents").alias("total"))
+    ranked = global_running_sum(
+        rev, [F.col("cents").desc(), "l_partkey"], "cents", "cum"
+    ).crossJoin(F.broadcast(total)).select("cents", "cum", "total")
     classed = ranked.select(
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")

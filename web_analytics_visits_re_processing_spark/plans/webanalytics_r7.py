@@ -572,10 +572,16 @@ def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a = hits_bipartite_scaled(edges, n_rounds=2)
+    # TakeOrdered top-20 first (distributed per-partition heaps),
+    # then rank the bounded 20-row result — r9 single-partition-
+    # window retirement (the authority table is node-grain and grows
+    # with the data; the old plan ranked ALL nodes on one task to
+    # keep 20).
     w = Window.orderBy(F.col("authority_e6").desc(), "node")
     return (
-        a.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
+        a.orderBy(F.col("authority_e6").desc(), "node")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w))
         .select(
             F.col("node").alias("part"),
             "authority_e6",

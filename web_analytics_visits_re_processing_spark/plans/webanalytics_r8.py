@@ -2294,13 +2294,16 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib_ppm"),
         )
     )
-    return rows.select(
-        "*",
-        F.sum("q_contrib_ppm")
-        .over(Window.partitionBy())
-        .cast("long")
-        .alias("modularity_ppm"),
+    # The per-community stat table GROWS with the graph, so the
+    # global Q total must not ride an all-rows window (single task).
+    # Stage the bounded community table once (house pattern), then
+    # the total is a leaf-scan aggregate broadcast back — r9
+    # single-partition-window retirement, second audit pass.
+    rows_staged = _persisted("modularity_comm", spark, sf_dir, lambda: rows)
+    tot = rows_staged.agg(
+        F.sum("q_contrib_ppm").cast("long").alias("modularity_ppm")
     )
+    return rows_staged.crossJoin(F.broadcast(tot))
 
 
 @query(
