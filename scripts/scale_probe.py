@@ -157,6 +157,13 @@ PROBE_QUERIES = [
     # variable-length JPEG marker walk.
     "audio_stereo_channel_profile",
     "jpeg_dimension_parse",
+    # round-9 second-audit-pass conversions: the distributed RFM
+    # quintiles (3 range-partitioned ntiles over users), the ABC
+    # cumulative-revenue walk (distributed running sum over parts),
+    # and the skyline running max over the growing price×size grid.
+    "rfm_segments",
+    "abc_classification_parts",
+    "skyline_parts_price_size",
 ]
 
 
@@ -249,6 +256,36 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
         for p in cparts[1:]:
             cscaled = cscaled.unionAll(p)
         cscaled.repartition(32).write.mode("overwrite").parquet(cust_out)
+
+    # part joined the probe in round 9 (the skyline sweep reads it):
+    # p_partkey shifts per replica, and p_retailprice gets a
+    # deterministic per-replica cent nudge so the DISTINCT
+    # (price_cents, size) grid grows with the data — replicating
+    # identical prices 10× would only inflate the per-point counts
+    # and leave the skyline's actual input (the grid) fixed, the same
+    # honesty convention as the doc-text suffix and the embedding
+    # first-dim nudge. The partkey offset matches lineitem's
+    # (max l_partkey + 1 == max p_partkey + 1 in the shipped
+    # fixtures) so part ⋈ lineitem keys stay aligned per replica.
+    part_out = f"{out_dir}/part.parquet"
+    if not os.path.exists(part_out):
+        prt = spark.read.parquet(f"{BASE_SF}/part.parquet")
+        n_prt = prt.agg(F.max("p_partkey")).first()[0] + 1
+        pcols = [
+            c for c in prt.columns if c not in ("p_partkey", "p_retailprice")
+        ]
+        pparts = [
+            prt.select(
+                (F.col("p_partkey") + i * n_prt).alias("p_partkey"),
+                (F.col("p_retailprice") + i * 0.01).alias("p_retailprice"),
+                *pcols,
+            )
+            for i in range(REPLICAS)
+        ]
+        pscaled = pparts[0]
+        for p in pparts[1:]:
+            pscaled = pscaled.unionAll(p)
+        pscaled.repartition(32).write.mode("overwrite").parquet(part_out)
 
     if os.path.exists(os.path.join(out_dir, "_READY")):
         return

@@ -449,11 +449,15 @@ def test_audience_overlap_equi_join(spark, sf_dir):
 
 
 def test_skyline_no_self_join(spark, sf_dir):
-    """The frontier comes from ONE window over the distinct-point
-    rollup — the quadratic NOT-EXISTS anti-join shape must not
-    appear in the physical plan."""
+    """The frontier comes from the distributed running-max sweep over
+    the distinct-point rollup — the quadratic NOT-EXISTS anti-join
+    shape must not appear in the physical plan. The only join allowed
+    is the broadcast of the ≤ num_partitions-row prefix-max offset
+    table (r9 two-pass conversion of the single-partition window)."""
     plan = _plan(spark, "skyline_parts_price_size", sf_dir)
-    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") <= 1, plan
     assert plan.count("HashAggregate") >= 2, plan
 
 

@@ -1218,7 +1218,8 @@ def q_mde_detectable_lifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
     )
     u = (
-        ev.join(F.broadcast(c), "user_id")
+        # customer is SF-linear: no forced broadcast hint
+        ev.join(c, "user_id")
         .groupBy("seg", "user_id")
         .agg(
             F.max(

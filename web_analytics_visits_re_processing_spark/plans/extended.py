@@ -2367,7 +2367,9 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     dels = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
 
     def split(df: DataFrame, key: str, name: str) -> DataFrame:
-        d = F.broadcast(dels.select(F.col("c_custkey").alias(key)))
+        # the deletion list is customer-grain (a real purge queue
+        # grows with the user base): no forced broadcast hint
+        d = dels.select(F.col("c_custkey").alias(key))
         gone = df.join(d, key, "left_semi").agg(
             F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n_deleted")
         )
@@ -2951,8 +2953,11 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     rev = (
+        # supplier is SF-linear (10k × SF): no forced broadcast hint —
+        # size-based planning broadcasts while it fits, shuffles at
+        # 100 TB (r9 forced-broadcast audit)
         li.join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            s.select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == s["s_suppkey"],
         )
         .groupBy("s_nationkey", "l_suppkey")
@@ -3480,12 +3485,15 @@ def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Return-rate screen per brand: line share AND value share of
     returned items in ppm — the two diverge exactly when expensive
     items return disproportionately, which is the fraud/quality
-    signal the single rate hides. Part dimension broadcasts; one
-    conditional map-side aggregate per brand."""
+    signal the single rate hides. The part-dimension join rides
+    size-based planning (broadcast while it fits); one conditional
+    map-side aggregate per brand."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # part is SF-linear: no forced broadcast hint (size-based
+    # planning; a hint would pin the 100 TB plan to a driver build)
     j = li.join(
-        F.broadcast(p.select("p_partkey", "p_brand")),
+        p.select("p_partkey", "p_brand"),
         li["l_partkey"] == p["p_partkey"],
     )
     ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
@@ -3554,8 +3562,10 @@ def q_discount_quantity_spearman(
 
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # part is SF-linear: no forced broadcast hint (size-based
+    # planning; a hint would pin the 100 TB plan to a driver build)
     j = li.join(
-        F.broadcast(p.select("p_partkey", "p_brand")),
+        p.select("p_partkey", "p_brand"),
         li["l_partkey"] == p["p_partkey"],
     )
     # The fixture has duplicate (orderkey, linenumber) rows, so no
@@ -4195,9 +4205,23 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_running_sum(
         rev, [F.col("cents").desc(), "l_partkey"], "cents", "cum"
     ).crossJoin(F.broadcast(total)).select("cents", "cum", "total")
+    # decimal(38,0) widening before every multiply against the grand
+    # total: cum/total are corpus-level cent sums, so cum·100 and
+    # revenue_cents·1e6 blow past int64 once the corpus does (the
+    # 10× probe caught the share term overflowing at ~2.3e14 cents
+    # total; DuckDB's HUGEINT side never noticed). The thresholds
+    # stay exact cross-multiplied integer tests — just wider.
     classed = ranked.select(
-        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        F.when(
+            F.col("cum").cast("decimal(38,0)") * 100
+            <= F.col("total").cast("decimal(38,0)") * 80,
+            "A",
+        )
+        .when(
+            F.col("cum").cast("decimal(38,0)") * 100
+            <= F.col("total").cast("decimal(38,0)") * 95,
+            "B",
+        )
         .otherwise("C")
         .alias("abc_class"),
         "cents",
@@ -4211,9 +4235,9 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "revenue_cents",
         F.expr(
-            "(revenue_cents * 1000000)"
+            "(cast(revenue_cents as decimal(38,0)) * 1000000)"
             " div sum(revenue_cents) over ()"
-        ).alias("revenue_share_ppm"),
+        ).cast("long").alias("revenue_share_ppm"),
     )
 
 

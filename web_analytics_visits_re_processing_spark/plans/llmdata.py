@@ -3245,8 +3245,10 @@ def q_fuzzy_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     union_sz = F.col("p_sz") + F.col("n_sz") - F.col("inter")
     verified = (
-        cand.join(F.broadcast(sizes_p), "probe")
-        .join(F.broadcast(sizes_n), "name")
+        # gram-count sidecars are probe-/doc-grain (grow with the
+        # data): no forced broadcast hint — size-based planning
+        cand.join(sizes_p, "probe")
+        .join(sizes_n, "name")
         .where(F.col("inter") * 5 >= 2 * union_sz)
         .select(
             "probe",
@@ -4057,7 +4059,8 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared",
         )
     )
-    scored = directed.join(F.broadcast(sizes), "doc_id").select(
+    # per-doc gram counts are doc-grain: no forced broadcast hint
+    scored = directed.join(sizes, "doc_id").select(
         "doc_id",
         "container_id",
         "n_grams",

@@ -1270,8 +1270,10 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ic = item.select(F.col("p").alias("consequent"), F.col("s").alias("s_c"))
     return (
-        rules.join(F.broadcast(ia), "antecedent")
-        .join(F.broadcast(ic), "consequent")
+        # item supports are part-grain (SF-linear): no forced
+        # broadcast hint — size-based planning (r9 audit)
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
         .select(
             "antecedent",
             "consequent",
@@ -1564,15 +1566,15 @@ def q_product_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
     item = _basket_items(spark, sf_dir)
     edges = (
+        # item supports are part-grain (SF-linear): no forced
+        # broadcast hint — size-based planning (r9 audit)
         pair.join(
-            F.broadcast(item.select(F.col("p").alias("pa"), F.col("s").alias("sa"))),
+            item.select(F.col("p").alias("pa"), F.col("s").alias("sa")),
             "pa",
         )
         .join(
-            F.broadcast(
-                item.select(
-                    F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
-                )
+            item.select(
+                F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
             ),
             "pb",
         )
@@ -2245,8 +2247,10 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("p").alias("item"), F.col("s").alias("ca"))
     ib = item.select(F.col("p").alias("other"), F.col("s").alias("cb"))
     scored = (
-        sym.join(F.broadcast(ia), "item")
-        .join(F.broadcast(ib), "other")
+        # item supports are part-grain (SF-linear): no forced
+        # broadcast hint — size-based planning (r9 audit)
+        sym.join(ia, "item")
+        .join(ib, "other")
         .select(
             "item",
             "other",
@@ -4143,8 +4147,10 @@ def q_recommendation_coverage(
     ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
     ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
     scored = (
-        sym.join(F.broadcast(ia), "item")
-        .join(F.broadcast(ib), "other")
+        # item supports are part-grain (SF-linear): no forced
+        # broadcast hint — size-based planning (r9 audit)
+        sym.join(ia, "item")
+        .join(ib, "other")
         .select(
             "item",
             "other",
@@ -4376,8 +4382,10 @@ def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
     ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
     scored = (
-        sym.join(F.broadcast(ia), "item")
-        .join(F.broadcast(ib), "other")
+        # item supports are part-grain (SF-linear): no forced
+        # broadcast hint — size-based planning (r9 audit)
+        sym.join(ia, "item")
+        .join(ib, "other")
         .select(
             "item",
             "other",
@@ -5482,7 +5490,9 @@ def q_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer")
     tagged = ev.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        # customer is SF-linear: no forced broadcast hint (size-based
+        # planning; a hint would pin the 100 TB plan to a driver build)
+        c.select("c_custkey", "c_mktsegment"),
         ev["user_id"] == c["c_custkey"],
     ).select(
         F.col("c_mktsegment").alias("seg"),
@@ -5596,7 +5606,9 @@ def q_mix_vs_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer")
     tagged = ev.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        # customer is SF-linear: no forced broadcast hint (size-based
+        # planning; a hint would pin the 100 TB plan to a driver build)
+        c.select("c_custkey", "c_mktsegment"),
         ev["user_id"] == c["c_custkey"],
     ).select(
         F.col("c_mktsegment").alias("seg"),

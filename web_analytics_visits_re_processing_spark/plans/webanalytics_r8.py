@@ -1430,7 +1430,9 @@ def q_cmh_stratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     tagged = ev.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        # customer is SF-linear: no forced broadcast hint (size-based
+        # planning; a hint would pin the 100 TB plan to a driver build)
+        c.select("c_custkey", "c_mktsegment"),
         ev["user_id"] == c["c_custkey"],
     ).select(
         F.col("c_mktsegment").alias("seg"),
@@ -1596,7 +1598,9 @@ def q_bh_fdr_segment_ztests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     tagged = ev.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        # customer is SF-linear: no forced broadcast hint (size-based
+        # planning; a hint would pin the 100 TB plan to a driver build)
+        c.select("c_custkey", "c_mktsegment"),
         ev["user_id"] == c["c_custkey"],
     ).select(
         F.col("c_mktsegment").alias("seg"),
@@ -2231,17 +2235,15 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
     item = _basket_items(spark, sf_dir)
     edges = (
+        # item supports are part-grain (SF-linear): no forced
+        # broadcast hint — size-based planning (r9 audit)
         pair.join(
-            F.broadcast(
-                item.select(F.col("p").alias("pa"), F.col("s").alias("sa"))
-            ),
+            item.select(F.col("p").alias("pa"), F.col("s").alias("sa")),
             "pa",
         )
         .join(
-            F.broadcast(
-                item.select(
-                    F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
-                )
+            item.select(
+                F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
             ),
             "pb",
         )
@@ -3673,7 +3675,8 @@ def q_segment_priority_association(
     cust = load_table(spark, sf_dir, "customer")
     cells = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            # customer is SF-linear: no forced broadcast hint
+            cust.select("c_custkey", "c_mktsegment"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .groupBy(

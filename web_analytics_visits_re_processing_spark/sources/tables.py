@@ -25,10 +25,17 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimensions small enough to broadcast at any realistic scale factor;
-# load_table stamps these with a broadcast hint so every join against
-# them plans broadcast-hash regardless of stale size statistics.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+# Dimensions small enough to broadcast at ANY scale factor — only the
+# TPC-H constant-cardinality enums qualify (region = 5 rows, nation =
+# 25 by spec, independent of SF). load_table stamps these with a
+# broadcast hint so every join against them plans broadcast-hash
+# regardless of stale size statistics. supplier/customer/part are NOT
+# here: they scale linearly with SF (10k/150k/200k × SF), so a forced
+# hint — which AQE cannot override — would pin every consumer to a
+# driver-side broadcast build at 100 TB. Those joins carry no hint and
+# ride size-based planning: broadcast while the side fits the
+# threshold, shuffle join beyond (r9 forced-broadcast audit).
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
