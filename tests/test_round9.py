@@ -251,6 +251,71 @@ def test_global_running_max_matches_window(spark):
         assert got == expect, nparts
 
 
+# --- int64-overflow widening (the probe-class lesson, regression-pinned) -----
+
+
+def _write_big_value_events(spark, tmp_path, value, n=10):
+    """n purchase events of the given dollar value — values chosen so
+    corpus-level cent sums push the PRE-widening ×1e6 intermediates
+    past int64 while every RESULT stays in range. Under the ANSI
+    session these tests THREW ARITHMETIC_OVERFLOW before the
+    decimal(38,0) widening."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, t0 + dt.timedelta(minutes=i), i, "purchase", value, "")
+            for i in range(n)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_trimmed_mean_survives_big_cents(spark, tmp_path):
+    """10 events of $2e10 → cents 2e12 each; the middle-80% trim
+    keeps 8 rows, so the share numerator is 1.6e13·1e6 = 1.6e19 —
+    past int64, inside decimal(38,0). Result: mean 2e12 cents →
+    2e18 ppm exactly."""
+    sf = _write_big_value_events(spark, tmp_path, 2e10)
+    rows = QUERIES["trimmed_mean_by_type"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_kept"] == 8
+    assert r["kept_cents"] == 16_000_000_000_000
+    assert r["trimmed_mean_ppm"] == 2_000_000_000_000_000_000
+
+
+def test_winsorized_mean_survives_big_cents(spark, tmp_path):
+    """Same corpus: all values equal so lo = hi = 2e12 and the
+    winsorized sum is 2e13 → ×1e6 = 2e19 pre-widening overflow;
+    result 2e18 ppm."""
+    sf = _write_big_value_events(spark, tmp_path, 2e10)
+    r = QUERIES["winsorized_mean_by_type"](spark, sf).collect()[0]
+    assert r["n"] == 10
+    assert r["lo_cents"] == r["hi_cents"] == 2_000_000_000_000
+    assert r["winsorized_mean_ppm"] == 2_000_000_000_000_000_000
+
+
+def test_power_users_pareto_survives_big_cents(spark, tmp_path):
+    """10 users × one $1e11 purchase → 1e13 cents per user; each
+    decile holds one user and its share numerator is 1e13·1e6 =
+    1e19 — pre-widening overflow. Every decile reads exactly
+    100000 ppm of the 1e14 total."""
+    sf = _write_big_value_events(spark, tmp_path, 1e11)
+    rows = QUERIES["power_users_pareto"](spark, sf).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_users"] == 1
+        assert r["revenue_cents"] == 10_000_000_000_000
+        assert r["revenue_share_ppm"] == 100_000
+
+
 # --- JPEG marker walk ---------------------------------------------------------
 
 

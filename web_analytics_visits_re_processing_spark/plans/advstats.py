@@ -211,8 +211,8 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "cents",
         F.expr(
-            "(cents * 7 * 1000000)"
-            " div sum(cents) over (partition by event_type)"
+            "cast((cast(cents as decimal(38,0)) * 7 * 1000000)"
+            " div sum(cents) over (partition by event_type) as long)"
         ).alias("index_ppm"),
     )
 

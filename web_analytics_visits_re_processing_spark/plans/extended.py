@@ -2439,7 +2439,8 @@ def q_revenue_share_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "cents",
         F.expr(
-            "(cents * 1000000) div sum(cents) over (partition by region)"
+            "cast((cast(cents as decimal(38,0)) * 1000000)"
+            " div sum(cents) over (partition by region) as long)"
         ).alias("share_ppm"),
         F.rank().over(wr).alias("rank_in_region"),
     )
@@ -2499,7 +2500,10 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("cents").alias("kept_cents"),
-        F.expr("(sum(cents) * 1000000) div count(1)").alias("trimmed_mean_ppm"),
+        F.expr(
+            "cast((cast(sum(cents) as decimal(38,0)) * 1000000)"
+            " div count(1) as long)"
+        ).alias("trimmed_mean_ppm"),
     )
 
 
@@ -3046,8 +3050,9 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clamped.groupBy("event_type", "lo", "hi").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(
-            "(sum(least(greatest(cents, lo), hi)) * 1000000)"
-            " div count(1)"
+            "cast((cast(sum(least(greatest(cents, lo), hi))"
+            " as decimal(38,0)) * 1000000)"
+            " div count(1) as long)"
         ).alias("winsorized_mean_ppm"),
     ).select(
         "event_type",
@@ -3393,9 +3398,10 @@ def q_cohort_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_month",
             "offset_m",
             "cents",
-            F.expr("(cents * 1000000) div base_cents").alias(
-                "retention_ppm"
-            ),
+            F.expr(
+                "cast((cast(cents as decimal(38,0)) * 1000000)"
+                " div base_cents as long)"
+            ).alias("retention_ppm"),
         )
     )
 

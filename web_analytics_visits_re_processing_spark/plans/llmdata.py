@@ -3560,8 +3560,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covered_tokens"),
             F.max("total").alias("total_tokens"),
             F.expr(
-                "(sum(case when rn <= vocab_size then c else 0 end)"
-                " * 1000000) div max(total)"
+                "cast((cast(sum(case when rn <= vocab_size then c"
+                " else 0 end) as decimal(38,0))"
+                " * 1000000) div max(total) as long)"
             ).alias("coverage_ppm"),
         )
     )
@@ -3611,7 +3612,8 @@ def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens_lost"
             ),
             F.expr(
-                "(sum(greatest(n - cap, 0)) * 1000000) div sum(n)"
+                "cast((cast(sum(greatest(n - cap, 0)) as decimal(38,0))"
+                " * 1000000) div sum(n) as long)"
             ).alias("loss_ppm"),
         )
     )

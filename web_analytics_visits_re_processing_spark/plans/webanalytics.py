@@ -1659,9 +1659,11 @@ FROM dec, tot GROUP BY decile, tot.total
 def q_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (the Pareto check): purchasing users
     decile-ranked by spend, each decile's integer-ppm share of total
-    revenue — decile 1's share IS the 80/20 answer. The unpartitioned
-    ntile ranks USERS (thousands of rows); the revenue rollup that
-    feeds it is the only event-scale work."""
+    revenue — decile 1's share IS the 80/20 answer. The spend deciles
+    ride the distributed two-pass ntile (operators.ranks); the
+    revenue rollup that feeds it is the only event-scale work, and
+    the share numerator widens to decimal(38,0) before the ×1e6 (a
+    decile's cent sum is a corpus-level quantity)."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
@@ -1687,9 +1689,10 @@ def q_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum("cents").alias("revenue_cents"),
-            F.expr("(sum(cents) * 1000000) div first(total)").alias(
-                "revenue_share_ppm"
-            ),
+            F.expr(
+                "cast((cast(sum(cents) as decimal(38,0)) * 1000000)"
+                " div first(total) as long)"
+            ).alias("revenue_share_ppm"),
         )
         .drop("total")
     )
@@ -2386,7 +2389,8 @@ def q_user_event_mix_impurity(
         F.sum("c").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
         F.expr(
-            "1000000 - (sum(c * c) * 1000000) div (sum(c) * sum(c))"
+            "cast(1000000 - (sum(cast(c as decimal(38,0)) * c) * 1000000)"
+            " div (cast(sum(c) as decimal(38,0)) * sum(c)) as long)"
         ).alias("impurity_ppm"),
     )
 
@@ -3971,7 +3975,8 @@ def q_next_action_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_transitions"),
         F.count(F.lit(1)).alias("n_next_types"),
         F.expr(
-            "1000000 - (sum(c * c) * 1000000) div (sum(c) * sum(c))"
+            "cast(1000000 - (sum(cast(c as decimal(38,0)) * c) * 1000000)"
+            " div (cast(sum(c) as decimal(38,0)) * sum(c)) as long)"
         ).alias("impurity_ppm"),
     )
 
