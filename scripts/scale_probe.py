@@ -164,6 +164,17 @@ PROBE_QUERIES = [
     "rfm_segments",
     "abc_classification_parts",
     "skyline_parts_price_size",
+    # round-9 int64-widening sweep: probe each widened query at 10×
+    # so the decimal(38,0) intermediates are exercised past the old
+    # overflow line (the class the ABC probe found).
+    "trimmed_mean_by_type",
+    "winsorized_mean_by_type",
+    "revenue_share_within_region",
+    "cohort_revenue_matrix",
+    "dow_seasonality_index",
+    "user_event_mix_impurity",
+    "next_action_diversity",
+    "truncation_loss_report",
 ]
 
 
@@ -267,6 +278,20 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
     # first-dim nudge. The partkey offset matches lineitem's
     # (max l_partkey + 1 == max p_partkey + 1 in the shipped
     # fixtures) so part ⋈ lineitem keys stay aligned per replica.
+    # region/nation joined the probe in round 9 (the within-region
+    # revenue share reads them): spec-CONSTANT enum dims (5/25 rows
+    # at every SF), copied verbatim — scaling them would be wrong.
+    import shutil as _shutil
+
+    for enum_tbl in ("region", "nation"):
+        enum_out = f"{out_dir}/{enum_tbl}.parquet"
+        if not os.path.exists(enum_out):
+            src = f"{BASE_SF}/{enum_tbl}.parquet"
+            if os.path.isdir(src):
+                _shutil.copytree(src, enum_out)
+            else:
+                _shutil.copyfile(src, enum_out)
+
     part_out = f"{out_dir}/part.parquet"
     if not os.path.exists(part_out):
         prt = spark.read.parquet(f"{BASE_SF}/part.parquet")
