@@ -30,17 +30,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _resolve_partitions(df: DataFrame, num_partitions) -> int:
+    """Default the range-partition width to the session's shuffle
+    parallelism instead of a constant: on a 1000-executor cluster the
+    two-pass rank should fan out as wide as every other shuffle (the
+    offsets table stays ≤ that many rows — still broadcast-trivial).
+    Explicit values win; non-integer conf values (e.g. under future
+    auto modes) fall back to 200, Spark's own default."""
+    if num_partitions is not None:
+        return int(num_partitions)
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (TypeError, ValueError):
+        return 200
+
+
+
 def global_row_number(
     df: DataFrame,
     order_cols,
     out_col: str = "rn",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Add a 1-based global row number over a TOTAL order without a
     single-partition window. ``order_cols`` is a list of column names
     or Column sort expressions (``F.col("c").desc()`` works — the
     same expressions feed repartitionByRange and the local window, so
     the two sorts can never disagree)."""
+    num_partitions = _resolve_partitions(df, num_partitions)
     local = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_grk_pid", F.spark_partition_id())
@@ -78,7 +97,7 @@ def global_running_sum(
     order_cols,
     val_col: str,
     out_col: str = "run_sum",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Cumulative sum of ``val_col`` over a TOTAL order, current row
     included (``ROWS UNBOUNDED PRECEDING``) — the Pareto/ABC walk —
@@ -86,6 +105,7 @@ def global_running_sum(
     key, running-sum LOCALLY, then add the broadcast prefix totals of
     the earlier partitions. The only single-partition window left is
     over the ≤ num_partitions-row per-partition-total table."""
+    num_partitions = _resolve_partitions(df, num_partitions)
     local = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_grk_pid", F.spark_partition_id())
@@ -125,7 +145,7 @@ def global_running_max(
     order_cols,
     val_col: str,
     out_col: str = "run_max",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Running max of ``val_col`` over the STRICTLY PRECEDING rows of
     a TOTAL order (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1
@@ -134,6 +154,7 @@ def global_running_max(
     two-pass way: local strictly-preceding running max per range
     partition, combined via ``greatest`` (null-skipping) with the
     broadcast prefix max of the earlier partitions."""
+    num_partitions = _resolve_partitions(df, num_partitions)
     local = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_grk_pid", F.spark_partition_id())
@@ -172,7 +193,7 @@ def global_ntile(
     order_cols,
     n: int,
     out_col: str = "ntile",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed ``ntile(n)`` over a TOTAL order: with N rows,
     q = N div n and r = N mod n, the first r buckets hold q+1 rows

@@ -5439,35 +5439,16 @@ def q_sorted_neighborhood_dup_pairs(
             " 1, 16)"
         ).alias("k"),
     )
-    from pyspark.sql import Window
+    # the module that generalized this query's inline two-pass rank
+    # (operators.ranks) is now the single implementation — same
+    # construction, and the partition width defaults to the session's
+    # shuffle parallelism instead of a hardcoded 32
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_row_number,
+    )
 
-    local = (
-        keyed.repartitionByRange(32, "k", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "lrk",
-            F.row_number().over(
-                Window.partitionBy("pid").orderBy("k", "doc_id")
-            ),
-        )
-    )
-    pid_offsets = (
-        local.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "pid",
-            F.coalesce(
-                F.sum("c").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("off"),
-        )
-    )
-    ranked = local.join(F.broadcast(pid_offsets), "pid").select(
-        "doc_id", (F.col("lrk") + F.col("off")).alias("rk")
+    ranked = global_row_number(keyed, ["k", "doc_id"], "rk").select(
+        "doc_id", "rk"
     )
     offs = spark.range(1, 4).select(F.col("id").alias("j"))
     probes = ranked.crossJoin(F.broadcast(offs)).select(
