@@ -283,7 +283,12 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
     # at every SF), copied verbatim — scaling them would be wrong.
     import shutil as _shutil
 
-    for enum_tbl in ("region", "nation"):
+    # supplier copies verbatim too, but for a different reason: the
+    # lineitem replicas shift l_orderkey/l_partkey and keep l_suppkey
+    # as-is (every shard references the ORIGINAL suppliers), so a
+    # shifted supplier table would orphan every join key. Documented
+    # trade: supplier cardinality is frozen in the probe fixture.
+    for enum_tbl in ("region", "nation", "supplier"):
         enum_out = f"{out_dir}/{enum_tbl}.parquet"
         if not os.path.exists(enum_out):
             src = f"{BASE_SF}/{enum_tbl}.parquet"
@@ -489,9 +494,18 @@ def main() -> None:
         ))
         return
 
-    argv = [a for a in sys.argv[1:] if a != "--skip-skew"]
+    argv = [
+        a for a in sys.argv[1:] if a not in ("--skip-skew", "--all")
+    ]
     run_skew = "--skip-skew" not in sys.argv[1:]
-    probe = argv if argv else PROBE_QUERIES
+    if "--all" in sys.argv[1:]:
+        # full-registry leg: execute EVERY registered query at both
+        # scales — the generic detector for overflow/quadratic
+        # classes the curated list misses (the ABC find's lesson).
+        # Errors are per-query, never fatal, and land in the payload.
+        probe = list(QUERIES)
+    else:
+        probe = argv if argv else PROBE_QUERIES
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
@@ -503,22 +517,34 @@ def main() -> None:
     build_scaled_fixture(spark, scaled_dir)
 
     out: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for sf_name, sf_dir in (("sf0.1", BASE_SF), ("sf1x", scaled_dir)):
         timings = {}
         for name in probe:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001 — diagnostic sweep
+                msg = str(e).splitlines()[0][:300] if str(e) else repr(e)
+                errors[f"{sf_name}:{name}"] = msg
+                print(f"# {sf_name} {name}: ERROR {msg}", file=sys.stderr)
+                continue
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {sf_name} {name}: {timings[name]}s", file=sys.stderr)
         out[sf_name] = timings
 
     ratios = {
-        q: round(out["sf1x"][q] / out["sf0.1"][q], 2) for q in probe
+        q: round(out["sf1x"][q] / out["sf0.1"][q], 2)
+        for q in probe
+        if q in out["sf1x"] and q in out["sf0.1"] and out["sf0.1"][q] > 0
     }
     payload = {
         "replicas": REPLICAS,
         "timings": out,
         "ratio_10x_data": ratios,
+        "errors": errors,
     }
     if run_skew:
         payload["skew_probe"] = skew_probe(spark)
