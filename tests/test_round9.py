@@ -395,3 +395,97 @@ def test_jpeg_fixture_structural_invariants(spark, sf_dir):
             assert r["sof_offset"] == 20
         else:
             assert 20 + k * 5 <= r["sof_offset"] <= 20 + k * 9
+
+
+# --- int64-overflow widening, second pass: squared-term statistics -----------
+
+
+def _write_daily_purchases(spark, tmp_path, day_values):
+    """One purchase event per (date, dollar value) pair — values chosen
+    so the PRE-widening squared intermediates (cents², S², (n·x−S)²)
+    exceed int64 under the ANSI session while the 0/1 flag output is
+    trivially in range. These tests THREW ARITHMETIC_OVERFLOW before
+    the decimal(38,0) widening."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(d.year, d.month, d.day, 12), i, "purchase", v, "")
+            for i, (d, v) in enumerate(day_values)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_anomaly_daily_revenue_survives_big_cents(spark, tmp_path):
+    """11 days: ten at $1e10 (1e12 cents/day) and one spike at $1e11
+    (1e13 cents). cents² = 1e24 per day — past int64 BEFORE the sum
+    even starts. Hand arithmetic: n=11, S=2e13, Q=1.1e26; the spike's
+    (n·x−S)² = (9e13)² = 8.1e27 > 9(n·Q−S²) = 7.29e27 → flagged; every
+    plain day reads (−9e12)² = 8.1e25 ≪ 7.29e27 → clean."""
+    import datetime as dt
+
+    days = [
+        (dt.date(2024, 1, 1 + i), 1e10) for i in range(10)
+    ] + [(dt.date(2024, 1, 11), 1e11)]
+    sf = _write_daily_purchases(spark, tmp_path, days)
+    rows = QUERIES["anomaly_daily_revenue"](spark, sf).collect()
+    assert len(rows) == 11
+    flags = {r["day"]: r["is_anomaly"] for r in rows}
+    assert flags["2024-01-11"] == 1
+    assert sum(flags.values()) == 1
+    cents = {r["day"]: r["revenue_cents"] for r in rows}
+    assert cents["2024-01-11"] == 10_000_000_000_000
+
+
+def test_seasonal_anomalies_survives_big_cents(spark, tmp_path):
+    """Same arithmetic confined to ONE weekday group: 11 consecutive
+    Mondays (2024-01-01 is a Monday), ten at $1e10 and the last at
+    $1e11 — per-dow n=11 so the spike's z² = 81/11·… trips the same
+    8.1e27 > 7.29e27 comparison inside the dow=0 stratum."""
+    import datetime as dt
+
+    days = [
+        (dt.date(2024, 1, 1) + dt.timedelta(weeks=i), 1e10)
+        for i in range(10)
+    ] + [(dt.date(2024, 1, 1) + dt.timedelta(weeks=10), 1e11)]
+    sf = _write_daily_purchases(spark, tmp_path, days)
+    rows = QUERIES["seasonal_adjusted_anomalies"](spark, sf).collect()
+    assert len(rows) == 11
+    assert {r["dow"] for r in rows} == {0}
+    flags = {r["day"]: r["is_anomaly"] for r in rows}
+    assert flags["2024-03-11"] == 1
+    assert sum(flags.values()) == 1
+
+
+def test_part_demand_trend_survives_whale_part(spark, tmp_path):
+    """One whale SKU over four weeks with y = (0,0,0,5e12) units:
+    num = n·Σxy − Σx·Σy = 4·1.5e13 − 6·5e12 = 3e13, so the ppm
+    numerator 3e13·1e6 = 3e19 exceeds int64 pre-widening while
+    slope_ppm = 3e19 div 20 = 1.5e18 is comfortably in range."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    qtys = [0.0, 0.0, 0.0, 5e12]
+    spark.createDataFrame(
+        [
+            (1, 1, base + dt.timedelta(weeks=i), q)
+            for i, q in enumerate(qtys)
+        ],
+        "l_orderkey long, l_partkey long, l_shipdate timestamp,"
+        " l_quantity double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = QUERIES["part_demand_trend_top20"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["l_partkey"] == 1
+    assert r["n_weeks"] == 4
+    assert r["total_qty"] == 5_000_000_000_000
+    assert r["slope_ppm"] == 1_500_000_000_000_000_000

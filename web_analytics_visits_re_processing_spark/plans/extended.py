@@ -2787,7 +2787,13 @@ def q_part_demand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "n_weeks",
         "total_qty",
-        F.expr("(num * 1000000) div greatest(den, 1)").alias("slope_ppm"),
+        # num is per-part but crossable: a whale SKU with ~1e8 total
+        # units pushes num·1e6 past int64 while slope_ppm stays in
+        # range — widen BEFORE the multiply (the probe-class lesson).
+        F.expr(
+            "cast((cast(num as decimal(38,0)) * 1000000)"
+            " div greatest(den, 1) as long)"
+        ).alias("slope_ppm"),
     )
     return scored.orderBy(
         F.col("slope_ppm").desc(), "l_partkey"
@@ -3662,10 +3668,17 @@ def q_priority_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final row is arithmetic on it."""
     o = load_table(spark, sf_dir, "orders")
     x = F.floor("o_totalprice")
+    # qg sums x² (~4e10/row): a long accumulator crosses int64 at
+    # ~2e8 orders per priority class (≈ sf1500) — widen BEFORE the
+    # multiply so the docstring's int128 claim holds for the raw
+    # moments too, not just the downstream products. Beyond that the
+    # binding range is the BIGINT raw-SS *output* contract (ssb/ssw
+    # ≈ n·var crosses int64 near sf2500): both engines then throw at
+    # the final cast — loud and identical, never silent.
     g = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("ng"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("qg"),
         F.sum(x).alias("sg"),
-        F.sum(x * x).alias("qg"),
     )
     t = g.agg(
         F.count(F.lit(1)).alias("k"),

@@ -955,23 +955,31 @@ def q_anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·x − S)² > 9(n·Q − S²) over integer cent sums (S=Σx, Q=Σx²) —
     the same trick as the histogram quantiles, so the flag replays
     bit-exactly in any engine. One groupBy to days, a one-row global
-    aggregate broadcast back over the day table. Magnitudes: cents
-    sums square into ~10¹⁴ at sf0.1; a 100-TB deployment lifts the
-    sums to DECIMAL(38,0) (Spark and DuckDB both widen exactly) —
-    the comparison is unchanged."""
+    aggregate broadcast back over the day table. Magnitudes: every
+    squared term runs decimal(38,0)/HUGEINT-wide — cents² per day
+    crosses int64 once daily revenue tops ~$30M (3.04e9 cents), and
+    S², (n·x−S)² square corpus-level sums, so the widening happens
+    BEFORE each multiply (the probe-class lesson); the 0/1 flag is
+    the only output and the comparison is exact in both engines."""
     ev = _events(spark, sf_dir)
     daily = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
         .agg(F.sum(F.floor(F.col("value") * 100)).alias("revenue_cents"))
     )
+    cents_d = F.col("revenue_cents").cast("decimal(38,0)")
     g = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("revenue_cents").alias("s"),
-        F.sum(F.col("revenue_cents") * F.col("revenue_cents")).alias("q"),
+        F.sum(cents_d * F.col("revenue_cents")).alias("q"),
     )
-    dev = F.col("n") * F.col("revenue_cents") - F.col("s")
-    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("revenue_cents")
+        - F.col("s")
+    )
+    var_n2 = F.col("n") * F.col("q") - F.col("s").cast(
+        "decimal(38,0)"
+    ) * F.col("s")
     return daily.crossJoin(F.broadcast(g)).select(
         "day",
         "revenue_cents",
@@ -3341,9 +3349,10 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero float math: the test is the cross-multiplied integer form
     (n·x − S)² > 9(n·Q − S²) per weekday group. Events collapse to
     ~30 day rows map-side; weekday stats are a 7-row broadcast.
-    Magnitude note: (n·x)² demands headroom — daily cents up to
-    ~1e9 × n≈5 stays in int64 here; at larger scale the square
-    upgrades to decimal(38,0) exactly like the Spearman ratio."""
+    Magnitude note: every squared term runs decimal(38,0)/HUGEINT-
+    wide — cents² crosses int64 once a day tops ~$30M, and the
+    deviation/variance squares compound that — widened BEFORE each
+    multiply (the probe-class lesson), 0/1 flag out."""
     ev = _events(spark, sf_dir)
     daily = (
         ev.where(F.col("event_type") == "purchase")
@@ -3353,13 +3362,16 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
     )
+    cents_d = F.col("cents").cast("decimal(38,0)")
     stats = daily.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+        F.sum(cents_d * F.col("cents")).alias("q"),
     )
-    dev = F.col("n") * F.col("cents") - F.col("s")
-    var = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    dev = F.col("n").cast("decimal(38,0)") * F.col("cents") - F.col("s")
+    var = F.col("n") * F.col("q") - F.col("s").cast(
+        "decimal(38,0)"
+    ) * F.col("s")
     return daily.join(F.broadcast(stats), "dow").select(
         "day",
         "dow",
@@ -4461,7 +4473,10 @@ def q_daily_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("q"),
+        # c² sums over the calendar: ~1e9 events/day squares to 1e18
+        # per row and the sum crosses int64 within a quarter — widen
+        # BEFORE the multiply (the probe-class lesson).
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
     )
     return st.select(
         "event_type",
@@ -5349,8 +5364,12 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h2").alias("n2"),
         F.sum(F.col("h1") * F.col("h2")).alias("n_both"),
         F.count(F.lit(1)).alias("n_observed"),
+        # n₁·n₂ multiplies two corpus-level user counts — past int64
+        # at ~3e9 users each while N̂ itself stays in range; widen
+        # BEFORE the multiply (the probe-class lesson).
         F.expr(
-            "(sum(h1) * sum(h2)) div greatest(sum(h1 * h2), 1)"
+            "cast((cast(sum(h1) as decimal(38,0)) * sum(h2))"
+            " div greatest(sum(h1 * h2), 1) as long)"
         ).alias("lincoln_petersen_estimate"),
     )
 
