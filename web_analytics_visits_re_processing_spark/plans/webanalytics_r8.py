@@ -3184,9 +3184,9 @@ def q_adamic_adar_link_prediction(
     centers have cdeg >= 2 so ln > 0 always. Ranking aa_e6 DESC with
     the cn/pa/pb tiebreak is fully deterministic. Scale: wedge join
     bounded at Σ min(deg, 48)² — the triangle cost class, never
-    parts²; the exact-median hub rule sorts the |V|-row degree table
-    once (at extreme scale swap in an approx-percentile cutoff);
-    top-20 via TakeOrdered."""
+    parts²; the exact-median hub rule ranks the |V|-row degree table
+    via the distributed two-pass rank (operators.ranks — range-
+    partitioned, no single-reducer sort); top-20 via TakeOrdered."""
     from web_analytics_visits_re_processing_spark.plans.webanalytics import (
         _copurchase_edges,
         _lp_kept_adjacency,
