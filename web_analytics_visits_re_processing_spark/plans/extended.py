@@ -2253,35 +2253,68 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles rank USERS — a frame that grows with the data — so all
     three ride the distributed two-pass ntile (operators.ranks,
     pinned against F.ntile by pytest); no unpartitioned window
-    remains (r9 single-partition-window retirement)."""
+    remains (r9 single-partition-window retirement). Structure: the
+    per-user rollup is STAGED once per (session, sf) — the CRM
+    feature table a campaign warehouse materializes per snapshot —
+    and the three quintiles rank the staged leaf INDEPENDENTLY, then
+    join back 1:1 on user_id. Chaining them instead nests the
+    two-pass rank's double self-reference multiplicatively: the
+    pre-fix chained plan carried 408 exchanges and scanned the fact
+    table 128 times (the wedge-tree plan-bloat class, and at 100 TB
+    dozens of redundant fact scans — measured 0.6 s → 5.3 s at
+    sf0.1 when the chain landed)."""
     from web_analytics_visits_re_processing_spark.operators.ranks import (
         global_ntile,
     )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
 
-    ev = load_table(spark, sf_dir, "events")
-    anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
-    rfm = (
-        ev.where(F.col("event_type") == "purchase")
-        .crossJoin(F.broadcast(anchor))
-        .groupBy("user_id", "d0")
-        .agg(
-            F.max(F.to_date("ts")).alias("last_d"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.floor(F.col("value") * 100)).alias("monetary_cents"),
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+        return (
+            ev.where(F.col("event_type") == "purchase")
+            .crossJoin(F.broadcast(anchor))
+            .groupBy("user_id", "d0")
+            .agg(
+                F.max(F.to_date("ts")).alias("last_d"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(
+                    F.floor(F.col("value") * 100)
+                ).alias("monetary_cents"),
+            )
+            .select(
+                "user_id",
+                F.datediff("d0", "last_d")
+                .cast("long")
+                .alias("recency_days"),
+                "frequency",
+                "monetary_cents",
+            )
         )
-        .select(
-            "user_id",
-            F.datediff("d0", "last_d").cast("long").alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
-    )
-    scored = global_ntile(
-        rfm, [F.col("recency_days").desc(), F.col("user_id")], 5, "r_score"
-    )
-    scored = global_ntile(scored, ["frequency", "user_id"], 5, "f_score")
-    scored = global_ntile(
-        scored, ["monetary_cents", "user_id"], 5, "m_score"
+
+    rfm = _lp_cached("rfm_user_rollup", spark, sf_dir, build)
+    r = global_ntile(
+        rfm.select("user_id", "recency_days"),
+        [F.col("recency_days").desc(), F.col("user_id")],
+        5,
+        "r_score",
+    ).select("user_id", "r_score")
+    fsc = global_ntile(
+        rfm.select("user_id", "frequency"),
+        ["frequency", "user_id"],
+        5,
+        "f_score",
+    ).select("user_id", "f_score")
+    m = global_ntile(
+        rfm.select("user_id", "monetary_cents"),
+        ["monetary_cents", "user_id"],
+        5,
+        "m_score",
+    ).select("user_id", "m_score")
+    scored = (
+        rfm.join(r, "user_id").join(fsc, "user_id").join(m, "user_id")
     )
     return scored.select(
         "user_id",
