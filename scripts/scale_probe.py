@@ -474,10 +474,150 @@ SELECT COUNT(*) c, MIN(survival_ppm) s FROM km
     return out
 
 
+def streaming_state_probe(spark, scaled_dir: str) -> dict:
+    """Streaming STATE scaling probe: replay three representative
+    stateful topologies (session_window agg, watermarked dedup,
+    stream-stream interval join) at sf0.1 and the 10× fixture and
+    read the state-operator metrics off the final progress — the
+    axis the data-scale probe's wall-clock alone cannot pin. The
+    claim under test: PEAK state rows are WATERMARK-BOUNDED (they
+    scale with keys active inside one watermark horizon, ~linearly
+    with the key universe here because replay files arrive in fixture
+    order), eviction keeps pace at 10× (removed ≫ residual), and
+    wall stays ≤ linear. Checkpoint + sink dirs are cleared per run
+    (staged replay input is kept) so the stream genuinely re-executes
+    instead of reading the previous run's sink back."""
+    import shutil
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.streaming import (
+        sessionize_stream as ss,
+    )
+
+    probes = {
+        "streaming_sessionize_visits": "stream_append_visits",
+        "streaming_dedup_events": "stream_append_dedup",
+        "streaming_interval_join": "stream_append_ssjoin_inner",
+    }
+    out: dict[str, dict] = {}
+    for sf_name, sf_dir in (("sf0.1", BASE_SF), ("sf1x", scaled_dir)):
+        base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        per: dict[str, dict] = {}
+        for qname, wname in probes.items():
+            workdir = os.path.join(REPO, ".tmp", wname, base)
+            for sub in ("ckpt", "out"):
+                shutil.rmtree(
+                    os.path.join(workdir, sub), ignore_errors=True
+                )
+            t0 = time.perf_counter()
+            n = QUERIES[qname](spark, sf_dir).count()
+            per[qname] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "out_rows": n,
+                **dict(ss.LAST_APPEND_PROGRESS),
+            }
+            print(f"# stream-state {sf_name} {qname}: {per[qname]}",
+                  file=sys.stderr)
+        out[sf_name] = per
+    return out
+
+
+def chunked_sessionize_probe(
+    spark, sf_dir: str, n_chunks: int, label: str
+) -> dict:
+    """Watermark-BOUNDED-state demonstration: the append replays feed
+    availableNow one big batch, so their peak state holds the whole
+    key universe and eviction all happens at the sentinel — correct
+    for the equality gates, but it demonstrates nothing about state
+    bounds. This variant stages the events fixture as ``n_chunks``
+    TIME-CONTIGUOUS files (written sequentially, so mtime order =
+    event-time order — the file source's processing order), replays
+    the same session_window topology with ``maxFilesPerTrigger=1``,
+    and reads the PEAK state off the progress. Expected: peak ≈ the
+    sessions open inside one chunk horizon (+watermark lag) — it
+    shrinks as n_chunks grows and is a small fraction of the corpus,
+    the production property that makes 100 TB streaming state
+    feasible at all."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        load_table,
+    )
+    from web_analytics_visits_re_processing_spark.streaming import (
+        sessionize_stream as ss,
+    )
+
+    workdir = os.path.join(REPO, ".tmp", "stream_chunked", label)
+    input_dir = os.path.join(workdir, "input")
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(input_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / n_chunks
+    scratch = os.path.join(workdir, "scratch")
+    for i in range(n_chunks):
+        a = lo + i * span
+        b = hi + datetime.timedelta(seconds=1) if i == n_chunks - 1 \
+            else lo + (i + 1) * span
+        part = os.path.join(scratch, f"c{i}")
+        (
+            ev.where((F.col("ts") >= a) & (F.col("ts") < b))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part)
+        )
+        pf = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(part, pf),
+            os.path.join(input_dir, f"part-{i:05d}.parquet"),
+        )
+    # sentinel chunk last: flushes the final watermark like the house
+    # replay staging does.
+    spark.createDataFrame(
+        [(hi + datetime.timedelta(days=10), ss.SENTINEL_USER_ID, 0.0)],
+        "ts timestamp, user_id long, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(scratch, "sent")
+    )
+    sf = [
+        f
+        for f in os.listdir(os.path.join(scratch, "sent"))
+        if f.endswith(".parquet")
+    ][0]
+    os.rename(
+        os.path.join(scratch, "sent", sf),
+        os.path.join(input_dir, "part-zz-sentinel.parquet"),
+    )
+    events = ss._read_replay_stream(spark, input_dir, max_files_per_trigger=1)
+    visits = ss.sessionize_stream(events, ss.DEFAULT_GAP_SECONDS, "1 hour")
+    t0 = time.perf_counter()
+    out, stats = ss._run_append_to_files(visits, workdir)
+    n = (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != ss.SENTINEL_USER_ID)
+        .count()
+    )
+    res = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "n_chunks": n_chunks,
+        "out_rows": n,
+        **stats,
+    }
+    print(f"# chunked {label}: {res}", file=sys.stderr)
+    return res
+
+
 def main() -> None:
     """Optional argv: query names to probe (subset of PROBE_QUERIES);
     ``--skip-skew`` drops the whale probe; ``--depth-only`` runs just
-    the recursion-depth probe. No argv = full battery."""
+    the recursion-depth probe; ``--streaming-state`` runs just the
+    streaming state-scaling probe. No argv = full battery."""
     from web_analytics_visits_re_processing_spark.plans import QUERIES
     from web_analytics_visits_re_processing_spark.session import get_spark
 
@@ -492,6 +632,34 @@ def main() -> None:
         print(json.dumps(
             {"recursion_depth_probe": recursion_depth_probe(spark)}
         ))
+        return
+
+    if "--streaming-state" in sys.argv[1:]:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark = get_spark(
+            app_name="stream-state-probe", master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 32),
+        )
+        spark.range(1000).count()
+        scaled_dir = os.path.join(REPO, ".tmp", "scale", "sf1x")
+        build_scaled_fixture(spark, scaled_dir)
+        payload = {
+            "streaming_state_probe": streaming_state_probe(
+                spark, scaled_dir
+            ),
+            "chunked_sessionize": {
+                "sf0.1_c4": chunked_sessionize_probe(
+                    spark, BASE_SF, 4, "sf01_c4"
+                ),
+                "sf0.1_c16": chunked_sessionize_probe(
+                    spark, BASE_SF, 16, "sf01_c16"
+                ),
+                "sf1x_c16": chunked_sessionize_probe(
+                    spark, scaled_dir, 16, "sf1x_c16"
+                ),
+            },
+        }
+        print(json.dumps(payload))
         return
 
     argv = [

@@ -94,9 +94,12 @@ def test_append_replay_matches_batch_and_evicts_state(spark, sf_dir):
     assert b == s and len(b) > 0
 
     # real eviction: sessions were removed from the state store, and at
-    # most the sentinel's own session is left at the end.
+    # most the sentinel's own session is left at the end. The peak
+    # tracker (numRowsTotalMax, read by scale_probe --streaming-state)
+    # must have seen at least every emitted session pass through state.
     assert LAST_APPEND_PROGRESS["numRowsRemoved"] >= len(b)
     assert LAST_APPEND_PROGRESS["numRowsTotal"] <= 1
+    assert LAST_APPEND_PROGRESS["numRowsTotalMax"] >= len(b)
 
 
 def test_stateful_abandonment_across_batches(spark, tmp_path):

@@ -314,11 +314,18 @@ def _run_append_to_files(
     if not finished:
         q.stop()
         raise TimeoutError(f"append replay did not finish within {timeout_s}s")
-    stats = {"numRowsTotal": 0, "numRowsRemoved": 0}
+    stats = {"numRowsTotal": 0, "numRowsRemoved": 0, "numRowsTotalMax": 0}
     for p in q.recentProgress:
         for op in p.get("stateOperators", []):
             stats["numRowsTotal"] = op.get("numRowsTotal", 0)
             stats["numRowsRemoved"] += op.get("numRowsRemoved", 0)
+            # Peak state across micro-batches — what the scale probe
+            # reads to verify state stays watermark-bounded (the
+            # final-batch numRowsTotal only shows the post-eviction
+            # residual).
+            stats["numRowsTotalMax"] = max(
+                stats["numRowsTotalMax"], op.get("numRowsTotal", 0)
+            )
     q.stop()
     LAST_APPEND_PROGRESS.clear()
     LAST_APPEND_PROGRESS.update(stats)
