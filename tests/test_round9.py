@@ -489,3 +489,37 @@ def test_part_demand_trend_survives_whale_part(spark, tmp_path):
     assert r["n_weeks"] == 4
     assert r["total_qty"] == 5_000_000_000_000
     assert r["slope_ppm"] == 1_500_000_000_000_000_000
+
+
+# --- chunked streaming replay (horizon-bounded state) -------------------------
+
+
+def test_chunked_replay_equals_single_batch_with_smaller_peak(spark, sf_dir):
+    """The scale probe's chunked replay (time-contiguous files +
+    maxFilesPerTrigger=1) must produce EXACTLY the single-batch
+    replay's sessions while its peak state stays a fraction of the
+    key universe — the measured horizon-bounded-state property
+    (BASELINE.md). Pinned at sf0.001 with 4 chunks: out_rows equals
+    the registered streaming gate's count, peak < 60% of total
+    sessions (a 4-chunk horizon holds ~1/4 plus watermark lag), and
+    eviction leaves at most the sentinel's own session."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "scale_probe.py",
+        ),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    single = QUERIES["streaming_sessionize_visits"](spark, sf_dir).count()
+    res = sp.chunked_sessionize_probe(spark, sf_dir, 4, "pytest_c4")
+    assert res["out_rows"] == single
+    assert res["numRowsTotal"] <= 1
+    assert res["numRowsRemoved"] >= single
+    assert 0 < res["numRowsTotalMax"] < 0.6 * single
