@@ -523,3 +523,54 @@ def test_chunked_replay_equals_single_batch_with_smaller_peak(spark, sf_dir):
     assert res["numRowsTotal"] <= 1
     assert res["numRowsRemoved"] >= single
     assert 0 < res["numRowsTotalMax"] < 0.6 * single
+
+
+# --- SemDeDup adaptive k (the paper's k ∝ N protocol) -------------------------
+
+
+def test_semdedup_scales_k_with_corpus(spark, tmp_path):
+    """The registered query derives k = max(10, N div 600) so mean
+    cluster size stays ~600 as the corpus grows (fixed k made the
+    within-cluster pair join quadratic — 41× wall at 25× data in the
+    r9 two-point probe). Pinned by direct-operator equality: 6,600
+    synthetic vectors must produce EXACTLY semdedup_verdicts(k=11),
+    and differ from the old fixed k=10 clustering."""
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.semdedup import (
+        semdedup_verdicts,
+    )
+
+    n = 6600
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda d: (
+                ((F.col("id") * 37 + d * 101) % 1000) / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"),
+    )
+    emb.coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        tuple(r)
+        for r in QUERIES["semdedup_semantic_dups"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    loaded = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    want = {
+        tuple(r)
+        for r in semdedup_verdicts(
+            loaded, k=11, n_updates=1, tau=0.35
+        ).collect()
+    }
+    assert got == want and len(got) == n
+    # cluster id 10 occupied ⇒ the 11th centroid existed ⇒ k was 11,
+    # not the old fixed 10 (one centroid may legitimately end empty
+    # after the Lloyd update, so the distinct COUNT is not pinned).
+    clusters = {r[1] for r in got}
+    assert max(clusters) == 10

@@ -2028,8 +2028,22 @@ def q_kmeans_clusters_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment passes, the integer centroid update) nested as a derived
 # table, then the within-cluster pair scan + min-id-partner EXISTS —
 # the entire cluster→pair→verdict chain replays in one SQL text.
+# k is CORPUS-ADAPTIVE on both sides (SemDeDup's own protocol —
+# k ∝ N keeps mean cluster size, and with it the per-cluster pair
+# volume, constant as the corpus grows; a fixed k makes the
+# within-cluster join quadratic, measured as the 41×-wall-at-25×
+# outlier in the r9 two-point probe): Spark computes
+# max(10, n div 600) from one bounded count job, the oracle from the
+# same COUNT(*) in an expression LIMIT. At every gate SF (≤ 6000
+# vectors) both sides resolve to the original k = 10, so gate values
+# are unchanged.
+_KMEANS_ORACLE_ADAPTIVE_K = KMEANS_ORACLE.replace(
+    "LIMIT 10",
+    "LIMIT GREATEST(10, (SELECT COUNT(*) FROM pts) // 600)",
+)
+assert _KMEANS_ORACLE_ADAPTIVE_K != KMEANS_ORACLE
 _SEMDEDUP_ORACLE = f"""
-WITH asg AS ({KMEANS_ORACLE}),
+WITH asg AS ({_KMEANS_ORACLE_ADAPTIVE_K}),
 pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -2051,19 +2065,30 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings, then near-dup pairs ONLY within each cluster (the
     clustering is what kills the N² — pair search cost is
     Σ|cluster|², and k grows with the corpus to keep clusters
-    bounded). Composes the integer-exact kmeans (bit-reproducible
-    assignment, so the oracle replays the full Lloyd pass) with the
-    4-dp portable cosine; verdict rule = min-id representative of
-    every dup chain survives. τ=0.35 is tuned to the synthetic
-    near-orthogonal embeddings (real corpora: 0.95+). Plan shape: one
-    cluster-keyed equi-join for pairs, one id-keyed stamp join — the
-    corpus never sees an all-pairs product."""
+    bounded). k = max(10, N div 600) — the paper's k ∝ N protocol,
+    computed from one bounded count job here and from the same
+    COUNT(*) in the oracle's expression LIMIT, so mean cluster size
+    (and the per-cluster pair volume) stays ~600 as the corpus grows;
+    the r9 two-point probe measured the fixed-k=10 version going
+    superlinear (41× wall at 25× data) exactly as the operator
+    docstring predicted. At every gate SF both sides resolve to
+    k = 10, values unchanged. Composes the integer-exact kmeans
+    (bit-reproducible assignment, so the oracle replays the full
+    Lloyd pass) with the 4-dp portable cosine; verdict rule = min-id
+    representative of every dup chain survives. τ=0.35 is tuned to
+    the synthetic near-orthogonal embeddings (real corpora: 0.95+).
+    Plan shape: one cluster-keyed equi-join for pairs, one id-keyed
+    stamp join — the corpus never sees an all-pairs product; the
+    remaining asymptotic term is the n·k assignment itself (the
+    published algorithm's own clustering cost — the auto join-path
+    escalation keeps its plan constant-size in k)."""
     from web_analytics_visits_re_processing_spark.operators.semdedup import (
         semdedup_verdicts,
     )
 
     emb = _emb(spark, sf_dir)
-    return semdedup_verdicts(emb, k=10, n_updates=1, tau=0.35)
+    k = max(10, emb.count() // 600)
+    return semdedup_verdicts(emb, k=k, n_updates=1, tau=0.35)
 
 
 # PQ shared SQL pieces: quantized points, the 16-row LCG codebook
