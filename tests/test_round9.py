@@ -574,3 +574,69 @@ def test_semdedup_scales_k_with_corpus(spark, tmp_path):
     # after the Lloyd update, so the distinct COUNT is not pinned).
     clusters = {r[1] for r in got}
     assert max(clusters) == 10
+
+
+# --- corpus-banded LSH plane count (the SemDeDup fixed-k class) ---------------
+
+
+def test_lsh_planes_band_boundaries():
+    """The banding rule at its exact edges: 2^16 stays in the 8-plane
+    arm, one past it jumps to 16; likewise 2^24 → 24."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        lsh_planes_for,
+    )
+
+    assert lsh_planes_for(1) == 8
+    assert lsh_planes_for(65536) == 8
+    assert lsh_planes_for(65537) == 16
+    assert lsh_planes_for(16777216) == 16
+    assert lsh_planes_for(16777217) == 24
+
+
+def test_lsh_bucket_arms_match_duckdb(spark):
+    """The oracle's 16- and 24-plane CASE arms are never exercised at
+    any fixture SF, so their unrolled plane literals are pinned here
+    directly: Spark's lsh_bucket and DuckDB's _lsh_bucket_sql must
+    assign IDENTICAL bucket ids for every plane count over 60
+    deterministic centered vectors."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        lsh_bucket,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _lsh_bucket_sql,
+    )
+
+    vecs = [
+        (i, [(((i * 37 + d * 101) % 1000) - 500) / 1000.0 for d in range(64)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {v!r}::DOUBLE[])" for i, v in vecs
+        )
+        + ") t(vec_id, embedding)"
+    )
+    for planes in (8, 16, 24):
+        got = {
+            r["vec_id"]: r["bk"]
+            for r in df.select(
+                "vec_id",
+                lsh_bucket(
+                    F.col("embedding"), dim=64, n_planes=planes
+                ).alias("bk"),
+            ).collect()
+        }
+        want = dict(
+            con.execute(
+                f"SELECT vec_id, {_lsh_bucket_sql('embedding', n_planes=planes)}"
+                " FROM embeddings"
+            ).fetchall()
+        )
+        assert got == want, planes

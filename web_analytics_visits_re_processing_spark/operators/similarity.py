@@ -84,6 +84,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
+def lsh_planes_for(n: int) -> int:
+    """Corpus-banded hyperplane count for PAIR-emitting bucket joins:
+    a fixed plane count fixes the bucket universe (2^planes), so
+    bucket occupancy — and with it the self-join candidate volume
+    n²/2^planes — grows quadratically with the corpus (the SemDeDup
+    fixed-k lesson applied to hyperplane LSH). Banding keeps expected
+    occupancy ≲ 256 through ~4×10⁹ vectors (comfortably past a
+    100 TB embedding table) while staying a STATIC, oracle-mirrorable
+    rule: the DuckDB side selects the same arm from COUNT(*), and
+    every fixture SF resolves to the original 8 planes so gate values
+    never move. Search-style bucket probes (top-k) keep their fixed
+    planes — their cost is occupancy-linear, a constant-factor knob,
+    not a quadratic join."""
+    if n <= 1 << 16:
+        return 8
+    if n <= 1 << 24:
+        return 16
+    return 24
+
+
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane bucket id: bit i = sign(v·hᵢ). The planes are
     literal arrays in the plan — deterministic across runs/executors.

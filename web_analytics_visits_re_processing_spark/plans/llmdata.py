@@ -918,11 +918,23 @@ def q_embedding_topk_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_near_dup_oracle() -> str:
     # bucketed candidates (same single-probe LSH bucket) + exact cosine
-    # verify — the oracle replays the identical bucket construction.
+    # verify — the oracle replays the identical bucket construction,
+    # INCLUDING the corpus-banded plane count (similarity.
+    # lsh_planes_for): each CASE arm unrolls that band's plane
+    # literals, chosen by the same COUNT(*) the Spark side reads, so
+    # the pair-join candidate volume stays ~n·256 instead of
+    # n²/2⁸ as the corpus grows. Fixture SFs all take the 8-plane arm.
     return f"""
-WITH b AS (
-    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bk
-    FROM embeddings
+WITH nct AS (SELECT COUNT(*) AS n FROM embeddings),
+b AS (
+    SELECT vec_id, embedding,
+           CASE WHEN nct.n <= 65536
+                THEN {_lsh_bucket_sql('embedding', n_planes=8)}
+                WHEN nct.n <= 16777216
+                THEN {_lsh_bucket_sql('embedding', n_planes=16)}
+                ELSE {_lsh_bucket_sql('embedding', n_planes=24)}
+           END AS bk
+    FROM embeddings, nct
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -937,14 +949,22 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed self-join (never
     all-pairs) → exact cosine ≥ 0.5 verify. Completes the dedup ladder
-    (exact → MinHash/Jaccard → SimHash → embedding-cosine)."""
+    (exact → MinHash/Jaccard → SimHash → embedding-cosine). The plane
+    count is corpus-banded (``lsh_planes_for`` — 8/16/24 by COUNT,
+    one bounded count job, mirrored by the oracle's CASE arms): a
+    fixed 8 planes caps the bucket universe at 256 so the self-join
+    candidate volume grows n²/256 — the SemDeDup fixed-k class. Every
+    fixture SF resolves to 8 planes; values unchanged."""
     from web_analytics_visits_re_processing_spark.operators.similarity import (
         cosine,
         lsh_bucket,
+        lsh_planes_for,
     )
 
-    emb = _emb(spark, sf_dir).withColumn(
-        "_bk", lsh_bucket(F.col("embedding"), dim=64, n_planes=8)
+    emb = _emb(spark, sf_dir)
+    planes = lsh_planes_for(emb.count())
+    emb = emb.withColumn(
+        "_bk", lsh_bucket(F.col("embedding"), dim=64, n_planes=planes)
     )
     a, b = emb.alias("a"), emb.alias("b")
     cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
