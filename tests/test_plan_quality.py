@@ -456,6 +456,7 @@ def test_skyline_no_self_join(spark, sf_dir):
     table (r9 two-pass conversion of the single-partition window)."""
     plan = _plan(spark, "skyline_parts_price_size", sf_dir)
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") <= 1, plan
     assert plan.count("HashAggregate") >= 2, plan
@@ -586,9 +587,26 @@ def test_data_scale_ranks_are_distributed(spark, sf_dir):
         "rfm_segments",
         "abc_classification_parts",
         "skyline_parts_price_size",
+        # r10: the last survivor of the class — part-grain demand rank
+        "demand_diversity_parts",
     ):
         plan = _plan(spark, name, sf_dir)
         assert "rangepartitioning" in plan, name
+
+
+def test_demand_diversity_rank_distributed_no_part_broadcast(spark, sf_dir):
+    """r10 verdict item 1: the top-1% demand rank runs as
+    global_row_number — row_number is partition-LOCAL (its window spec
+    carries the _grk_pid partition column, never a bare sort over the
+    whole part-count table) and the part-grain ranked side carries no
+    broadcast hint (the only broadcast sides are the 1-row k scalar
+    and the 1-row topk aggregate)."""
+    plan = _plan(spark, "demand_diversity_parts", sf_dir)
+    assert "rangepartitioning" in plan, plan
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "_grk_pid" in spec, plan
 
 
 def test_topk_ranks_use_take_ordered(spark, sf_dir):

@@ -3560,7 +3560,16 @@ def q_demand_diversity_parts(
     (count DESC, partkey ASC) rank, share in exact ppm. Scale: one
     part-keyed rollup (map-side combined) + one rank over the
     part-count table (part-grained, not line-grained); single-row
-    output."""
+    output. The rank is the distributed two-pass
+    ``global_row_number`` — part grain grows with the corpus, so an
+    unpartitioned window would pull the whole count table onto one
+    task, and the top-1% slice (k = n_parts/100, itself data-scale)
+    must never carry a broadcast hint; the only broadcast side is the
+    1-row k scalar."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_row_number,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     agg = pc.agg(
@@ -3568,15 +3577,18 @@ def q_demand_diversity_parts(
         F.sum("c").alias("n_lines"),
         F.sum(F.expr("c * ln(c)")).alias("s_c"),
     )
-    wr = Window.orderBy(F.col("c").desc(), "l_partkey")
-    ranked = pc.select("c", F.row_number().over(wr).alias("rk"))
+    ranked = global_row_number(
+        pc, [F.col("c").desc(), "l_partkey"], out_col="rk"
+    )
     k = agg.select(F.expr("(n_parts + 99) div 100").alias("k"))
     topk = (
-        k.join(F.broadcast(ranked), F.col("rk") <= F.col("k"), "left")
+        ranked.crossJoin(F.broadcast(k))
         .groupBy()
         .agg(
-            F.coalesce(F.sum("c"), F.lit(0)).alias("top_lines"),
-            F.max("k").alias("k"),
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c"))),
+                F.lit(0),
+            ).alias("top_lines"),
         )
     )
     return agg.crossJoin(F.broadcast(topk)).select(
@@ -3588,7 +3600,9 @@ def q_demand_diversity_parts(
         F.expr("round(exp(ln(n_lines) - s_c / n_lines), 2)").alias(
             "effective_parts"
         ),
-        F.col("k").cast("long").alias("top1pct_parts"),
+        F.expr("(n_parts + 99) div 100")
+        .cast("long")
+        .alias("top1pct_parts"),
         F.expr("top_lines * 1000000 div n_lines")
         .cast("long")
         .alias("top1pct_share_ppm"),
