@@ -283,6 +283,7 @@ def simhash_near_dup_pairs_collapsed(
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 2,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash pair search over exact-dup class REPRESENTATIVES →
     (id_a, id_b, hamming, n_docs_a, n_docs_b, n_expanded_pairs).
@@ -294,7 +295,7 @@ def simhash_near_dup_pairs_collapsed(
     stands for, and ``expand_rep_pairs`` materializes them on demand."""
     reps, _ = collapse_exact_reps(df, text_col, id_col)
     pairs = simhash_near_dup_pairs(
-        reps.drop("n_docs"), text_col, id_col, bits, max_hamming
+        reps.drop("n_docs"), text_col, id_col, bits, max_hamming, n_blocks
     )
     return _annotate_class_sizes(pairs, reps, id_col, ("hamming",))
 
@@ -449,25 +450,71 @@ def simhash_dup_groups(
     )
 
 
+def simhash_bits_for(n: int) -> int:
+    """Corpus-banded SimHash signature width for PAIR-emitting
+    searches: a fixed 32-bit signature fixes both the hamming-ball
+    density (C(32,≤k)/2³² of RANDOM pairs land inside the radius —
+    output itself goes quadratic at corpus scale) and the pigeonhole
+    block universe. Banding by a static COUNT(*) keeps the rule
+    oracle-mirrorable (a CASE over the same COUNT picks the arm on
+    the DuckDB side) and every fixture SF resolves to the original
+    32 bits, so gate values never move. 60 is the portable-hash
+    ceiling (``hash64`` = 15 hex chars of md5); paired with
+    ``simhash_blocks_for`` the top band's combo keys span 30 bits.
+    Same precedent as ``similarity.lsh_planes_for`` (the SemDeDup
+    fixed-k class)."""
+    if n <= 1 << 16:
+        return 32
+    if n <= 1 << 24:
+        return 48
+    return 60
+
+
+def simhash_blocks_for(n: int, max_hamming: int = 3) -> int:
+    """Corpus-banded pigeonhole block count. ``max_hamming + 1``
+    blocks index single blocks (key universe 2^(bits/b) — 256 at the
+    32-bit fixture band); past 2^16 docs the generalized pigeonhole
+    kicks in: with ``b`` blocks, two signatures within hamming k
+    agree on ≥ b−k WHOLE blocks (≤ k blocks can differ), so indexing
+    every (b−k)-subset of blocks is still lossless while the join key
+    concatenates b−k block values — universe 2^24 at the 48-bit band
+    and 2^30 at the 60-bit band (expected bucket occupancy ≤ 256
+    through ~2.7×10¹¹ docs, past a 100 TB corpus), vs the fixed
+    2^11 the r9 verdict flagged. Fan-out per doc is C(b, b−k) rows
+    (4 → 20 for k=3) — linear, the constant-factor price of killing
+    the n²/2^11 candidate term (Manku et al., WWW'07 §3's
+    table-multiplication trade, expressed as one equi-join)."""
+    if n <= 1 << 16:
+        return max_hamming + 1
+    return max_hamming + 3
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 2,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Pairs whose SimHash signatures are within ``max_hamming`` bits
     → (id_a, id_b, hamming).
 
     Pigeonhole candidate generation (the standard scale shape for
     hamming-ball search, cf. Manku et al., WWW'07 §3): split the
-    signature into ``max_hamming + 1`` contiguous blocks — two
-    signatures within distance ``max_hamming`` MUST agree on at least
-    one whole block — then equi-join on (block_idx, block_value) and
-    verify with ``bit_count(xor) ≤ k`` on the colliding candidates.
-    Shuffle volume is |docs|×blocks small rows on block keys, never
-    |docs|²; recall is exactly 1 (pigeonhole is lossless), so a
-    brute-force all-pairs oracle must return the identical set.
+    signature into ``n_blocks`` contiguous blocks — two signatures
+    within distance ``max_hamming`` MUST agree on at least
+    ``n_blocks − max_hamming`` whole blocks — then equi-join on
+    (combo_idx, concatenated block values) over every
+    (n_blocks − max_hamming)-subset of blocks and verify with
+    ``bit_count(xor) ≤ k`` on the colliding candidates. With the
+    default ``n_blocks = max_hamming + 1`` the subsets are single
+    blocks (the classic split); corpus-banded callers pass
+    ``simhash_blocks_for`` to widen the key universe instead of the
+    bucket occupancy. Shuffle volume is |docs|×C(b, b−k) small rows
+    on combo keys, never |docs|²; recall is exactly 1 (pigeonhole is
+    lossless either way), so a brute-force all-pairs oracle must
+    return the identical set.
 
     Scale note: the OUTPUT is quadratic in near-dup group size (a
     class of m mutual near-dups emits m(m-1)/2 pairs — 2.1M pairs on
@@ -476,50 +523,68 @@ def simhash_near_dup_pairs(
     group first and pair-search representatives; plan-side cost here
     is already bucketed either way.
     """
-    n_blocks = max_hamming + 1
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming for pigeonhole")
     widths = [
         bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)
     ]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
     sig = simhash_signatures_df(df, text_col, id_col, bits)
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("block_idx"),
-                F.shiftright("simhash", offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("block_val"),
-            )
-            for i in range(n_blocks)
-        ]
-    )
-    melted = sig.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
-        id_col, "simhash", "b.block_idx", "b.block_val"
-    )
-    a, b = melted.alias("a"), melted.alias("b")
 
     def _block_of(col: Column, i: int) -> Column:
         return F.shiftright(col, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
 
-    # First-agreeing-block guard: a pair whose signatures agree on m
-    # blocks would surface m times from the equi-join; instead of
-    # deduping with a distinct() — a full shuffle of the PAIR stream,
-    # the one quadratic-in-group-size artifact — emit only from the
-    # smallest agreeing block. The guard is a pure expression on the
-    # carried signatures (no earlier block may also agree), so the
-    # join output flows straight to the verify filter with no
-    # post-join exchange at all.
+    def _combo_key(col: Column, combo: tuple[int, ...]) -> Column:
+        # concatenate the combo's block values into one ≤ 60-bit long
+        key = _block_of(col, combo[0])
+        for i in combo[1:]:
+            key = F.shiftleft(key, widths[i]) + _block_of(col, i)
+        return key
+
+    melted = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo_idx"),
+                        _combo_key(F.col("simhash"), combo).alias("combo_key"),
+                    )
+                    for ci, combo in enumerate(combos)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.combo_idx", "b.combo_key")
+    a, b = melted.alias("a"), melted.alias("b")
+
+    # First-agreeing-combo guard: a pair whose signatures agree on m
+    # of the indexed block subsets would surface m times from the
+    # equi-join; instead of deduping with a distinct() — a full
+    # shuffle of the PAIR stream, the one quadratic-in-group-size
+    # artifact — emit only from the lexicographically-first agreeing
+    # subset. The guard is a pure expression on the carried
+    # signatures (no earlier subset may fully agree), so the join
+    # output flows straight to the verify filter with no post-join
+    # exchange at all.
     sig_a, sig_b = F.col("a.simhash"), F.col("b.simhash")
     earlier_agrees = F.lit(False)
-    for j in range(n_blocks - 1):
+    for cj, combo in enumerate(combos[:-1]):
+        agrees = F.lit(True)
+        for blk in combo:
+            agrees = agrees & (_block_of(sig_a, blk) == _block_of(sig_b, blk))
         earlier_agrees = earlier_agrees | (
-            (F.lit(j) < F.col("a.block_idx"))
-            & (_block_of(sig_a, j) == _block_of(sig_b, j))
+            (F.lit(cj) < F.col("a.combo_idx")) & agrees
         )
     cand = a.join(
         b,
-        (F.col("a.block_idx") == F.col("b.block_idx"))
-        & (F.col("a.block_val") == F.col("b.block_val"))
+        (F.col("a.combo_idx") == F.col("b.combo_idx"))
+        & (F.col("a.combo_key") == F.col("b.combo_key"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         & ~earlier_agrees,
     ).select(

@@ -55,6 +55,21 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Corpus-band selectors (lsh_planes_for / simhash_bits_for) need ONE
+# bounded count job; plan-only consumers (plan audits, plan-quality
+# pytests, sweeps) would otherwise re-pay that job on every
+# DataFrame construction, so the scalar is memoized per
+# (tag, session, sf).
+_COUNT_CACHE: dict[tuple[str, int, str], int] = {}
+
+
+def _count_cached(tag: str, spark, sf_dir: str, count_fn) -> int:
+    k = (tag, id(spark), sf_dir)
+    if k not in _COUNT_CACHE:
+        _COUNT_CACHE[k] = count_fn()
+    return _COUNT_CACHE[k]
+
+
 # --- text analysis -----------------------------------------------------------
 
 @query(
@@ -538,12 +553,36 @@ _SIMHASH_TOKEN_HASHES_SQL = """
 """
 
 # bit j of the signature = majority vote of bit j across token hashes
-# (mirror of operators.dedup.simhash_signature, bits=32).
-_SIMHASH_SIG_SQL = "\n         + ".join(
-    f"CASE WHEN list_sum(list_transform(hs, v -> ((v >> {j}) & 1) * 2 - 1)) > 0 "
-    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
-    for j in range(32)
-)
+# (mirror of operators.dedup.simhash_signatures_df at the given
+# width; the portable hash carries 60 usable bits).
+def _simhash_sig_sql(bits: int) -> str:
+    return "\n         + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, v -> ((v >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+
+
+_SIMHASH_SIG_SQL = _simhash_sig_sql(32)
+
+# Corpus-banded signature CTE for the PAIR gates (dedup.
+# simhash_bits_for): each CASE arm unrolls that band's bit-majority
+# sum, chosen by the same COUNT(*) the Spark side reads, so the rule
+# stays static and oracle-checkable; every fixture SF takes the
+# 32-bit arm, so gate values never move. ``src`` is the signed table
+# (documents for the direct gate, reps for the collapsed one) —
+# the band counts the rows actually pair-searched.
+def _simhash_banded_sig_cte(src: str) -> str:
+    return f"""nct AS (SELECT COUNT(*) AS n FROM {src}),
+h AS ({_SIMHASH_TOKEN_HASHES_SQL.replace("FROM documents", f"FROM {src}")}),
+sig AS (
+    SELECT doc_id,
+           CASE WHEN nct.n <= 65536 THEN {_simhash_sig_sql(32)}
+                WHEN nct.n <= 16777216 THEN {_simhash_sig_sql(48)}
+                ELSE {_simhash_sig_sql(60)}
+           END AS simhash
+    FROM h, nct
+)"""
 
 
 @query(
@@ -569,17 +608,13 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_near_dup_pairs",
-    # the pigeonhole block join is lossless (recall exactly 1), so the
+    # the pigeonhole combo join is lossless (recall exactly 1), so the
     # scalable Spark plan must equal this brute-force all-pairs oracle
-    # (quadratic is fine for the oracle at sf0.01).
+    # (quadratic is fine for the oracle at sf0.01); the signature
+    # WIDTH is corpus-banded on both sides (simhash_bits_for) so the
+    # CASE picks the same arm the Spark count job does.
     oracle=f"""
-WITH h AS ({_SIMHASH_TOKEN_HASHES_SQL}),
-sig AS (
-    SELECT doc_id,
-         {_SIMHASH_SIG_SQL}
-           AS simhash
-    FROM h
-)
+WITH {_simhash_banded_sig_cte("documents")}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -588,12 +623,30 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming ≤ 3 SimHash near-dup pairs via pigeonhole blocking —
-    no all-pairs join anywhere in the Spark plan."""
+    no all-pairs join anywhere in the Spark plan. Signature width and
+    block count are corpus-banded (``simhash_bits_for`` /
+    ``simhash_blocks_for``, one bounded count job, mirrored by the
+    oracle's CASE arms): a fixed 32-bit/4-block split caps the block
+    universe at 2^11 so the self-join candidate volume grows ~3n²/2048
+    — the SemDeDup fixed-k class the r9 verdict flagged. Past 2^16
+    docs the generalized pigeonhole indexes 3-block subsets of 6
+    blocks (24- then 30-bit combo keys — occupancy ≤ 256 through
+    ~2.7×10¹¹ docs). Every fixture SF resolves to the original
+    32/4 arm; values unchanged."""
     from web_analytics_visits_re_processing_spark.operators.dedup import (
+        simhash_bits_for,
+        simhash_blocks_for,
         simhash_near_dup_pairs,
     )
 
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+    docs = _docs(spark, sf_dir)
+    n = _count_cached("docs_n", spark, sf_dir, docs.count)
+    return simhash_near_dup_pairs(
+        docs,
+        max_hamming=3,
+        bits=simhash_bits_for(n),
+        n_blocks=simhash_blocks_for(n, 3),
+    )
 
 
 _REPS_CTE = """cls AS (
@@ -647,6 +700,8 @@ def q_minhash_rep_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only, annotated with the doc-level pair count each rep pair
     # stands for. COUNT(*) OVER is BIGINT (not HUGEINT) in DuckDB, as
     # is a BIGINT product, so no casts needed on the size columns.
+    # The signature width is banded on the REP count — the rows the
+    # pair search actually sees.
     oracle=f"""
 WITH cls AS (
     SELECT doc_id, text,
@@ -655,13 +710,7 @@ WITH cls AS (
     FROM documents
 ),
 reps AS (SELECT doc_id, text, n_docs FROM cls WHERE doc_id = rep_id),
-h AS ({_SIMHASH_TOKEN_HASHES_SQL.replace("FROM documents", "FROM reps")}),
-sig AS (
-    SELECT doc_id,
-         {_SIMHASH_SIG_SQL}
-           AS simhash
-    FROM h
-)
+{_simhash_banded_sig_cte("reps")}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming,
        ra.n_docs AS n_docs_a, rb.n_docs AS n_docs_b,
@@ -679,12 +728,31 @@ def q_simhash_rep_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's dup-heavy classes emit one rep pair each instead of
     |class_a|x|class_b| rows); n_expanded_pairs records the collapsed
     multiplicity and expand_rep_pairs rebuilds the full set lazily —
-    pinned equal to the direct pair search in pytest."""
+    pinned equal to the direct pair search in pytest. Width/blocks
+    are corpus-banded on the REPRESENTATIVE count (the pair-searched
+    rows), mirrored by the oracle CASE."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        exact_fingerprint,
+    )
     from web_analytics_visits_re_processing_spark.operators.dedup import (
+        simhash_bits_for,
+        simhash_blocks_for,
         simhash_near_dup_pairs_collapsed,
     )
 
-    return simhash_near_dup_pairs_collapsed(_docs(spark, sf_dir), max_hamming=3)
+    docs = _docs(spark, sf_dir)
+    n = _count_cached(
+        "docs_reps_n",
+        spark,
+        sf_dir,
+        lambda: docs.select(exact_fingerprint("text")).distinct().count(),
+    )
+    return simhash_near_dup_pairs_collapsed(
+        docs,
+        max_hamming=3,
+        bits=simhash_bits_for(n),
+        n_blocks=simhash_blocks_for(n, 3),
+    )
 
 
 @query(
@@ -962,7 +1030,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    planes = lsh_planes_for(emb.count())
+    planes = lsh_planes_for(_count_cached("emb_n", spark, sf_dir, emb.count))
     emb = emb.withColumn(
         "_bk", lsh_bucket(F.col("embedding"), dim=64, n_planes=planes)
     )
@@ -2057,6 +2125,9 @@ def q_kmeans_clusters_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same COUNT(*) in an expression LIMIT. At every gate SF (≤ 6000
 # vectors) both sides resolve to the original k = 10, so gate values
 # are unchanged.
+# exactly ONE init-sample LIMIT may exist — a second "LIMIT 10"
+# appearing in KMEANS_ORACLE would otherwise be silently rewritten too
+assert KMEANS_ORACLE.count("LIMIT 10") == 1
 _KMEANS_ORACLE_ADAPTIVE_K = KMEANS_ORACLE.replace(
     "LIMIT 10",
     "LIMIT GREATEST(10, (SELECT COUNT(*) FROM pts) // 600)",
@@ -2107,7 +2178,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    k = max(10, emb.count() // 600)
+    k = max(10, _count_cached("emb_n", spark, sf_dir, emb.count) // 600)
     return semdedup_verdicts(emb, k=k, n_updates=1, tau=0.35)
 
 
