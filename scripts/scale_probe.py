@@ -301,13 +301,33 @@ def build_scaled_fixture(spark, out_dir: str) -> None:
     if not os.path.exists(part_out):
         prt = spark.read.parquet(f"{BASE_SF}/part.parquet")
         n_prt = prt.agg(F.max("p_partkey")).first()[0] + 1
+        # the part offset must equal lineitem's replication offset
+        # (max l_partkey + 1) or every replica's part ⋈ lineitem keys
+        # silently orphan; assert instead of assuming the fixture
+        # keeps max(p_partkey) == max(l_partkey).
+        n_li_part = (
+            spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+            .agg(F.max("l_partkey"))
+            .first()[0]
+            + 1
+        )
+        assert n_prt == n_li_part, (
+            f"part replica offset {n_prt} != lineitem's {n_li_part}; "
+            "fixture changed - align the offsets or the probe joins break"
+        )
+        price_type = dict(prt.dtypes)["p_retailprice"]
         pcols = [
             c for c in prt.columns if c not in ("p_partkey", "p_retailprice")
         ]
         pparts = [
             prt.select(
                 (F.col("p_partkey") + i * n_prt).alias("p_partkey"),
-                (F.col("p_retailprice") + i * 0.01).alias("p_retailprice"),
+                # keep the nudged price on the source column's exact
+                # type - a bare float literal would coerce the whole
+                # column to double and drift cents at 10x
+                (F.col("p_retailprice") + i * 0.01)
+                .cast(price_type)
+                .alias("p_retailprice"),
                 *pcols,
             )
             for i in range(REPLICAS)

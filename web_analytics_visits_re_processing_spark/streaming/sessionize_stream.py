@@ -302,6 +302,19 @@ def _run_append_to_files(
     """Append-mode → parquet file sink with checkpoint; returns the
     output path and a state-eviction summary from the final progress."""
     out = os.path.join(workdir, "out")
+    # recentProgress retains only the last numRecentProgressUpdates
+    # (default 100) updates — a chunked replay with more micro-batches
+    # than the retention cap would silently under-report peak state
+    # and eviction counts, so raise it well past any probe's batch
+    # count for the lifetime of this query (the buffer trims on each
+    # progress event, reading the conf dynamically).
+    sess = result.sparkSession
+    _retention_key = "spark.sql.streaming.numRecentProgressUpdates"
+    try:
+        _prev_retention = sess.conf.get(_retention_key)
+    except Exception:
+        _prev_retention = None
+    sess.conf.set(_retention_key, "10000")
     q = (
         result.writeStream.format("parquet")
         .option("path", out)
@@ -314,8 +327,17 @@ def _run_append_to_files(
     if not finished:
         q.stop()
         raise TimeoutError(f"append replay did not finish within {timeout_s}s")
+    progress = list(q.recentProgress)
+    if _prev_retention is None:
+        sess.conf.unset(_retention_key)
+    else:
+        sess.conf.set(_retention_key, _prev_retention)
+    assert len(progress) < 10000, (
+        "progress buffer hit the retention cap - peak-state metrics "
+        "would be truncated; raise numRecentProgressUpdates"
+    )
     stats = {"numRowsTotal": 0, "numRowsRemoved": 0, "numRowsTotalMax": 0}
-    for p in q.recentProgress:
+    for p in progress:
         for op in p.get("stateOperators", []):
             stats["numRowsTotal"] = op.get("numRowsTotal", 0)
             stats["numRowsRemoved"] += op.get("numRowsRemoved", 0)
