@@ -139,3 +139,33 @@ def test_simhash_default_blocks_unchanged(spark):
         ).collect()
     }
     assert banded == legacy
+
+
+def test_bench_compare_thresholds():
+    """bench_compare flags >threshold× moves in either direction,
+    ignores sub-floor noise entries, and reports added/removed names
+    — the contract the per-round BENCH_DETAIL_r{N} snapshots rely on."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "bench_compare.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = {"value": 10.0, "reps": 3, "queries": {
+        "slowed": 1.0, "sped": 3.0, "noise": 0.05, "steady": 2.0, "gone": 1.0,
+    }}
+    new = {"value": 11.0, "reps": 3, "queries": {
+        "slowed": 1.6, "sped": 1.9, "noise": 0.12, "steady": 2.1, "fresh": 0.5,
+    }}
+    rep = mod.compare(old, new, threshold=1.5, floor=0.3)
+    assert list(rep["regressions"]) == ["slowed"]
+    assert list(rep["improvements"]) == ["sped"]
+    assert "noise" not in rep["regressions"]  # 2.4× but sub-floor
+    assert rep["added"] == ["fresh"] and rep["removed"] == ["gone"]
