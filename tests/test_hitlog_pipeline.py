@@ -201,3 +201,93 @@ def test_parser_roundtrip_fuzz(spark):
         assert (r["pdp_view"], r["payment"], r["order"]) == (1, 1, 0)
 
     check()
+
+
+# --- strict-reference-mode golden (r10 verdict item 8) ------------------------
+
+RAW_REFERENCE_ROWS = [
+    # the reference's committed data-test/test.tsv format VERBATIM:
+    # 8 columns — ts, two id halves, empty tracking, empty products,
+    # events, page, server; NO ibm_id/scv_id columns. The reference's
+    # own parser IndexErrors on columns[8] for every one of these rows
+    # and discards them (main.py:78-81) — its committed sample is
+    # schema-drifted relative to its committed code.
+    f"1517958846\t10001026\t3484482593\t\t\t{EVENTS_A}\tM:Home:Home Page\tm.debenhams.com",
+    f"1517958850\t10001026\t3484482593\t\t\t{EVENTS_A}\tM:T-Cat:Beauty\tm.debenhams.com",
+    f"1517958881\t10001026\t3484482593\t\t\t266,272,{EVENTS_A}\tM:PSP:Beauty > Paco Rabanne\tm.debenhams.com",
+    f"1517958883\t10001026\t3484482593\t\t\t{EVENTS_A}\tM:T-Cat:Beauty\tm.debenhams.com",
+    f"1517958922\t10001026\t3484482593\t\t\t266,272,{EVENTS_A}\tM:PSP:Beauty > Paco Rabanne\tm.debenhams.com",
+    f"1517458988\t10001026\t3484482593\t\t\t215,266,272,216,{EVENTS_A}\tM:Search Results:Search\tm.debenhams.com",
+]
+
+
+def test_strict_mode_golden_on_raw_reference_sample(spark, tmp_path):
+    """Golden pin of the 8-vs-10-column schema-drift drop policy
+    (main.py:78-81) on the reference's own 6-row sample format: every
+    row is short (8 < 10 columns), so ALL three sinks are empty — in
+    strict mode AND default mode (the short-row drop is the parser's
+    schema policy, not a strictness knob; strictness only adds the
+    products-';' drop). The counters attribute all 6 drops to
+    short_rows."""
+    src = tmp_path / "raw.tsv"
+    src.write_text("\n".join(RAW_REFERENCE_ROWS) + "\n")
+    for strict in (True, False):
+        out = str(tmp_path / f"out_{strict}")
+        counts = run_visits_pipeline(
+            spark, str(src), out, strict_reference_mode=strict
+        )
+        assert counts == {"hits": 0, "visits": 0, "visitors": 0}, strict
+    obs = Observation("raw_sample_parse")
+    from web_analytics_visits_re_processing_spark.sources.hitlog import (
+        read_hitlog_lines,
+    )
+
+    parse_hitlog(
+        read_hitlog_lines(spark, str(src)),
+        strict_reference_mode=True,
+        observation=obs,
+    ).collect()
+    m = obs.get
+    assert m["rows_in"] == 6
+    assert m["short_rows"] == 6
+    assert m["dropped_rows"] == 6
+
+
+def test_strict_mode_golden_output_vs_default(spark, tmp_path):
+    """Strict-vs-default divergence pinned at the SINK level with
+    exact golden CSV lines (reference hit-CSV column order,
+    main.py:106): a 10-column row whose non-empty products_string has
+    no ';' IndexErrors the reference's split(';')[1] → strict drops
+    it; the sane default keeps it with line_number=''."""
+    rows = [
+        "100\tu\t1\t\tsku;7;x\t1,2,14\tpgA\tsrv\tibmA\tscvA",
+        "130\tu\t1\t\tnosemicolon\t12,204\tpgB\tsrv\tibmA\tscvA",
+        "160\tu\t1\t\t\t11\tpgC\tsrv\tibmA\tscvA",
+    ]
+    src = tmp_path / "mixed.tsv"
+    src.write_text("\n".join(rows) + "\n")
+
+    out_strict = str(tmp_path / "strict")
+    counts = run_visits_pipeline(
+        spark, str(src), out_strict, strict_reference_mode=True
+    )
+    assert counts == {"hits": 2, "visits": 1, "visitors": 1}
+    got = sorted(
+        line
+        for part in __import__("pathlib").Path(f"{out_strict}/hits").glob("*.csv")
+        for line in part.read_text().splitlines()
+    )
+    assert got == [
+        "u_1_100,100,srv,\"\",pgA,7,1,0,1,0,0,1",
+        "u_1_100,160,srv,\"\",pgC,\"\",0,0,0,1,0,0",
+    ]
+    visits = [
+        line
+        for part in __import__("pathlib").Path(f"{out_strict}/visits").glob("*.csv")
+        for line in part.read_text().splitlines()
+    ]
+    assert visits == ["u_1_100,u_1,100,160"]
+
+    out_default = str(tmp_path / "default")
+    counts = run_visits_pipeline(spark, str(src), out_default)
+    assert counts == {"hits": 3, "visits": 1, "visitors": 1}

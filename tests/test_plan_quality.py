@@ -688,3 +688,161 @@ def test_plans_md_covers_exact_registry():
         f"PLANS.md out of sync — run scripts/plan_audit.py; "
         f"missing rows: {missing}; stale rows: {stale}"
     )
+
+
+# --- registry-wide unpartitioned-window audit (r10 verdict item 4) -----------
+
+# Every physical windowspecdefinition with NO partition column moves
+# its whole input to one task (Spark's own WindowExec warning). The
+# class was hand-fixed three times (r9 retirement sweep, the second
+# audit pass, rfm_segments) and one survivor still reached r10
+# (demand_diversity_parts) — this audit stops the fourth hand-fix:
+# any NEW unpartitioned window fails the suite unless its query is
+# whitelisted here with the bounded-cardinality reason. The ranks
+# module's own offset windows (sort key prefixed `_grk_`) are exempt
+# by construction: they window the ≤ num_partitions-row
+# per-partition-offsets table — that bound IS the two-pass trick.
+#
+# Whitelist semantics: query name → frozenset of first-sort-key base
+# names allowed to ride an unpartitioned window ("<unordered>" = a
+# whole-frame window with no sort at all). Every entry's frame is
+# bounded by construction, NOT data-scale:
+#   - calendar grain (day/week/dow spine): grows with time, not data
+#   - decile/band/digit/look grain: constant by definition
+#   - enum grain (event types, labels, segments): spec-constant
+#   - TakeOrdered-capped: the rank window sees ≤ k rows by plan shape
+#   - bounded model state (bootstrap replicates, eval-query set,
+#     PAVA pool states, coalition lattices)
+_UNPARTITIONED_WINDOW_WHITELIST: dict[str, frozenset] = {
+    # decile / band / digit grain (≤ 10-20 rows by definition)
+    "score_decile_gains": frozenset({"decile"}),
+    "lorenz_curve_deciles": frozenset({"decile", "<unordered>"}),
+    "score_calibration_by_band": frozenset({"<unordered>"}),
+    # calendar grain (day/week spine)
+    "kpi_correlation_daily": frozenset({"cents", "dau", "<unordered>"}),
+    "weekly_revenue_wow_change": frozenset({"week"}),
+    "longest_growth_streak_weeks": frozenset({"w"}),
+    "changepoint_scan_daily": frozenset({"day", "<unordered>"}),
+    "max_drawdown_daily": frozenset({"day"}),
+    "local_extrema_days": frozenset({"day"}),
+    "ewma_daily_revenue": frozenset({"d"}),
+    "acf_daily_revenue": frozenset({"d"}),
+    "theil_sen_daily_trend": frozenset({"d", "s", "<unordered>"}),
+    "holt_linear_backtest": frozenset({"d"}),
+    "holt_winters_dow_backtest": frozenset({"d"}),
+    "dow_naive_forecast_backtest": frozenset({"<unordered>"}),
+    "streaming_activity_heatmap": frozenset({"<unordered>"}),
+    "activity_heatmap_dow_hour": frozenset({"<unordered>"}),
+    # enum / segment grain (event types, labels, histograms of
+    # bounded-support values)
+    "wilson_ranked_entry_types": frozenset({"wilson_lb_ppm"}),
+    "label_centroid_distances": frozenset({"d2_micro"}),
+    "segment_priority_chi2": frozenset({"<unordered>"}),
+    "segment_priority_association": frozenset({"<unordered>"}),
+    "post_signup_next_actions": frozenset({"<unordered>"}),
+    "conversion_path_length_histogram": frozenset({"<unordered>"}),
+    "sessions_per_user_histogram": frozenset({"<unordered>"}),
+    "session_length_percentiles": frozenset({"len", "<unordered>"}),
+    "signup_to_purchase_latency": frozenset({"lat_min", "<unordered>"}),
+    "degree_distribution_copurchase": frozenset({"degree"}),
+    "bh_fdr_segment_ztests": frozenset({"<unordered>", "z2_e4"}),
+    "loo_cvr_sensitivity": frozenset({"_w0"}),
+    "hodges_lehmann_shift": frozenset({"dv", "<unordered>"}),
+    "obf_sequential_looks": frozenset({"<unordered>"}),
+    "streaming_obf_monitor": frozenset({"<unordered>"}),
+    "isotonic_calibration_pava": frozenset({"<unordered>"}),
+    # TakeOrdered-capped rank windows (≤ k rows reach the window —
+    # pinned by test_topk_ranks_use_take_ordered)
+    "streaming_topk_user_leaderboard": frozenset({"total_cents"}),
+    "streaming_count_min_sketch": frozenset({"cnt"}),
+    "count_min_heavy_hitters": frozenset({"cnt"}),
+    "zipf_doubling_profile": frozenset({"freq"}),
+    "hits_copurchase_authorities": frozenset({"authority_e6"}),
+    "rrf_multi_query_fusion": frozenset({"rrf_e6"}),
+    # bounded model state
+    "poisson_bootstrap_ci": frozenset({"est_ppm"}),
+    # ABC's prefix-total pattern: the one whole-frame window runs over
+    # the ≤ num_partitions-row offsets table's total (bounded)
+    "abc_classification_parts": frozenset({"<unordered>"}),
+}
+
+
+def _split_top_level_args(s: str) -> list[str]:
+    args, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur).strip())
+    return args
+
+
+_SORT_ITEM_RE = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def _unpartitioned_window_keys(plan: str) -> list[str]:
+    """First-sort-key base names of every windowspecdefinition with no
+    partition column ("<unordered>" for whole-frame windows), `_grk_`
+    offsets windows excluded."""
+    keys = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        first = _split_top_level_args(plan[m.end():])[0]
+        if first.startswith("specifiedwindowframe"):
+            keys.append("<unordered>")
+        elif _SORT_ITEM_RE.search(first):
+            name = re.sub(r"#\d+L?", "", first)
+            name = re.sub(r"\s+(ASC|DESC) NULLS (FIRST|LAST)$", "", name)
+            if "_grk_" not in name:
+                keys.append(name)
+    return keys
+
+
+def test_unpartitioned_windows_whitelisted():
+    """Walk EVERY registry query's committed physical plan (PLANS.md
+    detail sections — coverage pinned by
+    test_plans_md_covers_exact_registry) and fail on any
+    unpartitioned window spec not in the bounded-cardinality
+    whitelist above; also fail on stale whitelist entries so the list
+    tracks reality in both directions."""
+    import os
+
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    with open(plans_path, encoding="utf-8") as fh:
+        text = fh.read()
+    sections = re.findall(
+        r"^## (\S+)\n\n```\n(.*?)\n```", text, flags=re.MULTILINE | re.DOTALL
+    )
+    assert len(sections) == len(QUERIES), "PLANS.md detail sections stale"
+    offenders, seen = {}, {}
+    for name, plan in sections:
+        keys = set(_unpartitioned_window_keys(plan))
+        if not keys:
+            continue
+        seen[name] = keys
+        allowed = _UNPARTITIONED_WINDOW_WHITELIST.get(name, frozenset())
+        extra = keys - allowed
+        if extra:
+            offenders[name] = sorted(extra)
+    assert not offenders, (
+        f"NEW unpartitioned window specs (whole frame on one task at "
+        f"data scale): {offenders} — convert to operators.ranks "
+        "two-pass helpers or whitelist with a bounded-cardinality "
+        "reason"
+    )
+    stale = {
+        n: sorted(ks - seen.get(n, set()))
+        for n, ks in _UNPARTITIONED_WINDOW_WHITELIST.items()
+        if ks - seen.get(n, set())
+    }
+    assert not stale, f"stale whitelist entries (site gone): {stale}"
