@@ -1,0 +1,225 @@
+"""Round-10 operator pins: label propagation (planted two-community
+graph), the Gopher top-n-gram repetition gates (hand-computed char
+fractions + degenerate docs), the bucketed co-located join (plan
+shape: SortMergeJoin, ONE shuffle exchange total, no re-sort, one
+file per bucket), and IVF+PQ composition (ADC distances must equal
+the flat-ADC kernel restricted to the IVF candidate set)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import tempfile
+
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, sf_dir: str = SF_DIR) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- label propagation ----------------------------------------------------------
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge: connected components
+    would merge them into ONE cluster; 4-round deterministic LPA must
+    find TWO (the whole point of having a second community detector).
+    Expected labels hand-computed round by round."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("node"))
+        .union(edges.select("id_b"))
+        .distinct()
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(nodes, edges, node_col="node").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    """A node present in `nodes` but with no incident edge must keep
+    its own label through every round (the coalesce branch). The
+    connected pair exhibits the classic synchronous-LPA bipartite
+    oscillation (labels swap every round), so after an EVEN round
+    count each keeps its own label — pinned here as the documented
+    deterministic behavior, not a bug."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "node long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(nodes, edges, node_col="node").collect()
+    }
+    assert got == {1: 1, 2: 2, 9: 9}
+
+
+# --- Gopher top-n-gram repetition -----------------------------------------------
+
+def test_gopher_ngram_repetition_hand_computed(spark, tmp_path):
+    """'a b a b a b c': top bigram 'a b'×3 (2 token chars each → 6 of
+    tc=7), top trigram ('a b a' or 'b a b')×2 (3 chars → 6 of 7) —
+    both gates fail. Single-token and empty-ish docs have no n-grams:
+    0 chars, gates pass."""
+    spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),
+            (2, "hello"),
+            (3, "x y z w"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["gopher_ngram_repetition"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_tokens"] == 7
+    assert r1["top_bigram_chars"] == 6  # 3 × ('a b' → 2 chars)
+    assert r1["top_trigram_chars"] == 6  # 2 × ('a b a' → 3 chars)
+    assert not r1["bigram_ok"] and not r1["trigram_ok"] and not r1["keep"]
+    r2 = rows[2]
+    assert (r2["top_bigram_chars"], r2["top_trigram_chars"]) == (0, 0)
+    assert r2["keep"]
+    # 'x y z w': every bigram unique → top is 1×2 chars of tc=4;
+    # 2·5 > 4 so even one occurrence fails the 20% gate on a tiny doc
+    # (faithful to Gopher — the word-count gate owns short docs).
+    r3 = rows[3]
+    assert r3["top_bigram_chars"] == 2 and not r3["bigram_ok"]
+
+
+def test_gopher_ngram_zero_shuffle_projection(spark):
+    """The whole signal is array-side per document — no exchange, no
+    Python, single scan."""
+    plan = _plan(spark, "gopher_ngram_repetition")
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+# --- bucketed co-located join ---------------------------------------------------
+
+def test_bucketed_join_no_shuffle(spark):
+    """Both sides bucketed on the join key: the SortMergeJoin must
+    consume the co-located buckets directly — the ONLY shuffle
+    exchange in the whole plan is the final priority rollup. (The
+    per-bucket in-memory Sort remains under default conf — Spark ≥3
+    doesn't report bucket sort order unless the legacy flag is on;
+    see the elision test below.)"""
+    plan = _plan(spark, "bucketed_join_roundtrip")
+    assert "SortMergeJoin" in plan, plan
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_bucketed_join_sort_elided_with_output_ordering(spark):
+    """With exactly one file per bucket the legacy
+    ``bucketedTableScan.outputOrdering`` flag is safe and elides the
+    per-bucket Sort as well — the join becomes a pure zip of
+    pre-sorted co-located streams. Set/restore guarded: the flag is
+    session state and can claim a FALSE order with >1 file/bucket."""
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    old = spark.conf.get(key, "false")
+    try:
+        spark.conf.set(key, "true")
+        plan = _plan(spark, "bucketed_join_roundtrip")
+        assert "SortMergeJoin" in plan, plan
+        assert "Sort [" not in plan, plan
+        assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1, plan
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_bucketed_write_one_file_per_bucket(spark):
+    """repartition(8, key) before bucketBy(8, key) uses the same
+    murmur3 pmod — each task holds exactly one bucket, so each table
+    lands as exactly 8 data files (the precondition for sorted
+    bucket reads)."""
+    QUERIES["bucketed_join_roundtrip"](spark, SF_DIR).collect()
+    sf_tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", sf_tag)
+    for table in ("lineitem_by_orderkey", "orders_by_orderkey"):
+        files = [
+            f
+            for f in glob.glob(os.path.join(loc, table, "part-*"))
+            if not f.endswith(".crc")
+        ]
+        assert len(files) == 8, (table, files)
+
+
+# --- IVF + PQ composition --------------------------------------------------------
+
+def test_ivf_pq_distances_equal_flat_adc(spark):
+    """The composed kernel must change WHICH candidates are scored
+    (IVF cells) but never HOW: joining its output against the flat
+    pq_adc_topk ranking with k ≥ corpus size, every (query, neighbor)
+    pair's integer ADC distance must match exactly."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_ivf_adc_topk,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    books = pq_codebooks(emb)
+    composed = pq_ivf_adc_topk(emb, queries, books, k=5)
+    flat = pq_adc_topk(emb, queries, books, k=n).select(
+        "query_id", "vec_id", F.col("adc_dist").alias("flat_dist")
+    )
+    rows = composed.join(flat, ["query_id", "vec_id"], "left").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["flat_dist"] is not None
+        assert r["adc_dist"] == r["flat_dist"], r
+
+
+def test_ivf_pq_neighbors_come_from_probed_cells(spark):
+    """Every returned neighbor must live in one of its query's
+    n_probe probed cells — the candidate-bounding contract."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        pq_codebooks,
+        pq_ivf_adc_topk,
+    )
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        ivf_assign_literal,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    books = pq_codebooks(emb)
+    out = pq_ivf_adc_topk(emb, queries, books, k=5)
+    corpus_cells, probes = ivf_assign_literal(emb, queries)
+    probed = {
+        (r["query_id"], r["_cell"])
+        for r in probes.select("query_id", "_cell").collect()
+    }
+    cell_of = {
+        r["vec_id"]: r["_cell"]
+        for r in corpus_cells.select("vec_id", "_cell").collect()
+    }
+    for r in out.collect():
+        assert (r["query_id"], cell_of[r["vec_id"]]) in probed, r

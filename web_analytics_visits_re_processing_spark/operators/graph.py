@@ -548,3 +548,78 @@ def hits_bipartite_scaled(
                 .agg(F.sum("s").alias("s"))
             ).localCheckpoint(eager=True)
     return a.select("node", F.col("s").alias("authority_e6"))
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    deterministic → ``(node_col, label)`` after exactly ``n_iters``
+    rounds.
+
+    Every node starts labeled with its own id; each round every node
+    adopts the label held by the PLURALITY of its neighbors, ties
+    broken toward the SMALLEST label; an isolated node keeps its
+    label. Classic LPA breaks ties randomly and stops at convergence —
+    both choices unreplayable across engines — so this variant fixes
+    the tie rule and the round count, making the full labeling a pure
+    function of (graph, n_iters) that unrolls verbatim into SQL.
+    Synchronous updates can OSCILLATE on bipartite-ish structure (a
+    lone edge swaps labels every round) — a known LPA property; the
+    fixed even round count keeps that deterministic too.
+
+    Scale shape per round: one edge⋈label equi-join (hash on the
+    neighbor id), one map-side-combinable (node, label) COUNT, and a
+    per-node plurality argmax via ``max_by`` over the
+    (count, -label) preference — NO per-node window sort, 2 shuffles
+    per round, linear in |E|. Labels are localCheckpoint-truncated
+    each round (the connected_components lesson) so the plan never
+    nests. The symmetric edge list persists across rounds.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .union(edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")))
+        .distinct()
+    )
+    sym.persist()
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iters):
+            nbr_labels = sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                on="nbr",
+            )
+            plurality = (
+                nbr_labels.groupBy("node", "nbr_label")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("node")
+                .agg(
+                    F.max_by(
+                        F.col("nbr_label"),
+                        F.struct(
+                            F.col("c").alias("c"),
+                            (-F.col("nbr_label")).alias("neg_label"),
+                        ),
+                    ).alias("new_label")
+                )
+            )
+            labels = (
+                labels.join(plurality, on="node", how="left")
+                .select(
+                    "node",
+                    F.coalesce("new_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return labels.select(F.col("node").alias(node_col), "label")
+    finally:
+        sym.unpersist()

@@ -178,3 +178,82 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_ivf_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §V): coarse IVF cells bound the
+    candidate set, PQ-ADC scores the candidates — the composition
+    production billion-vector indexes (FAISS IVFPQ) actually run,
+    where neither half alone suffices: flat ADC still touches every
+    code row (compute-bound), and IVF with exact rescoring still
+    reads full vectors (memory-bound). Composed, a query reads
+    ~n/n_centroids·n_probe code rows of 8 bytes each.
+
+    Cells come from ``similarity.ivf_assign_literal`` — bit-identical
+    to ``cosine_topk_ivf`` — and scoring is the integer-exact ADC of
+    ``pq_adc_topk``, so the full composition replays in SQL. Output
+    ``(query_id, id, adc_dist, rank)``: per-query top-k by SMALLEST
+    ADC squared distance, ties to the smaller id.
+
+    Scale shape: cell assignment is a zero-shuffle projection; the
+    candidate join equi-joins on the cell id with the (tiny) probe
+    side broadcast carrying each query's precomputed 8×16 distance
+    table; the only exchange is the per-query top-k window, pruned to
+    k per partition by WindowGroupLimit."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        ivf_assign_literal,
+    )
+
+    corpus_cells, probes = ivf_assign_literal(
+        corpus, queries, n_centroids, n_probe, id_col, vec_col, query_id_col
+    )
+    sub = _SUBDIST_SQL.format(
+        s="s", dsub=PQ_DSUB, cb=f"element_at(element_at({_books_sql(books)}, s + 1), c + 1)"
+    )
+    codes = f"""
+    transform(sequence(0, {PQ_M - 1}), s ->
+      array_min(transform(sequence(0, {PQ_CODES - 1}), c ->
+        named_struct('d', {sub}, 'code', CAST(c AS INT)))).code)
+    """
+    enc = corpus_cells.selectExpr(
+        id_col, "_cell", _QUANT_SQL.format(vec=vec_col) + " AS _q"
+    ).selectExpr(id_col, "_cell", f"({codes}) AS codes")
+    dtab = f"""
+    transform(sequence(0, {PQ_M - 1}), s ->
+      transform(sequence(0, {PQ_CODES - 1}), c -> {sub}))
+    """
+    qside = probes.selectExpr(
+        query_id_col, "_cell", _QUANT_SQL.format(vec="_qvec") + " AS _q"
+    ).selectExpr(query_id_col, "_cell", f"({dtab}) AS dtab")
+    scored = (
+        enc.join(F.broadcast(qside), "_cell")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("dtab"),
+                    F.col("codes"),
+                    lambda row, c: F.get(row, c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

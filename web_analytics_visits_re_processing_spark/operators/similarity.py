@@ -272,6 +272,29 @@ def cosine_topk_ivf(
     Assignment ties break toward the smaller centroid id on the
     8-decimal-rounded similarity (cross-engine determinism).
     """
+    corpus_cells, probes = ivf_assign_literal(
+        corpus, queries, n_centroids, n_probe, id_col, vec_col, query_id_col
+    )
+    return _probe_rescore_topk(corpus_cells, probes, k, id_col, query_id_col, vec_col)
+
+
+def ivf_assign_literal(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The literal-projection IVF assignment ``cosine_topk_ivf``
+    documents, shared so compositions (e.g. IVF+PQ in
+    ``operators/pq.py``) get bit-identical cells: returns
+    ``(corpus_cells, probes)`` where corpus_cells is
+    (id_col, vec_col, _cell) — one nearest cell per corpus row — and
+    probes is (query_id_col, _qvec, _cell) — the ``n_probe`` nearest
+    cells per query. See ``cosine_topk_ivf`` for the centroid-sample
+    and tie-break contract."""
     cents = sorted(
         (r[0], list(r[1]))
         for r in corpus.select(id_col, vec_col)
@@ -322,7 +345,7 @@ def cosine_topk_ivf(
             )
         ).alias("_probe"),
     ).select(query_id_col, "_qvec", (-F.col("_probe.neg_cid")).alias("_cell"))
-    return _probe_rescore_topk(corpus_cells, probes, k, id_col, query_id_col, vec_col)
+    return corpus_cells, probes
 
 
 def cosine_topk_ivf_join(

@@ -14,6 +14,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     hitlog_queries,
     llmdata,
     relational,
+    round10,
     sqlbattery,
     streaming_queries,
     webanalytics,

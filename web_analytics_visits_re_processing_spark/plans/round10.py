@@ -1,0 +1,437 @@
+"""Round-10 additions: the physical-layout story made gateable
+(bucketed co-located joins — ``sources/layout.py`` finally exercised
+by a registered query, not just unit tests), the two Gopher §A1.1
+repetition signals the r5 quality battery lacked (top-2-gram /
+top-3-gram character fractions), deterministic synchronous label
+propagation as a second community detector next to the CC closure,
+and IVF+PQ composed — the FAISS-IVFPQ shape that actually runs at
+billion-vector scale, where IVF bounds the candidates and ADC scores
+them over 8-byte code rows.
+
+House style throughout: integer-exact arithmetic, a DuckDB oracle
+replaying the identical pipeline (LPA rounds unrolled, the IVF cell
+assignment + PQ codebook construction replayed verbatim), bounded
+driver state, and scale notes per operator. Reference parity: the
+reference (/root/reference/main.py:22-240) has none of this tier —
+all four belong to SURVEY §2.2 gap categories (physical layout,
+text-quality functions, graph clustering, ANN)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+# --- Gopher top-n-gram repetition signals --------------------------------------
+
+_GOPHER_NGRAM_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
+    FROM documents
+),
+g AS (
+    SELECT doc_id, len(toks) AS n, lc - len(toks) + 1 AS tc,
+           list_transform(
+               list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+               s -> s[1] || ' ' || s[2]) AS g2,
+           list_transform(
+               list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                        toks[3:len(toks)]),
+               s -> s[1] || ' ' || s[2] || ' ' || s[3]) AS g3
+    FROM t
+),
+m AS (
+    SELECT doc_id, n, tc,
+           list_max(list_transform(list_distinct(g2), d ->
+               [len(list_filter(g2, x -> x = d)), len(d) - 1])) AS top2,
+           list_max(list_transform(list_distinct(g3), d ->
+               [len(list_filter(g3, x -> x = d)), len(d) - 2])) AS top3
+    FROM g
+)
+SELECT doc_id,
+       n::BIGINT AS n_tokens,
+       COALESCE(top2[1] * top2[2], 0)::BIGINT AS top_bigram_chars,
+       COALESCE(top3[1] * top3[2], 0)::BIGINT AS top_trigram_chars,
+       (COALESCE(top2[1] * top2[2], 0) * 5 <= tc) AS bigram_ok,
+       (COALESCE(top3[1] * top3[2], 0) * 50 <= tc * 9) AS trigram_ok,
+       (COALESCE(top2[1] * top2[2], 0) * 5 <= tc
+        AND COALESCE(top3[1] * top3[2], 0) * 50 <= tc * 9) AS keep
+FROM m
+"""
+
+
+@query("gopher_ngram_repetition", oracle=_GOPHER_NGRAM_ORACLE)
+def q_gopher_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two Gopher §A1.1 repetition gates the r5 battery
+    (``quality_filter_flags``) lacks: the fraction of characters
+    inside the single MOST FREQUENT word 2-gram (threshold ≤ 0.20)
+    and 3-gram (≤ 0.18) — the signal that kills chorus/boilerplate
+    docs whose token-level type-token ratio still looks healthy.
+
+    Conventions (mirrored exactly by the oracle): token characters
+    exclude separators (a bigram of length L contributes L−1 chars
+    per occurrence, a trigram L−2; the doc's char mass is
+    ``length(text) − n_tokens + 1``, the same convention as the
+    battery's mean-word-length gate); the "top" n-gram maximizes
+    (count, char-length) — the char-length tie-break can't change the
+    output since tied (count, chars) pairs produce the same product.
+    Thresholds are cross-multiplied into integer comparisons.
+
+    Scale shape: like the battery, everything is computed ARRAY-SIDE
+    per document (O(n·d) per doc for bounded doc length) — a pure
+    zero-shuffle projection over the documents scan; the explode→
+    groupBy alternative pays a corpus-wide shuffle to learn a per-doc
+    number."""
+    from web_analytics_visits_re_processing_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        F.length("text").alias("lc"),
+    )
+    n = F.size("toks")
+    join2 = lambda a, b: F.concat_ws(" ", a, b)  # noqa: E731
+    g = d.select(
+        "doc_id",
+        n.alias("n"),
+        (F.col("lc") - n + 1).alias("tc"),
+        F.zip_with(
+            F.slice("toks", F.lit(1), F.greatest(n - 1, F.lit(0))),
+            F.slice("toks", F.lit(2), F.greatest(n - 1, F.lit(0))),
+            join2,
+        ).alias("g2"),
+        F.zip_with(
+            F.zip_with(
+                F.slice("toks", F.lit(1), F.greatest(n - 2, F.lit(0))),
+                F.slice("toks", F.lit(2), F.greatest(n - 2, F.lit(0))),
+                join2,
+            ),
+            F.slice("toks", F.lit(3), F.greatest(n - 2, F.lit(0))),
+            join2,
+        ).alias("g3"),
+    )
+
+    def top_chars(grams: str, n_seps: int) -> F.Column:
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda dg: F.struct(
+                    F.size(
+                        F.filter(grams, lambda x: x == dg)
+                    ).alias("cnt"),
+                    (F.length(dg) - n_seps).alias("chars"),
+                ),
+            )
+        )
+        return F.coalesce(
+            (top["cnt"] * top["chars"]).cast("long"), F.lit(0).cast("long")
+        )
+
+    c2, c3 = top_chars("g2", 1), top_chars("g3", 2)
+    m = g.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        "tc",
+        c2.alias("top_bigram_chars"),
+        c3.alias("top_trigram_chars"),
+    )
+    bi_ok = F.col("top_bigram_chars") * 5 <= F.col("tc")
+    tri_ok = F.col("top_trigram_chars") * 50 <= F.col("tc") * 9
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_chars",
+        "top_trigram_chars",
+        bi_ok.alias("bigram_ok"),
+        tri_ok.alias("trigram_ok"),
+        (bi_ok & tri_ok).alias("keep"),
+    )
+
+
+# --- bucketed co-located join (sources/layout.py, gated) -----------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*)::BIGINT AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("bucketed_join_roundtrip", oracle=_BUCKETED_JOIN_ORACLE)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical-layout WRITE-ONCE/JOIN-MANY path
+    (``sources/layout.py::write_bucketed``), content-gated end to
+    end: lineitem and orders land as managed tables bucketed (and
+    bucket-sorted) on the order key, 8 buckets each side, and the
+    fact×fact join reads the co-located buckets back — SortMergeJoin
+    with NO shuffle exchange on either side (the plan pytest pins
+    exactly one Exchange in the whole plan: the final priority
+    rollup). The ``repartition(8, key)`` before each
+    write uses the same murmur3 ``pmod`` as the bucket spec, so every
+    task holds exactly one bucket → ONE file per bucket, the
+    precondition for Spark trusting the sorted property on read.
+
+    At 100 TB this is THE fact-join trade: both shuffles move to
+    write time and every subsequent orderkey join is a zip of
+    pre-sorted co-located streams (BASELINE §layout). The oracle
+    recomputes the rollup straight from the source tables — the gate
+    proves the bucketed roundtrip loses/duplicates nothing."""
+    from web_analytics_visits_re_processing_spark.sources.layout import (
+        read_table,
+        write_bucketed,
+    )
+
+    sf_tag = (
+        (os.path.basename(sf_dir.rstrip("/")) or "sf")
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    db = f"spark_graft_bucketed_{sf_tag}"
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", sf_tag)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+
+    def _fresh(table: str) -> str:
+        # Managed-table locations outlive the in-memory catalog: a
+        # NEW session neither knows the table nor may reuse its
+        # leftover directory (LOCATION_ALREADY_EXISTS). Drop both.
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+        leftover = os.path.join(loc, table)
+        if os.path.isdir(leftover):
+            import shutil
+
+            shutil.rmtree(leftover, ignore_errors=True)
+        return f"{db}.{table}"
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, "l_orderkey")
+    )
+    write_bucketed(li, _fresh("lineitem_by_orderkey"), "l_orderkey", n_buckets=8)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
+    )
+    write_bucketed(orders, _fresh("orders_by_orderkey"), "o_orderkey", n_buckets=8)
+
+    lb = read_table(spark, f"{db}.lineitem_by_orderkey")
+    ob = read_table(spark, f"{db}.orders_by_orderkey")
+    # NOTE on the residual per-bucket Sort: since Spark 3.0 a bucketed
+    # scan does not REPORT its sort order by default (the legacy
+    # behavior could claim a false order with >1 file per bucket), so
+    # the SMJ inserts an in-memory per-bucket Sort — NO shuffle. With
+    # `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (safe
+    # here by construction: exactly one file per bucket) the Sort is
+    # elided too — pinned by a pytest under a set/restore guard; a
+    # registered query must not mutate shared session state itself.
+    joined = lb.hint("merge").join(
+        ob, lb["l_orderkey"] == ob["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+            )
+        ).alias("revenue_cents"),
+    )
+
+
+# --- label propagation communities ---------------------------------------------
+
+# Edge rule shared with product_communities (support ≥ 3, positive
+# lift), then 4 UNROLLED synchronous LPA rounds: each round every
+# node takes the plurality label of its neighbors, ties to the
+# smallest label. l0 = own id.
+_LPA_EDGE_CTES = """
+op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+    SELECT COUNT(DISTINCT o)::BIGINT AS n_orders FROM op
+), item AS (
+    SELECT p, COUNT(*)::BIGINT AS s FROM op GROUP BY p
+), pair AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS s_ab
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+), edges AS (
+    SELECT pa, pb FROM pair
+    JOIN item ia ON ia.p = pair.pa
+    JOIN item ib ON ib.p = pair.pb, n
+    WHERE (s_ab * n.n_orders * 1000000) // (ia.s * ib.s) > 1000000
+), nodes AS (
+    SELECT pa AS node FROM edges UNION SELECT pb FROM edges
+), sym AS (
+    SELECT pa AS node, pb AS nbr FROM edges
+    UNION SELECT pb, pa FROM edges
+)
+"""
+
+_LPA_ROUND = """
+l{i} AS (
+    SELECT node, label FROM (
+        SELECT s.node, l.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.node
+                   ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM sym s JOIN l{prev} l ON l.node = s.nbr
+        GROUP BY s.node, l.label
+    ) WHERE rn = 1
+)
+"""
+
+_LPA_ORACLE = (
+    "WITH "
+    + _LPA_EDGE_CTES.strip().rstrip()
+    + ",\nl0 AS (SELECT node, node AS label FROM nodes),\n"
+    + ",\n".join(
+        _LPA_ROUND.format(i=i, prev=i - 1).strip() for i in range(1, 5)
+    )
+    + """
+SELECT node AS part, label::BIGINT AS community,
+       COUNT(*) OVER (PARTITION BY label) AS community_size
+FROM l4
+"""
+)
+
+
+@query("label_propagation_communities", oracle=_LPA_ORACLE)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (Raghavan et al. 2007,
+    ``operators/graph.py::label_propagation``) over the SAME
+    positive-lift co-purchase graph the CC-based
+    ``product_communities`` clusters — the second community detector:
+    LPA can SPLIT a connected component into internally-dense regions
+    where the closure by definition cannot. Deterministic variant
+    (fixed 4 synchronous rounds, plurality with smallest-label
+    tie-break) so all four rounds unroll verbatim into the oracle.
+
+    Scale shape: per round one edge⋈label equi-join + one map-side-
+    combinable (node, label) count + a ``max_by`` plurality pick —
+    2 shuffles/round, linear in |E|, labels localCheckpointed so the
+    plan never nests; the lift-filtered edge list stays sparse (the
+    bestseller-hub argument in product_communities). Pair counts and
+    item supports read the staged ``_basket_pairs``/``_basket_items``
+    tables shared family-wide."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        label_propagation,
+    )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _basket_items,
+        _basket_pairs,
+    )
+
+    pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
+    item = _basket_items(spark, sf_dir)
+    edges = (
+        pair.join(
+            item.select(F.col("p").alias("pa"), F.col("s").alias("sa")), "pa"
+        )
+        .join(
+            item.select(
+                F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
+            ),
+            "pb",
+        )
+        .where(F.expr("(s_ab * n_orders * 1000000) div (sa * sb)") > 1_000_000)
+        .select("pa", "pb")
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("node"))
+        .union(edges.select("pb"))
+        .distinct()
+    )
+    lab = label_propagation(
+        nodes, edges, node_col="node", src_col="pa", dst_col="pb", n_iters=4
+    )
+    return lab.select(
+        F.col("node").alias("part"),
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("community_size"),
+    )
+
+
+# --- IVF + PQ composed ANN ------------------------------------------------------
+
+def _ivf_pq_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.llmdata import _PQ_BASE_CTE
+
+    return f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding FROM embeddings
+    ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id
+    LIMIT 64
+),
+assign AS (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     c.embedding::DOUBLE[]), 8) DESC,
+                        c.cid) AS crk
+    FROM embeddings e, cent c
+),
+corpus_cells AS (SELECT vec_id, cid FROM assign WHERE crk = 1),
+query_cells AS (SELECT vec_id, cid FROM assign
+                WHERE crk <= 2 AND vec_id < 10),
+{_PQ_BASE_CTE.strip()},
+qd AS (
+    SELECT p.vec_id AS query_id, b.sub, b.code,
+           CAST(list_sum(list_transform(
+               list_zip(p.q[b.sub * 8 + 1 : b.sub * 8 + 8], b.cb),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS d
+    FROM pts p CROSS JOIN books b
+    WHERE p.vec_id < 10
+),
+cand AS (
+    SELECT q.vec_id AS query_id, cc.vec_id,
+           CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+    FROM query_cells q
+    JOIN corpus_cells cc ON cc.cid = q.cid AND cc.vec_id != q.vec_id
+    JOIN codes c ON c.vec_id = cc.vec_id
+    JOIN qd ON qd.query_id = q.vec_id AND qd.sub = c.sub AND qd.code = c.code
+    GROUP BY q.vec_id, cc.vec_id
+)
+SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id
+    ) AS rank
+    FROM cand
+) WHERE rank <= 5
+"""
+
+
+@query("embedding_topk_ivf_pq", oracle=_ivf_pq_oracle())
+def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed (``operators/pq.py::pq_ivf_adc_topk``) — the
+    FAISS-IVFPQ shape: the IVF cell probe bounds candidates to
+    ~n/64·2 rows, PQ-ADC scores each candidate with 8 table lookups
+    over its 8-byte code row. Cells are bit-identical to
+    ``embedding_cosine_topk_ivf`` (shared ``ivf_assign_literal``) and
+    the ADC arithmetic is the integer-exact ``pq_adc_topk`` kernel,
+    so the END-TO-END approximate ranking — cells, codes, distance
+    sums, tie-breaks — is hash-gated, not just each half. This is the
+    100 TB ANN endgame: neither half alone survives (flat ADC is
+    compute-bound over every row; IVF-exact is memory-bound on full
+    vectors)."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        pq_codebooks,
+        pq_ivf_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb)
+    return pq_ivf_adc_topk(
+        emb, emb.where(F.col("vec_id") < 10), books, k=5
+    )
