@@ -354,6 +354,8 @@ _REGISTERED_R10 = frozenset(
         "bucketed_join_roundtrip",
         "label_propagation_communities",
         "embedding_topk_ivf_pq",
+        "golden_record_survivorship",
+        "incremental_rollup_merge",
     }
 )
 

@@ -223,3 +223,73 @@ def test_ivf_pq_neighbors_come_from_probed_cells(spark):
     }
     for r in out.collect():
         assert (r["query_id"], cell_of[r["vec_id"]]) in probed, r
+
+
+# --- golden record survivorship ---------------------------------------------------
+
+def test_golden_record_survivorship_planted(spark, tmp_path):
+    """Users {0,1,3,6} stitch into visitor 0 (ck_0 welds {0,1}, em_0
+    welds {0,3,6}); {8,9} into visitor 8 (ck_4). Recency rule: the
+    latest (ts, event_id) event's type survives per cluster."""
+    import datetime as dt
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, dt.datetime(2024, 1, 1, 10), 0, "view", 1.00),
+        (2, dt.datetime(2024, 1, 2, 10), 1, "click", 2.00),
+        (3, dt.datetime(2024, 1, 3, 10), 3, "view", 3.00),
+        (4, dt.datetime(2024, 1, 4, 10), 6, "purchase", 4.00),  # latest
+        (5, dt.datetime(2024, 1, 1, 9), 8, "view", 10.00),
+        (6, dt.datetime(2024, 1, 1, 9), 9, "signup", 20.00),  # tie ts → id 6
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["visitor"]: r
+        for r in QUERIES["golden_record_survivorship"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    v0 = got[0]
+    assert v0["n_devices"] == 4 and v0["n_events"] == 4
+    assert v0["last_event_type"] == "purchase"
+    assert v0["total_value_cents"] == 1000
+    v8 = got[8]
+    assert v8["n_devices"] == 2 and v8["n_events"] == 2
+    assert v8["last_event_type"] == "signup"  # equal ts, larger event_id
+
+
+def test_golden_record_no_per_visitor_window_sort(spark):
+    """The recency rule must ride the aggregation (max_by), not a
+    per-visitor row_number window over the events join."""
+    plan = _plan(spark, "golden_record_survivorship")
+    assert "max_by" in plan, plan
+    assert "row_number" not in plan, plan
+
+
+# --- incremental rollup merge -----------------------------------------------------
+
+def test_incremental_rollup_merge_not_avg_of_avgs(spark, tmp_path):
+    """Planted group where the merged average differs from the
+    average-of-averages: base batch 3×100 cents, late batch (event_id
+    % 10 == 0) 1×500 cents → merged avg 200 cents (2e8 ppm), while
+    avg-of-avgs would claim 300. Both sides contribute to the SAME
+    (type, day) group — the merge is real, not partition-disjoint."""
+    import datetime as dt
+
+    day = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        (1, day, 1, "c", 1.00),
+        (2, day, 1, "c", 1.00),
+        (3, day, 1, "c", 1.00),
+        (10, day, 2, "c", 5.00),  # late batch
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    [r] = QUERIES["incremental_rollup_merge"](spark, str(tmp_path)).collect()
+    assert r["n"] == 4
+    assert r["sum_cents"] == 800
+    assert (r["min_cents"], r["max_cents"]) == (100, 500)
+    assert r["avg_cents_ppm"] == 200_000_000  # NOT 300_000_000

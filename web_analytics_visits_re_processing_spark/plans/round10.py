@@ -435,3 +435,217 @@ def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ivf_adc_topk(
         emb, emb.where(F.col("vec_id") < 10), books, k=5
     )
+
+
+# --- golden-record survivorship (MDM composition over identity stitching) ------
+
+_STITCH_CTES = """
+users AS (
+    SELECT DISTINCT user_id FROM events
+),
+idents AS (
+    SELECT user_id, 'ck_' || CAST(user_id // 2 AS VARCHAR) AS ident
+    FROM users
+    UNION ALL
+    SELECT user_id, 'em_' || CAST(user_id // 7 AS VARCHAR)
+    FROM users WHERE user_id % 3 = 0
+),
+grp AS (
+    SELECT user_id,
+           MIN(user_id) OVER (PARTITION BY ident) AS mn,
+           COUNT(*) OVER (PARTITION BY ident) AS cnt
+    FROM idents
+),
+edges AS (
+    SELECT DISTINCT mn AS a, user_id AS b
+    FROM grp WHERE cnt <= 16 AND user_id != mn
+),
+sym AS (
+    SELECT a AS node, b AS nbr FROM edges
+    UNION ALL SELECT b, a FROM edges
+),
+reach AS (
+    SELECT user_id AS node, user_id AS label FROM users
+    UNION
+    SELECT s.nbr, r.label
+    FROM reach r JOIN sym s ON s.node = r.node
+    WHERE r.label < s.nbr
+),
+comp AS (
+    SELECT node AS user_id, MIN(label)::BIGINT AS visitor
+    FROM reach GROUP BY node
+)
+"""
+
+_GOLDEN_ORACLE = f"""
+WITH RECURSIVE {_STITCH_CTES.strip()},
+j AS (
+    SELECT c.visitor, e.user_id, e.ts, e.event_id, e.event_type,
+           CAST(FLOOR(e.value * 100) AS BIGINT) AS cents
+    FROM events e JOIN comp c USING (user_id)
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY visitor ORDER BY ts DESC, event_id DESC) AS rn
+    FROM j
+)
+SELECT j.visitor,
+       COUNT(DISTINCT j.user_id)::BIGINT AS n_devices,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(j.ts) AS first_seen,
+       MAX(j.ts) AS last_seen,
+       CAST(SUM(j.cents) AS BIGINT) AS total_value_cents,
+       MIN(r.event_type) AS last_event_type
+FROM j JOIN (SELECT visitor, event_type FROM ranked WHERE rn = 1) r
+  USING (visitor)
+GROUP BY j.visitor
+"""
+
+
+@query("golden_record_survivorship", oracle=_GOLDEN_ORACLE)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MDM step AFTER identity stitching: collapse every stitched
+    visitor cluster (same derived identifier graph as
+    ``identity_stitch_visitors`` — the oracle replays the full
+    recursive closure) into ONE golden record by deterministic
+    survivorship rules — recency wins for categorical attributes
+    (latest ``event_type`` by (ts, event_id), the "most recent
+    non-null source" rule), extremes for validity bounds, sums for
+    additive facts. Composition-level gate: stitch drift OR rule
+    drift breaks the hash even when each half's own gate passes.
+
+    Scale shape: one events⋈cluster-map equi-join (the map is
+    user-grain, NO forced broadcast — size-based planning), then a
+    single map-side-combinable groupBy(visitor) where the recency
+    rule is ``max_by(type, struct(ts, event_id))`` — an O(1)-state
+    aggregate, NOT a per-visitor window sort; n_devices rides the
+    same aggregation as a distinct count."""
+    from web_analytics_visits_re_processing_spark.operators.identity import (
+        stitch_identities,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    u = F.col("user_id")
+    id_map = users.select(
+        "user_id",
+        F.concat(F.lit("ck_"), F.expr("user_id div 2").cast("string")).alias(
+            "ident"
+        ),
+    ).unionAll(
+        users.where(u % 3 == 0).select(
+            "user_id",
+            F.concat(
+                F.lit("em_"), F.expr("user_id div 7").cast("string")
+            ).alias("ident"),
+        )
+    )
+    clusters = stitch_identities(id_map).select(
+        "user_id", F.col("canonical_visitor").alias("visitor")
+    )
+    j = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    ).join(clusters, "user_id")
+    return j.groupBy("visitor").agg(
+        F.countDistinct("user_id").alias("n_devices"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum("cents").alias("total_value_cents"),
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("last_event_type"),
+    )
+
+
+# --- incremental rollup merge (reaggregable partials) ---------------------------
+
+_INCR_MERGE_ORACLE = """
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           (event_id % 10 = 0) AS is_late,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+partials AS (
+    SELECT event_type, day, is_late,
+           COUNT(*)::BIGINT AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(cents)::BIGINT AS min_cents,
+           MAX(cents)::BIGINT AS max_cents
+    FROM ev GROUP BY 1, 2, 3
+)
+SELECT event_type, day::VARCHAR AS day,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+       MIN(min_cents)::BIGINT AS min_cents,
+       MAX(max_cents)::BIGINT AS max_cents,
+       CAST((SUM(sum_cents) * 1000000) // SUM(n) AS BIGINT) AS avg_cents_ppm
+FROM partials
+GROUP BY event_type, day
+"""
+
+
+@query("incremental_rollup_merge", oracle=_INCR_MERGE_ORACLE)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The never-recompute-history pattern: the on-disk day rollup
+    and a LATE-ARRIVING ingest batch (every 10th event — late data
+    lands in days that already have partials, so same-group partials
+    genuinely merge) are aggregated SEPARATELY into reaggregable
+    partials (count / sum / min / max — each mergeable by
+    construction), then MERGED by a second aggregation; derived
+    statistics (the ppm average) are computed only after the merge —
+    the classic avg-of-avgs trap stated as a gate. The oracle
+    recomputes the same rollup in one pass over everything, so the
+    hash proves merge(partials(base), partials(late)) ==
+    recompute(all) exactly.
+
+    Scale shape: at 100 TB the base partials are a materialized
+    table written once (orders of magnitude smaller than the fact);
+    each late batch merges O(batch + |groups|), never O(history).
+    Here both sides derive from one fixture scan split on the batch
+    tag; the merge is a union of two map-side-combined aggregates
+    followed by a groupBy on the SAME keys — AQE coalesces the tiny
+    shuffle. The ppm average uses integer cross-multiplication
+    (int64-safe: cents ≤ 10^7 per row; the `* 1000000` rides the
+    summed GROUP grain, bounded by day-slices)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("event_id") % 10 == 0).alias("is_late"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def partials(side: DataFrame) -> DataFrame:
+        return side.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    history = partials(ev.where(~F.col("is_late")))
+    increment = partials(ev.where(F.col("is_late")))
+    merged = (
+        history.unionAll(increment)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("(sum_cents * 1000000) div n").alias("avg_cents_ppm"),
+    )
