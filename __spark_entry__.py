@@ -356,6 +356,7 @@ _REGISTERED_R10 = frozenset(
         "embedding_topk_ivf_pq",
         "golden_record_survivorship",
         "incremental_rollup_merge",
+        "bucketed_agg_order_sizes",
     }
 )
 

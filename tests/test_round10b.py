@@ -293,3 +293,14 @@ def test_incremental_rollup_merge_not_avg_of_avgs(spark, tmp_path):
     assert r["sum_cents"] == 800
     assert (r["min_cents"], r["max_cents"]) == (100, 500)
     assert r["avg_cents_ppm"] == 200_000_000  # NOT 300_000_000
+
+
+def test_bucketed_agg_no_exchange_for_fact_grain(spark):
+    """groupBy on the bucket key: the fact-sized per-order aggregate
+    must ride the bucketed scan's distribution with NO exchange; the
+    only shuffle is the tiny order-size histogram rollup."""
+    plan = _plan(spark, "bucketed_agg_order_sizes")
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1, plan
+    # the one exchange must be on the HISTOGRAM key, not the fact key
+    m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
+    assert m and m.group(1).startswith("n_items"), plan
