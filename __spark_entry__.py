@@ -357,6 +357,8 @@ _REGISTERED_R10 = frozenset(
         "golden_record_survivorship",
         "incremental_rollup_merge",
         "bucketed_agg_order_sizes",
+        "cross_device_sessionize",
+        "lsh_edit_verified_pairs",
     }
 )
 

@@ -304,3 +304,61 @@ def test_bucketed_agg_no_exchange_for_fact_grain(spark):
     # the one exchange must be on the HISTOGRAM key, not the fact key
     m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
     assert m and m.group(1).startswith("n_items"), plan
+
+
+# --- cross-device sessionization ---------------------------------------------------
+
+def test_cross_device_sessionize_planted(spark, tmp_path):
+    """Device hop inside the gap = ONE stitched session with
+    n_devices=2 (users 0,1 weld via ck_0); a 90-min gap on the {8,9}
+    cluster splits into two sessions."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 0, "view", 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 10), 1, "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 10, 20), 0, "purchase", 3.0),
+        (4, dt.datetime(2024, 1, 1, 10, 0), 8, "view", 1.0),
+        (5, dt.datetime(2024, 1, 1, 11, 30), 9, "view", 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["cross_device_sessionize"](spark, str(tmp_path)).collect()
+    by_visitor = {}
+    for r in out:
+        by_visitor.setdefault(r["visitor"], []).append(r)
+    # visitor 0 = {0,1,3,6} but only 0,1 have events: one 3-event session
+    [s0] = by_visitor[0]
+    assert s0["n_events"] == 3 and s0["n_devices"] == 2
+    # visitor 8 = {8,9}: 90-min gap > 30-min window → two 1-event sessions
+    assert len(by_visitor[8]) == 2
+    assert all(s["n_events"] == 1 and s["n_devices"] == 1 for s in by_visitor[8])
+
+
+# --- LSH edit-distance verify -------------------------------------------------------
+
+def test_lsh_edit_verified_planted(spark, tmp_path):
+    """A doc pair differing by one 3-char word must surface as an LSH
+    candidate with lev == 3 and edit_ok; a structurally different doc
+    must not pair with either."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base.replace("tok7", "zzz7")  # one word, 3 substituted chars
+    other = " ".join(f"w{i}x" for i in range(40, 80))
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # fresh staging per tmp fixture dir (sf key includes the path)
+    out = QUERIES["lsh_edit_verified_pairs"](spark, str(tmp_path)).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs, pairs
+    r = pairs[(1, 2)]
+    assert r["lev"] == 3 and r["edit_ok"], r
+    assert all(3 not in k for k in pairs), pairs
+
+
+def test_lsh_edit_reads_staged_candidates(spark):
+    """The verify must consume the once-per-corpus staged candidate
+    table, not re-run the banding pipeline."""
+    plan = _plan(spark, "lsh_edit_verified_pairs")
+    assert "wavrp_stage_" in plan and "/lsh_cand_64_16" in plan, plan

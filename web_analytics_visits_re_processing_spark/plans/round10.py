@@ -544,6 +544,37 @@ comp AS (
 )
 """
 
+def _stitched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, visitor) — the stitched cluster map every MDM-family
+    consumer joins on. Same derived identifier graph as
+    ``identity_stitch_visitors`` (the oracle replays it as
+    ``_STITCH_CTES``)."""
+    from web_analytics_visits_re_processing_spark.operators.identity import (
+        stitch_identities,
+    )
+
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    u = F.col("user_id")
+    id_map = users.select(
+        "user_id",
+        F.concat(F.lit("ck_"), F.expr("user_id div 2").cast("string")).alias(
+            "ident"
+        ),
+    ).unionAll(
+        users.where(u % 3 == 0).select(
+            "user_id",
+            F.concat(
+                F.lit("em_"), F.expr("user_id div 7").cast("string")
+            ).alias("ident"),
+        )
+    )
+    return stitch_identities(id_map).select(
+        "user_id", F.col("canonical_visitor").alias("visitor")
+    )
+
+
 _GOLDEN_ORACLE = f"""
 WITH RECURSIVE {_STITCH_CTES.strip()},
 j AS (
@@ -587,29 +618,8 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule is ``max_by(type, struct(ts, event_id))`` — an O(1)-state
     aggregate, NOT a per-visitor window sort; n_devices rides the
     same aggregation as a distinct count."""
-    from web_analytics_visits_re_processing_spark.operators.identity import (
-        stitch_identities,
-    )
-
     events = load_table(spark, sf_dir, "events")
-    users = events.select("user_id").distinct()
-    u = F.col("user_id")
-    id_map = users.select(
-        "user_id",
-        F.concat(F.lit("ck_"), F.expr("user_id div 2").cast("string")).alias(
-            "ident"
-        ),
-    ).unionAll(
-        users.where(u % 3 == 0).select(
-            "user_id",
-            F.concat(
-                F.lit("em_"), F.expr("user_id div 7").cast("string")
-            ).alias("ident"),
-        )
-    )
-    clusters = stitch_identities(id_map).select(
-        "user_id", F.col("canonical_visitor").alias("visitor")
-    )
+    clusters = _stitched_clusters(spark, sf_dir)
     j = events.select(
         "user_id",
         "ts",
@@ -715,4 +725,159 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_cents",
         "max_cents",
         F.expr("(sum_cents * 1000000) div n").alias("avg_cents_ppm"),
+    )
+
+
+# --- cross-device sessionization -------------------------------------------------
+
+_CROSS_DEVICE_ORACLE = f"""
+WITH RECURSIVE {_STITCH_CTES.strip()},
+ev AS (
+    SELECT c.visitor, e.ts, e.user_id, e.value
+    FROM events e JOIN comp c USING (user_id)
+    WHERE e.ts IS NOT NULL
+),
+seq AS (
+    SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY visitor ORDER BY ts) > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ev
+),
+sess AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY visitor ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+)
+SELECT visitor,
+       epoch_us(MIN(ts)) AS visit_start_us,
+       epoch_us(MAX(ts)) AS visit_end_us,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS n_devices,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess
+GROUP BY visitor, session_seq
+"""
+
+
+@query("cross_device_sessionize", oracle=_CROSS_DEVICE_ORACLE)
+def q_cross_device_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization at the STITCHED-VISITOR grain — the analysis
+    identity stitching exists for: a visit that hops devices (phone →
+    laptop inside 30 min) is ONE session here and two in the per-user
+    view; ``n_devices`` counts the hop. Reference parity note: this
+    is the reference's own session concept (main.py:217, 30-min gap)
+    lifted onto the canonical visitor its unused ibm_id/scv_id columns
+    gesture at. Composition gate — the recursive stitch AND the
+    session-window semantics must BOTH hold for the hash to match.
+
+    Scale shape: events⋈cluster-map equi-join (user-grain map,
+    size-based planning), then ``session_window`` grouped by visitor —
+    ONE visitor-keyed exchange serves the windowing and every
+    aggregate including the device distinct-count; the gap rule
+    matches the lag-based oracle (merge at exactly prev+gap, strict
+    ``>`` starts a new session)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+        .join(_stitched_clusters(spark, sf_dir), "user_id")
+    )
+    return (
+        ev.groupBy("visitor", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("visit_start_us"),
+            F.unix_micros(F.max("ts")).alias("visit_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_devices"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .drop("session_window")
+    )
+
+
+# --- edit-distance verify over LSH candidates -------------------------------------
+
+def _lsh_edit_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _MH64_BANDED_SQL,
+        _MH64_SIG_COLS_SQL,
+        _MINHASH_BASE_SQL,
+        _MINHASH_SHINGLES_SQL,
+    )
+
+    return f"""
+WITH sh AS ({_MINHASH_SHINGLES_SQL}),
+hm AS ({_MINHASH_BASE_SQL}),
+sig AS (
+    SELECT doc_id,
+{_MH64_SIG_COLS_SQL}
+    FROM hm
+),
+banded AS (
+{_MH64_BANDED_SQL}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       levenshtein(da.text, db.text)::BIGINT AS lev,
+       GREATEST(length(da.text), length(db.text))::BIGINT AS max_len,
+       (levenshtein(da.text, db.text) * 5
+        <= GREATEST(length(da.text), length(db.text))) AS edit_ok
+FROM cand c
+JOIN documents da ON da.doc_id = c.id_a
+JOIN documents db ON db.doc_id = c.id_b
+"""
+
+
+@query("lsh_edit_verified_pairs", oracle=_lsh_edit_oracle())
+def q_lsh_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's SECOND verify axis: the production-parameter
+    (64-perm/16-band) MinHash candidates re-checked by CHARACTER edit
+    distance — Levenshtein ≤ 20% of the longer text — instead of the
+    token-set Jaccard the banding was tuned for. Token-set similarity
+    is blind to ordering and character-level corruption (OCR noise,
+    template splices); real pipelines run both. Reads the staged
+    ``_lsh_cand_64_16`` candidate table (shared with the Jaccard pass
+    and the recall eval — candidates are generated ONCE per corpus
+    snapshot); the oracle replays the full 64-permutation banding plus
+    DuckDB's own levenshtein.
+
+    Scale shape: candidate volume is the banding's (linear by the
+    S-curve argument, never docs²); the verify is O(len²) per PAIR —
+    bounded doc length makes it a constant — and rides the two
+    doc-text equi-joins; the keep rule is cross-multiplied integer
+    (lev·5 ≤ max_len), no float compare."""
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _docs,
+        _lsh_cand_64_16,
+    )
+
+    cand = _lsh_cand_64_16(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    j = (
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")
+            ),
+            "id_b",
+        )
+    )
+    lev = F.levenshtein("_ta", "_tb").cast("long")
+    max_len = F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
+    return j.select(
+        "id_a",
+        "id_b",
+        lev.alias("lev"),
+        max_len.alias("max_len"),
+        (lev * 5 <= max_len).alias("edit_ok"),
     )
