@@ -359,6 +359,7 @@ _REGISTERED_R10 = frozenset(
         "bucketed_agg_order_sizes",
         "cross_device_sessionize",
         "lsh_edit_verified_pairs",
+        "url_canonicalize_pages",
     }
 )
 

@@ -362,3 +362,28 @@ def test_lsh_edit_reads_staged_candidates(spark):
     table, not re-run the banding pipeline."""
     plan = _plan(spark, "lsh_edit_verified_pairs")
     assert "wavrp_stage_" in plan and "/lsh_cand_64_16" in plan, plan
+
+
+# --- URL canonicalization -----------------------------------------------------------
+
+def test_parse_url_canonicalization_recipe(spark):
+    """The parse_url recipe must collapse case/tracking/fragment
+    variants of one logical page to a single canonical form."""
+    variants = [
+        "https://Shop-1.Example.COM/p/7?utm_source=mail&pid=7&sess=3#top",
+        "https://shop-1.example.com/p/7?pid=7&utm_source=ad&sess=6#mid",
+        "https://SHOP-1.EXAMPLE.com/p/7?sess=0&pid=7",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "raw_url string")
+    out = df.select(
+        F.concat(
+            F.lit("https://"),
+            F.lower(F.parse_url("raw_url", F.lit("HOST"))),
+            F.parse_url("raw_url", F.lit("PATH")),
+            F.lit("?pid="),
+            F.parse_url("raw_url", F.lit("QUERY"), F.lit("pid")),
+        ).alias("canonical_url")
+    ).collect()
+    assert {r["canonical_url"] for r in out} == {
+        "https://shop-1.example.com/p/7?pid=7"
+    }

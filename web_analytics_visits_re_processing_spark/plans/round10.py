@@ -881,3 +881,93 @@ def q_lsh_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_len.alias("max_len"),
         (lev * 5 <= max_len).alias("edit_ok"),
     )
+
+
+# --- URL canonicalization ---------------------------------------------------------
+
+_URL_CANON_ORACLE = """
+WITH ev AS (
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+),
+raw AS (
+    SELECT event_id, user_id, k,
+           'https://Shop-' || CAST(user_id % 5 AS VARCHAR)
+               || '.Example.COM/p/' || CAST(k % 50 AS VARCHAR)
+               || '?utm_source=mail&pid=' || CAST(k % 50 AS VARCHAR)
+               || '&sess=' || CAST(event_id % 7 AS VARCHAR) || '#top'
+           AS raw_url
+    FROM ev
+),
+canon AS (
+    SELECT raw_url, user_id,
+           'https://shop-' || CAST(user_id % 5 AS VARCHAR)
+               || '.example.com/p/' || CAST(k % 50 AS VARCHAR)
+               || '?pid=' || CAST(k % 50 AS VARCHAR) AS canonical_url
+    FROM raw
+)
+SELECT canonical_url,
+       COUNT(*)::BIGINT AS n_views,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       COUNT(DISTINCT raw_url)::BIGINT AS n_raw_variants
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@query("url_canonicalize_pages", oracle=_URL_CANON_ORACLE)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-URL canonicalization — the step every hitlog pipeline runs
+    before ANY page-level rollup (the reference joins raw
+    ``products_string`` URLs straight into its hits, main.py:64-77;
+    real deployments canonicalize first or page counts fragment
+    across tracking-param/case/fragment variants). Raw URLs are
+    derived deterministically from the events fixture (5 mixed-case
+    hosts × 50 pages × rotating utm/sess junk + fragment); the
+    canonicalizer is the REAL one — Spark ``parse_url`` extracts
+    HOST (lowercased), PATH, and the single meaningful query param
+    (pid), dropping tracking params and the fragment — while the
+    oracle derives the expected canonical form independently from
+    the same integers, so the gate proves the parse_url pipeline
+    collapses every junk variant to ground truth (n_raw_variants
+    counts the collapsed sess-variants, up to 7 per page).
+
+    Scale shape: derivation + canonicalization are zero-shuffle
+    projections (parse_url is a JVM built-in, no Python); the only
+    exchange is the canonical-URL rollup with map-side partials and
+    two distinct-counts riding the same key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    raw = ev.withColumn(
+        "raw_url",
+        F.concat(
+            F.lit("https://Shop-"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(".Example.COM/p/"),
+            (F.col("k") % 50).cast("string"),
+            F.lit("?utm_source=mail&pid="),
+            (F.col("k") % 50).cast("string"),
+            F.lit("&sess="),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit("#top"),
+        ),
+    )
+    canon = raw.withColumn(
+        "canonical_url",
+        F.concat(
+            F.lit("https://"),
+            F.lower(F.parse_url("raw_url", F.lit("HOST"))),
+            F.parse_url("raw_url", F.lit("PATH")),
+            F.lit("?pid="),
+            F.parse_url("raw_url", F.lit("QUERY"), F.lit("pid")),
+        ),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("raw_url").alias("n_raw_variants"),
+    )
