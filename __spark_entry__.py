@@ -360,6 +360,7 @@ _REGISTERED_R10 = frozenset(
         "cross_device_sessionize",
         "lsh_edit_verified_pairs",
         "url_canonicalize_pages",
+        "streaming_dynamic_gap_sessions",
     }
 )
 

@@ -296,17 +296,17 @@ def q_explode_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sessionize_dynamic_gap",
-    # DYNAMIC-gap sessions merge on interval OVERLAP with the RUNNING
-    # window end — max(ts+gap) over all previous session members — not
-    # the previous event alone: a long-gap event can hold the session
-    # open across several short-gap events, so a lag-only rule would
-    # split sessions Spark merges. Gaps-and-islands with a running-max
-    # frame replays it exactly (inclusive boundary: an event exactly
-    # at the running end merges, the same empirical rule as fixed-gap
-    # session_window).
-    oracle="""
+# DYNAMIC-gap sessions merge on interval OVERLAP with the RUNNING
+# window end — max(ts+gap) over all previous session members — not
+# the previous event alone: a long-gap event can hold the session
+# open across several short-gap events, so a lag-only rule would
+# split sessions Spark merges. Gaps-and-islands with a running-max
+# frame replays it exactly (inclusive boundary: an event exactly
+# at the running end merges, the same empirical rule as fixed-gap
+# session_window). Shared verbatim by the batch gate below AND the
+# streaming twin (`streaming_dynamic_gap_sessions`) — one oracle,
+# two execution models.
+DYNGAP_ORACLE = """
 WITH g AS (
     SELECT user_id, ts, event_id,
            epoch_us(ts) AS ts_us,
@@ -334,8 +334,10 @@ SELECT user_id,
        COUNT(*) AS n_hits
 FROM sess
 GROUP BY user_id, session_seq
-""",
-)
+"""
+
+
+@query("sessionize_dynamic_gap", oracle=DYNGAP_ORACLE)
 def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type DYNAMIC session gaps — ``session_window`` with a
     gap EXPRESSION (clicks time out in 5 min, purchases in 10, the

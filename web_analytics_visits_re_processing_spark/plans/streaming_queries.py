@@ -732,3 +732,28 @@ def q_streaming_obf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
     )
     return obf_looks_from_periods(spark, periods)
+
+
+def _dyngap_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.analytics import (
+        DYNGAP_ORACLE,
+    )
+
+    return DYNGAP_ORACLE
+
+
+@query("streaming_dynamic_gap_sessions", oracle=_dyngap_oracle())
+def q_streaming_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with a per-event-type DYNAMIC gap
+    expression (clicks 5 min, purchases 10, rest 30) — the streaming
+    twin of ``sessionize_dynamic_gap``, SAME oracle text: per-row
+    timeout policy rides ``session_window(ts, gap_expr)`` under a
+    watermark with no custom state operator, through the production
+    append-mode file-sink topology with genuine state eviction. The
+    hash proves the streaming dynamic merge rule (interval overlap
+    against the running window end) equals batch semantics exactly."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_dynamic_gap_append,
+    )
+
+    return streaming_dynamic_gap_append(spark, sf_dir)

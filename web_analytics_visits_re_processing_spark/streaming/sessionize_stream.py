@@ -1073,3 +1073,54 @@ def streaming_obf_cells_state(
         output_mode="update",
     )
     return read_state(spark, state)
+
+
+def streaming_dynamic_gap_append(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization with a DYNAMIC (per-event-type) gap
+    expression — the streaming twin of the batch
+    ``sessionize_dynamic_gap`` gate (clicks 5 min, purchases 10, the
+    rest 30): ``session_window`` accepts a gap COLUMN under a
+    watermark, so per-row timeout policy needs no custom state
+    operator. Same production topology as ``streaming_visits_append``
+    (file source → watermark → session agg → APPEND → parquet sink,
+    sentinel flush); the gate replays the batch dynamic-gap oracle,
+    proving the streaming merge rule (interval overlap against the
+    running window end) matches batch semantics exactly."""
+    workdir = os.path.join(
+        _TMP_ROOT,
+        "stream_append_dyngap",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    events = _read_replay_stream(spark, input_dir)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("300 seconds"))
+        .when(F.col("event_type") == "purchase", F.lit("600 seconds"))
+        .otherwise(F.lit("1800 seconds"))
+    )
+    visits = (
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select("user_id", "_start", "_end", "n_hits")
+    )
+    out, _ = _run_append_to_files(visits, workdir)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != SENTINEL_USER_ID)
+        .select(
+            "user_id",
+            F.unix_micros("_start").alias("visit_start_us"),
+            F.unix_micros("_end").alias("visit_end_us"),
+            "n_hits",
+        )
+    )
