@@ -345,6 +345,18 @@ HEADLINE = [
     # round-9 additions
     "audio_stereo_channel_profile",
     "jpeg_dimension_parse",
+    # round-10 additions
+    "gopher_ngram_repetition",
+    "bucketed_join_roundtrip",
+    "bucketed_agg_order_sizes",
+    "label_propagation_communities",
+    "embedding_topk_ivf_pq",
+    "golden_record_survivorship",
+    "incremental_rollup_merge",
+    "cross_device_sessionize",
+    "lsh_edit_verified_pairs",
+    "url_canonicalize_pages",
+    "streaming_dynamic_gap_sessions",
 ]
 
 

@@ -78,7 +78,7 @@ def test_every_never_sampled_query_has_a_rotation_tier():
             sampled.update(rows)
     tiers = [
         e._REGISTERED_R06, e._REGISTERED_R07, e._REGISTERED_R08,
-        e._REGISTERED_R09,
+        e._REGISTERED_R09, e._REGISTERED_R10,
     ]
     tiered = set().union(*tiers)
     from web_analytics_visits_re_processing_spark.plans import QUERIES
@@ -90,6 +90,10 @@ def test_every_never_sampled_query_has_a_rotation_tier():
         f"queries with no driver record and no _REGISTERED_R0x tier "
         f"(they would jump the rotation backlog): {orphans}"
     )
+    # every tier name must exist in the registry — a typo in a
+    # hand-maintained set would silently misorder the prefix
+    ghosts = sorted(tiered - set(QUERIES))
+    assert not ghosts, f"tier entries not in the registry: {ghosts}"
     # and no query sits in two tiers
     import itertools
 
