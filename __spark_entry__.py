@@ -361,6 +361,7 @@ _REGISTERED_R10 = frozenset(
         "lsh_edit_verified_pairs",
         "url_canonicalize_pages",
         "streaming_dynamic_gap_sessions",
+        "dedup_best_quality_survivor",
     }
 )
 

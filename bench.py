@@ -357,6 +357,7 @@ HEADLINE = [
     "lsh_edit_verified_pairs",
     "url_canonicalize_pages",
     "streaming_dynamic_gap_sessions",
+    "dedup_best_quality_survivor",
 ]
 
 

@@ -387,3 +387,28 @@ def test_parse_url_canonicalization_recipe(spark):
     assert {r["canonical_url"] for r in out} == {
         "https://shop-1.example.com/p/7?pid=7"
     }
+
+
+# --- best-quality survivor ----------------------------------------------------------
+
+def test_best_quality_survivor_beats_canonical_id(spark, tmp_path):
+    """A 2-doc near-dup cluster where the HIGHER-quality member has
+    the LARGER id: keep-smallest-id would delete the cleaner copy;
+    the survivor rule must keep doc 2 (stopwords raise its
+    quality_score)."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    better = base.replace("tok5", "the").replace("tok20", "of")
+    spark.createDataFrame(
+        [(1, base), (2, better), (7, "solo " + " ".join(f"z{i}" for i in range(15)))],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["component"]: r
+        for r in QUERIES["dedup_best_quality_survivor"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    cluster = rows[1]  # component label = min doc_id
+    assert cluster["cluster_size"] == 2
+    assert cluster["survivor_doc_id"] == 2  # NOT the canonical min-id
+    assert rows[7]["cluster_size"] == 1 and rows[7]["survivor_doc_id"] == 7

@@ -971,3 +971,87 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("raw_url").alias("n_raw_variants"),
     )
+
+
+# --- best-quality survivor per dedup cluster ----------------------------------------
+
+def _survivor_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _CC_ORACLE,
+        _SW_EN,
+    )
+
+    parts = _CC_ORACLE.rsplit("SELECT node AS doc_id", 1)
+    assert len(parts) == 2, "CC oracle tail changed — update the survivor oracle"
+    closure = parts[0]
+    return (
+        closure
+        + f"""
+, comp AS (
+    SELECT node AS doc_id, MIN(label)::BIGINT AS component
+    FROM reach GROUP BY node
+),
+q AS (
+    SELECT doc_id,
+           ROUND(0.4 * (len(list_filter(string_split(text, ' '),
+                                        t -> t IN ({_SW_EN})))
+                        / len(string_split(text, ' ')))
+                 + 0.3 * (CASE WHEN ROUND((length(text)
+                                           - len(string_split(text, ' ')) + 1)
+                                          / len(string_split(text, ' ')), 4)
+                                    BETWEEN 2 AND 12
+                               THEN 1.0 ELSE 0.3 END)
+                 + 0.3 * (CASE WHEN len(string_split(text, ' ')) >= 10
+                               THEN 1.0
+                               ELSE len(string_split(text, ' ')) / 10.0 END),
+                 4) AS quality
+    FROM documents
+),
+ranked AS (
+    SELECT c.component, c.doc_id, q.quality,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY q.quality DESC, c.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+    FROM comp c JOIN q USING (doc_id)
+)
+SELECT component, doc_id AS survivor_doc_id, quality AS survivor_quality,
+       cluster_size::BIGINT AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+    )
+
+
+@query("dedup_best_quality_survivor", oracle=_survivor_oracle())
+def q_dedup_best_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation keep-rule real pipelines run INSTEAD of
+    keep-smallest-id: per near-dup cluster, survive the
+    HIGHEST-QUALITY member (the gated ``quality_score`` formula, ties
+    to the smaller doc_id) — canonical-by-id deletes the cleanest
+    copy whenever the dirty one sorts first. Composition gate over
+    THREE stages: the LSH pair pipeline, the transitive closure
+    (read from the staged ``_dedup_components_05`` table), and the
+    quality model — the oracle replays all three end to end.
+
+    Scale shape: one doc-grain join (clusters ⋈ quality projection)
+    and one map-side-combinable groupBy(component) whose survivor
+    pick is ``max_by(doc, struct(quality, -doc_id))`` — O(1) state
+    per cluster, no per-cluster window sort."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        quality_score,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _dedup_components_05,
+        _docs,
+    )
+
+    comp = _dedup_components_05(spark, sf_dir).select("doc_id", "component")
+    q = _docs(spark, sf_dir).select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    j = comp.join(q, "doc_id")
+    pref = F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+    return j.groupBy("component").agg(
+        F.max_by("doc_id", pref).alias("survivor_doc_id"),
+        F.max_by("quality", pref).alias("survivor_quality"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
