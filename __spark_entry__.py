@@ -362,6 +362,7 @@ _REGISTERED_R10 = frozenset(
         "url_canonicalize_pages",
         "streaming_dynamic_gap_sessions",
         "dedup_best_quality_survivor",
+        "streaming_cross_device_sessionize",
     }
 )
 

@@ -358,6 +358,7 @@ HEADLINE = [
     "url_canonicalize_pages",
     "streaming_dynamic_gap_sessions",
     "dedup_best_quality_survivor",
+    "streaming_cross_device_sessionize",
 ]
 
 

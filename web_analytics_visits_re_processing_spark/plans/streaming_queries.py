@@ -757,3 +757,28 @@ def q_streaming_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_dynamic_gap_append(spark, sf_dir)
+
+
+def _cross_device_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.round10 import (
+        _CROSS_DEVICE_ORACLE,
+    )
+
+    return _CROSS_DEVICE_ORACLE
+
+
+@query("streaming_cross_device_sessionize", oracle=_cross_device_oracle())
+def q_streaming_cross_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrich-then-sessionize: the event stream joins the
+    batch-computed stitched-visitor map (stream⋈static) and
+    sessionizes at the visitor grain under a watermark — the
+    production cross-device topology (identity graph on a slow
+    refresh cadence, events streaming). Gated against the batch
+    ``cross_device_sessionize`` oracle VERBATIM: the recursive
+    stitch, the stream-static join AND the streaming session-window
+    semantics must all hold for the hash to match."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_cross_device_append,
+    )
+
+    return streaming_cross_device_append(spark, sf_dir)

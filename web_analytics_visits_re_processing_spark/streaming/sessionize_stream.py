@@ -1124,3 +1124,57 @@ def streaming_dynamic_gap_append(
             "n_hits",
         )
     )
+
+
+def streaming_cross_device_append(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming ENRICH-THEN-SESSIONIZE: the event stream joins the
+    batch-computed stitched-visitor map (stream⋈static on user_id),
+    then sessionizes at the VISITOR grain — the production shape for
+    cross-device analytics, where the identity graph refreshes on a
+    slow cadence while events stream. Same append-mode file-sink
+    topology; the batch ``cross_device_sessionize`` oracle applies
+    verbatim. The sentinel row advances the event-time watermark even
+    though the inner join drops it (watermarks track the stream's
+    event-time column, not join survivors), so the tail still
+    flushes. The per-session device count rides
+    ``size(collect_set(user_id))`` — streaming aggregations reject
+    COUNT(DISTINCT), and the set is bounded by the cluster size."""
+    from web_analytics_visits_re_processing_spark.plans.round10 import (
+        _stitched_clusters,
+    )
+
+    workdir = os.path.join(
+        _TMP_ROOT,
+        "stream_append_crossdev",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+    events = _read_replay_stream(spark, input_dir)
+    clusters = _stitched_clusters(spark, sf_dir)
+    sessions = (
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark_delay)
+        .join(clusters, "user_id")
+        .groupBy(F.col("visitor"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.size(F.collect_set("user_id")).alias("n_devices"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("visitor", "_start", "_end", "n_events", "n_devices", "total_value")
+    )
+    out, _ = _run_append_to_files(sessions, workdir)
+    return spark.read.parquet(out).select(
+        "visitor",
+        F.unix_micros("_start").alias("visit_start_us"),
+        F.unix_micros("_end").alias("visit_end_us"),
+        "n_events",
+        F.col("n_devices").cast("long").alias("n_devices"),
+        "total_value",
+    )
