@@ -412,3 +412,62 @@ def test_best_quality_survivor_beats_canonical_id(spark, tmp_path):
     assert cluster["cluster_size"] == 2
     assert cluster["survivor_doc_id"] == 2  # NOT the canonical min-id
     assert rows[7]["cluster_size"] == 1 and rows[7]["survivor_doc_id"] == 7
+
+
+# --- extra edge pins (test-only; no registry/artifact impact) -----------------------
+
+def test_label_propagation_clique_converges_to_min(spark):
+    """On a clique every node sees all other labels each round; by
+    round 2 everyone holds the minimum — and stays there (absorbing
+    state despite synchronous updates)."""
+    from itertools import combinations
+
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in combinations([3, 5, 8, 11], 2)],
+        "id_a long, id_b long",
+    )
+    nodes = edges.select(F.col("id_a").alias("node")).union(
+        edges.select("id_b")
+    ).distinct()
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(nodes, edges, node_col="node").collect()
+    }
+    assert got == {3: 3, 5: 3, 8: 3, 11: 3}
+
+
+def test_gopher_two_token_doc_has_bigram_no_trigram(spark, tmp_path):
+    """Exactly one bigram, zero trigrams: the trigram branch must
+    yield 0 chars and pass its gate while the bigram branch counts."""
+    spark.createDataFrame(
+        [(1, "aa bb")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    [r] = QUERIES["gopher_ngram_repetition"](spark, str(tmp_path)).collect()
+    assert r["n_tokens"] == 2
+    assert r["top_bigram_chars"] == 4  # 1 × ('aa bb' → 4 token chars)
+    assert r["top_trigram_chars"] == 0 and r["trigram_ok"]
+
+
+def test_incremental_merge_late_only_group_survives(spark, tmp_path):
+    """A (type, day) group fed ONLY by the late batch must still
+    appear in the merged rollup (union, not join, semantics)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 9), 1, "base_only", 1.00),
+        (10, dt.datetime(2024, 3, 2, 9), 1, "late_only", 2.00),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in QUERIES["incremental_rollup_merge"](spark, str(tmp_path)).collect()
+    }
+    assert got[("base_only", "2024-03-01")]["n"] == 1
+    assert got[("late_only", "2024-03-02")]["n"] == 1
+    assert got[("late_only", "2024-03-02")]["sum_cents"] == 200
