@@ -155,8 +155,14 @@ def test_bucketed_write_one_file_per_bucket(spark):
     murmur3 pmod — each task holds exactly one bucket, so each table
     lands as exactly 8 data files (the precondition for sorted
     bucket reads)."""
+    import hashlib
+
     QUERIES["bucketed_join_roundtrip"](spark, SF_DIR).collect()
-    sf_tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_")
+    sf_tag = "{}_{}_{}".format(
+        os.path.basename(SF_DIR.rstrip("/")).replace(".", "_"),
+        hashlib.md5(os.path.abspath(SF_DIR).encode()).hexdigest()[:8],
+        os.getpid(),
+    )
     loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", sf_tag)
     for table in ("lineitem_by_orderkey", "orders_by_orderkey"):
         files = [

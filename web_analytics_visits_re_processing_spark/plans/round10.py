@@ -18,9 +18,6 @@ text-quality functions, graph clustering, ANN)."""
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -165,59 +162,38 @@ GROUP BY o.o_orderpriority
 """
 
 
-# (session, sf) → (lineitem_table, orders_table): the bucketed layout
-# is written ONCE per session+sf and shared by every layout-family
-# consumer (join + aggregation gates) — exactly the write-once/
-# read-many contract the layout exists for.
-_BUCKETED_CACHE: dict = {}
-
-
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Session-staged bucketed lineitem/orders via the layout-level
+    primitive (`sources/layout.py::ensure_bucketed_tables` — database
+    naming, leftover cleanup, pid/path isolation, and the
+    catalog-validated cache all live there)."""
     from web_analytics_visits_re_processing_spark.sources.layout import (
-        write_bucketed,
+        ensure_bucketed_tables,
     )
 
-    key = (id(spark), sf_dir)
-    if key in _BUCKETED_CACHE:
-        return _BUCKETED_CACHE[key]
-    sf_tag = (
-        (os.path.basename(sf_dir.rstrip("/")) or "sf")
-        .replace(".", "_")
-        .replace("-", "_")
+    li_tbl, ord_tbl = ensure_bucketed_tables(
+        spark,
+        sf_dir,
+        [
+            (
+                "lineitem_by_orderkey",
+                lambda s, d: load_table(s, d, "lineitem").select(
+                    "l_orderkey", "l_extendedprice", "l_discount"
+                ),
+                "l_orderkey",
+                8,
+            ),
+            (
+                "orders_by_orderkey",
+                lambda s, d: load_table(s, d, "orders").select(
+                    "o_orderkey", "o_orderpriority"
+                ),
+                "o_orderkey",
+                8,
+            ),
+        ],
     )
-    db = f"spark_graft_bucketed_{sf_tag}"
-    loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", sf_tag)
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-
-    def _fresh(table: str) -> str:
-        # Managed-table locations outlive the in-memory catalog: a
-        # NEW session neither knows the table nor may reuse its
-        # leftover directory (LOCATION_ALREADY_EXISTS). Drop both.
-        spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
-        leftover = os.path.join(loc, table)
-        if os.path.isdir(leftover):
-            import shutil
-
-            shutil.rmtree(leftover, ignore_errors=True)
-        return f"{db}.{table}"
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .repartition(8, "l_orderkey")
-    )
-    write_bucketed(li, _fresh("lineitem_by_orderkey"), "l_orderkey", n_buckets=8)
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .repartition(8, "o_orderkey")
-    )
-    write_bucketed(orders, _fresh("orders_by_orderkey"), "o_orderkey", n_buckets=8)
-    _BUCKETED_CACHE[key] = (
-        f"{db}.lineitem_by_orderkey",
-        f"{db}.orders_by_orderkey",
-    )
-    return _BUCKETED_CACHE[key]
+    return li_tbl, ord_tbl
 
 
 @query("bucketed_join_roundtrip", oracle=_BUCKETED_JOIN_ORACLE)
@@ -546,33 +522,44 @@ comp AS (
 
 def _stitched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, visitor) — the stitched cluster map every MDM-family
-    consumer joins on. Same derived identifier graph as
-    ``identity_stitch_visitors`` (the oracle replays it as
-    ``_STITCH_CTES``)."""
+    consumer joins on, MATERIALIZED once per (session, sf) via
+    ``_lp_cached`` (the basket_pairs pattern): the stitch is a
+    driver-iterative connected-components loop (localCheckpoint + a
+    convergence action per round), the family's most expensive
+    subplan, and three consumers (golden record, batch + streaming
+    cross-device sessionize) would otherwise each re-run it. Same
+    derived identifier graph as ``identity_stitch_visitors`` (the
+    oracle replays it as ``_STITCH_CTES``)."""
     from web_analytics_visits_re_processing_spark.operators.identity import (
         stitch_identities,
     )
-
-    users = (
-        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
     )
-    u = F.col("user_id")
-    id_map = users.select(
-        "user_id",
-        F.concat(F.lit("ck_"), F.expr("user_id div 2").cast("string")).alias(
-            "ident"
-        ),
-    ).unionAll(
-        users.where(u % 3 == 0).select(
+
+    def build() -> DataFrame:
+        users = (
+            load_table(spark, sf_dir, "events").select("user_id").distinct()
+        )
+        u = F.col("user_id")
+        id_map = users.select(
             "user_id",
             F.concat(
-                F.lit("em_"), F.expr("user_id div 7").cast("string")
+                F.lit("ck_"), F.expr("user_id div 2").cast("string")
             ).alias("ident"),
+        ).unionAll(
+            users.where(u % 3 == 0).select(
+                "user_id",
+                F.concat(
+                    F.lit("em_"), F.expr("user_id div 7").cast("string")
+                ).alias("ident"),
+            )
         )
-    )
-    return stitch_identities(id_map).select(
-        "user_id", F.col("canonical_visitor").alias("visitor")
-    )
+        return stitch_identities(id_map).select(
+            "user_id", F.col("canonical_visitor").alias("visitor")
+        )
+
+    return _lp_cached("stitched_clusters", spark, sf_dir, build)
 
 
 _GOLDEN_ORACLE = f"""
@@ -753,7 +740,7 @@ SELECT visitor,
        epoch_us(MAX(ts)) AS visit_end_us,
        COUNT(*)::BIGINT AS n_events,
        COUNT(DISTINCT user_id)::BIGINT AS n_devices,
-       ROUND(SUM(value), 2) AS total_value
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS total_value_cents
 FROM sess
 GROUP BY visitor, session_seq
 """
@@ -789,7 +776,12 @@ def q_cross_device_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts")).alias("visit_end_us"),
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_devices"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # integer cents (streaming_sessionize_visits convention):
+            # a float SUM would expose the exact-hash gate to
+            # partition-order accumulation nondeterminism
+            F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias(
+                "total_value_cents"
+            ),
         )
         .drop("session_window")
     )

@@ -43,3 +43,67 @@ def write_partitioned(
     """Directory-partitioned parquet layout (hive-style ``col=value``
     paths); predicates on partition columns prune at planning time."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+# (session, abs sf_dir) → tuple of fully-qualified table names; the
+# bucketed layout is written once per session+fixture and shared by
+# every layout-family consumer. Cache hits re-validate against the
+# session's catalog because id(spark) can be REUSED after a session
+# is garbage-collected (CPython id recycling) — a stale hit would
+# otherwise hand a new session table names its in-memory catalog
+# never saw.
+_BUCKETED_CACHE: dict = {}
+
+
+def ensure_bucketed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    specs,
+) -> tuple:
+    """Write-once/read-many staging for bucketed managed tables.
+
+    ``specs`` is an iterable of ``(table, build_fn, bucket_col,
+    n_buckets)`` where ``build_fn(spark, sf_dir)`` returns the
+    DataFrame to persist. Each table is repartitioned on its bucket
+    column into ``n_buckets`` partitions first (same murmur3 pmod as
+    the bucket spec → exactly ONE file per bucket, the precondition
+    for trusting bucket sort on read) and written via
+    ``write_bucketed``. Returns the fully-qualified table names.
+
+    Isolation: the database location carries the fixture basename, a
+    short hash of the ABSOLUTE path (two fixtures with equal
+    basenames must not collide), and the pid (two processes staging
+    the same fixture must not race each other's DROP/rmtree/rewrite
+    under a shared /tmp location). Leftover directories from a dead
+    same-pid run are dropped before rewrite (managed-table locations
+    outlive the in-memory catalog and would raise
+    LOCATION_ALREADY_EXISTS)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    hit = _BUCKETED_CACHE.get(key)
+    if hit is not None and all(spark.catalog.tableExists(t) for t in hit):
+        return hit
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    tag = "{}_{}_{}".format(
+        base.replace(".", "_").replace("-", "_"),
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+        os.getpid(),
+    )
+    db = f"spark_graft_bucketed_{tag}"
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", tag)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    names = []
+    for table, build_fn, bucket_col, n_buckets in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+        leftover = os.path.join(loc, table)
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+        df = build_fn(spark, sf_dir).repartition(n_buckets, bucket_col)
+        write_bucketed(df, f"{db}.{table}", bucket_col, n_buckets=n_buckets)
+        names.append(f"{db}.{table}")
+    _BUCKETED_CACHE[key] = tuple(names)
+    return _BUCKETED_CACHE[key]

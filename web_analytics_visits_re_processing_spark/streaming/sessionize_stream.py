@@ -1165,9 +1165,15 @@ def streaming_cross_device_append(
             F.max("ts").alias("_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.size(F.collect_set("user_id")).alias("n_devices"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # integer cents — no float SUM under the exact-hash gate
+            F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias(
+                "total_value_cents"
+            ),
         )
-        .select("visitor", "_start", "_end", "n_events", "n_devices", "total_value")
+        .select(
+            "visitor", "_start", "_end", "n_events", "n_devices",
+            "total_value_cents",
+        )
     )
     out, _ = _run_append_to_files(sessions, workdir)
     return spark.read.parquet(out).select(
@@ -1176,5 +1182,5 @@ def streaming_cross_device_append(
         F.unix_micros("_end").alias("visit_end_us"),
         "n_events",
         F.col("n_devices").cast("long").alias("n_devices"),
-        "total_value",
+        "total_value_cents",
     )
