@@ -366,6 +366,11 @@ _REGISTERED_R10 = frozenset(
     }
 )
 
+# Round-11 registrations: behind every older backlog (tier key 6) —
+# the 36-query never-sampled tail from r01-r10 must drain through the
+# 50-slot prefix before this round's additions consume slots.
+_REGISTERED_R11: frozenset = frozenset()
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query-prefix sample:
@@ -384,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in latest_bad:
             return (0, 0)
         if name not in last_pass:
+            if name in _REGISTERED_R11:
+                return (1, 6)
             if name in _REGISTERED_R10:
                 return (1, 5)
             if name in _REGISTERED_R09:

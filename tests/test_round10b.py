@@ -154,23 +154,27 @@ def test_bucketed_write_one_file_per_bucket(spark):
     """repartition(8, key) before bucketBy(8, key) uses the same
     murmur3 pmod — each task holds exactly one bucket, so each table
     lands as exactly 8 data files (the precondition for sorted
-    bucket reads)."""
-    import hashlib
-
-    QUERIES["bucketed_join_roundtrip"](spark, SF_DIR).collect()
-    sf_tag = "{}_{}_{}".format(
-        os.path.basename(SF_DIR.rstrip("/")).replace(".", "_"),
-        hashlib.md5(os.path.abspath(SF_DIR).encode()).hexdigest()[:8],
-        os.getpid(),
+    bucket reads). Locations come from the catalog (via the staged
+    table names `_ensure_bucketed` returns) — never a re-derived
+    copy of the layout module's tag format."""
+    from web_analytics_visits_re_processing_spark.plans.round10 import (
+        _ensure_bucketed,
     )
-    loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", sf_tag)
-    for table in ("lineitem_by_orderkey", "orders_by_orderkey"):
+
+    for fq in _ensure_bucketed(spark, SF_DIR):
+        loc_rows = [
+            r.data_type
+            for r in spark.sql(f"DESCRIBE FORMATTED {fq}").collect()
+            if r.col_name == "Location"
+        ]
+        assert len(loc_rows) == 1, fq
+        loc = loc_rows[0].removeprefix("file:")
         files = [
             f
-            for f in glob.glob(os.path.join(loc, table, "part-*"))
+            for f in glob.glob(os.path.join(loc, "part-*"))
             if not f.endswith(".crc")
         ]
-        assert len(files) == 8, (table, files)
+        assert len(files) == 8, (fq, files)
 
 
 # --- IVF + PQ composition --------------------------------------------------------

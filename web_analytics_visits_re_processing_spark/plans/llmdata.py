@@ -1259,7 +1259,13 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a recursive CTE (label m propagates along any path inside a
 # component because every non-minimum node id exceeds m, so the
 # r.label < s.nbr pruning never blocks the true minimum).
-_CC_ORACLE = (
+#
+# The CTE chain is a NAMED constant (like _STITCH_CTES / DYNGAP) so
+# downstream composers (leakage-safe split here, the best-quality
+# survivor in plans/round10.py) append their own tail instead of
+# rsplit string surgery on the finished oracle — a wording change to
+# the final SELECT can no longer break unrelated modules at import.
+_CC_CLOSURE_CTES = (
     "WITH RECURSIVE "
     + _LSH_CAND_CTE.split("WITH ", 1)[1]
     + """
@@ -1283,7 +1289,12 @@ reach AS (
     FROM reach r JOIN sym s ON s.node = r.node
     WHERE r.label < s.nbr
 )
-SELECT node AS doc_id, MIN(label)::BIGINT AS component,
+"""
+)
+
+_CC_ORACLE = (
+    _CC_CLOSURE_CTES
+    + """SELECT node AS doc_id, MIN(label)::BIGINT AS component,
        (node = MIN(label)) AS is_canonical
 FROM reach GROUP BY node
 """
@@ -2785,7 +2796,7 @@ def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_ORACLE = _CC_ORACLE.rsplit("SELECT node AS doc_id", 1)[0] + """
+_SPLIT_ORACLE = _CC_CLOSURE_CTES + """
 , comp AS (
     SELECT node AS doc_id, MIN(label)::BIGINT AS component
     FROM reach GROUP BY node

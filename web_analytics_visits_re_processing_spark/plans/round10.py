@@ -969,15 +969,12 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _survivor_oracle() -> str:
     from web_analytics_visits_re_processing_spark.plans.llmdata import (
-        _CC_ORACLE,
+        _CC_CLOSURE_CTES,
         _SW_EN,
     )
 
-    parts = _CC_ORACLE.rsplit("SELECT node AS doc_id", 1)
-    assert len(parts) == 2, "CC oracle tail changed — update the survivor oracle"
-    closure = parts[0]
     return (
-        closure
+        _CC_CLOSURE_CTES
         + f"""
 , comp AS (
     SELECT node AS doc_id, MIN(label)::BIGINT AS component

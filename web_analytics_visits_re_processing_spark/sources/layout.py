@@ -45,14 +45,63 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
-# (session, abs sf_dir) → tuple of fully-qualified table names; the
-# bucketed layout is written once per session+fixture and shared by
-# every layout-family consumer. Cache hits re-validate against the
-# session's catalog because id(spark) can be REUSED after a session
-# is garbage-collected (CPython id recycling) — a stale hit would
-# otherwise hand a new session table names its in-memory catalog
-# never saw.
+# (session, abs sf_dir, specs digest, fixture fingerprint) → tuple of
+# fully-qualified table names; the bucketed layout is written once per
+# session+fixture+spec-set and shared by every layout-family consumer.
+# Cache hits re-validate against the session's catalog because
+# id(spark) can be REUSED after a session is garbage-collected
+# (CPython id recycling) — a stale hit would otherwise hand a new
+# session table names its in-memory catalog never saw. The fixture
+# FINGERPRINT (mtime+size of every data file under sf_dir) is part of
+# the key so a regenerated fixture re-stages instead of silently
+# serving tables built from the previous round's data — the
+# _prepare_replay_input convention.
 _BUCKETED_CACHE: dict = {}
+
+
+def staging_tag(sf_dir: str, specs_digest: str = "") -> str:
+    """The isolation tag ``ensure_bucketed_tables`` derives for a
+    fixture dir: basename (dots/dashes → underscores — valid database
+    identifier), a short hash of the ABSOLUTE path (two fixtures with
+    equal basenames must not collide) salted with the spec-set digest
+    (two different spec sets must not overwrite each other's
+    same-named tables), and the pid (two processes staging the same
+    fixture must not race each other's DROP/rmtree/rewrite under a
+    shared /tmp location). Exposed so tests locate the staged files
+    WITHOUT re-deriving the format by hand."""
+    import hashlib
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return "{}_{}_{}".format(
+        base.replace(".", "_").replace("-", "_"),
+        hashlib.md5(
+            (os.path.abspath(sf_dir) + "\x00" + specs_digest).encode()
+        ).hexdigest()[:8],
+        os.getpid(),
+    )
+
+
+def _fixture_fingerprint(sf_dir: str) -> tuple:
+    """(relpath, mtime_ns, size) of every data file under ``sf_dir``
+    — the cache-freshness key: fixtures regenerate between rounds,
+    and a bucketed layout staged from the PREVIOUS file set must not
+    satisfy reads against the new one (the oracle reads the new files
+    directly, so a stale hit is a spurious gate failure)."""
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            out.append((os.path.relpath(p, sf_dir), st.st_mtime_ns, st.st_size))
+    return tuple(sorted(out))
 
 
 def ensure_bucketed_tables(
@@ -70,29 +119,34 @@ def ensure_bucketed_tables(
     for trusting bucket sort on read) and written via
     ``write_bucketed``. Returns the fully-qualified table names.
 
-    Isolation: the database location carries the fixture basename, a
-    short hash of the ABSOLUTE path (two fixtures with equal
-    basenames must not collide), and the pid (two processes staging
-    the same fixture must not race each other's DROP/rmtree/rewrite
-    under a shared /tmp location). Leftover directories from a dead
-    same-pid run are dropped before rewrite (managed-table locations
-    outlive the in-memory catalog and would raise
-    LOCATION_ALREADY_EXISTS)."""
+    Isolation: see ``staging_tag`` (fixture basename + path/spec hash
+    + pid). The cache key carries a digest of the requested specs
+    (table names, bucket cols, bucket counts) so two callers with
+    DIFFERENT spec sets for the same session+fixture stage into
+    different databases instead of the second silently receiving the
+    first's tables, plus the fixture file fingerprint so regenerated
+    parquet re-stages. Leftover directories from a dead same-pid run
+    are dropped before rewrite (managed-table locations outlive the
+    in-memory catalog and would raise LOCATION_ALREADY_EXISTS)."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    key = (id(spark), os.path.abspath(sf_dir))
+    specs = list(specs)
+    specs_digest = hashlib.md5(
+        repr([(t, c, n) for t, _fn, c, n in specs]).encode()
+    ).hexdigest()[:8]
+    key = (
+        id(spark),
+        os.path.abspath(sf_dir),
+        specs_digest,
+        _fixture_fingerprint(sf_dir),
+    )
     hit = _BUCKETED_CACHE.get(key)
     if hit is not None and all(spark.catalog.tableExists(t) for t in hit):
         return hit
-    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    tag = "{}_{}_{}".format(
-        base.replace(".", "_").replace("-", "_"),
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
-        os.getpid(),
-    )
+    tag = staging_tag(sf_dir, specs_digest)
     db = f"spark_graft_bucketed_{tag}"
     loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", tag)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
