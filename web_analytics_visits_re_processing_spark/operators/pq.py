@@ -190,6 +190,9 @@ def pq_ivf_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    *,
+    cents: list | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al. 2011 §V): coarse IVF cells bound the
     candidate set, PQ-ADC scores the candidates — the composition
@@ -215,7 +218,15 @@ def pq_ivf_adc_topk(
     )
 
     corpus_cells, probes = ivf_assign_literal(
-        corpus, queries, n_centroids, n_probe, id_col, vec_col, query_id_col
+        corpus,
+        queries,
+        n_centroids,
+        n_probe,
+        id_col,
+        vec_col,
+        query_id_col,
+        cents=cents,
+        corpus_cells=corpus_cells,
     )
     sub = _SUBDIST_SQL.format(
         s="s", dsub=PQ_DSUB, cb=f"element_at(element_at({_books_sql(books)}, s + 1), c + 1)"

@@ -246,6 +246,9 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    *,
+    cents: list | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize into cells around sampled
     centroids, probe the ``n_probe`` nearest cells per query, exact
@@ -273,29 +276,31 @@ def cosine_topk_ivf(
     8-decimal-rounded similarity (cross-engine determinism).
     """
     corpus_cells, probes = ivf_assign_literal(
-        corpus, queries, n_centroids, n_probe, id_col, vec_col, query_id_col
+        corpus,
+        queries,
+        n_centroids,
+        n_probe,
+        id_col,
+        vec_col,
+        query_id_col,
+        cents=cents,
+        corpus_cells=corpus_cells,
     )
     return _probe_rescore_topk(corpus_cells, probes, k, id_col, query_id_col, vec_col)
 
 
-def ivf_assign_literal(
+def ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
     n_centroids: int = 64,
-    n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> tuple[DataFrame, DataFrame]:
-    """The literal-projection IVF assignment ``cosine_topk_ivf``
-    documents, shared so compositions (e.g. IVF+PQ in
-    ``operators/pq.py``) get bit-identical cells: returns
-    ``(corpus_cells, probes)`` where corpus_cells is
-    (id_col, vec_col, _cell) — one nearest cell per corpus row — and
-    probes is (query_id_col, _qvec, _cell) — the ``n_probe`` nearest
-    cells per query. See ``cosine_topk_ivf`` for the centroid-sample
-    and tie-break contract."""
-    cents = sorted(
+) -> list[tuple[int, list[float]]]:
+    """The fixed-budget deterministic centroid sample (see
+    ``cosine_topk_ivf``) as collected MODEL PARAMETERS — a bounded
+    ``n_centroids``-row TakeOrdered collect, shared by every IVF
+    variant so callers that stage the corpus assignment can still
+    build probe-side literals without recomputing the corpus scan."""
+    return sorted(
         (r[0], list(r[1]))
         for r in corpus.select(id_col, vec_col)
         .orderBy(
@@ -305,12 +310,16 @@ def ivf_assign_literal(
         .collect()
     )
 
-    # Both literal arrays ship as ONE parsed SQL expression each (the
-    # PQ codebook / jl_project lesson): the per-value
-    # ``F.lit(float(x))`` formulation issued n_centroids×dim py4j
-    # calls per call site (~10k for the default 64×64, twice) and cost
-    # 11.9 s of every invocation in pure DataFrame BUILD time
-    # (measured; CAST('<repr>' AS DOUBLE) round-trips exactly).
+
+def _ivf_cell_structs(cents: list) -> "callable":
+    """(sim, -cid) struct-array builder over the centroid literals.
+
+    Both literal arrays ship as ONE parsed SQL expression each (the
+    PQ codebook / jl_project lesson): the per-value
+    ``F.lit(float(x))`` formulation issued n_centroids×dim py4j
+    calls per call site (~10k for the default 64×64, twice) and cost
+    11.9 s of every invocation in pure DataFrame BUILD time
+    (measured; CAST('<repr>' AS DOUBLE) round-trips exactly)."""
     cvecs_sql = ", ".join(
         "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cvec) + ")"
         for _cid, cvec in cents
@@ -329,12 +338,45 @@ def ivf_assign_literal(
             ),
         )
 
-    corpus_cells = corpus.select(
+    return cell_structs
+
+
+def ivf_corpus_cells(
+    corpus: DataFrame,
+    cents: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-side IVF assignment as a pure projection —
+    ``(id_col, vec_col, _cell)``, one nearest cell per corpus row.
+    THE stage-once intermediate of the IVF family: the interpreted
+    64-cosine HOF per row is the family's dominant cost, and every
+    literal-path consumer (exact-rescore IVF, IVF+PQ) needs the
+    bit-identical assignment — materialize it per (session, sf)
+    instead of recomputing per query (the r10 stitched-visitor-map
+    precedent)."""
+    cell_structs = _ivf_cell_structs(cents)
+    return corpus.select(
         id_col,
         vec_col,
         (-F.array_max(cell_structs(F.col(vec_col)))["neg_cid"]).alias("_cell"),
     )
-    probes = queries.select(
+
+
+def ivf_query_probes(
+    queries: DataFrame,
+    cents: list,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query-side IVF probe assignment —
+    ``(query_id_col, _qvec, _cell)``, the ``n_probe`` nearest cells
+    per query row. Query sets are small (top-k search), so this side
+    is never worth staging."""
+    cell_structs = _ivf_cell_structs(cents)
+    return queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
         F.explode(
@@ -345,6 +387,37 @@ def ivf_assign_literal(
             )
         ).alias("_probe"),
     ).select(query_id_col, "_qvec", (-F.col("_probe.neg_cid")).alias("_cell"))
+
+
+def ivf_assign_literal(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    *,
+    cents: list | None = None,
+    corpus_cells: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The literal-projection IVF assignment ``cosine_topk_ivf``
+    documents, shared so compositions (e.g. IVF+PQ in
+    ``operators/pq.py``) get bit-identical cells: returns
+    ``(corpus_cells, probes)``. Pass ``corpus_cells`` (e.g. a staged
+    parquet leaf from a previous invocation) to skip the corpus-side
+    reassignment, and ``cents`` to skip the centroid collect; the
+    contract is that both came from the SAME deterministic sample —
+    which ``ivf_centroids`` guarantees for a given (corpus,
+    n_centroids). See ``cosine_topk_ivf`` for the centroid-sample and
+    tie-break contract."""
+    if cents is None:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if corpus_cells is None:
+        corpus_cells = ivf_corpus_cells(corpus, cents, id_col, vec_col)
+    probes = ivf_query_probes(
+        queries, cents, n_probe, id_col, vec_col, query_id_col
+    )
     return corpus_cells, probes
 
 

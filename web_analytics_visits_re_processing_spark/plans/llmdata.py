@@ -952,19 +952,72 @@ SELECT query_id, vec_id, cos, rk FROM (
 """
 
 
+# Centroid samples are MODEL PARAMETERS (64 rows) — memoized per
+# (session, sf) like the corpus-band counts so the staged-cells
+# consumers don't re-run the TakeOrdered collect per invocation.
+_IVF_CENTS_CACHE: dict = {}
+
+
+def _ivf_cents_64(spark: SparkSession, sf_dir: str) -> list:
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    k = (id(spark), sf_dir)
+    if k not in _IVF_CENTS_CACHE:
+        _IVF_CENTS_CACHE[k] = ivf_centroids(_emb(spark, sf_dir), 64)
+    return _IVF_CENTS_CACHE[k]
+
+
+def _ivf_cells_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged default-parameter (64-centroid) IVF corpus-cell
+    assignment ``(vec_id, embedding, _cell)`` — the ANN family's
+    many-consumer intermediate (the basket_pairs pattern): the
+    interpreted 64-cosine HOF projection is the dominant cost of
+    every literal-path IVF query, and both ``embedding_cosine_topk_
+    ivf`` (exact rescore) and ``embedding_topk_ivf_pq`` (ADC rescore)
+    need the bit-identical assignment. Materialized once per
+    (session, sf) via ``_lp_cached``: consumers bottom out at a
+    parquet leaf scan with ``_cell`` ready for the probe equi-join.
+    At 100 TB this IS the IVF index build — assignment runs at ingest
+    and every search reads the posting-list layout, never re-derives
+    it. (The join-path variant keeps its own broadcast/max_by
+    assignment: its identity is gating the >1k-centroid escalation
+    arm against the same oracle.)"""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        ivf_corpus_cells,
+    )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
+
+    def build() -> DataFrame:
+        return ivf_corpus_cells(
+            _emb(spark, sf_dir), _ivf_cents_64(spark, sf_dir)
+        )
+
+    return _lp_cached("ivf_cells_64", spark, sf_dir, build)
+
+
 @query("embedding_cosine_topk_ivf", oracle=_IVF_ORACLE)
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the second scale path next to LSH): cell assignment is
     a pure projection against centroid literals — no shuffle, no join
     for the quantization step; candidates come from an equi-join on
-    the cell id."""
+    the cell id, read from the staged ``_ivf_cells_64`` assignment."""
     from web_analytics_visits_re_processing_spark.operators.similarity import (
         cosine_topk_ivf,
     )
 
     emb = _emb(spark, sf_dir)
     return cosine_topk_ivf(
-        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=64, n_probe=2
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=64,
+        n_probe=2,
+        cents=_ivf_cents_64(spark, sf_dir),
+        corpus_cells=_ivf_cells_64(spark, sf_dir),
     )
 
 

@@ -472,11 +472,20 @@ def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebooks,
         pq_ivf_adc_topk,
     )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _ivf_cells_64,
+        _ivf_cents_64,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(emb)
     return pq_ivf_adc_topk(
-        emb, emb.where(F.col("vec_id") < 10), books, k=5
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        books,
+        k=5,
+        cents=_ivf_cents_64(spark, sf_dir),
+        corpus_cells=_ivf_cells_64(spark, sf_dir),
     )
 
 
