@@ -367,7 +367,35 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def summary_line(timings: dict, cold_total: float, reps: int, sf_val) -> str:
+def anchor(spark) -> float:
+    """Fixed pure-compute calibration probe — NO fixture IO, no
+    Python, stable plan: 20M-row range → integer hash → 1024-bucket
+    aggregate, measured as the median of 3 noop-writes. Timed FIRST
+    and LAST in every bench run so round-over-round totals are
+    falsifiable against host drift (the r10 lesson: a uniform 1.20×
+    median move across 301 unchanged plans was a whole-box slowdown,
+    indistinguishable from regressions without an anchor).
+    ``scripts/bench_compare.py`` divides per-query medians by the
+    run's mean anchor before flagging."""
+    from pyspark.sql import functions as F
+
+    samples = []
+    for _ in range(3):
+        df = (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(((F.col("id") * 2654435761) % 2147483647).alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        t0 = time.perf_counter()
+        materialize(df)
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def summary_line(
+    timings: dict, cold_total: float, reps: int, sf_val, anchors=None
+) -> str:
     """The driver-facing FINAL stdout line: compact, always-parseable
     JSON — totals + the top-20 slowest medians only, bounded ~1 KB
     regardless of suite size (the r6 lesson: the driver tail-captures
@@ -376,19 +404,20 @@ def summary_line(timings: dict, cold_total: float, reps: int, sf_val) -> str:
     Pure function so tests pin the contract without running Spark."""
     total = round(sum(timings.values()), 3)
     top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    return json.dumps(
-        {
-            "metric": "headline_inventory_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": top20,
-            "n_queries": len(timings),
-            "cold_total": cold_total,
-            "reps": reps,
-            "sf": sf_val,
-            "detail_file": "BENCH_DETAIL.json",
-        }
-    )
+    payload = {
+        "metric": "headline_inventory_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": top20,
+        "n_queries": len(timings),
+        "cold_total": cold_total,
+        "reps": reps,
+        "sf": sf_val,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if anchors is not None:
+        payload["anchor_sec"] = list(anchors)
+    return json.dumps(payload)
 
 
 def main() -> None:
@@ -406,6 +435,8 @@ def main() -> None:
     )
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1000).count()
+    anchor_pre = anchor(spark)
+    print(f"# anchor_pre: {anchor_pre}s", file=sys.stderr)
 
     # MEDIAN-OF-REPS protocol (default 3, override $SPARK_GRAFT_REPS):
     # rep 1 pays one-time codegen/JIT + any per-fixture staging, reps
@@ -427,6 +458,9 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         print(f"# {name}: median {timings[name]}s cold {cold[name]}s", file=sys.stderr)
 
+    anchor_post = anchor(spark)
+    print(f"# anchor_post: {anchor_post}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -445,13 +479,14 @@ def main() -> None:
                 "cold_total": cold_total,
                 "reps": reps,
                 "sf": sf_val,
+                "anchor": {"pre": anchor_pre, "post": anchor_post},
             },
             f,
             indent=1,
             sort_keys=True,
         )
 
-    print(summary_line(timings, cold_total, reps, sf_val))
+    print(summary_line(timings, cold_total, reps, sf_val, (anchor_pre, anchor_post)))
 
 
 if __name__ == "__main__":

@@ -24,19 +24,41 @@ import argparse
 import json
 
 
+def _anchor_mean(snapshot: dict) -> float | None:
+    """Mean of the run's pre/post calibration anchors (bench.py
+    ``anchor()`` — a fixed pure-compute probe timed first and last).
+    None for pre-r11 snapshots that carry no anchor."""
+    a = snapshot.get("anchor")
+    if not isinstance(a, dict) or "pre" not in a or "post" not in a:
+        return None
+    return (float(a["pre"]) + float(a["post"])) / 2.0
+
+
 def compare(
     old: dict, new: dict, threshold: float = 1.5, floor: float = 0.3
 ) -> dict:
     oq, nq = old["queries"], new["queries"]
+    oa, na = _anchor_mean(old), _anchor_mean(new)
+    # host-drift factor: >1 means the NEW box is slower on pure
+    # compute; raw per-query ratios are divided by it before flagging,
+    # so a whole-box slowdown stops reading as 300 plan regressions
+    # (the r10 uniform-1.20× episode). Falls back to 1.0 (raw ratios)
+    # when either snapshot predates the anchor.
+    drift = (na / oa) if (oa and na) else None
     regressions, improvements = {}, {}
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if max(a, b) < floor:
             continue
-        if b > a * threshold:
-            regressions[name] = {"old": a, "new": b, "ratio": round(b / max(a, 1e-9), 2)}
-        elif a > b * threshold:
-            improvements[name] = {"old": a, "new": b, "ratio": round(b / max(a, 1e-9), 2)}
+        raw = b / max(a, 1e-9)
+        norm = raw / drift if drift else raw
+        rec = {"old": a, "new": b, "ratio": round(raw, 2)}
+        if drift:
+            rec["ratio_anchor_norm"] = round(norm, 2)
+        if norm > threshold:
+            regressions[name] = rec
+        elif norm < 1.0 / threshold:
+            improvements[name] = rec
     return {
         "regressions": regressions,
         "improvements": improvements,
@@ -49,6 +71,11 @@ def compare(
             "new_reps": new.get("reps"),
             "old_n": len(oq),
             "new_n": len(nq),
+        },
+        "anchor": {
+            "old": oa,
+            "new": na,
+            "drift": round(drift, 3) if drift else None,
         },
         "threshold": threshold,
         "floor": floor,

@@ -17,7 +17,9 @@ def test_summary_line_parses_and_stays_bounded():
     line under ~1.5 KB: the top-20 truncation, not suite size, bounds
     the payload."""
     timings = {f"query_name_number_{i:04d}": i * 0.123 for i in range(1000)}
-    line = summary_line(timings, cold_total=4321.5, reps=3, sf_val=0.1)
+    line = summary_line(
+        timings, cold_total=4321.5, reps=3, sf_val=0.1, anchors=(1.2345, 1.3456)
+    )
     assert "\n" not in line
     assert len(line.encode()) < 1536, len(line.encode())
     obj = json.loads(line)
@@ -99,3 +101,55 @@ def test_every_never_sampled_query_has_a_rotation_tier():
 
     for a, b in itertools.combinations(tiers, 2):
         assert not (a & b)
+
+
+def test_summary_line_carries_anchor():
+    """The calibration anchor (pre/post pure-compute probe) must ride
+    the driver-facing summary line so BENCH_r{N}.json records it."""
+    obj = json.loads(
+        summary_line({"a": 1.0}, 1.0, 3, 0.1, anchors=(1.25, 1.35))
+    )
+    assert obj["anchor_sec"] == [1.25, 1.35]
+
+
+def test_bench_compare_anchor_normalizes_host_drift():
+    """The r10 episode: a uniform whole-box 1.20x slowdown flagged 241
+    of 301 queries. With anchors recorded, the comparator must divide
+    per-query ratios by the anchor drift — a uniform move flags
+    NOTHING, while a genuine single-query regression still flags."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "bench_compare.py",
+        ),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    old = {
+        "queries": {"q1": 1.0, "q2": 2.0, "q3": 4.0},
+        "value": 7.0,
+        "anchor": {"pre": 1.0, "post": 1.0},
+    }
+    # whole box 1.6x slower (anchor moved 1.6x too): nothing flags
+    new_uniform = {
+        "queries": {"q1": 1.6, "q2": 3.2, "q3": 6.4},
+        "value": 11.2,
+        "anchor": {"pre": 1.6, "post": 1.6},
+    }
+    rep = bc.compare(old, new_uniform)
+    assert rep["regressions"] == {}, rep
+    assert rep["anchor"]["drift"] == 1.6
+    # same raw numbers but anchor flat: all three flag as real
+    new_real = dict(new_uniform, anchor={"pre": 1.0, "post": 1.0})
+    rep2 = bc.compare(old, new_real)
+    assert set(rep2["regressions"]) == {"q1", "q2", "q3"}, rep2
+    # pre-anchor snapshot falls back to raw ratios
+    rep3 = bc.compare({"queries": old["queries"], "value": 7.0}, new_uniform)
+    assert set(rep3["regressions"]) == {"q1", "q2", "q3"}
+    assert rep3["anchor"]["drift"] is None
