@@ -60,3 +60,19 @@ def test_staged_cells_match_inline_assignment(spark):
     }
     assert inline == staged
     assert len(inline) > 0
+
+
+# --- bucketed layout serves a pre-existing consumer ---------------------------
+
+
+def test_ref_integrity_fact_legs_zero_join_exchange(spark):
+    """The two fact-fact anti-join legs of referential_integrity_audit
+    now read the session-staged bucketed tables: SortMergeJoin
+    LeftAnti over co-located buckets, ZERO hash exchange anywhere in
+    the plan (the only exchanges left are the per-leg single-row
+    aggregates). The four dimension legs stay broadcast."""
+    plan = _plan(spark, "referential_integrity_audit")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert len(re.findall(r"SortMergeJoin.*LeftAnti", plan)) == 2, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    assert len(re.findall(r"BroadcastHashJoin.*LeftAnti", plan)) == 4, plan

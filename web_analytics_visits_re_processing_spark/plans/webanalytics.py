@@ -1330,16 +1330,31 @@ def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FK edge (lineitem→orders, orders→customer, customer/supplier→
     nation, nation→region) plus childless orders. Each check is one
     ANTI join; the dimension sides (nation, region, customer at this
-    schema's scale) broadcast, the two fact-fact checks (lineitem↔
-    orders) shuffle on the key they'd be bucketed on in a real
-    deployment — with bucketed layout (`sources/layout.py`) they run
-    zero-exchange. Aggregates are single-row counts unioned."""
+    schema's scale) broadcast. The two fact-fact checks (lineitem↔
+    orders) READ THE SESSION-STAGED BUCKETED LAYOUT
+    (`plans/round10._ensure_bucketed` — the same write-once tables
+    the r10 layout gates consume): both sides pre-bucketed on the
+    order key, so the anti joins run as co-located SortMergeJoin with
+    ZERO join-side exchange (plan-pinned) — at 100 TB the fact×fact
+    shuffle IS this audit's cost, and the bucketed layout removes it.
+    Aggregates are single-row counts unioned."""
+    # lazy import: round10 imports from this module at module scope
+    from web_analytics_visits_re_processing_spark.plans.round10 import (
+        _ensure_bucketed,
+    )
+    from web_analytics_visits_re_processing_spark.sources.layout import (
+        read_table,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    li_tbl, ord_tbl = _ensure_bucketed(spark, sf_dir)
+    lb = read_table(spark, li_tbl).select("l_orderkey")
+    ob = read_table(spark, ord_tbl).select("o_orderkey")
 
     def orphan(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
         return (
@@ -1348,13 +1363,24 @@ def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).agg(F.lit(name).alias("chk"), F.count(F.lit(1)).alias("n_violations"))
         )
 
+    def orphan_bucketed(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        # merge hint: at fixture scale Spark would BROADCAST the
+        # parent and bypass the bucket layout this leg exists to
+        # exercise; SMJ over co-located buckets needs no exchange at
+        # ANY scale.
+        return (
+            child.hint("merge")
+            .join(parent.select(F.col(pk).alias(ck)), on=ck, how="left_anti")
+            .agg(F.lit(name).alias("chk"), F.count(F.lit(1)).alias("n_violations"))
+        )
+
     checks = [
-        orphan("lineitem_orphan_orders", li, "l_orderkey", o, "o_orderkey"),
+        orphan_bucketed("lineitem_orphan_orders", lb, "l_orderkey", ob, "o_orderkey"),
         orphan("orders_orphan_customers", o, "o_custkey", c, "c_custkey"),
         orphan("customer_orphan_nations", c, "c_nationkey", n, "n_nationkey"),
         orphan("supplier_orphan_nations", s, "s_nationkey", n, "n_nationkey"),
         orphan("nation_orphan_regions", n, "n_regionkey", r, "r_regionkey"),
-        orphan("orders_without_lineitems", o, "o_orderkey", li, "l_orderkey"),
+        orphan_bucketed("orders_without_lineitems", ob, "o_orderkey", lb, "l_orderkey"),
     ]
     out = checks[0]
     for chk in checks[1:]:
