@@ -76,3 +76,132 @@ def test_ref_integrity_fact_legs_zero_join_exchange(spark):
     assert len(re.findall(r"SortMergeJoin.*LeftAnti", plan)) == 2, plan
     assert "SelectedBucketsCount: 8 out of 8" in plan, plan
     assert len(re.findall(r"BroadcastHashJoin.*LeftAnti", plan)) == 4, plan
+
+
+# --- count-banded profile distinct (exact -> HLL) ------------------------------
+
+
+def test_profile_distinct_band_boundaries():
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        PROFILE_EXACT_DISTINCT_MAX,
+        profile_distinct_mode,
+    )
+
+    assert PROFILE_EXACT_DISTINCT_MAX == 1 << 26
+    assert profile_distinct_mode(1 << 26) == "exact"
+    assert profile_distinct_mode((1 << 26) + 1) == "hll"
+    # every fixture SF resolves to the exact arm
+    assert profile_distinct_mode(1_500_000) == "exact"  # orders @ sf1
+
+
+def test_profile_hll_arm_matches_duckdb_replay(spark):
+    """The at-scale arm must be cross-engine exact even though no
+    fixture SF selects it: run the Spark HLL arm directly and the
+    oracle's hll_arm CTE chain in DuckDB on the same fixture."""
+    from tests.oracle_utils import assert_matches_oracle
+    from web_analytics_visits_re_processing_spark.plans.extended import (
+        _PROFILE_HLL_CTES,
+        _profile_hll_arm,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    sql = f"WITH {_PROFILE_HLL_CTES}\nSELECT * FROM hll_arm"
+    assert_matches_oracle(_profile_hll_arm(o), sql, SF_DIR)
+
+
+def test_profile_hll_arm_estimate_is_close(spark):
+    """Sanity on the estimator itself: the HLL distinct estimates on
+    sf0.001 orders must land within 35% of truth for the high-card
+    columns (64 registers -> ~13% standard error; the fixed fixture
+    draws o_orderkey at +28%, ~2 sigma — the production profile would
+    raise HLL_P, this pin only guards against a broken estimator)."""
+    from web_analytics_visits_re_processing_spark.plans.extended import (
+        _profile_exact_arm,
+        _profile_hll_arm,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {r["col"]: r["n_distinct"] for r in _profile_exact_arm(o).collect()}
+    est = {r["col"]: r["n_distinct"] for r in _profile_hll_arm(o).collect()}
+    assert set(exact) == set(est)
+    for col in ("o_orderkey", "o_custkey", "o_totalprice"):
+        assert abs(est[col] - exact[col]) <= 0.35 * exact[col], (
+            col,
+            est[col],
+            exact[col],
+        )
+    # low-card columns: small-range linear counting is near-exact
+    for col in ("o_orderstatus", "o_orderpriority"):
+        assert abs(est[col] - exact[col]) <= 2, (col, est[col], exact[col])
+
+
+# --- count-banded ntile -> histogram cuts --------------------------------------
+
+
+def test_ntile_band_boundaries():
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        NTILE_EXACT_MAX,
+        ntile_mode,
+    )
+
+    assert NTILE_EXACT_MAX == 1 << 24
+    assert ntile_mode(1 << 24) == "exact"
+    assert ntile_mode((1 << 24) + 1) == "histogram"
+
+
+def test_equal_freq_hist_arm_matches_duckdb_replay(spark):
+    """The at-scale arm cross-engine: Spark histogram-cut deciles vs
+    the oracle's hist_arm CTE chain on the same fixture."""
+    from tests.oracle_utils import assert_matches_oracle
+    from web_analytics_visits_re_processing_spark.plans.extended import (
+        _equal_freq_hist_arm,
+        _equal_freq_oracle,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    full = _equal_freq_oracle()
+    # reuse the registered oracle's CTE chain, selecting the hist arm
+    # unconditionally (no duplicated SQL to drift)
+    sql = full.rsplit("SELECT * FROM exact_arm", 1)[0] + "SELECT * FROM hist_arm"
+    ev = load_table(spark, SF_DIR, "events")
+    assert_matches_oracle(_equal_freq_hist_arm(ev), sql, SF_DIR)
+
+
+def test_rfm_hist_arm_matches_duckdb_replay(spark):
+    from tests.oracle_utils import assert_matches_oracle
+    from web_analytics_visits_re_processing_spark.plans.extended import (
+        _rfm_hist_arm,
+        _rfm_oracle,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _count_cached,
+    )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
+
+    full = _rfm_oracle()
+    head, tail = full.rsplit("arms AS (", 1)
+    final = tail.rsplit(")", 1)[1].replace("FROM arms", "FROM hist_scored")
+    sql = head.rstrip().rstrip(",") + "\n" + final
+    # the staged rollup builder is the query's own (registered) one —
+    # run the registered query once to stage it, then rescore
+    QUERIES["rfm_segments"](spark, SF_DIR).collect()
+    rfm = _lp_cached("rfm_user_rollup", spark, SF_DIR, lambda: None)
+    scored = _rfm_hist_arm(rfm).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.lit("R"), F.col("r_score").cast("string"),
+            F.lit("F"), F.col("f_score").cast("string"),
+            F.lit("M"), F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+    assert_matches_oracle(scored, sql, SF_DIR)

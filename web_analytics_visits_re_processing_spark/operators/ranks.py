@@ -216,3 +216,91 @@ def global_ntile(
         .withColumn(out_col, bucket.cast("int"))
         .drop("_grk_rn", "_grk_n")
     )
+
+
+# --- count-banded ntile downgrade (the lsh_planes_for precedent) -------------
+
+# Above this ranked-frame size the exact ntile (a total order over a
+# frame that GROWS with the data — users, events) gives way to
+# histogram cut points: integer-value histogram → cumulative counts →
+# cut i = smallest value whose running count reaches ceil(i·n/k) →
+# k-1 cuts broadcast as a one-row (or per-group) lookup, assignment a
+# pure projection. Same static, oracle-mirrorable CASE rule as
+# similarity.lsh_planes_for / dedup.simhash_bits_for: the DuckDB side
+# selects the arm from the same COUNT(*), and every fixture SF
+# resolves to the exact arm so gate values never move. The trade is
+# tie handling: the histogram arm bins by VALUE (ties share a bucket),
+# the exact arm splits ties by the tiebreak column — the documented
+# approximation at 100 TB, where the per-bucket populations differ by
+# at most the largest tie group.
+NTILE_EXACT_MAX = 1 << 24  # 16,777,216 ranked rows
+
+
+def ntile_mode(n_ranked_rows: int) -> str:
+    """'exact' (distributed two-pass ntile) or 'histogram'
+    (cut-point broadcast) — banded on the ranked-frame row count."""
+    return "exact" if n_ranked_rows <= NTILE_EXACT_MAX else "histogram"
+
+
+def hist_ntile_cuts(
+    df: DataFrame,
+    val_col: str,
+    k: int,
+    group_cols: tuple = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The k-1 equal-frequency cut points per group:
+    ``c_i = MIN(val WHERE cum·k ≥ n·i)`` over the integer-value
+    histogram's cumulative counts (cross-multiplied integers — the
+    histogram_quantiles_by_type rule, no float ranks). Grouped form
+    uses a per-group window over the VALUE-grain histogram (domain-
+    bounded, not data-grain); global form rides the two-pass
+    ``global_running_sum`` so no unpartitioned window appears."""
+    hist = df.groupBy(*group_cols, val_col).agg(
+        F.count(F.lit(1)).alias("_hn_c")
+    )
+    if group_cols:
+        wc = Window.partitionBy(*group_cols).orderBy(val_col)
+        wn = Window.partitionBy(*group_cols)
+        cum = hist.select(
+            *group_cols,
+            val_col,
+            F.sum("_hn_c").over(wc).alias("_hn_cum"),
+            F.sum("_hn_c").over(wn).alias("_hn_n"),
+        )
+    else:
+        cum = global_running_sum(
+            hist, [val_col], "_hn_c", "_hn_cum", num_partitions
+        ).crossJoin(F.broadcast(hist.agg(F.sum("_hn_c").alias("_hn_n"))))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_hn_cum") * k >= F.col("_hn_n") * i, F.col(val_col)
+            )
+        ).alias(f"c{i}")
+        for i in range(1, k)
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def hist_ntile_score(
+    df: DataFrame,
+    cuts: DataFrame,
+    val_col: str,
+    k: int,
+    out_col: str,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Assign the histogram-ntile bucket: ``1 + Σ 1[val > c_i]`` —
+    a pure projection after the (tiny, ≤ one row per group) cut table
+    broadcasts. Output typed INT to match the exact arm's ntile."""
+    if group_cols:
+        j = df.join(F.broadcast(cuts), list(group_cols))
+    else:
+        j = df.crossJoin(F.broadcast(cuts))
+    score = F.lit(1)
+    for i in range(1, k):
+        score = score + F.when(F.col(val_col) > F.col(f"c{i}"), 1).otherwise(0)
+    return j.withColumn(out_col, score.cast("int")).drop(
+        *[f"c{i}" for i in range(1, k)]
+    )

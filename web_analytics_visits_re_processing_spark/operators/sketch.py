@@ -190,3 +190,23 @@ def hll_estimate(
         s_scaled.alias("s_scaled"),
         F.floor(est * 10000).cast("long").alias("hll_estimate_e4"),
     )
+
+
+# --- count-banded profile distinct (the lsh_planes_for precedent) ------------
+
+# A whole-table profile's EXACT per-column distinct counts plan as one
+# EXPAND whose aggregation state is every distinct value of every
+# column — at 100 TB that state is the table. Above this band the
+# profile downgrades its distinct counts to the portable md5 HLL
+# (registers above: ≤ 64 rows of shuffle state per column, the
+# mergeable sketch the hll_merge_groups gate machine-checks), keeping
+# null/min/max exact. Static, oracle-mirrorable rule: the SQL side
+# selects the same arm from the same COUNT(*), and every fixture SF
+# resolves to the exact arm so gate values never move.
+PROFILE_EXACT_DISTINCT_MAX = 1 << 26  # 67,108,864 rows
+
+
+def profile_distinct_mode(n_rows: int) -> str:
+    """'exact' (count_distinct via EXPAND) or 'hll' (portable md5
+    HLL registers) — banded on the profiled table's row count."""
+    return "exact" if n_rows <= PROFILE_EXACT_DISTINCT_MAX else "hll"

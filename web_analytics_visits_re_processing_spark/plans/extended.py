@@ -1657,9 +1657,27 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "table_profile_stats",
-    oracle="""
+# Profiled columns: (name, Spark numeric expr for min/max or None,
+# Spark hash-input string expr, DuckDB hash-input string expr). The
+# hash inputs are NORMALIZED before hashing (cents, epoch-µs, raw
+# strings) so md5 sees identical text in both engines — float/date
+# VARCHAR renderings differ across engines, integers never do.
+_PROFILE_COLS: list[tuple] = [
+    ("o_orderkey", "o_orderkey", "CAST(o_orderkey AS STRING)",
+     "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "o_custkey", "CAST(o_custkey AS STRING)",
+     "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", None, "o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "FLOOR(o_totalprice * 100)",
+     "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS STRING)",
+     "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "unix_micros(o_orderdate)",
+     "CAST(unix_micros(o_orderdate) AS STRING)",
+     "CAST(epoch_us(o_orderdate) AS VARCHAR)"),
+    ("o_orderpriority", None, "o_orderpriority", "o_orderpriority"),
+]
+
+_PROFILE_EXACT_ARM = """
 SELECT 'o_orderkey' AS col,
        SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
@@ -1689,47 +1707,208 @@ UNION ALL
 SELECT 'o_orderpriority',
        SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
        COUNT(DISTINCT o_orderpriority)::BIGINT, NULL, NULL FROM orders
-""",
+"""
+
+# Portable-HLL arm: identical register/estimate arithmetic to the
+# hll_merge_groups oracle, one sketch per profiled column; null
+# counts and min/max stay exact (no EXPAND needed for those).
+_PROFILE_HLL_CTES = (
+    "u AS (\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS col, {dsql} AS sval FROM orders"
+        f" WHERE {name} IS NOT NULL"
+        for name, _num, _ssql, dsql in _PROFILE_COLS
+    )
+    + """
+),
+hh AS (
+    SELECT col, ('0x' || substring(md5(sval), 1, 15))::BIGINT AS hv FROM u
+),
+regs AS (
+    SELECT col, hv & 63 AS r_idx,
+           MAX(CASE WHEN (hv >> 6) = 0 THEN 55
+                    ELSE 55 - length(bin(hv >> 6)) END)::BIGINT AS r_rho
+    FROM hh GROUP BY 1, 2
+),
+per AS (
+    SELECT col, COUNT(*) AS n_set,
+           CAST(SUM(1::BIGINT << (55 - r_rho)) AS BIGINT) AS s_present
+    FROM regs GROUP BY col
+),
+est AS (
+    SELECT col,
+           CAST(FLOOR(10000 * CASE
+               WHEN (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968)
+                        / (s_present + (64 - n_set) * (1::BIGINT << 55))
+                        <= 160.0
+                    AND (64 - n_set) > 0
+               THEN 64 * ln(64 / CAST(64 - n_set AS DOUBLE))
+               ELSE (CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968)
+                        / (s_present + (64 - n_set) * (1::BIGINT << 55))
+           END) AS BIGINT) // 10000 AS n_distinct
+    FROM per
+),
+base AS (
+"""
+    + "\n    UNION ALL ".join(
+        (
+            f"SELECT '{name}' AS col,"
+            f" SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_nulls,"
+            + (
+                f" MIN({num})::DOUBLE AS min_num,"
+                f" MAX({num})::DOUBLE AS max_num"
+                if num is not None
+                else " NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num"
+            )
+            + " FROM orders"
+        )
+        for name, num, _ssql, _dsql in (
+            (n, {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
+                 "o_totalprice": "FLOOR(o_totalprice * 100)",
+                 "o_orderdate": "epoch_us(o_orderdate)"}.get(n), s, d)
+            for n, _x, s, d in _PROFILE_COLS
+        )
+    )
+    + """
+),
+hll_arm AS (
+    SELECT base.col, base.n_nulls, est.n_distinct, base.min_num, base.max_num
+    FROM base JOIN est USING (col)
+)"""
 )
-def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-table data profile of ``orders`` — per column: null
-    count, EXACT distinct count, numeric min/max (cents for the
-    price, epoch-µs for the date, NULL for categoricals). The
-    ingest-time sanity check a lakehouse runs per partition drop.
-    Spark plans the 6 count-distincts as one EXPAND (one scan, one
-    exchange) rather than 6 scans; at 100 TB the exact distincts
-    downgrade to the HLL path (`approx_count_distinct_users`) — the
-    profile shape is unchanged. Single pass, no joins."""
-    o = load_table(spark, sf_dir, "orders")
-    cols: list[tuple[str, F.Column | None]] = [
-        ("o_orderkey", F.col("o_orderkey")),
-        ("o_custkey", F.col("o_custkey")),
-        ("o_orderstatus", None),
-        ("o_totalprice", F.floor(F.col("o_totalprice") * 100)),
-        ("o_orderdate", F.unix_micros("o_orderdate")),
-        ("o_orderpriority", None),
-    ]
+
+
+def _profile_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        PROFILE_EXACT_DISTINCT_MAX,
+    )
+
+    return f"""
+WITH nct AS (SELECT COUNT(*) AS n FROM orders),
+exact_arm AS ({_PROFILE_EXACT_ARM}),
+{_PROFILE_HLL_CTES}
+SELECT * FROM exact_arm
+WHERE (SELECT n FROM nct) <= {PROFILE_EXACT_DISTINCT_MAX}
+UNION ALL
+SELECT * FROM hll_arm
+WHERE (SELECT n FROM nct) > {PROFILE_EXACT_DISTINCT_MAX}
+"""
+
+
+def _profile_exact_arm(o: DataFrame) -> DataFrame:
+    """Exact arm: one EXPAND agg (6 count-distincts in one scan)."""
     aggs: list[F.Column] = []
-    for name, num in cols:
+    for name, num, _ssql, _dsql in _PROFILE_COLS:
         aggs.append(
             F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"{name}__nn")
         )
         aggs.append(F.count_distinct(F.col(name)).alias(f"{name}__nd"))
-        lo = F.min(num).cast("double") if num is not None else F.lit(None).cast("double")
-        hi = F.max(num).cast("double") if num is not None else F.lit(None).cast("double")
-        aggs.append(lo.alias(f"{name}__mn"))
-        aggs.append(hi.alias(f"{name}__mx"))
+        lo = F.expr(num).cast("double") if num is not None else None
+        aggs.append(
+            (F.min(lo) if lo is not None else F.lit(None).cast("double")).alias(
+                f"{name}__mn"
+            )
+        )
+        aggs.append(
+            (F.max(lo) if lo is not None else F.lit(None).cast("double")).alias(
+                f"{name}__mx"
+            )
+        )
     one_row = o.agg(*aggs)
     stack_args = ", ".join(
         f"'{name}', `{name}__nn`, `{name}__nd`, `{name}__mn`, `{name}__mx`"
-        for name, _ in cols
+        for name, *_ in _PROFILE_COLS
     )
     return one_row.select(
         F.expr(
-            f"stack({len(cols)}, {stack_args})"
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
             " as (col, n_nulls, n_distinct, min_num, max_num)"
         )
     )
+
+
+def _profile_hll_arm(o: DataFrame) -> DataFrame:
+    """HLL arm: exact nulls/min/max (plain agg, no EXPAND) + one
+    portable md5-HLL sketch per column — aggregation state is ≤ 64
+    registers per column instead of every distinct value."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    parts = [
+        o.where(F.col(name).isNotNull()).select(
+            F.lit(name).alias("col"), F.expr(ssql).alias("sval")
+        )
+        for name, _num, ssql, _dsql in _PROFILE_COLS
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    est = hll_estimate(hll_registers(u, "sval", ("col",)), ("col",)).select(
+        "col", F.expr("hll_estimate_e4 div 10000").alias("n_distinct")
+    )
+    aggs: list[F.Column] = []
+    for name, num, _ssql, _dsql in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"{name}__nn")
+        )
+        lo = F.expr(num).cast("double") if num is not None else None
+        aggs.append(
+            (F.min(lo) if lo is not None else F.lit(None).cast("double")).alias(
+                f"{name}__mn"
+            )
+        )
+        aggs.append(
+            (F.max(lo) if lo is not None else F.lit(None).cast("double")).alias(
+                f"{name}__mx"
+            )
+        )
+    stack_args = ", ".join(
+        f"'{name}', `{name}__nn`, `{name}__mn`, `{name}__mx`"
+        for name, *_ in _PROFILE_COLS
+    )
+    base = o.agg(*aggs).select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " as (col, n_nulls, min_num, max_num)"
+        )
+    )
+    return base.join(F.broadcast(est), "col").select(
+        "col", "n_nulls", "n_distinct", "min_num", "max_num"
+    )
+
+
+@query("table_profile_stats", oracle=_profile_oracle())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table data profile of ``orders`` — per column: null
+    count, distinct count, numeric min/max (cents for the price,
+    epoch-µs for the date, NULL for categoricals). The ingest-time
+    sanity check a lakehouse runs per partition drop.
+
+    COUNT-BANDED distinct strategy (`operators/sketch.py::
+    profile_distinct_mode`, the lsh_planes_for precedent): at or
+    below 2^26 rows the 6 exact count-distincts plan as one EXPAND
+    (one scan, one exchange — but aggregation state = every distinct
+    value); above the band each column's distinct count downgrades
+    to the portable md5 HLL (≤ 64 registers of agg state per column,
+    the same arithmetic the hll_merge_groups gate machine-checks),
+    with nulls/min/max staying exact. The oracle selects the same
+    arm from the same COUNT(*); every fixture SF resolves to the
+    exact arm, and the HLL arm is cross-engine-pinned by pytest."""
+    from web_analytics_visits_re_processing_spark.operators.sketch import (
+        profile_distinct_mode,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _count_cached,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    n = _count_cached("orders_n", spark, sf_dir, o.count)
+    if profile_distinct_mode(n) == "exact":
+        return _profile_exact_arm(o)
+    return _profile_hll_arm(o)
 
 
 @query(
@@ -2043,35 +2222,120 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "equal_freq_feature_bins",
-    oracle="""
-WITH t AS (
-    SELECT event_type, FLOOR(value * 100)::BIGINT AS cents,
+def _equal_freq_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        NTILE_EXACT_MAX,
+    )
+
+    cut_aggs = ",\n           ".join(
+        f"MIN(CASE WHEN cum * 10 >= n * {i} THEN cents END) AS c{i}"
+        for i in range(1, 10)
+    )
+    score = " + ".join(f"(t.cents > cuts.c{i})::INT" for i in range(1, 10))
+    return f"""
+WITH nct AS (SELECT COUNT(*) AS n FROM events),
+t AS (
+    SELECT event_type, event_id, value,
+           FLOOR(value * 100)::BIGINT AS cents
+    FROM events
+),
+scored AS (
+    SELECT event_type, cents,
            NTILE(10) OVER (PARTITION BY event_type
                            ORDER BY value, event_id) AS decile
-    FROM events
+    FROM t
+),
+exact_arm AS (
+    SELECT event_type, decile,
+           COUNT(*)::BIGINT AS n,
+           MIN(cents)::BIGINT AS lo_cents,
+           MAX(cents)::BIGINT AS hi_cents
+    FROM scored GROUP BY event_type, decile
+),
+hist AS (
+    SELECT event_type, cents, COUNT(*) AS c FROM t GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, cents,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM hist
+),
+cuts AS (
+    SELECT event_type,
+           {cut_aggs}
+    FROM cum GROUP BY event_type
+),
+assigned AS (
+    SELECT t.event_type, t.cents,
+           1 + {score} AS decile
+    FROM t JOIN cuts ON t.event_type = cuts.event_type
+),
+hist_arm AS (
+    SELECT event_type, decile,
+           COUNT(*)::BIGINT AS n,
+           MIN(cents)::BIGINT AS lo_cents,
+           MAX(cents)::BIGINT AS hi_cents
+    FROM assigned GROUP BY event_type, decile
 )
-SELECT event_type, decile,
-       COUNT(*)::BIGINT AS n,
-       MIN(cents)::BIGINT AS lo_cents,
-       MAX(cents)::BIGINT AS hi_cents
-FROM t GROUP BY event_type, decile
-""",
-)
+SELECT * FROM exact_arm WHERE (SELECT n FROM nct) <= {NTILE_EXACT_MAX}
+UNION ALL
+SELECT * FROM hist_arm WHERE (SELECT n FROM nct) > {NTILE_EXACT_MAX}
+"""
+
+
+def _equal_freq_hist_arm(ev: DataFrame) -> DataFrame:
+    """The at-scale arm: per-type histogram cut points (9 cuts,
+    broadcast) + pure-projection assignment — no data-grain sort."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        hist_ntile_cuts,
+        hist_ntile_score,
+    )
+
+    t = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cuts = hist_ntile_cuts(t, "cents", 10, ("event_type",))
+    assigned = hist_ntile_score(t, cuts, "cents", 10, "decile", ("event_type",))
+    return assigned.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+@query("equal_freq_feature_bins", oracle=_equal_freq_oracle())
 def q_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency feature binning — the discretization step
-    before monotone models / WOE encoding: decile assignment by
-    ``ntile(10)`` per event type (deterministic under the
-    (value, event_id) total order, so both engines assign
-    identically), then per-bin population and cent boundaries. One
-    type-keyed exchange serves the window AND the groupBy. At 100 TB
-    the exact ntile's per-type sort gives way to the histogram-
-    quantile boundaries (`histogram_quantiles_by_type`) with a
-    broadcast bin-lookup — same output contract, no global sort."""
+    before monotone models / WOE encoding: decile assignment per
+    event type, then per-bin population and cent boundaries.
+
+    COUNT-BANDED (`operators/ranks.py::ntile_mode`, the
+    lsh_planes_for precedent): at or below 2^24 events the exact
+    ``ntile(10)`` runs (deterministic under the (value, event_id)
+    total order, one type-keyed exchange serves window AND groupBy);
+    above the band the per-type DATA-GRAIN sort gives way to
+    histogram cut points over the value-grain cents histogram
+    (`histogram_quantiles_by_type`'s integer cumulative-count rule)
+    with a broadcast 9-cut lookup and pure-projection assignment.
+    The oracle selects the same arm from the same COUNT(*); fixtures
+    resolve to exact, the histogram arm is cross-engine-pinned by
+    pytest. The arms differ only in tie handling (histogram bins by
+    VALUE — ties share a bucket)."""
     from pyspark.sql import Window
 
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        ntile_mode,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _count_cached,
+    )
+
     ev = load_table(spark, sf_dir, "events")
+    n = _count_cached("events_n", spark, sf_dir, ev.count)
+    if ntile_mode(n) == "histogram":
+        return _equal_freq_hist_arm(ev)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     t = ev.select(
         "event_type",
@@ -2217,9 +2481,39 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rfm_segments",
-    oracle="""
+def _rfm_cut_sql(metric: str, val: str, k: int = 5) -> str:
+    """Cut-point CTE chain for one RFM metric (value-grain histogram →
+    cumulative counts → k-1 smallest-value-reaching-ceil(i·n/k) cuts,
+    one output row)."""
+    cut_aggs = ",\n           ".join(
+        f"MIN(CASE WHEN cum * {k} >= n * {i} THEN v END) AS c{i}"
+        for i in range(1, k)
+    )
+    return f"""{metric}h AS (
+    SELECT {val} AS v, COUNT(*) AS c FROM rfm GROUP BY 1
+),
+{metric}cum AS (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+           (SELECT COUNT(*) FROM rfm) AS n
+    FROM {metric}h
+),
+{metric}cuts AS (
+    SELECT {cut_aggs}
+    FROM {metric}cum
+)"""
+
+
+def _rfm_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        NTILE_EXACT_MAX,
+    )
+
+    def score(metric: str, val: str, k: int = 5) -> str:
+        return "1 + " + " + ".join(
+            f"({val} > {metric}cuts.c{i})::INT" for i in range(1, k)
+        )
+
+    return f"""
 WITH anchor AS (
     SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events
 ), rfm AS (
@@ -2230,19 +2524,55 @@ WITH anchor AS (
     FROM events, anchor
     WHERE event_type = 'purchase'
     GROUP BY user_id, anchor.d0
-), scored AS (
+), exact_scored AS (
     SELECT user_id, recency_days, frequency, monetary_cents,
            NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
            NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
            NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
     FROM rfm
+),
+{_rfm_cut_sql("r", "-recency_days")},
+{_rfm_cut_sql("f", "frequency")},
+{_rfm_cut_sql("m", "monetary_cents")},
+hist_scored AS (
+    SELECT rfm.user_id, rfm.recency_days, rfm.frequency,
+           rfm.monetary_cents,
+           {score("r", "-rfm.recency_days")} AS r_score,
+           {score("f", "rfm.frequency")} AS f_score,
+           {score("m", "rfm.monetary_cents")} AS m_score
+    FROM rfm, rcuts, fcuts, mcuts
+),
+arms AS (
+    SELECT * FROM exact_scored
+    WHERE (SELECT COUNT(*) FROM rfm) <= {NTILE_EXACT_MAX}
+    UNION ALL
+    SELECT * FROM hist_scored
+    WHERE (SELECT COUNT(*) FROM rfm) > {NTILE_EXACT_MAX}
 )
 SELECT user_id, recency_days::BIGINT AS recency_days, frequency,
        monetary_cents, r_score, f_score, m_score,
        'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
-FROM scored
-""",
-)
+FROM arms
+"""
+
+
+def _rfm_hist_arm(rfm: DataFrame) -> DataFrame:
+    """At-scale scoring: three global histogram-cut quintiles (each a
+    value-grain two-pass running sum + a one-row broadcast of 4 cuts,
+    assignment pure projection) — no user-grain total order."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        hist_ntile_cuts,
+        hist_ntile_score,
+    )
+
+    t = rfm.withColumn("_neg_rec", -F.col("recency_days"))
+    for metric, val in (("r", "_neg_rec"), ("f", "frequency"), ("m", "monetary_cents")):
+        cuts = hist_ntile_cuts(t.select(val), val, 5)
+        t = hist_ntile_score(t, cuts, val, 5, f"{metric}_score")
+    return t.drop("_neg_rec")
+
+
+@query("rfm_segments", oracle=_rfm_oracle())
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the CRM feature-assembly staple:
     per purchasing user, recency (days since last purchase, anchored
@@ -2253,7 +2583,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles rank USERS — a frame that grows with the data — so all
     three ride the distributed two-pass ntile (operators.ranks,
     pinned against F.ntile by pytest); no unpartitioned window
-    remains (r9 single-partition-window retirement). Structure: the
+    remains (r9 single-partition-window retirement). COUNT-BANDED
+    (`ntile_mode`): above 2^24 ranked users even the two-pass exact
+    ntile gives way to histogram cut points (4 cuts per metric,
+    broadcast; assignment pure projection) — the oracle replays both
+    arms behind the same COUNT(*) CASE, fixtures resolve to exact,
+    and the histogram arm is cross-engine-pinned by pytest.
+    Structure: the
     per-user rollup is STAGED once per (session, sf) — the CRM
     feature table a campaign warehouse materializes per snapshot —
     and the three quintiles rank the staged leaf INDEPENDENTLY, then
@@ -2265,6 +2601,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 when the chain landed)."""
     from web_analytics_visits_re_processing_spark.operators.ranks import (
         global_ntile,
+        ntile_mode,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _count_cached,
     )
     from web_analytics_visits_re_processing_spark.plans.webanalytics import (
         _lp_cached,
@@ -2295,27 +2635,31 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rfm = _lp_cached("rfm_user_rollup", spark, sf_dir, build)
-    r = global_ntile(
-        rfm.select("user_id", "recency_days"),
-        [F.col("recency_days").desc(), F.col("user_id")],
-        5,
-        "r_score",
-    ).select("user_id", "r_score")
-    fsc = global_ntile(
-        rfm.select("user_id", "frequency"),
-        ["frequency", "user_id"],
-        5,
-        "f_score",
-    ).select("user_id", "f_score")
-    m = global_ntile(
-        rfm.select("user_id", "monetary_cents"),
-        ["monetary_cents", "user_id"],
-        5,
-        "m_score",
-    ).select("user_id", "m_score")
-    scored = (
-        rfm.join(r, "user_id").join(fsc, "user_id").join(m, "user_id")
-    )
+    n_users = _count_cached("rfm_users_n", spark, sf_dir, rfm.count)
+    if ntile_mode(n_users) == "histogram":
+        scored = _rfm_hist_arm(rfm)
+    else:
+        r = global_ntile(
+            rfm.select("user_id", "recency_days"),
+            [F.col("recency_days").desc(), F.col("user_id")],
+            5,
+            "r_score",
+        ).select("user_id", "r_score")
+        fsc = global_ntile(
+            rfm.select("user_id", "frequency"),
+            ["frequency", "user_id"],
+            5,
+            "f_score",
+        ).select("user_id", "f_score")
+        m = global_ntile(
+            rfm.select("user_id", "monetary_cents"),
+            ["monetary_cents", "user_id"],
+            5,
+            "m_score",
+        ).select("user_id", "m_score")
+        scored = (
+            rfm.join(r, "user_id").join(fsc, "user_id").join(m, "user_id")
+        )
     return scored.select(
         "user_id",
         "recency_days",
