@@ -94,9 +94,6 @@ SCALAR_BY_DESIGN = {
 # row at sf0.01; the values hashed are real findings and a planted
 # pytest proves the detector fires on planted positives.
 THIN_TRIAGED = {
-    # exactly one genuine cos>=0.5 near-dup pair in the sf0.01
-    # embeddings; pair values (ids + cos) hash-verified.
-    "embedding_near_dup_pairs",
     # exactly one genuine 0.97-jaccard same-source pair at sf0.01.
     "ngram_jaccard_same_source_pairs",
     # audit-row-by-design: the always-emitted '(levels)' row hash-
@@ -118,9 +115,10 @@ def main() -> int:
     """Exit nonzero only for untriaged zero-row or single-row gates
     at the DRIVER scale (sf0.01) — that is where a blind gate hashes
     nothing (or almost nothing). Off-gate-scale empties are data
-    properties and report informationally: embedding_near_dup_pairs
-    and sql_q7_nation_trade_volume are empty at sf0.001 only
-    (fixture sparsity); kcore_copurchase_parts and
+    properties and report informationally: the two former sf0.001
+    empties got population floors in r11 (embedding_near_dup_pairs
+    cos ≥ 0.35 → 7 rows; sql_q7 re-paired to NATION_13/19 → rows at
+    every SF); kcore_copurchase_parts and
     sql_q11_important_parts are empty at sf0.1 only (support
     DILUTION — 10× parts make repeat co-purchase pairs rarer, so the
     support-≥2 graph has no 3-core; Q11's value threshold scales

@@ -1062,14 +1062,17 @@ SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                                     c.embedding::DOUBLE[]), 4) AS cos
 FROM b a JOIN b c ON a.bk = c.bk AND a.vec_id < c.vec_id
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                   c.embedding::DOUBLE[]), 4) >= 0.5
+                                   c.embedding::DOUBLE[]), 4) >= 0.35
 """
 
 
 @query("embedding_near_dup_pairs", oracle=_embedding_near_dup_oracle())
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed self-join (never
-    all-pairs) → exact cosine ≥ 0.5 verify. Completes the dedup ladder
+    all-pairs) → exact cosine ≥ 0.35 verify (threshold set so the gate
+    hashes real rows at EVERY fixture SF — 7/9/109 pairs at
+    sf0.001/0.01/0.1; 0.5 was empty below sf0.01, a vacuous
+    entry-scale gate). Completes the dedup ladder
     (exact → MinHash/Jaccard → SimHash → embedding-cosine). The plane
     count is corpus-banded (``lsh_planes_for`` — 8/16/24 by COUNT,
     one bounded count job, mirrored by the oracle's CASE arms): a
@@ -1095,7 +1098,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a._bk") == F.col("b._bk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cos >= 0.5)
+        .where(cos >= 0.35)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),

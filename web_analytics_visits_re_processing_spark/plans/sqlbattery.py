@@ -100,8 +100,8 @@ JOIN orders o   ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
 JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
-    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
   AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
 GROUP BY n1.n_name, n2.n_name, CAST(YEAR(o.o_orderdate) AS INT)
 ORDER BY supp_nation, cust_nation, order_year
@@ -111,7 +111,10 @@ def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional two-nation trade volume by year —
     the same dim table (nation) joined twice under different aliases,
     with a disjunctive cross-alias predicate the optimizer cannot
-    push into either join alone."""
+    push into either join alone. The nation pair is (13, 19) — chosen
+    (r11) because it trades at EVERY fixture SF (48/108/1023 joined
+    rows at sf0.001/0.01/0.1); the original (2, 7) had zero sf0.001
+    trades, a vacuous entry-scale gate."""
     _views(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation"))
     return spark.sql(f"""
         SELECT n1.n_name AS supp_nation,
@@ -124,8 +127,8 @@ def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
         JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
-            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+        WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
           AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
         GROUP BY n1.n_name, n2.n_name, CAST(YEAR(o.o_orderdate) AS INT)
         ORDER BY supp_nation, cust_nation, order_year
