@@ -623,3 +623,79 @@ def label_propagation(
         return labels.select(F.col("node").alias(node_col), "label")
     finally:
         sym.unpersist()
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_iters: int = 4,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """Integer-exact PageRank over an UNDIRECTED edge list →
+    ``(node, pagerank_ppm, degree)`` after exactly ``n_iters``
+    synchronous power rounds (Brin & Page 1998, the Raghavan-LPA
+    determinism treatment applied to ranks):
+
+        r_0(v)   = 1_000_000
+        r_{t+1}(v) = (1e6 - d_ppm)
+                     + (d_ppm · Σ_{u~v} (r_t(u) div deg(u))) div 1e6
+
+    All state is ppm-scaled int64 with truncating division at the two
+    fixed points — no float accumulation order to disagree on, so the
+    full iteration unrolls verbatim into SQL (the BFS/LPA oracle
+    convention). Fixed round count instead of convergence (an
+    engine-dependent stopping rule is unreplayable); classic PageRank
+    at 100 TB runs ~20-50 rounds of exactly this per-round shape.
+
+    Scale shape per round: one rank⋈degree 1:1 node-grain join
+    (broadcastable degree table is node-grain too — both shuffle on
+    node), one edge⋈contribution equi-join hashed on the neighbor id,
+    one map-side-combinable per-node SUM — linear in |E|, ranks
+    localCheckpoint-truncated each round (the connected_components
+    lesson). Every node of the symmetric edge list has degree ≥ 1,
+    so there is no dangling-mass term. Overflow headroom: the summed
+    contribution is ≤ deg_max·1e6 ≤ |V|·1e6; multiplied by d_ppm it
+    stays < 2^63 for |V| up to ~10^12."""
+    sym = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+        .union(edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")))
+        .distinct()
+    )
+    sym.persist()
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    base_ppm = 1_000_000 - damping_ppm
+    ranks = deg.select(
+        "node", F.lit(1_000_000).cast("long").alias("r"), "deg"
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iters):
+            contrib = ranks.select(
+                F.col("node").alias("nbr"),
+                F.expr("r div deg").alias("c"),
+            )
+            sums = (
+                sym.join(contrib, on="nbr")
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                ranks.drop("r")
+                .join(sums, on="node")
+                .select(
+                    "node",
+                    (
+                        F.lit(base_ppm).cast("long")
+                        + F.expr(f"({damping_ppm}L * s) div 1000000")
+                    ).alias("r"),
+                    "deg",
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(
+            "node",
+            F.col("r").alias("pagerank_ppm"),
+            F.col("deg").alias("degree"),
+        )
+    finally:
+        sym.unpersist()

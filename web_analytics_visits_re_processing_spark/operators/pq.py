@@ -268,3 +268,31 @@ def pq_ivf_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_quantization_error(
+    emb: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector reconstruction error ``(id, qerr)`` — the exact
+    int64 Σ over subspaces of the MINIMUM squared distance to any
+    codebook entry (i.e. the distance the encoder's argmin realizes).
+    The index-quality metric a production ANN deployment monitors per
+    ingest batch: rising quantization error on a new data slice means
+    the codebooks no longer fit the distribution and recall is
+    silently degrading (Jégou et al. 2011 §IV ties ADC error bounds
+    to exactly this quantity). Pure zero-shuffle projection, same
+    single-HOF expression shape as ``pq_encode``."""
+    sub = _SUBDIST_SQL.format(
+        s="s", dsub=PQ_DSUB, cb=f"element_at(element_at({_books_sql(books)}, s + 1), c + 1)"
+    )
+    err = f"""
+    aggregate(transform(sequence(0, {PQ_M - 1}), s ->
+      array_min(transform(sequence(0, {PQ_CODES - 1}), c -> {sub}))),
+      0L, (acc, x) -> acc + x)
+    """
+    return _quantized(emb, id_col, vec_col).selectExpr(
+        id_col, f"({err}) AS qerr"
+    )

@@ -15,6 +15,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     llmdata,
     relational,
     round10,
+    round11,
     sqlbattery,
     streaming_queries,
     webanalytics,

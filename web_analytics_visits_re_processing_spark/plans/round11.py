@@ -1,0 +1,765 @@
+"""Round-11 additions: warehouse dimension maintenance (SCD Type-2
+interval build, LOCF forward-fill over a calendar spine), a
+deterministic per-group reservoir sample, annotation-agreement and
+ordered-trend statistics (Cohen's kappa, Kruskal-Wallis with
+histogram midranks, Cochran-Armitage), Croston intermittent-demand
+forecasting, integer-exact PageRank over the co-purchase graph, and
+the PQ quantization-error audit an ANN deployment monitors per ingest
+batch.
+
+House style: integer-exact arithmetic (ppm / e4 / e6 scaling with
+truncating division on non-negative operands; explicit sign-split
+where a statistic can go negative — DuckDB's ``//`` floors and
+Spark's ``div`` truncates, and they only agree on non-negatives),
+DuckDB oracles replaying the identical pipeline (PageRank rounds
+unrolled, the Croston recursion verbatim), bounded driver state, and
+scale notes per operator. Reference parity: the reference
+(/root/reference/main.py:22-240) has none of this tier — all of it
+belongs to SURVEY §2.2 gap categories (window/dimension ops,
+statistics, forecasting, graph, ANN maintenance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_analytics_visits_re_processing_spark.plans.registry import query
+from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+# --- SCD Type-2 dimension build -------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events GROUP BY 1, 2
+), banded AS (
+    SELECT user_id, d,
+           CASE WHEN cents < 8000 THEN 'low'
+                WHEN cents < 15000 THEN 'mid' ELSE 'high' END AS band
+    FROM daily
+), runs AS (
+    SELECT user_id, d, band,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, band ORDER BY d) AS grp
+    FROM banded
+), intervals AS (
+    SELECT user_id, band, grp,
+           MIN(d) AS vf, MAX(d) AS vt, COUNT(*)::BIGINT AS n_days
+    FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, band,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       strftime(vt, '%Y-%m-%d') AS valid_to,
+       n_days,
+       CASE WHEN vt = MAX(vt) OVER (PARTITION BY user_id)
+            THEN 1 ELSE 0 END AS is_current
+FROM intervals
+"""
+
+
+@query("scd2_user_value_bands", oracle=_SCD2_ORACLE)
+def q_scd2_user_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build — the warehouse-core operation CDC
+    pipelines run nightly: per user, the daily-spend BAND (low/mid/
+    high on integer cents) collapsed into validity intervals
+    [valid_from, valid_to] with an is_current flag — one row per
+    CONSECUTIVE run of equal attribute values, not per day (Kimball
+    type-2 history). Runs come from the classic islands trick: the
+    difference of two row_numbers (per user vs per user+band) is
+    constant exactly within a run.
+
+    Scale shape: the daily rollup is map-side-combinable; both
+    row_number windows and the interval groupBy share ONE user-keyed
+    exchange (user-partitioned windows — never unpartitioned); the
+    is_current flag is a per-user max over the already-interval-grain
+    frame. At 100 TB this is a single user-hash shuffle end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    banded = daily.select(
+        "user_id",
+        "d",
+        F.when(F.col("cents") < 8000, "low")
+        .when(F.col("cents") < 15000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("d")
+    wub = Window.partitionBy("user_id", "band").orderBy("d")
+    runs = banded.withColumn(
+        "grp", F.row_number().over(wu) - F.row_number().over(wub)
+    )
+    intervals = runs.groupBy("user_id", "band", "grp").agg(
+        F.min("d").alias("vf"),
+        F.max("d").alias("vt"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wcur = Window.partitionBy("user_id")
+    return intervals.select(
+        "user_id",
+        "band",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("vt", "yyyy-MM-dd").alias("valid_to"),
+        "n_days",
+        F.when(F.col("vt") == F.max("vt").over(wcur), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )
+
+
+# --- LOCF forward-fill over the calendar spine -----------------------------------
+
+_LOCF_ORACLE = """
+WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+obs AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), grid AS (
+    SELECT pu.user_id, spine.d, o.cents
+    FROM pu CROSS JOIN spine
+    LEFT JOIN obs o ON o.user_id = pu.user_id AND o.d = spine.d
+), grp AS (
+    SELECT user_id, d, cents,
+           COUNT(cents) OVER (PARTITION BY user_id ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS g
+    FROM grid
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       MAX(cents) OVER (PARTITION BY user_id, g) AS cents_filled,
+       CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS observed
+FROM grp
+"""
+
+
+@query("locf_daily_user_value", oracle=_LOCF_ORACLE)
+def q_locf_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward) of each
+    purchasing user's daily spend over the full observed calendar
+    spine — the feature-engineering step that turns sparse event
+    streams into dense per-entity daily features. The fill uses the
+    PORTABLE two-window trick instead of ``last_value IGNORE NULLS``
+    (whose null-handling syntax differs across engines): the running
+    COUNT of non-nulls per user forms a carry group containing
+    exactly one observation (its first row), so ``max`` within
+    (user, group) IS the carried value; days before a user's first
+    purchase stay NULL.
+
+    Scale shape: the spine is day-grain (broadcast); the grid is
+    users × days — linear in users with a bounded calendar factor;
+    both windows and the grid join share one user-keyed exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.select(F.to_date("ts").alias("d")).distinct()
+    purchases = ev.where(F.col("event_type") == "purchase")
+    pu = purchases.select("user_id").distinct()
+    obs = purchases.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    grid = pu.crossJoin(F.broadcast(spine)).join(obs, ["user_id", "d"], "left")
+    wg = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = grid.withColumn("g", F.count("cents").over(wg))
+    return grp.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.max("cents").over(Window.partitionBy("user_id", "g")).alias(
+            "cents_filled"
+        ),
+        F.when(F.col("cents").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+
+
+# --- deterministic per-group reservoir sample ------------------------------------
+
+_RSV_K = 64
+
+_RSV_ORACLE = f"""
+WITH r AS (
+    SELECT event_type, event_id, FLOOR(value * 100)::BIGINT AS cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                                               || '|rsv'), 1, 15))::BIGINT,
+                        event_id) AS rk
+    FROM events
+)
+SELECT event_type, rk::BIGINT AS rk, event_id, cents
+FROM r WHERE rk <= {_RSV_K}
+"""
+
+
+@query("reservoir_sample_per_type", oracle=_RSV_ORACLE)
+def q_reservoir_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample of k=64 rows PER GROUP — the
+    debugging/eyeballing slice a pipeline keeps per source. Classic
+    reservoir sampling is RNG-and-order-dependent (unreplayable);
+    ranking by a salted portable hash of the row key gives the same
+    uniform-without-replacement guarantee as a one-pass reservoir
+    (any hash-order prefix of a uniform permutation is a uniform
+    sample) while being idempotent and engine-exact — the same
+    convention as ``weighted_sample_orders``.
+
+    Scale shape: the per-type window is rank-limited to k, so Spark
+    plans WindowGroupLimit — each task keeps a k-row heap per group
+    BEFORE the exchange; the shuffle carries ≤ k rows per (partition,
+    group), never the data."""
+    from web_analytics_visits_re_processing_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        hash64(F.concat(F.col("event_id").cast("string"), F.lit("|rsv"))),
+        "event_id",
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= _RSV_K)
+        .select("event_type", "rk", "event_id", "cents")
+    )
+
+
+# --- Cohen's kappa between two heuristic labelers --------------------------------
+
+
+def _kappa_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.llmdata import _SW_EN
+
+    return f"""
+WITH t AS (
+    SELECT CASE WHEN len(string_split(text, ' ')) >= 50
+                THEN 'keep' ELSE 'drop' END AS label_len,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     x -> x IN ({_SW_EN}))) * 100
+                     >= len(string_split(text, ' ')) * 6
+                THEN 'keep' ELSE 'drop' END AS label_sw
+    FROM documents
+), cm AS (
+    SELECT label_len, label_sw, COUNT(*)::BIGINT AS n FROM t GROUP BY 1, 2
+), tot AS (
+    SELECT SUM(n)::BIGINT AS nn,
+           SUM(CASE WHEN label_len = label_sw THEN n ELSE 0 END)::BIGINT
+               AS agree
+    FROM cm
+), pe AS (
+    SELECT COALESCE(SUM(a.an * b.bn), 0)::BIGINT AS pe_num
+    FROM (SELECT label_len AS l, SUM(n)::BIGINT AS an FROM cm GROUP BY 1) a
+    JOIN (SELECT label_sw AS l, SUM(n)::BIGINT AS bn FROM cm GROUP BY 1) b
+      ON a.l = b.l
+)
+SELECT cm.label_len, cm.label_sw, cm.n,
+       CAST(CASE WHEN tot.nn * tot.agree >= pe.pe_num THEN 1 ELSE -1 END
+            * ((ABS(tot.nn * tot.agree - pe.pe_num) * 1000000)
+               // GREATEST(tot.nn * tot.nn - pe.pe_num, 1)) AS BIGINT)
+           AS kappa_ppm
+FROM cm, tot, pe
+"""
+
+
+@query("cohens_kappa_labelers", oracle=_kappa_oracle())
+def q_cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen 1960) between two heuristic
+    document-quality labelers — the calibration check an LLM-data
+    pipeline runs before trusting cheap rule labelers as filters:
+    labeler A keeps docs with ≥ 50 tokens, labeler B keeps docs with
+    stopword ratio ≥ 6% (cross-multiplied integers, no float ratio).
+    Output: the full 2×2 confusion matrix plus kappa in ppm —
+    kappa = (po − pe)/(1 − pe) reduces over the matrix to the EXACT
+    integer ratio (n·agree − Σ aᵢbᵢ)/(n² − Σ aᵢbᵢ), sign split
+    explicitly because kappa can be negative and DuckDB's ``//``
+    floors where Spark's ``div`` truncates.
+
+    Scale shape: one doc scan → 4-row confusion matrix (map-side
+    combine); every downstream term is arithmetic over ≤ 4 rows."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        STOPWORDS,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    toks = F.split(F.col("text"), " ")
+    n_tok = token_count("text")
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    t = docs.select(
+        F.when(n_tok >= 50, "keep").otherwise("drop").alias("label_len"),
+        F.when(n_sw * 100 >= n_tok * 6, "keep").otherwise("drop").alias(
+            "label_sw"
+        ),
+    )
+    cm = t.groupBy("label_len", "label_sw").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("label_len") == F.col("label_sw"), F.col("n")).otherwise(0)
+        ).alias("agree"),
+    )
+    a = cm.groupBy(F.col("label_len").alias("l")).agg(F.sum("n").alias("an"))
+    b = cm.groupBy(F.col("label_sw").alias("l")).agg(F.sum("n").alias("bn"))
+    pe = (
+        a.join(b, "l")
+        .agg(F.coalesce(F.sum(F.col("an") * F.col("bn")), F.lit(0)).alias("pe_num"))
+    )
+    kappa = (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.expr(
+                "CAST(CASE WHEN nn * agree >= pe_num THEN 1 ELSE -1 END"
+                " * ((ABS(nn * agree - pe_num) * 1000000)"
+                "    div GREATEST(nn * nn - pe_num, 1)) AS BIGINT)"
+            ).alias("kappa_ppm")
+        )
+    )
+    return cm.crossJoin(F.broadcast(kappa)).select(
+        "label_len", "label_sw", "n", "kappa_ppm"
+    )
+
+
+# --- Kruskal-Wallis via histogram midranks ---------------------------------------
+
+_KW_ORACLE = """
+WITH t AS (
+    SELECT o_orderpriority AS priority,
+           FLOOR(o_totalprice * 100)::BIGINT AS cents
+    FROM orders
+), vh AS (
+    SELECT cents, COUNT(*)::BIGINT AS c FROM t GROUP BY 1
+), mid AS (
+    SELECT cents, c,
+           2 * (SUM(c) OVER (ORDER BY cents) - c) + c + 1 AS mid2
+    FROM vh
+), gv AS (
+    SELECT priority, cents, COUNT(*)::BIGINT AS cg FROM t GROUP BY 1, 2
+), rs AS (
+    SELECT gv.priority,
+           SUM(gv.cg * mid.mid2)::BIGINT AS rank_sum_x2,
+           SUM(gv.cg)::BIGINT AS n_orders
+    FROM gv JOIN mid ON mid.cents = gv.cents GROUP BY 1
+), nn AS (SELECT SUM(n_orders)::BIGINT AS n FROM rs
+), s AS (
+    SELECT SUM((rank_sum_x2::HUGEINT * rank_sum_x2)
+               // (4 * n_orders))::HUGEINT AS ssum
+    FROM rs
+), ties AS (
+    SELECT COALESCE(SUM(c::HUGEINT * c * c - c), 0)::HUGEINT AS tsum FROM vh
+), h AS (
+    SELECT CAST((12000000::HUGEINT * s.ssum)
+                // (nn.n::HUGEINT * (nn.n + 1))
+                - 3000000::HUGEINT * (nn.n + 1) AS BIGINT) AS h_e6,
+           CAST(((12000000::HUGEINT * s.ssum)
+                 // (nn.n::HUGEINT * (nn.n + 1))
+                 - 3000000::HUGEINT * (nn.n + 1))
+                * (nn.n::HUGEINT * nn.n * nn.n - nn.n)
+                // GREATEST(nn.n::HUGEINT * nn.n * nn.n - nn.n - ties.tsum,
+                            1) AS BIGINT) AS h_tie_e6
+    FROM s, nn, ties
+)
+SELECT rs.priority, rs.n_orders, rs.rank_sum_x2, h.h_e6, h.h_tie_e6
+FROM rs, h
+"""
+
+
+@query("kruskal_wallis_by_priority", oracle=_KW_ORACLE)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities on order
+    value — the nonparametric one-way ANOVA (rank-based, so the
+    heavy-tailed price distribution can't distort it the way
+    ``priority_anova_eta2``'s F-statistic can). The novelty is the
+    RANK COMPUTATION AT SCALE: midranks come analytically from the
+    VALUE-grain histogram's cumulative counts (midrank(v) =
+    cum_before + (c+1)/2, carried ×2 to stay integral) — no
+    data-grain total sort anywhere; ties need no special-casing
+    because the histogram IS the tie structure, and the tie-corrected
+    H divides by C = 1 − Σ(t³−t)/(N³−N) exactly. H lands e6-scaled
+    through HUGEINT/decimal(38,0) intermediates with truncating
+    division at three documented points (Σ per-group, the 12/(N(N+1))
+    fold, the tie fold).
+
+    Scale shape: one map-side-combined value histogram, one
+    (priority, value) rollup joined back on the value key, and a
+    5-row aggregate; the only window is a running sum over the
+    value-grain histogram — at 100 TB swap it for
+    ``operators.ranks.global_running_sum`` exactly as the rfm
+    histogram arm does (prices make value-grain ≈ data-grain here, so
+    the Spark side already uses the two-pass form)."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_running_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vh = t.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    mid = global_running_sum(vh, ["cents"], "c", "run").select(
+        "cents",
+        "c",
+        (2 * (F.col("run") - F.col("c")) + F.col("c") + 1).alias("mid2"),
+    )
+    gv = t.groupBy("priority", "cents").agg(F.count(F.lit(1)).alias("cg"))
+    rs = (
+        gv.join(mid.select("cents", "mid2"), "cents")
+        .groupBy("priority")
+        .agg(
+            F.sum(F.col("cg") * F.col("mid2")).alias("rank_sum_x2"),
+            F.sum("cg").alias("n_orders"),
+        )
+    )
+    nn = rs.agg(F.sum("n_orders").alias("n"))
+    s = rs.agg(
+        F.sum(
+            F.expr(
+                "CAST(rank_sum_x2 AS DECIMAL(38,0)) * rank_sum_x2"
+                " div (4 * n_orders)"
+            )
+        ).alias("ssum")
+    )
+    ties = vh.agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c * c - c")), F.lit(0)
+        ).alias("tsum")
+    )
+    h = (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.expr(
+                "CAST(CAST(12000000 AS DECIMAL(38,0)) * ssum"
+                " div (CAST(n AS DECIMAL(38,0)) * (n + 1))"
+                " - CAST(3000000 AS DECIMAL(38,0)) * (n + 1) AS BIGINT)"
+            ).alias("h_e6"),
+            F.expr(
+                "CAST((CAST(12000000 AS DECIMAL(38,0)) * ssum"
+                "      div (CAST(n AS DECIMAL(38,0)) * (n + 1))"
+                "      - CAST(3000000 AS DECIMAL(38,0)) * (n + 1))"
+                " * (CAST(n AS DECIMAL(38,0)) * n * n - n)"
+                " div GREATEST(CAST(n AS DECIMAL(38,0)) * n * n - n - tsum,"
+                "              1) AS BIGINT)"
+            ).alias("h_tie_e6"),
+        )
+    )
+    return rs.crossJoin(F.broadcast(h)).select(
+        "priority", "n_orders", "rank_sum_x2", "h_e6", "h_tie_e6"
+    )
+
+
+# --- Cochran-Armitage trend test --------------------------------------------------
+
+_CA_ORACLE = """
+WITH t AS (
+    SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS score,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+    FROM orders
+), g AS (
+    SELECT score, COUNT(*)::BIGINT AS n_orders, SUM(y)::BIGINT AS n_final
+    FROM t GROUP BY 1
+), agg AS (
+    SELECT SUM(n_orders)::BIGINT AS n, SUM(n_final)::BIGINT AS r,
+           SUM(score * n_final)::BIGINT AS sr,
+           SUM(score * n_orders)::BIGINT AS sn,
+           SUM(score * score * n_orders)::BIGINT AS ssn
+    FROM g
+), z AS (
+    SELECT CAST(((n::HUGEINT * sr - r::HUGEINT * sn)
+                 * (n::HUGEINT * sr - r::HUGEINT * sn) * n * 10000)
+                // GREATEST(r::HUGEINT * (n - r)
+                            * (n::HUGEINT * ssn - sn::HUGEINT * sn), 1)
+           AS BIGINT) AS z2_e4
+    FROM agg
+)
+SELECT g.score, g.n_orders, g.n_final,
+       CAST((g.n_final * 1000000) // g.n_orders AS BIGINT) AS final_rate_ppm,
+       z.z2_e4
+FROM g, z
+"""
+
+
+@query("cochran_armitage_trend", oracle=_CA_ORACLE)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for TREND in a binary outcome across
+    ORDERED groups (Armitage 1955) — the dose-response question the
+    unordered ``segment_priority_chi2`` cannot ask: does the
+    fulfilled-order rate move monotonically with order priority
+    (scores 1..5 parsed from the priority label)? z² lands e4-scaled
+    through the exact integer identity
+    z² = T²·N / (R(N−R)(N·Σs²n − (Σsn)²)), T = N·Σsr − R·Σsn, with
+    HUGEINT/decimal(38,0) intermediates — exact headroom to N ≈ 5·10⁶;
+    past that the statistic (a scalar readout, not an aggregate
+    pipeline) downgrades to double.
+
+    Scale shape: one scan → 5-row group table; everything after is
+    arithmetic over 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = t.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("y").alias("n_final")
+    )
+    agg = g.agg(
+        F.sum("n_orders").alias("n"),
+        F.sum("n_final").alias("r"),
+        F.sum(F.col("score") * F.col("n_final")).alias("sr"),
+        F.sum(F.col("score") * F.col("n_orders")).alias("sn"),
+        F.sum(F.col("score") * F.col("score") * F.col("n_orders")).alias("ssn"),
+    )
+    z = agg.select(
+        F.expr(
+            "CAST(((CAST(n AS DECIMAL(38,0)) * sr - CAST(r AS DECIMAL(38,0)) * sn)"
+            " * (CAST(n AS DECIMAL(38,0)) * sr - CAST(r AS DECIMAL(38,0)) * sn)"
+            " * n * 10000)"
+            " div GREATEST(CAST(r AS DECIMAL(38,0)) * (n - r)"
+            "     * (CAST(n AS DECIMAL(38,0)) * ssn"
+            "        - CAST(sn AS DECIMAL(38,0)) * sn), 1) AS BIGINT)"
+        ).alias("z2_e4")
+    )
+    return g.crossJoin(F.broadcast(z)).select(
+        "score",
+        "n_orders",
+        "n_final",
+        F.expr("CAST((n_final * 1000000) div n_orders AS BIGINT)").alias(
+            "final_rate_ppm"
+        ),
+        "z2_e4",
+    )
+
+
+# --- Croston intermittent-demand forecast ----------------------------------------
+
+_CROSTON_ORACLE = """
+WITH RECURSIVE sel AS (SELECT MIN(l_partkey) AS pk FROM lineitem),
+occ AS (
+    SELECT CAST(l_shipdate AS DATE) AS d,
+           CAST(SUM(l_quantity) AS BIGINT) AS qty
+    FROM lineitem, sel WHERE l_partkey = sel.pk
+    GROUP BY 1
+), seq AS (
+    SELECT d, qty, ROW_NUMBER() OVER (ORDER BY d) AS n,
+           COALESCE(d - LAG(d) OVER (ORDER BY d), 1)::BIGINT AS gap_days
+    FROM occ
+), cr AS (
+    SELECT n, d, qty, qty * 100 AS z_c, 100::BIGINT AS p_c
+    FROM seq WHERE n = 1
+    UNION ALL
+    SELECT s.n, s.d, s.qty,
+           (2 * s.qty * 100 + 8 * c.z_c) // 10,
+           (2 * s.gap_days * 100 + 8 * c.p_c) // 10
+    FROM cr c JOIN seq s ON s.n = c.n + 1
+)
+SELECT n AS occ_n, strftime(d, '%Y-%m-%d') AS day, qty,
+       z_c::BIGINT AS z_c, p_c::BIGINT AS p_c,
+       (z_c * 1000000 // p_c)::BIGINT AS forecast_ppm
+FROM cr
+"""
+
+
+@query("croston_intermittent_demand", oracle=_CROSTON_ORACLE)
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) — THE forecaster for
+    intermittent demand, where most days have zero demand and EWMA of
+    the raw series systematically underforecasts: smooth the non-zero
+    demand SIZES (z) and the inter-demand INTERVALS (p) separately
+    with α = 0.2, forecast-per-period = z/p. Series: daily shipped
+    quantity of the minimum part key (deterministic at every SF).
+    Like EWMA/Holt this is inherently recursive, so it runs as a
+    recursive CTE over the staged occurrence sequence — centi-scaled
+    integers with truncating division each step (z_c = (2·x·100 +
+    8·z_prev) div 10, same for p on the day gaps), forecast in ppm —
+    zero float state, the whole recursion replays verbatim.
+
+    Scale shape: the event-scale work is one filtered map-side
+    rollup (~tens of rows for one part); recursion depth = demand
+    occurrences (calendar-bounded). The single-partition window in
+    the staging view ranks that tiny occurrence table — the daily-
+    spine carve-out, identical to ``_daily_seq``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.agg(F.min("l_partkey")).first()[0]
+    occ = (
+        li.where(F.col("l_partkey") == pk)
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    wd = Window.orderBy("d")
+    seq = occ.select(
+        "d",
+        "qty",
+        F.row_number().over(wd).alias("n"),
+        F.coalesce(F.datediff(F.col("d"), F.lag("d").over(wd)), F.lit(1))
+        .cast("long")
+        .alias("gap_days"),
+    ).persist()
+    seq.count()
+    seq.createOrReplaceTempView("croston_seq_r11")
+    return spark.sql(
+        """
+WITH RECURSIVE cr AS (
+    SELECT n, d, qty, qty * 100 AS z_c, CAST(100 AS BIGINT) AS p_c
+    FROM croston_seq_r11 WHERE n = 1
+    UNION ALL
+    SELECT s.n, s.d, s.qty,
+           (2 * s.qty * 100 + 8 * c.z_c) div 10,
+           (2 * s.gap_days * 100 + 8 * c.p_c) div 10
+    FROM cr c JOIN croston_seq_r11 s ON s.n = c.n + 1
+)
+SELECT n AS occ_n, date_format(d, 'yyyy-MM-dd') AS day, qty,
+       CAST(z_c AS BIGINT) AS z_c, CAST(p_c AS BIGINT) AS p_c,
+       CAST((z_c * 1000000) div p_c AS BIGINT) AS forecast_ppm
+FROM cr
+"""
+    )
+
+
+# --- PageRank over the co-purchase graph ------------------------------------------
+
+
+def _pagerank_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.round10 import (
+        _LPA_EDGE_CTES,
+    )
+
+    rounds = []
+    for i in range(1, 5):
+        rounds.append(
+            f"""r{i} AS MATERIALIZED (
+    SELECT s.node,
+           (150000 + (850000::BIGINT * SUM(r.r // d.deg)) // 1000000)::BIGINT
+               AS r
+    FROM sym s
+    JOIN r{i - 1} r ON r.node = s.nbr
+    JOIN deg d ON d.node = s.nbr
+    GROUP BY s.node
+)"""
+        )
+    return (
+        "WITH "
+        + _LPA_EDGE_CTES.strip()
+        + """,
+deg AS (SELECT node, COUNT(*)::BIGINT AS deg FROM sym GROUP BY node),
+r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+"""
+        + ",\n".join(rounds)
+        + """
+SELECT r4.node AS part, r4.r AS pagerank_ppm, deg.deg AS degree
+FROM r4 JOIN deg ON deg.node = r4.node
+"""
+    )
+
+
+@query("pagerank_copurchase", oracle=_pagerank_oracle())
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin & Page 1998; ``operators/graph.py::pagerank``)
+    over the SAME positive-lift co-purchase graph LPA and the CC
+    closure cluster — the centrality ranking next to HITS's
+    hub/authority split: 4 synchronous power rounds, damping 0.85,
+    ppm-scaled integers with truncating division at both fixed
+    points, so all four rounds unroll verbatim into the oracle (the
+    BFS/LPA convention).
+
+    Scale shape: per round one node-grain contribution projection
+    (r div deg), one edge⋈contribution equi-join, one map-side-
+    combinable per-node SUM — 2 shuffles/round, linear in |E|, ranks
+    localCheckpoint-truncated; the edge build reads the staged
+    ``_basket_pairs``/``_basket_items`` tables shared family-wide."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        pagerank,
+    )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _basket_items,
+        _basket_pairs,
+    )
+
+    pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
+    item = _basket_items(spark, sf_dir)
+    edges = (
+        pair.join(
+            item.select(F.col("p").alias("pa"), F.col("s").alias("sa")), "pa"
+        )
+        .join(
+            item.select(
+                F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
+            ),
+            "pb",
+        )
+        .where(F.expr("(s_ab * n_orders * 1000000) div (sa * sb)") > 1_000_000)
+        .select("pa", "pb")
+    )
+    pr = pagerank(edges, src_col="pa", dst_col="pb", n_iters=4)
+    return pr.select(
+        F.col("node").alias("part"), "pagerank_ppm", "degree"
+    )
+
+
+# --- PQ quantization-error audit ---------------------------------------------------
+
+
+def _pq_qerr_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        _PQ_BASE_CTE,
+    )
+
+    return f"""
+WITH {_PQ_BASE_CTE},
+ed AS (
+    SELECT p.vec_id, b.sub,
+           MIN(CAST(list_sum(list_transform(
+               list_zip(p.q[b.sub * 8 + 1 : b.sub * 8 + 8], b.cb),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)) AS dmin
+    FROM pts p CROSS JOIN books b
+    GROUP BY p.vec_id, b.sub
+), pv AS (
+    SELECT vec_id, SUM(dmin)::BIGINT AS qerr FROM ed GROUP BY vec_id
+)
+SELECT e.label, COUNT(*)::BIGINT AS n_vecs,
+       SUM(pv.qerr)::BIGINT AS total_qerr,
+       MAX(pv.qerr)::BIGINT AS max_qerr,
+       (SUM(pv.qerr) // COUNT(*))::BIGINT AS avg_qerr
+FROM pv JOIN embeddings e ON e.vec_id = pv.vec_id
+GROUP BY e.label
+"""
+
+
+@query("pq_quantization_error_by_label", oracle=_pq_qerr_oracle())
+def q_pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error audit per label
+    (``operators/pq.py::pq_quantization_error``) — the index-quality
+    metric a production ANN deployment monitors per ingest batch:
+    rising per-slice quantization error means the codebooks no longer
+    fit the arriving distribution and recall is silently degrading
+    (Jégou et al. 2011 §IV bounds ADC error by exactly this
+    quantity). Error = exact int64 Σ over subspaces of the encoder's
+    realized minimum squared distance; the oracle rebuilds codebooks
+    and errors verbatim from the same LCG sample.
+
+    Scale shape: zero-shuffle projection per row (one interpreted
+    HOF, the pq_encode expression shape) + one label rollup."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        pq_codebooks,
+        pq_quantization_error,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb)
+    err = pq_quantization_error(emb, books)
+    return (
+        err.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("qerr").alias("total_qerr"),
+            F.max("qerr").alias("max_qerr"),
+            F.expr("CAST(SUM(qerr) div COUNT(1) AS BIGINT)").alias("avg_qerr"),
+        )
+    )
