@@ -368,8 +368,21 @@ _REGISTERED_R10 = frozenset(
 
 # Round-11 registrations: behind every older backlog (tier key 6) —
 # the 36-query never-sampled tail from r01-r10 must drain through the
-# 50-slot prefix before this round's additions consume slots.
-_REGISTERED_R11: frozenset = frozenset()
+# 50-slot prefix before this round's additions consume slots
+# (36 + 9 = 45 ≤ 50: the whole backlog AND this batch fit one round).
+_REGISTERED_R11 = frozenset(
+    {
+        "scd2_user_value_bands",
+        "locf_daily_user_value",
+        "reservoir_sample_per_type",
+        "cohens_kappa_labelers",
+        "kruskal_wallis_by_priority",
+        "cochran_armitage_trend",
+        "croston_intermittent_demand",
+        "pagerank_copurchase",
+        "pq_quantization_error_by_label",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

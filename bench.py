@@ -359,6 +359,16 @@ HEADLINE = [
     "streaming_dynamic_gap_sessions",
     "dedup_best_quality_survivor",
     "streaming_cross_device_sessionize",
+    # round-11 additions
+    "scd2_user_value_bands",
+    "locf_daily_user_value",
+    "reservoir_sample_per_type",
+    "cohens_kappa_labelers",
+    "kruskal_wallis_by_priority",
+    "cochran_armitage_trend",
+    "croston_intermittent_demand",
+    "pagerank_copurchase",
+    "pq_quantization_error_by_label",
 ]
 
 

@@ -205,3 +205,206 @@ def test_rfm_hist_arm_matches_duckdb_replay(spark):
         ).alias("segment"),
     )
     assert_matches_oracle(scored, sql, SF_DIR)
+
+
+# --- round-11 operators ---------------------------------------------------------
+
+
+def test_pagerank_planted_star(spark):
+    """Star graph 1-{2,3,4}: replicate the integer ppm recurrence in
+    plain Python and demand the DataFrame implementation lands on the
+    identical numbers (hub > leaves, exact truncating arithmetic)."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: (r["pagerank_ppm"], r["degree"])
+        for r in pagerank(edges, n_iters=4).collect()
+    }
+    deg = {1: 3, 2: 1, 3: 1, 4: 1}
+    nbrs = {1: [2, 3, 4], 2: [1], 3: [1], 4: [1]}
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(4):
+        contrib = {n: r[n] // deg[n] for n in deg}
+        r = {
+            n: 150_000 + (850_000 * sum(contrib[u] for u in nbrs[n])) // 1_000_000
+            for n in deg
+        }
+    assert got == {n: (r[n], deg[n]) for n in deg}
+    assert got[1][0] > got[2][0]  # hub outranks leaves
+
+
+def test_croston_recurrence_properties(spark):
+    """Every Croston row must satisfy the exact integer recurrence
+    invariants: contiguous occ_n, z/p seeded from the first demand,
+    forecast = z*1e6 div p."""
+    rows = sorted(
+        QUERIES["croston_intermittent_demand"](spark, SF_DIR).collect(),
+        key=lambda r: r["occ_n"],
+    )
+    assert rows, "croston must emit at least one occurrence"
+    assert [r["occ_n"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["z_c"] == rows[0]["qty"] * 100
+    assert rows[0]["p_c"] == 100
+    for r in rows:
+        assert r["forecast_ppm"] == (r["z_c"] * 1_000_000) // r["p_c"]
+
+
+def test_kappa_matches_independent_python(spark):
+    """kappa_ppm recomputed from the emitted confusion matrix with
+    the textbook po/pe formula (exact Fraction arithmetic)."""
+    from fractions import Fraction
+
+    rows = QUERIES["cohens_kappa_labelers"](spark, SF_DIR).collect()
+    n = sum(r["n"] for r in rows)
+    agree = sum(r["n"] for r in rows if r["label_len"] == r["label_sw"])
+    a = {}
+    b = {}
+    for r in rows:
+        a[r["label_len"]] = a.get(r["label_len"], 0) + r["n"]
+        b[r["label_sw"]] = b.get(r["label_sw"], 0) + r["n"]
+    pe = Fraction(sum(a[c] * b.get(c, 0) for c in a), n * n)
+    po = Fraction(agree, n)
+    kappa = (po - pe) / (1 - pe)
+    num = abs(kappa.numerator) * 1_000_000 // kappa.denominator
+    expect = (1 if kappa >= 0 else -1) * num
+    got = {r["kappa_ppm"] for r in rows}
+    assert got == {expect}, (got, expect, kappa)
+
+
+def test_kruskal_wallis_matches_fraction_reference(spark):
+    """H recomputed independently with exact Fractions and classic
+    midranks from the raw fixture values; the engine's truncating-div
+    e6 value must land within the documented truncation slack."""
+    from fractions import Fraction
+
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    rows = QUERIES["kruskal_wallis_by_priority"](spark, SF_DIR).collect()
+    h_tie_e6 = {r["h_tie_e6"] for r in rows}
+    assert len(h_tie_e6) == 1
+    data = [
+        (r["o_orderpriority"], int(r["cents"]))
+        for r in load_table(spark, SF_DIR, "orders")
+        .selectExpr("o_orderpriority", "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents")
+        .collect()
+    ]
+    vals = sorted(v for _, v in data)
+    # classic midrank per value
+    from collections import Counter
+
+    cnt = Counter(vals)
+    mid = {}
+    before = 0
+    for v in sorted(cnt):
+        mid[v] = Fraction(2 * before + cnt[v] + 1, 2)
+        before += cnt[v]
+    groups = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(mid[v])
+    n = len(vals)
+    s = sum(
+        (sum(ms)) ** 2 / Fraction(len(ms)) for ms in groups.values()
+    )
+    h = Fraction(12, n * (n + 1)) * s - 3 * (n + 1)
+    ties = sum(c**3 - c for c in cnt.values())
+    h_corr = h / (1 - Fraction(ties, n**3 - n))
+    got = next(iter(h_tie_e6)) / 1e6
+    assert abs(got - float(h_corr)) < 0.01, (got, float(h_corr))
+
+
+def test_cochran_armitage_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    rows = QUERIES["cochran_armitage_trend"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    n = sum(r["n_orders"] for r in rows)
+    R = sum(r["n_final"] for r in rows)
+    sr = sum(r["score"] * r["n_final"] for r in rows)
+    sn = sum(r["score"] * r["n_orders"] for r in rows)
+    ssn = sum(r["score"] ** 2 * r["n_orders"] for r in rows)
+    t_num = n * sr - R * sn
+    den = R * (n - R) * (n * ssn - sn * sn)
+    expect = (t_num * t_num * n * 10_000) // max(den, 1)
+    assert {r["z2_e4"] for r in rows} == {expect}
+    z2 = Fraction(t_num * t_num * n, den)
+    assert z2 >= 0
+
+
+def test_locf_fill_carries_last_observation(spark):
+    rows = QUERIES["locf_daily_user_value"](spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for recs in by_user.values():
+        recs.sort(key=lambda r: r["day"])
+        last = None
+        for r in recs:
+            if r["observed"]:
+                last = r["cents_filled"]
+                assert r["cents_filled"] is not None
+            else:
+                assert r["cents_filled"] == last
+        assert any(r["observed"] for r in recs)
+
+
+def test_reservoir_sample_is_capped_and_deterministic(spark):
+    a = QUERIES["reservoir_sample_per_type"](spark, SF_DIR).collect()
+    b = QUERIES["reservoir_sample_per_type"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_type = {}
+    for r in a:
+        per_type.setdefault(r["event_type"], set()).add(r["rk"])
+    for t, rks in per_type.items():
+        assert len(rks) <= 64
+        assert rks == set(range(1, len(rks) + 1)), t
+
+
+def test_scd2_intervals_partition_user_history(spark):
+    rows = QUERIES["scd2_user_value_bands"](spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, recs in by_user.items():
+        recs.sort(key=lambda r: r["valid_from"])
+        # non-overlapping, ordered, adjacent runs differ in band
+        for prev, cur in zip(recs, recs[1:]):
+            assert prev.valid_to < cur.valid_from, (uid, prev, cur)
+        # exactly one current interval per user
+        assert sum(r["is_current"] for r in recs) == 1, uid
+
+
+def test_pq_codebook_members_have_zero_error(spark):
+    """The 16 LCG-sampled vectors ARE the codebook — their own
+    reconstruction error must be exactly 0; everything else > 0
+    almost surely (random floats)."""
+    from web_analytics_visits_re_processing_spark.operators.pq import (
+        PQ_CODES,
+        pq_codebooks,
+        pq_quantization_error,
+    )
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        centroid_rank_hash,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(emb)
+    sampled = {
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(centroid_rank_hash(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(PQ_CODES)
+        .collect()
+    }
+    errs = {
+        r["vec_id"]: r["qerr"]
+        for r in pq_quantization_error(emb, books).collect()
+    }
+    assert all(errs[v] == 0 for v in sampled)
+    assert sum(1 for v, e in errs.items() if v not in sampled and e > 0) > 0
