@@ -175,6 +175,14 @@ PROBE_QUERIES = [
     "user_event_mix_impurity",
     "next_action_diversity",
     "truncation_loss_report",
+    # round-11 additions: the data-scale shapes (the scalar stat
+    # readouts — kappa/KW/CA/croston — collapse to ≤5-row tables
+    # before any heavy op and ride the --all probe instead).
+    "scd2_user_value_bands",
+    "locf_daily_user_value",
+    "reservoir_sample_per_type",
+    "pagerank_copurchase",
+    "pq_quantization_error_by_label",
 ]
 
 
