@@ -727,6 +727,10 @@ _UNPARTITIONED_WINDOW_WHITELIST: dict[str, frozenset] = {
     "local_extrema_days": frozenset({"day"}),
     "ewma_daily_revenue": frozenset({"d"}),
     "acf_daily_revenue": frozenset({"d"}),
+    # Croston stages the single-part demand-occurrence sequence —
+    # calendar-bounded (≤ one row per ship day of ONE part), the
+    # _daily_seq carve-out
+    "croston_intermittent_demand": frozenset({"d"}),
     "theil_sen_daily_trend": frozenset({"d", "s", "<unordered>"}),
     "holt_linear_backtest": frozenset({"d"}),
     "holt_winters_dow_backtest": frozenset({"d"}),

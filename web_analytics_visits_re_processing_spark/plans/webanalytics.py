@@ -1338,11 +1338,8 @@ def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO join-side exchange (plan-pinned) — at 100 TB the fact×fact
     shuffle IS this audit's cost, and the bucketed layout removes it.
     Aggregates are single-row counts unioned."""
-    # lazy import: round10 imports from this module at module scope
-    from web_analytics_visits_re_processing_spark.plans.round10 import (
-        _ensure_bucketed,
-    )
     from web_analytics_visits_re_processing_spark.sources.layout import (
+        ensure_bucketed_tables,
         read_table,
     )
 
@@ -1352,9 +1349,30 @@ def q_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    li_tbl, ord_tbl = _ensure_bucketed(spark, sf_dir)
-    lb = read_table(spark, li_tbl).select("l_orderkey")
-    ob = read_table(spark, ord_tbl).select("o_orderkey")
+    # KEY-ONLY bucketed spec (not round10's revenue-carrying one): the
+    # audit joins on nothing but the keys, and custom test fixtures
+    # carry only the key columns. The spec digest in the layout cache
+    # isolates this spec set into its own staging database.
+    li_tbl, ord_tbl = ensure_bucketed_tables(
+        spark,
+        sf_dir,
+        [
+            (
+                "lineitem_keys_by_orderkey",
+                lambda s_, d_: load_table(s_, d_, "lineitem").select("l_orderkey"),
+                "l_orderkey",
+                8,
+            ),
+            (
+                "orders_keys_by_orderkey",
+                lambda s_, d_: load_table(s_, d_, "orders").select("o_orderkey"),
+                "o_orderkey",
+                8,
+            ),
+        ],
+    )
+    lb = read_table(spark, li_tbl)
+    ob = read_table(spark, ord_tbl)
 
     def orphan(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
         return (
