@@ -457,7 +457,17 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    # Interleaved anchor series (r11): the box shows INTERMITTENT
+    # multi-minute contention spikes (two same-protocol r11 runs each
+    # had a disjoint window of 3-6× medians while all four endpoint
+    # anchors read normal) — re-measure the anchor every 50 queries so
+    # a slow window is attributable to the queries timed inside it.
+    anchor_series: list = []
+    for i, name in enumerate(HEADLINE):
+        if i % 50 == 0 and i > 0:
+            a = anchor(spark)
+            anchor_series.append({"after_n": i, "sec": a})
+            print(f"# anchor@{i}: {a}s", file=sys.stderr)
         fn = QUERIES[name]
         samples = []
         for _ in range(reps):
@@ -490,6 +500,7 @@ def main() -> None:
                 "reps": reps,
                 "sf": sf_val,
                 "anchor": {"pre": anchor_pre, "post": anchor_post},
+                "anchor_series": anchor_series,
             },
             f,
             indent=1,
