@@ -381,6 +381,11 @@ _REGISTERED_R11 = frozenset(
         "croston_intermittent_demand",
         "pagerank_copurchase",
         "pq_quantization_error_by_label",
+        "bm25_embedding_rerank",
+        "harmonic_centrality_seeds",
+        "data_contract_violations",
+        "k_anon_generalize_step",
+        "cramer_von_mises_two_sample",
     }
 )
 

@@ -369,6 +369,11 @@ HEADLINE = [
     "croston_intermittent_demand",
     "pagerank_copurchase",
     "pq_quantization_error_by_label",
+    "bm25_embedding_rerank",
+    "harmonic_centrality_seeds",
+    "data_contract_violations",
+    "k_anon_generalize_step",
+    "cramer_von_mises_two_sample",
 ]
 
 

@@ -88,6 +88,7 @@ SCALAR_BY_DESIGN = {
     "sql_q6_forecast_revenue",     # TPC-H Q6: one sum
     "theil_sen_daily_trend",       # one slope estimate
     "two_proportion_ztest",        # one z-test readout
+    "cramer_von_mises_two_sample",  # one ECDF-distance readout
     "zorder_locality_stats",       # one locality comparison row
 }
 # THIN_TRIAGED — a detector whose fixture output is genuinely one

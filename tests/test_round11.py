@@ -408,3 +408,95 @@ def test_pq_codebook_members_have_zero_error(spark):
     }
     assert all(errs[v] == 0 for v in sampled)
     assert sum(1 for v, e in errs.items() if v not in sampled and e > 0) > 0
+
+
+# --- round-11 second batch ------------------------------------------------------
+
+
+def test_rerank_is_subset_of_shortlist_ordered_by_cos(spark):
+    top20 = {
+        r["doc_id"]
+        for r in QUERIES["bm25_doc_ranking"](spark, SF_DIR).collect()
+    }
+    rows = QUERIES["bm25_embedding_rerank"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 5
+    assert {r["doc_id"] for r in rows} <= top20
+    coss = [r["cos"] for r in rows]
+    assert coss == sorted(coss, reverse=True)
+
+
+def test_multi_source_bfs_planted_path(spark):
+    """Path 1-2-3-4-5-6, seeds {1, 3}, max_hops=4: distances and the
+    hop-4 truncation (node 6 unreachable from seed 1) hand-computed."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "seed long")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in multi_source_bfs(edges, seeds, max_hops=4).collect()
+    }
+    expect = {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3, (1, 5): 4,
+        (3, 3): 0, (3, 2): 1, (3, 4): 1, (3, 1): 2, (3, 5): 2, (3, 6): 3,
+    }
+    assert got == expect  # (1,6) absent: beyond 4 hops
+
+
+def test_contract_battery_counts(spark):
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    rows = {r["rule"]: r for r in QUERIES["data_contract_violations"](spark, SF_DIR).collect()}
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    n_li = load_table(spark, SF_DIR, "lineitem").count()
+    assert rows["o_totalprice_positive"]["n_checked"] == n_orders
+    assert rows["l_discount_range"]["n_checked"] == n_li
+    assert rows["l_shipdate_after_orderdate"]["n_checked"] == n_li
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_checked"], r
+
+
+def test_k_anon_generalize_kept_classes_clear_k(spark):
+    rows = QUERIES["k_anon_generalize_step"](spark, SF_DIR).collect()
+    assert rows
+    mink = min(r["n"] for r in rows)
+    for r in rows:
+        assert r["achieved_min_k"] == mink
+        if r["level"] == "nation":
+            assert r["n"] >= 5, r
+            assert r["qi"].startswith("N")
+        else:
+            assert r["qi"].startswith("R")
+
+
+def test_cvm_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    row = QUERIES["cramer_von_mises_two_sample"](spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events").selectExpr(
+        "event_type", "CAST(FLOOR(value * 100) AS BIGINT) AS cents"
+    ).where("event_type IN ('purchase', 'view')").collect()
+    s1 = sorted(r["cents"] for r in ev if r["event_type"] == "purchase")
+    s2 = sorted(r["cents"] for r in ev if r["event_type"] == "view")
+    n1, n2 = len(s1), len(s2)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    xs = sorted(set(s1) | set(s2))
+    import bisect
+
+    t = sum(
+        (
+            (bisect.bisect_right(s1, x) + bisect.bisect_right(s2, x))
+            - (bisect.bisect_right(s1, x - 1) + bisect.bisect_right(s2, x - 1))
+        )
+        * (Fraction(bisect.bisect_right(s1, x), n1)
+           - Fraction(bisect.bisect_right(s2, x), n2)) ** 2
+        for x in xs
+    ) * Fraction(n1 * n2, (n1 + n2) ** 2)
+    # engine value is floor(1e6 * T) up to the single truncating div
+    assert abs(row["t_e6"] - int(1_000_000 * t)) <= 1, (row["t_e6"], float(t))

@@ -763,3 +763,414 @@ def q_pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(qerr) div COUNT(1) AS BIGINT)").alias("avg_qerr"),
         )
     )
+
+
+# --- two-stage retrieval: BM25 shortlist -> embedding rerank -----------------------
+
+
+def _rerank_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans import ORACLES
+
+    return f"""
+WITH bm AS ({ORACLES["bm25_doc_ranking"]}),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT bm.doc_id, bm.score_scaled,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv.q::DOUBLE[]), 4)
+           AS cos
+FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id, qv
+ORDER BY cos DESC, bm.doc_id LIMIT 5
+"""
+
+
+@query("bm25_embedding_rerank", oracle=_rerank_oracle())
+def q_bm25_embedding_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — the production search pipeline shape:
+    a cheap lexical shortlist (the gated BM25 top-20, reused from the
+    registry so both stages share one implementation) reranked by
+    embedding cosine against a fixed query vector (vec 0), top-5 out.
+    At 100 TB this is why BM25 and ANN coexist: the lexical stage
+    bounds the candidate set so the (expensive) vector scoring only
+    ever touches k docs, never the corpus. Composition gate: the
+    shortlist, the join to the vector table AND the rerank order all
+    replay in the oracle.
+
+    Scale shape: stage-1 cost is the BM25 plan (term-pushdown scan +
+    TakeOrdered 20); stage 2 joins 20 rows against the vector table
+    (broadcast the 20-row side) and TakeOrders the top-5 — no window,
+    no global sort."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine,
+    )
+    from web_analytics_visits_re_processing_spark.plans.llmdata import (
+        q_bm25_ranking,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shortlist = q_bm25_ranking(spark, sf_dir).select("doc_id", "score_scaled")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    joined = (
+        emb.join(
+            F.broadcast(shortlist), emb["vec_id"] == shortlist["doc_id"]
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "score_scaled",
+            F.round(cosine(F.col("embedding"), F.col("_qv")), 4).alias("cos"),
+        )
+    )
+    return joined.orderBy(F.col("cos").desc(), "doc_id").limit(5)
+
+
+# --- harmonic centrality from a seed panel -----------------------------------------
+
+
+def _harmonic_oracle() -> str:
+    from web_analytics_visits_re_processing_spark.plans.round10 import (
+        _LPA_EDGE_CTES,
+    )
+
+    rounds = []
+    for i in range(1, 5):
+        rounds.append(
+            f"""d{i} AS MATERIALIZED (
+    SELECT seed, node, MIN(dist) AS dist FROM (
+        SELECT seed, node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT f.seed, s.nbr AS node, f.dist + 1
+        FROM d{i - 1} f JOIN sym s ON s.node = f.node
+        WHERE f.dist = {i - 1}
+    ) GROUP BY seed, node
+)"""
+        )
+    return (
+        "WITH "
+        + _LPA_EDGE_CTES.strip()
+        + """,
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 4),
+d0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds),
+"""
+        + ",\n".join(rounds)
+        + """
+SELECT seed, COUNT(*) - 1 AS n_reached,
+       SUM(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)::BIGINT
+           AS harmonic_e6
+FROM d4 GROUP BY seed
+"""
+    )
+
+
+@query("harmonic_centrality_seeds", oracle=_harmonic_oracle())
+def q_harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014) estimated from a
+    4-seed landmark panel over the positive-lift co-purchase graph —
+    Σ 1/d to every node within 4 hops, the centrality that stays
+    well-defined on DISCONNECTED graphs (closeness is not). One joint
+    multi-source BFS (``operators/graph.py::multi_source_bfs``)
+    carries all seeds through a single frontier traversal — the
+    landmark-sketch shape production centrality estimation uses at
+    graph scale, where per-node exact centrality is Θ(|V|·|E|) and a
+    seed panel is the standard estimator. Integer-exact: 1e6 div d.
+
+    Scale shape: per round one frontier⋈edges join + per-seed settled
+    anti-join, state ≤ seeds·|V|; the final rollup is seed-grain."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        multi_source_bfs,
+    )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _basket_items,
+        _basket_pairs,
+    )
+
+    pair = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 3)
+    item = _basket_items(spark, sf_dir)
+    edges = (
+        pair.join(
+            item.select(F.col("p").alias("pa"), F.col("s").alias("sa")), "pa"
+        )
+        .join(
+            item.select(
+                F.col("p").alias("pb"), F.col("s").alias("sb"), "n_orders"
+            ),
+            "pb",
+        )
+        .where(F.expr("(s_ab * n_orders * 1000000) div (sa * sb)") > 1_000_000)
+        .select("pa", "pb")
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("node"))
+        .union(edges.select("pb"))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(4).select(F.col("node").alias("seed"))
+    dist = multi_source_bfs(edges, seeds, max_hops=4, src_col="pa", dst_col="pb")
+    return dist.groupBy("seed").agg(
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("1000000 div dist")).otherwise(0)
+        ).alias("harmonic_e6"),
+    )
+
+
+# --- data-contract validation battery ----------------------------------------------
+
+_CONTRACT_ORACLE = """
+SELECT 'o_totalprice_positive' AS rule, COUNT(*)::BIGINT AS n_checked,
+       SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT
+           AS n_violations
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_in_range', COUNT(*)::BIGINT,
+       SUM(CASE WHEN o_orderdate >= DATE '1990-01-01'
+                 AND o_orderdate < DATE '2006-01-01'
+                THEN 0 ELSE 1 END)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority_enum', COUNT(*)::BIGINT,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                         '4-NOT SPECIFIED', '5-LOW')
+                THEN 0 ELSE 1 END)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_enum', COUNT(*)::BIGINT,
+       SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                THEN 0 ELSE 1 END)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'l_discount_range', COUNT(*)::BIGINT,
+       SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                THEN 0 ELSE 1 END)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity_range', COUNT(*)::BIGINT,
+       SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                THEN 0 ELSE 1 END)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate_after_orderdate', COUNT(*)::BIGINT,
+       SUM(CASE WHEN l.l_shipdate >= o.o_orderdate THEN 0 ELSE 1 END)::BIGINT
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@query("data_contract_violations", oracle=_CONTRACT_ORACLE)
+def q_data_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation battery — the ingest gate that runs
+    BEFORE a partition lands: per declared rule (positivity, date
+    range, enum domains, numeric ranges, and one cross-table temporal
+    rule: ship date ≥ order date), rows checked and rows violating.
+    Complements `referential_integrity_audit` (FK existence) and
+    `table_profile_stats` (distribution shape) — contracts are the
+    DECLARED-expectation check. Single scan per source table (the
+    per-table rules share one aggregate via conditional sums... one
+    agg per rule here keeps rule-grain rows; Catalyst shares the scan
+    under AQE reuse), the temporal rule joins on the order key —
+    co-located zero-exchange under the bucketed layout at scale.
+
+    Scale shape: map-side-combined count aggregates; the only join is
+    key-equi on the natural bucket key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name: str, src: DataFrame, ok: F.Column) -> DataFrame:
+        return src.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(ok, 0).otherwise(1)).alias("n_violations"),
+        )
+
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    checks = [
+        rule("o_totalprice_positive", o, F.col("o_totalprice") > 0),
+        rule(
+            "o_orderdate_in_range",
+            o,
+            (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2006-01-01").cast("timestamp")),
+        ),
+        rule(
+            "o_orderpriority_enum",
+            o,
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+        rule("o_orderstatus_enum", o, F.col("o_orderstatus").isin("F", "O", "P")),
+        rule(
+            "l_discount_range",
+            li,
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        ),
+        rule(
+            "l_quantity_range",
+            li,
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        ),
+        rule(
+            "l_shipdate_after_orderdate",
+            joined,
+            F.col("l_shipdate") >= F.col("o_orderdate"),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out
+
+
+# --- k-anonymity generalization step ------------------------------------------------
+
+_KANON_GEN_ORACLE = """
+WITH classes AS (
+    SELECT c.c_nationkey, n.n_regionkey, c.c_mktsegment,
+           COUNT(*)::BIGINT AS n
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2, 3
+), kept AS (
+    SELECT 'nation' AS level,
+           'N' || CAST(c_nationkey AS VARCHAR) AS qi,
+           c_mktsegment, n
+    FROM classes WHERE n >= 5
+), generalized AS (
+    SELECT 'region' AS level,
+           'R' || CAST(n_regionkey AS VARCHAR) AS qi,
+           c_mktsegment, SUM(n)::BIGINT AS n
+    FROM classes WHERE n < 5
+    GROUP BY n_regionkey, c_mktsegment
+), unioned AS (
+    SELECT * FROM kept UNION ALL SELECT * FROM generalized
+)
+SELECT level, qi, c_mktsegment, n,
+       (SELECT MIN(n) FROM unioned)::BIGINT AS achieved_min_k
+FROM unioned
+"""
+
+
+@query("k_anon_generalize_step", oracle=_KANON_GEN_ORACLE)
+def q_k_anon_generalize_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDIATION step after `k_anonymity_audit` flags classes:
+    quasi-identifier classes below k=5 generalize one level up the
+    taxonomy (nation → region; the segment attribute is retained) —
+    Samarati/Sweeney local generalization, the step a privacy
+    pipeline iterates until min k clears. Output: every surviving
+    class with its level, population, and the achieved min k (the
+    signal for whether ANOTHER round or suppression is needed).
+
+    Scale shape: one (nation, region, segment) rollup (dimension
+    broadcast onto the fact), one sub-5 re-aggregation at region
+    grain, a 1-row min broadcast — all class-grain after the first
+    map-side-combined aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    classes = (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            c["c_nationkey"] == n["n_nationkey"],
+        )
+        .groupBy("c_nationkey", "n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kept = classes.where(F.col("n") >= 5).select(
+        F.lit("nation").alias("level"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("qi"),
+        "c_mktsegment",
+        "n",
+    )
+    generalized = (
+        classes.where(F.col("n") < 5)
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.lit("region").alias("level"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("qi"),
+            "c_mktsegment",
+            "n",
+        )
+    )
+    unioned = kept.unionAll(generalized)
+    mink = unioned.agg(F.min("n").alias("achieved_min_k"))
+    return unioned.crossJoin(F.broadcast(mink))
+
+
+# --- Cramér-von Mises two-sample test ------------------------------------------------
+
+_CVM_ORACLE = """
+WITH t AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS grp,
+           FLOOR(value * 100)::BIGINT AS cents
+    FROM events WHERE event_type IN ('purchase', 'view')
+), h AS (
+    SELECT cents,
+           SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+           SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+    FROM t GROUP BY cents
+), cum AS (
+    SELECT cents, c1, c2,
+           SUM(c1) OVER (ORDER BY cents) AS cum1,
+           SUM(c2) OVER (ORDER BY cents) AS cum2
+    FROM h
+), nn AS (
+    SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2 FROM h
+)
+SELECT nn.n1, nn.n2,
+       CAST(1000000::HUGEINT * SUM((c1 + c2)::HUGEINT
+                * (nn.n2::HUGEINT * cum1 - nn.n1::HUGEINT * cum2)
+                * (nn.n2::HUGEINT * cum1 - nn.n1::HUGEINT * cum2))
+            // ((nn.n1 + nn.n2)::HUGEINT * (nn.n1 + nn.n2)
+                * nn.n1 * nn.n2) AS BIGINT) AS t_e6
+FROM cum, nn GROUP BY nn.n1, nn.n2
+"""
+
+
+@query("cramer_von_mises_two_sample", oracle=_CVM_ORACLE)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test (purchase vs view value
+    distributions) — the ECDF-distance statistic that integrates the
+    SQUARED gap over the whole distribution where KS
+    (`ks_two_sample_by_type`) takes only the max gap, making it
+    sensitive to broad shape drift KS under-weights:
+    T = n1·n2/(n1+n2)² · Σ_x (F1(x) − F2(x))², computed over the
+    integer cents histogram with cross-multiplied ECDFs
+    (n2·cum1 − n1·cum2 — no float rank anywhere), e6-scaled through
+    HUGEINT/decimal(38,0).
+
+    Scale shape: one map-side-combined value histogram; the running
+    sums ride the two-pass `global_running_sum` (value-grain, no
+    unpartitioned window); the final statistic is a 1-row aggregate."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        global_running_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(2).alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = t.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    cum = global_running_sum(
+        global_running_sum(h, ["cents"], "c1", "cum1"), ["cents"], "c2", "cum2"
+    )
+    nn = h.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * SUM(CAST(c1 + c2 AS DECIMAL(38,0))"
+                "     * (CAST(n2 AS DECIMAL(38,0)) * cum1"
+                "        - CAST(n1 AS DECIMAL(38,0)) * cum2)"
+                "     * (CAST(n2 AS DECIMAL(38,0)) * cum1"
+                "        - CAST(n1 AS DECIMAL(38,0)) * cum2))"
+                " div (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2)"
+                "      * n1 * n2) AS BIGINT)"
+            ).alias("t_e6")
+        )
+    )
