@@ -183,6 +183,11 @@ PROBE_QUERIES = [
     "reservoir_sample_per_type",
     "pagerank_copurchase",
     "pq_quantization_error_by_label",
+    "bm25_embedding_rerank",
+    "harmonic_centrality_seeds",
+    "data_contract_violations",
+    "k_anon_generalize_step",
+    "cramer_von_mises_two_sample",
 ]
 
 
