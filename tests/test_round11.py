@@ -500,3 +500,13 @@ def test_cvm_matches_fraction_reference(spark):
     ) * Fraction(n1 * n2, (n1 + n2) ** 2)
     # engine value is floor(1e6 * T) up to the single truncating div
     assert abs(row["t_e6"] - int(1_000_000 * t)) <= 1, (row["t_e6"], float(t))
+
+
+def test_contract_battery_one_scan_per_table(spark):
+    """All of a table's rules ride ONE scan (conditional sums +
+    stack): the plan must contain exactly 2 scans of orders (the
+    battery + the temporal join's side) and 2 of lineitem."""
+    plan = _plan(spark, "data_contract_violations")
+    assert plan.count("spark_catalog.default.orders") == 0  # parquet paths, not tables
+    assert plan.count("orders.parquet") == 2, plan.count("orders.parquet")
+    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")

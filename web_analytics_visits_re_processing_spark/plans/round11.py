@@ -969,58 +969,70 @@ def q_data_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     under AQE reuse), the temporal rule joins on the order key —
     co-located zero-exchange under the bucketed layout at scale.
 
-    Scale shape: map-side-combined count aggregates; the only join is
-    key-equi on the natural bucket key."""
+    Scale shape: ONE aggregate per source table — all of a table's
+    rules ride the same scan as conditional sums, then stack to
+    rule-grain rows (a per-rule agg would scan orders 4× and lineitem
+    2× — at 100 TB the redundant fact scans ARE the cost); the
+    temporal rule pays the one key-equi join (co-located
+    zero-exchange under the bucketed layout at scale). Plan-pinned to
+    exactly one scan of each table plus the join's pair."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def rule(name: str, src: DataFrame, ok: F.Column) -> DataFrame:
-        return src.agg(
-            F.lit(name).alias("rule"),
-            F.count(F.lit(1)).alias("n_checked"),
-            F.sum(F.when(ok, 0).otherwise(1)).alias("n_violations"),
+    def viol(ok: F.Column) -> F.Column:
+        return F.sum(F.when(ok, 0).otherwise(1))
+
+    o_rules = [
+        ("o_totalprice_positive", F.col("o_totalprice") > 0),
+        (
+            "o_orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2006-01-01").cast("timestamp")),
+        ),
+        (
+            "o_orderpriority_enum",
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+        ("o_orderstatus_enum", F.col("o_orderstatus").isin("F", "O", "P")),
+    ]
+    li_rules = [
+        (
+            "l_discount_range",
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        ),
+        (
+            "l_quantity_range",
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        ),
+    ]
+
+    def battery(src: DataFrame, rules: list) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("_nchk")]
+        for i, (_name, ok) in enumerate(rules):
+            aggs.append(viol(ok).alias(f"_nv{i}"))
+        one = src.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{name}', _nchk, _nv{i}" for i, (name, _ok) in enumerate(rules)
+        )
+        return one.select(
+            F.expr(
+                f"stack({len(rules)}, {stack_args})"
+                " as (rule, n_checked, n_violations)"
+            )
         )
 
     joined = li.select("l_orderkey", "l_shipdate").join(
         o.select("o_orderkey", "o_orderdate"),
         li["l_orderkey"] == o["o_orderkey"],
     )
-    checks = [
-        rule("o_totalprice_positive", o, F.col("o_totalprice") > 0),
-        rule(
-            "o_orderdate_in_range",
-            o,
-            (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("2006-01-01").cast("timestamp")),
-        ),
-        rule(
-            "o_orderpriority_enum",
-            o,
-            F.col("o_orderpriority").isin(
-                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
-            ),
-        ),
-        rule("o_orderstatus_enum", o, F.col("o_orderstatus").isin("F", "O", "P")),
-        rule(
-            "l_discount_range",
-            li,
-            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
-        ),
-        rule(
-            "l_quantity_range",
-            li,
-            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
-        ),
-        rule(
-            "l_shipdate_after_orderdate",
-            joined,
-            F.col("l_shipdate") >= F.col("o_orderdate"),
-        ),
-    ]
-    out = checks[0]
-    for chk in checks[1:]:
-        out = out.unionAll(chk)
-    return out
+    temporal = joined.agg(
+        F.lit("l_shipdate_after_orderdate").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        viol(F.col("l_shipdate") >= F.col("o_orderdate")).alias("n_violations"),
+    )
+    return battery(o, o_rules).unionAll(battery(li, li_rules)).unionAll(temporal)
 
 
 # --- k-anonymity generalization step ------------------------------------------------
