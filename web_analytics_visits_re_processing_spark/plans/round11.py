@@ -153,11 +153,14 @@ def q_locf_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     both windows and the grid join share one user-keyed exchange."""
     ev = load_table(spark, sf_dir, "events")
     spine = ev.select(F.to_date("ts").alias("d")).distinct()
-    purchases = ev.where(F.col("event_type") == "purchase")
-    pu = purchases.select("user_id").distinct()
-    obs = purchases.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    obs = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("long").alias("cents"))
+    )
+    # the user universe derives from the observation rollup (purchase
+    # users by definition) — no third fact scan
+    pu = obs.select("user_id").distinct()
     grid = pu.crossJoin(F.broadcast(spine)).join(obs, ["user_id", "d"], "left")
     wg = (
         Window.partitionBy("user_id")
@@ -402,13 +405,16 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    vh = t.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    # ONE fact scan: the (priority, value) rollup is the only
+    # aggregate that reads orders; the value histogram derives from it
+    # (Σ over the 5 priorities), so the fact table is never re-scanned.
+    gv = t.groupBy("priority", "cents").agg(F.count(F.lit(1)).alias("cg"))
+    vh = gv.groupBy("cents").agg(F.sum("cg").alias("c"))
     mid = global_running_sum(vh, ["cents"], "c", "run").select(
         "cents",
         "c",
         (2 * (F.col("run") - F.col("c")) + F.col("c") + 1).alias("mid2"),
     )
-    gv = t.groupBy("priority", "cents").agg(F.count(F.lit(1)).alias("cg"))
     rs = (
         gv.join(mid.select("cents", "mid2"), "cents")
         .groupBy("priority")
