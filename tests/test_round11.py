@@ -510,3 +510,75 @@ def test_contract_battery_one_scan_per_table(spark):
     assert plan.count("spark_catalog.default.orders") == 0  # parquet paths, not tables
     assert plan.count("orders.parquet") == 2, plan.count("orders.parquet")
     assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+
+
+# --- cross-implementation properties ---------------------------------------------
+
+
+def test_multi_source_bfs_single_seed_equals_bfs_hops(spark):
+    """With one seed, multi_source_bfs must agree node-for-node with
+    the gated single-source bfs_hops on the same random-ish graph —
+    two independent frontier implementations, one answer."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        bfs_hops,
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+        + [(3, 15), (8, 19)],
+        "id_a long, id_b long",
+    )
+    single = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(
+            edges, source=1, max_hops=4, src_col="id_a", dst_col="id_b"
+        ).collect()
+    }
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    multi = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(edges, seeds, max_hops=4).collect()
+    }
+    assert multi == single
+    assert len(multi) > 3
+
+
+def test_hist_ntile_monotone_and_balanced(spark):
+    """Histogram-cut buckets must be monotone in the value and, with
+    all-distinct values, within one tie-group of perfectly balanced
+    (here: exactly ceil/floor(n/k) — no ties at all)."""
+    from collections import Counter
+
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        hist_ntile_cuts,
+        hist_ntile_score,
+    )
+
+    vals = [(int((i * 37) % 101),) for i in range(101)]  # distinct 0..100
+    df = spark.createDataFrame(vals, "v long")
+    cuts = hist_ntile_cuts(df, "v", 5)
+    scored = hist_ntile_score(df, cuts, "v", 5, "b").collect()
+    by_val = sorted((r["v"], r["b"]) for r in scored)
+    bs = [b for _v, b in by_val]
+    assert bs == sorted(bs)  # monotone in value
+    sizes = Counter(bs)
+    assert set(sizes) == {1, 2, 3, 4, 5}
+    assert all(s in (20, 21) for s in sizes.values()), sizes
+
+
+def test_hist_ntile_ties_share_bucket(spark):
+    """Every occurrence of a tied value must land in ONE bucket (the
+    documented divergence from exact ntile, which splits ties)."""
+    from web_analytics_visits_re_processing_spark.operators.ranks import (
+        hist_ntile_cuts,
+        hist_ntile_score,
+    )
+
+    df = spark.createDataFrame([(v,) for v in [1] * 30 + [2] * 5 + [3] * 5], "v long")
+    cuts = hist_ntile_cuts(df, "v", 4)
+    scored = hist_ntile_score(df, cuts, "v", 4, "b").collect()
+    per_val = {}
+    for r in scored:
+        per_val.setdefault(r["v"], set()).add(r["b"])
+    assert all(len(bs) == 1 for bs in per_val.values()), per_val
