@@ -545,6 +545,42 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Croston intermittent-demand forecast ----------------------------------------
 
+# Single-slot staged occurrence sequence (the _daily_seq convention:
+# persist once per (session, sf), unpersist evicted entries — the
+# recursion re-evaluates its referenced relation per step, and
+# re-staging per invocation both re-scans lineitem and LEAKS a
+# persisted frame each call).
+_CROSTON_SEQ_CACHE: dict = {}
+
+
+def _croston_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _CROSTON_SEQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.agg(F.min("l_partkey")).first()[0]
+    occ = (
+        li.where(F.col("l_partkey") == pk)
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    wd = Window.orderBy("d")
+    seq = occ.select(
+        "d",
+        "qty",
+        F.row_number().over(wd).alias("n"),
+        F.coalesce(F.datediff(F.col("d"), F.lag("d").over(wd)), F.lit(1))
+        .cast("long")
+        .alias("gap_days"),
+    ).persist()
+    seq.count()
+    for k in list(_CROSTON_SEQ_CACHE):
+        _CROSTON_SEQ_CACHE.pop(k).unpersist(blocking=False)
+    _CROSTON_SEQ_CACHE[key] = seq
+    return seq
+
+
 _CROSTON_ORACLE = """
 WITH RECURSIVE sel AS (SELECT MIN(l_partkey) AS pk FROM lineitem),
 occ AS (
@@ -591,24 +627,7 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences (calendar-bounded). The single-partition window in
     the staging view ranks that tiny occurrence table — the daily-
     spine carve-out, identical to ``_daily_seq``."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pk = li.agg(F.min("l_partkey")).first()[0]
-    occ = (
-        li.where(F.col("l_partkey") == pk)
-        .groupBy(F.to_date("l_shipdate").alias("d"))
-        .agg(F.sum("l_quantity").cast("long").alias("qty"))
-    )
-    wd = Window.orderBy("d")
-    seq = occ.select(
-        "d",
-        "qty",
-        F.row_number().over(wd).alias("n"),
-        F.coalesce(F.datediff(F.col("d"), F.lag("d").over(wd)), F.lit(1))
-        .cast("long")
-        .alias("gap_days"),
-    ).persist()
-    seq.count()
-    seq.createOrReplaceTempView("croston_seq_r11")
+    _croston_seq(spark, sf_dir).createOrReplaceTempView("croston_seq_r11")
     return spark.sql(
         """
 WITH RECURSIVE cr AS (
