@@ -367,9 +367,10 @@ _REGISTERED_R10 = frozenset(
 )
 
 # Round-11 registrations: behind every older backlog (tier key 6) —
-# the 36-query never-sampled tail from r01-r10 must drain through the
-# 50-slot prefix before this round's additions consume slots
-# (36 + 9 = 45 ≤ 50: the whole backlog AND this batch fit one round).
+# the 36-query never-sampled tail from r01-r10 drains through the
+# 50-slot prefix before this round's additions consume slots.
+# (36 backlog + 14 here = 50: a zero-margin fit — and indeed r11
+# sampled exactly these 50 and the backlog fully drained.)
 _REGISTERED_R11 = frozenset(
     {
         "scd2_user_value_bands",
@@ -386,6 +387,17 @@ _REGISTERED_R11 = frozenset(
         "data_contract_violations",
         "k_anon_generalize_step",
         "cramer_von_mises_two_sample",
+    }
+)
+
+# Round-12 registrations: behind every older backlog (tier key 7).
+# The r01-r11 never-sampled backlog is EMPTY (cumulative distinct ==
+# registry size after r11), so tier 1 this round is exactly this
+# batch and the remaining prefix slots rotate the stalest tier-3
+# passes (r01-era TPC-H rows first).
+_REGISTERED_R12 = frozenset(
+    {
+        "streaming_tws_user_lifetime",
     }
 )
 
@@ -407,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in latest_bad:
             return (0, 0)
         if name not in last_pass:
+            if name in _REGISTERED_R12:
+                return (1, 7)
             if name in _REGISTERED_R11:
                 return (1, 6)
             if name in _REGISTERED_R10:

@@ -374,6 +374,8 @@ HEADLINE = [
     "data_contract_violations",
     "k_anon_generalize_step",
     "cramer_von_mises_two_sample",
+    # round-12 additions
+    "streaming_tws_user_lifetime",
 ]
 
 

@@ -180,9 +180,10 @@ def test_transform_with_state_lifetime_stats(spark, sf_dir):
     """Spark 4 transformWithStateInPandas (ValueState + event-time
     timers): per-user lifetime stats emitted once per user when the
     watermark passes last_event + gap, equal to the batch groupBy.
-    SKIPS where google.protobuf is unavailable (the state-server
-    protocol dependency; absent in the no-install container) — the
-    operator code path is exercised wherever the dependency exists."""
+    The state-server protocol needs ``google.protobuf``: served by the
+    real package where installed, else by the vendored clean-room shim
+    (``vendor/protoshim``) — the skip now only fires where neither
+    can load."""
     import pytest
 
     from web_analytics_visits_re_processing_spark.streaming.tws import (

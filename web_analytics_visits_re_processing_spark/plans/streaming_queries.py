@@ -320,15 +320,15 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
 
 # --- transformWithStateInPandas (runtime-conditional) ------------------------
 #
-# The transformWithState state-server protocol speaks protobuf and
-# ``google.protobuf`` is absent in no-install containers, so the gate
-# registers ONLY where the runtime can actually execute it (probed at
-# registry-build time) — a driver container that ships protobuf
-# hash-verifies the custom-stateful operator for free, and this
-# container keeps the skip-marked pytest instead of a gate that can
-# only error. Batch equivalence: the timer-emitted set equals the
-# batch groupBy verbatim (order-free aggregates), which is what makes
-# a custom-stateful streaming operator SQL-oracle-able at all.
+# The transformWithState state-server protocol speaks protobuf. Since
+# round 12 the repo vendors a clean-room minimal protobuf runtime
+# (``vendor/protoshim``) that serves ``google.protobuf`` when the real
+# distribution is absent, so the probe now passes in the no-install
+# container too and this gate registers everywhere; the conditional
+# stays as an honest guard for a runtime where neither works. Batch
+# equivalence: the timer-emitted set equals the batch groupBy verbatim
+# (order-free aggregates), which is what makes a custom-stateful
+# streaming operator SQL-oracle-able at all.
 
 from web_analytics_visits_re_processing_spark.streaming.tws import (  # noqa: E402
     transform_with_state_available,
