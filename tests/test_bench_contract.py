@@ -154,3 +154,58 @@ def test_bench_compare_anchor_normalizes_host_drift():
     rep3 = bc.compare({"queries": old["queries"], "value": 7.0}, new_uniform)
     assert set(rep3["regressions"]) == {"q1", "q2", "q3"}
     assert rep3["anchor"]["drift"] is None
+
+
+def test_doc_counts_match_registry():
+    """README/SURVEY inventory counts are rendered mechanically from
+    the registry (scripts/render_counts.py); this gate fails the suite
+    whenever they drift — the r11 verdict found both documents stale
+    because nothing asserted them."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "render_counts",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "render_counts.py",
+        ),
+    )
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+    assert rc.render(check_only=True) == 0, (
+        "README.md/SURVEY.md inventory counts are stale — run "
+        "`python scripts/render_counts.py`"
+    )
+
+
+def test_sampler_bounds_row_age():
+    """Driver-verification freshness ledger (r11 verdict item 6): the
+    stalest-pass-first rotation must bound how old any query's newest
+    driver-green row can get. With N registry queries and the 50-slot
+    sampled prefix, a full rotation takes ceil(N/50) rounds; allow +2
+    rounds of slack for tier-1 pressure (regressions + new
+    registrations taking prefix slots). Also pin the LRU invariant
+    itself: within tier 3, queries() must order stalest pass first."""
+    import math
+
+    import __spark_entry__ as e
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    last_pass, latest_bad = e._sampling_history()
+    assert last_pass, "no CORRECTNESS artifacts found"
+    latest_round = max(last_pass.values())
+    budget = math.ceil(len(QUERIES) / 50) + 2
+    overdue = {
+        n: r for n, r in last_pass.items() if latest_round - r > budget
+    }
+    assert not overdue, (
+        f"queries whose newest driver-green row is older than "
+        f"{budget} rounds (rotation is not keeping up): {overdue}"
+    )
+    # LRU ordering invariant: tier-3 names appear stalest-first
+    ordered = list(e.queries())
+    tier3 = [n for n in ordered if n in last_pass and n not in latest_bad]
+    ages = [last_pass[n] for n in tier3]
+    assert ages == sorted(ages), "tier-3 rotation is not stalest-first"

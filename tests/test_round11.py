@@ -582,3 +582,33 @@ def test_hist_ntile_ties_share_bucket(spark):
     for r in scored:
         per_val.setdefault(r["v"], set()).add(r["b"])
     assert all(len(bs) == 1 for bs in per_val.values()), per_val
+
+
+def test_kw_tie_fold_clamp_negative_h_parity(spark):
+    """The r11 advice claimed DuckDB's // FLOORS negative quotients
+    while Spark's div truncates, making a near-zero (truncation-
+    negative) h_e6 diverge by 1 on the tie fold. Empirically FALSE on
+    this DuckDB: // truncates toward zero exactly like Spark's div —
+    pinned here so a DuckDB upgrade that changes division semantics
+    (it has historically) fails loudly. The GREATEST(h, 0) clamp was
+    applied anyway: H >= 0 by definition, so the clamp never alters a
+    mathematically valid statistic and makes the fold independent of
+    either engine's negative-division convention."""
+    import duckdb
+
+    # h_e6 = -5 (the near-zero truncation case), n=10, tsum=6
+    for num, den in [(-5 * 990, 984), (-5, 2), (-7, 2)]:
+        s = spark.sql(
+            f"SELECT CAST(CAST({num} AS DECIMAL(38,0)) div {den} AS BIGINT) AS v"
+        ).collect()[0]["v"]
+        d = duckdb.sql(f"SELECT CAST({num}::HUGEINT // {den} AS BIGINT) AS v").fetchone()[0]
+        assert s == d, (num, den, s, d)  # both truncate toward zero
+
+    post_spark = spark.sql(
+        "SELECT CAST(GREATEST(CAST(-5 AS DECIMAL(38,0)), 0) * 990 div 984"
+        " AS BIGINT) AS v"
+    ).collect()[0]["v"]
+    post_duck = duckdb.sql(
+        "SELECT CAST(GREATEST(-5::HUGEINT, 0) * 990 // 984 AS BIGINT) AS v"
+    ).fetchone()[0]
+    assert post_spark == post_duck == 0

@@ -953,8 +953,12 @@ SELECT query_id, vec_id, cos, rk FROM (
 
 
 # Centroid samples are MODEL PARAMETERS (64 rows) — memoized per
-# (session, sf) like the corpus-band counts so the staged-cells
-# consumers don't re-run the TakeOrdered collect per invocation.
+# (session, sf, fixture fingerprint) like the corpus-band counts so
+# the staged-cells consumers don't re-run the TakeOrdered collect per
+# invocation. The fingerprint keeps a fixture regenerated MID-SESSION
+# from serving stale centroids while the DuckDB oracle reads the new
+# files (the layout._BUCKETED_CACHE hazard class); superseded entries
+# for the same (session, sf) are evicted on refresh.
 _IVF_CENTS_CACHE: dict = {}
 
 
@@ -962,9 +966,14 @@ def _ivf_cents_64(spark: SparkSession, sf_dir: str) -> list:
     from web_analytics_visits_re_processing_spark.operators.similarity import (
         ivf_centroids,
     )
+    from web_analytics_visits_re_processing_spark.sources.layout import (
+        _fixture_fingerprint,
+    )
 
-    k = (id(spark), sf_dir)
+    k = (id(spark), sf_dir, _fixture_fingerprint(sf_dir))
     if k not in _IVF_CENTS_CACHE:
+        for stale in [o for o in _IVF_CENTS_CACHE if o[:2] == k[:2]]:
+            del _IVF_CENTS_CACHE[stale]
         _IVF_CENTS_CACHE[k] = ivf_centroids(_emb(spark, sf_dir), 64)
     return _IVF_CENTS_CACHE[k]
 

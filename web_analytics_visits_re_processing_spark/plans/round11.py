@@ -360,9 +360,9 @@ WITH t AS (
     SELECT CAST((12000000::HUGEINT * s.ssum)
                 // (nn.n::HUGEINT * (nn.n + 1))
                 - 3000000::HUGEINT * (nn.n + 1) AS BIGINT) AS h_e6,
-           CAST(((12000000::HUGEINT * s.ssum)
-                 // (nn.n::HUGEINT * (nn.n + 1))
-                 - 3000000::HUGEINT * (nn.n + 1))
+           CAST(GREATEST((12000000::HUGEINT * s.ssum)
+                         // (nn.n::HUGEINT * (nn.n + 1))
+                         - 3000000::HUGEINT * (nn.n + 1), 0)
                 * (nn.n::HUGEINT * nn.n * nn.n - nn.n)
                 // GREATEST(nn.n::HUGEINT * nn.n * nn.n - nn.n - ties.tsum,
                             1) AS BIGINT) AS h_tie_e6
@@ -446,10 +446,15 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div (CAST(n AS DECIMAL(38,0)) * (n + 1))"
                 " - CAST(3000000 AS DECIMAL(38,0)) * (n + 1) AS BIGINT)"
             ).alias("h_e6"),
+            # H is non-negative by definition, but the truncating
+            # divisions can push the e6 fold a few units below 0 when
+            # exact H ~ 0 — and there DuckDB's // (floors) and Spark's
+            # div (truncates) disagree on the tie fold. Clamp before
+            # folding (the house sign-split rule, cf. kappa_ppm).
             F.expr(
-                "CAST((CAST(12000000 AS DECIMAL(38,0)) * ssum"
-                "      div (CAST(n AS DECIMAL(38,0)) * (n + 1))"
-                "      - CAST(3000000 AS DECIMAL(38,0)) * (n + 1))"
+                "CAST(GREATEST(CAST(12000000 AS DECIMAL(38,0)) * ssum"
+                "              div (CAST(n AS DECIMAL(38,0)) * (n + 1))"
+                "              - CAST(3000000 AS DECIMAL(38,0)) * (n + 1), 0)"
                 " * (CAST(n AS DECIMAL(38,0)) * n * n - n)"
                 " div GREATEST(CAST(n AS DECIMAL(38,0)) * n * n - n - tsum,"
                 "              1) AS BIGINT)"

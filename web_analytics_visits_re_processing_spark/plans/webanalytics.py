@@ -5935,13 +5935,26 @@ def _stage_dir() -> str:
 def _lp_cached(name: str, spark: SparkSession, key: str, build) -> DataFrame:
     import shutil
 
-    k = (name, id(spark), key)
+    # ``key`` is the fixture dir at every call site: fold its file
+    # fingerprint into the cache key so a fixture regenerated
+    # MID-SESSION restages instead of serving stale bytes (the oracle
+    # reads the new files directly — a stale hit is a spurious gate
+    # failure). Same hazard class as layout._BUCKETED_CACHE.
+    from web_analytics_visits_re_processing_spark.sources.layout import (
+        _fixture_fingerprint,
+    )
+
+    fp = _fixture_fingerprint(key) if os.path.isdir(key) else None
+    k = (name, id(spark), key, fp)
     hit = _LP_CACHE.get(k)
     if hit is not None:
         return hit[0]
     path = os.path.join(_stage_dir(), name)
     build().write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
+    # evict every superseded entry for this leaf (older fingerprint
+    # or other session) — their staged directories are gone after the
+    # overwrite anyway
     for other in [o for o in _LP_CACHE if o[0] == name and o != k]:
         _opath = _LP_CACHE.pop(other)[1]
         shutil.rmtree(os.path.dirname(_opath), ignore_errors=True)

@@ -104,6 +104,34 @@ def _fixture_fingerprint(sf_dir: str) -> tuple:
     return tuple(sorted(out))
 
 
+_CLEANUP_REGISTERED = False
+
+
+def _register_staging_cleanup() -> None:
+    """atexit removal of THIS pid's staged databases (the tag embeds
+    the pid, so concurrent stagers never delete each other's dirs) —
+    the plans/webanalytics._stage_dir precedent: without it every run
+    orphans its bucketed staging tree under /tmp."""
+    global _CLEANUP_REGISTERED
+    if _CLEANUP_REGISTERED:
+        return
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    pid = os.getpid()
+
+    def _cleanup() -> None:
+        for d in glob.glob(os.path.join(root, f"*_{pid}")):
+            shutil.rmtree(d, ignore_errors=True)
+
+    atexit.register(_cleanup)
+    _CLEANUP_REGISTERED = True
+
+
 def ensure_bucketed_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -146,9 +174,16 @@ def ensure_bucketed_tables(
     hit = _BUCKETED_CACHE.get(key)
     if hit is not None and all(spark.catalog.tableExists(t) for t in hit):
         return hit
+    # evict entries this staging supersedes (same session+path+digest,
+    # older fingerprint) — the rewrite below replaces their tables, so
+    # a long-lived session regenerating fixtures doesn't accumulate
+    # dict entries pointing at clobbered state
+    for stale in [o for o in _BUCKETED_CACHE if o[:3] == key[:3] and o != key]:
+        del _BUCKETED_CACHE[stale]
     tag = staging_tag(sf_dir, specs_digest)
     db = f"spark_graft_bucketed_{tag}"
     loc = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", tag)
+    _register_staging_cleanup()
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     names = []
     for table, build_fn, bucket_col, n_buckets in specs:
