@@ -296,11 +296,28 @@ def _read_replay_stream(
     return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
+REPLAY_SHUFFLE_PARTITIONS = "8"
+
+
 def _run_append_to_files(
     result: DataFrame, workdir: str, timeout_s: int = 300
 ) -> tuple[str, dict[str, int]]:
     """Append-mode → parquet file sink with checkpoint; returns the
-    output path and a state-eviction summary from the final progress."""
+    output path and a state-eviction summary from the final progress.
+
+    Stateful-stage width: a streaming aggregation pins its state
+    partitioning to ``spark.sql.shuffle.partitions`` AT THE FIRST
+    BATCH (it lives in the checkpoint). The replays always start a
+    fresh checkpoint over a ~MB-scale fixture, so the session-wide 32
+    would mean 32 state-store instances + 32 sink files per
+    micro-batch of pure fixed cost — scope it down to
+    ``REPLAY_SHUFFLE_PARTITIONS`` for the lifetime of the stream and
+    restore after termination (r11 verdict item 5: the streaming
+    family's ~2.4-3.9 s/query was dominated by this machinery). On a
+    real cluster the checkpoint would be created WITH the production
+    partition count — this override models "size state partitions to
+    the stream", not a correctness knob: state metrics are summed
+    across partitions and every gate hashes identically."""
     out = os.path.join(workdir, "out")
     # recentProgress retains only the last numRecentProgressUpdates
     # (default 100) updates — a chunked replay with more micro-batches
@@ -310,28 +327,34 @@ def _run_append_to_files(
     # progress event, reading the conf dynamically).
     sess = result.sparkSession
     _retention_key = "spark.sql.streaming.numRecentProgressUpdates"
+    _shuffle_key = "spark.sql.shuffle.partitions"
     try:
         _prev_retention = sess.conf.get(_retention_key)
     except Exception:
         _prev_retention = None
+    _prev_shuffle = sess.conf.get(_shuffle_key)
     sess.conf.set(_retention_key, "10000")
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
-    if not finished:
-        q.stop()
-        raise TimeoutError(f"append replay did not finish within {timeout_s}s")
-    progress = list(q.recentProgress)
-    if _prev_retention is None:
-        sess.conf.unset(_retention_key)
-    else:
-        sess.conf.set(_retention_key, _prev_retention)
+    sess.conf.set(_shuffle_key, REPLAY_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            q.stop()
+            raise TimeoutError(f"append replay did not finish within {timeout_s}s")
+        progress = list(q.recentProgress)
+    finally:
+        sess.conf.set(_shuffle_key, _prev_shuffle)
+        if _prev_retention is None:
+            sess.conf.unset(_retention_key)
+        else:
+            sess.conf.set(_retention_key, _prev_retention)
     assert len(progress) < 10000, (
         "progress buffer hit the retention cap - peak-state metrics "
         "would be truncated; raise numRecentProgressUpdates"

@@ -201,14 +201,28 @@ def user_lifetime_replay(
     )
 
     ensure_worker_protobuf(spark)  # state client needs protobuf in the worker
-    if spark.conf.get("spark.sql.streaming.stateStore.providerClass", "") != ROCKSDB_PROVIDER:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    workdir = os.path.join(
-        _TMP_ROOT, "stream_tws_lifetime", os.path.basename(sf_dir.rstrip("/")) or "sf"
-    )
-    input_dir = _prepare_replay_input(spark, sf_dir, workdir)
-    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
-    events = _read_replay_stream(spark, input_dir, max_files_per_trigger)
-    result = user_lifetime_stream(events, gap_seconds)
-    out, _ = _run_append_to_files(result, workdir)
+    # transformWithState REQUIRES the RocksDB provider, but the other
+    # streaming gates are faster on the default in-memory HDFS-backed
+    # store (tiny states; RocksDB adds per-partition native stores +
+    # maintenance) — scope the provider to THIS replay and restore.
+    _provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        _prev_provider = spark.conf.get(_provider_key)
+    except Exception:
+        _prev_provider = None
+    spark.conf.set(_provider_key, ROCKSDB_PROVIDER)
+    try:
+        workdir = os.path.join(
+            _TMP_ROOT, "stream_tws_lifetime", os.path.basename(sf_dir.rstrip("/")) or "sf"
+        )
+        input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+        shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+        events = _read_replay_stream(spark, input_dir, max_files_per_trigger)
+        result = user_lifetime_stream(events, gap_seconds)
+        out, _ = _run_append_to_files(result, workdir)
+    finally:
+        if _prev_provider is None:
+            spark.conf.unset(_provider_key)
+        else:
+            spark.conf.set(_provider_key, _prev_provider)
     return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER_ID)
