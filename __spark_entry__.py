@@ -398,6 +398,7 @@ _REGISTERED_R11 = frozenset(
 _REGISTERED_R12 = frozenset(
     {
         "streaming_tws_user_lifetime",
+        "mp4_container_meta",
     }
 )
 

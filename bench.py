@@ -376,6 +376,7 @@ HEADLINE = [
     "cramer_von_mises_two_sample",
     # round-12 additions
     "streaming_tws_user_lifetime",
+    "mp4_container_meta",
 ]
 
 

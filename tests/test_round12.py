@@ -1,0 +1,132 @@
+"""Round-12 pins: the MP4/ISO-BMFF container walk — hand-built boxes
+the fixture generator NEVER emits (64-bit largesize, to-EOF size-0,
+mvhd version 1, missing ftyp, truncated box, unknown top-level box),
+so the decoder is verified beyond the oracle-replayable subset."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from web_analytics_visits_re_processing_spark.operators.multimodal import (
+    MP4_META_SCHEMA,
+    decode_mp4_container_meta,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + fourcc + body
+
+
+def _ftyp() -> bytes:
+    return _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isom" + b"mp42")
+
+
+def _mvhd_v0(ts: int, dur: int) -> bytes:
+    return _box(
+        b"mvhd",
+        b"\x00" * 12 + ts.to_bytes(4, "big") + dur.to_bytes(4, "big")
+        + b"\x00" * 80,
+    )
+
+
+def _mvhd_v1(ts: int, dur: int) -> bytes:
+    # version 1: 64-bit creation/modification/duration
+    return _box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16 + ts.to_bytes(4, "big")
+        + dur.to_bytes(8, "big") + b"\x00" * 80,
+    )
+
+
+def _decode(spark, blobs):
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("mp4", T.BinaryType()),
+            ]
+        ),
+    )
+    rows = decode_mp4_container_meta(df).collect()
+    return {r["doc_id"]: r for r in sorted(rows, key=lambda r: r["doc_id"])}
+
+
+def test_mp4_largesize_and_size0_and_v1(spark):
+    ts, dur = 600, 3000
+    moov = _box(b"moov", _mvhd_v0(ts, dur))
+    moov_v1 = _box(b"moov", _mvhd_v1(ts, dur))
+    payload = b"\x00" * 32
+
+    # doc 0: mdat with 64-bit largesize (size field 1 + 8-byte size)
+    large_mdat = (
+        (1).to_bytes(4, "big") + b"mdat"
+        + (16 + len(payload)).to_bytes(8, "big") + payload
+    )
+    blob0 = _ftyp() + large_mdat + moov
+
+    # doc 1: trailing mdat with size 0 (extends to end of file)
+    blob1 = _ftyp() + moov + ((0).to_bytes(4, "big") + b"mdat" + payload)
+
+    # doc 2: version-1 mvhd (64-bit duration)
+    blob2 = _ftyp() + moov_v1 + _box(b"mdat", payload)
+
+    got = _decode(spark, [blob0, blob1, blob2])
+    for i in range(3):
+        assert got[i]["status"] == "ok", got[i]
+        assert got[i]["timescale"] == ts and got[i]["duration"] == dur
+        assert got[i]["duration_ms"] == dur * 1000 // ts  # 5000
+    assert got[0]["moov_offset"] == 24 + 16 + len(payload)
+    assert got[1]["moov_offset"] == 24
+    assert got[0]["n_top_boxes"] == got[1]["n_top_boxes"] == 3
+
+
+def test_mp4_malformed_conventions(spark):
+    moov = _box(b"moov", _mvhd_v0(600, 3000))
+
+    # doc 0: no ftyp first
+    blob0 = moov + _box(b"mdat", b"x")
+    # doc 1: truncated box (declares more bytes than exist)
+    blob1 = _ftyp() + (100).to_bytes(4, "big") + b"moov" + b"\x00" * 4
+    # doc 2: undersized box (size < header)
+    blob2 = _ftyp() + (4).to_bytes(4, "big") + b"moov"
+    # doc 3: unknown top-level box is SKIPPED, moov still found
+    blob3 = _ftyp() + _box(b"wide", b"") + moov + _box(b"mdat", b"x")
+
+    got = _decode(spark, [blob0, blob1, blob2, blob3])
+    assert got[0]["status"] == "no_ftyp" and got[0]["moov_offset"] == -1
+    assert got[1]["status"] == "corrupt" and got[1]["timescale"] == -1
+    assert got[2]["status"] == "corrupt"
+    assert got[3]["status"] == "ok"
+    assert got[3]["moov_offset"] == 24 + 8
+    assert got[3]["n_top_boxes"] == 4
+
+
+def test_mp4_fixture_walk_matches_generation_rule(spark):
+    """The decoder's values on the real fixture equal the generation
+    arithmetic doc-for-doc (the oracle's replay, pinned locally), and
+    the schema constant matches the decoder output."""
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    df = QUERIES["mp4_container_meta"](spark, SF_DIR)
+    assert df.schema == T._parse_datatype_string(MP4_META_SCHEMA)
+    rows = df.collect()
+    assert rows and all(r["status"] == "ok" for r in rows)
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    n_by_doc = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in rows:
+        n = n_by_doc[r["doc_id"]]
+        k, m = n % 3, n % 5 + 1
+        expect_off = 24 + k * (m + 8) + ((n + 8) if (n >> 1) & 1 else 0)
+        assert r["moov_offset"] == expect_off, (n, dict(r.asDict()))
+        assert r["n_top_boxes"] == 3 + k
+        assert r["n_tracks"] == n % 2 + 1
+        assert r["handlers"] == ("vide" if n % 2 == 0 else "vide,soun")
+        assert r["codecs"] == ("avc1" if n % 2 == 0 else "avc1,mp4a")
+        assert r["duration_ms"] == (n % 9000 + 1000) * 1000 // (n % 900 + 100)

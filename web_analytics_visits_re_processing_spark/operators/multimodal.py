@@ -797,3 +797,233 @@ def decode_jpeg_dimensions(
     return docs_with_blob.select("doc_id", blob_col).mapInPandas(
         decode, JPEG_DIMS_SCHEMA
     )
+
+
+# --- MP4/ISO-BMFF container walk ----------------------------------------------
+#
+# The fifth decode shape, and the first RECURSIVE container walk:
+# JPEG's marker hop is a flat chain, but ISO base-media boxes NEST
+# (moov > trak > mdia > minf > stbl > stsd), so a real prober walks a
+# tree by embedded big-endian sizes. Same stub-the-codec contract as
+# the rest of the module: every byte a metadata prober must touch
+# (box sizes/fourccs, mvhd timescale/duration, hdlr handler, stsd
+# sample-entry fourcc) is real; only mdat's media payload is opaque.
+
+_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)
+
+MP4_META_SCHEMA = (
+    "doc_id long, major_brand string, moov_offset long, n_top_boxes int, "
+    "timescale long, duration long, duration_ms long, n_tracks int, "
+    "handlers string, codecs string, status string"
+)
+
+
+def _mp4_trak(track_id: int, handler: bytes, codec: bytes, ts, dur):
+    """One minimal-but-spec-shaped trak box (fixed 221 bytes): tkhd
+    (92) + mdia(121) = mdhd(32, carries the movie timescale/duration
+    columns) + hdlr(33) + minf(48) > stbl(40) > stsd(32) with one
+    16-byte sample entry whose fourcc is the codec."""
+    tkhd = (
+        (92).to_bytes(4, "big") + b"tkhd" + b"\x00\x00\x00\x07"
+        + b"\x00" * 8 + track_id.to_bytes(4, "big") + b"\x00" * 4
+        + b"\x00" * 4 + b"\x00" * 8 + b"\x00" * 8
+        + _UNITY_MATRIX + b"\x00" * 8
+    )
+    mdhd = F.concat(
+        F.lit((32).to_bytes(4, "big") + b"mdhd" + b"\x00" * 12),
+        _int_to_be4(ts),
+        _int_to_be4(dur),
+        F.lit(b"\x55\xc4\x00\x00"),  # language 'und' + pre_defined
+    )
+    hdlr = (
+        (33).to_bytes(4, "big") + b"hdlr" + b"\x00" * 8
+        + handler + b"\x00" * 12 + b"\x00"
+    )
+    stsd = (
+        (32).to_bytes(4, "big") + b"stsd" + b"\x00" * 4
+        + (1).to_bytes(4, "big")
+        + (16).to_bytes(4, "big") + codec + b"\x00" * 6 + b"\x00\x01"
+    )
+    stbl = (40).to_bytes(4, "big") + b"stbl" + stsd
+    minf = (48).to_bytes(4, "big") + b"minf" + stbl
+    mdia_tail = F.concat(mdhd, F.lit(hdlr + minf))
+    mdia = F.concat(F.lit((121).to_bytes(4, "big") + b"mdia"), mdia_tail)
+    return F.concat(F.lit((221).to_bytes(4, "big") + b"trak" + tkhd), mdia)
+
+
+def with_mp4_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a REAL-structure ISO-BMFF/MP4 per document, built from
+    native expressions: ftyp (major brand isom), k = n % 3 'free'
+    padding boxes of m = n % 5 + 1 bytes each (so the moov offset
+    varies and a fixed-offset read cannot fake the walk), a moov
+    whose mvhd carries timescale = n % 900 + 100 and duration =
+    n % 9000 + 1000 and which nests t = n % 2 + 1 trak trees
+    (video avc1; + audio mp4a when t = 2), and an mdat wrapping the
+    utf-8 payload as opaque media data. Layout alternates per doc on
+    bit 1 of n: (n >> 1) & 1 = 0 → fast-start (moov before mdat),
+    1 → streaming order (mdat first) — a correct prober must WALK to
+    moov, not assume it follows ftyp."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    n = F.octet_length(payload)
+    k = (n % 3).cast("int")
+    m = (n % 5 + 1).cast("int")
+    t = (n % 2 + 1).cast("int")
+    streaming = F.shiftright(n, 1) % 2
+    ts = (n % 900 + 100).cast("int")
+    dur = (n % 9000 + 1000).cast("int")
+
+    ftyp = F.lit(
+        (24).to_bytes(4, "big") + b"ftyp" + b"isom"
+        + b"\x00\x00\x02\x00" + b"isom" + b"mp42"
+    )
+    free = F.concat(
+        _int_to_be4(m + 8), F.lit(b"free"),
+        F.encode(F.repeat(F.lit("x"), m), "utf-8"),
+    )
+    frees = (
+        F.when(k == 0, F.lit(b""))
+        .when(k == 1, free)
+        .otherwise(F.concat(free, free))
+    )
+    mvhd = F.concat(
+        F.lit((108).to_bytes(4, "big") + b"mvhd" + b"\x00" * 12),
+        _int_to_be4(ts),
+        _int_to_be4(dur),
+        F.lit(
+            b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+            + _UNITY_MATRIX + b"\x00" * 24
+        ),
+        _int_to_be4(t + 1),  # next_track_id
+    )
+    trak_v = _mp4_trak(1, b"vide", b"avc1", ts, dur)
+    trak_a = _mp4_trak(2, b"soun", b"mp4a", ts, dur)
+    traks = F.when(t == 1, trak_v).otherwise(F.concat(trak_v, trak_a))
+    moov = F.concat(_int_to_be4(t * 221 + 116), F.lit(b"moov"), mvhd, traks)
+    mdat = F.concat(_int_to_be4(n + 8), F.lit(b"mdat"), payload)
+    body = F.when(streaming == 1, F.concat(mdat, moov)).otherwise(
+        F.concat(moov, mdat)
+    )
+    return docs.withColumn("mp4", F.concat(ftyp, frees, body))
+
+
+def decode_mp4_container_meta(
+    docs_with_blob: DataFrame, blob_col: str = "mp4"
+) -> DataFrame:
+    """ISO-BMFF metadata probe: walk top-level boxes by their embedded
+    big-endian sizes (size 1 → 64-bit largesize follows the fourcc;
+    size 0 → box extends to end of file — both spec forms the
+    fixture generator never emits, pinned by hand-built pytests),
+    read the major brand from ftyp, then descend moov > mvhd for
+    timescale/duration (version 0 and 1 layouts) and each
+    moov > trak > mdia for the hdlr handler fourcc and the first
+    stsd sample-entry fourcc — what ffprobe/mp4dump do without
+    touching a media sample. Emits the moov byte offset and the
+    top-level box count so the gate verifies the WALK (the offset
+    varies per doc via padding boxes AND the fast-start/streaming
+    layout flip). Convention: no ftyp first → status 'no_ftyp';
+    truncated/undersized box → 'corrupt'; numeric fields -1.
+    Arrow-batched mapInPandas; per-doc loops are over BOXES, never
+    payload bytes."""
+
+    def _children(b: bytes, start: int, end: int):
+        """Yield (fourcc, body_start, body_end) of boxes in a range."""
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(b[i : i + 4], "big")
+            fourcc = b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    raise ValueError("truncated largesize")
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                raise ValueError("bad box size")
+            yield fourcc, i, i + hdr, i + size
+            i += size
+
+    def _first(b, start, end, fourcc):
+        for fc, _off, bs, be in _children(b, start, end):
+            if fc == fourcc:
+                return bs, be
+        return None
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob) if blob else b""
+                brand = ""
+                moov_off = -1
+                n_top = 0
+                ts = dur = dur_ms = -1
+                handlers, codecs = [], []
+                status = "ok"
+                try:
+                    top = list(_children(b, 0, len(b)))
+                    n_top = len(top)
+                    if not top or top[0][0] != b"ftyp":
+                        status = "no_ftyp"
+                        raise ValueError
+                    brand = b[top[0][2] : top[0][2] + 4].decode("ascii", "replace")
+                    for fc, off, bs, be in top:
+                        if fc != b"moov":
+                            continue
+                        moov_off = off
+                        mv = _first(b, bs, be, b"mvhd")
+                        if mv:
+                            v = b[mv[0]]
+                            if v == 1:  # 64-bit creation/modification
+                                ts = int.from_bytes(b[mv[0] + 20 : mv[0] + 24], "big")
+                                dur = int.from_bytes(b[mv[0] + 24 : mv[0] + 32], "big")
+                            else:
+                                ts = int.from_bytes(b[mv[0] + 12 : mv[0] + 16], "big")
+                                dur = int.from_bytes(b[mv[0] + 16 : mv[0] + 20], "big")
+                            dur_ms = dur * 1000 // ts if ts > 0 else -1
+                        for fc2, _o2, bs2, be2 in _children(b, bs, be):
+                            if fc2 != b"trak":
+                                continue
+                            md = _first(b, bs2, be2, b"mdia")
+                            if not md:
+                                continue
+                            hd = _first(b, md[0], md[1], b"hdlr")
+                            if hd:
+                                handlers.append(
+                                    b[hd[0] + 8 : hd[0] + 12].decode("ascii", "replace")
+                                )
+                            mi = _first(b, md[0], md[1], b"minf")
+                            st = mi and _first(b, mi[0], mi[1], b"stbl")
+                            sd = st and _first(b, st[0], st[1], b"stsd")
+                            if sd:
+                                codecs.append(
+                                    b[sd[0] + 12 : sd[0] + 16].decode("ascii", "replace")
+                                )
+                except ValueError:
+                    if status == "ok":
+                        status = "corrupt"
+                    moov_off, ts, dur, dur_ms = -1, -1, -1, -1
+                rows.append(
+                    (
+                        doc_id, brand, moov_off, n_top, ts, dur, dur_ms,
+                        len(handlers), ",".join(handlers), ",".join(codecs),
+                        status,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "major_brand", "moov_offset", "n_top_boxes",
+                    "timescale", "duration", "duration_ms", "n_tracks",
+                    "handlers", "codecs", "status",
+                ],
+            )
+
+    return docs_with_blob.select("doc_id", blob_col).mapInPandas(
+        decode, MP4_META_SCHEMA
+    )

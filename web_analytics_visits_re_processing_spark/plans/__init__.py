@@ -16,6 +16,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     relational,
     round10,
     round11,
+    round12,
     sqlbattery,
     streaming_queries,
     webanalytics,
