@@ -130,3 +130,20 @@ def test_mp4_fixture_walk_matches_generation_rule(spark):
         assert r["handlers"] == ("vide" if n % 2 == 0 else "vide,soun")
         assert r["codecs"] == ("avc1" if n % 2 == 0 else "avc1,mp4a")
         assert r["duration_ms"] == (n % 9000 + 1000) * 1000 // (n % 900 + 100)
+
+
+def test_order_reconciliation_zero_join_exchange(spark):
+    """order_value_reconciliation is the bucketed layout's third
+    consumer (r11 verdict item 8): the per-order line rollup groups on
+    the bucket key and the header LEFT join runs as co-located
+    SortMergeJoin — ZERO hash exchange in the whole plan (the only
+    exchange is the final single-row aggregate)."""
+    import re
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    df = QUERIES["order_value_reconciliation"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert len(re.findall(r"SortMergeJoin.*LeftOuter", plan)) == 1, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan

@@ -4715,9 +4715,28 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently of the lines, so the drift columns are non-zero BY
     CONSTRUCTION — which is precisely what makes the audit's
     arithmetic verifiable at the gate). One order-keyed rollup + a
-    LEFT join so line-less orders reconcile against zero."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    LEFT join so line-less orders reconcile against zero.
+
+    Since r12 both fact legs READ THE SESSION-STAGED BUCKETED LAYOUT
+    (``plans/round10._ensure_bucketed`` — the same write-once tables
+    the r10 layout gates and the referential audit consume): the
+    per-order line rollup groups on the bucket key (no exchange for
+    the fact-sized aggregation) and the header join runs as
+    co-located SortMergeJoin with zero join-side exchange
+    (plan-pinned). At 100 TB the fact shuffle + fact×fact join
+    exchange IS this audit's cost — the layout removes both; the
+    merge hint keeps fixture-scale Spark from broadcasting around
+    the layout this query exists to exercise."""
+    from web_analytics_visits_re_processing_spark.plans.round10 import (
+        _ensure_bucketed,
+    )
+    from web_analytics_visits_re_processing_spark.sources.layout import (
+        read_table,
+    )
+
+    li_tbl, ord_tbl = _ensure_bucketed(spark, sf_dir)
+    li = read_table(spark, li_tbl)
+    o = read_table(spark, ord_tbl)
     lines = li.groupBy(F.col("l_orderkey")).agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("line_cents")
     )
@@ -4726,7 +4745,7 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("long").alias(
             "header_cents"
         ),
-    ).join(
+    ).hint("merge").join(
         lines.withColumnRenamed("l_orderkey", "o_orderkey"),
         "o_orderkey",
         "left",

@@ -185,8 +185,13 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             ),
             (
                 "orders_by_orderkey",
+                # o_totalprice rides along since r12 so the SAME
+                # staged layout serves order_value_reconciliation —
+                # the write-once/join-many trade's third consumer
+                # (one extra column at write time vs a third staging
+                # database).
                 lambda s, d: load_table(s, d, "orders").select(
-                    "o_orderkey", "o_orderpriority"
+                    "o_orderkey", "o_orderpriority", "o_totalprice"
                 ),
                 "o_orderkey",
                 8,
