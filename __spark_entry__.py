@@ -399,6 +399,10 @@ _REGISTERED_R12 = frozenset(
     {
         "streaming_tws_user_lifetime",
         "mp4_container_meta",
+        "scc_nav_graph",
+        "jonckheere_trend_priority",
+        "friedman_daily_type_ranks",
+        "html_boilerplate_extract",
     }
 )
 

@@ -377,6 +377,10 @@ HEADLINE = [
     # round-12 additions
     "streaming_tws_user_lifetime",
     "mp4_container_meta",
+    "scc_nav_graph",
+    "jonckheere_trend_priority",
+    "friedman_daily_type_ranks",
+    "html_boilerplate_extract",
 ]
 
 

@@ -147,3 +147,180 @@ def test_order_reconciliation_zero_join_exchange(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert len(re.findall(r"SortMergeJoin.*LeftOuter", plan)) == 1, plan
     assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+
+
+# --- SCC ------------------------------------------------------------------------
+
+
+def test_scc_planted_structure(spark):
+    """Hand-built directed graph with known SCCs: a 3-cycle {1,2,3},
+    a mutual pair {10,11}, a one-way bridge 3->10 (must NOT merge the
+    components), and an isolated sink 20."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10), (11, 20)],
+        ["src", "dst"],
+    )
+    rows = {
+        r["node"]: (r["scc_id"], r["scc_size"])
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert rows[1] == rows[2] == rows[3] == (1, 3)
+    assert rows[10] == rows[11] == (10, 2)
+    assert rows[20] == (20, 1)
+    assert len(rows) == 6
+
+
+def test_scc_long_cycle_needs_squaring(spark):
+    """A directed 9-cycle: the closure needs ceil(log2(9)) squaring
+    rounds — a single-hop 'mutual edge' shortcut would leave every
+    node a singleton. All 9 nodes must land in one SCC."""
+    from web_analytics_visits_re_processing_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 9
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+    )
+    rows = strongly_connected_components(edges).collect()
+    assert {r["scc_id"] for r in rows} == {0}
+    assert all(r["scc_size"] == n for r in rows)
+
+
+# --- Jonckheere-Terpstra ---------------------------------------------------------
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    """The histogram-keyed U2 equals the O(n^2) pairwise definition on
+    the real fixture (small enough at sf0.001 to brute-force), tie
+    handling included."""
+    from itertools import combinations
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    rows = QUERIES["jonckheere_trend_priority"](spark, SF_DIR).collect()
+    data = {}
+    for r in (
+        load_table(spark, SF_DIR, "orders")
+        .selectExpr(
+            "CAST(substring(o_orderpriority, 1, 1) AS INT) AS g",
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        data.setdefault(r["g"], []).append(r["cents"])
+    expect = {}
+    for gi, gj in combinations(sorted(data), 2):
+        u2 = sum(
+            2 * sum(1 for x in data[gi] if x < y)
+            + sum(1 for x in data[gi] if x == y)
+            for y in data[gj]
+        )
+        expect[(gi, gj)] = u2
+    got = {(r["gi"], r["gj"]): r["u2"] for r in rows}
+    assert got == expect
+    jt2 = {r["jt2"] for r in rows}
+    ejt2 = {r["ejt2"] for r in rows}
+    assert jt2 == {sum(expect.values())}
+    assert ejt2 == {
+        sum(
+            len(data[a]) * len(data[b])
+            for a, b in combinations(sorted(data), 2)
+        )
+    }
+
+
+# --- Friedman ---------------------------------------------------------------------
+
+
+def test_friedman_matches_fraction_reference(spark):
+    """Q recomputed independently with exact Fractions and classic
+    midranks from the raw day-by-type cells."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    rows = QUERIES["friedman_daily_type_ranks"](spark, SF_DIR).collect()
+    q_e6 = {r["q_e6"] for r in rows}
+    assert len(q_e6) == 1
+    cells = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "CAST(ts AS DATE) AS day",
+            "event_type",
+            "CAST(FLOOR(value * 100) AS BIGINT) AS c",
+        )
+        .groupBy("day", "event_type")
+        .agg({"c": "sum"})
+        .collect()
+    ):
+        cells.setdefault(str(r["day"]), {})[r["event_type"]] = r["sum(c)"]
+    complete = {d: v for d, v in cells.items() if len(v) == 5}
+    k = 5
+    b = len(complete)
+    rsum = Counter()
+    for _d, byt in complete.items():
+        vals = sorted(byt.values())
+        for t, v in byt.items():
+            less = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            rsum[t] += Fraction(2 * less + ties + 1, 2)
+    q = Fraction(12, b * k * (k + 1)) * sum(v**2 for v in rsum.values()) - 3 * b * (
+        k + 1
+    )
+    got = next(iter(q_e6)) / 1e6
+    assert abs(got - float(q)) < 0.01, (got, float(q))
+    assert {r["n_days"] for r in rows} == {b}
+
+
+# --- HTML boilerplate extraction ---------------------------------------------------
+
+
+def test_html_extract_entity_and_empty_edge_cases(spark):
+    """Texts the fixture never contains: entity-bearing (& < >, which
+    must escape into the page and round-trip back exactly), empty
+    text (zero paragraphs), and a 64-char boundary (exactly one full
+    paragraph, no ragged tail)."""
+    from web_analytics_visits_re_processing_spark.plans.round12 import (
+        q_html_boilerplate_extract,
+    )
+    from unittest import mock
+
+    texts = [
+        "a & b < c > d && <<tag>> &amp; already",
+        "",
+        "x" * 64,
+        "y" * 65,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    with mock.patch(
+        "web_analytics_visits_re_processing_spark.plans.round12.load_table",
+        return_value=df,
+    ):
+        rows = {
+            r["doc_id"]: r
+            for r in q_html_boilerplate_extract(spark, "ignored").collect()
+        }
+    for i, t in enumerate(texts):
+        assert rows[i]["extract_ok"] is True, (i, dict(rows[i].asDict()))
+        assert rows[i]["main_chars"] == len(t)
+    amp, lt, gt = (texts[0].count(c) for c in "&<>")
+    n_esc = len(texts[0]) + 4 * amp + 3 * lt + 3 * gt
+    assert rows[0]["para_chars"] == n_esc
+    assert rows[0]["n_paragraphs"] == (n_esc + 63) // 64
+    assert rows[1]["n_paragraphs"] == 0 and rows[1]["para_chars"] == 0
+    assert rows[2]["n_paragraphs"] == 1
+    assert rows[3]["n_paragraphs"] == 2
+    # boilerplate budget: header + j nav links + footer
+    for i, t in enumerate(texts):
+        assert rows[i]["boiler_chars"] == 43 + 23 * (len(t) % 4) + 39

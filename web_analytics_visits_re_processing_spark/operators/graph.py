@@ -753,3 +753,68 @@ def multi_source_bfs(
         dist = dist.unionAll(discovered).localCheckpoint(eager=True)
         frontier = discovered
     return dist.select("seed", F.col("n").alias("node"), "dist")
+
+
+def strongly_connected_components(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """SCC of a DIRECTED graph by transitive-closure squaring + the
+    mutual-reachability min-label: v and u share an SCC iff v→*u AND
+    u→*v, so scc_id(v) = min over v's mutual-reach set (v included).
+
+    The closure grows by SQUARING (reach ∘ reach each round), so
+    convergence takes ceil(log2(diameter)) rounds, each a distributed
+    self-join + distinct — 7 rounds covers diameter 128; every round
+    ``localCheckpoint``s to truncate lineage (the module convention).
+    Intended for BOUNDED node sets (page ids, event taxonomies,
+    canonical URLs after host rollup — the condensation inputs a nav
+    analysis runs on); the closure table is O(nodes²) worst case and
+    this is NOT the tool for billion-node graphs (those want
+    forward-backward Coloring/Trim — future work). Returns one row
+    per node: (node, scc_id, scc_size)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = e
+    n_reach = reach.count()
+    while True:
+        hop2 = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        new = reach.union(hop2).distinct().localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_new == n_reach:
+            break
+        reach, n_reach = new, n_new
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.alias("r"),
+            (F.col("f.dst") == F.col("r.src")) & (F.col("f.src") == F.col("r.dst")),
+        )
+        .select(F.col("f.src").alias("node"), F.col("f.dst").alias("peer"))
+    )
+    scc = (
+        nodes.join(mutual, "node", "left")
+        .groupBy("node")
+        .agg(
+            F.least(
+                F.col("node"), F.coalesce(F.min("peer"), F.col("node"))
+            ).alias("scc_id")
+        )
+    )
+    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return scc.join(F.broadcast(sizes), "scc_id").select(
+        "node", "scc_id", "scc_size"
+    )
