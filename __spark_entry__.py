@@ -403,6 +403,8 @@ _REGISTERED_R12 = frozenset(
         "jonckheere_trend_priority",
         "friedman_daily_type_ranks",
         "html_boilerplate_extract",
+        "runs_test_daily_revenue",
+        "pages_l_trend_monthly_priority",
     }
 )
 

@@ -381,6 +381,8 @@ HEADLINE = [
     "jonckheere_trend_priority",
     "friedman_daily_type_ranks",
     "html_boilerplate_extract",
+    "runs_test_daily_revenue",
+    "pages_l_trend_monthly_priority",
 ]
 
 

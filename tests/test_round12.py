@@ -324,3 +324,86 @@ def test_html_extract_entity_and_empty_edge_cases(spark):
     # boilerplate budget: header + j nav links + footer
     for i, t in enumerate(texts):
         assert rows[i]["boiler_chars"] == 43 + 23 * (len(t) % 4) + 39
+
+
+# --- runs test ---------------------------------------------------------------------
+
+
+def test_runs_test_matches_python_reference(spark):
+    """R, the sign counts, and the run-length histogram recomputed
+    independently in Python from the raw fixture."""
+    from collections import Counter
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    rows = QUERIES["runs_test_daily_revenue"](spark, SF_DIR).collect()
+    daily = sorted(
+        (str(r["day"]), r["c"])
+        for r in load_table(spark, SF_DIR, "events")
+        .selectExpr("CAST(ts AS DATE) AS day", "CAST(FLOOR(value*100) AS BIGINT) AS v")
+        .groupBy("day")
+        .agg({"v": "sum"})
+        .withColumnRenamed("sum(v)", "c")
+        .collect()
+    )
+    vals = sorted(c for _d, c in daily)
+    m = vals[(len(vals) + 1) // 2 - 1]
+    signs = [1 if c > m else 0 for _d, c in daily if c != m]
+    runs = []
+    for s in signs:
+        if runs and runs[-1][0] == s:
+            runs[-1][1] += 1
+        else:
+            runs.append([s, 1])
+    hist = Counter((s, ln) for s, ln in runs)
+    got_hist = {(r["sgn"], r["run_len"]): r["n_runs"] for r in rows}
+    assert got_hist == dict(hist)
+    n1, n0 = sum(signs), len(signs) - sum(signs)
+    assert {r["r"] for r in rows} == {len(runs)}
+    assert {(r["n1"], r["n0"]) for r in rows} == {(n1, n0)}
+    assert {r["e_r_e6"] for r in rows} == {
+        1_000_000 + 2_000_000 * n1 * n0 // (n1 + n0)
+    }
+
+
+# --- Page's L -----------------------------------------------------------------------
+
+
+def test_pages_l_matches_fraction_reference(spark):
+    """L recomputed with exact Fractions and classic midranks; the
+    monotone-trend weighting j*R_j distinguishes it from Friedman."""
+    from fractions import Fraction
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    rows = QUERIES["pages_l_trend_monthly_priority"](spark, SF_DIR).collect()
+    cells = {}
+    for r in (
+        load_table(spark, SF_DIR, "orders")
+        .selectExpr(
+            "date_format(CAST(o_orderdate AS DATE), 'yyyy-MM') AS mon",
+            "CAST(substring(o_orderpriority,1,1) AS INT) AS g",
+            "CAST(FLOOR(o_totalprice*100) AS BIGINT) AS v",
+        )
+        .groupBy("mon", "g")
+        .agg({"v": "sum"})
+        .collect()
+    ):
+        cells.setdefault(r["mon"], {})[r["g"]] = r["sum(v)"]
+    complete = {m: v for m, v in cells.items() if len(v) == 5}
+    rsum = {}
+    for _m, byg in complete.items():
+        vals = sorted(byg.values())
+        for g, v in byg.items():
+            less = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            rsum[g] = rsum.get(g, Fraction(0)) + Fraction(2 * less + ties + 1, 2)
+    l_exact = sum(g * rv for g, rv in rsum.items())
+    got_r2 = {r["g"]: r["r2"] for r in rows}
+    assert got_r2 == {g: int(2 * rv) for g, rv in rsum.items()}
+    assert {r["l2"] for r in rows} == {int(2 * l_exact)}
+    b = len(complete)
+    assert {r["e_l2"] for r in rows} == {b * 5 * 36 // 2}
+    assert {r["n_months"] for r in rows} == {b}

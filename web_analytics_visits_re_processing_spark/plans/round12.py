@@ -476,3 +476,184 @@ def q_html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("boiler_chars"),
         (F.col("main") == F.col("text")).alias("extract_ok"),
     )
+
+
+# --- Wald-Wolfowitz runs test on the daily revenue sequence ---------------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events GROUP BY 1
+), med AS (
+    -- explicit rank-based discrete median (position ceil(n/2) of the
+    -- ordered dailies) so both engines pick the IDENTICAL element —
+    -- never a sketch, never interpolation
+    SELECT cents AS m FROM (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ) WHERE rn = (n + 1) // 2
+), signed AS (
+    SELECT day, CASE WHEN cents > med.m THEN 1 ELSE 0 END AS sgn
+    FROM daily, med WHERE cents != med.m
+), isl AS (
+    SELECT sgn,
+           ROW_NUMBER() OVER (ORDER BY day)
+             - ROW_NUMBER() OVER (PARTITION BY sgn ORDER BY day) AS grp
+    FROM signed
+), runs AS (
+    SELECT sgn, grp, COUNT(*)::BIGINT AS run_len FROM isl GROUP BY 1, 2
+), hist AS (
+    SELECT sgn, run_len, COUNT(*)::BIGINT AS n_runs FROM runs GROUP BY 1, 2
+), stats AS (
+    SELECT (SELECT COUNT(*) FROM runs)::BIGINT AS r,
+           (SELECT COUNT(*) FROM signed WHERE sgn = 1)::BIGINT AS n1,
+           (SELECT COUNT(*) FROM signed WHERE sgn = 0)::BIGINT AS n0
+)
+SELECT h.sgn, h.run_len, h.n_runs, s.r, s.n1, s.n0,
+       CAST(1000000 + (2000000::HUGEINT * s.n1 * s.n0)
+            // GREATEST(s.n1 + s.n0, 1) AS BIGINT) AS e_r_e6
+FROM hist h CROSS JOIN stats s
+"""
+
+
+@query("runs_test_daily_revenue", oracle=_RUNS_ORACLE)
+def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue sign sequence
+    (above/below the exact discrete median, median-tie days dropped —
+    the classic convention): too FEW runs means the days cluster
+    (momentum/regime), too MANY means they alternate (over-dispersion
+    or negative autocorrelation) — the randomness check the
+    changepoint and autocorrelation monitors assume but never test.
+    Emits the per-sign RUN-LENGTH HISTOGRAM (gaps-and-islands run ids
+    via the double-row_number trick, then a length rollup — the gate
+    hashes the whole run structure, not one scalar) plus the run
+    count R, the sign counts, and the exact null expectation
+    E[R]·1e6 = 1e6 + 2e6·n1·n0 div (n1+n0) by truncating division on
+    both engines. One fact scan → ≤365-row daily rollup; everything
+    after is window work on the tiny table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100)).alias("cents")
+    )
+    # explicit rank-based discrete median — the identical element on
+    # both engines (position ceil(n/2)), never a sketch
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(Window.orderBy("cents")).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("cents").alias("m"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("cents") != F.col("m"))
+        .select(
+            "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("sgn")
+        )
+    )
+    isl = signed.select(
+        "sgn",
+        (
+            F.row_number().over(Window.orderBy("day"))
+            - F.row_number().over(Window.partitionBy("sgn").orderBy("day"))
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("sgn", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    hist = runs.groupBy("sgn", "run_len").agg(F.count(F.lit(1)).alias("n_runs"))
+    stats = runs.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        signed.agg(
+            F.sum("sgn").alias("n1"),
+            F.sum(F.lit(1) - F.col("sgn")).alias("n0"),
+        )
+    )
+    return hist.crossJoin(F.broadcast(stats)).select(
+        "sgn", "run_len", "n_runs", "r", "n1", "n0",
+        F.expr(
+            "CAST(1000000 + (CAST(2000000 AS DECIMAL(38,0)) * n1 * n0)"
+            " div GREATEST(n1 + n0, 1) AS BIGINT)"
+        ).alias("e_r_e6"),
+    )
+
+
+# --- Page's L ordered trend across month-blocks ----------------------------------
+
+_PAGES_L_ORACLE = """
+WITH cell AS (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+           CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+           SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders GROUP BY 1, 2
+), complete AS (
+    SELECT mon FROM cell GROUP BY mon HAVING COUNT(*) = 5
+), ranked AS (
+    SELECT c.mon, c.g,
+           2 * RANK() OVER (PARTITION BY c.mon ORDER BY c.cents)
+             + COUNT(*) OVER (PARTITION BY c.mon, c.cents) - 1 AS mid2
+    FROM cell c JOIN complete USING (mon)
+), r AS (
+    SELECT g, SUM(mid2)::BIGINT AS r2 FROM ranked GROUP BY 1
+), b AS (SELECT COUNT(*)::BIGINT AS b FROM complete),
+tot AS (
+    SELECT (SELECT SUM(g::HUGEINT * r2) FROM r)::BIGINT AS l2,
+           (b.b::HUGEINT * 5 * 36 // 2)::BIGINT AS e_l2
+    FROM b
+)
+SELECT r.g, r.r2, (SELECT b FROM b) AS n_months, tot.l2, tot.e_l2
+FROM r CROSS JOIN tot
+"""
+
+
+@query("pages_l_trend_monthly_priority", oracle=_PAGES_L_ORACLE)
+def q_pages_l_trend_monthly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L — the ORDERED-alternative companion to Friedman (same
+    block-rank machinery, different question): within each month-block
+    rank the 5 priority classes by revenue, then L = Σ j·R_j weights
+    the rank sums by the HYPOTHESIZED order 1-URGENT < … < 5-LOW —
+    sensitive to a monotone trend that Friedman's omnibus Q dilutes.
+    ×2 midranks keep it integer (L2 = 2L); null expectation E[L2] =
+    b·k·(k+1)²/2 exact. Complete blocks only, like Friedman. Emits
+    per-priority rank sums with the totals replicated (the gate
+    hashes the decomposition). One fact scan → month×priority cells;
+    window ranks on the tiny cell table."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("mon"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100)).alias("cents"))
+    complete = (
+        cell.groupBy("mon").agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") == 5)
+        .select("mon")
+    )
+    ranked = cell.join(complete, "mon").select(
+        "mon", "g",
+        (
+            2 * F.rank().over(Window.partitionBy("mon").orderBy("cents"))
+            + F.count(F.lit(1)).over(Window.partitionBy("mon", "cents"))
+            - 1
+        ).alias("mid2"),
+    )
+    r = ranked.groupBy("g").agg(F.sum("mid2").alias("r2"))
+    b = complete.agg(F.count(F.lit(1)).alias("b"))
+    tot = (
+        r.agg(F.sum(F.col("g") * F.col("r2")).alias("l2"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "l2",
+            F.expr("CAST(CAST(b AS DECIMAL(38,0)) * 5 * 36 div 2 AS BIGINT)").alias(
+                "e_l2"
+            ),
+            F.col("b").alias("n_months"),
+        )
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "g", "r2", "n_months", "l2", "e_l2"
+    )
