@@ -639,18 +639,50 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recursive CTE re-evaluates its referenced relations each step,
     # and recursing directly over the event-scale rollup re-scanned
     # events ~30 times (measured 10 s at sf0.1 → 0.5 s this way).
+    #
+    # r12: the recursion is UNROLLED 4 days per step — the residual
+    # cost of this family is Spark's per-ITERATION plan overhead
+    # (~50 ms/step), so advancing 4 truncation-exact updates inside
+    # one step (nested `div 10` folds, each intermediate truncation
+    # preserved verbatim) quarters the iteration count: measured
+    # 6.5 → 3.0 s warm at sf0.1, output byte-identical (the DuckDB
+    # oracle recursion stays per-day — values, not step counts, are
+    # what the gate hashes). LEFT joins + the filter() guard handle a
+    # series length that is not a multiple of 4.
     _daily_seq(spark, sf_dir).createOrReplaceTempView("ewma_seq_r7")
     return spark.sql(
         """
 WITH RECURSIVE ew AS (
-    SELECT n, d, x, x AS ewma FROM ewma_seq_r7 WHERE n = 1
+    SELECT CAST(n AS BIGINT) AS last_n, CAST(x AS BIGINT) AS ewma,
+           array(struct(nullif(n, -1) AS n, d, x, CAST(x AS BIGINT) AS ewma)) AS batch
+    FROM ewma_seq_r7 WHERE n = 1
     UNION ALL
-    SELECT s.n, s.d, s.x, (2 * s.x + 8 * e.ewma) div 10
-    FROM ew e JOIN ewma_seq_r7 s ON s.n = e.n + 1
+    SELECT CAST(COALESCE(s4.n, s3.n, s2.n, s1.n) AS BIGINT) AS last_n,
+           CAST(COALESCE(
+             (2*s4.x + 8*((2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10)) div 10,
+             (2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10,
+             (2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10,
+             (2*s1.x + 8*e.ewma) div 10) AS BIGINT) AS ewma,
+           filter(array(
+             struct(s1.n AS n, s1.d AS d, s1.x AS x,
+                    CAST((2*s1.x + 8*e.ewma) div 10 AS BIGINT) AS ewma),
+             struct(s2.n, s2.d, s2.x,
+                    CAST((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10 AS BIGINT) AS ewma),
+             struct(s3.n, s3.d, s3.x,
+                    CAST((2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10 AS BIGINT) AS ewma),
+             struct(s4.n, s4.d, s4.x,
+                    CAST((2*s4.x + 8*((2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10)) div 10 AS BIGINT) AS ewma)
+           ), r -> r.n IS NOT NULL) AS batch
+    FROM ew e
+    JOIN ewma_seq_r7 s1 ON s1.n = e.last_n + 1
+    LEFT JOIN ewma_seq_r7 s2 ON s2.n = e.last_n + 2
+    LEFT JOIN ewma_seq_r7 s3 ON s3.n = e.last_n + 3
+    LEFT JOIN ewma_seq_r7 s4 ON s4.n = e.last_n + 4
 )
-SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day,
-       x AS revenue_cents, CAST(ewma AS BIGINT) AS ewma_cents
-FROM ew ORDER BY day_n
+SELECT r.n AS day_n, date_format(r.d, 'yyyy-MM-dd') AS day,
+       r.x AS revenue_cents, r.ewma AS ewma_cents
+FROM ew LATERAL VIEW explode(batch) t AS r
+ORDER BY day_n
 """
     )
 

@@ -128,20 +128,57 @@ def q_km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "km_hazard", spark, sf_dir,
         lambda: q_churn_hazard_curve(spark, sf_dir),
     ).createOrReplaceTempView("km_hazard_r8")
+    # r12: recursion UNROLLED 4 horizon-days per step (the ewma
+    # pattern — per-ITERATION plan overhead dominates this family, so
+    # advancing 4 truncation-exact survival folds per step quarters
+    # the iteration count; the DuckDB oracle recursion stays per-day
+    # and the gate hashes values, not step counts).
     return spark.sql(
         """
 WITH RECURSIVE km AS (
-    SELECT t, n_at_risk, n_churned, hazard_ppm,
-           (1000000 - hazard_ppm) AS survival_ppm
+    SELECT CAST(t AS BIGINT) AS last_t,
+           CAST(1000000 - hazard_ppm AS BIGINT) AS surv,
+           array(struct(nullif(t, -1) AS t, n_at_risk, n_churned, hazard_ppm,
+                        CAST(1000000 - hazard_ppm AS BIGINT) AS survival_ppm)) AS batch
     FROM km_hazard_r8 WHERE t = 0
     UNION ALL
-    SELECT h.t, h.n_at_risk, h.n_churned, h.hazard_ppm,
-           (k.survival_ppm * (1000000 - h.hazard_ppm)) div 1000000
-    FROM km k JOIN km_hazard_r8 h ON h.t = k.t + 1
+    SELECT CAST(COALESCE(h4.t, h3.t, h2.t, h1.t) AS BIGINT) AS last_t,
+           CAST(COALESCE(
+             (((((k.surv * (1000000 - h1.hazard_ppm)) div 1000000)
+                 * (1000000 - h2.hazard_ppm) div 1000000)
+                 * (1000000 - h3.hazard_ppm) div 1000000)
+                 * (1000000 - h4.hazard_ppm) div 1000000),
+             ((((k.surv * (1000000 - h1.hazard_ppm)) div 1000000)
+                 * (1000000 - h2.hazard_ppm) div 1000000)
+                 * (1000000 - h3.hazard_ppm) div 1000000),
+             (((k.surv * (1000000 - h1.hazard_ppm)) div 1000000)
+                 * (1000000 - h2.hazard_ppm) div 1000000),
+             ((k.surv * (1000000 - h1.hazard_ppm)) div 1000000)) AS BIGINT) AS surv,
+           filter(array(
+             struct(h1.t AS t, h1.n_at_risk, h1.n_churned, h1.hazard_ppm,
+                    CAST((k.surv * (1000000 - h1.hazard_ppm)) div 1000000 AS BIGINT) AS survival_ppm),
+             struct(h2.t, h2.n_at_risk, h2.n_churned, h2.hazard_ppm,
+                    CAST(((k.surv * (1000000 - h1.hazard_ppm)) div 1000000)
+                         * (1000000 - h2.hazard_ppm) div 1000000 AS BIGINT) AS survival_ppm),
+             struct(h3.t, h3.n_at_risk, h3.n_churned, h3.hazard_ppm,
+                    CAST((((k.surv * (1000000 - h1.hazard_ppm)) div 1000000)
+                          * (1000000 - h2.hazard_ppm) div 1000000)
+                         * (1000000 - h3.hazard_ppm) div 1000000 AS BIGINT) AS survival_ppm),
+             struct(h4.t, h4.n_at_risk, h4.n_churned, h4.hazard_ppm,
+                    CAST(((((k.surv * (1000000 - h1.hazard_ppm)) div 1000000)
+                           * (1000000 - h2.hazard_ppm) div 1000000)
+                          * (1000000 - h3.hazard_ppm) div 1000000)
+                         * (1000000 - h4.hazard_ppm) div 1000000 AS BIGINT) AS survival_ppm)
+           ), r -> r.t IS NOT NULL) AS batch
+    FROM km k
+    JOIN km_hazard_r8 h1 ON h1.t = k.last_t + 1
+    LEFT JOIN km_hazard_r8 h2 ON h2.t = k.last_t + 2
+    LEFT JOIN km_hazard_r8 h3 ON h3.t = k.last_t + 3
+    LEFT JOIN km_hazard_r8 h4 ON h4.t = k.last_t + 4
 )
-SELECT t, n_at_risk, n_churned, hazard_ppm,
-       CAST(survival_ppm AS BIGINT) AS survival_ppm
-FROM km ORDER BY t
+SELECT r.t, r.n_at_risk, r.n_churned, r.hazard_ppm, r.survival_ppm
+FROM km LATERAL VIEW explode(batch) x AS r
+ORDER BY t
 """
     )
 
