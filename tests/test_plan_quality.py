@@ -723,6 +723,10 @@ _UNPARTITIONED_WINDOW_WHITELIST: dict[str, frozenset] = {
     "weekly_revenue_wow_change": frozenset({"week"}),
     "longest_growth_streak_weeks": frozenset({"w"}),
     "changepoint_scan_daily": frozenset({"day", "<unordered>"}),
+    # runs test: median row_number over the ≤365-row daily rollup,
+    # the day-ordered sign sequence, and the whole-frame n count —
+    # all calendar grain
+    "runs_test_daily_revenue": frozenset({"cents", "day", "<unordered>"}),
     "max_drawdown_daily": frozenset({"day"}),
     "local_extrema_days": frozenset({"day"}),
     "ewma_daily_revenue": frozenset({"d"}),
