@@ -405,6 +405,7 @@ _REGISTERED_R12 = frozenset(
         "html_boilerplate_extract",
         "runs_test_daily_revenue",
         "pages_l_trend_monthly_priority",
+        "streaming_tws_type_rollup",
     }
 )
 

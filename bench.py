@@ -383,6 +383,7 @@ HEADLINE = [
     "html_boilerplate_extract",
     "runs_test_daily_revenue",
     "pages_l_trend_monthly_priority",
+    "streaming_tws_type_rollup",
 ]
 
 

@@ -407,3 +407,43 @@ def test_pages_l_matches_fraction_reference(spark):
     b = len(complete)
     assert {r["e_l2"] for r in rows} == {b * 5 * 36 // 2}
     assert {r["n_months"] for r in rows} == {b}
+
+
+# --- transformWithState MapState/ListState rollup -----------------------------
+
+
+def test_tws_type_rollup_equals_batch(spark):
+    """The MapState/ListState rollup replay equals the batch
+    groupBy(user, type) verbatim, and the ListState-derived log_total
+    equals the per-user event count (cross-state consistency)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.streaming.tws import (
+        transform_with_state_available,
+        user_type_rollup_replay,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("no protobuf runtime (real or shim)")
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["value_cents"], r["log_total"])
+        for r in user_type_rollup_replay(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").where(F.col("ts").isNotNull())
+    per_type = {
+        (r["user_id"], r["event_type"]): (r["n"], r["c"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.floor(F.col("value") * 100)).alias("c"))
+        .collect()
+    }
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == set(per_type)
+    for (u, t), (n, c, lt) in got.items():
+        assert (n, c) == per_type[(u, t)]
+        assert lt == per_user[u]

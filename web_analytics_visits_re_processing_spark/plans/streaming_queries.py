@@ -360,6 +360,39 @@ GROUP BY user_id
 
         return user_lifetime_replay(spark, sf_dir)
 
+    @query(
+        "streaming_tws_type_rollup",
+        oracle="""
+WITH t AS (
+    SELECT user_id, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM events GROUP BY 1, 2
+), u AS (
+    SELECT user_id, SUM(n_events)::BIGINT AS log_total FROM t GROUP BY 1
+)
+SELECT t.user_id, t.event_type, t.n_events, t.value_cents, u.log_total
+FROM t JOIN u USING (user_id)
+""",
+    )
+    def q_streaming_tws_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user per-event-type rollup via transformWithStateInPandas
+        MAP state + a ListState batch log (``streaming.tws.
+        TypeRollupProcessor``) — exists to wire-verify, through the
+        real JVM state server, the state-client protocol paths the
+        ValueState operator never touches (MapState GetValue /
+        ContainsKey / UpdateValue / Iterator with KeyAndValuePair
+        pagination; ListState AppendValue / paged ListStateGet). The
+        emitted set equals the batch ``groupBy(user, type)`` verbatim,
+        and ``log_total`` (ListState-derived) must equal the per-user
+        batch count — a cross-state consistency the oracle checks for
+        free."""
+        from web_analytics_visits_re_processing_spark.streaming.tws import (
+            user_type_rollup_replay,
+        )
+
+        return user_type_rollup_replay(spark, sf_dir)
+
 
 @query(
     "streaming_static_enrich",

@@ -226,3 +226,154 @@ def user_lifetime_replay(
         else:
             spark.conf.set(_provider_key, _prev_provider)
     return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER_ID)
+
+
+# --- MapState + ListState rollup (the rest of the typed-state surface) --------
+
+TYPE_ROLLUP_SCHEMA = (
+    "user_id long, event_type string, n_events long, value_cents long, "
+    "log_total long"
+)
+
+
+class TypeRollupProcessor(StatefulProcessor):
+    """Per-user per-event-type rollup held in a ``MapState`` plus a
+    per-batch arrival log in a ``ListState``, emitted once per user by
+    the same watermark-passes-horizon timer as the lifetime operator.
+
+    Exists to exercise (and therefore wire-verify, through the real
+    JVM state server) the state-client protocol paths the ValueState
+    operator never touches: MapStateCall GetValue / ContainsKey /
+    UpdateValue / Iterator (StateResponseWithMapIterator +
+    KeyAndValuePair, with requireNextFetch pagination), and
+    ListStateCall AppendValue / ListStateGet (StateResponseWithListGet,
+    repeated-bytes payloads). ``log_total`` (Σ per-batch counts from
+    the ListState) must equal Σ per-type counts from the MapState —
+    an internal cross-state consistency the oracle checks for free
+    because both equal the batch group count."""
+
+    def __init__(self, gap_seconds: int = 86_400):
+        self._gap_ms = gap_seconds * 1_000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._map = handle.getMapState("by_type", "t string", "n long, cents long")
+        self._log = handle.getListState("batch_log", "bn long")
+        self._last = handle.getValueState("last_us", "us long")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        total = 0
+        last_us = None
+        agg: dict[str, tuple[int, int]] = {}
+        for pdf in rows:
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            cents = np.floor(pdf["value"].to_numpy() * 100.0).astype("int64")
+            for t, c in zip(pdf["event_type"], cents):
+                n0, c0 = agg.get(t, (0, 0))
+                agg[t] = (n0 + 1, c0 + int(c))
+            total += len(pdf)
+            if len(pdf):
+                hi = int(ts_us.max())
+                last_us = hi if last_us is None else max(last_us, hi)
+        if total == 0:
+            return iter([])
+        for t, (n, c) in agg.items():
+            if self._map.containsKey((t,)):
+                pn, pc = self._map.getValue((t,))
+                self._map.updateValue((t,), (pn + n, pc + c))
+            else:
+                self._map.updateValue((t,), (n, c))
+        self._log.appendValue((total,))
+        prev = self._last.get() if self._last.exists() else None
+        if prev is not None:
+            last_us = max(last_us, prev[0])
+        self._last.update((last_us,))
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_us // 1000 + self._gap_ms)
+        return iter([])
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self._map.exists():
+            return iter([])
+        log_total = sum(bn for (bn,) in self._log.get()) if self._log.exists() else 0
+        out = {"user_id": [], "event_type": [], "n_events": [], "value_cents": [], "log_total": []}
+        for (t,), (n, c) in self._map.iterator():
+            out["user_id"].append(key[0])
+            out["event_type"].append(t)
+            out["n_events"].append(n)
+            out["value_cents"].append(c)
+            out["log_total"].append(log_total)
+        self._map.clear()
+        self._log.clear()
+        self._last.clear()
+        return iter([pd.DataFrame(out)])
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_rollup_stream(
+    events: DataFrame,
+    gap_seconds: int = 86_400,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    return (
+        events.where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type", "value")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeRollupProcessor(gap_seconds),
+            TYPE_ROLLUP_SCHEMA,
+            "append",
+            "EventTime",
+        )
+    )
+
+
+def user_type_rollup_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_seconds: int = 86_400,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Sentinel-flushed append replay of the MapState/ListState rollup
+    (same topology conventions as ``user_lifetime_replay``)."""
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        _TMP_ROOT,
+        SENTINEL_USER_ID,
+        _prepare_replay_input,
+        _read_replay_stream,
+        _run_append_to_files,
+    )
+    from web_analytics_visits_re_processing_spark.vendor.protoshim_loader import (
+        ensure_worker_protobuf,
+    )
+
+    ensure_worker_protobuf(spark)
+    _provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        _prev_provider = spark.conf.get(_provider_key)
+    except Exception:
+        _prev_provider = None
+    spark.conf.set(_provider_key, ROCKSDB_PROVIDER)
+    try:
+        workdir = os.path.join(
+            _TMP_ROOT, "stream_tws_typerollup", os.path.basename(sf_dir.rstrip("/")) or "sf"
+        )
+        input_dir = _prepare_replay_input(spark, sf_dir, workdir)
+        shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+        events = _read_replay_stream(spark, input_dir, max_files_per_trigger)
+        result = user_type_rollup_stream(events, gap_seconds)
+        out, _ = _run_append_to_files(result, workdir)
+    finally:
+        if _prev_provider is None:
+            spark.conf.unset(_provider_key)
+        else:
+            spark.conf.set(_provider_key, _prev_provider)
+    return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER_ID)
