@@ -447,3 +447,62 @@ def test_tws_type_rollup_equals_batch(spark):
     for (u, t), (n, c, lt) in got.items():
         assert (n, c) == per_type[(u, t)]
         assert lt == per_user[u]
+
+
+def test_tws_rollup_paginated_state_fetch(spark):
+    """Force the state server to PAGE its list/map responses
+    (maxStateRecordsPerBatch=2 → requireNextFetch=True on every
+    multi-entry ListStateGet / MapState Iterator response) and re-run
+    the rollup replay: exercises the pagination arm of
+    StateResponseWithListGet / StateResponseWithMapIterator through
+    the vendored protobuf shim, which the default 10000-per-page
+    config never reaches. Results must be identical to the unpaged
+    run (the sweep-gated values)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from web_analytics_visits_re_processing_spark.streaming.tws import (
+        transform_with_state_available,
+        user_type_rollup_replay,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("no protobuf runtime (real or shim)")
+    key = "spark.sql.execution.arrow.transformWithStateInPySpark.maxStateRecordsPerBatch"
+    prev = spark.conf.get(key)
+    # fresh checkpoint so the paged run re-executes instead of
+    # replaying the committed sink
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        _TMP_ROOT,
+    )
+
+    workdir = os.path.join(_TMP_ROOT, "stream_tws_typerollup", "sf0.001")
+    spark.conf.set(key, "2")
+    try:
+        shutil.rmtree(os.path.join(workdir, "out"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+        paged = {
+            (r["user_id"], r["event_type"]): (
+                r["n_events"], r["value_cents"], r["log_total"]
+            )
+            for r in user_type_rollup_replay(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+        shutil.rmtree(os.path.join(workdir, "out"), ignore_errors=True)
+        shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    from pyspark.sql import functions as F
+
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").where(F.col("ts").isNotNull())
+    expect = {
+        (r["user_id"], r["event_type"]): (r["n"], r["c"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.floor(F.col("value") * 100)).alias("c"))
+        .collect()
+    }
+    assert set(paged) == set(expect)
+    assert all(paged[k][:2] == expect[k] for k in expect)
