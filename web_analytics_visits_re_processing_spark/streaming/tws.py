@@ -118,17 +118,26 @@ class LifetimeStatsProcessor(StatefulProcessor):
         if n == 0:
             return iter([])
         prev = self._state.get() if self._state.exists() else None
+        prev_horizon = None
         if prev is not None:
             p_first, p_last, p_n, p_cents = prev
+            prev_horizon = p_last // 1000 + self._gap_ms
             first_us = min(first_us, p_first)
             last_us = max(last_us, p_last)
             n += p_n
             cents += p_cents
         self._state.update((first_us, last_us, n, cents))
-        # one live timer per user: re-arm at the new horizon
-        for t in self._handle.listTimers():
-            self._handle.deleteTimer(t)
-        self._handle.registerTimer(last_us // 1000 + self._gap_ms)
+        # one live timer per user: re-arm at the new horizon. The old
+        # timer's expiry is DERIVABLE from the previous state row
+        # (p_last//1000 + gap), so delete it directly instead of
+        # paying a listTimers roundtrip per user per batch — every
+        # state call is a socket exchange with the JVM state server,
+        # and the protocol chatter IS this operator's cost.
+        new_horizon = last_us // 1000 + self._gap_ms
+        if prev_horizon is not None and prev_horizon != new_horizon:
+            self._handle.deleteTimer(prev_horizon)
+        if prev_horizon != new_horizon:
+            self._handle.registerTimer(new_horizon)
         return iter([])
 
     def handleExpiredTimer(
@@ -287,12 +296,18 @@ class TypeRollupProcessor(StatefulProcessor):
                 self._map.updateValue((t,), (n, c))
         self._log.appendValue((total,))
         prev = self._last.get() if self._last.exists() else None
+        prev_horizon = None
         if prev is not None:
+            prev_horizon = prev[0] // 1000 + self._gap_ms
             last_us = max(last_us, prev[0])
         self._last.update((last_us,))
-        for t in self._handle.listTimers():
-            self._handle.deleteTimer(t)
-        self._handle.registerTimer(last_us // 1000 + self._gap_ms)
+        # direct old-horizon delete (derivable from prev state) — no
+        # listTimers roundtrip; see LifetimeStatsProcessor
+        new_horizon = last_us // 1000 + self._gap_ms
+        if prev_horizon is not None and prev_horizon != new_horizon:
+            self._handle.deleteTimer(prev_horizon)
+        if prev_horizon != new_horizon:
+            self._handle.registerTimer(new_horizon)
         return iter([])
 
     def handleExpiredTimer(
