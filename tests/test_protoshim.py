@@ -296,3 +296,79 @@ def test_loader_never_shadows_real_protobuf():
         names = set(zf.namelist())
     assert "google/protobuf/_mini.py" in names
     assert "google/protobuf/internal/builder.py" in names
+
+
+# --- property tests (hypothesis): serialize/parse symmetry --------------------
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        version=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        name=st.text(max_size=40),
+        blob=st.binary(max_size=64),
+    )
+    def test_prop_statecallcommand_roundtrip(version, name, blob):
+        """Arbitrary field values survive serialize→parse byte-exactly
+        through the generated StateMessage classes (covers negative
+        int32 10-byte varints, non-ASCII UTF-8, empty vs non-empty
+        length-delimited fields)."""
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+        req = sm.StateRequest(
+            version=version,
+            statefulProcessorCall=sm.StatefulProcessorCall(
+                getValueState=sm.StateCallCommand(stateName=name, schema=name)
+            ),
+        )
+        back = sm.StateRequest()
+        back.ParseFromString(req.SerializeToString())
+        assert back.version == version
+        assert back.statefulProcessorCall.getValueState.stateName == name
+        upd = sm.ValueStateUpdate(value=blob)
+        b2 = sm.ValueStateUpdate()
+        b2.ParseFromString(upd.SerializeToString())
+        assert b2.value == blob
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        vals=st.lists(st.binary(max_size=32), max_size=12),
+        more=st.booleans(),
+        ts=st.lists(
+            st.tuples(st.binary(max_size=8), st.integers(-(2**63), 2**63 - 1)),
+            max_size=6,
+        ),
+    )
+    def test_prop_response_roundtrip(status, vals, more, ts):
+        """Response-shaped messages (repeated bytes, bool, repeated
+        nested message with proto3_optional member, int64 extremes)
+        roundtrip exactly — the direction the JVM serializes and the
+        shim must parse."""
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+        r = sm.StateResponseWithListGet(
+            statusCode=status, value=vals, requireNextFetch=more
+        )
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(r.SerializeToString())
+        assert back.statusCode == status
+        assert list(back.value) == vals
+        assert back.requireNextFetch is more
+
+        t = sm.StateResponseWithTimer(
+            statusCode=status,
+            timer=[sm.TimerInfo(key=k, timestampMs=ms) for k, ms in ts],
+        )
+        back2 = sm.StateResponseWithTimer()
+        back2.ParseFromString(t.SerializeToString())
+        assert [(x.key, x.timestampMs) for x in back2.timer] == ts
