@@ -115,13 +115,23 @@ def test_jl_rerank_recall_on_planted_clusters(planted_clusters):
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """Independent raw-sketch check (<5% relative error vs the exact
+    count) PLUS the gate's own 3%-inequality flags — the query now
+    emits the error-bound inequality itself (r12 verdict item 2), so
+    this pytest also pins that the flag it hashes is the flag this
+    direct computation would produce."""
     from web_analytics_visits_re_processing_spark.plans import QUERIES
     from web_analytics_visits_re_processing_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "events")
     exact = e.select(F.countDistinct("user_id")).collect()[0][0]
-    approx = QUERIES["approx_count_distinct_users"](spark, sf_dir).collect()[0]["approx_users"]
+    approx = e.select(
+        F.approx_count_distinct("user_id", rsd=0.01)
+    ).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+    row = QUERIES["approx_count_distinct_users"](spark, sf_dir).collect()[0]
+    assert row["n_exact"] == exact
+    assert row["within_3pct"] == int(abs(approx - exact) * 100 <= exact * 3) == 1
 
 
 def test_multiprobe_lsh_beats_single_probe_recall(planted_clusters):

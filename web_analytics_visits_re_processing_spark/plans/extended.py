@@ -937,25 +937,65 @@ def q_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_value_percentiles")
+@query(
+    "approx_value_percentiles",
+    # The GK sketch's returned VALUE is implementation-specific, so
+    # it can never hash across engines — but its rank-error CONTRACT
+    # can: the oracle states the guarantee (returned value's rank
+    # within n/accuracy ± 1 of p·n) as the constants the inequality
+    # must evaluate to.
+    oracle="""
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       1::BIGINT AS p50_rank_ok, 1::BIGINT AS p95_rank_ok
+FROM events GROUP BY event_type
+""",
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NO ORACLE (by design — the driver's ``no_oracle`` rows-only
-    record IS this query's expected green state): the GK sketch's
-    output is implementation-specific, so no cross-engine hash can
-    exist; correctness is pinned by the error-bound pytest
-    (``test_approx_percentiles_within_bound``) instead. One of
-    exactly two such queries (see ``approx_count_distinct_users``).
+    """``percentile_approx`` (GK sketch) per event type, gated by its
+    rank-error bound — the eval-gate pattern (see
+    ``approx_count_distinct_users``): the sketch's returned value is
+    joined back against the data to count its strict/non-strict ranks
+    (``lt``/``le``), and the emitted flags assert the GK guarantee —
+    some rank in ``[lt+1, le]`` lies within ``n/accuracy (±1 for the
+    discrete boundary)`` of ``p·n`` — as cross-multiplied INTEGER
+    inequalities (no float ranks), which hash-gate a sketch whose
+    internals cannot. Accuracy 10000 ⇒ rank slack n/10000. The rank
+    join is one broadcast of ≤ |event_type| rows; at 100 TB the
+    referee pass is what an offline sketch-calibration job runs.
+    The independent error-bound pytest
+    (``test_approx_percentiles_within_bound``) still exercises the
+    raw sketch values."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    )
+    j = ev.join(F.broadcast(apx), "event_type")
 
-    Approximate quantiles (``percentile_approx``, GK sketch) per
-    event type — the mergeable-sketch path for quantiles over data too
-    big to sort. Accuracy 10000 ⇒ rank error ≤ n/10000 per group;
-    asserted against the exact interpolated percentile in pytest."""
+    def rank_ok(lt: str, le: str, num: int) -> F.Column:
+        # GK contract at quantile p = num/10000: ∃ rank r ∈ [lt+1, le]
+        # with |r − p·n| ≤ n/10000 (+1 discrete slack) ⟸
+        # lt·10000 ≤ n·(num+1) + 10000  AND  le·10000 ≥ n·(num−1) − 10000
+        n = F.col("n")
+        return (
+            (F.col(lt) * 10000 <= n * (num + 1) + 10000)
+            & (F.col(le) * 10000 >= n * (num - 1) - 10000)
+        ).cast("long")
+
     return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
+        j.groupBy("event_type")
         .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p50")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("p95")).cast("long")).alias("lt95"),
+            F.sum((F.col("value") <= F.col("p95")).cast("long")).alias("le95"),
+        )
+        .select(
+            "event_type",
+            "n",
+            rank_ok("lt50", "le50", 5000).alias("p50_rank_ok"),
+            rank_ok("lt95", "le95", 9500).alias("p95_rank_ok"),
         )
     )
 

@@ -140,20 +140,39 @@ def count_distinct_segment(spark, sf_dir):
     )
 
 
-@query("approx_count_distinct_users")
+@query(
+    "approx_count_distinct_users",
+    # The sketch's ESTIMATE is implementation-specific (Spark's
+    # HLL++ vs anything DuckDB runs), so the estimate itself can
+    # never hash across engines — but its ERROR-BOUND INEQUALITY
+    # can: the oracle states the contract (|est − exact| ≤ 3%·exact,
+    # i.e. 3σ at rsd=0.01) as the constant it must evaluate to.
+    oracle="""
+SELECT COUNT(DISTINCT user_id)::BIGINT AS n_exact,
+       1::BIGINT AS within_3pct
+FROM events
+""",
+)
 def approx_users(spark, sf_dir):
-    """NO ORACLE (by design — the driver's ``no_oracle`` rows-only
-    record IS this query's expected green state): HLL sketches differ
-    by implementation, so no cross-engine hash can exist; correctness
-    is pinned by the error-bound pytest (<5% relative error vs the
-    exact count) instead. One of exactly two such queries (see
-    ``approx_value_percentiles``).
-
-    HLL distinct-user estimate — the 100 TB substitute for exact
-    COUNT(DISTINCT) (single pass, fixed memory)."""
+    """HLL++ distinct-user estimate, gated by its error bound — the
+    eval-gate pattern (same contract as ``lsh_recall_vs_truth``): the
+    query co-computes the exact COUNT(DISTINCT) as its own referee
+    and emits the cross-multiplied integer inequality
+    ``|approx − exact|·100 ≤ exact·3`` (3σ at rsd=0.01), which IS
+    hash-gateable even though the sketch internals are not. At
+    100 TB production drops the referee and keeps the single-pass
+    fixed-memory sketch; the exact arm exists here because the gate's
+    JOB is to measure the sketch against truth. The independent
+    error-bound pytest (<5% relative error) still runs alongside."""
     e = _t(spark, sf_dir, "events")
     return e.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("apx"),
+    ).select(
+        "n_exact",
+        (F.abs(F.col("apx") - F.col("n_exact")) * 100 <= F.col("n_exact") * 3)
+        .cast("long")
+        .alias("within_3pct"),
     )
 
 
