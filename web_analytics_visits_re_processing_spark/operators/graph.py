@@ -755,35 +755,245 @@ def multi_source_bfs(
     return dist.select("seed", F.col("n").alias("node"), "dist")
 
 
+# Above this node count the closure-squaring arm's O(nodes²) reach
+# table stops being the right physical plan and SCC switches to the
+# forward-backward coloring algorithm (linear state). PHYSICAL choice
+# only — SCC is exact under both arms, so unlike the approximate
+# bands (lsh_planes_for, profile_distinct_mode) the oracle needs no
+# CASE: both arms hash identically by construction, pinned by the
+# equivalence pytest (FB ≡ squaring ≡ pure-Python Tarjan).
+SCC_CLOSURE_NODE_MAX = 4096
+
+
 def strongly_connected_components(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
-    """SCC of a DIRECTED graph by transitive-closure squaring + the
-    mutual-reachability min-label: v and u share an SCC iff v→*u AND
-    u→*v, so scc_id(v) = min over v's mutual-reach set (v included).
+    """SCC of a DIRECTED graph → (node, scc_id, scc_size), count-banded
+    on the node-set size (the star_components escalation precedent):
 
-    The closure grows by SQUARING (reach ∘ reach each round), so
-    convergence takes ceil(log2(diameter)) rounds, each a distributed
-    self-join + distinct — 7 rounds covers diameter 128; every round
-    ``localCheckpoint``s to truncate lineage (the module convention).
-    Intended for BOUNDED node sets (page ids, event taxonomies,
-    canonical URLs after host rollup — the condensation inputs a nav
-    analysis runs on); the closure table is O(nodes²) worst case and
-    this is NOT the tool for billion-node graphs (those want
-    forward-backward Coloring/Trim — future work). Returns one row
-    per node: (node, scc_id, scc_size)."""
-    e = (
+    - ≤ ``SCC_CLOSURE_NODE_MAX`` nodes — transitive-closure SQUARING +
+      mutual-reach min-label (``ceil(log2 diameter)`` rounds, O(nodes²)
+      closure state): fastest for the bounded node sets (page ids,
+      event taxonomies, canonical hosts) nav condensations run on.
+    - above the band — forward-backward COLORING with trim
+      (``scc_forward_backward``): per-round state is O(nodes), the
+      billion-node shape. Same exact answer; the band moves only the
+      physical plan, so the oracle carries no CASE.
+    """
+    e = _scc_edges(edges, src_col, dst_col)
+    nodes = _scc_nodes(e)
+    if nodes.count() <= SCC_CLOSURE_NODE_MAX:
+        return _scc_closure_squaring(e, nodes)
+    return _scc_forward_backward_core(e, nodes)
+
+
+def _scc_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
+
+
+def _scc_nodes(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+def _scc_sizes(scc: DataFrame) -> DataFrame:
+    # sizes = one row per SCC — SF-linear on a shattered graph, so no
+    # forced broadcast; AQE promotes it when it is actually small
+    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return scc.join(sizes, "scc_id").select("node", "scc_id", "scc_size")
+
+
+def scc_forward_backward(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outer: int = 64,
+) -> DataFrame:
+    """SCC by forward-backward COLORING with trim (Orzan-style; the
+    distributed-SCC algorithm whose per-round state is O(nodes+edges),
+    not the closure's O(nodes²)) — the at-scale arm of
+    ``strongly_connected_components``, callable directly for tests
+    and for graphs known to be large. Returns (node, scc_id, scc_size)
+    with scc_id = min member, identical to the closure arm.
+
+    Per outer round:
+    1. TRIM — nodes missing an in- or out-edge within the remaining
+       graph are singleton SCCs; peel them (bounded iterations — the
+       coloring phase subsumes whatever a pathological chain leaves).
+    2. COLOR — forward-propagate ``color(v) = max id that reaches v``
+       to fixpoint (frontier joins along edges, max-combine).
+    3. BACKWARD — roots are ``color(v)==v``; backward-reach from each
+       root restricted to its own color recovers exactly SCC(root)
+       (any intermediate w on a path u→*root with color(u)=root has
+       color(w)=root: root reaches w through u, and a higher-id
+       reacher of w would reach root too, contradicting
+       color(root)=root). All roots traverse simultaneously, the
+       root id carried in the frontier.
+    4. Peel the found SCCs; repeat on the remainder.
+
+    Every frontier/remainder ``localCheckpoint``s (module convention);
+    empty remainder short-circuits. Outer rounds are bounded by the
+    SCC condensation's depth in the worst case — ``max_outer`` guards
+    the driver loop and raises rather than silently under-merging."""
+    e = _scc_edges(edges, src_col, dst_col)
+    nodes = _scc_nodes(e)
+    return _scc_forward_backward_core(e, nodes, max_outer)
+
+
+def _scc_forward_backward_core(
+    e: DataFrame, nodes: DataFrame, max_outer: int = 64
+) -> DataFrame:
+    rem_n = nodes
+    # self-loops don't change SCC membership; dropping them up front
+    # keeps trim honest (a pure self-loop node is a singleton SCC)
+    rem_e = e.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    for _ in range(max_outer):
+        # --- 1. trim singleton SCCs (no in-edge or no out-edge) ------
+        for _trim in range(8):
+            has_out = rem_e.select(F.col("src").alias("node")).distinct()
+            has_in = rem_e.select(F.col("dst").alias("node")).distinct()
+            core = has_out.join(has_in, "node", "inner")
+            trimmed = rem_n.join(core, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if trimmed.count() == 0:
+                break
+            parts.append(
+                trimmed.select("node", F.col("node").alias("scc_id"))
+            )
+            rem_n = rem_n.join(trimmed, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            rem_e = (
+                rem_e.join(
+                    rem_n.select(F.col("node").alias("src")), "src", "left_semi"
+                )
+                .join(
+                    rem_n.select(F.col("node").alias("dst")), "dst", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+        if rem_n.count() == 0:
+            break
+        # --- 2. forward max-color propagation to fixpoint ------------
+        color = rem_n.select("node", F.col("node").alias("color")).localCheckpoint(
+            eager=True
+        )
+        while True:
+            pushed = (
+                rem_e.join(
+                    color.select(
+                        F.col("node").alias("src"), F.col("color").alias("c_src")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.max("c_src").alias("c_in"))
+            )
+            new_color = (
+                color.join(pushed, "node", "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("color"), F.coalesce("c_in", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), "node")
+                .where(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            color = new_color
+            if changed == 0:
+                break
+        # --- 3. backward reach from roots within their own color -----
+        members = (
+            color.where(F.col("color") == F.col("node"))
+            .select("node", F.col("node").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = members
+        while True:
+            preds = (
+                rem_e.join(
+                    frontier.select(
+                        F.col("node").alias("dst"), "scc_id"
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("node"), "scc_id")
+                .distinct()
+                .join(color, "node")
+                .where(F.col("color") == F.col("scc_id"))
+                .select("node", "scc_id")
+                .join(members, ["node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if preds.count() == 0:
+                break
+            members = members.unionAll(preds).localCheckpoint(eager=True)
+            frontier = preds
+        # scc_id must be the MIN member (the closure arm's label) —
+        # relabel from root id to min id before emitting
+        # one row per root found this round — no forced broadcast
+        # (could be SF-linear on a shattered graph; AQE decides)
+        relabel = members.groupBy("scc_id").agg(F.min("node").alias("min_id"))
+        parts.append(
+            members.join(relabel, "scc_id").select(
+                "node", F.col("min_id").alias("scc_id")
+            )
+        )
+        rem_n = rem_n.join(members, ["node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if rem_n.count() == 0:
+            break
+        rem_e = (
+            rem_e.join(
+                rem_n.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(rem_n.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"scc_forward_backward: not converged in {max_outer} rounds"
+        )
+    # node-id-type-preserving union (ids may be ints OR strings —
+    # same contract as the closure arm), then pick up any node the
+    # loop never saw (self-loop-only rows drop to isolated singletons)
+    scc = nodes.select("node", F.col("node").alias("scc_id")).limit(0)
+    for p in parts:
+        scc = scc.unionAll(p.select("node", "scc_id"))
+    scc = scc.unionAll(
+        nodes.join(scc, "node", "left_anti").select(
+            "node", F.col("node").alias("scc_id")
+        )
+    )
+    return _scc_sizes(scc.localCheckpoint(eager=True))
+
+
+def _scc_closure_squaring(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """The bounded-node-set arm: transitive closure by SQUARING
+    (reach ∘ reach each round → ``ceil(log2 diameter)`` rounds of
+    distributed self-join + distinct, lineage truncated per round) +
+    the mutual-reachability min-label: v and u share an SCC iff v→*u
+    AND u→*v, so scc_id(v) = min over v's mutual-reach set (v
+    included). Closure state is O(nodes²) worst case — exactly why
+    ``strongly_connected_components`` bands it."""
     reach = e
     n_reach = reach.count()
     while True:
