@@ -151,3 +151,138 @@ def test_scc_band_constant_sane():
     # stay comfortably above the nav-graph node domain (~100 pages)
     # so scc_nav_graph keeps its closure plan and its hash
     assert SCC_CLOSURE_NODE_MAX >= 1024
+
+
+# --- EXIF/TIFF IFD walk: never-generated cases --------------------------------
+#
+# Hand-built TIFF streams exercising the decoder beyond the
+# oracle-replayable subset of with_tiff_blob: failure paths (bad
+# order mark / magic / truncation / offset cycle / out-of-range
+# value offset) and spec forms the generator never emits (inline
+# ASCII count<=4, SHORT-typed dimensions, unknown tags to skip).
+
+import struct
+
+from pyspark.sql import types as T
+
+from web_analytics_visits_re_processing_spark.operators.multimodal import (
+    decode_exif_tiff_meta,
+)
+
+
+def _tiff(endian: str, ifds, extra: bytes = b"", first_off: int = 8) -> bytes:
+    """Assemble header + pre-serialized IFD blobs (caller lays out)."""
+    e = "<" if endian == "II" else ">"
+    return (
+        endian.encode() + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", first_off) + ifds + extra
+    )
+
+
+def _ifd(endian: str, entries, next_off: int = 0) -> bytes:
+    e = "<" if endian == "II" else ">"
+    out = struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val4 in entries:
+        out += struct.pack(e + "HHI", tag, typ, cnt) + val4
+    return out + struct.pack(e + "I", next_off)
+
+
+def _short_inline(endian: str, v: int) -> bytes:
+    e = "<" if endian == "II" else ">"
+    return struct.pack(e + "H", v) + b"\x00\x00"
+
+
+def _long_inline(endian: str, v: int) -> bytes:
+    e = "<" if endian == "II" else ">"
+    return struct.pack(e + "I", v)
+
+
+def _decode_tiff(spark, blobs):
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("tiff", T.BinaryType()),
+            ]
+        ),
+    )
+    return {
+        r["doc_id"]: r for r in decode_exif_tiff_meta(df).collect()
+    }
+
+
+def test_tiff_handbuilt_both_endians_short_dims_inline_ascii(spark):
+    """SHORT-typed dims + inline (count<=4) Make + unknown tag to
+    skip, in BOTH byte orders — forms with_tiff_blob never emits."""
+    blobs = []
+    for endian in ("II", "MM"):
+        ifd0 = _ifd(
+            endian,
+            [
+                (0x0100, 3, 1, _short_inline(endian, 640)),   # SHORT width
+                (0x00FE, 4, 1, _long_inline(endian, 0)),      # unknown: skip
+                (0x0101, 3, 1, _short_inline(endian, 480)),   # SHORT height
+                (0x010F, 2, 4, b"AB7\x00"),                   # inline ASCII
+            ],
+        )
+        blobs.append(_tiff(endian, ifd0))
+    got = _decode_tiff(spark, blobs)
+    for i, endian in enumerate(("II", "MM")):
+        r = got[i]
+        assert r["status"] == "ok"
+        assert r["byte_order"] == endian
+        assert (r["width"], r["height"]) == (640, 480)
+        assert r["make"] == "AB7"
+        assert r["n_ifd0_entries"] == 4
+        assert r["n_chain_ifds"] == 1
+        assert r["iso"] == -1 and r["exif_ifd_offset"] == -1
+
+
+def test_tiff_failure_paths(spark):
+    ok_ifd = _ifd("II", [(0x0100, 4, 1, _long_inline("II", 9))])
+    blobs = [
+        b"",                                            # 0 corrupt (empty)
+        b"XX" + struct.pack("<HI", 42, 8) + ok_ifd,     # 1 bad_order
+        b"II" + struct.pack("<HI", 41, 8) + ok_ifd,     # 2 bad_magic
+        _tiff("II", ok_ifd[:-6]),                        # 3 truncated IFD
+        _tiff("II", _ifd("II", [(0x010F, 2, 64, _long_inline("II", 9999))])),
+        # 4 out-of-range ASCII value offset -> corrupt
+        _tiff("II", _ifd("II", [(0x0100, 4, 1, _long_inline("II", 9))],
+                         next_off=8)),                   # 5 next-IFD cycle
+    ]
+    got = _decode_tiff(spark, blobs)
+    assert got[0]["status"] == "corrupt"
+    assert got[1]["status"] == "bad_order"
+    assert got[2]["status"] == "bad_magic"
+    assert got[3]["status"] == "corrupt"
+    assert got[4]["status"] == "corrupt"
+    assert got[5]["status"] == "cycle"
+    for i in range(6):
+        assert got[i]["width"] == -1
+        assert got[i]["n_chain_ifds"] == 0
+
+
+def test_tiff_chain_and_exif_descend(spark):
+    """3-IFD chain + EXIF descent: chain count follows next-IFD
+    offsets (generator max is 2), EXIF ISO read through the pointer."""
+    endian = "MM"
+    # layout: header(8) ifd0(2+2*12+4=30 @8) exif(2+12+4=18 @38) ifd1(18 @56) ifd2(18 @74)
+    ifd0 = _ifd(
+        endian,
+        [
+            (0x0100, 4, 1, _long_inline(endian, 31)),
+            (0x8769, 4, 1, _long_inline(endian, 38)),
+        ],
+        next_off=56,
+    )
+    exif = _ifd(endian, [(0x8827, 3, 1, _short_inline(endian, 1600))])
+    ifd1 = _ifd(endian, [(0x0100, 4, 1, _long_inline(endian, 7))], next_off=74)
+    ifd2 = _ifd(endian, [(0x0100, 4, 1, _long_inline(endian, 3))])
+    got = _decode_tiff(spark, [_tiff(endian, ifd0 + exif + ifd1 + ifd2)])
+    r = got[0]
+    assert r["status"] == "ok"
+    assert r["n_chain_ifds"] == 3
+    assert r["iso"] == 1600
+    assert r["exif_ifd_offset"] == 38
+    assert r["width"] == 31  # IFD0's, not overwritten by chained IFDs

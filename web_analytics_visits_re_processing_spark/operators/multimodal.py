@@ -1027,3 +1027,264 @@ def decode_mp4_container_meta(
     return docs_with_blob.select("doc_id", blob_col).mapInPandas(
         decode, MP4_META_SCHEMA
     )
+
+
+# --- EXIF/TIFF: byte-order-switching IFD walk ---------------------------------
+#
+# The sixth container shape and the first whose walk must SWITCH
+# ENDIANNESS per file: a TIFF stream declares its own byte order in
+# the first two bytes ("II" little-endian / "MM" big-endian — TIFF 6.0
+# specification, the structure EXIF embeds verbatim), then magic 42
+# and the offset of IFD0. Each IFD is an entry TABLE (2-byte count,
+# count x 12-byte entries, 4-byte next-IFD offset, 0 = end of chain);
+# each entry is (tag, type, count, value-or-offset) with values packed
+# INLINE in file order when they fit 4 bytes and offset-chased
+# otherwise. Same contract as the JPEG/MP4/PNG/WAV walkers: container
+# plumbing is real (header probe, per-row endianness, offset chasing,
+# cycle guard), media payloads stay opaque.
+
+EXIF_META_SCHEMA = (
+    "doc_id long, byte_order string, ifd0_offset long, n_chain_ifds int, "
+    "n_ifd0_entries int, width long, height long, make string, iso long, "
+    "exif_ifd_offset long, status string"
+)
+
+_TIFF_T_ASCII = 2
+_TIFF_T_SHORT = 3
+_TIFF_T_LONG = 4
+
+
+def _int_to_2e(col, be_col):
+    """2-byte int in per-ROW byte order (be_col true → big-endian)."""
+    return F.when(be_col, _int_to_be2(col)).otherwise(_int_to_le2(col))
+
+
+def _int_to_4e(col, be_col):
+    return F.when(be_col, _int_to_be4(col)).otherwise(_int_to_le4(col))
+
+
+def _tiff_entry(tag: int, typ: int, count, value_field, be_col):
+    """One 12-byte IFD entry; ``value_field`` must already be a 4-byte
+    binary column (inline value packed in file order, or an offset)."""
+    return F.concat(
+        _int_to_2e(F.lit(tag), be_col),
+        _int_to_2e(F.lit(typ), be_col),
+        _int_to_4e(
+            count if not isinstance(count, int) else F.lit(count), be_col
+        ),
+        value_field,
+    )
+
+
+def _tiff_short_inline(col, be_col):
+    """SHORT count=1 inline value: 2 bytes in file order, left-
+    justified in the 4-byte field (TIFF 6.0 value-offset rule)."""
+    return F.concat(_int_to_2e(col, be_col), F.lit(b"\x00\x00"))
+
+
+def with_tiff_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a REAL-structure TIFF/EXIF per document from native
+    expressions, n = octet_length(text):
+
+    - byte order: n odd → "MM" (big-endian), even → "II" — the walk
+      itself must flip all integer decoding per row;
+    - pad = n % 3 junk bytes between header and IFD0, so
+      ifd0_offset = 8 + pad and a walker that assumes IFD0-at-8 breaks;
+    - IFD0 (4 entries): ImageWidth (LONG, n % 1000 + 1), ImageLength
+      (LONG, n % 800 + 1), Make (ASCII count 6 — OUT-OF-LINE, the
+      offset-chased value path: "CAM" + 2 digits + NUL at 62 + pad),
+      ExifIFD pointer (LONG → 68 + pad);
+    - EXIF IFD (1 entry): ISO (SHORT, n % 3200 + 100) — INLINE short,
+      the left-justified-in-file-order packing rule;
+    - IFD1 chained via IFD0's next-IFD field when (n >> 2) & 1 (two
+      LONG entries, thumbnail dims) — the offset-chased next-IFD path;
+      else next-IFD = 0.
+
+    Every emitted field is replayable from n in SQL — the oracle's
+    side of the ``exif_tiff_meta`` gate."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    n = F.octet_length(payload)
+    be = (n % 2) == 1
+    pad = n % 3
+    w = (n % 1000 + 1).cast("int")
+    h = (n % 800 + 1).cast("int")
+    iso = (n % 3200 + 100).cast("int")
+    has1 = (F.shiftright(n, 2) % 2) == 1
+    p0 = F.lit(8) + pad          # IFD0 offset
+    m0 = F.lit(62) + pad         # make-string offset (p0 + 54)
+    x0 = F.lit(68) + pad         # EXIF IFD offset (m0 + 6)
+    i1 = F.lit(86) + pad         # IFD1 offset (x0 + 18)
+
+    header = F.concat(
+        F.when(be, F.lit(b"MM")).otherwise(F.lit(b"II")),
+        _int_to_2e(F.lit(42), be),
+        _int_to_4e(p0, be),
+    )
+    junk = F.encode(F.repeat(F.lit("z"), pad), "utf-8")
+    ifd0 = F.concat(
+        _int_to_2e(F.lit(4), be),
+        _tiff_entry(0x0100, _TIFF_T_LONG, 1, _int_to_4e(w, be), be),
+        _tiff_entry(0x0101, _TIFF_T_LONG, 1, _int_to_4e(h, be), be),
+        _tiff_entry(0x010F, _TIFF_T_ASCII, 6, _int_to_4e(m0, be), be),
+        _tiff_entry(0x8769, _TIFF_T_LONG, 1, _int_to_4e(x0, be), be),
+        F.when(has1, _int_to_4e(i1, be)).otherwise(_int_to_4e(F.lit(0), be)),
+    )
+    make = F.concat(
+        F.lit(b"CAM"),
+        F.encode((n % 90 + 10).cast("string"), "utf-8"),
+        F.lit(b"\x00"),
+    )
+    exif_ifd = F.concat(
+        _int_to_2e(F.lit(1), be),
+        _tiff_entry(0x8827, _TIFF_T_SHORT, 1, _tiff_short_inline(iso, be), be),
+        _int_to_4e(F.lit(0), be),
+    )
+    ifd1 = F.concat(
+        _int_to_2e(F.lit(2), be),
+        _tiff_entry(
+            0x0100, _TIFF_T_LONG, 1, _int_to_4e((n % 500 + 1).cast("int"), be), be
+        ),
+        _tiff_entry(
+            0x0101, _TIFF_T_LONG, 1, _int_to_4e((n % 400 + 1).cast("int"), be), be
+        ),
+        _int_to_4e(F.lit(0), be),
+    )
+    blob = F.concat(
+        header, junk, ifd0, make, exif_ifd,
+        F.when(has1, ifd1).otherwise(F.lit(b"")),
+    )
+    return docs.withColumn("tiff", blob)
+
+
+def decode_exif_tiff_meta(
+    docs_with_blob: DataFrame, blob_col: str = "tiff"
+) -> DataFrame:
+    """TIFF/EXIF metadata probe: read the byte-order mark, verify
+    magic 42 IN THAT ORDER, chase the header's IFD0 offset, then walk
+    the IFD chain (entry tables + next-IFD offsets) pulling
+    ImageWidth/ImageLength (SHORT or LONG, inline), Make (ASCII,
+    inline when count ≤ 4 else offset-chased) and the ExifIFD pointer,
+    descending once into the EXIF IFD for ISO (SHORT). Unknown tags
+    are SKIPPED (a walker that requires a fixed tag set breaks on
+    real files). Defensive paths pinned by never-generated-case
+    pytests: 'bad_order' (mark not II/MM), 'bad_magic', 'corrupt'
+    (truncated header/IFD, entry table past EOF, out-of-range value
+    offset), 'cycle' (next-IFD offset loops — visited-set guard).
+    Arrow-batched mapInPandas; per-doc loops are over IFD ENTRIES
+    (≤ a few dozen), never payload bytes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                b = bytes(blob) if blob else b""
+                order = ""
+                ifd0_off = -1
+                n_chain = 0
+                n_e0 = -1
+                width = height = iso = -1
+                make = ""
+                exif_off = -1
+                status = "ok"
+                try:
+                    if len(b) < 8:
+                        raise ValueError("corrupt")
+                    mark = b[:2]
+                    if mark == b"II":
+                        endi = "little"
+                    elif mark == b"MM":
+                        endi = "big"
+                    else:
+                        raise ValueError("bad_order")
+                    order = mark.decode("ascii")
+
+                    def u(off: int, w_: int) -> int:
+                        if off < 0 or off + w_ > len(b):
+                            raise ValueError("corrupt")
+                        return int.from_bytes(b[off : off + w_], endi)
+
+                    if u(2, 2) != 42:
+                        raise ValueError("bad_magic")
+                    ifd0_off = u(4, 4)
+
+                    def entries(ifd: int):
+                        cnt = u(ifd, 2)
+                        if ifd + 2 + cnt * 12 + 4 > len(b):
+                            raise ValueError("corrupt")
+                        out = []
+                        for k in range(cnt):
+                            e = ifd + 2 + k * 12
+                            out.append(
+                                (u(e, 2), u(e + 2, 2), u(e + 4, 4), e + 8)
+                            )
+                        return out, u(ifd + 2 + cnt * 12, 4)
+
+                    def scalar(typ: int, cnt: int, vf: int) -> int:
+                        # inline SHORT/LONG count=1 (left-justified,
+                        # file order)
+                        if typ == _TIFF_T_SHORT and cnt == 1:
+                            return u(vf, 2)
+                        if typ == _TIFF_T_LONG and cnt == 1:
+                            return u(vf, 4)
+                        raise ValueError("corrupt")
+
+                    seen: set[int] = set()
+                    ifd = ifd0_off
+                    while ifd != 0:
+                        if ifd in seen or len(seen) > 64:
+                            raise ValueError("cycle")
+                        seen.add(ifd)
+                        ents, nxt = entries(ifd)
+                        if n_chain == 0:
+                            n_e0 = len(ents)
+                            for tag, typ, cnt, vf in ents:
+                                if tag == 0x0100:
+                                    width = scalar(typ, cnt, vf)
+                                elif tag == 0x0101:
+                                    height = scalar(typ, cnt, vf)
+                                elif tag == 0x010F and typ == _TIFF_T_ASCII:
+                                    if cnt <= 4:
+                                        raw = b[vf : vf + cnt]
+                                    else:
+                                        off = u(vf, 4)
+                                        if off + cnt > len(b):
+                                            raise ValueError("corrupt")
+                                        raw = b[off : off + cnt]
+                                    make = raw.rstrip(b"\x00").decode(
+                                        "ascii", "replace"
+                                    )
+                                elif tag == 0x8769:
+                                    exif_off = scalar(typ, cnt, vf)
+                        n_chain += 1
+                        ifd = nxt
+                    if exif_off >= 0:
+                        ents, _nxt = entries(exif_off)
+                        for tag, typ, cnt, vf in ents:
+                            if tag == 0x8827:
+                                iso = scalar(typ, cnt, vf)
+                except ValueError as ex:
+                    status = str(ex) or "corrupt"
+                    if status not in ("bad_order", "bad_magic", "cycle"):
+                        status = "corrupt"
+                    n_chain = 0
+                    n_e0 = width = height = iso = exif_off = -1
+                    ifd0_off = -1
+                    make = ""
+                rows.append(
+                    (
+                        doc_id, order, ifd0_off, n_chain, n_e0, width,
+                        height, make, iso, exif_off, status,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_order", "ifd0_offset", "n_chain_ifds",
+                    "n_ifd0_entries", "width", "height", "make", "iso",
+                    "exif_ifd_offset", "status",
+                ],
+            )
+
+    return docs_with_blob.select("doc_id", blob_col).mapInPandas(
+        decode, EXIF_META_SCHEMA
+    )

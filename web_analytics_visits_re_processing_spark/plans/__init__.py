@@ -17,6 +17,7 @@ from web_analytics_visits_re_processing_spark.plans import (  # noqa: E402,F401
     round10,
     round11,
     round12,
+    round13,
     sqlbattery,
     streaming_queries,
     webanalytics,
