@@ -286,3 +286,62 @@ def test_tiff_chain_and_exif_descend(spark):
     assert r["iso"] == 1600
     assert r["exif_ifd_offset"] == 38
     assert r["width"] == 31  # IFD0's, not overwritten by chained IFDs
+
+
+# --- combined tws stream: equivalence with the standalone operators -----------
+
+import pytest
+
+from web_analytics_visits_re_processing_spark.streaming.tws import (
+    transform_with_state_available,
+)
+
+
+@pytest.mark.skipif(
+    not transform_with_state_available(), reason="no protobuf runtime"
+)
+def test_tws_combined_matches_standalone_replays(spark, sf_dir):
+    """The r13 combined stream (both gates' source) must emit exactly
+    the standalone processors' outputs: its 'lifetime' projection ==
+    user_lifetime_replay, its 'type' projection ==
+    user_type_rollup_replay — the gates changed PLUMBING (one stream,
+    staged result), never values."""
+    from web_analytics_visits_re_processing_spark.streaming.tws import (
+        combined_replay,
+        user_lifetime_replay,
+        user_type_rollup_replay,
+    )
+
+    combined = combined_replay(spark, sf_dir).collect()
+    life = {
+        (r["user_id"]): (
+            r["first_ts_us"], r["last_ts_us"], r["n_events"], r["value_cents"]
+        )
+        for r in combined
+        if r["row_kind"] == "lifetime"
+    }
+    types = {
+        (r["user_id"], r["event_type"]): (
+            r["n_events"], r["value_cents"], r["log_total"]
+        )
+        for r in combined
+        if r["row_kind"] == "type"
+    }
+    standalone_life = {
+        r["user_id"]: (
+            r["first_ts_us"], r["last_ts_us"], r["n_events"], r["value_cents"]
+        )
+        for r in user_lifetime_replay(spark, sf_dir).collect()
+    }
+    standalone_types = {
+        (r["user_id"], r["event_type"]): (
+            r["n_events"], r["value_cents"], r["log_total"]
+        )
+        for r in user_type_rollup_replay(spark, sf_dir).collect()
+    }
+    assert life == standalone_life
+    assert types == standalone_types
+    # staged-result cache: a second call must be served from disk
+    # (marker present) and return identical rows
+    again = combined_replay(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, combined))

@@ -12,6 +12,7 @@ eviction instead of the old complete-mode memory-sink replay.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from web_analytics_visits_re_processing_spark.plans.analytics import _SESSION_CTE
 from web_analytics_visits_re_processing_spark.plans.registry import query
@@ -353,12 +354,25 @@ GROUP BY user_id
         (ValueState merge + re-armed event-time timer, emitted exactly
         once per user when the watermark passes last_event + gap — see
         ``streaming.tws``), replayed append-mode with the sentinel
-        flushing every timer."""
+        flushing every timer. Since r13 both tws gates ride ONE
+        combined stream (``CombinedStatsProcessor`` — the union of
+        state types, so every protocol path is still wire-verified)
+        and project their rows off the staged result: the family's
+        fixed cost (planning + micro-batch + RocksDB machinery) is
+        paid once, the staged-layout multi-consumer precedent. The
+        standalone ``user_lifetime_replay`` remains the pytest
+        surface (batch equivalence, chunked cross-batch merges)."""
         from web_analytics_visits_re_processing_spark.streaming.tws import (
-            user_lifetime_replay,
+            combined_replay,
         )
 
-        return user_lifetime_replay(spark, sf_dir)
+        return (
+            combined_replay(spark, sf_dir)
+            .where(F.col("row_kind") == "lifetime")
+            .select(
+                "user_id", "first_ts_us", "last_ts_us", "n_events", "value_cents"
+            )
+        )
 
     @query(
         "streaming_tws_type_rollup",
@@ -386,12 +400,22 @@ FROM t JOIN u USING (user_id)
         emitted set equals the batch ``groupBy(user, type)`` verbatim,
         and ``log_total`` (ListState-derived) must equal the per-user
         batch count — a cross-state consistency the oracle checks for
-        free."""
+        free. Since r13 this gate projects the 'type' rows off the
+        SAME combined stream as ``streaming_tws_user_lifetime`` (see
+        that gate's note — one stream, fixed cost paid once; the
+        standalone ``user_type_rollup_replay`` + its pagination
+        pytests remain untouched)."""
         from web_analytics_visits_re_processing_spark.streaming.tws import (
-            user_type_rollup_replay,
+            combined_replay,
         )
 
-        return user_type_rollup_replay(spark, sf_dir)
+        return (
+            combined_replay(spark, sf_dir)
+            .where(F.col("row_kind") == "type")
+            .select(
+                "user_id", "event_type", "n_events", "value_cents", "log_total"
+            )
+        )
 
 
 @query(

@@ -300,7 +300,10 @@ REPLAY_SHUFFLE_PARTITIONS = "8"
 
 
 def _run_append_to_files(
-    result: DataFrame, workdir: str, timeout_s: int = 300
+    result: DataFrame,
+    workdir: str,
+    timeout_s: int = 300,
+    shuffle_partitions: str | None = None,
 ) -> tuple[str, dict[str, int]]:
     """Append-mode → parquet file sink with checkpoint; returns the
     output path and a state-eviction summary from the final progress.
@@ -334,7 +337,7 @@ def _run_append_to_files(
         _prev_retention = None
     _prev_shuffle = sess.conf.get(_shuffle_key)
     sess.conf.set(_retention_key, "10000")
-    sess.conf.set(_shuffle_key, REPLAY_SHUFFLE_PARTITIONS)
+    sess.conf.set(_shuffle_key, shuffle_partitions or REPLAY_SHUFFLE_PARTITIONS)
     try:
         q = (
             result.writeStream.format("parquet")
