@@ -7,11 +7,25 @@ rtol 1e-9; rows-only queries just executed).
 Usage:
     python scripts/verify_sweep.py              # full registry (~4 min)
     python scripts/verify_sweep.py q1 q2 ...    # only the named queries
+    python scripts/verify_sweep.py --json PATH  # also write per-query
+                                                # verdicts (SWEEP_rN.json
+                                                # artifact - r12 verdict
+                                                # item 5: the driver
+                                                # samples 50/round, this
+                                                # records all-registry
+                                                # greenness directly)
 """
 
+import json
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+json_path = None
+if "--json" in sys.argv:
+    i = sys.argv.index("--json")
+    json_path = sys.argv[i + 1]
+    del sys.argv[i : i + 2]
 
 import duckdb
 import numpy as np
@@ -53,6 +67,7 @@ def norm(df):
 
 
 fails, done = [], 0
+verdicts = {}
 for name, fn in qs.items():
     try:
         mine = fn(spark, sf)
@@ -60,6 +75,7 @@ for name, fn in qs.items():
             n = mine.count()
             assert n >= 0
             done += 1
+            verdicts[name] = {"status": "rows_only", "rows": int(n)}
             print(f"rows-only {name}: {n}", flush=True)
             continue
         rel = con.sql(osql[name])
@@ -95,9 +111,27 @@ for name, fn in qs.items():
             else:
                 assert (a.astype(str) == b.astype(str)).all(), f"col {c}"
         done += 1
+        verdicts[name] = {"status": "match", "rows": int(len(mine))}
         print(f"match {name}", flush=True)
     except Exception as ex:
         fails.append(name)
+        verdicts[name] = {"status": "fail", "err": str(ex)[:200]}
         print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
 print(f"SWEEP DONE {done}/{len(qs)} OK; oracle-gated: {len(osql)}", flush=True)
+if json_path:
+    with open(json_path, "w") as f:
+        json.dump(
+            {
+                "sf": 0.01,
+                "n_queries": len(qs),
+                "n_oracle_gated": len(osql),
+                "n_ok": done,
+                "fails": fails,
+                "verdicts": verdicts,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {json_path}", flush=True)
 sys.exit(1 if fails else 0)
