@@ -376,3 +376,92 @@ def test_sweep_artifact_matches_registry_and_is_green():
     assert not bad, f"sweep artifact records failures: {sorted(bad)}"
     assert art["n_oracle_gated"] == len(ORACLES)
     assert art["n_ok"] == len(QUERIES)
+
+
+# --- winnowing candidate pairs + Hampel filter --------------------------------
+
+
+def test_winnowing_pairs_detect_planted_shared_span(spark, tmp_path):
+    """The winnowing guarantee, end to end: two docs sharing a
+    ≥ window+ngram−1 = 6-token run must surface as a candidate pair;
+    docs of globally-unique tokens must not pair with anything."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = [
+        "u0a u0b u0c u0d u0e u0f u0g " + span + " u0h u0i u0j",
+        "v0a v0b " + span + " v0c v0d v0e v0f v0g v0h v0i v0j",
+        " ".join(f"w{i}" for i in range(30)),   # all-unique filler
+        " ".join(f"x{i}" for i in range(30)),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    rows = QUERIES["winnowing_candidate_pairs"](spark, str(d)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in rows}
+    assert (0, 1) in pairs, pairs
+    assert pairs[(0, 1)] >= 2  # 8-token span ⇒ ≥ 2 shared fingerprints
+    assert all(p == (0, 1) for p in pairs), pairs  # unique docs stay unpaired
+
+
+def test_hampel_flags_planted_spike(spark, tmp_path):
+    """Hand-built daily series: flat revenue with one 10× spike day —
+    the spike (and only the spike) must flag, and med2/mad2x2 must
+    match the hand-computed neighborhood medians."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    base = datetime.date(2020, 1, 1)
+    days = [base + datetime.timedelta(days=i) for i in range(15)]
+    # one order per day; day 7 is the whale
+    prices = [100.0] * 15
+    prices[7] = 1000.0
+    tbl = pa.table(
+        {
+            "o_orderkey": list(range(15)),
+            "o_custkey": [1] * 15,
+            "o_orderstatus": ["F"] * 15,
+            "o_totalprice": prices,
+            "o_orderdate": days,
+            "o_orderpriority": ["1-URGENT"] * 15,
+            "o_clerk": ["c"] * 15,
+            "o_shippriority": [0] * 15,
+            "o_comment": [""] * 15,
+        }
+    )
+    d = tmp_path / "hampel"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "orders.parquet"))
+    rows = {
+        r["day"]: r
+        for r in QUERIES["hampel_outlier_daily_revenue"](spark, str(d)).collect()
+    }
+    assert len(rows) == 15
+    spike = rows[days[7]]
+    assert spike["is_outlier"] == 1
+    assert spike["cents"] == 100000
+    # neighborhood of the spike: 6×10000 + 1×100000 → median 10000
+    assert spike["med2"] == 20000
+    for i, day in enumerate(days):
+        if i == 7:
+            continue
+        assert rows[day]["is_outlier"] == 0, (i, rows[day])
+        # flat neighbors: MAD 0 except windows containing the spike
+        if abs(i - 7) > 3:
+            assert rows[day]["mad2x2"] == 0
