@@ -409,6 +409,15 @@ _REGISTERED_R12 = frozenset(
     }
 )
 
+# Round-13 registrations: behind the r12 batch (tier key 8).
+_REGISTERED_R13 = frozenset(
+    {
+        "exif_tiff_meta",
+        "winnowing_candidate_pairs",
+        "hampel_outlier_daily_revenue",
+    }
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered for the driver's 50-query-prefix sample:
@@ -427,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if name in latest_bad:
             return (0, 0)
         if name not in last_pass:
+            if name in _REGISTERED_R13:
+                return (1, 8)
             if name in _REGISTERED_R12:
                 return (1, 7)
             if name in _REGISTERED_R11:

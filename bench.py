@@ -384,6 +384,10 @@ HEADLINE = [
     "runs_test_daily_revenue",
     "pages_l_trend_monthly_priority",
     "streaming_tws_type_rollup",
+    # round-13 additions
+    "exif_tiff_meta",
+    "winnowing_candidate_pairs",
+    "hampel_outlier_daily_revenue",
 ]
 
 

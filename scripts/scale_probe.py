@@ -188,6 +188,17 @@ PROBE_QUERIES = [
     "data_contract_violations",
     "k_anon_generalize_step",
     "cramer_von_mises_two_sample",
+    # round-13 additions: the byte-order-switching TIFF walk (per-doc,
+    # expect ~1), the winnowing posting-list pair join (df-capped —
+    # pair output grows with planted dup density), the Hampel
+    # calendar-spine self-join (days, not orders — expect ~1), and
+    # the reworked inequality-gated sketch pair (the exact-referee
+    # arm is the part that scales).
+    "exif_tiff_meta",
+    "winnowing_candidate_pairs",
+    "hampel_outlier_daily_revenue",
+    "approx_count_distinct_users",
+    "approx_value_percentiles",
 ]
 
 

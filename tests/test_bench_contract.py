@@ -81,7 +81,7 @@ def test_every_never_sampled_query_has_a_rotation_tier():
     tiers = [
         e._REGISTERED_R06, e._REGISTERED_R07, e._REGISTERED_R08,
         e._REGISTERED_R09, e._REGISTERED_R10, e._REGISTERED_R11,
-        e._REGISTERED_R12,
+        e._REGISTERED_R12, e._REGISTERED_R13,
     ]
     tiered = set().union(*tiers)
     from web_analytics_visits_re_processing_spark.plans import QUERIES
