@@ -628,27 +628,60 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero float state, the whole recursion replays verbatim.
 
     Scale shape: the event-scale work is one filtered map-side
-    rollup (~tens of rows for one part); recursion depth = demand
-    occurrences (calendar-bounded). The single-partition window in
-    the staging view ranks that tiny occurrence table — the daily-
-    spine carve-out, identical to ``_daily_seq``."""
-    _croston_seq(spark, sf_dir).createOrReplaceTempView("croston_seq_r11")
-    return spark.sql(
-        """
-WITH RECURSIVE cr AS (
-    SELECT n, d, qty, qty * 100 AS z_c, CAST(100 AS BIGINT) AS p_c
-    FROM croston_seq_r11 WHERE n = 1
-    UNION ALL
-    SELECT s.n, s.d, s.qty,
-           (2 * s.qty * 100 + 8 * c.z_c) div 10,
-           (2 * s.gap_days * 100 + 8 * c.p_c) div 10
-    FROM cr c JOIN croston_seq_r11 s ON s.n = c.n + 1
-)
-SELECT n AS occ_n, date_format(d, 'yyyy-MM-dd') AS day, qty,
-       CAST(z_c AS BIGINT) AS z_c, CAST(p_c AS BIGINT) AS p_c,
-       CAST((z_c * 1000000) div p_c AS BIGINT) AS forecast_ppm
-FROM cr
+    rollup (~tens of rows for one part); the occurrence spine is
+    calendar-bounded, so (r13, the Holt convention) the recursion
+    runs as ONE ``aggregate()`` array fold over the collected
+    sequence — per-step arithmetic identical to the recursive CTE
+    the oracle replays, O(1) plan size instead of depth-many
+    iterated plans. The single-partition window in the staging view
+    ranks that tiny occurrence table — the daily-spine carve-out,
+    identical to ``_daily_seq``."""
+    seq = _croston_seq(spark, sf_dir)
+    folded = seq.agg(
+        F.sort_array(
+            F.collect_list(F.struct("n", "d", "qty", "gap_days"))
+        ).alias("s")
+    ).select(
+        F.explode(
+            F.expr(
+                """
+aggregate(
+  s,
+  named_struct(
+    'z', CAST(NULL AS BIGINT), 'p', CAST(NULL AS BIGINT),
+    'out', CAST(array() AS
+        ARRAY<STRUCT<occ_n: INT, d: DATE, qty: BIGINT,
+                     z_c: BIGINT, p_c: BIGINT>>)),
+  (acc, r) -> CASE WHEN acc.z IS NULL THEN
+      named_struct('z', r.qty * CAST(100 AS BIGINT),
+                   'p', CAST(100 AS BIGINT),
+        'out', array(named_struct(
+          'occ_n', r.n, 'd', r.d, 'qty', r.qty,
+          'z_c', r.qty * CAST(100 AS BIGINT),
+          'p_c', CAST(100 AS BIGINT))))
+    ELSE
+      named_struct(
+        'z', (2 * r.qty * 100 + 8 * acc.z) div 10,
+        'p', (2 * r.gap_days * 100 + 8 * acc.p) div 10,
+        'out', concat(acc.out, array(named_struct(
+          'occ_n', r.n, 'd', r.d, 'qty', r.qty,
+          'z_c', (2 * r.qty * 100 + 8 * acc.z) div 10,
+          'p_c', (2 * r.gap_days * 100 + 8 * acc.p) div 10))))
+    END,
+  acc -> acc.out)
 """
+            )
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.occ_n").alias("occ_n"),
+        F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+        F.col("r.qty").alias("qty"),
+        F.col("r.z_c").alias("z_c"),
+        F.col("r.p_c").alias("p_c"),
+        F.expr("CAST((r.z_c * 1000000) div r.p_c AS BIGINT)").alias(
+            "forecast_ppm"
+        ),
     )
 
 

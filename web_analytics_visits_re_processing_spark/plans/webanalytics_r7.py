@@ -636,54 +636,52 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's per-step plan iteration (~0.1 s/day, FIXED — identical at
     100 TB because recursive length is calendar length)."""
     # Materialize the ~30-row daily rollup BEFORE recursing: a
-    # recursive CTE re-evaluates its referenced relations each step,
-    # and recursing directly over the event-scale rollup re-scanned
-    # events ~30 times (measured 10 s at sf0.1 → 0.5 s this way).
+    # recursive formulation re-evaluates its referenced relations
+    # each step, and recursing directly over the event-scale rollup
+    # re-scanned events ~30 times (measured 10 s at sf0.1).
     #
-    # r12: the recursion is UNROLLED 4 days per step — the residual
-    # cost of this family is Spark's per-ITERATION plan overhead
-    # (~50 ms/step), so advancing 4 truncation-exact updates inside
-    # one step (nested `div 10` folds, each intermediate truncation
-    # preserved verbatim) quarters the iteration count: measured
-    # 6.5 → 3.0 s warm at sf0.1, output byte-identical (the DuckDB
-    # oracle recursion stays per-day — values, not step counts, are
-    # what the gate hashes). LEFT joins + the filter() guard handle a
-    # series length that is not a multiple of 4.
-    _daily_seq(spark, sf_dir).createOrReplaceTempView("ewma_seq_r7")
-    return spark.sql(
-        """
-WITH RECURSIVE ew AS (
-    SELECT CAST(n AS BIGINT) AS last_n, CAST(x AS BIGINT) AS ewma,
-           array(struct(nullif(n, -1) AS n, d, x, CAST(x AS BIGINT) AS ewma)) AS batch
-    FROM ewma_seq_r7 WHERE n = 1
-    UNION ALL
-    SELECT CAST(COALESCE(s4.n, s3.n, s2.n, s1.n) AS BIGINT) AS last_n,
-           CAST(COALESCE(
-             (2*s4.x + 8*((2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10)) div 10,
-             (2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10,
-             (2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10,
-             (2*s1.x + 8*e.ewma) div 10) AS BIGINT) AS ewma,
-           filter(array(
-             struct(s1.n AS n, s1.d AS d, s1.x AS x,
-                    CAST((2*s1.x + 8*e.ewma) div 10 AS BIGINT) AS ewma),
-             struct(s2.n, s2.d, s2.x,
-                    CAST((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10 AS BIGINT) AS ewma),
-             struct(s3.n, s3.d, s3.x,
-                    CAST((2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10 AS BIGINT) AS ewma),
-             struct(s4.n, s4.d, s4.x,
-                    CAST((2*s4.x + 8*((2*s3.x + 8*((2*s2.x + 8*((2*s1.x + 8*e.ewma) div 10)) div 10)) div 10)) div 10 AS BIGINT) AS ewma)
-           ), r -> r.n IS NOT NULL) AS batch
-    FROM ew e
-    JOIN ewma_seq_r7 s1 ON s1.n = e.last_n + 1
-    LEFT JOIN ewma_seq_r7 s2 ON s2.n = e.last_n + 2
-    LEFT JOIN ewma_seq_r7 s3 ON s3.n = e.last_n + 3
-    LEFT JOIN ewma_seq_r7 s4 ON s4.n = e.last_n + 4
-)
-SELECT r.n AS day_n, date_format(r.d, 'yyyy-MM-dd') AS day,
-       r.x AS revenue_cents, r.ewma AS ewma_cents
-FROM ew LATERAL VIEW explode(batch) t AS r
-ORDER BY day_n
+    # r13: the recursion now runs as ONE aggregate() array fold over
+    # the collected daily spine (the Holt convention — r12 unrolled
+    # the CTE 4 days/step for 6.5 -> 3.0 s; the fold removes the
+    # per-iteration plan cost entirely: ~0.5 s warm, output
+    # byte-identical, per-step arithmetic verbatim). km_survival
+    # keeps the recursive-CTE form — that Spark surface stays
+    # exercised where the state is a survival product, and the CTE is
+    # the right tool when the spine is NOT collectible.
+    seq = _daily_seq(spark, sf_dir)
+    folded = seq.agg(
+        F.sort_array(F.collect_list(F.struct("n", "d", "x"))).alias("s")
+    ).select(
+        F.explode(
+            F.expr(
+                """
+aggregate(
+  s,
+  named_struct('e', CAST(NULL AS BIGINT),
+    'out', CAST(array() AS
+        ARRAY<STRUCT<day_n: INT, d: DATE, x: BIGINT, ew: BIGINT>>)),
+  (acc, r) -> CASE WHEN acc.e IS NULL THEN
+      named_struct('e', CAST(r.x AS BIGINT),
+        'out', array(named_struct('day_n', r.n, 'd', r.d,
+          'x', CAST(r.x AS BIGINT), 'ew', CAST(r.x AS BIGINT))))
+    ELSE
+      named_struct('e', (2 * r.x + 8 * acc.e) div 10,
+        'out', concat(acc.out, array(named_struct('day_n', r.n, 'd', r.d,
+          'x', CAST(r.x AS BIGINT), 'ew', (2 * r.x + 8 * acc.e) div 10))))
+    END,
+  acc -> acc.out)
 """
+            )
+        ).alias("r")
+    )
+    return (
+        folded.select(
+            F.col("r.day_n").alias("day_n"),
+            F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+            F.col("r.x").alias("revenue_cents"),
+            F.col("r.ew").alias("ewma_cents"),
+        )
+        .orderBy("day_n")
     )
 
 
@@ -913,28 +911,69 @@ def q_holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     β=0.3 exact); trend can go NEGATIVE, which is safe because both
     engines' integer division truncates toward zero (probed, not
     assumed: -7//10 = 0 in DuckDB = -7 div 10 in Spark — floor-division
-    semantics would have silently diverged here). Recursion depth =
-    calendar days; the event-scale work is one daily rollup."""
-    _daily_seq(spark, sf_dir).createOrReplaceTempView("holt_seq_r7")
-    return spark.sql(
-        """
-WITH RECURSIVE h AS (
-    SELECT n, d, x, x AS l, CAST(0 AS BIGINT) AS b,
-           CAST(NULL AS BIGINT) AS f
-    FROM holt_seq_r7 WHERE n = 1
-    UNION ALL
-    SELECT s.n, s.d, s.x,
-           (2 * s.x + 8 * (h.l + h.b)) div 10,
-           (3 * ((2 * s.x + 8 * (h.l + h.b)) div 10 - h.l) + 7 * h.b) div 10,
-           h.l + h.b
-    FROM h JOIN holt_seq_r7 s ON s.n = h.n + 1
-)
-SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day, x AS revenue_cents,
-       CAST(l AS BIGINT) AS level_cents, CAST(b AS BIGINT) AS trend_cents,
-       CAST(f AS BIGINT) AS forecast_cents,
-       CAST(ABS(x - f) AS BIGINT) AS abs_err_cents
-FROM h ORDER BY day_n
+    semantics would have silently diverged here).
+
+    Spark-side plan (r13): the series is CALENDAR-bounded (one row
+    per day at any data scale), so the recursion runs as ONE
+    ``aggregate()`` array fold over the collected daily spine —
+    per-step arithmetic identical to the recursive CTE the oracle
+    replays, but a single O(1)-size plan instead of depth-many
+    iterated plans (the r12 unroll attacked the same cost and was
+    rejected for Holt: the 2-state chain grows expressions ~4× per
+    level; the fold carries state at RUNTIME, so expression size is
+    constant). The event-scale work remains the one daily rollup;
+    ewma/km keep the recursive-CTE form (that Spark surface stays
+    exercised — it is the right tool when the spine is NOT small)."""
+    seq = _daily_seq(spark, sf_dir)
+    folded = seq.agg(
+        F.sort_array(F.collect_list(F.struct("n", "d", "x"))).alias("s")
+    ).select(
+        F.explode(
+            F.expr(
+                """
+aggregate(
+  s,
+  named_struct(
+    'l', CAST(NULL AS BIGINT), 'b', CAST(NULL AS BIGINT),
+    'out', CAST(array() AS
+        ARRAY<STRUCT<day_n: INT, d: DATE, x: BIGINT,
+                     l: BIGINT, b: BIGINT, f: BIGINT>>)),
+  (acc, r) -> CASE WHEN acc.l IS NULL THEN
+      named_struct('l', CAST(r.x AS BIGINT), 'b', CAST(0 AS BIGINT),
+        'out', array(named_struct(
+          'day_n', r.n, 'd', r.d, 'x', CAST(r.x AS BIGINT),
+          'l', CAST(r.x AS BIGINT), 'b', CAST(0 AS BIGINT),
+          'f', CAST(NULL AS BIGINT))))
+    ELSE
+      named_struct(
+        'l', (2 * r.x + 8 * (acc.l + acc.b)) div 10,
+        'b', (3 * ((2 * r.x + 8 * (acc.l + acc.b)) div 10 - acc.l)
+              + 7 * acc.b) div 10,
+        'out', concat(acc.out, array(named_struct(
+          'day_n', r.n, 'd', r.d, 'x', CAST(r.x AS BIGINT),
+          'l', (2 * r.x + 8 * (acc.l + acc.b)) div 10,
+          'b', (3 * ((2 * r.x + 8 * (acc.l + acc.b)) div 10 - acc.l)
+                + 7 * acc.b) div 10,
+          'f', acc.l + acc.b))))
+    END,
+  acc -> acc.out)
 """
+            )
+        ).alias("r")
+    )
+    return (
+        folded.select(
+            F.col("r.day_n").alias("day_n"),
+            F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+            F.col("r.x").alias("revenue_cents"),
+            F.col("r.l").alias("level_cents"),
+            F.col("r.b").alias("trend_cents"),
+            F.col("r.f").alias("forecast_cents"),
+            F.abs(F.col("r.x") - F.col("r.f")).cast("long").alias(
+                "abs_err_cents"
+            ),
+        )
+        .orderBy("day_n")
     )
 
 

@@ -824,32 +824,61 @@ def q_holt_winters_dow_backtest(
         F.lit(None).cast("long").alias("x"),
         F.lit(None).cast("long").alias("f"),
     )
-    anchor.createOrReplaceTempView("hw_anchor_r8")
-    return spark.sql(
-        """
-WITH RECURSIVE hw AS (
-    SELECT n, l, b, seas, d, x, f FROM hw_anchor_r8
-    UNION ALL
-    SELECT s.n,
-           (2 * (s.x - element_at(h.seas, 1)) + 8 * (h.l + h.b)) div 10,
-           (3 * (((2 * (s.x - element_at(h.seas, 1))
-                   + 8 * (h.l + h.b)) div 10) - h.l)
-            + 7 * h.b) div 10,
-           concat(slice(h.seas, 2, 6),
-                  array((2 * (s.x - ((2 * (s.x - element_at(h.seas, 1))
-                                      + 8 * (h.l + h.b)) div 10))
-                         + 8 * element_at(h.seas, 1)) div 10)),
-           s.d, s.x,
-           h.l + h.b + element_at(h.seas, 1)
-    FROM hw h JOIN hw_seq_r8 s ON s.n = h.n + 1
-)
-SELECT n AS day_n, date_format(d, 'yyyy-MM-dd') AS day,
-       x AS revenue_cents,
-       CAST(f AS BIGINT) AS forecast_cents,
-       CAST(ABS(x - f) AS BIGINT) AS abs_err_cents,
-       CAST(l AS BIGINT) AS level_cents, CAST(b AS BIGINT) AS trend_cents
-FROM hw WHERE n >= 8 ORDER BY day_n
+    # r13 (the Holt convention): the spine is calendar-bounded, so
+    # the ring-buffer recursion runs as ONE aggregate() array fold —
+    # per-step arithmetic identical to the recursive CTE the oracle
+    # replays (l'/b'/ring rotation inlined; state lives at RUNTIME so
+    # plan size is constant regardless of depth).
+    rest = seq.where(F.col("n") >= 8).agg(
+        F.sort_array(F.collect_list(F.struct("n", "d", "x"))).alias("s")
+    )
+    folded = anchor.crossJoin(rest).select(
+        F.explode(
+            F.expr(
+                """
+aggregate(
+  s,
+  named_struct('l', l, 'b', b, 'seas', seas,
+    'out', CAST(array() AS
+        ARRAY<STRUCT<day_n: INT, d: DATE, x: BIGINT,
+                     f: BIGINT, l: BIGINT, b: BIGINT>>)),
+  (acc, r) -> named_struct(
+    'l', (2 * (r.x - element_at(acc.seas, 1)) + 8 * (acc.l + acc.b)) div 10,
+    'b', (3 * (((2 * (r.x - element_at(acc.seas, 1))
+                 + 8 * (acc.l + acc.b)) div 10) - acc.l)
+          + 7 * acc.b) div 10,
+    'seas', concat(slice(acc.seas, 2, 6),
+        array((2 * (r.x - ((2 * (r.x - element_at(acc.seas, 1))
+                            + 8 * (acc.l + acc.b)) div 10))
+               + 8 * element_at(acc.seas, 1)) div 10)),
+    'out', concat(acc.out, array(named_struct(
+      'day_n', r.n, 'd', r.d, 'x', r.x,
+      'f', acc.l + acc.b + element_at(acc.seas, 1),
+      'l', (2 * (r.x - element_at(acc.seas, 1))
+            + 8 * (acc.l + acc.b)) div 10,
+      'b', (3 * (((2 * (r.x - element_at(acc.seas, 1))
+                   + 8 * (acc.l + acc.b)) div 10) - acc.l)
+            + 7 * acc.b) div 10)))),
+  acc -> acc.out)
 """
+            )
+        ).alias("r")
+    )
+    return (
+        folded.select(
+            # the old recursive-CTE union coerced day_n to BIGINT
+            # (anchor n was long) — keep the exact output type
+            F.col("r.day_n").cast("long").alias("day_n"),
+            F.date_format("r.d", "yyyy-MM-dd").alias("day"),
+            F.col("r.x").alias("revenue_cents"),
+            F.col("r.f").alias("forecast_cents"),
+            F.abs(F.col("r.x") - F.col("r.f")).cast("long").alias(
+                "abs_err_cents"
+            ),
+            F.col("r.l").alias("level_cents"),
+            F.col("r.b").alias("trend_cents"),
+        )
+        .orderBy("day_n")
     )
 
 
