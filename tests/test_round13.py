@@ -465,3 +465,40 @@ def test_hampel_flags_planted_spike(spark, tmp_path):
         # flat neighbors: MAD 0 except windows containing the spike
         if abs(i - 7) > 3:
             assert rows[day]["mad2x2"] == 0
+
+
+def test_winnowing_posting_equals_column_form(spark):
+    """The relational winnowing (posexplode → lead n-grams →
+    rows-frame minima → distinct) must produce EXACTLY the column
+    form's fingerprint sets — including the short-doc single-gram /
+    single-window edge rules — across doc lengths around every
+    boundary (n_toks < ngram, n_grams < window, exact boundaries,
+    long docs with internal repeats)."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        winnowing_fingerprints,
+        winnowing_posting,
+    )
+
+    texts = [
+        "a",                       # 1 token  (< ngram)
+        "a b",                     # 2 tokens (< ngram)
+        "a b c",                   # n_grams = 1 (< window)
+        "a b c d",                 # n_grams = 2
+        "a b c d e f",             # n_grams = 4 = window (1 window)
+        "a b c d e f g",           # n_grams = 5 (2 windows)
+        "x y x y x y x y x y",     # repeats → duplicate hashes
+        " ".join(f"t{i % 7}" for i in range(40)),
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    col_form = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", winnowing_fingerprints("text", 3, 4).alias("fps")
+        ).collect()
+    }
+    rel_form: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in winnowing_posting(docs, ngram=3, window=4).collect():
+        rel_form[r["doc_id"]].add(r["fp"])
+    assert rel_form == col_form

@@ -277,19 +277,33 @@ FROM m
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS scheme): digest +
     count per doc; any ≥6-token shared substring between two docs
-    yields a shared fingerprint."""
+    yields a shared fingerprint. r13: computed via the RELATIONAL
+    winnowing form (``winnowing_posting`` — posexplode → lead-window
+    n-grams → rows-frame minima → distinct → per-doc collect), linear
+    per token; the HOF column form re-binds its nested lambda subtree
+    per window (Catalyst does no CSE across lambda scopes), and this
+    gate evaluated that quadratic expression TWICE (size + digest) —
+    >2 min at sf0.1 before the rewrite, sub-second after. Same
+    values, same oracle; equivalence with the column form is pinned
+    in pytest."""
     from web_analytics_visits_re_processing_spark.functions.text import (
-        winnowing_fingerprints,
+        winnowing_posting,
     )
 
     d = _docs(spark, sf_dir)
-    fps = winnowing_fingerprints("text", ngram=3, window=4)
-    return d.select(
-        "doc_id",
-        F.size(fps).alias("n_fingerprints"),
-        F.md5(F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")).alias(
-            "digest"
-        ),
+    return (
+        winnowing_posting(d, ngram=3, window=4)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.md5(
+                F.array_join(
+                    F.expr("transform(fps, x -> CAST(x AS STRING))"), ","
+                )
+            ).alias("digest"),
+        )
     )
 
 

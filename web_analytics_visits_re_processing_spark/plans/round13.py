@@ -147,18 +147,23 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving pair carries ≥ 2 spans' worth of evidence — the
     candidate set a byte-level verifier confirms. Positionally aware
     where MinHash is not: a long copied span diluted inside an
-    otherwise-unique doc still collides here."""
+    otherwise-unique doc still collides here. The posting table comes
+    from the RELATIONAL winnowing form (``winnowing_posting``:
+    posexplode → lead-window n-grams → rows-frame minima → distinct)
+    — linear per token, where the HOF column form re-binds its nested
+    lambda subtree per window (quadratic per doc, measured 88 s for
+    5 000 54-token docs before the rewrite; equivalence pinned in
+    pytest)."""
     from web_analytics_visits_re_processing_spark.functions.text import (
-        winnowing_fingerprints,
+        winnowing_posting,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    post = docs.select(
-        "doc_id",
-        F.explode(winnowing_fingerprints("text", ngram=3, window=4)).alias(
-            "fp"
-        ),
-    )
+    # referenced 3× below (df count, semi join, self join) — the
+    # relational pipeline is cheap enough to re-evaluate; a persist
+    # here would leak a cached frame per invocation (the _daily_seq
+    # cache lesson) for a sub-second saving
+    post = winnowing_posting(docs, ngram=3, window=4)
     capped = (
         post.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
