@@ -98,7 +98,17 @@ def bpe_token_count(text: Column | str) -> Column:
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles via transform over sliding offsets —
-    native, no UDF: shingle i = tokens[i..i+n-1] joined by space."""
+    native, no UDF: shingle i = tokens[i..i+n-1] joined by space.
+
+    Lambda-rebinding note (the winnowing lesson): Catalyst does no
+    CSE across lambda scopes, so ``slice(toks, i, n)`` re-evaluates
+    the ``split`` subtree once per offset — O(n_grams · n_chars) per
+    doc. Harmless at survey doc sizes (≤ ~600 chars), and the SINGLE
+    rebound subtree here is one split (the winnowing column form
+    rebound an n_grams-deep md5 pipeline per window — quadratic in
+    md5 calls — and was replaced by ``winnowing_posting``). For
+    100 KB-class documents, posexplode tokens + ``lead`` windows
+    (the ``winnowing_posting`` pattern) is the scale form."""
     toks = tokens(text)
     offsets = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.transform(
