@@ -415,6 +415,8 @@ _REGISTERED_R13 = frozenset(
         "exif_tiff_meta",
         "winnowing_candidate_pairs",
         "hampel_outlier_daily_revenue",
+        "sax_shape_clusters",
+        "dtw_similar_user_pairs",
     }
 )
 

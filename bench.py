@@ -388,6 +388,8 @@ HEADLINE = [
     "exif_tiff_meta",
     "winnowing_candidate_pairs",
     "hampel_outlier_daily_revenue",
+    "sax_shape_clusters",
+    "dtw_similar_user_pairs",
 ]
 
 

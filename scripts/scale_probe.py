@@ -199,6 +199,11 @@ PROBE_QUERIES = [
     "hampel_outlier_daily_revenue",
     "approx_count_distinct_users",
     "approx_value_percentiles",
+    # the time-series similarity tier: word index (bounded calendar
+    # window -> cost ~ users) and the SAX-blocked DTW pair join
+    # (pair count capped per word block).
+    "sax_shape_clusters",
+    "dtw_similar_user_pairs",
 ]
 
 

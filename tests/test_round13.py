@@ -502,3 +502,81 @@ def test_winnowing_posting_equals_column_form(spark):
     for r in winnowing_posting(docs, ngram=3, window=4).collect():
         rel_form[r["doc_id"]].add(r["fp"])
     assert rel_form == col_form
+
+
+# --- time-series similarity: SAX + unrolled DTW --------------------------------
+
+
+def _python_dtw(a: list[int], b: list[int]) -> int:
+    n, m = len(a), len(b)
+    INF = float("inf")
+    dp = [[INF] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
+    return int(dp[n][m])
+
+
+def test_dtw_unrolled_equals_python_reference(spark):
+    """The 49-expression unrolled DP (one generator for both engines)
+    must equal a textbook O(n·m) Python DTW on random integer
+    vectors — including all-equal vectors (dtw 0) and a monotone
+    shift."""
+    from web_analytics_visits_re_processing_spark.plans.round13 import (
+        _PAA_SEGS,
+        _dtw_stage_exprs,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        ([5] * 7, [5] * 7),
+        ([1, 2, 3, 4, 5, 6, 7], [2, 3, 4, 5, 6, 7, 8]),
+    ] + [
+        (
+            [rng.randrange(0, 1000) for _ in range(7)],
+            [rng.randrange(0, 1000) for _ in range(7)],
+        )
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "pid long, ua array<long>, ub array<long>",
+    )
+    out = df
+    for row in _dtw_stage_exprs("ua", "ub", lambda v, j: f"element_at({v}, {j})"):
+        out = out.selectExpr("*", *row)
+    got = {
+        r["pid"]: r[f"d{_PAA_SEGS}_{_PAA_SEGS}"]
+        for r in out.collect()
+    }
+    for i, (a, b) in enumerate(rows):
+        assert got[i] == _python_dtw(a, b), (i, a, b)
+
+
+def test_sax_words_cover_users_and_pairs_block_on_word(spark, sf_dir):
+    """Every active user gets exactly one 7-letter word over the
+    alphabet a-d; every emitted DTW pair shares its block word and
+    carries a non-negative distance."""
+    import re as _re
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+    from web_analytics_visits_re_processing_spark.plans.round13 import (
+        _sax_frames,
+    )
+
+    _paa, words = _sax_frames(spark, sf_dir)
+    w = {r["user_id"]: r["word"] for r in words.collect()}
+    assert all(_re.fullmatch(r"[abcd]{7}", word) for word in w.values())
+    n_users = (
+        QUERIES["sax_shape_clusters"](spark, sf_dir)
+        .groupBy()
+        .sum("n_users")
+        .collect()[0][0]
+    )
+    assert n_users == len(w)
+    for r in QUERIES["dtw_similar_user_pairs"](spark, sf_dir).collect():
+        assert w[r["user_a"]] == w[r["user_b"]] == r["word"]
+        assert r["dtw_cents"] >= 0
+        assert r["user_a"] < r["user_b"]

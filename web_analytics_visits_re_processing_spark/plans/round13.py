@@ -284,3 +284,285 @@ def q_hampel_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_outlier"),
     )
+
+
+# --- time-series similarity: PAA + equi-depth SAX + DTW -----------------------
+#
+# The time-series similarity-search tier (cf. the retrieved EDBT 2019
+# distributed streaming-similarity paper; Lin et al. 2007 for SAX,
+# Keogh 2001 for PAA, Sakoe & Chiba 1978 for DTW): per-user daily
+# revenue series → Piecewise Aggregate Approximation (7 segments of
+# 5 days over the fixture's bounded calendar window) → SYMBOLIZED
+# with EQUI-DEPTH breakpoints (empirical quartiles by the repo's
+# cumulative-rank integer rule — classic SAX uses Gaussian
+# breakpoints, which are floats and assume normality; equi-depth is
+# engine-exact AND distribution-honest) → shape words. The word is
+# the BLOCKING key: exact integer DTW runs only within word groups
+# (count-banded ≤ 16 users — the df-cap convention), never all-pairs.
+# DTW itself is the fully UNROLLED 7×7 dynamic program — 49 chained
+# integer expressions generated by the same Python loop for BOTH
+# engines, so the recurrence cannot drift between them.
+
+_PAA_SEGS = 7
+_PAA_SEG_DAYS = 5
+_SAX_GROUP_CAP = 16
+
+_PAA_SQL = f"""
+base AS (
+    SELECT user_id,
+           datediff('day',
+                    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                    CAST(ts AS DATE)) AS dd,
+           FLOOR(value * 100)::BIGINT AS cents
+    FROM events
+), seg AS (
+    SELECT user_id, dd // {_PAA_SEG_DAYS} AS seg,
+           SUM(cents)::BIGINT AS segsum
+    FROM base WHERE dd < {_PAA_SEGS * _PAA_SEG_DAYS} GROUP BY 1, 2
+), users AS (
+    SELECT DISTINCT user_id FROM base
+    WHERE dd < {_PAA_SEGS * _PAA_SEG_DAYS}
+), spine AS (
+    SELECT user_id, s.range AS seg
+    FROM users CROSS JOIN range(0, {_PAA_SEGS}) s
+), paa AS (
+    SELECT sp.user_id, sp.seg,
+           (COALESCE(seg.segsum, 0) // {_PAA_SEG_DAYS})::BIGINT AS v
+    FROM spine sp LEFT JOIN seg
+      ON seg.user_id = sp.user_id AND seg.seg = sp.seg
+), q AS (
+    SELECT MIN(CASE WHEN cum * 4 >= n THEN v END) AS q25,
+           MIN(CASE WHEN cum * 2 >= n THEN v END) AS q50,
+           MIN(CASE WHEN cum * 4 >= 3 * n THEN v END) AS q75
+    FROM (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               SUM(c) OVER () AS n
+        FROM (SELECT v, COUNT(*)::BIGINT AS c FROM paa GROUP BY v))
+), sym AS (
+    SELECT user_id, seg, v,
+           ((v > q.q25)::INT + (v > q.q50)::INT + (v > q.q75)::INT) AS s
+    FROM paa, q
+), words AS (
+    SELECT user_id, string_agg(chr(97 + s), '' ORDER BY seg) AS word
+    FROM sym GROUP BY user_id
+)"""
+
+
+def _dtw_stage_exprs(ua: str, ub: str, elem) -> list[list[str]]:
+    """The 7×7 DTW dynamic program, unrolled: stage i yields the 7
+    aliased expressions of DP row i (referencing row i−1's aliases).
+    ``elem(vec, j)`` renders 1-based element access for the target
+    engine. dp[1][j] = prefix sum of costs; dp[i][1] = dp[i−1][1] +
+    cost; interior = cost + least(diag, up, left)."""
+    n = _PAA_SEGS
+
+    def cost(i: int, j: int) -> str:
+        return f"abs({elem(ua, i)} - {elem(ub, j)})"
+
+    stages = []
+    row1 = [f"{cost(1, 1)} AS d1_1"]
+    for j in range(2, n + 1):
+        row1.append(f"d1_{j - 1} + {cost(1, j)} AS d1_{j}")
+    stages.append(row1)
+    for i in range(2, n + 1):
+        row = [f"d{i - 1}_1 + {cost(i, 1)} AS d{i}_1"]
+        for j in range(2, n + 1):
+            row.append(
+                f"{cost(i, j)} + least(d{i - 1}_{j}, d{i - 1}_{j - 1}, "
+                f"d{i}_{j - 1}) AS d{i}_{j}"
+            )
+        stages.append(row)
+    return stages
+
+
+def _sax_frames(spark: SparkSession, sf_dir: str):
+    """(paa, words): the shared PAA table (user_id, seg, v) and the
+    per-user SAX word table — DataFrame twins of ``_PAA_SQL``."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    min_day = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    base = (
+        ev.crossJoin(F.broadcast(min_day))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("dd"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("dd") < _PAA_SEGS * _PAA_SEG_DAYS)
+    )
+    seg = base.groupBy(
+        "user_id", F.expr(f"dd div {_PAA_SEG_DAYS}").alias("seg")
+    ).agg(F.sum("cents").alias("segsum"))
+    users = base.select("user_id").distinct()
+    spine = users.crossJoin(
+        F.broadcast(
+            spark.range(_PAA_SEGS).select(F.col("id").cast("long").alias("seg"))
+        )
+    )
+    paa = spine.join(seg, ["user_id", "seg"], "left").select(
+        "user_id",
+        "seg",
+        F.expr(
+            f"CAST(coalesce(segsum, 0) div {_PAA_SEG_DAYS} AS BIGINT)"
+        ).alias("v"),
+    )
+    hist = paa.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    q = cum.agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v"))).alias("q25"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("q50"),
+        F.min(
+            F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("v"))
+        ).alias("q75"),
+    )
+    sym = paa.crossJoin(F.broadcast(q)).select(
+        "user_id",
+        "seg",
+        "v",
+        (
+            (F.col("v") > F.col("q25")).cast("int")
+            + (F.col("v") > F.col("q50")).cast("int")
+            + (F.col("v") > F.col("q75")).cast("int")
+        ).alias("s"),
+    )
+    words = sym.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seg, s))),"
+            " p -> char(97 + p.s)), '')"
+        ).alias("word")
+    )
+    return paa, words
+
+
+@query(
+    "sax_shape_clusters",
+    oracle=f"""
+WITH {_PAA_SQL}
+SELECT word, COUNT(*)::BIGINT AS n_users,
+       MIN(user_id)::BIGINT AS min_user_id
+FROM words GROUP BY word
+""",
+)
+def q_sax_shape_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic shape clustering of per-user daily-revenue series:
+    PAA (7 × 5-day segment means, integer div, zero-filled calendar
+    spine) symbolized with EQUI-DEPTH quartile breakpoints (the
+    cumulative-rank integer rule — classic SAX's Gaussian breakpoints
+    are floats and assume normality; equi-depth is engine-exact AND
+    distribution-honest) → one 7-letter word per user; users sharing
+    a word share a coarse revenue shape. This is the INDEXING half of
+    time-series similarity search (Lin et al. 2007; the retrieved
+    EDBT 2019 distributed streaming-similarity paper is the
+    motivating shape) — ``dtw_similar_user_pairs`` is the
+    verification half, blocked on this word. Scale: one user×seg
+    rollup with map-side combine over the bounded calendar window, a
+    3-constant broadcast of the quartiles, one word groupBy — nothing
+    pair-shaped; at 100 TB the word table is the index you persist."""
+    _paa, words = _sax_frames(spark, sf_dir)
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user_id"),
+    )
+
+
+@query(
+    "dtw_similar_user_pairs",
+    oracle=(
+        lambda stages: f"""
+WITH {_PAA_SQL},
+vecs AS (
+    SELECT user_id, list(v ORDER BY seg) AS vec FROM paa GROUP BY user_id
+), wc AS (
+    SELECT word FROM words GROUP BY word
+    HAVING COUNT(*) BETWEEN 2 AND {_SAX_GROUP_CAP}
+), cand AS (
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.word
+    FROM words a
+    JOIN wc ON wc.word = a.word
+    JOIN words b ON b.word = a.word AND a.user_id < b.user_id
+), pairs AS (
+    SELECT cand.user_a, cand.user_b, cand.word,
+           va.vec AS ua, vb.vec AS ub
+    FROM cand
+    JOIN vecs va ON va.user_id = cand.user_a
+    JOIN vecs vb ON vb.user_id = cand.user_b
+),
+{", ".join(
+    f"s{i} AS (SELECT *, {', '.join(row)} FROM "
+    + ("pairs" if i == 1 else f"s{i - 1}") + ")"
+    for i, row in enumerate(stages, start=1)
+)}
+SELECT user_a, user_b, word,
+       d{_PAA_SEGS}_{_PAA_SEGS}::BIGINT AS dtw_cents
+FROM s{_PAA_SEGS}
+"""
+    )(_dtw_stage_exprs("ua", "ub", lambda v, j: f"{v}[{j}]")),
+)
+def q_dtw_similar_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity SEARCH: exact integer DTW (Sakoe &
+    Chiba 1978) between per-user PAA revenue series, run ONLY inside
+    SAX-word blocks of 2..16 users (the count-banded convention — the
+    word index prunes the pair space exactly like LSH bands prune
+    near-dup candidates; the cap keeps the degenerate all-quiet-users
+    block from going quadratic). The 7×7 dynamic program is fully
+    UNROLLED into 49 chained integer expressions emitted by ONE
+    Python generator for both engines (``_dtw_stage_exprs``), so the
+    recurrence — dp[i][j] = |ua_i − ub_j| + min(diag, up, left), row-1
+    /col-1 prefix edges — cannot drift between Spark and the oracle.
+    Output: every candidate pair with its DTW distance in cents; the
+    caller thresholds. Scale: pair count is Σ_block C(n,2) ≤
+    C(16,2)·n_blocks; the DP is 49 codegen'd projections per pair —
+    compute-bound, shuffle-free past the block join."""
+    paa, words = _sax_frames(spark, sf_dir)
+    vecs = paa.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(seg, v))), p -> p.v)"
+        ).alias("vec")
+    )
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= _SAX_GROUP_CAP))
+        .select("word")
+    )
+    wa, wb = words.alias("a"), words.alias("b")
+    cand = (
+        wa.join(wc, "word", "left_semi")
+        .join(
+            wb,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.word").alias("word"),
+        )
+    )
+    pairs = (
+        cand.join(
+            vecs.select(F.col("user_id").alias("user_a"), F.col("vec").alias("ua")),
+            "user_a",
+        )
+        .join(
+            vecs.select(F.col("user_id").alias("user_b"), F.col("vec").alias("ub")),
+            "user_b",
+        )
+    )
+    out = pairs
+    for row in _dtw_stage_exprs(
+        "ua", "ub", lambda v, j: f"element_at({v}, {j})"
+    ):
+        out = out.selectExpr("*", *row)
+    return out.selectExpr(
+        "user_a",
+        "user_b",
+        "word",
+        f"CAST(d{_PAA_SEGS}_{_PAA_SEGS} AS BIGINT) AS dtw_cents",
+    )
