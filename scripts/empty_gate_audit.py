@@ -44,6 +44,7 @@ KNOWN_EMPTY = {
 # rollup, or top-1 pick. The single row carries many hashed columns,
 # so the gate verifies real content.
 SCALAR_BY_DESIGN = {
+    "approx_count_distinct_users",  # one estimate-vs-exact inequality readout (r13)
     "auc_mann_whitney",            # one global AUC readout
     "bpr_negative_samples",        # 59k-sample rollup + checksum cols
     "capture_recapture_users",     # one Chapman estimate vs exact
