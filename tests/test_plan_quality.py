@@ -772,6 +772,11 @@ _UNPARTITIONED_WINDOW_WHITELIST: dict[str, frozenset] = {
     # ABC's prefix-total pattern: the one whole-frame window runs over
     # the ≤ num_partitions-row offsets table's total (bounded)
     "abc_classification_parts": frozenset({"<unordered>"}),
+    # r13 SAX tier: the equi-depth quartile breakpoints window the
+    # DISTINCT-PAA-value histogram (value-domain grain, the
+    # session_length_percentiles class), never the user×seg frame
+    "sax_shape_clusters": frozenset({"v", "<unordered>"}),
+    "dtw_similar_user_pairs": frozenset({"v", "<unordered>"}),
 }
 
 
