@@ -35,6 +35,10 @@ KNOWN_EMPTY = {
     "rage_click_bursts",          # no 5-in-10s bursts in fixtures
     "set_except_nation_keys",     # EXCEPT of identical key sets
     "join_anti_customers_without_orders",  # 0/0/1 across SFs
+    # sf0.001 only (15 users → no 7-letter SAX word collides); 7
+    # genuine pairs at the sf0.01 gate scale, planted-positive pytest
+    # (test_round13.test_dtw_pairs_fire_on_planted_twin_users)
+    "dtw_similar_user_pairs",
 }
 
 # Single-row-at-gate-scale triage (round 9). Two legitimate classes:

@@ -580,3 +580,49 @@ def test_sax_words_cover_users_and_pairs_block_on_word(spark, sf_dir):
         assert w[r["user_a"]] == w[r["user_b"]] == r["word"]
         assert r["dtw_cents"] >= 0
         assert r["user_a"] < r["user_b"]
+
+
+def test_dtw_pairs_fire_on_planted_twin_users(spark, tmp_path):
+    """Planted positives for the DTW pair detector (it is empty at
+    sf0.001 — 15 users, no word collision — so the audit triage
+    points here): two users with near-identical daily spend must land
+    in one SAX block and emit a small-DTW pair; a third user with an
+    inverted pattern must not pair with them."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_analytics_visits_re_processing_spark.plans import QUERIES
+
+    base = datetime.datetime(2020, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(35):
+        ts = base + datetime.timedelta(days=day)
+        # identical ramp for the twins (a penny-offset variant can
+        # straddle an equi-depth breakpoint into different words —
+        # blocking is exact-word by design), inverse ramp for u3
+        for uid, val in ((1, 10.0 + day), (2, 10.0 + day), (3, 45.0 - day)):
+            rows.append((eid, ts, uid, "purchase", val, "{}"))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": [r[5] for r in rows],
+        }
+    )
+    d = tmp_path / "twins"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    pairs = {
+        (r["user_a"], r["user_b"]): r["dtw_cents"]
+        for r in QUERIES["dtw_similar_user_pairs"](spark, str(d)).collect()
+    }
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)] == 0, pairs  # identical series → DTW 0
+    assert all(3 not in p for p in pairs), pairs
