@@ -626,3 +626,82 @@ def test_dtw_pairs_fire_on_planted_twin_users(spark, tmp_path):
     assert (1, 2) in pairs, pairs
     assert pairs[(1, 2)] == 0, pairs  # identical series → DTW 0
     assert all(3 not in p for p in pairs), pairs
+
+
+def test_winnowing_posting_equivalence_other_params(spark):
+    """The posting≡column equivalence must hold for OTHER
+    (ngram, window) choices too — the relational index math (gram
+    count, window count, truncated-window rule) is parameter-generic,
+    not tuned to the gate's (3, 4)."""
+    from web_analytics_visits_re_processing_spark.functions.text import (
+        winnowing_fingerprints,
+        winnowing_posting,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25)))
+        for _ in range(12)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for ngram, window in ((2, 3), (5, 6), (4, 2)):
+        col_form = {
+            r["doc_id"]: set(r["fps"])
+            for r in docs.select(
+                "doc_id",
+                winnowing_fingerprints("text", ngram, window).alias("fps"),
+            ).collect()
+        }
+        rel_form: dict[int, set] = {i: set() for i in range(len(texts))}
+        for r in winnowing_posting(
+            docs, ngram=ngram, window=window
+        ).collect():
+            rel_form[r["doc_id"]].add(r["fp"])
+        assert rel_form == col_form, (ngram, window)
+
+
+def test_tws_combined_cache_invalidates_on_fixture_change(spark, tmp_path):
+    """The staged combined-stream result is keyed on the events
+    fixture's mtime+size (+ processor version): a changed fixture
+    must RE-RUN the stream, not serve the stale stage — the property
+    the per-round fixture regeneration relies on."""
+    import shutil as _sh
+    import time as _time
+
+    from web_analytics_visits_re_processing_spark.streaming.tws import (
+        combined_replay,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("no protobuf runtime")
+
+    import pyspark.sql.functions as SF
+
+    d = tmp_path / "twscache"
+    d.mkdir()
+    _sh.copyfile(
+        "/root/testdata/sf0.001/events.parquet", str(d / "events.parquet")
+    )
+
+    def lifetime_events(df):
+        return df.where(SF.col("row_kind") == "lifetime").agg(
+            SF.sum("n_events")
+        ).collect()[0][0]
+
+    first_df = combined_replay(spark, str(d))
+    first = lifetime_events(first_df)
+    assert first > 0
+    # serve-from-stage on an unchanged fixture
+    assert lifetime_events(combined_replay(spark, str(d))) == first
+    # halve the fixture -> same users, half the events, new mtime/size
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(str(d / "events.parquet"))
+    _time.sleep(0.01)
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), str(d / "events.parquet"))
+    second = lifetime_events(combined_replay(spark, str(d)))
+    assert 0 < second < first, (first, second)
