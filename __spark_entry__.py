@@ -417,6 +417,7 @@ _REGISTERED_R13 = frozenset(
         "hampel_outlier_daily_revenue",
         "sax_shape_clusters",
         "dtw_similar_user_pairs",
+        "mrr_at_10_ann",
     }
 )
 

@@ -390,6 +390,7 @@ HEADLINE = [
     "hampel_outlier_daily_revenue",
     "sax_shape_clusters",
     "dtw_similar_user_pairs",
+    "mrr_at_10_ann",
 ]
 
 

@@ -204,6 +204,7 @@ PROBE_QUERIES = [
     # (pair count capped per word block).
     "sax_shape_clusters",
     "dtw_similar_user_pairs",
+    "mrr_at_10_ann",
 ]
 
 

@@ -566,3 +566,114 @@ def q_dtw_similar_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         f"CAST(d{_PAA_SEGS}_{_PAA_SEGS} AS BIGINT) AS dtw_cents",
     )
+
+
+# --- MRR@10 of the ANN path (retrieval-eval family completion) ---------------
+
+
+from web_analytics_visits_re_processing_spark.plans.llmdata import (
+    _lsh_bucket_sql,
+)
+
+
+@query(
+    "mrr_at_10_ann",
+    # Mean-reciprocal-rank member of the eval family: recall@5
+    # scores the id SET, nDCG@10 the graded ORDER; MRR asks the
+    # navigational question — at what position does THE true nearest
+    # neighbor surface? rr = 1e6 div pos (0 if the ANN top-10 misses
+    # it); the oracle recomputes BOTH retrieval paths end to end.
+    oracle="""
+WITH cb AS (
+    SELECT vec_id, embedding, {bucket_sql} AS b
+    FROM embeddings
+),
+qb AS (SELECT * FROM cb WHERE vec_id < 10),
+approx AS (
+    SELECT query_id, vec_id, rk AS pos FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rk
+        FROM qb q JOIN cb c
+          ON bit_count(xor(q.b, c.b)) <= 1 AND q.vec_id != c.vec_id
+    ) WHERE rk <= 10
+),
+nn AS (
+    SELECT query_id, vec_id AS nn_vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rk = 1
+)
+SELECT nn.query_id, nn.nn_vec_id,
+       COALESCE(a.pos, 0)::BIGINT AS nn_pos,
+       COALESCE(1000000 // a.pos, 0)::BIGINT AS rr_ppm
+FROM nn LEFT JOIN approx a
+  ON a.query_id = nn.query_id AND a.vec_id = nn.nn_vec_id
+""".replace("{bucket_sql}", _lsh_bucket_sql("embedding")),
+)
+def q_mrr_at_10_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the MULTI-PROBE LSH ANN path — the NAVIGATIONAL
+    member of the retrieval-eval family (recall@5 scores the id set,
+    nDCG@10 the graded order; MRR scores where THE true nearest
+    neighbor surfaces: rr = 1e6 div its ANN position, 0 when the
+    bucket misses it entirely — the exact-side spine keeps missed
+    queries in the eval instead of vanishing them). Integer
+    reciprocal ranks, both retrieval paths recomputed end to end by
+    the oracle (hyperplane bucket literals included) — the
+    eval-harness-certifying convention of ann_recall_at_5/
+    ndcg_at_10_ann. Multi-probe (hamming ≤ 1), not single-probe: the
+    rank-1 neighbor specifically sits across a bucket boundary for
+    every eval query on this fixture (single-probe MRR is 0 across
+    the board — measured, which is itself the finding multi-probe
+    exists to fix), and a dead eval would be vacuous. Scale shape:
+    identical — the exact arm is affordable because eval query sets
+    are small by design.
+    Citation: Voorhees 1999 (TREC-8), the standard MRR
+    formulation."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    nn = cosine_topk_bruteforce(emb, qs, k=1).select(
+        "query_id", F.col("vec_id").alias("nn_vec_id")
+    )
+    approx = cosine_topk_lsh(
+        emb, qs, k=10, dim=64, probe_hamming=1
+    ).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("vec_id").alias("a_vec_id"),
+        F.col("rk").alias("pos"),
+    )
+    return (
+        nn.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("nn_vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "nn_vec_id",
+            F.coalesce(F.col("pos"), F.lit(0)).cast("long").alias("nn_pos"),
+            F.coalesce(
+                F.expr("1000000 div pos"), F.lit(0)
+            ).cast("long").alias("rr_ppm"),
+        )
+    )
