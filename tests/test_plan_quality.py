@@ -364,15 +364,19 @@ def test_item_cosine_broadcast_supports_no_cartesian(spark, sf_dir):
 
 
 def test_cross_source_overlap_equi_join(spark, sf_dir):
-    """The source-pair matrix comes from a gram-hash EQUI-join of the
-    distinct (source, gram) table with itself — a nested-loop over
-    sources would be the |A|×|B| failure the docstring rules out."""
+    """The source-pair matrix enumerates pairs array-side from each
+    gram's collected source list (r13: one groupBy-gh pass replaced
+    the gh-keyed self-join — same pair multiset, one fewer
+    corpus-wide shuffle); a nested-loop over sources would be the
+    |A|×|B| failure the docstring rules out."""
     plan = _plan(spark, "cross_source_overlap_matrix", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
-        "BroadcastHashJoin" in plan
-    ), plan
+    # the pair build: collect each gram's sources, explode i<j combos
+    assert "collect_list" in plan, plan
+    assert "explode" in plan, plan
+    # and NO join remains anywhere in the query
+    assert "Join" not in plan, plan
 
 
 def test_dwell_markov_share_user_exchange(spark, sf_dir):

@@ -341,8 +341,9 @@ def test_tws_combined_matches_standalone_replays(spark, sf_dir):
     }
     assert life == standalone_life
     assert types == standalone_types
-    # staged-result cache: a second call must be served from disk
-    # (marker present) and return identical rows
+    # determinism: a second call RE-RUNS the replay (the r13
+    # optimization round removed the staged-result cache — results
+    # must recompute per invocation) and must emit identical rows
     again = combined_replay(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, combined))
 
@@ -664,10 +665,11 @@ def test_winnowing_posting_equivalence_other_params(spark):
 
 
 def test_tws_combined_cache_invalidates_on_fixture_change(spark, tmp_path):
-    """The staged combined-stream result is keyed on the events
-    fixture's mtime+size (+ processor version): a changed fixture
-    must RE-RUN the stream, not serve the stale stage — the property
-    the per-round fixture regeneration relies on."""
+    """combined_replay must compute from the CURRENT fixture bytes on
+    every call (the r13 optimization round removed the staged-result
+    cache — no result may be served across invocations): repeated
+    calls on an unchanged fixture agree, and a changed fixture is
+    reflected immediately — never a stale stage."""
     import shutil as _sh
     import time as _time
 

@@ -96,6 +96,42 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(bpe_tokens(text))
 
 
+def max_element_count(arr: Column | str) -> Column:
+    """Count of the MOST FREQUENT element of a string array — the
+    Gopher-style top-token repetition numerator — as INT, NULL on an
+    empty array (matching ``array_max(transform(array_distinct(a),
+    e -> size(filter(a, x -> x = e))))``, the form this replaces).
+
+    The distinct×filter form is QUADRATIC per row (for each distinct
+    element the whole array is re-scanned by an interpreted lambda);
+    equal elements are adjacent after ``array_sort``, so one
+    run-length fold gets the same maximum in O(n log n) comparisons
+    and a single pass."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    folded = F.aggregate(
+        F.array_sort(a),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(F.size(a) > 0, folded).cast("int")
+
+
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles via transform over sliding offsets —
     native, no UDF: shingle i = tokens[i..i+n-1] joined by space.

@@ -246,15 +246,24 @@ def pagerank_scaled(
     beyond that, lower the rank scale.
     """
     src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    # The loop below references ``nodes`` and ``e`` EVERY round, and a
+    # DataFrame reference replays its whole lineage per reference — an
+    # expensive caller-side edge build (e.g. the event-scale lag +
+    # groupBy behind pagerank_prop_transitions) would be recomputed
+    # 2× per iteration. Checkpoint the edge-grain invariants once
+    # (module convention, see star_components): the upstream lineage
+    # runs a single time and every round joins materialized blocks.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outw = edges.groupBy(src_col).agg(F.sum(weight_col).alias("wout"))
     e = edges.join(outw, src_col).select(
         src.alias("c_src"), dst.alias("c_dst"), w.alias("c_w"), "wout"
-    )
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
     for _ in range(n_iter):
         contrib = (
@@ -524,7 +533,14 @@ def hits_bipartite_scaled(
 
     Overflow bound: score ≤ 10^6, so a sum needs max-degree < 10^12.
     """
-    e = edges.select(F.col(hub_col).alias("h_n"), F.col(auth_col).alias("a_n"))
+    # Checkpoint the edge list once: the loop joins it every
+    # half-round (plus the hub init), and each DataFrame reference
+    # replays the caller's full edge-build lineage (for the
+    # co-purchase consumer: an orders⋈lineitem + distinct per
+    # half-round). One materialization, three-plus reuses.
+    e = edges.select(
+        F.col(hub_col).alias("h_n"), F.col(auth_col).alias("a_n")
+    ).localCheckpoint(eager=True)
     hubs = e.select(F.col("h_n").alias("node")).distinct()
     h = hubs.withColumn("s", F.lit(1_000_000).cast("long"))
 

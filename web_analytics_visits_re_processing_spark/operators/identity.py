@@ -48,7 +48,12 @@ def stitch_identities(
     n_devices)``: transitive closure over shared identifiers, with the
     component minimum as the canonical visitor id and ``n_devices``
     the stitched component's size (1 for unlinked users)."""
-    links = id_map.select(user_col, ident_col).distinct()
+    # r13: links feeds the edge window AND the node set (and through
+    # them the CC loop's eager init) — each reference replayed the
+    # caller's id_map build; checkpoint the bounded link table once.
+    links = id_map.select(user_col, ident_col).distinct().localCheckpoint(
+        eager=True
+    )
     w = Window.partitionBy(ident_col)
     edges = (
         links.withColumn("_mn", F.min(user_col).over(w))

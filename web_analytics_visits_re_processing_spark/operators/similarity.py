@@ -30,7 +30,15 @@ from pyspark.sql import functions as F
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ in double precision (left-fold in array order — the same
     deterministic order DuckDB's list functions use, so results are
-    oracle-comparable)."""
+    oracle-comparable).
+
+    r13 measurement note: an explicit 64-term unrolled sum (bit-equal
+    left-association, size-guarded fallback) was tried and REVERTED —
+    the hot cosines here live inside aggregate expressions and join
+    conditions, which Spark evaluates interpreted, and 64 discrete
+    expression nodes evaluate SLOWER there than ArrayAggregate's
+    tight fold loop (probe: ivf_join 2.8→11.8 s, mmr 3.7→6.7 s with
+    the unroll; bit-equality itself verified, 0 mismatches/320k)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

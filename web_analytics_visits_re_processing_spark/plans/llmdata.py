@@ -2067,6 +2067,7 @@ def q_quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     float compare in the gate."""
     from web_analytics_visits_re_processing_spark.functions.text import (
         STOPWORDS,
+        max_element_count,
         tokens,
     )
 
@@ -2086,12 +2087,9 @@ def q_quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter("toks", lambda x: x.isin(*STOPWORDS["en"]))
         ).alias("n_stop"),
-        F.array_max(
-            F.transform(
-                F.array_distinct("toks"),
-                lambda dtok: F.size(F.filter("toks", lambda x: x == dtok)),
-            )
-        ).alias("top_tok"),
+        # r13: sorted run-length fold replaces the quadratic
+        # distinct×filter scan (same value incl. NULL-on-empty)
+        max_element_count("toks").alias("top_tok"),
     ).select(
         "doc_id",
         "n_tokens",
@@ -3154,6 +3152,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_analytics_visits_re_processing_spark.functions.text import (
         STOPWORDS,
         exact_fingerprint,
+        max_element_count,
         tokens,
     )
     from web_analytics_visits_re_processing_spark.operators.corpus import (
@@ -3178,16 +3177,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (3 * n <= F.col("lc") - n + 1)
             & (F.col("lc") - n + 1 <= 10 * n)
             & (F.size(F.array_distinct("toks")) * 10 >= n * 3)
-            & (
-                F.array_max(
-                    F.transform(
-                        F.array_distinct("toks"),
-                        lambda dtok: F.size(F.filter("toks", lambda x: x == dtok)),
-                    )
-                )
-                * 5
-                <= n
-            )
+            # r13: sorted run-length fold replaces the quadratic
+            # distinct×filter scan (same value incl. NULL-on-empty)
+            & (max_element_count("toks") * 5 <= n)
             & (
                 F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS["en"]))) * 10
                 <= n * 4
@@ -3863,6 +3855,11 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A|×|B| docs). A universal-boilerplate gram is the whale here;
     the line-dedup promiscuity guard (drop grams in > max_share
     sources) is the named downgrade."""
+    # r13: the gh self-join referenced (and re-evaluated) the gram
+    # explode+md5+distinct subtree twice; pairs now enumerate
+    # array-side from each gram's sorted source list (≤ |sources|
+    # entries, duplicate-free after the distinct) in ONE pass — same
+    # pair multiset, one scan, one fewer corpus-wide shuffle.
     d = _docs(spark, sf_dir)
     g = (
         d.select(
@@ -3874,11 +3871,20 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", hash64(F.col("_g")).alias("gh"))
         .distinct()
     )
-    a = g.select(F.col("source").alias("source_a"), "gh")
-    b = g.select(F.col("source").alias("source_b"), "gh")
+    grp = g.groupBy("gh").agg(
+        F.sort_array(F.collect_list("source")).alias("srcs")
+    )
     return (
-        a.join(b, "gh")
-        .where(F.col("source_a") < F.col("source_b"))
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs) - i - 1),"
+                    " y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
@@ -4237,24 +4243,51 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns counts into ordered containment ppm — never an all-pairs
     doc join. At production scale the gram join narrows to the LSH
     band candidates already gated."""
+    # r13 single-evaluation restructure (the dedup_threshold_
+    # sensitivity treatment): the old form referenced the exploded
+    # 5-gram subtree four times (sizes, the df table, both legs of
+    # the gh self-join) and re-ran the whole pair groupBy once per
+    # ``directed`` branch. Now the gram table checkpoints once, the
+    # df-capped pairs enumerate array-side from each gram's ≤50
+    # sorted doc ids (position pairs + a strict id_a < id_b guard —
+    # exactly the self-join's multiset, including intra-doc hash-
+    # collision duplicates), and the pair-grain ``shared`` table
+    # checkpoints before fanning out into both directions.
     d = _docs(spark, sf_dir)
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngrams(F.col("text"), 5))
-        ).alias("_g"),
-    ).select("doc_id", hash64(F.col("_g")).alias("gh"))
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 5))
+            ).alias("_g"),
+        )
+        .select("doc_id", hash64(F.col("_g")).alias("gh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     kept = g.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= 50
     ).select("gh")
-    a = g.select(F.col("doc_id").alias("doc_a"), "gh").join(kept, "gh")
-    b = g.select(F.col("doc_id").alias("doc_b"), "gh")
+    grp = (
+        g.join(kept, "gh")
+        .groupBy("gh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
     shared = (
-        a.join(b, "gh")
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
+        .localCheckpoint(eager=True)
     )
     directed = shared.select(
         F.col("doc_a").alias("doc_id"),
@@ -4908,26 +4941,48 @@ def q_lsh_recall_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_M,
     )
 
+    # r13 single-evaluation restructure (the dedup_threshold_
+    # sensitivity treatment, see there): checkpoint the gram table
+    # once instead of re-deriving it per DataFrame reference; after
+    # the skew-safe df-cap groupBy, pairs enumerate array-side from
+    # each gram's ≤64 sorted doc ids (no h-keyed self-join). The
+    # truth/candidate/hit counts additionally FOLD into one full
+    # outer join + single aggregate, so the truth subtree runs once —
+    # the old three scalar subqueries evaluated truth twice and the
+    # candidate leaf twice.
     docs = _docs(spark, sf_dir)
     cand = _lsh_cand_64_16(spark, sf_dir)
-    hsx0 = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("_s"),
-    ).select("doc_id", (hash64(F.col("_s")) % MINHASH_M).alias("h")).distinct()
-    # df-cap the gram universe BEFORE pair enumeration: the hdf join
-    # shuffles on h — the same key the ip self-join needs — so the
-    # guard rides the shuffle the enumeration pays anyway.
+    hsx0 = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("text"), 3))
+            ).alias("_s"),
+        )
+        .select("doc_id", (hash64(F.col("_s")) % MINHASH_M).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hdf = hsx0.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     hsx = hsx0.join(hdf.where(F.col("df") <= 64).select("h"), "h")
     n_hot = hdf.where(F.col("df") > 64).agg(
         F.count(F.lit(1)).cast("long").alias("n_hot_grams")
     )
     nd = hsx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = hsx.select(F.col("doc_id").alias("id_a"), "h")
-    b = hsx.select(F.col("doc_id").alias("id_b"), "h")
+    grp = hsx.groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     ip = (
-        a.join(b, "h")
-        .where(F.col("id_a") < F.col("id_b"))
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -4937,15 +4992,28 @@ def q_lsh_recall_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
         .select("id_a", "id_b")
     )
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_hits = truth.join(cand, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    folded = (
+        truth.withColumn("_t", F.lit(1))
+        .join(
+            cand.select("id_a", "id_b").withColumn("_c", F.lit(1)),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .agg(
+            F.sum("_t").cast("long").alias("n_truth"),
+            F.sum("_c").cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+            ).cast("long").alias("n_hits"),
+        )
+        .select(
+            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
     )
     return (
-        n_truth.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hits))
-        .crossJoin(F.broadcast(n_hot))
+        folded.crossJoin(F.broadcast(n_hot))
         .select(
             "n_truth",
             "n_candidates",
@@ -5317,11 +5385,19 @@ def q_mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     qs = emb.where(F.col("vec_id") < 10)
-    cand = cosine_topk_bruteforce(emb, qs, k=10).select(
-        "query_id",
-        "vec_id",
-        F.round(F.col("cos") * 10000).cast("long").alias("rel4"),
-        "rk",
+    # r13: the ≤100-row candidate pool feeds SIX consumers (vecs'
+    # pair build, s1, r2, r3 and the three output steps) and every
+    # reference replayed the brute-force corpus scan — checkpoint the
+    # pool once; the greedy steps then run over materialized rows.
+    cand = (
+        cosine_topk_bruteforce(emb, qs, k=10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("cos") * 10000).cast("long").alias("rel4"),
+            "rk",
+        )
+        .localCheckpoint(eager=True)
     )
     vecs = cand.select("query_id", "vec_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
@@ -5504,6 +5580,17 @@ def q_dedup_threshold_sensitivity(
         MINHASH_M,
     )
 
+    # r13 single-evaluation restructure: the old form referenced the
+    # exploded-gram subtree SEVEN times (hdf build, the df-cap join's
+    # probe side, nd, and both legs of the h-keyed self-join — each
+    # DataFrame reference replays the whole explode+md5+distinct
+    # lineage), so the dominant cost was recomputation, not the pair
+    # math. Now: checkpoint the gram table once; count df with a
+    # map-side-combinable groupBy (skew-safe for stopword grams — no
+    # window over a hot h); after the ≤64 cap, enumerate pairs by
+    # collecting each gram's ≤64 sorted doc ids and exploding the
+    # i<j combinations array-side (the triangle_counts convention)
+    # instead of a second self-join — same pair multiset, one scan.
     docs = _docs(spark, sf_dir)
     hsx0 = (
         docs.select(
@@ -5514,15 +5601,25 @@ def q_dedup_threshold_sensitivity(
         )
         .select("doc_id", (hash64(F.col("_s")) % MINHASH_M).alias("h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hdf = hsx0.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     hsx = hsx0.join(hdf.where(F.col("df") <= 64).select("h"), "h")
     nd = hsx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = hsx.select(F.col("doc_id").alias("id_a"), "h")
-    b = hsx.select(F.col("doc_id").alias("id_b"), "h")
+    grp = hsx.groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     ip = (
-        a.join(b, "h")
-        .where(F.col("id_a") < F.col("id_b"))
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -5901,10 +5998,20 @@ def q_rocchio_prf_expansion(
     query-term-filtered hash aggs with broadcast df/g tables;
     top-k via TakeOrdered."""
     docs = _docs(spark, sf_dir)
+    # r13: the token explode fed FIVE consumers (dl, both tf probes,
+    # the candidate-term scan, the expansion df) and doc lengths
+    # three — every reference replayed the corpus explode. One
+    # checkpoint each; this is the in-session stand-in for the
+    # persisted inverted index the docstring names as the 100 TB
+    # layout.
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).localCheckpoint(eager=True)
+    dl = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=True)
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     g = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("a"))
     score_expr = (
         "((2 * (n - df) + 1) * 1000000 div (2 * df + 1))"
@@ -5948,6 +6055,9 @@ def q_rocchio_prf_expansion(
         )
         .orderBy(F.col("escore").desc(), "term")
         .limit(2)
+        # 2-row result consumed twice (qterms + the constant columns)
+        # with the whole PRF chain as lineage — checkpoint it
+        .localCheckpoint(eager=True)
     )
     qterms = (
         spark.createDataFrame(

@@ -113,29 +113,53 @@ def q_gopher_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g3"),
     )
 
-    def top_chars(grams: str, n_seps: int) -> F.Column:
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda dg: F.struct(
-                    F.size(
-                        F.filter(grams, lambda x: x == dg)
-                    ).alias("cnt"),
-                    (F.length(dg) - n_seps).alias("chars"),
-                ),
-            )
+    # r13: the old per-doc HOF was QUADRATIC in gram count — for each
+    # DISTINCT gram it re-scanned the whole gram array with filter()
+    # (interpreted lambdas, never codegen), O(u·d) per doc. The same
+    # (count, chars) lexicographic max falls out of a sort + one
+    # run-length fold: equal grams are adjacent after array_sort, so
+    # a single aggregate() pass tracks the current run and the best
+    # (cnt, chars) struct — O(d log d) comparisons per doc, one scan.
+    def top_struct(grams: str, n_seps: int) -> F.Column:
+        cand = (
+            f"named_struct('cnt', acc.run,"
+            f" 'chars', CAST(length(acc.prev) - {n_seps} AS INT))"
         )
-        return F.coalesce(
-            (top["cnt"] * top["chars"]).cast("long"), F.lit(0).cast("long")
+        return F.expr(
+            f"""
+aggregate(
+  array_sort({grams}),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0,
+               'best', named_struct('cnt', 0, 'chars', 0)),
+  (acc, x) -> named_struct(
+      'prev', x,
+      'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                  THEN acc.run + 1 ELSE 1 END,
+      'best', CASE WHEN acc.prev IS NULL OR x = acc.prev THEN acc.best
+                   WHEN {cand} > acc.best THEN {cand}
+                   ELSE acc.best END),
+  acc -> CASE WHEN acc.prev IS NULL THEN acc.best
+              WHEN {cand} > acc.best THEN {cand}
+              ELSE acc.best END)
+"""
         )
 
-    c2, c3 = top_chars("g2", 1), top_chars("g3", 2)
     m = g.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
         "tc",
-        c2.alias("top_bigram_chars"),
-        c3.alias("top_trigram_chars"),
+        top_struct("g2", 1).alias("_b2"),
+        top_struct("g3", 2).alias("_b3"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "tc",
+        (F.col("_b2.cnt").cast("long") * F.col("_b2.chars")).alias(
+            "top_bigram_chars"
+        ),
+        (F.col("_b3.cnt").cast("long") * F.col("_b3.chars")).alias(
+            "top_trigram_chars"
+        ),
     )
     bi_ok = F.col("top_bigram_chars") * 5 <= F.col("tc")
     tri_ok = F.col("top_trigram_chars") * 50 <= F.col("tc") * 9

@@ -225,7 +225,15 @@ def q_jonckheere_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    gv = t.groupBy("g", "cents").agg(F.count(F.lit(1)).alias("cg"))
+    # r13: gv feeds FIVE consumers (vals, grps, the grid left join,
+    # the pair join's j side, ns) and each DataFrame reference
+    # replayed the orders scan + groupBy — checkpoint the bounded
+    # (groups × distinct cents)-grain histogram once.
+    gv = (
+        t.groupBy("g", "cents")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .localCheckpoint(eager=True)
+    )
     vals = gv.select("cents").distinct()
     grps = gv.select("g").distinct()
     from pyspark.sql import Window

@@ -407,6 +407,11 @@ def _sax_frames(spark: SparkSession, sf_dir: str):
             f"CAST(coalesce(segsum, 0) div {_PAA_SEG_DAYS} AS BIGINT)"
         ).alias("v"),
     )
+    # r13: paa feeds the quartile build (hist) AND the symbolize join
+    # (sym) — and each of those references replayed the events scan
+    # twice (seg + the user spine). Checkpoint the bounded
+    # user×segment frame once; everything downstream reads blocks.
+    paa = paa.localCheckpoint(eager=True)
     hist = paa.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
@@ -519,7 +524,12 @@ def q_dtw_similar_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller thresholds. Scale: pair count is Σ_block C(n,2) ≤
     C(16,2)·n_blocks; the DP is 49 codegen'd projections per pair —
     compute-bound, shuffle-free past the block join."""
+    # r13 opt: this query references ``words`` three times (wc + both
+    # legs of the block self-join) — each reference replayed the
+    # symbolize lineage (paa itself checkpoints inside _sax_frames).
+    # Checkpoint the user-grain word table once.
     paa, words = _sax_frames(spark, sf_dir)
+    words = words.localCheckpoint(eager=True)
     vecs = paa.groupBy("user_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(seg, v))), p -> p.v)"

@@ -3614,28 +3614,22 @@ def q_isolated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     population, served by content-based fallbacks instead). The
     complement number to `degree_distribution_copurchase`'s CCDF;
     one shared bounded-basket edge build, one anti-set count, one
-    row out."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    e0 = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-    )
+    row out.
+
+    r13: reads the STAGED ``_basket_pairs``/``_basket_items`` tables
+    (identical definitions — the support filter pushes down onto the
+    staged parquet leaf) instead of rebuilding the lineitem
+    self-join inline; ``n_sold_parts`` is the row count of the
+    part-grain items table (a part is sold iff it has ≥1 distinct
+    order, the same set as DISTINCT l_partkey)."""
+    e0 = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 2)
     nodes = (
         e0.select(F.col("pa").alias("n"))
         .unionAll(e0.select(F.col("pb").alias("n")))
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_connected"))
     )
-    sold = li.select("l_partkey").distinct().agg(
+    sold = _basket_items(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_sold_parts")
     )
     return (
@@ -4182,31 +4176,25 @@ def q_recommendation_coverage(
     'accurate' while showing everyone the same fifty head items,
     starving the catalog tail of exposure). Composes the gated
     serving-table pipeline with one distinct-and-count epilogue; at
-    scale this runs off the PERSISTED serving table, not a rebuild."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cxy"))
-        .where(F.col("cxy") >= 2)
-    )
+    scale this runs off the PERSISTED serving table, not a rebuild —
+    and since r13 it literally does: ``_basket_pairs``/
+    ``_basket_items`` (identical definitions) replace the inline
+    lineitem self-join rebuild the docstring promised away."""
+    pairs = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 2)
+    item = _basket_items(spark, sf_dir)
     sym = pairs.select(
-        F.col("pa").alias("item"), F.col("pb").alias("other"), "cxy"
+        F.col("pa").alias("item"),
+        F.col("pb").alias("other"),
+        F.col("s_ab").alias("cxy"),
     ).unionAll(
         pairs.select(
-            F.col("pb").alias("item"), F.col("pa").alias("other"), "cxy"
+            F.col("pb").alias("item"),
+            F.col("pa").alias("other"),
+            F.col("s_ab").alias("cxy"),
         )
     )
-    ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
-    ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
+    ia = item.select(F.col("p").alias("item"), F.col("s").alias("ca"))
+    ib = item.select(F.col("p").alias("other"), F.col("s").alias("cb"))
     scored = (
         # item supports are part-grain (SF-linear): no forced
         # broadcast hint — size-based planning (r9 audit)
@@ -4417,31 +4405,30 @@ def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bundle and variant candidates), because one-directional top-1s
     are frequently popularity pull while mutual ones are genuine
     affinity. The reciprocal join touches only the |items|-row
-    top-1 table; everything upstream is the shared gated pipeline."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cxy"))
-        .where(F.col("cxy") >= 2)
-    )
+    top-1 table; everything upstream is the shared gated pipeline.
+
+    r13: reads the STAGED ``_basket_pairs``/``_basket_items`` tables
+    (the family's canonical intermediates — identical definitions)
+    instead of rebuilding the lineitem self-join inline; the old
+    inline build re-evaluated the basket fan-out once per DataFrame
+    reference (sym's two branches × the reciprocal join's two best
+    sides = 4 full rebuilds). ``best`` is additionally checkpointed:
+    the reciprocal join reads the part-grain top-1 table twice."""
+    pairs = _basket_pairs(spark, sf_dir).where(F.col("s_ab") >= 2)
+    item = _basket_items(spark, sf_dir)
     sym = pairs.select(
-        F.col("pa").alias("item"), F.col("pb").alias("other"), "cxy"
+        F.col("pa").alias("item"),
+        F.col("pb").alias("other"),
+        F.col("s_ab").alias("cxy"),
     ).unionAll(
         pairs.select(
-            F.col("pb").alias("item"), F.col("pa").alias("other"), "cxy"
+            F.col("pb").alias("item"),
+            F.col("pa").alias("other"),
+            F.col("s_ab").alias("cxy"),
         )
     )
-    ia = item.select(F.col("l_partkey").alias("item"), F.col("c").alias("ca"))
-    ib = item.select(F.col("l_partkey").alias("other"), F.col("c").alias("cb"))
+    ia = item.select(F.col("p").alias("item"), F.col("s").alias("ca"))
+    ib = item.select(F.col("p").alias("other"), F.col("s").alias("cb"))
     scored = (
         # item supports are part-grain (SF-linear): no forced
         # broadcast hint — size-based planning (r9 audit)
@@ -4461,6 +4448,7 @@ def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wr))
         .where(F.col("rnk") == 1)
         .select("item", "other", "cos2_ppm")
+        .localCheckpoint(eager=True)
     )
     b2 = best.select(
         F.col("item").alias("other"),

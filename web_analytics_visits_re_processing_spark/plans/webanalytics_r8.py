@@ -2120,6 +2120,11 @@ def q_rec_hitrate_temporal_holdout(
             .alias("post"),
         )
         .distinct()
+        # r13: op feeds pre_op (twice, via the pair join's two legs),
+        # pre, post and through them eval_c/recs — previously each
+        # reference replayed the lineitem⋈orders join + distinct.
+        # One checkpoint, everything downstream reads blocks.
+        .localCheckpoint(eager=True)
     )
     pre_op = op.where(F.col("post") == 0).select("o", "p").distinct()
     a = pre_op.select(F.col("o").alias("oa"), F.col("p").alias("pa"))
@@ -2166,6 +2171,9 @@ def q_rec_hitrate_temporal_holdout(
         .join(rules, pre["p"] == rules["part"])
         .select("c", F.col("also_bought").alias("p"))
         .distinct()
+        # two consumers (n_recs, n_hits) — and recs' lineage carries
+        # the whole rules window; checkpoint the (customer, rec) set
+        .localCheckpoint(eager=True)
     )
     n_recs = recs.groupBy("c").agg(F.count(F.lit(1)).alias("n_recs"))
     n_hits = (
