@@ -211,11 +211,16 @@ def jaccard_verify(
 
     Shingle sets are joined in as arrays; intersection/union sizes via
     native array ops — per-pair cost is bounded by doc length, and the
-    join is a broadcast-able equi-join on ids."""
+    join is a broadcast-able equi-join on ids.
+
+    r13: the shingle table feeds BOTH join legs, and each DataFrame
+    reference replays the corpus scan + n-gram HOF + distinct —
+    checkpoint it once so the (id, shingles) rows build a single
+    time and both legs read materialized blocks."""
     shingles = df.select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, ngram)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     out = (
         candidates.join(shingles.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(shingles.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

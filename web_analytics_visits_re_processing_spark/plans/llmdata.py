@@ -4733,6 +4733,9 @@ def q_bpr_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # r13: pos feeds BOTH the draw projection and the collision
+    # check's probe side — each reference replayed the orders⋈lineitem
+    # join + distinct; checkpoint the (user, part) positive set once.
     pos = (
         o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
         .join(li.select("l_orderkey", "l_partkey"), "l_orderkey")
@@ -4740,6 +4743,7 @@ def q_bpr_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     maxp = p.agg(F.max("p_partkey").alias("maxp"))
     cand = pos.crossJoin(F.broadcast(maxp)).select(

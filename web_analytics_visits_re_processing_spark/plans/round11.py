@@ -408,13 +408,29 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE fact scan: the (priority, value) rollup is the only
     # aggregate that reads orders; the value histogram derives from it
     # (Σ over the 5 priorities), so the fact table is never re-scanned.
-    gv = t.groupBy("priority", "cents").agg(F.count(F.lit(1)).alias("cg"))
-    vh = gv.groupBy("cents").agg(F.sum("cg").alias("c"))
+    # r13: gv feeds vh (and through it mid + ties) AND the rank-sum
+    # join — each DataFrame reference replayed the orders scan +
+    # groupBy; checkpoint the value-grain histogram once (the
+    # jonckheere treatment).
+    gv = (
+        t.groupBy("priority", "cents")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .localCheckpoint(eager=True)
+    )
+    # vh is value-grain (≈ data-grain for prices) and feeds the
+    # two-pass running sum AND the tie fold — one checkpoint
+    vh = (
+        gv.groupBy("cents")
+        .agg(F.sum("cg").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     mid = global_running_sum(vh, ["cents"], "c", "run").select(
         "cents",
         "c",
         (2 * (F.col("run") - F.col("c")) + F.col("c") + 1).alias("mid2"),
     )
+    # rs is 5 rows but carries the midrank join as lineage and feeds
+    # THREE consumers (nn, s, the output join) — checkpoint it too
     rs = (
         gv.join(mid.select("cents", "mid2"), "cents")
         .groupBy("priority")
@@ -422,6 +438,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cg") * F.col("mid2")).alias("rank_sum_x2"),
             F.sum("cg").alias("n_orders"),
         )
+        .localCheckpoint(eager=True)
     )
     nn = rs.agg(F.sum("n_orders").alias("n"))
     s = rs.agg(

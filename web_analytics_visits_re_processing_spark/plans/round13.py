@@ -159,28 +159,32 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # referenced 3× below (df count, semi join, self join) — the
-    # relational pipeline is cheap enough to re-evaluate; a persist
-    # here would leak a cached frame per invocation (the _daily_seq
-    # cache lesson) for a sub-second saving
+    # r13: the old form referenced the posting pipeline 3× (df count,
+    # semi-join probe, self-join legs) and re-evaluated it per
+    # reference, then paid an fp-keyed self-join. ONE groupBy now
+    # collects each fingerprint's sorted doc list (df = list size, so
+    # the ≤ _WINNOW_DF_CAP guard is a size() filter on the same pass)
+    # and pairs enumerate array-side (≤ C(8,2) structs per fp) — the
+    # posting pipeline runs exactly once and no self-join remains.
+    # Same pair multiset: post is DISTINCT (doc_id, fp), ascending
+    # sort ⇒ doc_a < doc_b.
     post = winnowing_posting(docs, ngram=3, window=4)
-    capped = (
+    grp = (
         post.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= _WINNOW_DF_CAP)
-        .select("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= _WINNOW_DF_CAP)
     )
-    pp = post.join(capped, "fp", "left_semi")
-    a, b = pp.alias("a"), pp.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 2)

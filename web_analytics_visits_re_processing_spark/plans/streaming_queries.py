@@ -354,24 +354,23 @@ GROUP BY user_id
         (ValueState merge + re-armed event-time timer, emitted exactly
         once per user when the watermark passes last_event + gap — see
         ``streaming.tws``), replayed append-mode with the sentinel
-        flushing every timer. Since r13 both tws gates ride ONE
-        combined stream (``CombinedStatsProcessor`` — the union of
-        state types, so every protocol path is still wire-verified)
-        and project their rows off the staged result: the family's
-        fixed cost (planning + micro-batch + RocksDB machinery) is
-        paid once, the staged-layout multi-consumer precedent. The
-        standalone ``user_lifetime_replay`` remains the pytest
-        surface (batch equivalence, chunked cross-batch merges)."""
+        flushing every timer. r13 optimization: back on its OWN
+        minimal stream (``user_lifetime_replay``). The round briefly
+        pointed both tws gates at one combined ValueState+MapState+
+        ListState stream whose RESULT was staged — but with result
+        staging removed (caching results across invocations is
+        gaming, not optimization) the combined topology made every
+        call pay for BOTH gates' state machinery and discard half
+        the rows; the standalone processor does strictly less state-
+        server work per call (ValueState + timers only; per-call
+        numbers in OPTIMIZATION_r13.md). The combined processor and
+        its pytests remain the cross-state consistency surface."""
         from web_analytics_visits_re_processing_spark.streaming.tws import (
-            combined_replay,
+            user_lifetime_replay,
         )
 
-        return (
-            combined_replay(spark, sf_dir)
-            .where(F.col("row_kind") == "lifetime")
-            .select(
-                "user_id", "first_ts_us", "last_ts_us", "n_events", "value_cents"
-            )
+        return user_lifetime_replay(spark, sf_dir).select(
+            "user_id", "first_ts_us", "last_ts_us", "n_events", "value_cents"
         )
 
     @query(
@@ -400,21 +399,17 @@ FROM t JOIN u USING (user_id)
         emitted set equals the batch ``groupBy(user, type)`` verbatim,
         and ``log_total`` (ListState-derived) must equal the per-user
         batch count — a cross-state consistency the oracle checks for
-        free. Since r13 this gate projects the 'type' rows off the
-        SAME combined stream as ``streaming_tws_user_lifetime`` (see
-        that gate's note — one stream, fixed cost paid once; the
-        standalone ``user_type_rollup_replay`` + its pagination
-        pytests remain untouched)."""
+        free. r13 optimization: back on its OWN minimal stream
+        (``user_type_rollup_replay`` — MapState/ListState only; see
+        ``streaming_tws_user_lifetime`` for why the shared combined
+        stream was reverted once its result stage was removed). The
+        pagination pytests on the standalone replay are untouched."""
         from web_analytics_visits_re_processing_spark.streaming.tws import (
-            combined_replay,
+            user_type_rollup_replay,
         )
 
-        return (
-            combined_replay(spark, sf_dir)
-            .where(F.col("row_kind") == "type")
-            .select(
-                "user_id", "event_type", "n_events", "value_cents", "log_total"
-            )
+        return user_type_rollup_replay(spark, sf_dir).select(
+            "user_id", "event_type", "n_events", "value_cents", "log_total"
         )
 
 

@@ -4999,36 +4999,35 @@ def q_edge_density_thresholds(
     evidence bar rises is what decides the threshold every
     downstream operator (k-core, communities, CF) inherits — if
     ≥2→≥3 halves the edges, the graph is noise-dominated; if it
-    barely moves, the signal is robust."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    barely moves, the signal is robust.
+
+    r13: reads the STAGED ``_basket_pairs`` table (identical pair
+    definition — this query was the one basket consumer still
+    rebuilding the lineitem self-join inline), and the 4-threshold
+    sweep is ONE conditional aggregate over the pair table instead
+    of a broadcast-range join that fanned every pair out ×4 before
+    re-counting (same counts: n_edges(t) = Σ [s ≥ t])."""
+    pairs = _basket_pairs(spark, sf_dir).select(F.col("s_ab").alias("s"))
+    counts = pairs.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum((F.col("s") >= t).cast("long")).alias(f"n{t}")
+            for t in (1, 2, 3, 4)
+        ],
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s"))
-    )
-    total = pairs.agg(F.count(F.lit(1)).alias("total"))
-    th = spark.createDataFrame(
-        [(1,), (2,), (3,), (4,)], "support_threshold long"
-    )
-    j = F.broadcast(th).join(pairs, pairs["s"] >= th["support_threshold"])
-    return (
-        j.groupBy("support_threshold")
-        .agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "support_threshold",
-            "n_edges",
-            F.expr(
-                "(n_edges * 1000000) div greatest(total, 1)"
-            ).alias("edge_share_ppm"),
-        )
+    return counts.select(
+        F.expr(
+            "stack(4, CAST(1 AS BIGINT), n1, CAST(2 AS BIGINT), n2,"
+            " CAST(3 AS BIGINT), n3, CAST(4 AS BIGINT), n4)"
+            " AS (support_threshold, n_edges)"
+        ),
+        "total",
+    ).select(
+        "support_threshold",
+        "n_edges",
+        F.expr("(n_edges * 1000000) div greatest(total, 1)").alias(
+            "edge_share_ppm"
+        ),
     )
 
 
@@ -6183,6 +6182,12 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered, no global sort."""
     e = _copurchase_edges(spark, sf_dir)
     keep, kdeg, _cdeg = _lp_kept_adjacency(spark, sf_dir, e)
+    # r13 probe note: an array-side pair build (collect_list + HOF
+    # explode, the cross_source_overlap treatment) measured 2.3x
+    # SLOWER here (9.7s vs 4.3s) — ``keep`` is already a persisted
+    # in-memory table, so the node-keyed self-join is pure codegen
+    # over cached blocks while the nested-lambda enumeration runs
+    # interpreted; the join form stays.
     s1 = keep.select("node", F.col("nbr").alias("pa"))
     s2 = keep.select("node", F.col("nbr").alias("pb"))
     wedge = (

@@ -194,14 +194,19 @@ def user_lifetime_stream(
 # transformWithState replay tuning (r12 verdict item 3 — the tws
 # family's ~10 s was the largest unamortized fixed cost in the
 # headline). Measured at sf0.1, local[32], warm (profile_tws*.py):
-#  - state partitions: chatter round-trips run PARTITION-PARALLEL, so
-#    unlike the other replays (8) the tws family wants 16 (2 → 9.6 s,
-#    8 → 5.3 s, 16 → 4.8 s, 32 → regresses on per-store fixed cost);
+#  - state partitions: r13 re-sweep on the STANDALONE processors
+#    (16/8/4 × 3 reps): 8 ≈ 16 for both gates (lifetime 5.3 vs 5.8 s,
+#    rollup 6.3 both), 4 regresses (chatter serializes). An sf0.01-
+#    vs-sf0.1 A/B showed per-call cost is ~100% fixed machinery
+#    (planning + per-batch store lifecycles + worker spawn), NOT
+#    per-user chatter — so take 8: half the RocksDB store lifecycles
+#    per batch, and strictly better when the driver benches at a
+#    LOWER core count (16 state tasks would serialize on 4 cores).
 #  - RocksDB changelog checkpointing: each commit ships a delta, not
 #    a full snapshot zip per store per batch (commitTimeMs was ~5.5 s
 #    summed across 16 stores × 2 batches of pure snapshot cost).
 # On a real cluster both map to the same knobs sized to the stream.
-TWS_REPLAY_SHUFFLE_PARTITIONS = "16"
+TWS_REPLAY_SHUFFLE_PARTITIONS = "8"
 _TWS_CONFS = {
     "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
