@@ -539,7 +539,15 @@ def simhash_near_dup_pairs(
     ]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
     combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
-    sig = simhash_signatures_df(df, text_col, id_col, bits)
+    # r13: the signature aggregation (per-token md5 + ``bits`` partial
+    # sums per doc) feeds BOTH legs of the combo-key self-join below,
+    # and each DataFrame reference replays the whole build (the plan
+    # showed two full scan→explode→md5→32-sum towers). Checkpoint the
+    # |docs|-row signature table once; both legs read materialized
+    # blocks.
+    sig = simhash_signatures_df(df, text_col, id_col, bits).localCheckpoint(
+        eager=True
+    )
 
     def _block_of(col: Column, i: int) -> Column:
         return F.shiftright(col, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
@@ -647,13 +655,18 @@ def duplicated_ngram_spans(
         (F.col("p") + n).alias("end"),
         "h",
     )
-    dup = (
-        g.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # r13: the duplicate-gram membership used to be a groupBy(h) →
+    # semi-join back onto g, which evaluated the gram build (tokenize
+    # + per-window hash + posexplode — the expensive part) TWICE and
+    # shuffled it twice. A count over the h-partition computes the
+    # same corpus-wide frequency with ONE evaluation and ONE shuffle
+    # of g; rows with c >= min_count are exactly the old join output.
+    w_h = Window.partitionBy("h")
+    hits = (
+        g.withColumn("c", F.count(F.lit(1)).over(w_h))
         .where(F.col("c") >= min_count)
-        .select("h")
+        .select(id_col, "n_tokens", "start", "end")
     )
-    hits = g.join(dup, "h").select(id_col, "n_tokens", "start", "end")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("start")
