@@ -5028,6 +5028,10 @@ def q_edge_density_thresholds(
         F.expr("(n_edges * 1000000) div greatest(total, 1)").alias(
             "edge_share_ppm"
         ),
+    ).where(
+        # the oracle's INNER range join emits no row for a threshold
+        # no pair reaches; the conditional aggregate must drop those
+        F.col("n_edges") > 0
     )
 
 
