@@ -213,6 +213,10 @@ _TWS_CONFS = {
         "true"
     ),
 }
+# NOT adopted after measurement: rocksdb.trackTotalNumberOfRows=false
+# (skips the read-before-write that maintains the numRowsTotal metric)
+# A/B'd neutral-to-worse at this state size (~10k rows) — the per-call
+# cost here is the Python state-server round-trip, not RocksDB.
 
 
 def _tws_replay(
@@ -339,17 +343,23 @@ class TypeRollupProcessor(StatefulProcessor):
                 last_us = hi if last_us is None else max(last_us, hi)
         if total == 0:
             return iter([])
+        # fetch the ValueState FIRST: ``_last`` is written on every
+        # batch that saw this user, so ``None`` proves the user is new
+        # and the MapState is empty — the whole per-type getValue
+        # probe round (one round-trip per event type per user) is
+        # skipped for first-contact users, which in a replay's initial
+        # batch is every user
+        prev = self._last.get()
         for t, (n, c) in agg.items():
             # getValue() returns None for a missing key — halves the
             # per-type chatter vs the containsKey()+getValue() pair
-            prev_tc = self._map.getValue((t,))
+            prev_tc = self._map.getValue((t,)) if prev is not None else None
             if prev_tc is not None:
                 pn, pc = prev_tc
                 self._map.updateValue((t,), (pn + n, pc + c))
             else:
                 self._map.updateValue((t,), (n, c))
         self._log.appendValue((total,))
-        prev = self._last.get()
         prev_horizon = None
         if prev is not None:
             prev_horizon = prev[0] // 1000 + self._gap_ms
