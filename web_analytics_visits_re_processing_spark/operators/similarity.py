@@ -67,16 +67,28 @@ def cosine_topk_bruteforce(
     Ranking uses the 4-decimal-rounded score with the neighbor id as
     tiebreak, making the result deterministic and engine-portable.
     """
+    # r13 norm hoist (guide §1.2): every corpus row pairs with every
+    # query, so the row's norm fold re-ran |queries|× (and each
+    # query's |corpus|×) inside ``cosine()``. One fold per row per
+    # side; the pair expression dot/(_vnorm·_qnorm) is bit-identical
+    # to ``cosine()``'s tree.
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        corpus.withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
         .where(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos"),
+            F.round(
+                dot(F.col("_qvec"), F.col(vec_col))
+                / (F.col("_qnorm") * F.col("_vnorm")),
+                4,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
@@ -166,11 +178,17 @@ def cosine_topk_lsh(
         raise ValueError("probe_hamming supports 0 (exact bucket) or 1")
     c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
     qb = lsh_bucket(F.col(vec_col), dim, n_planes)
+    # r13 norm hoist, QUERY side only: a query's norm fold re-ran per
+    # candidate inside ``cosine()``; hoisting it costs |queries| folds
+    # and saves one per pair. The CORPUS norm stays per-pair — most
+    # corpus rows match no probe (n/2^b bucket selectivity), so a
+    # corpus-wide norm column would cost n folds to save fewer.
     if probe_hamming == 0:
         probe = qb.alias("_bucket")
         q = queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
             probe,
         )
     else:
@@ -178,6 +196,7 @@ def cosine_topk_lsh(
         q = queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
             F.explode(probes).alias("_bucket"),
         )
     scored = (
@@ -186,7 +205,11 @@ def cosine_topk_lsh(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos"),
+            F.round(
+                dot(F.col("_qvec"), F.col(vec_col))
+                / (F.col("_qnorm") * l2_norm(F.col(vec_col))),
+                4,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
@@ -319,30 +342,51 @@ def ivf_centroids(
     )
 
 
+def _py_l2_norm(vec: list) -> float:
+    """The EXACT left-fold-then-sqrt of ``l2_norm`` computed driver-
+    side on the collected centroid doubles: ``acc + x·x`` in IEEE
+    double array order, then a correctly-rounded sqrt — bit-identical
+    to the JVM fold, so the value can ship as a plan literal."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _ivf_cell_structs(cents: list) -> "callable":
     """(sim, -cid) struct-array builder over the centroid literals.
 
-    Both literal arrays ship as ONE parsed SQL expression each (the
+    The literal array ships as ONE parsed SQL expression (the
     PQ codebook / jl_project lesson): the per-value
     ``F.lit(float(x))`` formulation issued n_centroids×dim py4j
     calls per call site (~10k for the default 64×64, twice) and cost
     11.9 s of every invocation in pure DataFrame BUILD time
-    (measured; CAST('<repr>' AS DOUBLE) round-trips exactly)."""
-    cvecs_sql = ", ".join(
-        "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cvec) + ")"
-        for _cid, cvec in cents
-    )
-    negids_sql = ", ".join(f"{-cid}L" for cid, _cvec in cents)
+    (measured; CAST('<repr>' AS DOUBLE) round-trips exactly).
 
-    def cell_structs(vec: Column) -> Column:
+    r13 norm hoist: callers pass the row's norm as a column computed
+    ONCE per row, and each centroid's norm rides the literal struct
+    (``_py_l2_norm`` — bit-equal to the JVM fold), so the per-
+    centroid lambda runs ONE interpreted fold (the dot) instead of
+    three."""
+    cells_sql = ", ".join(
+        "named_struct('cvec', array("
+        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cvec)
+        + f"), 'neg_cid', {-cid}L, 'cnorm', CAST('{_py_l2_norm(cvec)!r}' AS DOUBLE))"
+        for cid, cvec in cents
+    )
+
+    def cell_structs(vec: Column, vnorm: Column) -> Column:
         # struct ordering compares fields in order: (sim, -cid) under
         # array_max → highest sim, then smallest cid.
-        return F.zip_with(
-            F.expr(f"array({cvecs_sql})"),
-            F.expr(f"array({negids_sql})"),
-            lambda cvec, ncid: F.struct(
-                F.round(cosine(vec, cvec), 8).alias("sim"),
-                ncid.alias("neg_cid"),
+        return F.transform(
+            F.expr(f"array({cells_sql})"),
+            lambda c: F.struct(
+                F.round(
+                    dot(vec, c["cvec"]) / (vnorm * c["cnorm"]), 8
+                ).alias("sim"),
+                c["neg_cid"].alias("neg_cid"),
             ),
         )
 
@@ -364,10 +408,14 @@ def ivf_corpus_cells(
     instead of recomputing per query (the r10 stitched-visitor-map
     precedent)."""
     cell_structs = _ivf_cell_structs(cents)
-    return corpus.select(
+    return corpus.withColumn("_vnorm", l2_norm(F.col(vec_col))).select(
         id_col,
         vec_col,
-        (-F.array_max(cell_structs(F.col(vec_col)))["neg_cid"]).alias("_cell"),
+        (
+            -F.array_max(cell_structs(F.col(vec_col), F.col("_vnorm")))[
+                "neg_cid"
+            ]
+        ).alias("_cell"),
     )
 
 
@@ -384,17 +432,30 @@ def ivf_query_probes(
     per query row. Query sets are small (top-k search), so this side
     is never worth staging."""
     cell_structs = _ivf_cell_structs(cents)
-    return queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(
-            F.slice(
-                F.sort_array(cell_structs(F.col(vec_col)), asc=False),
-                1,
-                n_probe,
-            )
-        ).alias("_probe"),
-    ).select(query_id_col, "_qvec", (-F.col("_probe.neg_cid")).alias("_cell"))
+    return (
+        queries.withColumn("_qnorm", l2_norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            "_qnorm",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        cell_structs(F.col(vec_col), F.col("_qnorm")),
+                        asc=False,
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("_probe"),
+        )
+        .select(
+            query_id_col,
+            "_qvec",
+            "_qnorm",
+            (-F.col("_probe.neg_cid")).alias("_cell"),
+        )
+    )
 
 
 def ivf_assign_literal(
@@ -454,17 +515,31 @@ def cosine_topk_ivf_join(
     or the plan size. Scoring uses the interpreted HOF cosine per
     (row × centroid) pair — at very high dim swap the assignment
     scorer for the Arrow/BLAS ``cosine_scores_pandas`` shape."""
+    # r13 norm hoist (guide §1.2 per-task work): ``cosine()`` is THREE
+    # interpreted HOF folds (dot + both norms); under the centroid
+    # cross join each corpus row's norm re-ran n_centroids× and each
+    # centroid's norm |corpus|×. Precompute the norms ONCE per row on
+    # each side — the pair expression ``dot/(_vnorm·_cnorm)`` is the
+    # exact float expression tree of ``cosine()`` (dot, product,
+    # divide — bit-identical), but the assignment stage now runs ONE
+    # fold per (row × centroid) instead of three.
     cents = (
         corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
         .orderBy(centroid_rank_hash(F.col("_cid")).asc(), F.col("_cid").asc())
         .limit(n_centroids)
+        .withColumn("_cnorm", l2_norm(F.col("_cvec")))
     )
     pref = F.struct(
-        F.round(cosine(F.col(vec_col), F.col("_cvec")), 8).alias("sim"),
+        F.round(
+            dot(F.col(vec_col), F.col("_cvec"))
+            / (F.col("_vnorm") * F.col("_cnorm")),
+            8,
+        ).alias("sim"),
         (-F.col("_cid")).cast("long").alias("neg_cid"),
     )
     corpus_cells = (
-        corpus.crossJoin(F.broadcast(cents))
+        corpus.withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
         .groupBy(id_col)
         .agg(
             F.first(vec_col).alias(vec_col),
@@ -473,14 +548,20 @@ def cosine_topk_ivf_join(
     )
     qscored = (
         queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
         )
         .crossJoin(F.broadcast(cents))
         .select(
             query_id_col,
             "_qvec",
             "_cid",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 8).alias("_sim"),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                8,
+            ).alias("_sim"),
         )
     )
     wq = Window.partitionBy(query_id_col).orderBy(
@@ -489,7 +570,12 @@ def cosine_topk_ivf_join(
     probes = (
         qscored.withColumn("_rk", F.row_number().over(wq))
         .where(F.col("_rk") <= n_probe)
-        .select(query_id_col, "_qvec", F.col("_cid").alias("_cell"))
+        .select(
+            query_id_col,
+            "_qvec",
+            l2_norm(F.col("_qvec")).alias("_qnorm"),
+            F.col("_cid").alias("_cell"),
+        )
     )
     return _probe_rescore_topk(corpus_cells, probes, k, id_col, query_id_col, vec_col)
 
@@ -503,14 +589,23 @@ def _probe_rescore_topk(
     vec_col: str,
 ) -> DataFrame:
     """Shared IVF tail: candidates from the cell equi-join (probe side
-    broadcast), exact rescoring, per-query top-k window."""
+    broadcast), exact rescoring, per-query top-k window.
+
+    r13 norm hoist, probe side only: every probe row carries its
+    ``_qnorm`` (one fold per probe, computed by the producer), saving
+    one interpreted fold per candidate pair; the corpus norm stays
+    per-pair because most corpus rows match no probe."""
     scored = (
         corpus_cells.join(F.broadcast(probes), "_cell")
         .where(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos"),
+            F.round(
+                dot(F.col("_qvec"), F.col(vec_col))
+                / (F.col("_qnorm") * l2_norm(F.col(vec_col))),
+                4,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
@@ -661,10 +756,13 @@ def hard_negatives(
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
         F.col(label_col).alias("_qlabel"),
     )
+    # r13 norm hoist (cross join: every corpus row meets every anchor)
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        corpus.withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
         .where(
             (F.col(query_id_col) != F.col(id_col))
             & (F.col(label_col) != F.col("_qlabel"))
@@ -672,7 +770,11 @@ def hard_negatives(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 4).alias("cos"),
+            F.round(
+                dot(F.col("_qvec"), F.col(vec_col))
+                / (F.col("_qnorm") * F.col("_vnorm")),
+                4,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
