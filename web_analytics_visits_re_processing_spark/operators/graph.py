@@ -541,8 +541,6 @@ def hits_bipartite_scaled(
     e = edges.select(
         F.col(hub_col).alias("h_n"), F.col(auth_col).alias("a_n")
     ).localCheckpoint(eager=True)
-    hubs = e.select(F.col("h_n").alias("node")).distinct()
-    h = hubs.withColumn("s", F.lit(1_000_000).cast("long"))
 
     def _norm(scores: DataFrame) -> DataFrame:
         mx = scores.agg(F.max("s").alias("mx"))
@@ -550,13 +548,24 @@ def hits_bipartite_scaled(
             "node", F.expr("s * 1000000 div mx").alias("s")
         )
 
-    a = None
+    a = h = None
     for i in range(n_rounds):
-        a = _norm(
-            e.join(h, e.h_n == h.node)
-            .groupBy(F.col("a_n").alias("node"))
-            .agg(F.sum("s").alias("s"))
-        ).localCheckpoint(eager=True)
+        if i == 0:
+            # every hub starts at exactly 10^6, so round 1's authority
+            # sum is degree·10^6 — one map-side-combined count over
+            # the edge list, no hub table, no join (r13: the distinct
+            # hub build + first score join were pure overhead; the
+            # oracle states a1 = degree·1e6 the same way)
+            a1 = e.groupBy(F.col("a_n").alias("node")).agg(
+                (F.count(F.lit(1)) * 1_000_000).cast("long").alias("s")
+            )
+            a = _norm(a1).localCheckpoint(eager=True)
+        else:
+            a = _norm(
+                e.join(h, e.h_n == h.node)
+                .groupBy(F.col("a_n").alias("node"))
+                .agg(F.sum("s").alias("s"))
+            ).localCheckpoint(eager=True)
         if i < n_rounds - 1:  # the final hub update feeds nothing
             h = _norm(
                 e.join(a, e.a_n == a.node)

@@ -1108,13 +1108,25 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_planes_for,
     )
 
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
     emb = _emb(spark, sf_dir)
     planes = lsh_planes_for(_count_cached("emb_n", spark, sf_dir, emb.count))
+    # r13 norm hoist: each row's norm once (n folds), not per
+    # candidate pair (~n²/2^planes of them); dot/(na·nb) is
+    # cosine()'s exact float tree
     emb = emb.withColumn(
         "_bk", lsh_bucket(F.col("embedding"), dim=64, n_planes=planes)
-    )
+    ).withColumn("_nrm", l2_norm(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        4,
+    )
     return (
         a.join(
             b,
@@ -4349,18 +4361,22 @@ def q_ann_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     is by construction and the corpus still never shuffles. At scale
     the same predicate pushes into the IVF/LSH candidate probes
     (partition-per-label layouts make it a partition-pruned scan)."""
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("_qvec"),
+        l2_norm(F.col("embedding")).alias("_qnorm"),
     )
-    from web_analytics_visits_re_processing_spark.operators.similarity import (
-        cosine,
-    )
-
+    # r13 norm hoist (cross join: every corpus row meets every query)
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.withColumn("_vnorm", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
         .where(
             (F.col("label") == F.col("q_label"))
             & (F.col("query_id") != F.col("vec_id"))
@@ -4369,9 +4385,11 @@ def q_ann_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("_qvec"), F.col("embedding")), 4).alias(
-                "cos"
-            ),
+            F.round(
+                dot(F.col("_qvec"), F.col("embedding"))
+                / (F.col("_qnorm") * F.col("_vnorm")),
+                4,
+            ).alias("cos"),
         )
     )
     from pyspark.sql import Window
@@ -5406,13 +5424,21 @@ def q_mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = cand.select("query_id", "vec_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
+    from web_analytics_visits_re_processing_spark.operators.similarity import (
+        dot as _dot,
+        l2_norm as _l2,
+    )
+
+    # r13 norm hoist: pool rows pair k×(k−1) ways per query
     a = vecs.select(
         "query_id", F.col("vec_id").alias("da"),
         F.col("embedding").alias("_ea"),
+        _l2(F.col("embedding")).alias("_na"),
     )
     b = vecs.select(
         "query_id", F.col("vec_id").alias("db"),
         F.col("embedding").alias("_eb"),
+        _l2(F.col("embedding")).alias("_nb"),
     )
     pairs = (
         a.join(b, "query_id")
@@ -5422,7 +5448,12 @@ def q_mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "da",
             "db",
             F.round(
-                F.round(cosine(F.col("_ea"), F.col("_eb")), 4) * 10000
+                F.round(
+                    _dot(F.col("_ea"), F.col("_eb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    4,
+                )
+                * 10000
             ).cast("long").alias("sim4"),
         )
     )
