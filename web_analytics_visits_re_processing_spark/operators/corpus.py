@@ -244,10 +244,19 @@ def importance_scores(
     # (Consequence: a caller must not re-materialize a result obtained
     # from an EARLIER invocation after a later one — the repo's query/
     # bench harnesses materialize each call's result exactly once.)
-    doc_b = gram_rows(docs, F.col(id_col))
+    # r13 (guide §2.3 aggregate-before-shuffle): roll the gram stream
+    # up to (doc, bucket) COUNTS first — ≤ n_buckets rows per doc with
+    # map-side combine — and run both consumers off the rollup. The
+    # bucket totals are Σ over docs of the per-doc counts and the
+    # per-doc score is Σ_b count·ratio[b] — integer-identical to the
+    # per-occurrence forms, but the persisted/cached table and the
+    # ratio join now carry the rollup, never raw gram occurrences.
+    doc_b = gram_rows(docs, F.col(id_col)).groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     if cache_grams:
         doc_b = doc_b.persist()
-    raw_counts = doc_b.groupBy("b").agg(F.count(F.lit(1)).alias("_rc"))
+    raw_counts = doc_b.groupBy("b").agg(F.sum("_c").alias("_rc"))
     tgt_counts = gram_rows(target_docs).groupBy("b").agg(
         F.count(F.lit(1)).alias("_tc")
     )
@@ -268,8 +277,8 @@ def importance_scores(
         doc_b.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("_r").alias("score_e6"),
+            F.sum("_c").alias("n_grams"),
+            F.sum(F.col("_c") * F.col("_r")).alias("score_e6"),
         )
     )
     if cache_grams:
