@@ -1108,25 +1108,30 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_planes_for,
     )
 
-    from web_analytics_visits_re_processing_spark.operators.similarity import (
-        dot,
-        l2_norm,
-    )
-
     emb = _emb(spark, sf_dir)
     planes = lsh_planes_for(_count_cached("emb_n", spark, sf_dir, emb.count))
-    # r13 norm hoist: each row's norm once (n folds), not per
-    # candidate pair (~n²/2^planes of them); dot/(na·nb) is
-    # cosine()'s exact float tree
-    emb = emb.withColumn(
-        "_bk", lsh_bucket(F.col("embedding"), dim=64, n_planes=planes)
-    ).withColumn("_nrm", l2_norm(F.col("embedding")))
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a._nrm") * F.col("b._nrm")),
-        4,
-    )
+    # r13 INHERITED-BUG fix: building both join legs from ONE
+    # DataFrame object made this a same-relation self-join whose
+    # DeduplicateRelations rewrite loses the attribute references
+    # inside the pushed join-condition lambda (the cosine filter) —
+    # an execution-time INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in any
+    # session whose exprId counter was advanced by prior plans, with
+    # the sf0.1 join strategy (pre-existing; surfaced while A/B-ing a
+    # norm hoist here, which stays reverted). Reading the b side as a
+    # SECOND scan gives the join two distinct relations — no dedup
+    # rewrite, nothing to mis-bind; byte-identical values.
+    def _leg(alias: str) -> DataFrame:
+        return (
+            _emb(spark, sf_dir)
+            .withColumn(
+                "_bk",
+                lsh_bucket(F.col("embedding"), dim=64, n_planes=planes),
+            )
+            .alias(alias)
+        )
+
+    a, b = _leg("a"), _leg("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
     return (
         a.join(
             b,
