@@ -780,7 +780,10 @@ _UNPARTITIONED_WINDOW_WHITELIST: dict[str, frozenset] = {
     # DISTINCT-PAA-value histogram (value-domain grain, the
     # session_length_percentiles class), never the user×seg frame
     "sax_shape_clusters": frozenset({"v", "<unordered>"}),
-    "dtw_similar_user_pairs": frozenset({"v", "<unordered>"}),
+    # dtw_similar_user_pairs: its quartile windows disappeared from
+    # the plan when the wave-2 staged-table reuse bottomed the SAX
+    # index at a parquet leaf — entry removed when the regenerated
+    # PLANS.md exposed the (improved) drift
 }
 
 
