@@ -43,9 +43,17 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 def ensure_nanos_conf(spark: SparkSession) -> None:
     """Idempotent fallback for driver-provided vanilla sessions —
     ``session.get_spark`` sets this up front; only set at runtime when
-    genuinely absent (no per-call global mutation)."""
+    genuinely absent (no per-call global mutation). The "already
+    ensured" fact is pinned on the Python session object so the ~200
+    load_table call sites don't each pay a py4j conf round-trip."""
+    if getattr(spark, "_wa_nanos_conf_ensured", False):
+        return
     if spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
+    try:
+        spark._wa_nanos_conf_ensured = True
+    except Exception:  # pragma: no cover - frozen session wrappers
+        pass
 
 
 def normalize_timestamps(df: DataFrame) -> DataFrame:
@@ -71,11 +79,47 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# (path, mtime_ns, size) -> inferred StructType. METADATA cache only:
+# every load_table call still builds a FRESH scan relation (distinct
+# relations keep self-join semantics — reusing one DataFrame object
+# for both legs of a join is the DeduplicateRelations hazard fixed in
+# embedding_near_dup_pairs) and every action recomputes from parquet.
+# What the cache skips is per-call schema INFERENCE (a driver-side
+# footer read + analysis pass, ~30-190 ms each measured across the
+# ~700 load_table invocations of one bench run) — never data, never
+# results. The mtime+size key invalidates when a fixture regenerates.
+_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _table_schema(spark: SparkSession, path: str) -> T.StructType:
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet``, timestamps
-    normalized (see ``normalize_timestamps``)."""
+    normalized (see ``normalize_timestamps``). The inferred schema is
+    served from ``_SCHEMA_CACHE`` and passed explicitly so repeated
+    loads skip footer inference; the timestamp-normalization columns
+    are derived from that cached StructType directly (a ``df.schema``
+    probe on the fresh relation would force a second analysis pass
+    per call)."""
     ensure_nanos_conf(spark)
-    df = normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _table_schema(spark, path)
+    df = spark.read.schema(sch).parquet(path)
+    for field in sch.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     if name in BROADCAST_TABLES:
         df = F.broadcast(df)
     return df

@@ -66,6 +66,7 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     from web_analytics_visits_re_processing_spark.sources.tables import (
+        _table_schema,
         ensure_nanos_conf,
     )
 
@@ -73,7 +74,8 @@ def read_events_stream(
     # Probe the fixture's physical layout with a batch read: legacy
     # TIMESTAMP(NANOS) arrives as int64 under the nanosAsLong conf;
     # newer fixtures store naive timestamp[us] (TIMESTAMP_NTZ).
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Schema served from the metadata cache (fixture-mtime keyed).
+    batch_schema = _table_schema(spark, f"{sf_dir}/events.parquet")
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -282,11 +284,15 @@ def _read_replay_stream(
     ``sources.tables.normalize_timestamps``. The schema probe is a
     batch footer read, no data scan."""
     from web_analytics_visits_re_processing_spark.sources.tables import (
+        _table_schema,
         ensure_nanos_conf,
     )
 
     ensure_nanos_conf(spark)
-    batch_schema = spark.read.parquet(input_dir).schema
+    # metadata-cache the staged dir's schema (keyed on dir mtime/size,
+    # which the staging step bumps) — the per-call inference pass was
+    # ~150 ms of pure fixed cost on every streaming gate invocation
+    batch_schema = _table_schema(spark, input_dir)
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -297,6 +303,15 @@ def _read_replay_stream(
 
 
 REPLAY_SHUFFLE_PARTITIONS = "8"
+
+
+def _read_out(spark: SparkSession, out: str, result: DataFrame) -> DataFrame:
+    """Batch-read a replay's output with the stream's OWN schema —
+    the file sink wrote exactly ``result.schema``, so re-inferring it
+    from part-file footers on every call was a pure fixed cost
+    (~150-200 ms per gate invocation measured on a contended box; one
+    analysis + footer pass per call structurally)."""
+    return spark.read.schema(result.schema).parquet(out)
 
 
 def _run_append_to_files(
@@ -398,7 +413,7 @@ def streaming_visits_append(
     visits = sessionize_stream(events, gap_seconds, watermark_delay)
     out, _ = _run_append_to_files(visits, workdir)
     return (
-        spark.read.parquet(out)
+        _read_out(spark, out, visits)
         .where(F.col("user_id") != SENTINEL_USER_ID)
         .select(
             "visit_key",
@@ -436,7 +451,7 @@ def streaming_tumbling_counts_append(
         )
     )
     out, _ = _run_append_to_files(counts, workdir)
-    return spark.read.parquet(out).where(
+    return _read_out(spark, out, counts).where(
         F.col("event_type") != _SENTINEL_EVENT_TYPE
     )
 
@@ -481,7 +496,7 @@ def streaming_sliding_counts_append(
         )
     )
     out, _ = _run_append_to_files(counts, workdir)
-    return spark.read.parquet(out)
+    return _read_out(spark, out, counts)
 
 
 def streaming_cms_state(
@@ -657,7 +672,7 @@ def streaming_dedup_append(
         )
     )
     out, _ = _run_append_to_files(deduped, workdir)
-    return spark.read.parquet(out).where(
+    return _read_out(spark, out, deduped).where(
         F.col("event_type") != _SENTINEL_EVENT_TYPE
     )
 
@@ -739,7 +754,7 @@ def streaming_interval_join_append(
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
     )
     out, _ = _run_append_to_files(joined, workdir)
-    return spark.read.parquet(out).where(
+    return _read_out(spark, out, joined).where(
         F.col("user_id") != SENTINEL_USER_ID
     )
 
@@ -802,7 +817,7 @@ def streaming_static_enrich_append(
         )
     )
     out, _ = _run_append_to_files(enriched, workdir)
-    return spark.read.parquet(out)
+    return _read_out(spark, out, enriched)
 
 
 def streaming_histogram_state(
@@ -1141,7 +1156,7 @@ def streaming_dynamic_gap_append(
     )
     out, _ = _run_append_to_files(visits, workdir)
     return (
-        spark.read.parquet(out)
+        _read_out(spark, out, visits)
         .where(F.col("user_id") != SENTINEL_USER_ID)
         .select(
             "user_id",
@@ -1202,7 +1217,7 @@ def streaming_cross_device_append(
         )
     )
     out, _ = _run_append_to_files(sessions, workdir)
-    return spark.read.parquet(out).select(
+    return _read_out(spark, out, sessions).select(
         "visitor",
         F.unix_micros("_start").alias("visit_start_us"),
         F.unix_micros("_end").alias("visit_end_us"),

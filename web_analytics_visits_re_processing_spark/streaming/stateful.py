@@ -166,4 +166,10 @@ def abandoned_sessions_replay(
     events = _read_replay_stream(spark, input_dir)
     result = abandoned_sessions_stream(events, gap_seconds)
     out, _ = _run_append_to_files(result, workdir)
-    return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER_ID)
+    # read back with the stream's own schema — skips a per-call footer
+    # inference pass (see sessionize_stream._read_out)
+    return (
+        spark.read.schema(result.schema)
+        .parquet(out)
+        .where(F.col("user_id") != SENTINEL_USER_ID)
+    )

@@ -258,8 +258,9 @@ def _tws_replay(
         input_dir = _prepare_replay_input(spark, sf_dir, workdir)
         shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
         events = _read_replay_stream(spark, input_dir, max_files_per_trigger)
+        result = stream_fn(events)
         out, _ = _run_append_to_files(
-            stream_fn(events),
+            result,
             workdir,
             shuffle_partitions=TWS_REPLAY_SHUFFLE_PARTITIONS,
         )
@@ -269,7 +270,13 @@ def _tws_replay(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER_ID)
+    # read back with the stream's own schema — skips a per-call footer
+    # inference pass (see sessionize_stream._read_out)
+    return (
+        spark.read.schema(result.schema)
+        .parquet(out)
+        .where(F.col("user_id") != SENTINEL_USER_ID)
+    )
 
 
 def user_lifetime_replay(
