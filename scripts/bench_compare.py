@@ -22,16 +22,71 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _anchor_mean(snapshot: dict) -> float | None:
     """Mean of the run's pre/post calibration anchors (bench.py
     ``anchor()`` — a fixed pure-compute probe timed first and last).
-    None for pre-r11 snapshots that carry no anchor."""
+    None for pre-r11 snapshots that carry no anchor. Min-merged
+    snapshots (merge_bench_detail.py) carry ``anchor_runs`` instead —
+    use the mean over every recorded probe."""
     a = snapshot.get("anchor")
-    if not isinstance(a, dict) or "pre" not in a or "post" not in a:
+    if isinstance(a, dict) and "pre" in a and "post" in a:
+        return (float(a["pre"]) + float(a["post"])) / 2.0
+    runs = snapshot.get("anchor_runs") or []
+    vals = [
+        float(v)
+        for r in runs
+        if isinstance(r, dict)
+        for v in (r.get("pre"), r.get("post"))
+        if v is not None
+    ]
+    return (sum(vals) / len(vals)) if vals else None
+
+
+def _per_query_anchor(snapshot: dict) -> dict | None:
+    """name → the anchor of the WINDOW the query was timed in (mean of
+    the two bounding probes of bench.py's every-50-queries
+    ``anchor_series``). The r13 lesson: contention on this box is
+    intermittent within a run, so a single run-mean drift factor
+    under-corrects queries timed inside a spike and over-corrects the
+    rest; the per-window series localizes it. Falls back to the run
+    mean for snapshots without a series (merged/pre-r13) and for
+    queries not in the current HEADLINE order (the window position is
+    reconstructed from bench.HEADLINE — the timing order)."""
+    mean = _anchor_mean(snapshot)
+    if mean is None:
         return None
-    return (float(a["pre"]) + float(a["post"])) / 2.0
+    queries = snapshot.get("queries", {})
+    a = snapshot.get("anchor")
+    series = snapshot.get("anchor_series") or []
+    if not isinstance(a, dict) or not series:
+        return {q: mean for q in queries}
+    try:
+        import bench
+
+        order = {q: i for i, q in enumerate(bench.HEADLINE)}
+    except Exception:
+        return {q: mean for q in queries}
+    bounds = (
+        [(0, float(a["pre"]))]
+        + sorted((int(s["after_n"]), float(s["sec"])) for s in series)
+        + [(len(order), float(a["post"]))]
+    )
+    out = {}
+    for q in queries:
+        i = order.get(q)
+        if i is None:
+            out[q] = mean
+            continue
+        prev = max((n, v) for n, v in bounds if n <= i)
+        nxts = [(n, v) for n, v in bounds if n > i]
+        out[q] = (prev[1] + nxts[0][1]) / 2.0 if nxts else prev[1]
+    return out
 
 
 def compare(
@@ -43,18 +98,27 @@ def compare(
     # compute; raw per-query ratios are divided by it before flagging,
     # so a whole-box slowdown stops reading as 300 plan regressions
     # (the r10 uniform-1.20× episode). Falls back to 1.0 (raw ratios)
-    # when either snapshot predates the anchor.
+    # when either snapshot predates the anchor. Per-query WINDOW
+    # anchors (r14) localize the correction to the 50-query window
+    # each side was actually timed in.
     drift = (na / oa) if (oa and na) else None
+    opq, npq = _per_query_anchor(old), _per_query_anchor(new)
     regressions, improvements = {}, {}
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if max(a, b) < floor:
             continue
         raw = b / max(a, 1e-9)
-        norm = raw / drift if drift else raw
+        qdrift = (
+            (npq[name] / opq[name])
+            if (opq and npq and opq.get(name) and npq.get(name))
+            else drift
+        )
+        norm = raw / qdrift if qdrift else raw
         rec = {"old": a, "new": b, "ratio": round(raw, 2)}
-        if drift:
+        if qdrift:
             rec["ratio_anchor_norm"] = round(norm, 2)
+            rec["window_drift"] = round(qdrift, 3)
         if norm > threshold:
             regressions[name] = rec
         elif norm < 1.0 / threshold:

@@ -1,10 +1,10 @@
-"""r13 optimization probe: time named queries (noop sink, median of
-reps) and capture ``.explain("formatted")`` to plans/r13/.
+"""r13/r14 optimization probe: time named queries (noop sink, median of
+reps) and capture ``.explain("formatted")`` to plans/$SPARK_GRAFT_PLANDIR (default r14)/.
 
 Usage:
     python scripts/opt_probe.py [--reps N] [--tag before|after] q1 q2 ...
 
-Writes plans/r13/<query>_<tag>.txt and prints per-query medians.
+Writes plans/<dir>/<query>_<tag>.txt and prints per-query medians.
 Methodology matches bench.py: local[$SPARK_GRAFT_CPUS], noop write,
 median of reps, anchor probe first so numbers are host-comparable.
 """
@@ -45,7 +45,7 @@ import bench  # noqa: E402
 a = bench.anchor(spark)
 print(f"# anchor: {a}s", flush=True)
 
-plandir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+plandir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANDIR", "r14"))
 os.makedirs(plandir, exist_ok=True)
 
 for name in args:

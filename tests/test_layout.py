@@ -118,3 +118,45 @@ def test_small_file_compaction_preserves_rows(spark, tmp_path):
     assert n_big <= 4
     a = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert a == list(range(1000))
+
+
+def test_partitioned_write_repartition_size_gate(spark, sf_dir, monkeypatch):
+    """The r14 size-gated pre-write repartition in
+    ``partitioned_write_roundtrip``: above the byte threshold the
+    write shuffles by the partition columns, so every hive partition
+    directory holds exactly ONE data file (the 100 TB commit shape);
+    below it the exchange is skipped and the query result is
+    IDENTICAL either way (the gate changes file layout, never rows)."""
+    import glob
+    import os
+    import tempfile
+
+    from web_analytics_visits_re_processing_spark.plans.extended import (
+        q_partitioned_write,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_part_write",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+
+    # scale arm: threshold 1 byte → repartition fires
+    monkeypatch.setenv("SPARK_GRAFT_PARTWRITE_REPART_MIN_BYTES", "1")
+    big = sorted(map(tuple, q_partitioned_write(spark, sf_dir).collect()))
+    part_dirs = glob.glob(os.path.join(base, "event_type=*", "day=*"))
+    assert part_dirs, "partitioned write produced no partition dirs"
+    for d in part_dirs:
+        files = [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        assert len(files) == 1, f"{d}: expected 1 file/partition, got {len(files)}"
+
+    # local arm: huge threshold → no pre-write exchange, same rows
+    monkeypatch.setenv(
+        "SPARK_GRAFT_PARTWRITE_REPART_MIN_BYTES", str(1 << 60)
+    )
+    small = sorted(map(tuple, q_partitioned_write(spark, sf_dir).collect()))
+    assert small == big

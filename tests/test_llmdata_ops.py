@@ -769,6 +769,89 @@ def test_semdedup_planted_dup_and_cluster_blindness(spark):
     assert sum(1 for v in got.values() if not v) == 3
 
 
+def test_semdedup_arrow_scorer_matches_fold(spark, sf_dir):
+    """r14: the NumPy per-cluster scorer (``scorer='arrow'``) and the
+    exact interpreted-fold path (``scorer='fold'``) return IDENTICAL
+    verdicts on the real fixture — the gate the Arrow adoption rides
+    on (its docstring's decision-equivalence argument, checked)."""
+    from web_analytics_visits_re_processing_spark.operators.semdedup import (
+        semdedup_verdicts,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    arrow = {
+        (r["vec_id"], r["cluster"], r["is_semantic_dup"])
+        for r in semdedup_verdicts(emb, k=10, n_updates=1, tau=0.35).collect()
+    }
+    fold = {
+        (r["vec_id"], r["cluster"], r["is_semantic_dup"])
+        for r in semdedup_verdicts(
+            emb, k=10, n_updates=1, tau=0.35, scorer="fold"
+        ).collect()
+    }
+    assert arrow == fold and len(arrow) > 0
+
+
+def test_semdedup_hit_threshold_replicates_spark_round(spark):
+    """``_hit_threshold``'s claim: ``round(v,4) >= tau ⇔ v >= v*`` for
+    every double — probed against Spark's own ROUND on the doubles
+    adjacent to the boundary and a grid around it."""
+    import math
+
+    from web_analytics_visits_re_processing_spark.operators.semdedup import (
+        _hit_threshold,
+    )
+
+    v_star = _hit_threshold(0.35)
+    probes = [v_star, math.nextafter(v_star, -math.inf),
+              math.nextafter(v_star, math.inf)]
+    probes += [0.34990 + i * 1e-5 for i in range(11)]  # 0.3499..0.3500
+    df = spark.createDataFrame([(v,) for v in probes], "v double")
+    rows = df.select(
+        "v",
+        (F.round("v", 4) >= 0.35).alias("spark_hit"),
+        (F.col("v") >= F.lit(v_star)).alias("fast_hit"),
+    ).collect()
+    for r in rows:
+        assert r["spark_hit"] == r["fast_hit"], r["v"]
+
+
+def test_semdedup_fixture_margin_vs_boundary(spark, sf_dir):
+    """BLAS-vs-fold summation noise (~1e-15 relative) can only flip a
+    verdict if a pair's cosine sits within that distance of v* — pin
+    that the fixture keeps every within-cluster pair ≫ 1e-9 away."""
+    import numpy as np
+
+    from web_analytics_visits_re_processing_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+    from web_analytics_visits_re_processing_spark.operators.semdedup import (
+        _hit_threshold,
+    )
+    from web_analytics_visits_re_processing_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(
+        emb, k=10, n_updates=1, keep_cols=("embedding",)
+    ).collect()
+    v_star = _hit_threshold(0.35)
+    by_cluster: dict = {}
+    for r in assigned:
+        by_cluster.setdefault(r["cluster"], []).append(r["embedding"])
+    min_margin = math_inf = float("inf")
+    for vecs in by_cluster.values():
+        if len(vecs) < 2:
+            continue
+        x = np.asarray(vecs, dtype=np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        cos = (x @ x.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(vecs), k=1)
+        min_margin = min(min_margin, float(np.abs(cos[iu] - v_star).min()))
+    assert min_margin != math_inf
+    assert min_margin > 1e-9, min_margin
+
+
 def test_inverted_index_truncates_postings_at_20(spark):
     """A term present in 25 docs keeps df/tf_total over the FULL
     corpus but its posting head stops at the 20 smallest doc ids; a

@@ -1,5 +1,14 @@
 """Run every oracle-paired query in the inventory against DuckDB at
-sf0.001 — a fast local replica of the driver's t2 correctness gate."""
+sf0.001 — a fast local replica of the driver's t2 correctness gate.
+
+r14 (verdict item 3 — the 58-min suite outgrew the driver's verify
+window): the old ``test_query_runs`` re-executed every registered
+query a SECOND time just to assert ``count() >= 0`` and a non-empty
+schema — both strictly implied by ``test_query_matches_oracle``
+passing for the same name (the oracle match executes the full query
+and compares rows AND schema). With QUERIES ≡ ORACLES (pinned below)
+that was 428 redundant Spark executions per suite run, removed for
+zero coverage loss."""
 
 from __future__ import annotations
 
@@ -10,14 +19,14 @@ from web_analytics_visits_re_processing_spark.plans import ORACLES, QUERIES
 from tests.oracle_utils import assert_matches_oracle
 
 
+def test_every_query_is_oracle_paired():
+    """The redundancy-cut above is only sound while every registered
+    query carries an oracle — pin it (a new oracle-less query would
+    otherwise silently lose its smoke test)."""
+    assert set(QUERIES) == set(ORACLES)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, ORACLES[name], sf_dir)
-
-
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_runs(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0

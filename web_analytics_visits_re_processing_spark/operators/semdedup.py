@@ -149,6 +149,81 @@ def semdedup_pairs(
     return _pairs_from_assigned(assigned, tau, id_col, vec_col)
 
 
+def _hit_threshold(tau: float) -> float:
+    """The smallest double ``v*`` with ``round(v*, 4) >= tau`` under
+    Spark's ROUND semantics for doubles (BigDecimal.valueOf — i.e.
+    shortest-decimal-repr — then HALF_UP at scale 4, same as Python's
+    ``Decimal(repr(v))``). ROUND is monotone non-decreasing, so
+    ``round(v,4) >= tau  ⇔  v >= v*`` exactly, for every double v:
+    the round-then-compare predicate collapses to ONE branch-free
+    vectorizable comparison. Found by nextafter-walking from
+    ``tau - 5e-5`` (a handful of steps)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round4(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    b = tau - 5e-5
+    while round4(b) >= tau:
+        b = math.nextafter(b, -math.inf)
+    while round4(b) < tau:
+        b = math.nextafter(b, math.inf)
+    return b
+
+
+def _dup_ids_arrow(
+    assigned: DataFrame,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The duplicate-id SET of the within-cluster pair scan, scored in
+    NumPy/BLAS per cluster (guide §4.2: hand whole batches to
+    vectorized native code) instead of one interpreted HOF fold per
+    pair → ``(id)`` rows, one per duplicate vector.
+
+    Equivalence to ``_pairs_from_assigned``: the verdict only needs
+    "∃ same-cluster partner with smaller id and round(cos,4) >= tau".
+    The rounded comparison is evaluated as ``cos >= _hit_threshold
+    (tau)`` — EXACTLY the JVM predicate for every double (see
+    ``_hit_threshold``). The only remaining difference is summation
+    order inside the dot products (BLAS pairwise vs the fold's strict
+    left-to-right), ~1e-15 relative — decision-identical unless a
+    pair's true cosine sits within ~1e-12 of v*, which
+    ``tests/test_llmdata_ops.py`` guards on the fixtures (margin
+    pinned ≫ noise) alongside a full fold-vs-arrow dup-set equality
+    check. Cluster-sized groups are the paper's own boundedness
+    contract (k ∝ N keeps |cluster| ~600), so per-group matmul cost
+    and memory stay constant at scale while group count provides the
+    parallelism."""
+    import pandas as pd
+
+    v_star = _hit_threshold(tau)
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: pd.array([], dtype="int64")})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64, copy=False)
+        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        cos = (x @ x.T) / np.outer(nrm, nrm)
+        hit = np.triu(cos >= v_star, k=1)
+        return pd.DataFrame({id_col: ids[hit.any(axis=0)]})
+
+    return (
+        assigned.select(
+            id_col, "cluster", F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .groupBy("cluster")
+        .applyInPandas(score, schema=f"{id_col} long")
+    )
+
+
 def semdedup_verdicts(
     emb: DataFrame,
     k: int = 10,
@@ -157,6 +232,7 @@ def semdedup_verdicts(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_via: str = "auto",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Per-vector SemDeDup verdict → ``(id, cluster,
     is_semantic_dup)``: True iff a same-cluster partner with a smaller
@@ -164,10 +240,15 @@ def semdedup_verdicts(
     every duplicate chain survives with False).
 
     Runs ONE Lloyd pass; the materialized assignment is shared
-    between both sides of the pair self-join AND the verdict stamp
-    (localCheckpoint — without it each of the three consumers replays
-    the full scan + quantize + argmin lineage, measured 3.4× slower
-    at sf0.1)."""
+    between the pair scan AND the verdict stamp (localCheckpoint —
+    without it each consumer replays the full scan + quantize +
+    argmin lineage, measured 3.4× slower at sf0.1).
+
+    ``scorer="arrow"`` (default, r14): the pair scan runs as one
+    NumPy matmul per cluster (``_dup_ids_arrow`` — guide §4.2),
+    decision-identical to the interpreted fold (see its docstring);
+    ``scorer="fold"`` keeps the exact JVM expression path (the
+    equivalence tests pin one against the other)."""
     assigned = kmeans_assign(
         emb,
         k=k,
@@ -177,12 +258,18 @@ def semdedup_verdicts(
         assign_via=assign_via,
         keep_cols=(vec_col,),
     ).localCheckpoint(eager=True)
-    dup_ids = (
-        _pairs_from_assigned(assigned, tau, id_col, vec_col)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
+    if scorer == "arrow":
+        dup_ids = (
+            _dup_ids_arrow(assigned, tau, id_col, vec_col)
+            .withColumn("_dup", F.lit(True))
+        )
+    else:
+        dup_ids = (
+            _pairs_from_assigned(assigned, tau, id_col, vec_col)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("_dup", F.lit(True))
+        )
     return (
         assigned.join(dup_ids, id_col, "left")
         .select(

@@ -2231,10 +2231,17 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitions by the partition columns first (guide §6 shape):
     each (event_type, day) then lands in exactly ONE shuffle task,
     so the job writes one file per partition directory instead of
-    files × scan-tasks — measured here (~1.2k tiny files → ~150)
-    and the mandatory layout at 100 TB, where a commit of
-    files × tasks small files is what kills hive-partitioned
-    writes."""
+    files × scan-tasks — the mandatory layout at 100 TB, where a
+    commit of files × tasks small files is what kills
+    hive-partitioned writes. The repartition is SIZE-GATED (r14,
+    verdict item 6): below ``$SPARK_GRAFT_PARTWRITE_REPART_MIN_BYTES``
+    (default 256 MiB) of source bytes the scan is a handful of tasks
+    and the file count is already ~one per directory, so the extra
+    full exchange is pure fixed cost (measured +32% at sf0.1's 2 MB
+    input); above it the exchange is what bounds the commit. The gate
+    reads driver-side file sizes — no extra Spark job — and a pytest
+    pins the above-threshold one-file-per-partition-dir layout via
+    the env override."""
     import os
     import tempfile
 
@@ -2251,9 +2258,24 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
     )
+    repart_min = int(
+        os.environ.get(
+            "SPARK_GRAFT_PARTWRITE_REPART_MIN_BYTES", str(256 * 1024**2)
+        )
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        src_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if not f.startswith(("_", "."))
+        )
+    else:
+        src_bytes = os.path.getsize(src) if os.path.exists(src) else repart_min
+    if src_bytes >= repart_min:
+        staged = staged.repartition("event_type", "day")
     (
-        staged.repartition("event_type", "day")
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_type", "day")
         .parquet(base)

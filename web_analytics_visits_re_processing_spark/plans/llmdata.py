@@ -2701,43 +2701,30 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- incremental (cross-run) dedup -------------------------------------------
 
 def _persisted_band_table(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> DataFrame:
-    """The frozen corpus's LSH band index, genuinely PERSISTED: written
-    to parquet once per fixture generation (cache keyed on the
-    documents fixture's mtime/size, like the streaming replay staging)
-    and read back for every probe — the probe really runs against an
-    on-disk index, not a recomputed lineage. In production this is the
-    artifact written bucketed by band_key at corpus freeze."""
-    import os
-    import shutil
+    """The frozen corpus's LSH band index as an on-disk parquet table —
+    the probe really runs against a persisted index, not a recomputed
+    lineage. In production this is the artifact written bucketed by
+    band_key at corpus freeze.
 
+    r14 (verdict item 4): staging is PER-PROCESS (``_lp_cached``:
+    tempdir, atexit-removed, session+fingerprint keyed) instead of the
+    old cross-run ``.tmp`` dir keyed on the fixture's mtime. The old
+    form let every bench/oracle invocation after the first PROCESS
+    skip the index build entirely while the DuckDB oracle rebuilt it
+    from scratch each run — an undisclosed cross-run amortization.
+    Now the first consumer in each interpreter pays the build inside
+    its own timed region (exactly the ``_lp_cached`` contract the
+    basket/LSH staging tables already follow)."""
     from web_analytics_visits_re_processing_spark.operators.dedup import (
         minhash_band_table,
     )
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
 
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return _lp_cached(
+        "minhash_index_bands", spark, sf_dir, lambda: minhash_band_table(corpus)
     )
-    workdir = os.path.join(
-        repo, ".tmp", "minhash_index", os.path.basename(sf_dir.rstrip("/")) or "sf"
-    )
-    path = os.path.join(workdir, "bands")
-    marker = os.path.join(workdir, "_INPUT_META")
-    src = f"{sf_dir}/documents.parquet"
-    try:
-        meta = f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
-    except OSError:
-        meta = f"{src}:unknown"
-    cached = False
-    if os.path.exists(marker):
-        with open(marker) as f:
-            cached = f.read() == meta
-    if not cached:
-        shutil.rmtree(path, ignore_errors=True)
-        os.makedirs(workdir, exist_ok=True)
-        minhash_band_table(corpus).write.mode("overwrite").parquet(path)
-        with open(marker, "w") as f:
-            f.write(meta)
-    return spark.read.parquet(path)
 
 
 @query(

@@ -243,10 +243,34 @@ def q_jonckheere_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gv, ["g", "cents"], "left")
         .select("g", "cents", F.coalesce("cg", F.lit(0)).alias("cg0"))
     )
-    wcum = Window.partitionBy("g").orderBy("cents")
-    cum = grid.select(
-        "g", "cents", "cg0",
-        (F.sum("cg0").over(wcum) - F.col("cg0")).alias("cum_lt"),
+    # r14 (verdict item 8): the per-group cumulative used to run as ONE
+    # window partitioned by g — 5 partitions, so the whole grid
+    # serialized through 5 tasks however many cores exist. Two-level
+    # bucketed cumulative instead (identical integers): within-bucket
+    # running sums parallelize over g × bucket partitions, and the
+    # bucket-level prefix (a 5×~bkts-row window) is broadcast back.
+    # cum_lt = (Σ earlier buckets) + (Σ earlier cents within bucket) —
+    # exact integer algebra, same column values, hash-identical.
+    # Bucket width 2^16 cents keeps the level-1 table ≤ a few thousand
+    # rows at any SF (cents ≥ 0 here, so integer div orders buckets
+    # consistently with cents).
+    grid = grid.withColumn("_bkt", F.expr("cents div 65536"))
+    wb = Window.partitionBy("g", "_bkt").orderBy("cents")
+    bt = grid.groupBy("g", "_bkt").agg(F.sum("cg0").alias("_btot"))
+    wg = Window.partitionBy("g").orderBy("_bkt")
+    bcum = bt.select(
+        "g", "_bkt", (F.sum("_btot").over(wg) - F.col("_btot")).alias("_blt")
+    )
+    cum = (
+        grid.join(F.broadcast(bcum), ["g", "_bkt"])
+        .select(
+            "g", "cents", "cg0",
+            (
+                F.col("_blt")
+                + F.sum("cg0").over(wb)
+                - F.col("cg0")
+            ).alias("cum_lt"),
+        )
     )
     pairs = (
         cum.alias("i")
