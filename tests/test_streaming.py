@@ -305,3 +305,28 @@ def test_streaming_static_enrich_buckets_and_sentinel(spark):
     assert out.agg(F.sum("n_events")).first()[0] == n_total
     max_ev_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
     assert out.agg(F.max("window_start_us")).first()[0] <= max_ev_us
+
+
+def test_cross_device_bitmask_equals_collect_set_arm(spark, sf_dir):
+    """r14: the streaming cross-device gate's bitmask device count
+    (``bit_count(bit_or(1 << _didx))``, flat long agg buffer) must
+    emit EXACTLY the rows of the collect_set arm it replaced — both
+    arms run the full replay on the fixture and compare."""
+    from web_analytics_visits_re_processing_spark.plans import round10
+    from web_analytics_visits_re_processing_spark.streaming.sessionize_stream import (
+        streaming_cross_device_append,
+    )
+
+    real = round10._stitched_max_cluster_size
+    assert real(spark, sf_dir) <= 64  # fixture takes the bitmask arm
+    bitmask = sorted(
+        map(tuple, streaming_cross_device_append(spark, sf_dir).collect())
+    )
+    round10._stitched_max_cluster_size = lambda s, d: 999  # force set arm
+    try:
+        asset = sorted(
+            map(tuple, streaming_cross_device_append(spark, sf_dir).collect())
+        )
+    finally:
+        round10._stitched_max_cluster_size = real
+    assert bitmask == asset and len(bitmask) > 0

@@ -600,6 +600,56 @@ def _stitched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lp_cached("stitched_clusters", spark, sf_dir, build)
 
 
+_XDEV_MAXSZ: dict = {}
+
+
+def _stitched_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(user_id, visitor, _didx)`` — the stitched map plus a DENSE
+    per-visitor device index (row_number by user_id, 0-based), staged
+    like ``_stitched_clusters`` so a streaming consumer's per-batch
+    replan reads a parquet leaf instead of re-running the window.
+    Feeds the bitmask device count in
+    ``streaming/sessionize_stream.streaming_cross_device_append``."""
+    from web_analytics_visits_re_processing_spark.plans.webanalytics import (
+        _lp_cached,
+    )
+
+    def build() -> DataFrame:
+        w = Window.partitionBy("visitor").orderBy("user_id")
+        return _stitched_clusters(spark, sf_dir).select(
+            "user_id",
+            "visitor",
+            (F.row_number().over(w) - 1).cast("int").alias("_didx"),
+        )
+
+    return _lp_cached("stitched_clusters_didx", spark, sf_dir, build)
+
+
+def _stitched_max_cluster_size(spark: SparkSession, sf_dir: str) -> int:
+    """Largest stitched cluster (device count per visitor), computed
+    ONCE per (session, fixture) from the staged indexed map — the
+    count-banded arm pick for the bitmask device count (≤64 devices →
+    one long of agg state; beyond → the exact collect_set arm)."""
+    import os as _os
+
+    from web_analytics_visits_re_processing_spark.sources.layout import (
+        _fixture_fingerprint,
+    )
+
+    fp = _fixture_fingerprint(sf_dir) if _os.path.isdir(sf_dir) else None
+    key = (id(spark), sf_dir, fp)
+    hit = _XDEV_MAXSZ.get(key)
+    if hit is None:
+        hit = (
+            _stitched_clusters_indexed(spark, sf_dir)
+            .agg(F.max("_didx"))
+            .first()[0]
+            + 1
+        )
+        _XDEV_MAXSZ[key] = hit
+    return hit
+
+
 _GOLDEN_ORACLE = f"""
 WITH RECURSIVE {_STITCH_CTES.strip()},
 j AS (

@@ -1181,11 +1181,23 @@ def streaming_cross_device_append(
     verbatim. The sentinel row advances the event-time watermark even
     though the inner join drops it (watermarks track the stream's
     event-time column, not join survivors), so the tail still
-    flushes. The per-session device count rides
-    ``size(collect_set(user_id))`` — streaming aggregations reject
-    COUNT(DISTINCT), and the set is bounded by the cluster size."""
+    flushes. The per-session device count is a BITMASK (r14): each
+    user gets a dense index within its visitor cluster on the STATIC
+    side (``_stitched_clusters_indexed``) and the stream aggregates
+    ``bit_count(bit_or(1 << idx))`` — a flat LONG aggregation buffer
+    instead of ``collect_set``'s object buffer, which forced the
+    whole session store through ObjectHashAggregate object
+    serialization (profiled r14: 1.1 s removals + 0.8 s commit per
+    batch over 83k sessions vs ~0.4 s for the flat-buffer peers).
+    Value-identical: ``bit_count(bit_or(1<<idx)) =
+    size(collect_set(user_id))`` for distinct per-user indices; the
+    arm is COUNT-BANDED on the real max cluster size (one cached agg
+    job) and falls back to the exact collect_set arm past 64 devices
+    per visitor — streaming aggregations reject COUNT(DISTINCT), and
+    the set is bounded by the cluster size either way."""
     from web_analytics_visits_re_processing_spark.plans.round10 import (
-        _stitched_clusters,
+        _stitched_clusters_indexed,
+        _stitched_max_cluster_size,
     )
 
     workdir = os.path.join(
@@ -1195,7 +1207,13 @@ def streaming_cross_device_append(
     )
     input_dir = _prepare_replay_input(spark, sf_dir, workdir)
     events = _read_replay_stream(spark, input_dir)
-    clusters = _stitched_clusters(spark, sf_dir)
+    clusters = _stitched_clusters_indexed(spark, sf_dir)
+    if _stitched_max_cluster_size(spark, sf_dir) <= 64:
+        n_devices = F.expr(
+            "bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), _didx)))"
+        ).alias("n_devices")
+    else:  # >64 devices/visitor: exact object-set arm (tests pin both)
+        n_devices = F.size(F.collect_set("user_id")).alias("n_devices")
     sessions = (
         events.where(F.col("ts").isNotNull())
         .withWatermark("ts", watermark_delay)
@@ -1205,7 +1223,7 @@ def streaming_cross_device_append(
             F.min("ts").alias("_start"),
             F.max("ts").alias("_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.size(F.collect_set("user_id")).alias("n_devices"),
+            n_devices,
             # integer cents — no float SUM under the exact-hash gate
             F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias(
                 "total_value_cents"
