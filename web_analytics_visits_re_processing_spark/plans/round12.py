@@ -295,6 +295,11 @@ def q_jonckheere_trend_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(ns.select(F.col("g").alias("gj"), F.col("n").alias("n_j"))),
             "gj",
         )
+        # ≤ C(groups,2) rows feeding TWO consumers (tot + the final
+        # select) — checkpoint so the grid→cum→pair chain evaluates
+        # once (r14: exchange reuse already shared the shuffles; this
+        # drops the duplicated post-exchange stages too)
+        .localCheckpoint(eager=True)
     )
     tot = joined.agg(
         F.sum("u2").alias("jt2"),

@@ -329,6 +329,39 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never event-scale) and spill-safe; the single-slot cache evicts
     # it when the sf changes.
     s2 = _persisted("gsp_s2", spark, sf_dir, build_s2)
+
+    # r14 (verdict item 9, the PQ-hoist lesson applied to the level
+    # scans): the containment checks used to run array_position +
+    # slice PER (sequence × candidate) pair — O(len) scans and a
+    # fresh O(len) array allocation for each of the |users|·|C_k|
+    # pair evaluations (sequences here average ~67 symbols). The
+    # POSITION MAP (sym → sorted 1-based positions, built ONCE per
+    # sequence, alphabet-bounded) turns each pair into O(1) map
+    # lookups: greedy first-occurrence containment is
+    #   (a,b):    last(pos[b]) > first(pos[a])
+    #   (a,b,c):  last(pos[c]) > first position of b after
+    #             first(pos[a])  (= first element of the filtered
+    #             pos[b], the exact greedy pb)
+    # — provably the same hit set (subsequence existence only needs
+    # the earliest/latest occurrences). try_element_at keeps absent
+    # symbols null under ANSI. The r13 position-table attempt lost
+    # 2.4× because its first/last expressions sat INSIDE nested
+    # per-candidate lambdas (re-evaluated per element); here
+    # candidates arrive as broadcast join rows and every lookup is a
+    # hoisted codegen column. Measured (interleaved A/B, quiet
+    # anchors): level-2 scan 1.29 → 0.68 s median, value-identical.
+    s2m = _persisted(
+        "gsp_s2m",
+        spark,
+        sf_dir,
+        lambda: s2.select(
+            F.expr(
+                "map_from_entries(transform(array_distinct(syms),"
+                " s -> struct(s, filter(sequence(1, size(syms)),"
+                " i -> element_at(syms, i) = s))))"
+            ).alias("m")
+        ),
+    )
     nu = s2.agg(F.count(F.lit(1)).alias("n"))
     f1 = (
         s2.select(F.explode(F.array_distinct("syms")).alias("t"))
@@ -342,23 +375,22 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         f1.select(F.col("t").alias("b"))
     )
     scan2 = (
-        s2.crossJoin(F.broadcast(c2))
+        s2m.crossJoin(F.broadcast(c2))
         .select(
             "a",
             "b",
-            F.expr(
-                "cast(coalesce(array_position(syms, a), 0) as int)"
-            ).alias("pa"),
-            "syms",
+            F.expr("try_element_at(m, a)").alias("_pa"),
+            F.expr("try_element_at(m, b)").alias("_pb"),
         )
         .select(
             "a",
             "b",
             (
-                (F.col("pa") > 0)
-                & F.expr(
-                    "coalesce(array_position(slice(syms, pa + 1,"
-                    " size(syms)), b), 0) > 0"
+                F.col("_pa").isNotNull()
+                & F.col("_pb").isNotNull()
+                & (
+                    F.expr("element_at(_pb, -1)")
+                    > F.expr("element_at(_pa, 1)")
                 )
             ).cast("long").alias("hit"),
         )
@@ -386,40 +418,39 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "c")
     )
     scan3 = (
-        s2.crossJoin(F.broadcast(c3))
+        s2m.crossJoin(F.broadcast(c3))
         .select(
             "a",
             "b",
             "c",
-            F.expr(
-                "cast(coalesce(array_position(syms, a), 0) as int)"
-            ).alias("pa"),
-            "syms",
+            F.expr("try_element_at(m, a)").alias("_pa"),
+            F.expr("try_element_at(m, b)").alias("_pb"),
+            F.expr("try_element_at(m, c)").alias("_pc"),
         )
         .select(
             "a",
             "b",
             "c",
-            "pa",
+            "_pa",
+            "_pc",
+            # greedy pb = first occurrence of b AFTER the first a;
+            # CASE keeps the filter off the null (absent-symbol) rows
             F.expr(
-                "case when pa > 0 then cast(coalesce(array_position("
-                "slice(syms, pa + 1, size(syms)), b), 0) as int)"
-                " else 0 end"
-            ).alias("pbr"),
-            "syms",
+                "case when _pa is not null and _pb is not null then"
+                " filter(_pb, p -> p > element_at(_pa, 1))"
+                " end"
+            ).alias("_pba"),
         )
         .select(
             "a",
             "b",
             "c",
-            (
-                (F.col("pa") > 0)
-                & (F.col("pbr") > 0)
-                & F.expr(
-                    "coalesce(array_position(slice(syms, pa + pbr + 1,"
-                    " size(syms)), c), 0) > 0"
-                )
-            ).cast("long").alias("hit"),
+            F.expr(
+                "case when _pa is not null and _pba is not null"
+                " and _pc is not null and size(_pba) > 0"
+                " then cast(element_at(_pc, -1) > element_at(_pba, 1)"
+                " as long) else 0 end"
+            ).alias("hit"),
         )
     )
     aud = (
