@@ -482,11 +482,16 @@ def main() -> None:
     # Interleaved anchor series (r11): the box shows INTERMITTENT
     # multi-minute contention spikes (two same-protocol r11 runs each
     # had a disjoint window of 3-6× medians while all four endpoint
-    # anchors read normal) — re-measure the anchor every 50 queries so
-    # a slow window is attributable to the queries timed inside it.
+    # anchors read normal) — re-measure the anchor every 25 queries
+    # (r14: was 50; run1 this round had several sub-window spikes the
+    # 50-query grid missed entirely) so a slow window is attributable
+    # to the queries timed inside it. Purely additive: ~0.5 s × 13
+    # extra probes of WALL time, never added to any query's median or
+    # the summed total; bench_compare's per-window normalization
+    # consumes the denser series transparently.
     anchor_series: list = []
     for i, name in enumerate(HEADLINE):
-        if i % 50 == 0 and i > 0:
+        if i % 25 == 0 and i > 0:
             a = anchor(spark)
             anchor_series.append({"after_n": i, "sec": a})
             print(f"# anchor@{i}: {a}s", file=sys.stderr)
