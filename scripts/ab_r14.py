@@ -122,6 +122,179 @@ def jonckheere_old():
     )
 
 
+def gsp_int():
+    """Not-yet item 1: int-indexed position ARRAY instead of the
+    string-keyed map. F1 (≤ alphabet = 20 symbols) is collected once
+    to the driver (bounded, like a codebook); the staged per-sequence
+    structure becomes array<array<int>> indexed by symbol id, so every
+    candidate lookup is O(1) positional element_at instead of an
+    O(|distinct syms|) string-compare map probe. Same greedy
+    first-occurrence algebra; ids map back to strings only in the
+    output projection."""
+    from web_analytics_visits_re_processing_spark.plans import (
+        webanalytics_r8 as r8,
+    )
+
+    def build_s2():
+        ev = r8._events(spark, sf_dir)
+        sym = F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.expr(
+                "cast(cast(get_json_object(props, '$.k') as bigint) div 25"
+                " as string)"
+            ),
+        )
+        return (
+            ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+            .groupBy("user_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id,"
+                    " sym))), x -> x.sym)"
+                ).alias("syms")
+            )
+            .select("syms")
+        )
+
+    s2 = r8._persisted("gsp_s2", spark, sf_dir, build_s2)
+    nu = s2.agg(F.count(F.lit(1)).alias("n"))
+    f1 = (
+        s2.select(F.explode(F.array_distinct("syms")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(nu))
+        .where(F.col("sup") * 100 >= F.col("n") * r8._GSP_MINSUP_PCT)
+        .select("t")
+    )
+    syms = sorted(r.t for r in f1.collect())
+    n1 = len(syms)
+    lits = ",".join("'" + s.replace("'", "''") + "'" for s in syms)
+    s2a = r8._persisted(
+        "gsp_s2a",
+        spark,
+        sf_dir,
+        lambda: s2.select(
+            F.expr(
+                f"transform(array({lits}), s -> filter(sequence(1,"
+                " size(syms)), i -> element_at(syms, i) = s))"
+            ).alias("ma")
+        ),
+    )
+    c2 = spark.createDataFrame(
+        [(i, j) for i in range(1, n1 + 1) for j in range(1, n1 + 1)],
+        "ai int, bi int",
+    )
+    scan2 = (
+        s2a.crossJoin(F.broadcast(c2))
+        .select(
+            "ai",
+            "bi",
+            F.expr("element_at(ma, ai)").alias("_pa"),
+            F.expr("element_at(ma, bi)").alias("_pb"),
+        )
+        .select(
+            "ai",
+            "bi",
+            F.expr(
+                "cast(size(_pa) > 0 and size(_pb) > 0"
+                " and element_at(_pb, -1) > element_at(_pa, 1) as long)"
+            ).alias("hit"),
+        )
+    )
+    f2 = r8._persisted(
+        "gsp_f2a",
+        spark,
+        sf_dir,
+        lambda: (
+            scan2.groupBy("ai", "bi")
+            .agg(F.sum("hit").alias("sup"))
+            .crossJoin(F.broadcast(nu))
+            .where(F.col("sup") * 100 >= F.col("n") * r8._GSP_MINSUP_PCT)
+            .select("ai", "bi")
+        ),
+    )
+    c3 = (
+        f2.join(
+            f2.select(F.col("ai").alias("bi"), F.col("bi").alias("ci")),
+            "bi",
+        )
+        .join(
+            f2.select(F.col("ai").alias("ai"), F.col("bi").alias("ci")),
+            ["ai", "ci"],
+        )
+        .select("ai", "bi", "ci")
+    )
+    scan3 = (
+        s2a.crossJoin(F.broadcast(c3))
+        .select(
+            "ai",
+            "bi",
+            "ci",
+            F.expr("element_at(ma, ai)").alias("_pa"),
+            F.expr("element_at(ma, bi)").alias("_pb"),
+            F.expr("element_at(ma, ci)").alias("_pc"),
+        )
+        .select(
+            "ai",
+            "bi",
+            "ci",
+            "_pa",
+            "_pc",
+            F.expr(
+                "case when size(_pa) > 0 and size(_pb) > 0 then"
+                " filter(_pb, p -> p > element_at(_pa, 1))"
+                " end"
+            ).alias("_pba"),
+        )
+        .select(
+            "ai",
+            "bi",
+            "ci",
+            F.expr(
+                "case when size(_pa) > 0 and _pba is not null"
+                " and size(_pc) > 0 and size(_pba) > 0"
+                " then cast(element_at(_pc, -1) > element_at(_pba, 1)"
+                " as long) else 0 end"
+            ).alias("hit"),
+        )
+    )
+    aud = (
+        nu.select(F.lit(n1).cast("long").alias("n_f1"))
+        .crossJoin(F.broadcast(f2.agg(F.count(F.lit(1)).alias("n_f2"))))
+        .crossJoin(F.broadcast(c3.agg(F.count(F.lit(1)).alias("n_c3"))))
+    )
+    dict_arr = F.expr(f"array({lits})")
+    mined = (
+        scan3.groupBy("ai", "bi", "ci")
+        .agg(F.sum("hit").alias("support"))
+        .crossJoin(F.broadcast(nu))
+        .where(F.col("support") * 100 >= F.col("n") * r8._GSP_MINSUP_PCT)
+        .crossJoin(F.broadcast(aud))
+        .select(
+            dict_arr.getItem(F.col("ai") - 1).alias("a"),
+            dict_arr.getItem(F.col("bi") - 1).alias("b"),
+            dict_arr.getItem(F.col("ci") - 1).alias("c"),
+            "support",
+            F.expr("(support * 1000000) div n").alias("support_ppm"),
+            "n_f1",
+            "n_f2",
+            "n_c3",
+        )
+    )
+    audit_row = aud.select(
+        F.lit("(levels)").alias("a"),
+        F.lit("(levels)").alias("b"),
+        F.lit("(levels)").alias("c"),
+        F.lit(0).cast("long").alias("support"),
+        F.lit(0).cast("long").alias("support_ppm"),
+        "n_f1",
+        "n_f2",
+        "n_c3",
+    )
+    return mined.unionAll(audit_row)
+
+
 ARMS = {
     "semdedup:fold": semdedup_variant("fold"),
     "semdedup:arrow": semdedup_variant("arrow"),
@@ -129,7 +302,25 @@ ARMS = {
     "partwrite:norepart": partwrite_variant(str(1 << 60)),
     "jonckheere:old": jonckheere_old,
     "jonckheere:new": lambda: QUERIES["jonckheere_trend_priority"](spark, sf_dir),
+    # NOTE: the gsp A/B (and --gsp-identity) was run while QUERIES
+    # held the wave-3 string-keyed-map form; the int form has since
+    # been LANDED in webanalytics_r8.py, so "gsp:map" now measures
+    # the committed int form too (the arms should read ~equal after
+    # landing — re-run against git history for the original A/B).
+    "gsp:map": lambda: QUERIES["gsp_apriori_sequences"](spark, sf_dir),
+    "gsp:int": gsp_int,
 }
+
+if "--gsp-identity" in sys.argv:
+    a = QUERIES["gsp_apriori_sequences"](spark, sf_dir).toPandas()
+    b = gsp_int().toPandas()
+    key = ["a", "b", "c"]
+    a = a.sort_values(key).reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values(key).reset_index(drop=True)[sorted(b.columns)]
+    assert a.equals(b), (a, b)
+    print(f"# gsp identity OK: {len(a)} rows identical", flush=True)
+    spark.stop()
+    sys.exit(0)
 
 only = sys.argv[1:]
 arms = {k: v for k, v in ARMS.items() if not only or any(k.startswith(o) for o in only)}

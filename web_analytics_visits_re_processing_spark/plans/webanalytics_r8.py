@@ -331,37 +331,38 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = _persisted("gsp_s2", spark, sf_dir, build_s2)
 
     # r14 (verdict item 9, the PQ-hoist lesson applied to the level
-    # scans): the containment checks used to run array_position +
-    # slice PER (sequence × candidate) pair — O(len) scans and a
-    # fresh O(len) array allocation for each of the |users|·|C_k|
-    # pair evaluations (sequences here average ~67 symbols). The
-    # POSITION MAP (sym → sorted 1-based positions, built ONCE per
-    # sequence, alphabet-bounded) turns each pair into O(1) map
-    # lookups: greedy first-occurrence containment is
+    # scans; then the not-yet int-index follow-through at close-out):
+    # the containment checks used to run array_position + slice PER
+    # (sequence × candidate) pair — O(len) scans and a fresh O(len)
+    # array allocation for each of the |users|·|C_k| pair evaluations
+    # (sequences here average ~67 symbols). Two steps landed:
+    #   wave 3: POSITION MAP (sym → sorted 1-based positions, built
+    #     once per sequence) made each pair O(1) algebra — but every
+    #     lookup still probed a string-keyed map (a linear entry scan
+    #     with string equality per probe);
+    #   close-out: the map became an int-indexed ARRAY. F1 (bounded
+    #     by the 20-symbol alphabet) is collected once to the driver
+    #     — a codebook-sized collect, the same pattern as the PQ/IVF
+    #     literal codebooks — and the staged per-sequence structure
+    #     is array<array<int>> position lists indexed by F1 symbol
+    #     id, so every candidate lookup is one O(1) positional
+    #     element_at. Candidate tables are tiny literal id pairs; ids
+    #     map back to symbol strings only in the output projection.
+    # Greedy first-occurrence containment is unchanged:
     #   (a,b):    last(pos[b]) > first(pos[a])
     #   (a,b,c):  last(pos[c]) > first position of b after
     #             first(pos[a])  (= first element of the filtered
     #             pos[b], the exact greedy pb)
     # — provably the same hit set (subsequence existence only needs
-    # the earliest/latest occurrences). try_element_at keeps absent
-    # symbols null under ANSI. The r13 position-table attempt lost
-    # 2.4× because its first/last expressions sat INSIDE nested
-    # per-candidate lambdas (re-evaluated per element); here
-    # candidates arrive as broadcast join rows and every lookup is a
-    # hoisted codegen column. Measured (interleaved A/B, quiet
-    # anchors): level-2 scan 1.29 → 0.68 s median, value-identical.
-    s2m = _persisted(
-        "gsp_s2m",
-        spark,
-        sf_dir,
-        lambda: s2.select(
-            F.expr(
-                "map_from_entries(transform(array_distinct(syms),"
-                " s -> struct(s, filter(sequence(1, size(syms)),"
-                " i -> element_at(syms, i) = s))))"
-            ).alias("m")
-        ),
-    )
+    # the earliest/latest occurrences). Absent symbols are EMPTY
+    # position arrays (the filter runs over the full F1 dictionary
+    # per sequence), checked with size() > 0; only F1 symbols are
+    # ever candidates, exactly as before — F1 membership IS the
+    # dictionary. Measured: wave-3 map cut the level-2 scan
+    # 1.29 → 0.68 s median; close-out interleaved map-vs-int A/B
+    # (5 reps, anchors 0.47–0.55 s): full gate median 2.211 → 1.545 s
+    # (1.43×), min 1.852 → 1.442 s — value-identical output at
+    # sf0.001 (359 mined rows), sf0.01 and sf0.1.
     nu = s2.agg(F.count(F.lit(1)).alias("n"))
     f1 = (
         s2.select(F.explode(F.array_distinct("syms")).alias("t"))
@@ -371,103 +372,126 @@ def q_gsp_apriori_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sup") * 100 >= F.col("n") * _GSP_MINSUP_PCT)
         .select("t")
     )
-    c2 = f1.select(F.col("t").alias("a")).crossJoin(
-        f1.select(F.col("t").alias("b"))
+    syms1 = sorted(r.t for r in f1.collect())
+    n1 = len(syms1)
+    if n1 == 0:
+        # No frequent symbols at this SF: every level is empty and
+        # only the audit row emits — identical to what the lazy
+        # chain produced (F1 = ∅ ⇒ C2 = ∅ ⇒ … ⇒ F3 = ∅).
+        return spark.createDataFrame(
+            [("(levels)", "(levels)", "(levels)", 0, 0, 0, 0, 0)],
+            "a string, b string, c string, support long,"
+            " support_ppm long, n_f1 long, n_f2 long, n_c3 long",
+        )
+    lits = ",".join("'" + s.replace("'", "''") + "'" for s in syms1)
+    s2a = _persisted(
+        "gsp_s2a",
+        spark,
+        sf_dir,
+        lambda: s2.select(
+            F.expr(
+                f"transform(array({lits}), s -> filter(sequence(1,"
+                " size(syms)), i -> element_at(syms, i) = s))"
+            ).alias("ma")
+        ),
+    )
+    c2 = spark.createDataFrame(
+        [(i, j) for i in range(1, n1 + 1) for j in range(1, n1 + 1)],
+        "ai int, bi int",
     )
     scan2 = (
-        s2m.crossJoin(F.broadcast(c2))
+        s2a.crossJoin(F.broadcast(c2))
         .select(
-            "a",
-            "b",
-            F.expr("try_element_at(m, a)").alias("_pa"),
-            F.expr("try_element_at(m, b)").alias("_pb"),
+            "ai",
+            "bi",
+            F.expr("element_at(ma, ai)").alias("_pa"),
+            F.expr("element_at(ma, bi)").alias("_pb"),
         )
         .select(
-            "a",
-            "b",
-            (
-                F.col("_pa").isNotNull()
-                & F.col("_pb").isNotNull()
-                & (
-                    F.expr("element_at(_pb, -1)")
-                    > F.expr("element_at(_pa, 1)")
-                )
-            ).cast("long").alias("hit"),
+            "ai",
+            "bi",
+            F.expr(
+                "cast(size(_pa) > 0 and size(_pb) > 0"
+                " and element_at(_pb, -1) > element_at(_pa, 1) as long)"
+            ).alias("hit"),
         )
     )
     # F2 is referenced three times by the Apriori join — persist the
-    # ≤|F1|²-row table so the level-2 scan runs once, not three times.
+    # ≤|F1|²-row id-pair table so the level-2 scan runs once, not
+    # three times.
     f2 = _persisted(
-        "gsp_f2", spark, sf_dir,
+        "gsp_f2a", spark, sf_dir,
         lambda: (
-            scan2.groupBy("a", "b")
+            scan2.groupBy("ai", "bi")
             .agg(F.sum("hit").alias("sup"))
             .crossJoin(F.broadcast(nu))
             .where(F.col("sup") * 100 >= F.col("n") * _GSP_MINSUP_PCT)
-            .select("a", "b")
+            .select("ai", "bi")
         ),
     )
     c3 = (
         f2.join(
-            f2.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+            f2.select(F.col("ai").alias("bi"), F.col("bi").alias("ci")),
+            "bi",
         )
         .join(
-            f2.select(F.col("a").alias("a"), F.col("b").alias("c")),
-            ["a", "c"],
+            f2.select(F.col("ai").alias("ai"), F.col("bi").alias("ci")),
+            ["ai", "ci"],
         )
-        .select("a", "b", "c")
+        .select("ai", "bi", "ci")
     )
     scan3 = (
-        s2m.crossJoin(F.broadcast(c3))
+        s2a.crossJoin(F.broadcast(c3))
         .select(
-            "a",
-            "b",
-            "c",
-            F.expr("try_element_at(m, a)").alias("_pa"),
-            F.expr("try_element_at(m, b)").alias("_pb"),
-            F.expr("try_element_at(m, c)").alias("_pc"),
+            "ai",
+            "bi",
+            "ci",
+            F.expr("element_at(ma, ai)").alias("_pa"),
+            F.expr("element_at(ma, bi)").alias("_pb"),
+            F.expr("element_at(ma, ci)").alias("_pc"),
         )
         .select(
-            "a",
-            "b",
-            "c",
+            "ai",
+            "bi",
+            "ci",
             "_pa",
             "_pc",
             # greedy pb = first occurrence of b AFTER the first a;
-            # CASE keeps the filter off the null (absent-symbol) rows
+            # CASE keeps the filter off the absent-symbol rows
             F.expr(
-                "case when _pa is not null and _pb is not null then"
+                "case when size(_pa) > 0 and size(_pb) > 0 then"
                 " filter(_pb, p -> p > element_at(_pa, 1))"
                 " end"
             ).alias("_pba"),
         )
         .select(
-            "a",
-            "b",
-            "c",
+            "ai",
+            "bi",
+            "ci",
             F.expr(
-                "case when _pa is not null and _pba is not null"
-                " and _pc is not null and size(_pba) > 0"
+                "case when size(_pa) > 0 and _pba is not null"
+                " and size(_pc) > 0 and size(_pba) > 0"
                 " then cast(element_at(_pc, -1) > element_at(_pba, 1)"
                 " as long) else 0 end"
             ).alias("hit"),
         )
     )
     aud = (
-        f1.agg(F.count(F.lit(1)).alias("n_f1"))
+        nu.select(F.lit(n1).cast("long").alias("n_f1"))
         .crossJoin(F.broadcast(f2.agg(F.count(F.lit(1)).alias("n_f2"))))
         .crossJoin(F.broadcast(c3.agg(F.count(F.lit(1)).alias("n_c3"))))
     )
+    _dict = F.expr(f"array({lits})")
     mined = (
-        scan3.groupBy("a", "b", "c")
+        scan3.groupBy("ai", "bi", "ci")
         .agg(F.sum("hit").alias("support"))
         .crossJoin(F.broadcast(nu))
         .where(F.col("support") * 100 >= F.col("n") * _GSP_MINSUP_PCT)
         .crossJoin(F.broadcast(aud))
         .select(
-            "a",
-            "b",
-            "c",
+            F.element_at(_dict, F.col("ai")).alias("a"),
+            F.element_at(_dict, F.col("bi")).alias("b"),
+            F.element_at(_dict, F.col("ci")).alias("c"),
             "support",
             F.expr("(support * 1000000) div n").alias("support_ppm"),
             "n_f1",
